@@ -1,0 +1,463 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.clean.CleanOps
+import graft.relational.RelationalOps._
+
+/** The oracle-checked query battery. Every entry exercises one operator
+  * family from SURVEY.md §2 (IDs in the names) over the driver-provided
+  * parquet tables, with a DuckDB-equivalent SQL oracle.
+  *
+  * Parity rules used throughout (see SURVEY §2.3/§2.6 caveats):
+  *  - double aggregates go through fixed-scale decimals (`decSum`) so the
+  *    result is bit-identical regardless of partial-agg order;
+  *  - collected sets are sorted and joined to strings so array encoding
+  *    differences can't matter;
+  *  - every computed column is aliased identically on both sides;
+  *  - window/sort orders always end in a unique key (deterministic rows).
+  */
+object Battery {
+
+  final case class Q(
+      name: String,
+      run: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  private val T = Tables
+
+  // ---------------------------------------------------------------- scans
+
+  /** S1 — point scan with predicate pushdown (etl/ingest.py:61-72). */
+  private val s1PointScan = Q(
+    "s1_point_scan",
+    (s, d) => T.orders(s, d).filter(col("o_orderkey") === 42),
+    Some("SELECT * FROM orders WHERE o_orderkey = 42"))
+
+  /** S3 — FK descendant crawl as fixed-depth semi-join pipeline
+    * (etl/ingest.py:83-89).
+    */
+  private val s3Crawl = Q(
+    "s3_descendant_semijoin",
+    (s, d) => {
+      val root = T.region(s, d).filter(col("r_name") === "ASIA")
+      val reach = descendantCrawl(root, Seq(
+        (T.nation(s, d), col("n_regionkey") === col("r_regionkey")),
+        (T.customer(s, d), col("c_nationkey") === col("n_nationkey")),
+        (T.orders(s, d), col("o_custkey") === col("c_custkey")),
+        (T.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))))
+      reach.select("l_orderkey", "l_linenumber")
+    },
+    Some("""SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_orderkey IN (
+           |  SELECT o_orderkey FROM orders WHERE o_custkey IN (
+           |    SELECT c_custkey FROM customer WHERE c_nationkey IN (
+           |      SELECT n_nationkey FROM nation WHERE n_regionkey IN (
+           |        SELECT r_regionkey FROM region WHERE r_name = 'ASIA'))))""".stripMargin))
+
+  // ------------------------------------------- projections / clean / rename
+
+  /** P1+P2 — drop + bulk rename into the pipe-delimited concept namespace
+    * (etl/ingest.py:121,147-483).
+    */
+  private val p2Rename = Q(
+    "p2_rename_prune",
+    (s, d) => {
+      val renames = Map(
+        "l_orderkey" -> "LINEITEM|ORDER_ID",
+        "l_linenumber" -> "LINEITEM|LINE_NUMBER",
+        "l_quantity" -> "LINEITEM|QUANTITY",
+        "l_returnflag" -> "LINEITEM|RETURN_FLAG")
+      renameColumns(T.lineitem(s, d), renames)
+        .select(renames.values.toSeq.sorted.map(col): _*)
+    },
+    Some("""SELECT l_orderkey AS "LINEITEM|ORDER_ID",
+           |       l_linenumber AS "LINEITEM|LINE_NUMBER",
+           |       l_quantity AS "LINEITEM|QUANTITY",
+           |       l_returnflag AS "LINEITEM|RETURN_FLAG"
+           |FROM lineitem""".stripMargin))
+
+  /** P6 — missing-data sentinel normalization (disease.py:26-35 etc.). */
+  private val p6Clean = Q(
+    "p6_clean_sentinels",
+    (s, d) => T.documents(s, d).select(
+      col("doc_id"),
+      CleanOps.cleanString(col("source"), Set("src0", "src1")).as("source_clean")),
+    Some("""SELECT doc_id,
+           |  CASE WHEN trim(source) IN ('src0','src1') THEN NULL
+           |       ELSE trim(source) END AS source_clean
+           |FROM documents""".stripMargin))
+
+  // ---------------------------------------------------------------- joins
+
+  /** J1 — small-dim broadcast full outer join (etl/ingest.py:178-183). */
+  private val j1Outer = Q(
+    "j1_broadcast_outer",
+    (s, d) => {
+      val r = T.region(s, d)
+      val n = T.nation(s, d).withColumnRenamed("n_regionkey", "r_regionkey")
+      r.join(n, Seq("r_regionkey"), "full_outer")
+    },
+    Some("""SELECT r_regionkey, r_name, n_nationkey, n_name
+           |FROM region FULL JOIN (
+           |  SELECT n_nationkey, n_name, n_regionkey AS r_regionkey FROM nation) n
+           |USING (r_regionkey)""".stripMargin))
+
+  /** J2–J12 — the left-to-right full outer join chain over shared keys
+    * (etl/ingest.py:178-483), here region→nation→customer→orders→lineitem.
+    */
+  private val jChain = Q(
+    "j_outer_chain",
+    (s, d) => {
+      val r = T.region(s, d)
+      val n = T.nation(s, d).withColumnRenamed("n_regionkey", "r_regionkey")
+      val c = T.customer(s, d).withColumnRenamed("c_nationkey", "n_nationkey")
+      val o = T.orders(s, d).withColumnRenamed("o_custkey", "c_custkey")
+      val l = T.lineitem(s, d).withColumnRenamed("l_orderkey", "o_orderkey")
+        .select("o_orderkey", "l_linenumber", "l_quantity")
+      val wide = outerJoinChain(r, Seq(
+        (n, Seq("r_regionkey")),
+        (c, Seq("n_nationkey")),
+        (o, Seq("c_custkey")),
+        (l, Seq("o_orderkey"))))
+      wide.select("r_name", "n_name", "c_custkey", "o_orderkey", "l_linenumber", "l_quantity")
+    },
+    Some("""SELECT r_name, n_name, c_custkey, o_orderkey, l_linenumber, l_quantity
+           |FROM region
+           |FULL JOIN (SELECT n_nationkey, n_name, n_regionkey AS r_regionkey FROM nation) n USING (r_regionkey)
+           |FULL JOIN (SELECT c_custkey, c_name, c_acctbal, c_mktsegment, c_nationkey AS n_nationkey FROM customer) c USING (n_nationkey)
+           |FULL JOIN (SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority, o_custkey AS c_custkey FROM orders) o USING (c_custkey)
+           |FULL JOIN (SELECT l_orderkey AS o_orderkey, l_linenumber, l_quantity FROM lineitem) l USING (o_orderkey)""".stripMargin))
+
+  /** J8 — composite (two-column) key outer join (etl/ingest.py:381-395). */
+  private val j8Composite = Q(
+    "j8_composite_key",
+    (s, d) => {
+      val l = T.lineitem(s, d)
+      val agg = l.groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(decSum(col("l_quantity")).as("supp_qty"))
+      l.select("l_orderkey", "l_suppkey", "l_linenumber")
+        .join(agg, Seq("l_orderkey", "l_suppkey"), "full_outer")
+    },
+    Some("""SELECT l_orderkey, l_suppkey, l_linenumber, supp_qty
+           |FROM (SELECT l_orderkey, l_suppkey, l_linenumber FROM lineitem) a
+           |FULL JOIN (SELECT l_orderkey, l_suppkey,
+           |             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS supp_qty
+           |           FROM lineitem GROUP BY 1, 2) b
+           |USING (l_orderkey, l_suppkey)""".stripMargin))
+
+  /** Null-key retention caveat of pandas merge(how="outer") (SURVEY §2.3):
+    * null keys never match but their rows survive.
+    */
+  private val jNullKey = Q(
+    "j_nullkey_outer",
+    (s, d) => {
+      val c = T.customer(s, d).select(
+        when(col("c_nationkey") === 3, lit(null)).otherwise(col("c_nationkey")).as("nk"),
+        col("c_custkey"))
+      val n = T.nation(s, d).select(
+        when(col("n_nationkey") === 4, lit(null)).otherwise(col("n_nationkey")).as("nk"),
+        col("n_name"))
+      c.join(n, Seq("nk"), "full_outer")
+    },
+    Some("""SELECT nk, c_custkey, n_name
+           |FROM (SELECT NULLIF(c_nationkey, 3) AS nk, c_custkey FROM customer) c
+           |FULL JOIN (SELECT NULLIF(n_nationkey, 4) AS nk, n_name FROM nation) n
+           |USING (nk)""".stripMargin))
+
+  /** J13/F7 — broadcast code-system dictionary lookup with and without
+    * default (patient.py:12-115, family.py:78).
+    */
+  private val j13Codes = Q(
+    "j13_code_lookup",
+    (s, d) => {
+      val regionCodes = Map(
+        "AFRICA" -> "AF", "AMERICA" -> "AM", "ASIA" -> "AS",
+        "EUROPE" -> "EU", "MIDDLE EAST" -> "ME")
+      val nationCodes = Map("CHINA" -> "CN", "FRANCE" -> "FR")
+      val n = T.nation(s, d)
+      val r = T.region(s, d).withColumnRenamed("r_regionkey", "n_regionkey")
+      n.join(broadcast(r), Seq("n_regionkey"), "inner").select(
+        col("n_name"), col("r_name"),
+        codeLookup(col("r_name"), regionCodes).as("region_code"),
+        codeLookupWithDefault(col("n_name"), nationCodes, "XX").as("nation_code"))
+    },
+    Some("""SELECT n_name, r_name,
+           |  CASE r_name WHEN 'AFRICA' THEN 'AF' WHEN 'AMERICA' THEN 'AM'
+           |              WHEN 'ASIA' THEN 'AS' WHEN 'EUROPE' THEN 'EU'
+           |              WHEN 'MIDDLE EAST' THEN 'ME' END AS region_code,
+           |  CASE n_name WHEN 'CHINA' THEN 'CN' WHEN 'FRANCE' THEN 'FR'
+           |              ELSE 'XX' END AS nation_code
+           |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin))
+
+  // ----------------------------------------------------------- aggregates
+
+  /** A1 — group + first-distinct + collect-distinct-set (family.py:29-47);
+    * the set is sorted+joined for deterministic comparison (SURVEY §7.4
+    * non-determinism note).
+    */
+  private val a1Collect = Q(
+    "a1_group_collect",
+    (s, d) => T.customer(s, d).groupBy(col("c_nationkey")).agg(
+      array_join(sort_array(collect_set(col("c_mktsegment"))), ",").as("segments"),
+      min(col("c_name")).as("first_name"),
+      count(lit(1)).as("n_members")),
+    Some("""SELECT c_nationkey,
+           |  array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
+           |  min(c_name) AS first_name,
+           |  count(*) AS n_members
+           |FROM customer GROUP BY c_nationkey""".stripMargin))
+
+  /** A2 — dynamic grouping keys + collected member ids
+    * (drs_document_reference.py:170-206).
+    */
+  private val a2Collect = Q(
+    "a2_group_collect_dynamic",
+    (s, d) => T.orders(s, d).groupBy(col("o_orderstatus"), col("o_orderpriority")).agg(
+      array_join(sort_array(collect_set(col("o_custkey").cast("string"))), ",").as("members"),
+      countDistinct(col("o_custkey")).as("n_distinct"),
+      count(lit(1)).as("n_rows")),
+    Some("""SELECT o_orderstatus, o_orderpriority,
+           |  array_to_string(list_sort(list(DISTINCT CAST(o_custkey AS VARCHAR))), ',') AS members,
+           |  count(DISTINCT o_custkey) AS n_distinct,
+           |  count(*) AS n_rows
+           |FROM orders GROUP BY 1, 2""".stripMargin))
+
+  /** A5 — exact duplicate elimination (clean_up_df / dropDuplicates). */
+  private val a5Dedup = Q(
+    "a5_dedup_distinct",
+    (s, d) => T.customer(s, d).select("c_mktsegment", "c_nationkey").dropDuplicates(),
+    Some("SELECT DISTINCT c_mktsegment, c_nationkey FROM customer"))
+
+  /** TPC-H Q1-shaped headline aggregate (engine surface beyond the
+    * reference: numeric aggregates, SURVEY §2.4 "absent" note).
+    */
+  private val q1Agg = Q(
+    "q1_agg",
+    (s, d) => T.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        decSum(col("l_quantity")).as("sum_qty"),
+        decSum(col("l_extendedprice")).as("sum_base_price"),
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("sum_disc_price"),
+        (sum(col("l_discount").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order")),
+    Some("""SELECT l_returnflag, l_linestatus,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+           |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+           |  count(*) AS count_order
+           |FROM lineitem
+           |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+           |GROUP BY l_returnflag, l_linestatus""".stripMargin))
+
+  // ------------------------------------------- window / sort / set ops
+
+  /** Window functions (engine surface, SURVEY §2.5): ranking + running
+    * aggregate with a deterministic (unique-suffixed) order.
+    */
+  private val w1Window = Q(
+    "w1_window_rank",
+    (s, d) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      T.lineitem(s, d).select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        row_number().over(w).as("rn"),
+        sum(col("l_quantity").cast("decimal(18,2)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_qty"))
+    },
+    Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
+           |  CAST(row_number() OVER w AS INT) AS rn,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+           |       OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+           |FROM lineitem
+           |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)""".stripMargin))
+
+  /** Sort + limit / top-k with unique tiebreak (SURVEY §2.5). */
+  private val topK = Q(
+    "topk_sort_limit",
+    (s, d) => T.orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      .limit(100),
+    Some("""SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+           |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin))
+
+  /** Set operations (SURVEY §2.5): symmetric difference via
+    * union-distinct / intersect / except.
+    */
+  private val setOps = Q(
+    "setops_symmetric_diff",
+    (s, d) => {
+      val c = T.customer(s, d)
+      val a = c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val b = c.filter(col("c_acctbal") > 5000).select("c_custkey")
+      a.union(b).distinct().except(a.intersect(b))
+    },
+    Some("""(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+           | UNION
+           | SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+           |EXCEPT
+           |(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+           | INTERSECT
+           | SELECT c_custkey FROM customer WHERE c_acctbal > 5000)""".stripMargin))
+
+  // ------------------------------------------------------ scalar functions
+
+  /** F1–F4 — split / trim / prefix test / concat (research_study.py:76-79,
+    * drs_document_reference.py:326-329,377).
+    */
+  private val fScalar = Q(
+    "f_scalar_string",
+    (s, d) => T.part(s, d).select(
+      col("p_partkey"),
+      split(col("p_name"), " ").getItem(0).as("first_word"),
+      substring_index(col("p_name"), " ", -1).as("last_word"),
+      upper(trim(col("p_brand"))).as("brand_uc"),
+      col("p_type").startsWith("PROMO").as("is_promo"),
+      concat_ws("/", col("p_brand"), col("p_type")).as("path"),
+      tolerantCast(split(col("p_brand"), "#").getItem(1), "int").as("brand_num")),
+    Some("""SELECT p_partkey,
+           |  string_split(p_name, ' ')[1] AS first_word,
+           |  string_split(p_name, ' ')[-1] AS last_word,
+           |  upper(trim(p_brand)) AS brand_uc,
+           |  (p_type LIKE 'PROMO%') AS is_promo,
+           |  concat_ws('/', p_brand, p_type) AS path,
+           |  TRY_CAST(string_split(p_brand, '#')[2] AS INT) AS brand_num
+           |FROM part""".stripMargin))
+
+  /** F5 — failure-tolerant casts: Spark cast yields null on failure,
+    * matching the reference's try/except-omit (disease.py:161-194).
+    */
+  private val f5Cast = Q(
+    "f5_try_cast",
+    (s, d) => T.events(s, d).select(
+      col("event_id"),
+      tolerantCast(regexp_extract(col("props"), "\"k\": (\\d+)", 1), "int").as("k"),
+      tolerantCast(col("event_type"), "int").as("type_as_int"),
+      floor(col("value")).cast("int").as("value_floor")),
+    Some("""SELECT event_id,
+           |  TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k,
+           |  TRY_CAST(event_type AS INT) AS type_as_int,
+           |  CAST(floor(value) AS INT) AS value_floor
+           |FROM events""".stripMargin))
+
+  // --------------------------------------------------- time windows (§2.7)
+
+  /** Tumbling window aggregate over the events table — batch form of the
+    * Structured Streaming pipeline (stream/batch parity, SURVEY §2.7).
+    */
+  private val twTumbling = Q(
+    "tw_tumbling_window",
+    (s, d) => T.events(s, d)
+      .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), decSum(col("value")).as("total"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"), col("total")),
+    Some("""SELECT time_bucket(INTERVAL '5 minutes', ts) AS ws, event_type,
+           |  count(*) AS n,
+           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM events GROUP BY 1, 2""".stripMargin))
+
+  // ----------------------------------------- LLM-pipeline ops (north star)
+
+  /** Exact deduplication by content hash (hash-groupBy). */
+  private val d1DedupExact = Q(
+    "d1_dedup_exact",
+    (s, d) => T.documents(s, d)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies")),
+    Some("""SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+           |  count(*) AS n_copies
+           |FROM documents GROUP BY 1""".stripMargin))
+
+  /** Text statistics: token count, char classes (quality-score inputs). */
+  private val x1TextStats = Q(
+    "x1_text_stats",
+    (s, d) => T.documents(s, d).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("len_chars"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+      length(regexp_replace(col("text"), "[^aeiou]", "")).cast("long").as("n_vowels"),
+      (length(col("text")) - length(regexp_replace(col("text"), " ", ""))).cast("long").as("n_spaces")),
+    Some("""SELECT doc_id,
+           |  CAST(length(text) AS BIGINT) AS len_chars,
+           |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+           |  CAST(length(regexp_replace(text, '[^aeiou]', '', 'g')) AS BIGINT) AS n_vowels,
+           |  CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) AS BIGINT) AS n_spaces
+           |FROM documents""".stripMargin))
+
+  /** Brute-force cosine top-k ANN baseline over the embeddings table.
+    * Dot products are strict left folds over doubles on both sides, and
+    * only ranks are emitted, so float noise can't flip the compare.
+    */
+  private val n1AnnTopK = Q(
+    "n1_ann_cosine_topk",
+    (s, d) => {
+      val emb = T.embeddings(s, d).select(
+        col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val q = emb.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("v").as("qv"))
+      val c = emb.select(col("vec_id").as("cid"), col("v").as("cv"))
+      def dot(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+      val scored = q.join(c, col("cid") =!= col("qid"))
+        .select(col("qid"), col("cid"),
+          (dot(col("qv"), col("cv")) /
+            (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("cv"), col("cv"))))).as("cos"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 10)
+        .select(col("qid"), col("cid").as("neighbor_id"), col("rnk"))
+    },
+    Some("""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+           |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings),
+           |s AS (SELECT qid, cid,
+           |        list_dot_product(qv, cv) /
+           |          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+           |      FROM q, c WHERE cid != qid)
+           |SELECT qid, cid AS neighbor_id, CAST(rnk AS INT) AS rnk
+           |FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk FROM s)
+           |WHERE rnk <= 10""".stripMargin))
+
+  /** Multimodal column plumbing: opaque binary payload + typed metadata
+    * (decode itself is stubbed per the brief; the Spark-side schema and
+    * hashing are real).
+    */
+  private val m1Multimodal = Q(
+    "m1_multimodal_bytes",
+    (s, d) => T.documents(s, d).select(
+      col("doc_id"),
+      length(encode(col("text"), "UTF-8")).cast("long").as("byte_len"),
+      md5(col("text")).as("content_hash"),
+      substring(md5(col("text")), 1, 8).as("shard_key")),
+    Some("""SELECT doc_id,
+           |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           |  md5(text) AS content_hash,
+           |  substr(md5(text), 1, 8) AS shard_key
+           |FROM documents""".stripMargin))
+
+  // ---------------------------------------------------------------- export
+
+  val all: Seq[Q] = Seq(
+    s1PointScan, s3Crawl, p2Rename, p6Clean,
+    j1Outer, jChain, j8Composite, jNullKey, j13Codes,
+    a1Collect, a2Collect, a5Dedup, q1Agg,
+    w1Window, topK, setOps,
+    fScalar, f5Cast, twTumbling,
+    d1DedupExact, x1TextStats, n1AnnTopK, m1Multimodal)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.run).toMap
+
+  val oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}

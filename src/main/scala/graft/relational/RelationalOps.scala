@@ -1,0 +1,70 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The relational core of the engine: the operator surface SURVEY.md §2
+  * declares, expressed as thin, typed wrappers over DataFrame ops so each
+  * operator is explicit, testable, and stays inside Catalyst (whole-stage
+  * codegen, pushdown, AQE all apply).
+  */
+object RelationalOps {
+
+  /** P2 — bulk rename into the pipe-delimited concept namespace
+    * (etl/ingest.py:147-483). Pure metadata: a Project node, no shuffle.
+    */
+  def renameColumns(df: DataFrame, renames: Map[String, String]): DataFrame =
+    df.withColumnsRenamed(renames)
+
+  /** J1–J12 — the presence-driven left-to-right full outer equi-join chain
+    * (etl/ingest.py:178-483). `tables` is (df, joinKeys) in reference
+    * order; absent endpoints are simply not in the list, mirroring the
+    * reference's `if <endpoint> is not None` conditionals.
+    *
+    * Scale: full outer joins shuffle both sides on the key. Catalyst/AQE
+    * picks sort-merge for the fan-out joins and can convert to broadcast
+    * when one side is small (the dims here). Key coalescing matches
+    * pandas `merge(how="outer")`: null keys never match but their rows
+    * are retained (SURVEY §2.3 caveat).
+    */
+  def outerJoinChain(first: DataFrame, rest: Seq[(DataFrame, Seq[String])]): DataFrame =
+    rest.foldLeft(first) { case (acc, (df, keys)) => acc.join(df, keys, "full_outer") }
+
+  /** S3 — recursive FK descendant crawl re-expressed as a fixed-depth
+    * semi-join pipeline over the table-dependency DAG
+    * (etl/ingest.py:83-89). Each level keeps only child rows reachable
+    * from the already-selected parent keys; `left_semi` never widens the
+    * row and needs no dedup.
+    */
+  def descendantCrawl(root: DataFrame, levels: Seq[(DataFrame, Column)]): DataFrame =
+    levels.foldLeft(root) { case (parents, (child, joinCond)) =>
+      child.join(parents, joinCond, "left_semi")
+    }
+
+  /** J13/F7 — broadcast dictionary (code-system) lookup: source string →
+    * mapped value, null on miss (Python `dict.get`). The literal map is
+    * shipped once per executor inside the serialized plan — no join, no
+    * shuffle, fully codegen'd.
+    */
+  def codeLookup(c: Column, codeMap: Map[String, String]): Column =
+    element_at(typedLit(codeMap), c)
+
+  /** Variant with a default (family.py:78 `... or "person"`). */
+  def codeLookupWithDefault(c: Column, codeMap: Map[String, String], default: String): Column =
+    coalesce(element_at(typedLit(codeMap), c), lit(default))
+
+  /** F5 — failure-tolerant cast (null on malformed input), mirroring the
+    * reference's try/except-omit (disease.py:161-194 etc.). Spark 4 runs
+    * ANSI mode by default where plain `cast` throws, so this must be
+    * `try_cast`.
+    */
+  def tolerantCast(c: Column, to: String): Column = c.try_cast(to)
+
+  /** Exact-sum helper: aggregate doubles through a fixed-scale decimal so
+    * the result is independent of partial-aggregation order (bit-exact
+    * across partitionings and vs. single-threaded oracles), then surface
+    * as double.
+    */
+  def decSum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+}
