@@ -445,6 +445,69 @@ object Battery {
            |  substr(md5(text), 1, 8) AS shard_key
            |FROM documents""".stripMargin))
 
+  // ------------------------------------------ KF ETL end-to-end slice (§7.2)
+
+  /** The reference pipeline end-to-end on KF-shaped tables derived from
+    * the TPC-H data: extract-shaped inputs → rename → presence-driven
+    * outer-join chain → clean → Patient document expression → to_json.
+    * Touches every layer (SURVEY §7.2). JSON output is golden-tested in
+    * ScalaTest; here the driver records a rows-only check.
+    */
+  private val kfPatientSlice = Q(
+    "kf_patient_slice",
+    (s, d) => {
+      val region = T.region(s, d)
+      val customer = T.customer(s, d)
+      val nation = T.nation(s, d)
+      // KF-shaped "studies": one per region
+      val studies = region.select(
+        concat(lit("SD_"), col("r_regionkey")).as("kf_id"),
+        concat(lit("phs00000"), col("r_regionkey"), lit(".v1.p1")).as("external_id"),
+        col("r_name").as("name"),
+        col("r_name").as("short_name"),
+        concat(lit("S"), col("r_regionkey")).as("short_code"),
+        lit("v1").as("version"),
+        lit(null).cast("string").as("attribution"),
+        lit("dbGaP").as("data_access_authority"),
+        lit("CANCER").as("domain"),
+        lit("Kids First").as("program"),
+        lit("Pending").as("release_status"),
+        lit("True").as("visible"),
+        lit(null).cast("string").as("investigator_id"))
+      // KF-shaped "participants": customers, study via nation→region
+      val genderBySeg = typedLit(Map(
+        "BUILDING" -> "Male", "AUTOMOBILE" -> "Female", "MACHINERY" -> "Male",
+        "HOUSEHOLD" -> "Female", "FURNITURE" -> "Other"))
+      val raceByMod = typedLit(Map(
+        0 -> "White", 1 -> "Asian", 2 -> "Black or African American",
+        3 -> "Unknown", 4 -> "Not Reported"))
+      val participants = customer
+        .join(nation, customer("c_nationkey") === nation("n_nationkey"))
+        .select(
+          concat(lit("PT_"), col("c_custkey")).as("kf_id"),
+          col("c_name").as("external_id"),
+          concat(lit("SD_"), col("n_regionkey")).as("study_id"),
+          concat(lit("FM_"), col("c_nationkey")).as("family_id"),
+          lit("True").as("is_proband"),
+          lit("True").as("affected_status"),
+          lit("Cancer").as("diagnosis_category"),
+          element_at(genderBySeg, col("c_mktsegment")).as("gender"),
+          lit("Not Hispanic or Latino").as("ethnicity"),
+          element_at(raceByMod, (col("c_custkey") % 5).cast("int")).as("race"),
+          lit("Homo sapiens").as("species"),
+          lit("True").as("visible"))
+      val families = participants.select(col("family_id").as("kf_id"))
+        .distinct()
+        .withColumn("external_id", concat(lit("fam-"), col("kf_id")))
+        .withColumn("visible", lit("True"))
+      val result = graft.etl.Transform(Map(
+        "studies" -> studies,
+        "participants" -> participants,
+        "families" -> families))
+      graft.documents.FhirBuilders.patient(result.wide)
+    },
+    None)
+
   // ---------------------------------------------------------------- export
 
   val all: Seq[Q] = Seq(
@@ -453,7 +516,8 @@ object Battery {
     a1Collect, a2Collect, a5Dedup, q1Agg,
     w1Window, topK, setOps,
     fScalar, f5Cast, twTumbling,
-    d1DedupExact, x1TextStats, n1AnnTopK, m1Multimodal)
+    d1DedupExact, x1TextStats, n1AnnTopK, m1Multimodal,
+    kfPatientSlice)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
