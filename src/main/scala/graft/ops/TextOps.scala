@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, shingling, language-ID, quality scoring, fingerprinting.
+  *
+  * Everything here is pure Catalyst array/string expressions — no UDFs,
+  * no explode unless noted — so each op is a narrow, codegen'd map over
+  * the documents table: at 100 TB these scan-local ops scale linearly
+  * with input splits and shuffle nothing.
+  */
+object TextOps {
+
+  /** Whitespace tokenization (token = maximal non-space run). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** BPE-ish subword count: word-piece regex splits on letter/digit/other
+    * boundaries — a cheap stand-in for tokenizer-aware counting.
+    */
+  def subwordCount(text: Column): Column =
+    size(split(trim(text), "\\s+|(?<=[a-z])(?=[0-9])|(?<=[0-9])(?=[a-z])"))
+
+  /** Word n-gram shingles; empty array when the doc has fewer than n
+    * tokens (guards `sequence`'s descending-range behavior).
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Stopword profiles for the n-gram/stopword language-ID heuristic. */
+  val StopwordProfiles: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
+    "es" -> Seq("el", "la", "de", "y", "en", "es", "que", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "en", "est", "que", "les"),
+    "zh" -> Seq("de", "le", "shi", "bu", "wo", "you", "zhe", "ren"))
+
+  /** Occurrences of profile stopwords among the tokens. */
+  def stopwordHits(toks: Column, profile: Seq[String]): Column =
+    size(filter(toks, t => t.isin(profile.map(x => x: Any): _*)))
+
+  /** Predicted language = argmax of profile hit counts, lexicographic
+    * tie-break (deterministic).
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = StopwordProfiles.toSeq.sortBy(_._1)
+      .map { case (lang, prof) => lang -> stopwordHits(toks, prof) }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldLeft(lit(null).cast("string")) { case (acc, (lang, score)) =>
+      coalesce(acc, when(score === best, lit(lang)))
+    }
+  }
+
+  /** Quality-score inputs + composite score in [0,1]: rewards stopword
+    * density and moderate token length, penalizes digit load. All
+    * ratios are exact-int / exact-int in double — deterministic.
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nTokens = size(toks).cast("double")
+    val stop = stopwordHits(toks, StopwordProfiles("en")).cast("double")
+    val nChars = length(text).cast("double")
+    val nDigits = length(regexp_replace(text, "[^0-9]", "")).cast("double")
+    val avgTokLen = (nChars - (nTokens - 1)) / nTokens
+    val stopRatio = stop / nTokens
+    val digitRatio = nDigits / nChars
+    round(lit(0.4) * least(stopRatio * 4, lit(1.0)) +
+      lit(0.3) * (lit(1.0) - digitRatio) +
+      lit(0.3) * least(avgTokLen / 8.0, lit(1.0)), 6)
+  }
+
+  /** Content fingerprint of whitespace/case-normalized text (md5 — the
+    * exact-dedup key). A 64-bit rolling variant is [[rollingFingerprint]].
+    */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** Polynomial rolling hash over tokens (Rabin–Karp style), mod the
+    * Mersenne prime 2³¹−1 so the fold never overflows a long under ANSI
+    * mode. Order-sensitive; stays in Catalyst (no UDF); Spark-side only
+    * (not oracle-expressible).
+    */
+  def rollingFingerprint(text: Column): Column = {
+    val p = 2147483647L // 2^31 - 1
+    aggregate(
+      transform(tokens(text),
+        t => pmod(conv(substring(md5(t), 1, 15), 16, 10).cast("long"), lit(p))),
+      lit(0L),
+      (acc, h) => pmod(acc * 1000003L + h, lit(p)))
+  }
+}

@@ -445,6 +445,187 @@ object Battery {
            |  substr(md5(text), 1, 8) AS shard_key
            |FROM documents""".stripMargin))
 
+  // --------------------------------- dedup / text / similarity (north star)
+
+  /** MinHash signatures + LSH band keys per document (3-gram shingles,
+    * k=8, bands of 2) — all narrow array expressions, zero shuffle.
+    */
+  private val d2MinhashBands = Q(
+    "d2_minhash_bands",
+    (s, d) => graft.ops.DedupOps
+      .minhashBands(T.documents(s, d), "doc_id", "text")
+      .drop("shingle_set")
+      .withColumnRenamed("id", "doc_id"),
+    Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+           |g AS (SELECT doc_id, [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)] AS sh FROM t),
+           |sig AS (SELECT doc_id,
+           |  list_sort([md5('0:'||s) for s in sh])[1] AS sig_0,
+           |  list_sort([md5('1:'||s) for s in sh])[1] AS sig_1,
+           |  list_sort([md5('2:'||s) for s in sh])[1] AS sig_2,
+           |  list_sort([md5('3:'||s) for s in sh])[1] AS sig_3,
+           |  list_sort([md5('4:'||s) for s in sh])[1] AS sig_4,
+           |  list_sort([md5('5:'||s) for s in sh])[1] AS sig_5,
+           |  list_sort([md5('6:'||s) for s in sh])[1] AS sig_6,
+           |  list_sort([md5('7:'||s) for s in sh])[1] AS sig_7
+           |FROM g)
+           |SELECT doc_id, sig_0, sig_1, sig_2, sig_3, sig_4, sig_5, sig_6, sig_7,
+           |  md5(sig_0||sig_1) AS band_0, md5(sig_2||sig_3) AS band_1,
+           |  md5(sig_4||sig_5) AS band_2, md5(sig_6||sig_7) AS band_3
+           |FROM sig""".stripMargin))
+
+  /** Near-duplicate pairs: LSH candidates (one shuffle on the bucket key
+    * — the O(n²)→equi-join rewrite that survives 100 TB) verified with
+    * exact shingle-set Jaccard ≥ 0.5.
+    */
+  private val d2bNearDupPairs = Q(
+    "d2b_neardup_pairs",
+    (s, d) => {
+      val bands = graft.ops.DedupOps.minhashBands(T.documents(s, d), "doc_id", "text")
+      graft.ops.DedupOps.nearDupPairs(bands, nBands = 4, threshold = 0.5)
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+           |g AS (SELECT doc_id, [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)] AS sh FROM t),
+           |sig AS (SELECT doc_id, sh,
+           |  list_sort([md5('0:'||s) for s in sh])[1] AS s0,
+           |  list_sort([md5('1:'||s) for s in sh])[1] AS s1,
+           |  list_sort([md5('2:'||s) for s in sh])[1] AS s2,
+           |  list_sort([md5('3:'||s) for s in sh])[1] AS s3,
+           |  list_sort([md5('4:'||s) for s in sh])[1] AS s4,
+           |  list_sort([md5('5:'||s) for s in sh])[1] AS s5,
+           |  list_sort([md5('6:'||s) for s in sh])[1] AS s6,
+           |  list_sort([md5('7:'||s) for s in sh])[1] AS s7
+           |FROM g),
+           |bands AS (SELECT doc_id, md5(s0||s1) b0, md5(s2||s3) b1, md5(s4||s5) b2, md5(s6||s7) b3 FROM sig),
+           |eb AS (
+           |  SELECT doc_id, 0 AS bi, b0 AS bucket FROM bands UNION ALL
+           |  SELECT doc_id, 1, b1 FROM bands UNION ALL
+           |  SELECT doc_id, 2, b2 FROM bands UNION ALL
+           |  SELECT doc_id, 3, b3 FROM bands),
+           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM eb a JOIN eb b USING (bi, bucket) WHERE a.doc_id < b.doc_id),
+           |ds AS (SELECT doc_id, unnest(list_distinct(sh)) AS s FROM g),
+           |sz AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
+           |ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+           |  FROM ds a JOIN ds b USING (s) GROUP BY 1, 2)
+           |SELECT doc_a, doc_b, CAST(c AS DOUBLE)/(sa.n + sb.n - c) AS jaccard
+           |FROM cand JOIN ov USING (doc_a, doc_b)
+           |JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+           |WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.5""".stripMargin))
+
+  /** 16-bit SimHash per document (majority vote over token-hash bits). */
+  private val d3Simhash = Q(
+    "d3_simhash",
+    (s, d) => T.documents(s, d).select(
+      col("doc_id"),
+      graft.ops.DedupOps.simhash16(col("text")).as("simhash")),
+    Some {
+      val terms = (0 until 16).map { b =>
+        val pos = 1 + b / 4
+        val shift = 3 - (b % 4)
+        s"""CASE WHEN 2*len(list_filter(hl, h -> ((instr('0123456789abcdef', substr(h, $pos, 1)) - 1) >> $shift) & 1 = 1)) - len(hl) > 0 THEN ${1 << b} ELSE 0 END"""
+      }.mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+         |h AS (SELECT doc_id, [md5(t) for t in toks] AS hl FROM t)
+         |SELECT doc_id, CAST($terms AS INT) AS simhash FROM h""".stripMargin
+    })
+
+  /** Language-ID: stopword-profile argmax (lexicographic tie-break). */
+  private val x2LangId = Q(
+    "x2_langid",
+    (s, d) => T.documents(s, d).select(
+      col("doc_id"),
+      graft.ops.TextOps.langId(col("text")).as("pred_lang"),
+      (graft.ops.TextOps.langId(col("text")) === col("lang")).as("is_correct")),
+    Some {
+      val profiles = graft.ops.TextOps.StopwordProfiles.toSeq.sortBy(_._1)
+      val counts = profiles.map { case (lang, prof) =>
+        val lst = prof.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(toks, t -> list_contains([$lst], t))) AS c_$lang"
+      }.mkString(",\n  ")
+      val langs = profiles.map(_._1)
+      val best = s"greatest(${langs.map("c_" + _).mkString(", ")})"
+      val pred = langs.map(l => s"WHEN c_$l = m THEN '$l'").mkString("CASE ", " ", " END")
+      s"""WITH t AS (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+         |c AS (SELECT doc_id, lang,
+         |  $counts
+         |FROM t),
+         |m AS (SELECT *, $best AS m FROM c)
+         |SELECT doc_id, $pred AS pred_lang, ($pred = lang) AS is_correct FROM m""".stripMargin
+    })
+
+  /** Content fingerprint of normalized text (exact-dedup key). */
+  private val x3Fingerprint = Q(
+    "x3_fingerprint",
+    (s, d) => T.documents(s, d).select(
+      col("doc_id"),
+      graft.ops.TextOps.fingerprint(col("text")).as("fp")),
+    Some("""SELECT doc_id,
+           |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+           |FROM documents""".stripMargin))
+
+  /** 64-bit rolling (Rabin–Karp) fingerprint — Spark-side catalyst fold;
+    * not oracle-expressible (rows-only check).
+    */
+  private val x3bRolling = Q(
+    "x3b_rolling_fingerprint",
+    (s, d) => T.documents(s, d).select(
+      col("doc_id"),
+      graft.ops.TextOps.rollingFingerprint(col("text")).as("fp64")),
+    None)
+
+  /** Composite quality score from exact integer ratios. */
+  private val x4Quality = Q(
+    "x4_quality_score",
+    (s, d) => T.documents(s, d).select(
+      col("doc_id"),
+      graft.ops.TextOps.qualityScore(col("text")).as("quality")),
+    Some {
+      val stops = graft.ops.TextOps.StopwordProfiles("en").map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+         |c AS (SELECT doc_id,
+         |  CAST(len(toks) AS DOUBLE) AS n_tokens,
+         |  CAST(len(list_filter(toks, t -> list_contains([$stops], t))) AS DOUBLE) AS stop,
+         |  CAST(length(text) AS DOUBLE) AS n_chars,
+         |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS n_digits
+         |FROM t)
+         |SELECT doc_id,
+         |  round(0.4 * least((stop / n_tokens) * 4, 1.0) +
+         |        0.3 * (1.0 - (n_digits / n_chars)) +
+         |        0.3 * least(((n_chars - (n_tokens - 1)) / n_tokens) / 8.0, 1.0), 6) AS quality
+         |FROM c""".stripMargin
+    })
+
+  /** LSH-bucketed ANN (4-bit random-hyperplane buckets): candidates come
+    * from a bucket equi-join, not a cross join — the scale path.
+    */
+  private val n2AnnLsh = Q(
+    "n2_ann_lsh_topk",
+    (s, d) => {
+      val S = graft.ops.SimilarityOps
+      val emb = T.embeddings(s, d).select(
+        col("vec_id"), S.asDouble(col("embedding")).as("v"))
+      val withBucket = emb.withColumn("bucket", S.lshBucket(col("v"), 4, 32))
+      val q = withBucket.where(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket").as("qbucket"))
+      val c = withBucket.select(
+        col("vec_id").as("cid"), col("v").as("cv"), col("bucket").as("cbucket"))
+      S.lshTopK(q, c, 5).select(col("qid"), col("cid").as("neighbor_id"), col("rnk"))
+    },
+    Some {
+      val bits = (1 to 4).map(j =>
+        s"CASE WHEN v[$j] - v[${j + 32}] > 0 THEN ${1 << (j - 1)} ELSE 0 END").mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, $bits AS bucket FROM e),
+         |q AS (SELECT vec_id AS qid, v AS qv, bucket AS qbucket FROM b WHERE vec_id < 20),
+         |c AS (SELECT vec_id AS cid, v AS cv, bucket AS cbucket FROM b),
+         |sc AS (SELECT qid, cid,
+         |  list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+         |  FROM q JOIN c ON qbucket = cbucket AND cid != qid)
+         |SELECT qid, cid AS neighbor_id, CAST(rnk AS INT) AS rnk
+         |FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk FROM sc)
+         |WHERE rnk <= 5""".stripMargin
+    })
+
   // ------------------------------------------ KF ETL end-to-end slice (§7.2)
 
   /** The reference pipeline end-to-end on KF-shaped tables derived from
@@ -517,6 +698,8 @@ object Battery {
     w1Window, topK, setOps,
     fScalar, f5Cast, twTumbling,
     d1DedupExact, x1TextStats, n1AnnTopK, m1Multimodal,
+    d2MinhashBands, d2bNearDupPairs, d3Simhash,
+    x2LangId, x3Fingerprint, x3bRolling, x4Quality, n2AnnLsh,
     kfPatientSlice)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
