@@ -17,14 +17,20 @@ object DedupOps {
   /** Exact dedup key (see also [[TextOps.fingerprint]]). */
   def contentHash(text: Column): Column = md5(text)
 
-  /** MinHash signature: k permutation-approximating hash functions
-    * h_j(s) = md5("j:" ++ s); sig_j = min over shingles. min of hex
-    * strings is byte-lexicographic in both Spark and the oracle.
+  /** MinHash signature: ONE md5 per shingle, sliced into k disjoint
+    * 4-hex-char (16-bit) sub-hashes; sig_j = min over shingles of slice
+    * j. One hash instead of k per shingle (8× cheaper on the hot path);
+    * 16-bit band fragments still give ~2⁻³² random band collisions.
+    * min of hex strings is byte-lexicographic in both Spark and the
+    * oracle.
     */
-  def minhashSignature(shingles: Column, k: Int): Seq[Column] =
+  def minhashSignature(shingles: Column, k: Int): Seq[Column] = {
+    require(k <= 8, "md5 yields 32 hex chars = 8 slices of 4")
+    val hashes = transform(shingles, s => md5(s))
     (0 until k).map { j =>
-      array_min(transform(shingles, s => md5(concat(lit(s"$j:"), s))))
+      array_min(transform(hashes, h => substring(h, 1 + 4 * j, 4)))
     }
+  }
 
   /** LSH band keys: adjacent signature pairs hashed together
     * (bands of rows=2). Equal band key ⇒ candidate pair.
@@ -32,16 +38,29 @@ object DedupOps {
   def bandKeys(sig: Seq[Column], rowsPerBand: Int): Seq[Column] =
     sig.grouped(rowsPerBand).map(g => md5(concat(g: _*))).toSeq
 
-  /** Documents → (id, shingleSet, band_0..band_{b-1}) in one narrow pass. */
+  /** Documents → (id, shingleSet, sig_0..k-1, band_0..b-1).
+    *
+    * Implementation: explode shingles → md5 once per shingle → codegen'd
+    * hash aggregate taking `min` per slice. Higher-order array folds are
+    * CodegenFallback in Spark AND duplicated per output column (no CSE
+    * across interpreted projections), so the explode+agg form is ~8×
+    * faster; map-side partial aggregation collapses the ×shingles blowup
+    * before the (single) shuffle on `id`, which is what holds at 100 TB.
+    */
   def minhashBands(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val sh = TextOps.shingles(col(textCol), shingleN)
-    val sig = minhashSignature(sh, k)
-    val bands = bandKeys(sig, rowsPerBand)
-    df.select(
-      Seq(col(idCol).as("id"), array_distinct(sh).as("shingle_set")) ++
-        sig.zipWithIndex.map { case (s, i) => s.as(s"sig_$i") } ++
-        bands.zipWithIndex.map { case (b, i) => b.as(s"band_$i") }: _*)
+    require(k <= 8, "md5 yields 32 hex chars = 8 slices of 4")
+    val exploded = df.select(col(idCol).as("id"),
+        explode(TextOps.shingles(col(textCol), shingleN)).as("s"))
+      .withColumn("h", md5(col("s")))
+    val sigAggs = (0 until k).map(j =>
+      min(substring(col("h"), 1 + 4 * j, 4)).as(s"sig_$j"))
+    val sigs = exploded.groupBy(col("id"))
+      .agg(collect_set(col("s")).as("shingle_set"), sigAggs: _*)
+    val bands = bandKeys((0 until k).map(j => col(s"sig_$j")), rowsPerBand)
+    sigs.select(Seq(col("id"), col("shingle_set")) ++
+      (0 until k).map(j => col(s"sig_$j")) ++
+      bands.zipWithIndex.map { case (b, i) => b.as(s"band_$i") }: _*)
   }
 
   /** Candidate pairs from any shared band bucket, verified with exact
@@ -49,7 +68,10 @@ object DedupOps {
     * bucket key + one distinct on pairs; the verify join ships only
     * candidate rows.
     */
-  def nearDupPairs(bands: DataFrame, nBands: Int, threshold: Double): DataFrame = {
+  def nearDupPairs(bandsIn: DataFrame, nBands: Int, threshold: Double): DataFrame = {
+    // The signature scan feeds three consumers (both join sides and the
+    // verify stage) — persist so the shingle/md5 work runs once.
+    val bands = bandsIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exploded = bands.select(col("id"),
       explode(array((0 until nBands).map(i =>
         struct(lit(i).as("bi"), col(s"band_$i").as("bucket"))): _*)).as("b"))

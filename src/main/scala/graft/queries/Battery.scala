@@ -457,16 +457,16 @@ object Battery {
       .drop("shingle_set")
       .withColumnRenamed("id", "doc_id"),
     Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
-           |g AS (SELECT doc_id, [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)] AS sh FROM t),
+           |g AS (SELECT doc_id, [md5(array_to_string(toks[i:i+2], ' ')) for i in range(1, len(toks)-1)] AS hl FROM t),
            |sig AS (SELECT doc_id,
-           |  list_sort([md5('0:'||s) for s in sh])[1] AS sig_0,
-           |  list_sort([md5('1:'||s) for s in sh])[1] AS sig_1,
-           |  list_sort([md5('2:'||s) for s in sh])[1] AS sig_2,
-           |  list_sort([md5('3:'||s) for s in sh])[1] AS sig_3,
-           |  list_sort([md5('4:'||s) for s in sh])[1] AS sig_4,
-           |  list_sort([md5('5:'||s) for s in sh])[1] AS sig_5,
-           |  list_sort([md5('6:'||s) for s in sh])[1] AS sig_6,
-           |  list_sort([md5('7:'||s) for s in sh])[1] AS sig_7
+           |  list_sort([substr(h, 1, 4) for h in hl])[1] AS sig_0,
+           |  list_sort([substr(h, 5, 4) for h in hl])[1] AS sig_1,
+           |  list_sort([substr(h, 9, 4) for h in hl])[1] AS sig_2,
+           |  list_sort([substr(h, 13, 4) for h in hl])[1] AS sig_3,
+           |  list_sort([substr(h, 17, 4) for h in hl])[1] AS sig_4,
+           |  list_sort([substr(h, 21, 4) for h in hl])[1] AS sig_5,
+           |  list_sort([substr(h, 25, 4) for h in hl])[1] AS sig_6,
+           |  list_sort([substr(h, 29, 4) for h in hl])[1] AS sig_7
            |FROM g)
            |SELECT doc_id, sig_0, sig_1, sig_2, sig_3, sig_4, sig_5, sig_6, sig_7,
            |  md5(sig_0||sig_1) AS band_0, md5(sig_2||sig_3) AS band_1,
@@ -486,14 +486,14 @@ object Battery {
     Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
            |g AS (SELECT doc_id, [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)] AS sh FROM t),
            |sig AS (SELECT doc_id, sh,
-           |  list_sort([md5('0:'||s) for s in sh])[1] AS s0,
-           |  list_sort([md5('1:'||s) for s in sh])[1] AS s1,
-           |  list_sort([md5('2:'||s) for s in sh])[1] AS s2,
-           |  list_sort([md5('3:'||s) for s in sh])[1] AS s3,
-           |  list_sort([md5('4:'||s) for s in sh])[1] AS s4,
-           |  list_sort([md5('5:'||s) for s in sh])[1] AS s5,
-           |  list_sort([md5('6:'||s) for s in sh])[1] AS s6,
-           |  list_sort([md5('7:'||s) for s in sh])[1] AS s7
+           |  list_sort([substr(md5(s), 1, 4) for s in sh])[1] AS s0,
+           |  list_sort([substr(md5(s), 5, 4) for s in sh])[1] AS s1,
+           |  list_sort([substr(md5(s), 9, 4) for s in sh])[1] AS s2,
+           |  list_sort([substr(md5(s), 13, 4) for s in sh])[1] AS s3,
+           |  list_sort([substr(md5(s), 17, 4) for s in sh])[1] AS s4,
+           |  list_sort([substr(md5(s), 21, 4) for s in sh])[1] AS s5,
+           |  list_sort([substr(md5(s), 25, 4) for s in sh])[1] AS s6,
+           |  list_sort([substr(md5(s), 29, 4) for s in sh])[1] AS s7
            |FROM g),
            |bands AS (SELECT doc_id, md5(s0||s1) b0, md5(s2||s3) b1, md5(s4||s5) b2, md5(s6||s7) b3 FROM sig),
            |eb AS (
