@@ -24,10 +24,13 @@ object FhirBuilders {
 
   val KfDataserviceBase = "https://kf-api-dataservice.kidsfirstdrc.org"
 
-  /** Deterministic surrogate FHIR id from a natural key (stands in for
-    * the reference's query_target_ids round-trip, S8).
+  /** Deterministic surrogate FHIR id from resource type + natural key
+    * (stands in for the reference's query_target_ids round-trip, S8);
+    * type-prefixed so distinct resources over the same natural key get
+    * distinct ids.
     */
-  def surrogateId(naturalKey: Column): Column = md5(naturalKey)
+  def surrogateId(apiPath: String, naturalKey: Column): Column =
+    md5(concat(lit(s"$apiPath/"), naturalKey))
 
   private def emit(df: DataFrame, key: Column, resourceType: String, entity: Column): DataFrame =
     df.select(key.as("key"), lit(resourceType).as("resource_type"),
@@ -66,7 +69,7 @@ object FhirBuilders {
 
     val entity = struct(
       lit("Patient").as("resourceType"),
-      surrogateId(col("pid")).as("id"),
+      surrogateId("Patient", col("pid")).as("id"),
       meta("Patient", col("study_id")).as("meta"),
       compactArray(
         officialIdentifier(s"$KfDataserviceBase/participants/", col("pid")),
@@ -89,8 +92,12 @@ object FhirBuilders {
     */
   def family(wide: DataFrame): DataFrame = {
     val c = (n: String) => col(s"`$n`")
+    // pandas groupby drops null group keys (dropna=True default) — the
+    // reference's A1 regroup therefore silently drops rows with a null
+    // study or family id; reproduce by filtering every key.
     val grouped = wide
-      .where(c(Family.TargetServiceId).isNotNull && c(Participant.TargetServiceId).isNotNull)
+      .where(c(Study.TargetServiceId).isNotNull &&
+        c(Family.TargetServiceId).isNotNull && c(Participant.TargetServiceId).isNotNull)
       .groupBy(
         c(Study.TargetServiceId).as("study_id"),
         c(Family.TargetServiceId).as("family_id"))
@@ -100,12 +107,12 @@ object FhirBuilders {
         min(c(Family.Id)).as("external_id"))
 
     val memberStructs = transform(col("members"), pid => struct(
-      reference("Patient", surrogateId(pid)).as("entity"),
+      reference("Patient", surrogateId("Patient", pid)).as("entity"),
       lit(false).as("inactive")))
 
     val entity = struct(
       lit("Group").as("resourceType"),
-      surrogateId(col("family_id")).as("id"),
+      surrogateId("Group", col("family_id")).as("id"),
       meta("Group", col("study_id")).as("meta"),
       compactArray(
         officialIdentifier(s"$KfDataserviceBase/families/", col("family_id")),
@@ -167,7 +174,7 @@ object FhirBuilders {
 
     val entity = struct(
       lit("ResearchStudy").as("resourceType"),
-      surrogateId(col("study_id")).as("id"),
+      surrogateId("ResearchStudy", col("study_id")).as("id"),
       meta("ResearchStudy", col("study_id")).as("meta"),
       compactArray(
         officialIdentifier(s"$KfDataserviceBase/studies/", col("study_id")),
@@ -177,7 +184,7 @@ object FhirBuilders {
       when(category.isNotNull, array(category)).as("category"),
       keywords.as("keyword"),
       optional(col("investigator_id"),
-        reference("PractitionerRole", surrogateId(col("investigator_id"))))
+        reference("PractitionerRole", surrogateId("PractitionerRole", col("investigator_id"))))
         .as("principalInvestigator"))
 
     emit(rows, col("study_id"), "ResearchStudy", entity)

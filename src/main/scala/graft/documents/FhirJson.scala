@@ -49,6 +49,45 @@ object FhirJson {
   def reference(apiPath: String, id: Column): Column =
     struct(concat_ws("/", lit(apiPath), id).as("reference"))
 
+  /** The relative-date primitive extension shared by disease/phenotype/
+    * vital-status/specimen builders (disease.py:161-194 etc.): age in
+    * days after Birth. The whole block is omitted when the age fails to
+    * parse as int (the reference's silent try/except-omit, F5 —
+    * reproduced by try_cast null + null-dropping to_json). The three
+    * inner elements have different value keys, so they share one struct
+    * shape with nullable branches.
+    */
+  def relativeDateExtension(eventAgeDays: Column): Column = {
+    val days = eventAgeDays.try_cast("int")
+    def inner(url: String, vcc: Column, vcode: Column, vdur: Column): Column =
+      struct(lit(url).as("url"), vcc.as("valueCodeableConcept"),
+        vcode.as("valueCode"), vdur.as("valueDuration"))
+    val codingT = "struct<coding:array<struct<system:string,code:string,display:string>>>"
+    val durT = "struct<value:int,unit:string,system:string,code:string>"
+    val birth = struct(array(struct(
+      lit("http://snomed.info/sct").as("system"),
+      lit("3950001").as("code"), lit("Birth").as("display"))).as("coding"))
+    val dur = struct(days.as("value"), lit("day").as("unit"),
+      lit("http://unitsofmeasure.org").as("system"), lit("d").as("code"))
+    when(days.isNotNull, struct(
+      array(struct(
+        array(
+          inner("event", birth, lit(null).cast("string"), lit(null).cast(durT)),
+          inner("relationship", lit(null).cast(codingT), lit("after"), lit(null).cast(durT)),
+          inner("offset", lit(null).cast(codingT), lit(null).cast("string"), dur)
+        ).as("extension"),
+        lit("http://hl7.org/fhir/StructureDefinition/relative-date").as("url")
+      )).as("extension")))
+  }
+
+  /** CodeableConcept with a text and an optional coding list that is
+    * only present when non-empty (`setdefault("coding", []).append`).
+    */
+  def codeableConcept(text: Column, codings: Column*): Column = {
+    val arr = filter(array(codings: _*), x => x.isNotNull)
+    struct(when(size(arr) > 0, arr).as("coding"), text.as("text"))
+  }
+
   /** Coding struct literal from a [[graft.codes.Codes.Coding]]. */
   def codingLit(c: graft.codes.Codes.Coding): Column = struct(
     lit(c.system).as("system"), lit(c.code).as("code"), lit(c.display).as("display"))

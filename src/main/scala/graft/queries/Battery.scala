@@ -689,6 +689,21 @@ object Battery {
     },
     None)
 
+  /** The COMPLETE reference pipeline: 14 KF-shaped endpoint tables →
+    * presence-driven transform → all 16 entity builders (incl. the
+    * bulk-prefetched Indexd dimension replacing per-row REST) → one
+    * DataFrame of FHIR resources. The headline ETL benchmark.
+    */
+  private val kfFullPipeline = Q(
+    "kf_full_pipeline",
+    (s, d) => {
+      val result = graft.etl.Transform(KfShaped.endpoints(s, d))
+      graft.etl.Pipeline.buildAllUnion(result,
+        indexd = Some(KfShaped.indexd(s, d)),
+        centerNames = Map("SC_1" -> "Center One", "SC_2" -> "Center Two"))
+    },
+    None)
+
   // ---------------------------------------------------------------- export
 
   val all: Seq[Q] = Seq(
@@ -700,7 +715,7 @@ object Battery {
     d1DedupExact, x1TextStats, n1AnnTopK, m1Multimodal,
     d2MinhashBands, d2bNearDupPairs, d3Simhash,
     x2LangId, x3Fingerprint, x3bRolling, x4Quality, n2AnnLsh,
-    kfPatientSlice)
+    kfPatientSlice, kfFullPipeline)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
