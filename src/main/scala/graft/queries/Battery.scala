@@ -367,6 +367,25 @@ object Battery {
            |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
            |FROM events GROUP BY 1, 2""".stripMargin))
 
+  /** Session windows (gap = 30 min) per user — Spark `session_window`
+    * vs. a gaps-and-islands oracle. Session end = last event + gap.
+    */
+  private val twSession = Q(
+    "tw_session_window",
+    (s, d) => graft.streaming.Streaming.sessionStats(T.events(s, d), "30 minutes"),
+    Some("""WITH o AS (SELECT user_id, ts, value,
+           |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           |  FROM events),
+           |f AS (SELECT *, CASE WHEN prev IS NULL OR ts - prev >= INTERVAL '30 minutes'
+           |    THEN 1 ELSE 0 END AS newsess FROM o),
+           |sx AS (SELECT *, SUM(newsess) OVER (PARTITION BY user_id ORDER BY ts
+           |    ROWS UNBOUNDED PRECEDING) AS sess FROM f)
+           |SELECT user_id, min(ts) AS session_start,
+           |  max(ts) + INTERVAL '30 minutes' AS session_end,
+           |  count(*) AS n_events,
+           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM sx GROUP BY user_id, sess""".stripMargin))
+
   // ----------------------------------------- LLM-pipeline ops (north star)
 
   /** Exact deduplication by content hash (hash-groupBy). */
@@ -626,6 +645,18 @@ object Battery {
          |WHERE rnk <= 5""".stripMargin
     })
 
+  /** Multimodal batch decode: binary payload + typed metadata →
+    * mapPartitions feature extraction (decoder stubbed deterministically;
+    * plumbing real). Rows-only check (Dataset API not SQL-expressible).
+    */
+  private val m2MultimodalDecode = Q(
+    "m2_multimodal_decode",
+    (s, d) => {
+      val media = graft.ops.MultimodalOps.mediaFromDocuments(T.documents(s, d))
+      graft.ops.MultimodalOps.extractFeatures(media, shards = 8).toDF()
+    },
+    None)
+
   // ------------------------------------------ KF ETL end-to-end slice (§7.2)
 
   /** The reference pipeline end-to-end on KF-shaped tables derived from
@@ -711,8 +742,8 @@ object Battery {
     j1Outer, jChain, j8Composite, jNullKey, j13Codes,
     a1Collect, a2Collect, a5Dedup, q1Agg,
     w1Window, topK, setOps,
-    fScalar, f5Cast, twTumbling,
-    d1DedupExact, x1TextStats, n1AnnTopK, m1Multimodal,
+    fScalar, f5Cast, twTumbling, twSession,
+    d1DedupExact, x1TextStats, n1AnnTopK, m1Multimodal, m2MultimodalDecode,
     d2MinhashBands, d2bNearDupPairs, d3Simhash,
     x2LangId, x3Fingerprint, x3bRolling, x4Quality, n2AnnLsh,
     kfPatientSlice, kfFullPipeline)

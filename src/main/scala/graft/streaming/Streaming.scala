@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface (SURVEY §2.7 — green-field beyond the
+  * strictly-batch reference): windowed aggregates, session windows,
+  * watermarked dedup. Each transform is expressed once and works on BOTH
+  * batch and streaming DataFrames (stream/batch parity is the tested
+  * contract), so the 100 TB batch plan and the incremental streaming
+  * plan share one definition.
+  */
+object Streaming {
+
+  /** Tumbling (or sliding) window aggregate over an event-time column. */
+  def windowedCounts(events: DataFrame, windowLen: String,
+      slide: Option[String] = None): DataFrame = {
+    val w = slide.map(s => window(col("ts"), windowLen, s))
+      .getOrElse(window(col("ts"), windowLen))
+    events.groupBy(w.as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+      .select(col("w.start").as("ws"), col("w.end").as("we"),
+        col("event_type"), col("n"), col("total"))
+  }
+
+  /** Session windows per user with a fixed inactivity gap. */
+  def sessionStats(events: DataFrame, gap: String): DataFrame =
+    events.groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("total"))
+
+  /** Streaming variants: add the watermark (bounds state, admits late
+    * data up to `lateness`) before the stateful aggregation.
+    */
+  def streamingWindowedCounts(events: DataFrame, windowLen: String,
+      lateness: String): DataFrame =
+    windowedCounts(events.withWatermark("ts", lateness), windowLen)
+
+  def streamingSessionStats(events: DataFrame, gap: String, lateness: String): DataFrame =
+    sessionStats(events.withWatermark("ts", lateness), gap)
+
+  /** Watermarked exact dedup on a key set — the streaming analog of the
+    * batch `dropDuplicates` (A5): state for a key is dropped once the
+    * watermark passes, so state is bounded at any scale.
+    */
+  def streamingDedup(events: DataFrame, lateness: String, keys: Seq[String]): DataFrame =
+    events.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** File-source stream reader with an explicit schema (required for
+    * streaming reads).
+    */
+  def readEventStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+}

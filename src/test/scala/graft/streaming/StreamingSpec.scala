@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.Tables
+import graft.etl.SparkTestSession
+
+/** Stream/batch parity: the same transforms over a file-source stream
+  * (memory sink, processAllAvailable) must equal the batch results.
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.spark
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // file streaming source needs a DIRECTORY of files
+  private lazy val streamDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("events-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      d.resolve("events.parquet"))
+    d.toString
+  }
+
+  private def eventStream() = {
+    val batch = Tables.events(spark, dir)
+    // stream the same parquet through a file source with the raw schema,
+    // then apply the same nanos→micros conversion
+    val raw = spark.readStream
+      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
+      .parquet(streamDir)
+    val stream = raw.withColumn("ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    (batch, stream)
+  }
+
+  test("windowed counts: streaming result equals batch result") {
+    val (batch, stream) = eventStream()
+    val expected = Streaming.windowedCounts(batch, "5 minutes")
+      .collect().map(_.toString).sorted
+    val q = Streaming.streamingWindowedCounts(stream, "5 minutes", "10 minutes")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("win_out").collect().map(_.toString).sorted
+      assert(got.length == expected.length)
+      assert(got.sameElements(expected))
+    } finally q.stop()
+  }
+
+  test("session windows: streaming result equals batch result") {
+    val (batch, stream) = eventStream()
+    val expected = Streaming.sessionStats(batch, "30 minutes")
+      .collect().map(_.toString).sorted
+    val q = Streaming.streamingSessionStats(stream, "30 minutes", "10 minutes")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sess_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sess_out").collect().map(_.toString).sorted
+      assert(got.length == expected.length)
+      assert(got.sameElements(expected))
+    } finally q.stop()
+  }
+
+  test("watermarked dedup emits each event_id once") {
+    val (_, stream) = eventStream()
+    val q = Streaming.streamingDedup(stream, "10 minutes", Seq("event_id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      val n = spark.table("dedup_out").count()
+      val distinct = spark.table("dedup_out").select("event_id").distinct().count()
+      assert(n == distinct)
+      assert(n == Tables.events(spark, dir).count())
+    } finally q.stop()
+  }
+}
