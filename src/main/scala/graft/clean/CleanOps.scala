@@ -35,17 +35,30 @@ object CleanOps {
     when(t.isin(sentinels.toSeq: _*), lit(null).cast(StringType)).otherwise(t)
   }
 
+  /** The trim/sentinel half of clean_up_df: [[cleanString]] over every
+    * StringType column as ONE Project node (no shuffle, one codegen
+    * stage even at 100+ columns).
+    */
+  def cleanStrings(df: DataFrame, sentinels: Set[String] = MissingDataValues): DataFrame = {
+    val cleaned = df.schema.fields.collect {
+      case f if f.dataType == StringType =>
+        f.name -> cleanString(col(s"`${f.name}`"), sentinels)
+    }.toMap
+    if (cleaned.isEmpty) df else df.withColumns(cleaned)
+  }
+
   /** clean_up_df equivalent: apply [[cleanString]] to every StringType
     * column, then drop exact duplicate rows.
+    *
+    * Scale note: the dropDuplicates here is a full-row shuffle — apply it
+    * to endpoint-sized tables (the reference's ingest.py:256 use), NOT to
+    * the wide merged frame. Downstream entity builders dedup by natural
+    * key anyway, so exact-duplicate rows in the wide frame are a no-op
+    * for every distinct projection; the pipeline uses [[cleanStrings]]
+    * there instead.
     */
-  def cleanUp(df: DataFrame, sentinels: Set[String] = MissingDataValues): DataFrame = {
-    val cleaned = df.schema.fields.foldLeft(df) {
-      case (acc, f) if f.dataType == StringType =>
-        acc.withColumn(f.name, cleanString(col(f.name), sentinels))
-      case (acc, _) => acc
-    }
-    cleaned.dropDuplicates()
-  }
+  def cleanUp(df: DataFrame, sentinels: Set[String] = MissingDataValues): DataFrame =
+    cleanStrings(df, sentinels).dropDuplicates()
 
   /** Drop the Dataservice system columns (etl/ingest.py:121). */
   def dropSystemColumns(df: DataFrame): DataFrame =

@@ -92,7 +92,9 @@ object DrsBuilder {
       .agg(
         sort_array(collect_set(col("pid"))).as("pids"),
         sort_array(collect_set(col("bs_id"))).as("bs_ids"),
-        sort_array(collect_set(col("strategy"))).getItem(0).as("strategy"),
+        // get() not getItem(): the set is empty when every strategy is
+        // null and ANSI mode would throw on the out-of-bounds index
+        get(sort_array(collect_set(col("strategy"))), lit(0)).as("strategy"),
         first(col("data_type"), ignoreNulls = true).as("data_type"),
         first(col("file_format"), ignoreNulls = true).as("file_format"),
         first(col("latest_did"), ignoreNulls = true).as("latest_did"),

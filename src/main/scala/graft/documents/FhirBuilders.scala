@@ -102,7 +102,9 @@ object FhirBuilders {
         c(Study.TargetServiceId).as("study_id"),
         c(Family.TargetServiceId).as("family_id"))
       .agg(
-        sort_array(collect_set(c(Participant.Species))).getItem(0).as("species"),
+        // get() not getItem(): all-null species yields an empty set and
+        // ANSI mode would throw on the out-of-bounds index
+        get(sort_array(collect_set(c(Participant.Species))), lit(0)).as("species"),
         sort_array(collect_set(c(Participant.TargetServiceId))).as("members"),
         min(c(Family.Id)).as("external_id"))
 

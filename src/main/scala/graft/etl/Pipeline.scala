@@ -1,8 +1,9 @@
 package graft.etl
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.lit
-import org.apache.spark.storage.StorageLevel
 
 import graft.documents._
 
@@ -11,38 +12,90 @@ import graft.documents._
   * in the reference's topological order (kf_api_fhir_service.py:115-132)
   * so cross-resource surrogate references resolve.
   *
-  * Scale notes: the wide DataFrame feeds up to 16 builder pipelines —
-  * persist it once (spillable, not RAM-pinned like the reference's
-  * pandas frame). Each builder prunes to its own concept columns, so
-  * the persisted columnar batches are scanned, not recomputed.
+  * Scale notes: the reference feeds ONE wide frame (every fan-out
+  * multiplied together) to all 16 builders; here each builder gets the
+  * minimal ancestor-path sub-chain from [[Transform.Result.slice]] — no
+  * cross-sibling row explosion, no giant materialization, and Catalyst
+  * sees 16 small independent plans whose shared sub-joins dedup into
+  * reused exchanges. Equal output by the distinct-projection argument in
+  * Transform's scaladoc.
   */
 object Pipeline {
+
+  /** Endpoint tables whose columns each builder reads (its ancestor
+    * path). `slice` adds key-provenance closure on top.
+    */
+  private val RequiredTables: Map[String, Set[String]] = Map(
+    "practitioner" -> Set("studies", "investigators"),
+    "organization" -> Set("studies", "investigators"),
+    "practitioner_role" -> Set("studies", "investigators"),
+    "patient" -> Set("studies", "participants"),
+    "proband_status" -> Set("studies", "participants"),
+    "family" -> Set("studies", "participants", "families"),
+    "research_study" -> Set("studies"),
+    "research_subject" -> Set("studies", "participants"),
+    "disease" -> Set("studies", "participants", "diagnoses"),
+    "phenotype" -> Set("studies", "participants", "phenotypes"),
+    "vital_status" -> Set("studies", "participants", "outcomes"),
+    "sequencing_center" -> Set("biospecimens"),
+    "specimen" -> Set("studies", "participants", "biospecimens"),
+    "histopathology" -> Set(
+      "studies", "participants", "diagnoses", "biospecimen-diagnoses", "biospecimens"),
+    "drs_document_reference" -> Set(
+      "studies", "participants", "biospecimens", "biospecimen-genomic-files",
+      "genomic-files", "sequencing-experiment-genomic-files", "sequencing-experiments"))
 
   /** builder name → DataFrame of (key, resource_type, resource_json). */
   def buildAll(result: Transform.Result,
       indexd: Option[DataFrame] = None,
       centerNames: Map[String, String] = Map.empty): Seq[(String, DataFrame)] = {
-    val wide = result.wide
-    val has = (col: String) => wide.columns.contains(col)
-    val C = Concepts
+    // memoize slices so builders sharing an ancestor path share ONE plan
+    // object (Catalyst reuses the exchange across union branches)
+    val sliceCache = mutable.Map.empty[Set[String], DataFrame]
+    def sliceFor(name: String): DataFrame =
+      sliceCache.getOrElseUpdate(RequiredTables(name), result.slice(RequiredTables(name)))
+
+    // Builders that filter ONLY on a shared join key also see the
+    // reference's phantom rows: an orphan FK value in any sibling table
+    // coalesces into the wide frame's key column with every other column
+    // null (pandas outer-merge). Reproduce with a key-universe anti-join
+    // union — a one-column distinct instead of replaying the fan-out
+    // chain. Applies to patient (participant key), research_study (study
+    // key) and disease (diagnosis key, via biospecimen-diagnoses);
+    // every other builder filters on a second column that is null on
+    // phantom rows, or its slice already contains all key carriers.
+    def withKeyUniverse(name: String, key: String): DataFrame = {
+      val base = sliceFor(name)
+      val kc = org.apache.spark.sql.functions.col(s"`$key`")
+      val phantoms = graft.clean.CleanOps.cleanStrings(result.keyUniverse(key))
+        .where(kc.isNotNull)
+        .join(base.select(kc).where(kc.isNotNull), Seq(key), "left_anti")
+      base.unionByName(phantoms, allowMissingColumns = true)
+    }
+
     val builders: Map[String, () => DataFrame] = Map(
-      "practitioner" -> (() => InvestigatorBuilders.practitioner(wide)),
-      "organization" -> (() => InvestigatorBuilders.organization(wide)),
-      "practitioner_role" -> (() => InvestigatorBuilders.practitionerRole(wide)),
-      "patient" -> (() => FhirBuilders.patient(wide)),
-      "proband_status" -> (() => ParticipantBuilders.probandStatus(wide)),
+      "practitioner" -> (() => InvestigatorBuilders.practitioner(sliceFor("practitioner"))),
+      "organization" -> (() => InvestigatorBuilders.organization(sliceFor("organization"))),
+      "practitioner_role" -> (() => InvestigatorBuilders.practitionerRole(sliceFor("practitioner_role"))),
+      "patient" -> (() => FhirBuilders.patient(
+        withKeyUniverse("patient", Concepts.Participant.TargetServiceId))),
+      "proband_status" -> (() => ParticipantBuilders.probandStatus(sliceFor("proband_status"))),
       "family_relationship" -> (() => RelationshipBuilders.familyRelationship(
         result.familyRelationship.get)),
-      "family" -> (() => FhirBuilders.family(wide)),
-      "research_study" -> (() => FhirBuilders.researchStudy(wide)),
-      "research_subject" -> (() => ParticipantBuilders.researchSubject(wide)),
-      "disease" -> (() => ConditionBuilders.disease(wide)),
-      "phenotype" -> (() => ConditionBuilders.phenotype(wide)),
-      "vital_status" -> (() => ParticipantBuilders.vitalStatus(wide)),
-      "sequencing_center" -> (() => ParticipantBuilders.sequencingCenter(wide, centerNames)),
-      "specimen" -> (() => SpecimenBuilder.specimen(wide)),
-      "histopathology" -> (() => ConditionBuilders.histopathology(wide)),
-      "drs_document_reference" -> (() => DrsBuilder.drsDocumentReference(wide, indexd)))
+      "family" -> (() => FhirBuilders.family(sliceFor("family"))),
+      "research_study" -> (() => FhirBuilders.researchStudy(
+        withKeyUniverse("research_study", Concepts.Study.TargetServiceId))),
+      "research_subject" -> (() => ParticipantBuilders.researchSubject(sliceFor("research_subject"))),
+      "disease" -> (() => ConditionBuilders.disease(
+        withKeyUniverse("disease", Concepts.Diagnosis.TargetServiceId))),
+      "phenotype" -> (() => ConditionBuilders.phenotype(sliceFor("phenotype"))),
+      "vital_status" -> (() => ParticipantBuilders.vitalStatus(sliceFor("vital_status"))),
+      "sequencing_center" -> (() => ParticipantBuilders.sequencingCenter(
+        sliceFor("sequencing_center"), centerNames)),
+      "specimen" -> (() => SpecimenBuilder.specimen(sliceFor("specimen"))),
+      "histopathology" -> (() => ConditionBuilders.histopathology(sliceFor("histopathology"))),
+      "drs_document_reference" -> (() => DrsBuilder.drsDocumentReference(
+        sliceFor("drs_document_reference"), indexd)))
     result.targets.map(name => name -> builders(name)())
   }
 
@@ -52,8 +105,7 @@ object Pipeline {
   def buildAllUnion(result: Transform.Result,
       indexd: Option[DataFrame] = None,
       centerNames: Map[String, String] = Map.empty): DataFrame = {
-    val wide = result.wide.persist(StorageLevel.MEMORY_AND_DISK)
-    val parts = buildAll(result.copy(wide = wide), indexd, centerNames)
+    val parts = buildAll(result, indexd, centerNames)
     parts.map { case (name, df) => df.withColumn("builder", lit(name)) }
       .reduce(_ unionByName _)
   }

@@ -12,12 +12,18 @@ import graft.relational.RelationalOps
   * (kf_task_fhir_etl/etl/ingest.py:129-493).
   *
   * The whole assembly is driver-side conditionals over lazy DataFrames:
-  * Catalyst only ever sees the joins that actually exist. The wide plan
-  * is reused by all 16 entity pipelines, so callers should
-  * `.persist(MEMORY_AND_DISK)` the result before fanning out (mirrors
-  * the reference's one-materialization-per-study,
-  * but spillable instead of RAM-bound — the headline 100 TB fix,
-  * SURVEY §4).
+  * Catalyst only ever sees the joins that actually exist.
+  *
+  * Scale design (the headline 100 TB fix, SURVEY §4): the reference
+  * materializes ONE wide frame (ingest.py:485) and feeds it to all 16
+  * entity builders. That frame carries the cross product of every 1:N
+  * sibling fan-out (diagnoses × phenotypes × outcomes × specimen chain)
+  * — multiplicative row explosion that no cluster survives at 100 TB.
+  * Because every builder (a) only reads columns from its own ancestor
+  * path and (b) dedups by its natural key, the distinct projection it
+  * consumes is IDENTICAL on a minimal sub-chain that replays only the
+  * ancestor-path joins. [[Result.slice]] provides exactly that; the full
+  * `wide` frame remains available for API parity with the reference.
   */
 object Transform {
 
@@ -33,15 +39,88 @@ object Transform {
     "sequencing_center", "specimen", "histopathology",
     "drs_document_reference")
 
+  /** One merge of the reference's join chain: `endpoint` renamed into the
+    * concept namespace as `df`, outer-joined into the accumulator on
+    * `keys`. `deps` are the earlier endpoints that PROVIDE those key
+    * columns (key provenance) — the minimal context a sub-chain replay
+    * needs for the join to mean the same thing it means in the full
+    * chain.
+    */
+  final case class Step(
+      endpoint: String, df: DataFrame, keys: Seq[String], deps: Set[String])
+
   final case class Result(
-      wide: DataFrame,
+      steps: Seq[Step],
       familyRelationship: Option[DataFrame],
-      targets: Seq[String])
+      targets: Seq[String]) {
+
+    /** The reference's full wide frame (ingest.py:485 incl. clean_up_df's
+      * trim + sentinel-null + exact-dup drop). API-parity surface; the
+      * entity pipeline uses [[slice]] instead.
+      */
+    lazy val wide: DataFrame = CleanOps.cleanUp(foldChain(steps))
+
+    /** Minimal wide frame for a consumer that only reads columns of the
+      * given endpoints: replays the reference join chain (same order,
+      * same keys, same outer semantics) over the transitive
+      * key-provenance closure of `required`. String cleaning is applied
+      * as in clean_up_df; the exact-duplicate drop is omitted because
+      * every consumer projects + dedups by natural key, for which
+      * duplicate rows are a no-op (SURVEY §4).
+      *
+      * Equivalence argument (why a sub-chain is safe): an outer join
+      * that is SKIPPED only (1) multiplied matching rows — collapsed by
+      * the consumer's distinct — or (2) appended unmatched right-side
+      * rows whose columns outside that table are all null; consumers
+      * filter on their natural key being non-null, so those padded rows
+      * are invisible to them unless the skipped table IS on their
+      * ancestor path. Join-key columns coalesce identically in both
+      * plans because the provenance closure keeps every provider of a
+      * replayed key.
+      */
+    def slice(required: Set[String]): DataFrame = {
+      val byName = steps.map(s => s.endpoint -> s).toMap
+      // key-provenance closure; the earliest kept step is the fold root
+      // and never joins, so its own deps are not needed (right-side key
+      // values coalesce through skipped ancestors unchanged)
+      @annotation.tailrec
+      def close(need: Set[String]): Set[String] = {
+        val ordered = steps.filter(s => need(s.endpoint))
+        val more = need ++ ordered.drop(1).flatMap(_.deps)
+        if (more == need) need else close(more)
+      }
+      val need = close(required.filter(byName.contains))
+      require(need.nonEmpty, s"no requested endpoint present: $required")
+      val kept = steps.filter(s => need(s.endpoint))
+      CleanOps.cleanStrings(foldChain(kept))
+    }
+
+    /** All values the wide frame's coalesced `keyCol` can hold: the union
+      * of that column from every chain table that carries it (each outer
+      * join coalesces the key, so an orphan FK value in ANY sibling
+      * table surfaces as a row of the wide frame — e.g. a diagnosis
+      * whose participant_id matches no participant yields a phantom
+      * patient in the reference). One-column distinct: map-side partial
+      * agg, negligible at any scale.
+      */
+    def keyUniverse(keyCol: String): DataFrame = {
+      val carriers = steps.filter(_.df.columns.contains(keyCol))
+      carriers.map(_.df.select(s"`$keyCol`"))
+        .reduce(_ union _)
+        .distinct()
+    }
+
+    private def foldChain(chain: Seq[Step]): DataFrame =
+      chain.tail.foldLeft(chain.head.df) { case (acc, s) =>
+        RelationalOps.outerJoinChain(acc, Seq((s.df, s.keys)))
+      }
+  }
 
   /** Presence-driven assembly over whatever endpoints the extract stage
     * returned. Each block mirrors one `if <endpoint> is not None:` in
-    * ingest.py:145-489: rename (P2), join into the accumulator with the
-    * reference's key(s), and register the target builders it enables.
+    * ingest.py:145-489: rename (P2), record the chain step with the
+    * reference's key(s) + the endpoints providing them, and register the
+    * target builders it enables.
     */
   def apply(endpoints: Map[String, DataFrame]): Result = {
     val C = Concepts
@@ -51,25 +130,27 @@ object Transform {
       }
 
     var targets = Set.empty[String]
-    var acc: Option[DataFrame] = None
-    def merge(next: DataFrame, on: Seq[String]): Unit =
-      acc = Some(RelationalOps.outerJoinChain(acc.get, Seq((next, on))))
+    var steps = Vector.empty[Step]
+    def merge(name: String, df: DataFrame, on: Seq[String], deps: Set[String]): Unit =
+      steps :+= Step(name, df, on, deps)
 
-    val studies = renamed("studies")
-    if (studies.isDefined) { acc = studies; targets += "research_study" }
+    val studies = renamed("studies").getOrElse(
+      throw new IllegalArgumentException("no 'studies' endpoint present"))
+    steps :+= Step("studies", studies, Nil, Set.empty)
+    targets += "research_study"
 
     renamed("investigators").foreach { inv =>
-      merge(inv, Seq(C.Investigator.TargetServiceId))
+      merge("investigators", inv, Seq(C.Investigator.TargetServiceId), Set("studies"))
       targets ++= Set("practitioner", "organization", "practitioner_role")
     }
 
     renamed("participants").foreach { p =>
-      merge(p, Seq(C.Study.TargetServiceId))
+      merge("participants", p, Seq(C.Study.TargetServiceId), Set("studies"))
       targets ++= Set("patient", "proband_status", "research_subject")
     }
 
     renamed("families").foreach { f =>
-      merge(f, Seq(C.Family.TargetServiceId))
+      merge("families", f, Seq(C.Family.TargetServiceId), Set("participants"))
       targets += "family"
     }
 
@@ -81,56 +162,66 @@ object Transform {
     }
 
     renamed("diagnoses").foreach { d =>
-      merge(d, Seq(C.Participant.TargetServiceId))
+      merge("diagnoses", d, Seq(C.Participant.TargetServiceId), Set("participants"))
       targets += "disease"
     }
 
     renamed("phenotypes").foreach { p =>
-      merge(p, Seq(C.Participant.TargetServiceId))
+      merge("phenotypes", p, Seq(C.Participant.TargetServiceId), Set("participants"))
       targets += "phenotype"
     }
 
     renamed("outcomes").foreach { o =>
-      merge(o, Seq(C.Participant.TargetServiceId))
+      merge("outcomes", o, Seq(C.Participant.TargetServiceId), Set("participants"))
       targets += "vital_status"
     }
 
     val bioDx = renamed("biospecimen-diagnoses")
-    bioDx.foreach { bd => merge(bd, Seq(C.Diagnosis.TargetServiceId)) }
+    bioDx.foreach { bd =>
+      merge("biospecimen-diagnoses", bd, Seq(C.Diagnosis.TargetServiceId), Set("diagnoses"))
+    }
 
     renamed("biospecimens").foreach { b =>
       // composite key iff biospecimen-diagnoses joined first
-      // (ingest.py:381-395)
-      val on =
+      // (ingest.py:381-395) — bioDx then provides the BIOSPECIMEN|TSI
+      // half of the key, so it (and transitively diagnoses) is key
+      // provenance for any sub-chain containing this join.
+      val (on, deps) =
         if (bioDx.isDefined) { targets += "histopathology"
-          Seq(C.Participant.TargetServiceId, C.Biospecimen.TargetServiceId) }
-        else Seq(C.Participant.TargetServiceId)
-      merge(b, on)
+          (Seq(C.Participant.TargetServiceId, C.Biospecimen.TargetServiceId),
+            Set("participants", "biospecimen-diagnoses")) }
+        else (Seq(C.Participant.TargetServiceId), Set("participants"))
+      merge("biospecimens", b, on, deps)
       targets ++= Set("sequencing_center", "specimen")
     }
 
     renamed("biospecimen-genomic-files").foreach { bgf =>
-      merge(bgf, Seq(C.Biospecimen.TargetServiceId))
+      merge("biospecimen-genomic-files", bgf,
+        Seq(C.Biospecimen.TargetServiceId), Set("biospecimens"))
     }
 
     renamed("genomic-files").foreach { gf =>
-      merge(gf, Seq(C.GenomicFile.TargetServiceId))
+      merge("genomic-files", gf,
+        Seq(C.GenomicFile.TargetServiceId), Set("biospecimen-genomic-files"))
       targets += "drs_document_reference"
     }
 
     val seqGf = renamed("sequencing-experiment-genomic-files")
-    seqGf.foreach { s => merge(s, Seq(C.GenomicFile.TargetServiceId)) }
+    seqGf.foreach { s =>
+      merge("sequencing-experiment-genomic-files", s,
+        Seq(C.GenomicFile.TargetServiceId), Set("genomic-files"))
+    }
 
     // sequencing-experiments joins only if the link table was present
     // (ingest.py:465-483)
     if (seqGf.isDefined)
       renamed("sequencing-experiments").foreach { se =>
-        merge(se, Seq(C.Sequencing.TargetServiceId))
+        merge("sequencing-experiments", se, Seq(C.Sequencing.TargetServiceId),
+          Set("sequencing-experiment-genomic-files"))
       }
 
     Result(
-      wide = CleanOps.cleanUp(acc.getOrElse(
-        throw new IllegalArgumentException("no 'studies' endpoint present"))),
+      steps = steps,
       familyRelationship = familyRel,
       targets = AllTargets.filter(targets.contains))
   }
