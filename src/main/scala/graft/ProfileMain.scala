@@ -2,8 +2,9 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Scratch profiling main for the kf_full_pipeline hotspot (not part of
-  * the driver contract; remove when tuning is done).
+/** Scratch profiling main for the KF pipeline (not part of the driver
+  * contract): times every entity builder and the one-shot union at
+  * SPARK_GRAFT_SF_DIR.
   */
 object ProfileMain {
   def main(args: Array[String]): Unit = {

@@ -231,6 +231,54 @@ object Battery {
     (s, d) => T.customer(s, d).select("c_mktsegment", "c_nationkey").dropDuplicates(),
     Some("SELECT DISTINCT c_mktsegment, c_nationkey FROM customer"))
 
+  /** Multi-level aggregation — ROLLUP (engine surface, SURVEY §2.4
+    * "absent" note: grouping sets come free from Catalyst). grouping()
+    * flags disambiguate rolled-up nulls from genuine null keys.
+    */
+  private val a6Rollup = Q(
+    "a6_rollup",
+    (s, d) => T.orders(s, d)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_priority"),
+        count(lit(1)).as("n"),
+        decSum(col("o_totalprice")).as("total")),
+    Some("""SELECT o_orderstatus, o_orderpriority,
+           |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           |  CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           |  count(*) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin))
+
+  /** Multi-level aggregation — CUBE over two dimensions. */
+  private val a7Cube = Q(
+    "a7_cube",
+    (s, d) => T.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status"),
+        count(lit(1)).as("n"),
+        decSum(col("l_quantity")).as("qty")),
+    Some("""SELECT l_returnflag, l_linestatus,
+           |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           |  CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+           |  count(*) AS n,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+           |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin))
+
+  /** Distinct-count sketch (HyperLogLog++): algorithm-specific estimates
+    * can't hash-match an oracle — rows-only check here; the ScalaTest
+    * spec pins the relative error against the exact count.
+    */
+  private val a8ApproxDistinct = Q(
+    "a8_approx_distinct",
+    (s, d) => T.orders(s, d).groupBy(col("o_orderstatus")).agg(
+      approx_count_distinct(col("o_custkey")).as("approx_customers"),
+      count(lit(1)).as("n_rows")),
+    None)
+
   /** TPC-H Q1-shaped headline aggregate (engine surface beyond the
     * reference: numeric aggregates, SURVEY §2.4 "absent" note).
     */
@@ -740,7 +788,7 @@ object Battery {
   val all: Seq[Q] = Seq(
     s1PointScan, s3Crawl, p2Rename, p6Clean,
     j1Outer, jChain, j8Composite, jNullKey, j13Codes,
-    a1Collect, a2Collect, a5Dedup, q1Agg,
+    a1Collect, a2Collect, a5Dedup, a6Rollup, a7Cube, a8ApproxDistinct, q1Agg,
     w1Window, topK, setOps,
     fScalar, f5Cast, twTumbling, twSession,
     d1DedupExact, x1TextStats, n1AnnTopK, m1Multimodal, m2MultimodalDecode,

@@ -67,4 +67,26 @@ object RelationalOps {
     */
   def decSum(c: Column, scale: Int = 2): Column =
     sum(c.cast(s"decimal(18,$scale)")).cast("double")
+
+  /** Skew-salted equi-join: spread each hot key of the LEFT (large,
+    * skewed) side over `buckets` sub-partitions by hashing the whole row,
+    * and replicate the RIGHT side once per bucket, so one executor never
+    * owns a whole hot key. Deterministic (hash of the row, not rand()),
+    * so plans are reproducible and retries are safe. Use when AQE's
+    * skew-join split isn't available (e.g. a non-shuffle downstream
+    * forces a plain SMJ) — otherwise prefer AQE.
+    *
+    * Inner/left-outer only: salting cannot preserve full-outer
+    * semantics (an unmatched right row would surface `buckets` times).
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      buckets: Int, joinType: String = "inner"): DataFrame = {
+    require(Seq("inner", "left", "left_outer").contains(joinType),
+      s"salting preserves semantics only for inner/left joins, not $joinType")
+    val saltedLeft = left.withColumn("__salt",
+      pmod(hash(left.columns.map(c => col(s"`$c`")): _*), lit(buckets)))
+    val saltedRight = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    saltedLeft.join(saltedRight, keys :+ "__salt", joinType).drop("__salt")
+  }
 }

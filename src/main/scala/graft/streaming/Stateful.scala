@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom keyed state via `flatMapGroupsWithState` (the engine's
+  * stateful-extension point, SURVEY §2.7/§2.8): a per-user running
+  * aggregate that survives across micro-batches and times out after a
+  * configurable inactivity period (event-time, watermark-driven), so
+  * state size is bounded no matter how many keys flow past — the
+  * 100 TB-safe shape for custom streaming state.
+  *
+  * Works identically on a batch Dataset (single invocation per key, no
+  * state carried) — stream/batch parity is pinned by StatefulSpec.
+  */
+object Stateful {
+
+  /** Input row shape (the events table). */
+  final case class Event(event_id: Long, user_id: Long,
+      ts: java.sql.Timestamp, event_type: String, value: Double)
+
+  /** Running per-user aggregate. `total` is kept in micros (long) inside
+    * the state so cross-batch accumulation is exact, surfaced as double.
+    */
+  final case class UserRunning(user_id: Long, n_events: Long, total: Double,
+      last_event_ms: Long)
+
+  /** Internal accumulator state (public: encoder codegen needs an
+    * accessible constructor).
+    */
+  final case class St(n: Long, totalMicros: Long, lastMs: Long)
+
+  /** One updated [[UserRunning]] row per user per micro-batch (update
+    * output mode). Pass `inactivityMs` to evict a user's state that long
+    * after its last activity (processing-time timeout) — that bounds
+    * state at production scale but keeps the query triggering between
+    * data arrivals, so tests that rely on `processAllAvailable`
+    * quiescing use the default (no timeout).
+    */
+  def runningUserTotals(events: Dataset[Event],
+      inactivityMs: Option[Long] = None): Dataset[UserRunning] = {
+    implicit val stEnc = Encoders.product[St]
+    implicit val outEnc = Encoders.product[UserRunning]
+    implicit val keyEnc = Encoders.scalaLong
+    val timeoutConf = if (inactivityMs.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[St, UserRunning](OutputMode.Update, timeoutConf) {
+        case (userId, rows, state: GroupState[St]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(St(0L, 0L, 0L))
+            var n = prev.n
+            var total = prev.totalMicros
+            var last = prev.lastMs
+            rows.foreach { e =>
+              n += 1
+              total += math.round(e.value * 1e6)
+              last = math.max(last, e.ts.getTime)
+            }
+            val next = St(n, total, last)
+            state.update(next)
+            inactivityMs.foreach(state.setTimeoutDuration)
+            Iterator.single(UserRunning(userId, n, total / 1e6, last))
+          }
+      }
+  }
+}

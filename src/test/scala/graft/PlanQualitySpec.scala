@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.SparkTestSession
+
+/** Physical-plan regression gates: the properties that make these
+  * operators survive a 100× scale-up, asserted on `.explain` output so a
+  * refactor that silently loses pushdown / broadcast / narrowness fails
+  * CI, not the cluster.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir)
+      .queryExecution.explainString(FormattedMode)
+
+  test("point scan pushes the key predicate into the parquet scan") {
+    val p = plan("s1_point_scan")
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(o_orderkey,42)"),
+      s"predicate not pushed:\n$p")
+  }
+
+  test("rename+prune reads only the projected columns from parquet") {
+    val p = plan("p2_rename_prune")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && !readSchema.contains("l_comment"),
+      s"column pruning lost: $readSchema")
+  }
+
+  test("code-system dictionary lookup joins by broadcast, not shuffle") {
+    val p = plan("j13_code_lookup")
+    assert(p.contains("BroadcastHashJoin"), s"dim join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join:\n$p")
+  }
+
+  test("headline aggregate is a two-phase hash aggregate (map-side partial)") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_"), s"no partial aggregation:\n$p")
+    assert(p.contains("HashAggregate"), s"not hash-aggregated:\n$p")
+  }
+
+  test("minhash signatures shuffle exactly once, keyed by document") {
+    // explode + partial-aggregate of shingle hashes: one exchange on the
+    // well-distributed doc id, map-side partial before it
+    val p = plan("d2_minhash_bands")
+    val exchanges = p.linesIterator.count(_.matches(".*[+:]- Exchange .*"))
+    assert(exchanges == 1, s"expected exactly 1 exchange, got $exchanges:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial_"),
+      s"no map-side partial aggregation:\n$p")
+  }
+
+  test("descendant crawl is all semi-joins (no row widening)") {
+    val p = plan("s3_descendant_semijoin")
+    assert(p.contains("LeftSemi"), s"crawl not semi-join shaped:\n$p")
+  }
+
+  test("whole-stage codegen covers the text-stats scan") {
+    val p = plan("x1_text_stats")
+    assert(p.contains("codegen id"), s"codegen lost:\n$p")
+  }
+}

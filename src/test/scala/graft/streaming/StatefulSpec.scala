@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.SparkTestSession
+import Stateful.{Event, UserRunning}
+
+/** flatMapGroupsWithState: cross-micro-batch accumulation and
+  * stream/batch parity of the per-user running aggregate.
+  */
+class StatefulSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ev(id: Long, user: Long, tsMs: Long, value: Double) =
+    Event(id, user, new java.sql.Timestamp(tsMs), "click", value)
+
+  test("state accumulates across micro-batches, update-mode emits per batch") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Stateful.runningUserTotals(input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("running_out").start()
+    try {
+      input.addData(ev(1, 7, 1000, 1.5), ev(2, 7, 2000, 2.25), ev(3, 8, 1500, 10.0))
+      q.processAllAvailable()
+      val afterB1 = spark.table("running_out").as[UserRunning]
+        .collect().map(r => r.user_id -> r).toMap
+      assert(afterB1(7).n_events == 2 && afterB1(7).total == 3.75)
+      assert(afterB1(8).n_events == 1 && afterB1(8).total == 10.0)
+
+      input.addData(ev(4, 7, 3000, 0.25))
+      q.processAllAvailable()
+      val rows = spark.table("running_out").as[UserRunning].collect()
+      // update mode appends a NEW row for user 7 with the accumulated state
+      val latest7 = rows.filter(_.user_id == 7).maxBy(_.n_events)
+      assert(latest7.n_events == 3 && latest7.total == 4.0)
+      assert(latest7.last_event_ms == 3000)
+      // user 8 untouched in batch 2: no new row
+      assert(rows.count(_.user_id == 8) == 1)
+    } finally q.stop()
+  }
+
+  test("batch invocation equals a plain groupBy aggregate (parity)") {
+    val events = Seq(
+      ev(1, 1, 1000, 1.0), ev(2, 1, 2000, 2.0), ev(3, 2, 500, 5.5)).toDS()
+    val got = Stateful.runningUserTotals(events)
+      .collect().map(r => (r.user_id, r.n_events, r.total, r.last_event_ms)).toSet
+    assert(got == Set((1L, 2L, 3.0, 2000L), (2L, 1L, 5.5, 500L)))
+  }
+}
