@@ -38,28 +38,38 @@ object DedupOps {
   def bandKeys(sig: Seq[Column], rowsPerBand: Int): Seq[Column] =
     sig.grouped(rowsPerBand).map(g => md5(concat(g: _*))).toSeq
 
-  /** Documents → (id, shingleSet, sig_0..k-1, band_0..b-1).
+  /** Documents → (id, [shingleSet,] sig_0..k-1, band_0..b-1).
     *
-    * Implementation: explode shingles → md5 once per shingle → codegen'd
-    * hash aggregate taking `min` per slice. Higher-order array folds are
-    * CodegenFallback in Spark AND duplicated per output column (no CSE
-    * across interpreted projections), so the explode+agg form is ~8×
-    * faster; map-side partial aggregation collapses the ×shingles blowup
-    * before the (single) shuffle on `id`, which is what holds at 100 TB.
+    * Implementation: the native fused [[graft.functions.MinhashText]]
+    * expression — one codegen'd pass per row: tokenize, shingle, one md5
+    * per shingle, all k slice-minima. ZERO shuffle and no interpreted
+    * higher-order functions (the earlier explode+hash-agg form needed an
+    * exchange on id; composed array folds are CodegenFallback). A pure
+    * narrow map is the form that scales linearly at 100 TB.
+    *
+    * Docs with fewer tokens than the shingle width get a null signature
+    * and null bands (same as the SQL oracle's out-of-range list index).
+    * `withShingleSet=true` adds the distinct shingle array for exact
+    * Jaccard verification (interpreted transform — only pay it when a
+    * verify stage consumes it).
     */
   def minhashBands(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+      shingleN: Int = 3, k: Int = 8, rowsPerBand: Int = 2,
+      withShingleSet: Boolean = true): DataFrame = {
     require(k <= 8, "md5 yields 32 hex chars = 8 slices of 4")
-    val exploded = df.select(col(idCol).as("id"),
-        explode(TextOps.shingles(col(textCol), shingleN)).as("s"))
-      .withColumn("h", md5(col("s")))
-    val sigAggs = (0 until k).map(j =>
-      min(substring(col("h"), 1 + 4 * j, 4)).as(s"sig_$j"))
-    val sigs = exploded.groupBy(col("id"))
-      .agg(collect_set(col("s")).as("shingle_set"), sigAggs: _*)
-    val bands = bandKeys((0 until k).map(j => col(s"sig_$j")), rowsPerBand)
-    sigs.select(Seq(col("id"), col("shingle_set")) ++
-      (0 until k).map(j => col(s"sig_$j")) ++
+    import org.apache.spark.sql.GraftColumnBridge
+    val sig = GraftColumnBridge.column(graft.functions.MinhashText(
+      GraftColumnBridge.expression(col(textCol)), shingleN, k))
+    val base = if (withShingleSet)
+      df.select(col(idCol).as("id"),
+        array_distinct(TextOps.shingles(col(textCol), shingleN)).as("shingle_set"),
+        sig.as("sig"))
+    else
+      df.select(col(idCol).as("id"), sig.as("sig"))
+    val sigCols = (0 until k).map(j => col("sig").getItem(j).as(s"sig_$j"))
+    val bands = bandKeys(sigCols.map(c => c), rowsPerBand)
+    val keep = if (withShingleSet) Seq(col("id"), col("shingle_set")) else Seq(col("id"))
+    base.select(keep ++ sigCols ++
       bands.zipWithIndex.map { case (b, i) => b.as(s"band_$i") }: _*)
   }
 

@@ -520,8 +520,7 @@ object Battery {
   private val d2MinhashBands = Q(
     "d2_minhash_bands",
     (s, d) => graft.ops.DedupOps
-      .minhashBands(T.documents(s, d), "doc_id", "text")
-      .drop("shingle_set")
+      .minhashBands(T.documents(s, d), "doc_id", "text", withShingleSet = false)
       .withColumnRenamed("id", "doc_id"),
     Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
            |g AS (SELECT doc_id, [md5(array_to_string(toks[i:i+2], ' ')) for i in range(1, len(toks)-1)] AS hl FROM t),

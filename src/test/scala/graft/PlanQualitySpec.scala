@@ -45,14 +45,13 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), s"not hash-aggregated:\n$p")
   }
 
-  test("minhash signatures shuffle exactly once, keyed by document") {
-    // explode + partial-aggregate of shingle hashes: one exchange on the
-    // well-distributed doc id, map-side partial before it
+  test("minhash signatures are a pure narrow map (zero exchanges)") {
+    // the native MinhashSlices expression computes all k minima in one
+    // codegen'd pass — no explode, no aggregate, no shuffle
     val p = plan("d2_minhash_bands")
     val exchanges = p.linesIterator.count(_.matches(".*[+:]- Exchange .*"))
-    assert(exchanges == 1, s"expected exactly 1 exchange, got $exchanges:\n$p")
-    assert(p.contains("partial_min") || p.contains("partial_"),
-      s"no map-side partial aggregation:\n$p")
+    assert(exchanges == 0, s"expected zero exchanges, got $exchanges:\n$p")
+    assert(p.contains("minhash_text"), s"native expression not in plan:\n$p")
   }
 
   test("descendant crawl is all semi-joins (no row widening)") {
