@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.MinhashSlices
+import graft.functions.{MinhashSlices, MinhashText, SimhashText}
 
 /** Engine extension point (SURVEY §7.3): registers the custom Catalyst
   * expressions with the session so plain SQL can call them too. Activate
@@ -15,18 +15,34 @@ import graft.functions.MinhashSlices
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("minhash_slices"),
       new ExpressionInfo(classOf[MinhashSlices].getName, "minhash_slices"),
       (children: Seq[Expression]) => {
         require(children.size == 2, "minhash_slices(array<string>, k)")
-        val k = children(1) match {
-          case Literal(v: Int, IntegerType) => v
-          case other => throw new IllegalArgumentException(
-            s"minhash_slices k must be an integer literal, got $other")
-        }
-        MinhashSlices(children.head, k)
+        MinhashSlices(children.head, intLit(children(1), "minhash_slices k"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_text"),
+      new ExpressionInfo(classOf[MinhashText].getName, "minhash_text"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, "minhash_text(text, n, k)")
+        MinhashText(children.head,
+          intLit(children(1), "minhash_text n"), intLit(children(2), "minhash_text k"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash_text"),
+      new ExpressionInfo(classOf[SimhashText].getName, "simhash_text"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "simhash_text(text, bits)")
+        SimhashText(children.head, intLit(children(1), "simhash_text bits"))
       }))
   }
 }

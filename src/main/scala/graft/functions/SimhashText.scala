@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused text→SimHash expression: whitespace-tokenize, md5 each token
+  * ONCE, accumulate the ±1 majority vote for all `bits` hash bits in a
+  * single pass, emit the packed int. Bit b is read from hex nibble
+  * (b / 4), position (3 - b % 4) — the same layout as the composed
+  * Catalyst form in DedupOps.simhash16 and the SQL oracle. The composed
+  * higher-order `aggregate` fold is interpreted AND replayed once per
+  * bit (16 re-hashes of every token); this is one codegen'd pass.
+  * Null text → null; zero tokens never happens (split of an empty
+  * string yields one empty token, which hashes like any other — same as
+  * the oracle).
+  */
+case class SimhashText(child: Expression, bits: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(bits >= 1 && bits <= 32, "simhash bits must fit an int (md5 has 128)")
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "simhash_text"
+
+  protected override def nullSafeEval(input: Any): Any =
+    SimhashText.compute(input.asInstanceOf[UTF8String], bits)
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimhashText.compute($c, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashText =
+    copy(child = newChild)
+}
+
+object SimhashText {
+
+  private val LocalMd5 = ThreadLocal.withInitial(
+    new java.util.function.Supplier[java.security.MessageDigest] {
+      override def get(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    })
+
+  def compute(text: UTF8String, bits: Int): Int = {
+    val toks = text.toString.trim.split("\\s+")
+    val votes = new Array[Int](bits)
+    val md = LocalMd5.get()
+    var i = 0
+    while (i < toks.length) {
+      md.reset()
+      val digest = md.digest(
+        toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var b = 0
+      while (b < bits) {
+        // hex char (b/4) is the high or low nibble of byte (b/8); within
+        // the nibble the bit sits at (3 - b%4)
+        val byteVal = digest(b / 8) & 0xff
+        val nibble = if ((b / 4) % 2 == 0) byteVal >> 4 else byteVal & 0xf
+        val bit = (nibble >> (3 - (b % 4))) & 1
+        votes(b) += (if (bit == 1) 1 else -1)
+        b += 1
+      }
+      i += 1
+    }
+    var result = 0
+    var b = 0
+    while (b < bits) {
+      if (votes(b) > 0) result |= 1 << b
+      b += 1
+    }
+    result
+  }
+}

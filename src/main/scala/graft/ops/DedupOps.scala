@@ -104,9 +104,19 @@ object DedupOps {
 
   /** 16-bit SimHash over token md5s: per bit b, majority vote of
     * (hash bit ? +1 : -1) across all token occurrences; bit set iff the
-    * sum is positive. Pure array fold — no explode, no shuffle.
+    * sum is positive. Native fused expression (one codegen'd pass, one
+    * md5 per token) — no explode, no shuffle, no interpreted folds.
     */
   def simhash16(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.SimhashText(
+      GraftColumnBridge.expression(text), 16))
+  }
+
+  /** The composed-builtin SimHash (16 interpreted array folds) — kept as
+    * the differential-test twin of the native expression.
+    */
+  private[graft] def simhash16Composed(text: Column): Column = {
     val hashes = transform(TextOps.tokens(text), t => md5(t))
     // bit b lives in hex char (b / 4), position (3 - b % 4) of its nibble
     def bitOf(h: Column, b: Int): Column =

@@ -59,6 +59,15 @@ class MinhashSlicesSpec extends AnyFunSuite {
     }
   }
 
+  test("native SimhashText equals the composed 16-fold form on real docs") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .limit(100)
+    val rows = docs.select(
+      DedupOps.simhash16(col("text")).as("native"),
+      DedupOps.simhash16Composed(col("text")).as("composed")).collect()
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
   test("SQL surface via GraftExtensions session injection") {
     // the shared test session has the extension only if configured; use a
     // fresh function registration path through the extension class
