@@ -49,11 +49,15 @@ object Pipeline {
   def buildAll(result: Transform.Result,
       indexd: Option[DataFrame] = None,
       centerNames: Map[String, String] = Map.empty): Seq[(String, DataFrame)] = {
-    // memoize slices so builders sharing an ancestor path share ONE plan
-    // object (Catalyst reuses the exchange across union branches)
+    // memoize slices by the CLOSED table set so builders whose
+    // requirements close to the same chain (e.g. specimen and
+    // histopathology) share ONE plan object — Catalyst then reuses the
+    // exchange across union branches
     val sliceCache = mutable.Map.empty[Set[String], DataFrame]
-    def sliceFor(name: String): DataFrame =
-      sliceCache.getOrElseUpdate(RequiredTables(name), result.slice(RequiredTables(name)))
+    def sliceFor(name: String): DataFrame = {
+      val closed = result.closure(RequiredTables(name))
+      sliceCache.getOrElseUpdate(closed, result.slice(closed))
+    }
 
     // Builders that filter ONLY on a shared join key also see the
     // reference's phantom rows: an orphan FK value in any sibling table

@@ -78,18 +78,24 @@ object Transform {
       * plans because the provenance closure keeps every provider of a
       * replayed key.
       */
+    /** Key-provenance closure of `required` (present endpoints only).
+      * The earliest kept step is the fold root and never joins, so its
+      * own deps are not needed (right-side key values coalesce through
+      * skipped ancestors unchanged). Public so callers can memoize
+      * slices by the CLOSED set — consumers whose requirements close to
+      * the same chain share one plan object.
+      */
+    @annotation.tailrec
+    final def closure(required: Set[String]): Set[String] = {
+      val present = steps.map(_.endpoint).toSet
+      val need = required.filter(present)
+      val ordered = steps.filter(s => need(s.endpoint))
+      val more = need ++ ordered.drop(1).flatMap(_.deps)
+      if (more == need) need else closure(more)
+    }
+
     def slice(required: Set[String]): DataFrame = {
-      val byName = steps.map(s => s.endpoint -> s).toMap
-      // key-provenance closure; the earliest kept step is the fold root
-      // and never joins, so its own deps are not needed (right-side key
-      // values coalesce through skipped ancestors unchanged)
-      @annotation.tailrec
-      def close(need: Set[String]): Set[String] = {
-        val ordered = steps.filter(s => need(s.endpoint))
-        val more = need ++ ordered.drop(1).flatMap(_.deps)
-        if (more == need) need else close(more)
-      }
-      val need = close(required.filter(byName.contains))
+      val need = closure(required)
       require(need.nonEmpty, s"no requested endpoint present: $required")
       val kept = steps.filter(s => need(s.endpoint))
       CleanOps.cleanStrings(foldChain(kept))

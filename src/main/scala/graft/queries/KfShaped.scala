@@ -120,10 +120,16 @@ object KfShaped {
       (col("o_orderkey") % 7000).cast("string").as("age_at_event_days"),
       lit("True").as("visible"))
 
+    // The five biospecimen-chain endpoints all derive from this join —
+    // persist it once (the "extract stage materialization": the
+    // reference extracts each endpoint separately anyway). Spark's cache
+    // manager matches by canonicalized plan, so repeated endpoints()
+    // calls share one entry instead of five sort-merge joins each.
     val li = lineitem
       .join(orders.select(col("o_orderkey").as("l_orderkey"), col("o_custkey")),
         Seq("l_orderkey"))
       .withColumn("bs_key", concat(col("l_orderkey"), lit("_"), col("l_linenumber")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val biospecimens = li.select(
       concat(lit("BS_"), col("bs_key")).as("kf_id"),
@@ -221,6 +227,8 @@ object KfShaped {
     * (replaces the reference's per-row REST GET, S6).
     */
   def indexd(s: SparkSession, d: String): DataFrame = {
+    // narrow derivation (no orders join needed), kept independent of the
+    // endpoints() cache
     val li = Tables.lineitem(s, d)
       .withColumn("bs_key", concat(col("l_orderkey"), lit("_"), col("l_linenumber")))
     li.select(
