@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.etl.{Pipeline, Transform}
+import graft.relational.RelationalOps
+import graft.sinks.ParquetSink
+
+/** The `kidsfirst fhir-etl SD_X SD_Y …` equivalent (SURVEY §7.1.8,
+  * mirroring app/cli.py:17-29): select the requested studies, prune
+  * every endpoint to their descendants with the S3 semi-join crawl,
+  * run the transform + all 16 entity builders, and write the FHIR
+  * resources as parquet partitioned by resource type.
+  *
+  * Usage: graft.Cli <endpointsDir> <outDir> SD_X [SD_Y …]
+  * `endpointsDir` holds one `<endpoint>.parquet` per extracted
+  * Dataservice endpoint (absent files = absent endpoints, the
+  * presence-driven contract).
+  */
+object Cli {
+
+  val EndpointNames: Seq[String] = Seq(
+    "studies", "investigators", "participants", "families",
+    "family-relationships", "diagnoses", "phenotypes", "outcomes",
+    "biospecimen-diagnoses", "biospecimens", "biospecimen-genomic-files",
+    "genomic-files", "sequencing-experiment-genomic-files",
+    "sequencing-experiments")
+
+  /** Load present endpoints and prune each to the chosen studies'
+    * descendant closure — per-level `left_semi` joins over the FK DAG
+    * (the distributed form of find_descendants_by_kfids, SURVEY S3).
+    * Semi-joins never widen rows, so this is pure pruning ahead of the
+    * transform's outer-join chain.
+    */
+  def extract(spark: SparkSession, dir: String, studyIds: Seq[String]): Map[String, DataFrame] = {
+    def read(name: String): Option[DataFrame] = {
+      val p = s"$dir/$name.parquet"
+      if (new java.io.File(p).exists()) Some(spark.read.parquet(p)) else None
+    }
+    val all = EndpointNames.flatMap(n => read(n).map(n -> _)).toMap
+    val studies = all.get("studies")
+      .map(_.filter(col("kf_id").isin(studyIds.map(x => x: Any): _*)))
+      .getOrElse(throw new IllegalArgumentException(s"no studies.parquet in $dir"))
+
+    // child endpoint → (child FK column, parent endpoint, parent column)
+    val fkDag: Seq[(String, String, String, String)] = Seq(
+      ("investigators", "kf_id", "studies", "investigator_id"),
+      ("participants", "study_id", "studies", "kf_id"),
+      ("families", "kf_id", "participants", "family_id"),
+      ("family-relationships", "participant1_id", "participants", "kf_id"),
+      ("diagnoses", "participant_id", "participants", "kf_id"),
+      ("phenotypes", "participant_id", "participants", "kf_id"),
+      ("outcomes", "participant_id", "participants", "kf_id"),
+      ("biospecimens", "participant_id", "participants", "kf_id"),
+      ("biospecimen-diagnoses", "diagnosis_id", "diagnoses", "kf_id"),
+      ("biospecimen-genomic-files", "biospecimen_id", "biospecimens", "kf_id"),
+      ("genomic-files", "kf_id", "biospecimen-genomic-files", "genomic_file_id"),
+      ("sequencing-experiment-genomic-files", "genomic_file_id", "genomic-files", "kf_id"),
+      ("sequencing-experiments", "kf_id", "sequencing-experiment-genomic-files",
+        "sequencing_experiment_id"))
+
+    fkDag.foldLeft(all.updated("studies", studies)) {
+      case (acc, (child, fk, parent, parentCol)) =>
+        (acc.get(child), acc.get(parent)) match {
+          case (Some(c), Some(p)) =>
+            acc.updated(child, RelationalOps.descendantCrawl(
+              p.select(col(parentCol).as(s"__p")), Seq((c, col(fk) === col("__p")))))
+          case _ => acc
+        }
+    }
+  }
+
+  def run(spark: SparkSession, endpointsDir: String, outDir: String,
+      studyIds: Seq[String],
+      indexd: Option[DataFrame] = None,
+      centerNames: Map[String, String] = Map.empty): Unit = {
+    val endpoints = extract(spark, endpointsDir, studyIds)
+    val result = Transform(endpoints)
+    val resources = Pipeline.buildAllUnion(result, indexd, centerNames)
+    ParquetSink.writePartitioned(resources, outDir, Seq("resource_type"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3, "usage: graft.Cli <endpointsDir> <outDir> SD_X [SD_Y ...]")
+    val Array(endpointsDir, outDir, studyIds @ _*) = args
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(spark, endpointsDir, outDir, studyIds)
+    spark.stop()
+  }
+}
