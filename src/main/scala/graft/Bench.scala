@@ -16,6 +16,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // NOTE: raising autoBroadcastJoinThreshold to 64MB was measured
+      // 2x SLOWER on the ETL chain (driver serialization + per-join
+      // hash build of 600k-row links beats nothing); default 10MB + AQE
+      // wins — don't "optimize" this again without measuring
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
