@@ -54,4 +54,21 @@ object SimilarityOps {
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
   }
+
+  /** Embedding-cosine near-duplicate pairs: candidates from an
+    * LSH-bucket self-equi-join (each side shuffles once on the bucket
+    * key — never a cross join), exact cosine only on candidates, keep
+    * pairs ≥ threshold. The embedding-space sibling of the MinHash
+    * near-dup pipeline; same shape at 100 TB.
+    */
+  def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      nBits: Int, half: Int, threshold: Double): DataFrame = {
+    val b = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), nBits, half))
+    val l = b.select(col("bucket"), col("id").as("id_a"), col("v").as("va"))
+    val r = b.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"))
+    l.join(r, Seq("bucket")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))
+      .where(col("cos") >= threshold)
+  }
 }

@@ -692,6 +692,28 @@ object Battery {
          |WHERE rnk <= 5""".stripMargin
     })
 
+  /** Embedding-cosine near-duplicate pairs: LSH-bucket candidates +
+    * exact cosine ≥ threshold (the embedding sibling of d2b).
+    */
+  private val n3EmbNearDup = Q(
+    "n3_embedding_neardup",
+    (s, d) => graft.ops.SimilarityOps
+      .nearDupPairs(T.embeddings(s, d), "vec_id", "embedding",
+        nBits = 4, half = 32, threshold = 0.35)
+      .select(col("id_a"), col("id_b"),
+        round(col("cos"), 6).as("cos_r")),
+    Some {
+      val bits = (1 to 4).map(j =>
+        s"CASE WHEN v[$j] - v[${j + 32}] > 0 THEN ${1 << (j - 1)} ELSE 0 END").mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, $bits AS bucket FROM e),
+         |p AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+         |        list_dot_product(a.v, b2.v) /
+         |          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v))) AS cos
+         |      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+         |SELECT id_a, id_b, round(cos, 6) AS cos_r FROM p WHERE cos >= 0.35""".stripMargin
+    })
+
   /** Multimodal batch decode: binary payload + typed metadata →
     * mapPartitions feature extraction (decoder stubbed deterministically;
     * plumbing real). Rows-only check (Dataset API not SQL-expressible).
@@ -792,7 +814,7 @@ object Battery {
     fScalar, f5Cast, twTumbling, twSession,
     d1DedupExact, x1TextStats, n1AnnTopK, m1Multimodal, m2MultimodalDecode,
     d2MinhashBands, d2bNearDupPairs, d3Simhash,
-    x2LangId, x3Fingerprint, x3bRolling, x4Quality, n2AnnLsh,
+    x2LangId, x3Fingerprint, x3bRolling, x4Quality, n2AnnLsh, n3EmbNearDup,
     kfPatientSlice, kfFullPipeline)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
