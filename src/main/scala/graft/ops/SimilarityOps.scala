@@ -55,6 +55,69 @@ object SimilarityOps {
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
   }
 
+  /** IVF (inverted-file) ANN — the coarse-quantizer scale path: assign
+    * every vector to its nearest of `centroids` (broadcast literals, a
+    * narrow codegen'd argmin), then answer queries by probing only the
+    * `nProbe` nearest cells — an equi-join on cell id instead of a
+    * cross join, shrinking candidates by ~nCells/nProbe. Train the
+    * centroids however you like (k-means, sampling); they're data here,
+    * not code.
+    */
+  def ivfCell(v: Column, centroids: Seq[Seq[Double]]): Column =
+    // argmin as array_min over (dist, idx) structs — struct ordering is
+    // field-by-field, so ties break on the lower index. Linear-size
+    // expression tree (a when-chain fold doubles per centroid and blows
+    // up the plan exponentially).
+    array_min(array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(sqDist(v, c).as("d"), lit(i).as("i"))
+    }: _*)).getField("i")
+
+  private def sqDist(v: Column, c: Seq[Double]): Column =
+    aggregate(zip_with(v, typedLit(c), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** The `nProbe` nearest cells of a query vector, as an array column. */
+  def ivfProbes(v: Column, centroids: Seq[Seq[Double]], nProbe: Int): Column = {
+    val dists = centroids.zipWithIndex.map { case (c, i) =>
+      struct(sqDist(v, c).as("d"), lit(i).as("i"))
+    }
+    slice(transform(sort_array(array(dists: _*)), s => s.getField("i")), 1, nProbe)
+  }
+
+  /** IVF top-k: probe-cell equi-join + exact cosine + rank. `corpus`
+    * must carry (cid, cv); `queries` (qid, qv).
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+      centroids: Seq[Seq[Double]], nProbe: Int, k: Int): DataFrame = {
+    val c = corpus.withColumn("cell", ivfCell(col("cv"), centroids))
+    val q = queries.withColumn("cell",
+      explode(ivfProbes(col("qv"), centroids, nProbe)))
+    val scored = q.join(c, Seq("cell"))
+      .where(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"), cosine(col("qv"), col("cv")).as("cos"))
+      .dropDuplicates("qid", "cid") // a pair can meet in several probes
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+  }
+
+  /** Deterministic centroid seeding for IVF without an iterative
+    * trainer: evenly-spaced sample vectors by id rank (k-means|| would
+    * refine these; for bucketing purposes seeds already partition the
+    * space usefully and reproducibly).
+    */
+  def seedCentroids(emb: DataFrame, idCol: String, vecCol: String,
+      nCells: Int): Seq[Seq[Double]] = {
+    val n = emb.count()
+    val step = math.max(1L, n / nCells)
+    val w = Window.orderBy(col(idCol))
+    emb.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("rn", row_number().over(w))
+      .where((col("rn") - 1) % step === 0)
+      .limit(nCells)
+      .select("v").collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
+  }
+
   /** Embedding-cosine near-duplicate pairs: candidates from an
     * LSH-bucket self-equi-join (each side shuffles once on the bucket
     * key — never a cross join), exact cosine only on candidates, keep

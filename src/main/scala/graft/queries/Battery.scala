@@ -692,6 +692,25 @@ object Battery {
          |WHERE rnk <= 5""".stripMargin
     })
 
+  /** IVF ANN: deterministic seeded coarse quantizer, probe-cell
+    * equi-join, exact cosine rank (scale path beside n2's LSH; not
+    * SQL-expressible — rows-only check, recall pinned in ScalaTest).
+    */
+  private val n4AnnIvf = Q(
+    "n4_ann_ivf_topk",
+    (s, d) => {
+      val S = graft.ops.SimilarityOps
+      val centroids = S.seedCentroids(T.embeddings(s, d), "vec_id", "embedding", 16)
+      val emb = T.embeddings(s, d).select(
+        col("vec_id"), S.asDouble(col("embedding")).as("v"))
+      val q = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val c = emb.select(col("vec_id").as("cid"), col("v").as("cv"))
+      S.ivfTopK(q, c, centroids, nProbe = 4, k = 10)
+        .select(col("qid"), col("cid").as("neighbor_id"), col("rnk"))
+    },
+    None)
+
   /** Embedding-cosine near-duplicate pairs: LSH-bucket candidates +
     * exact cosine ≥ threshold (the embedding sibling of d2b).
     */
@@ -814,7 +833,7 @@ object Battery {
     fScalar, f5Cast, twTumbling, twSession,
     d1DedupExact, x1TextStats, n1AnnTopK, m1Multimodal, m2MultimodalDecode,
     d2MinhashBands, d2bNearDupPairs, d3Simhash,
-    x2LangId, x3Fingerprint, x3bRolling, x4Quality, n2AnnLsh, n3EmbNearDup,
+    x2LangId, x3Fingerprint, x3bRolling, x4Quality, n2AnnLsh, n3EmbNearDup, n4AnnIvf,
     kfPatientSlice, kfFullPipeline)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

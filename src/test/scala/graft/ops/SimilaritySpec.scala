@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.Tables
+import graft.etl.SparkTestSession
+
+class SimilaritySpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def emb = Tables.embeddings(spark, dir).select(
+    col("vec_id"), SimilarityOps.asDouble(col("embedding")).as("v"))
+
+  test("IVF top-k achieves usable recall against brute force") {
+    val centroids = SimilarityOps.seedCentroids(
+      Tables.embeddings(spark, dir), "vec_id", "embedding", nCells = 16)
+    assert(centroids.size == 16)
+
+    val q = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val c = emb.select(col("vec_id").as("cid"), col("v").as("cv"))
+
+    val exact = SimilarityOps.bruteForceTopK(q, c, k = 10)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SimilarityOps.ivfTopK(q, c, centroids, nProbe = 4, k = 10)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF recall too low: $recall")
+    // and probing ALL cells must recover brute force exactly
+    val full = SimilarityOps.ivfTopK(q, c, centroids, nProbe = 16, k = 10)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact, "probing every cell must equal brute force")
+  }
+
+  test("ivfCell assigns each vector to its nearest centroid") {
+    val centroids = Seq(Seq(0.0, 0.0), Seq(10.0, 10.0))
+    val df = spark.createDataFrame(Seq(
+      (1L, Seq(1.0, 1.0)), (2L, Seq(9.0, 8.0)))).toDF("id", "v")
+    val cells = df.select(col("id"),
+        SimilarityOps.ivfCell(col("v"), centroids).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cells == Map(1L -> 0, 2L -> 1))
+  }
+}
