@@ -35,8 +35,11 @@ object Cli {
     */
   def extract(spark: SparkSession, dir: String, studyIds: Seq[String]): Map[String, DataFrame] = {
     def read(name: String): Option[DataFrame] = {
-      val p = s"$dir/$name.parquet"
-      if (new java.io.File(p).exists()) Some(spark.read.parquet(p)) else None
+      // Hadoop FS check, not java.io.File — endpoints may live on
+      // hdfs:// or s3a:// in the deployment this targets
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
     }
     val all = EndpointNames.flatMap(n => read(n).map(n -> _)).toMap
     val studies = all.get("studies")
@@ -48,7 +51,6 @@ object Cli {
       ("investigators", "kf_id", "studies", "investigator_id"),
       ("participants", "study_id", "studies", "kf_id"),
       ("families", "kf_id", "participants", "family_id"),
-      ("family-relationships", "participant1_id", "participants", "kf_id"),
       ("diagnoses", "participant_id", "participants", "kf_id"),
       ("phenotypes", "participant_id", "participants", "kf_id"),
       ("outcomes", "participant_id", "participants", "kf_id"),
@@ -60,7 +62,7 @@ object Cli {
       ("sequencing-experiments", "kf_id", "sequencing-experiment-genomic-files",
         "sequencing_experiment_id"))
 
-    fkDag.foldLeft(all.updated("studies", studies)) {
+    val pruned = fkDag.foldLeft(all.updated("studies", studies)) {
       case (acc, (child, fk, parent, parentCol)) =>
         (acc.get(child), acc.get(parent)) match {
           case (Some(c), Some(p)) =>
@@ -68,6 +70,20 @@ object Cli {
               p.select(col(parentCol).as(s"__p")), Seq((c, col(fk) === col("__p")))))
           case _ => acc
         }
+    }
+    // family-relationships belong to the study if EITHER member does; an
+    // OR-condition semi-join would degrade to nested-loop, so semi-join
+    // per side and union-dedup by the relationship's own key
+    (pruned.get("family-relationships"), pruned.get("participants")) match {
+      case (Some(fr), Some(p)) =>
+        val keys = p.select(col("kf_id").as("__p"))
+        val either = RelationalOps.descendantCrawl(
+            keys, Seq((fr, col("participant1_id") === col("__p"))))
+          .union(RelationalOps.descendantCrawl(
+            keys, Seq((fr, col("participant2_id") === col("__p")))))
+          .dropDuplicates("kf_id")
+        pruned.updated("family-relationships", either)
+      case _ => pruned
     }
   }
 

@@ -90,7 +90,12 @@ object Transform {
       val present = steps.map(_.endpoint).toSet
       val need = required.filter(present)
       val ordered = steps.filter(s => need(s.endpoint))
-      val more = need ++ ordered.drop(1).flatMap(_.deps)
+      // absent deps must be filtered HERE, not just on entry — otherwise
+      // a dep naming a missing endpoint is re-added each pass and the
+      // fixpoint never holds (infinite loop). An absent dep can't be
+      // replayed; the downstream join then fails on its missing key
+      // column exactly like the full wide chain would.
+      val more = need ++ ordered.drop(1).flatMap(_.deps).filter(present)
       if (more == need) need else closure(more)
     }
 

@@ -47,35 +47,17 @@ case class MinhashSlices(child: Expression, k: Int)
 
 object MinhashSlices {
 
-  private val HexChars = "0123456789abcdef".toCharArray
-
-  // one digest per executor thread, reset per row — getInstance per row
-  // costs more than the hash itself on short shingles
-  private val LocalMd5 = ThreadLocal.withInitial(
-    new java.util.function.Supplier[java.security.MessageDigest] {
-      override def get(): java.security.MessageDigest =
-        java.security.MessageDigest.getInstance("MD5")
-    })
-
   /** Called from both interpreted eval and generated code. */
   def compute(arr: ArrayData, k: Int): ArrayData = {
     val n = arr.numElements()
     if (n == 0) return null
     val minima = new Array[UTF8String](k)
-    val md = LocalMd5.get()
     val hex = new Array[Char](32)
     var i = 0
     while (i < n) {
       val s = arr.getUTF8String(i)
       if (s != null) {
-        md.reset()
-        val digest = md.digest(s.getBytes)
-        var b = 0
-        while (b < 16) {
-          hex(2 * b) = HexChars((digest(b) >> 4) & 0xf)
-          hex(2 * b + 1) = HexChars(digest(b) & 0xf)
-          b += 1
-        }
+        Md5Hex.digestInto(s.getBytes, hex)
         var j = 0
         while (j < k) {
           val slice = UTF8String.fromString(new String(hex, 4 * j, 4))

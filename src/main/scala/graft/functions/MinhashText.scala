@@ -44,25 +44,17 @@ case class MinhashText(child: Expression, n: Int, k: Int)
 
 object MinhashText {
 
-  private val HexChars = "0123456789abcdef".toCharArray
-
-  private val LocalMd5 = ThreadLocal.withInitial(
-    new java.util.function.Supplier[java.security.MessageDigest] {
-      override def get(): java.security.MessageDigest =
-        java.security.MessageDigest.getInstance("MD5")
-    })
-
   /** Called from both interpreted eval and generated code. Tokenization
-    * matches `split(trim(text), "\\s+")`: java regex split of the
-    * trimmed string (an empty string yields one empty token, like
-    * Spark's split).
+    * matches `split(trim(text), "\\s+")` with SQL trim semantics
+    * (spaces only — Java's String.trim strips tabs/newlines and would
+    * silently diverge from the composed form and the oracle); an empty
+    * string yields one empty token, like Spark's split.
     */
   def compute(text: UTF8String, n: Int, k: Int): ArrayData = {
-    val toks = text.toString.trim.split("\\s+")
+    val toks = Md5Hex.sqlTrim(text.toString).split("\\s+", -1)
     val nShingles = toks.length - n + 1
     if (nShingles <= 0) return null
     val minima = new Array[UTF8String](k)
-    val md = LocalMd5.get()
     val hex = new Array[Char](32)
     val sb = new java.lang.StringBuilder(64)
     var i = 0
@@ -74,15 +66,8 @@ object MinhashText {
         sb.append(toks(i + t))
         t += 1
       }
-      md.reset()
-      val digest = md.digest(
-        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      var b = 0
-      while (b < 16) {
-        hex(2 * b) = HexChars((digest(b) >> 4) & 0xf)
-        hex(2 * b + 1) = HexChars(digest(b) & 0xf)
-        b += 1
-      }
+      Md5Hex.digestInto(
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8), hex)
       var j = 0
       while (j < k) {
         val slice = UTF8String.fromString(new String(hex, 4 * j, 4))

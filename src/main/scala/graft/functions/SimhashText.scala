@@ -38,27 +38,19 @@ case class SimhashText(child: Expression, bits: Int)
 
 object SimhashText {
 
-  private val LocalMd5 = ThreadLocal.withInitial(
-    new java.util.function.Supplier[java.security.MessageDigest] {
-      override def get(): java.security.MessageDigest =
-        java.security.MessageDigest.getInstance("MD5")
-    })
-
   def compute(text: UTF8String, bits: Int): Int = {
-    val toks = text.toString.trim.split("\\s+")
+    // SQL trim semantics + limit -1, matching split(trim(text), "\s+")
+    val toks = Md5Hex.sqlTrim(text.toString).split("\\s+", -1)
     val votes = new Array[Int](bits)
-    val md = LocalMd5.get()
+    val hex = new Array[Char](32)
     var i = 0
     while (i < toks.length) {
-      md.reset()
-      val digest = md.digest(
-        toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      Md5Hex.digestInto(
+        toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8), hex)
       var b = 0
       while (b < bits) {
-        // hex char (b/4) is the high or low nibble of byte (b/8); within
-        // the nibble the bit sits at (3 - b%4)
-        val byteVal = digest(b / 8) & 0xff
-        val nibble = if ((b / 4) % 2 == 0) byteVal >> 4 else byteVal & 0xf
+        // bit b lives in hex char (b/4), position (3 - b%4) of its nibble
+        val nibble = Character.digit(hex(b / 4), 16)
         val bit = (nibble >> (3 - (b % 4))) & 1
         votes(b) += (if (bit == 1) 1 else -1)
         b += 1

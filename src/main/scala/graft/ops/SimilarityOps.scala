@@ -101,18 +101,16 @@ object SimilarityOps {
   }
 
   /** Deterministic centroid seeding for IVF without an iterative
-    * trainer: evenly-spaced sample vectors by id rank (k-means|| would
-    * refine these; for bucketing purposes seeds already partition the
-    * space usefully and reproducibly).
+    * trainer: the nCells lowest id-HASHES — a deterministic pseudo-
+    * random sample, fetched with a distributed top-k
+    * (TakeOrderedAndProject), never a global single-partition window.
+    * (k-means|| would refine these; for bucketing purposes a uniform
+    * sample already partitions the space usefully and reproducibly.)
     */
   def seedCentroids(emb: DataFrame, idCol: String, vecCol: String,
       nCells: Int): Seq[Seq[Double]] = {
-    val n = emb.count()
-    val step = math.max(1L, n / nCells)
-    val w = Window.orderBy(col(idCol))
     emb.select(col(idCol), asDouble(col(vecCol)).as("v"))
-      .withColumn("rn", row_number().over(w))
-      .where((col("rn") - 1) % step === 0)
+      .orderBy(hash(col(idCol)), col(idCol))
       .limit(nCells)
       .select("v").collect()
       .map(_.getSeq[Double](0).toSeq).toSeq

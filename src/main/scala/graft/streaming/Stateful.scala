@@ -6,9 +6,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** Custom keyed state via `flatMapGroupsWithState` (the engine's
   * stateful-extension point, SURVEY §2.7/§2.8): a per-user running
   * aggregate that survives across micro-batches and times out after a
-  * configurable inactivity period (event-time, watermark-driven), so
-  * state size is bounded no matter how many keys flow past — the
-  * 100 TB-safe shape for custom streaming state.
+  * configurable inactivity period (PROCESSING-time / wall-clock — the
+  * right bound for live streams; replays of historical event time keep
+  * state until the wall clock moves on), so state size is bounded no
+  * matter how many keys flow past — the 100 TB-safe shape for custom
+  * streaming state.
   *
   * Works identically on a batch Dataset (single invocation per key, no
   * state carried) — stream/batch parity is pinned by StatefulSpec.

@@ -49,6 +49,15 @@ class CliSpec extends AnyFunSuite {
         "uberon_id_tumor_location", "spatial_descriptor", "visible")
       .write.parquet(s"$in/diagnoses.parquet")
 
+    // FR_1: in-study member only on the participant2 side (must be kept);
+    // FR_2: both members out of study (must be dropped)
+    Seq(
+      ("FR_1", "fr1", "PT_9", "PT_1", "Mother", "True"),
+      ("FR_2", "fr2", "PT_2", "PT_8", "Father", "True"))
+      .toDF("kf_id", "external_id", "participant1_id", "participant2_id",
+        "participant1_to_participant2_relation", "visible")
+      .write.parquet(s"$in/family-relationships.parquet")
+
     Cli.run(spark, in, out, Seq("SD_1"))
 
     val back = spark.read.parquet(out)
@@ -56,6 +65,8 @@ class CliSpec extends AnyFunSuite {
     assert(keys.contains("SD_1") && keys.contains("PT_1") && keys.contains("DG_1"))
     assert(!keys.contains("SD_2") && !keys.contains("PT_2") && !keys.contains("DG_2"),
       s"other study's rows leaked: $keys")
+    assert(keys.contains("FR_1"), "relationship with in-study participant2 must be kept")
+    assert(!keys.contains("FR_2"), "relationship with no in-study member must be dropped")
     // partitioned by resource type on disk
     val dirs = new java.io.File(out).listFiles()
       .filter(_.getName.startsWith("resource_type=")).map(_.getName).toSet

@@ -144,6 +144,14 @@ class SliceParitySpec extends AnyFunSuite {
     assertParity(endpoints)
   }
 
+  test("closure terminates when a dep names an absent endpoint") {
+    // biospecimens' deps always include participants; with participants
+    // absent the closure must converge (not loop) and exclude it
+    val result = Transform(endpoints - "participants")
+    val closed = result.closure(Set("studies", "participants", "biospecimens"))
+    assert(closed.contains("biospecimens") && !closed.contains("participants"))
+  }
+
   test("slice equivalence holds when optional endpoints are absent") {
     // drop the link tables: biospecimens joins on participant only and
     // the seq-exp chain disappears — the presence-driven keys change

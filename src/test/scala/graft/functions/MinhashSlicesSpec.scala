@@ -68,17 +68,38 @@ class MinhashSlicesSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getInt(0) == r.getInt(1)))
   }
 
-  test("SQL surface via GraftExtensions session injection") {
-    // the shared test session has the extension only if configured; use a
-    // fresh function registration path through the extension class
-    val ext = new graft.GraftExtensions
-    val exts = new org.apache.spark.sql.SparkSessionExtensions
-    ext(exts)
-    // direct builder check: expression built from SQL-ish children
-    val e = MinhashSlices(GraftColumnBridge.expression(
-      split(lit("x y z w"), " ")), 2)
-    val out = Seq(1).toDF("i")
-      .select(GraftColumnBridge.column(e).as("sig")).head().getSeq[String](0)
-    assert(out.length == 2)
+  test("SQL surface: injected functions run via spark.sql and match the DSL") {
+    // SparkTestSession is built withExtensions(GraftExtensions), so the
+    // registrations (and their argument order) are exercised end-to-end
+    val viaSql = spark.sql(
+      "SELECT minhash_text('a b c d e', 3, 8) AS mt, " +
+        "minhash_slices(array('a b c', 'b c d', 'c d e'), 8) AS ms, " +
+        "simhash_text('a b c d e', 16) AS sh").head()
+    val viaDsl = Seq("a b c d e").toDF("text").select(
+      GraftColumnBridge.column(MinhashText(
+        GraftColumnBridge.expression(col("text")), 3, 8)).as("mt"),
+      graft.ops.DedupOps.simhash16(col("text")).as("sh")).head()
+    assert(viaSql.getSeq[String](0) == viaDsl.getSeq[String](0))
+    assert(viaSql.getSeq[String](1) == viaDsl.getSeq[String](0),
+      "slices over the same shingles must equal the fused signature")
+    assert(viaSql.getInt(2) == viaDsl.getInt(1))
+  }
+
+  test("fused tokenizer uses SQL trim semantics (tabs/newlines are tokens' business)") {
+    // leading tab: SQL trim keeps it → an empty first token, like the
+    // composed split(trim(text)) form; Java's String.trim would strip it
+    val docs = Seq("\talpha beta gamma delta", "alpha beta gamma delta\n")
+      .toDF("text")
+    val rows = docs.select(
+      GraftColumnBridge.column(MinhashText(
+        GraftColumnBridge.expression(col("text")), 3, 8)).as("fused"),
+      GraftColumnBridge.column(MinhashSlices(GraftColumnBridge.expression(
+        TextOps.shingles(col("text"), 3)), 8)).as("composed"),
+      graft.ops.DedupOps.simhash16(col("text")).as("sh_fused"),
+      graft.ops.DedupOps.simhash16Composed(col("text")).as("sh_composed")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+      assert(r.getInt(2) == r.getInt(3))
+    }
   }
 }
