@@ -29,7 +29,10 @@ object Bench {
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
     // best-of-2: single cold runs swing ±5× from JIT/GC noise in one
-    // shared JVM; the min of two runs is a stable per-query signal
+    // shared JVM; the min of two runs is a stable per-query signal.
+    // Caches are cleared BETWEEN query families (kept within the pair so
+    // intentional persists still help) so one query's leftover cached
+    // blocks don't turn into another query's GC pressure.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -37,7 +40,9 @@ object Bench {
         catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> math.min(once(), once())
+      val best = math.min(once(), once())
+      spark.catalog.clearCache()
+      name -> best
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
