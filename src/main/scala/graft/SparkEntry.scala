@@ -5,10 +5,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Runs the reference-shaped full outer join chain (SURVEY §2.3).
+    * Runs the COMPLETE reference pipeline — KF-shaped endpoints →
+    * presence-driven transform → all 16 entity builders → FHIR resources
+    * (SURVEY §7.2's slice, widened to the whole surface).
     */
   def entry(spark: SparkSession): DataFrame =
-    queries("j_outer_chain")(spark, "/root/testdata/sf0.001")
+    queries("kf_full_pipeline")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
