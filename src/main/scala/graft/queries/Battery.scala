@@ -330,6 +330,53 @@ object Battery {
            |FROM lineitem
            |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)""".stripMargin))
 
+  /** Analytic window functions beyond ranking: lag/lead offsets,
+    * first-value frames, quantile buckets (engine surface, SURVEY §2.5).
+    */
+  private val w2Analytic = Q(
+    "w2_window_analytic",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      T.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        first_value(col("o_orderdate")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("first_date"),
+        ntile(4).over(w).as("quartile"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+           |  lag(o_totalprice, 1) OVER w AS prev_price,
+           |  lead(o_totalprice, 1) OVER w AS next_price,
+           |  first_value(o_orderdate) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_date,
+           |  CAST(ntile(4) OVER w AS INT) AS quartile
+           |FROM orders
+           |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin))
+
+  /** Date/time scalar functions over the event stream: truncation,
+    * field extraction, interval arithmetic, epoch (engine surface —
+    * the reference keeps ages as day counts, SURVEY §2.6 note).
+    */
+  private val f6Datetime = Q(
+    "f6_datetime",
+    (s, d) => T.events(s, d).select(
+      col("event_id"),
+      date_trunc("hour", col("ts")).as("ts_hour"),
+      year(col("ts")).cast("long").as("y"),
+      month(col("ts")).cast("long").as("m"),
+      dayofweek(col("ts")).cast("long").as("dow"),
+      (col("ts") + expr("INTERVAL 90 MINUTES")).as("ts_plus"),
+      unix_timestamp(col("ts")).as("epoch_s")),
+    Some("""SELECT event_id,
+           |  date_trunc('hour', ts) AS ts_hour,
+           |  CAST(year(ts) AS BIGINT) AS y,
+           |  CAST(month(ts) AS BIGINT) AS m,
+           |  CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+           |  ts + INTERVAL 90 MINUTE AS ts_plus,
+           |  CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+           |FROM events""".stripMargin))
+
   /** Sort + limit / top-k with unique tiebreak (SURVEY §2.5). */
   private val topK = Q(
     "topk_sort_limit",
@@ -829,7 +876,8 @@ object Battery {
     s1PointScan, s3Crawl, p2Rename, p6Clean,
     j1Outer, jChain, j8Composite, jNullKey, j13Codes,
     a1Collect, a2Collect, a5Dedup, a6Rollup, a7Cube, a8ApproxDistinct, q1Agg,
-    w1Window, topK, setOps,
+    w1Window, w2Analytic, topK, setOps,
+    f6Datetime,
     fScalar, f5Cast, twTumbling, twSession,
     d1DedupExact, x1TextStats, n1AnnTopK, m1Multimodal, m2MultimodalDecode,
     d2MinhashBands, d2bNearDupPairs, d3Simhash,
