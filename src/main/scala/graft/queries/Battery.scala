@@ -747,9 +747,10 @@ object Battery {
     "n4_ann_ivf_topk",
     (s, d) => {
       val S = graft.ops.SimilarityOps
-      val centroids = S.seedCentroids(T.embeddings(s, d), "vec_id", "embedding", 16)
       val emb = T.embeddings(s, d).select(
         col("vec_id"), S.asDouble(col("embedding")).as("v"))
+      // seed from the same projected frame — no second scan pipeline
+      val centroids = S.seedCentroids(emb, "vec_id", "v", 16)
       val q = emb.where(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("v").as("qv"))
       val c = emb.select(col("vec_id").as("cid"), col("v").as("cv"))

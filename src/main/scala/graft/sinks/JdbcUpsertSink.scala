@@ -23,13 +23,19 @@ object JdbcUpsertSink {
       table: String,
       user: String = "",
       password: String = "",
-      batchSize: Int = 500)
+      batchSize: Int = 500,
+      // Class.forName'd on the executor before connecting: raw
+      // DriverManager can't see drivers shipped via --jars (classloader
+      // visibility), so name the driver explicitly in that deployment
+      driverClass: Option[String] = None)
 
   /** The exact statement submitted per row — split out so tests can pin
     * it without a live database.
     */
   def upsertSql(table: String, keyCol: String, cols: Seq[String]): String = {
     require(cols.contains(keyCol), s"key $keyCol must be among $cols")
+    require(cols.exists(_ != keyCol),
+      "at least one non-key column required (DO UPDATE SET cannot be empty)")
     val names = cols.mkString(", ")
     val binds = cols.map(_ => "?").mkString(", ")
     val sets = cols.filterNot(_ == keyCol)
@@ -40,6 +46,9 @@ object JdbcUpsertSink {
 
   /** Upsert (key, resource_type, resource_json) rows. `connect` is
     * injectable for tests; defaults to DriverManager on config.url.
+    * Input is de-duplicated by key first: Postgres rejects a statement
+    * batch that touches the same conflict key twice ("cannot affect row
+    * a second time"), which would make retries fail identically.
     */
   def upsert(docs: DataFrame, config: Config,
       keyCol: String = "key", typeCol: String = "resource_type",
@@ -47,7 +56,9 @@ object JdbcUpsertSink {
       connect: Config => Connection = defaultConnect): Unit = {
     val sql = upsertSql(config.table, keyCol, Seq(keyCol, typeCol, jsonCol))
     val (batchSize, cfg) = (config.batchSize, config)
-    docs.select(col(keyCol), col(typeCol), col(jsonCol)).foreachPartition {
+    docs.select(col(keyCol), col(typeCol), col(jsonCol))
+      .dropDuplicates(keyCol)
+      .foreachPartition {
       (rows: Iterator[org.apache.spark.sql.Row]) =>
         val conn = connect(cfg)
         try {
@@ -70,6 +81,8 @@ object JdbcUpsertSink {
     }
   }
 
-  private def defaultConnect(c: Config): Connection =
+  private def defaultConnect(c: Config): Connection = {
+    c.driverClass.foreach(Class.forName)
     DriverManager.getConnection(c.url, c.user, c.password)
+  }
 }

@@ -29,10 +29,15 @@ object RestSource {
   def fetchAll(first: String, fetch: String => Page,
       idOf: String => String): Seq[String] = {
     val seen = scala.collection.mutable.LinkedHashMap[String, String]()
+    val visited = scala.collection.mutable.Set[String]()
     var declared: Option[Long] = None
     var cursor: Option[String] = Some(first)
     while (cursor.isDefined) {
-      val page = fetch(cursor.get)
+      val url = cursor.get
+      // repeated/cyclic next-links (stale caches, buggy servers) must
+      // fail fast, not spin the driver forever
+      require(visited.add(url), s"pagination cycle: $url seen twice")
+      val page = fetch(url)
       declared = page.total.orElse(declared)
       page.rows.foreach { r =>
         val id = idOf(r)

@@ -20,4 +20,10 @@ class JdbcUpsertSinkSpec extends AnyFunSuite {
       JdbcUpsertSink.upsertSql("t", "missing", Seq("a", "b"))
     }
   }
+
+  test("key-only column list is rejected (empty DO UPDATE SET is invalid SQL)") {
+    intercept[IllegalArgumentException] {
+      JdbcUpsertSink.upsertSql("t", "key", Seq("key"))
+    }
+  }
 }

@@ -27,6 +27,16 @@ class RestSourceSpec extends AnyFunSuite {
     assert(df.columns.toSet == Set("id", "v"))
   }
 
+  test("cyclic next-link fails fast instead of spinning") {
+    val pages = Map(
+      "p1" -> RestSource.Page(Seq("""{"id":"a"}"""), Some("p2"), None),
+      "p2" -> RestSource.Page(Seq("""{"id":"b"}"""), Some("p1"), None))
+    val ex = intercept[IllegalArgumentException] {
+      RestSource.fetchAll("p1", pager(pages), _ => "x")
+    }
+    assert(ex.getMessage.contains("pagination cycle"))
+  }
+
   test("declared-total mismatch raises (bundle.total assertion)") {
     val pages = Map(
       "p1" -> RestSource.Page(Seq("""{"id":"a"}"""), None, Some(2L)))
