@@ -69,6 +69,36 @@ class RelationalPropertiesSpec extends AnyFunSuite {
       .where(col("c").isNotNull).count() == 0)
   }
 
+  test("rename is bijective: applying the inverse map restores the schema") {
+    val renames = Map("a" -> "X|A", "b" -> "X|B", "c" -> "X|C")
+    val df = Seq(("1", "2", "3")).toDF("a", "b", "c")
+    val there = RelationalOps.renameColumns(df, renames)
+    assert(there.columns.toSet == renames.values.toSet)
+    val back = RelationalOps.renameColumns(there, renames.map(_.swap))
+    assert(back.columns.toSeq == df.columns.toSeq)
+    assert(back.collect().map(_.toSeq).toSeq == df.collect().map(_.toSeq).toSeq)
+  }
+
+  test("code-map lookup: null/missing → null; with-default → default") {
+    val m = Map("x" -> "X", "y" -> "Y")
+    val df = Seq(Some("x"), Some("zzz"), None).toDF("k")
+    val got = df.select(
+      RelationalOps.codeLookup(col("k"), m).as("plain"),
+      RelationalOps.codeLookupWithDefault(col("k"), m, "D").as("dflt"))
+      .collect().map(r => (Option(r.getString(0)), r.getString(1)))
+    assert(got.toSeq == Seq((Some("X"), "X"), (None, "D"), (None, "D")))
+  }
+
+  test("cast failure ⇒ field omission: tolerantCast null + to_json drops the key") {
+    val df = Seq("123", "bogus", null).toDF("v")
+    val jsons = df.select(to_json(struct(
+      RelationalOps.tolerantCast(col("v"), "int").as("n"),
+      lit("k").as("tag"))).as("j")).collect().map(_.getString(0))
+    assert(jsons(0).contains("\"n\":123"))
+    assert(!jsons(1).contains("\"n\""), s"failed cast must omit the field: ${jsons(1)}")
+    assert(!jsons(2).contains("\"n\""))
+  }
+
   test("saltedJoin multiset-equals the plain join on random frames") {
     (1 to 5).foreach { _ =>
       val l = randTable(10).toDF("k", "lv")
