@@ -676,15 +676,23 @@ object Battery {
            |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
            |FROM documents""".stripMargin))
 
-  /** 64-bit rolling (Rabin–Karp) fingerprint — Spark-side catalyst fold;
-    * not oracle-expressible (rows-only check).
+  /** 64-bit rolling (Rabin–Karp) fingerprint — Catalyst fold vs a
+    * DuckDB list_reduce oracle (hex→int via the 0x-literal cast; both
+    * sides stay in the 2³¹−1 field so no overflow on either engine).
     */
   private val x3bRolling = Q(
     "x3b_rolling_fingerprint",
     (s, d) => T.documents(s, d).select(
       col("doc_id"),
       graft.ops.TextOps.rollingFingerprint(col("text")).as("fp64")),
-    None)
+    Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+           |h AS (SELECT doc_id,
+           |  [CAST(concat('0x', substr(md5(x), 1, 15)) AS UBIGINT) % 2147483647 for x in tk] AS hl
+           |FROM toks)
+           |SELECT doc_id,
+           |  CAST(list_reduce(list_prepend(0::UBIGINT, hl),
+           |       (acc, x) -> (acc * 1000003 + x) % 2147483647) AS BIGINT) AS fp64
+           |FROM h""".stripMargin))
 
   /** Composite quality score from exact integer ratios. */
   private val x4Quality = Q(
