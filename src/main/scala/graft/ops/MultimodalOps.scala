@@ -49,6 +49,19 @@ object MultimodalOps {
       }
       MediaFeatures(row.asset_id, row.media_type, n.toLong, feature)
     }
+
+    /** STUB frame extraction: a deterministic 16-byte window of the
+      * payload selected by timestamp (??? → real codec seek+decode).
+      */
+    def frameAt(row: MediaRow, tsMs: Long): Array[Byte] = {
+      val bytes = row.content
+      if (bytes.isEmpty) Array.emptyByteArray
+      else {
+        val start = ((tsMs % math.max(1, bytes.length))).toInt
+        Array.tabulate(math.min(16, bytes.length))(i =>
+          bytes((start + i) % bytes.length))
+      }
+    }
   }
 
   /** Derive a media table from any (id, text) source: payload = UTF-8
@@ -64,6 +77,43 @@ object MultimodalOps {
       when(pmod(col("doc_id"), lit(3)) === 0, lit(480)).cast("int").as("height"),
       when(pmod(col("doc_id"), lit(3)) =!= 0, pmod(col("doc_id"), lit(10000)) * 100)
         .cast("long").as("duration_ms"))
+
+  /** One sampled video frame: payload is a STUB slice of the source
+    * bytes (a codec would decode the real frame); index/timestamp
+    * plumbing is real.
+    */
+  final case class FrameRow(
+      asset_id: Long, frame_idx: Int, ts_ms: Long, frame: Array[Byte])
+
+  /** Frame sampling: one frame every `everyMs` over each video's
+    * duration — a flatMap (narrow, no shuffle), so a 2-hour video fans
+    * out to its frames inside its own partition and downstream ops see
+    * a uniform (asset, frame) row shape.
+    */
+  def sampleFrames(media: DataFrame, everyMs: Long): Dataset[FrameRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    require(everyMs > 0, "everyMs must be positive")
+    media.as[MediaRow].flatMap { m =>
+      m.duration_ms match {
+        case Some(d) if m.media_type == "video" && d > 0 =>
+          (0L until d by everyMs).zipWithIndex.map { case (ts, i) =>
+            FrameRow(m.asset_id, i, ts, FakeDecoder.frameAt(m, ts))
+          }
+        case _ => Iterator.empty
+      }
+    }
+  }
+
+  /** Resize plumbing: metadata transform + STUB re-encode (production
+    * swaps the identity payload for a libvips/swscale call inside the
+    * same row shape). Non-image rows pass through untouched.
+    */
+  def resize(media: DataFrame, width: Int, height: Int): DataFrame =
+    media.withColumn("width",
+        when(col("media_type") === "image", lit(width)).otherwise(col("width")))
+      .withColumn("height",
+        when(col("media_type") === "image", lit(height)).otherwise(col("height")))
 
   /** Batch decode: shard by content hash so hot assets spread evenly
     * (no skew from one giant video), then decode per partition with the

@@ -26,4 +26,40 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     rows.take(20).foreach { r => assert(r.byte_len == lens(r.asset_id)) }
   }
+
+  test("frame sampling: one frame per interval, videos only, deterministic") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val media = MultimodalOps.mediaFromDocuments(docs)
+    val frames = MultimodalOps.sampleFrames(media, everyMs = 100000).collect()
+    assert(frames.nonEmpty)
+    // only video assets produce frames; count = ceil(duration/interval)
+    val durations = media.where("media_type = 'video' AND duration_ms > 0")
+      .selectExpr("asset_id", "duration_ms")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byAsset = frames.groupBy(_.asset_id)
+    assert(byAsset.keySet == durations.keySet)
+    byAsset.foreach { case (id, fs) =>
+      val expected = (durations(id) + 100000 - 1) / 100000
+      assert(fs.length == expected, s"asset $id: ${fs.length} frames, expected $expected")
+      assert(fs.map(_.frame_idx).sorted.toSeq == (0 until fs.length))
+      assert(fs.forall(_.frame.length <= 16))
+    }
+    // deterministic across runs
+    val again = MultimodalOps.sampleFrames(media, everyMs = 100000).collect()
+    assert(again.map(f => (f.asset_id, f.frame_idx, f.frame.toSeq)).toSet ==
+      frames.map(f => (f.asset_id, f.frame_idx, f.frame.toSeq)).toSet)
+  }
+
+  test("resize updates image metadata only, payload untouched") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val media = MultimodalOps.mediaFromDocuments(docs)
+    val resized = MultimodalOps.resize(media, 224, 224)
+    val images = resized.where("media_type = 'image'")
+      .selectExpr("width", "height").distinct().collect()
+    assert(images.map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((224, 224)))
+    val others = resized.where("media_type != 'image' AND width IS NOT NULL").count()
+    assert(others == 0, "non-image rows must keep their metadata")
+    assert(resized.selectExpr("sum(octet_length(content))").head().getLong(0) ==
+      media.selectExpr("sum(octet_length(content))").head().getLong(0))
+  }
 }
