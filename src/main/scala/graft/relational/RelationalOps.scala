@@ -84,7 +84,7 @@ object RelationalOps {
     require(Seq("inner", "left", "left_outer").contains(joinType),
       s"salting preserves semantics only for inner/left joins, not $joinType")
     val saltedLeft = left.withColumn("__salt",
-      pmod(hash(left.columns.map(c => col(s"`$c`")): _*), lit(buckets)))
+      pmod(hash(left.columns.toIndexedSeq.map(c => col(s"`$c`")): _*), lit(buckets)))
     val saltedRight = right.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     saltedLeft.join(saltedRight, keys :+ "__salt", joinType).drop("__salt")
