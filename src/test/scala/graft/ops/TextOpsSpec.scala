@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.SparkTestSession
+
+class TextOpsSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column, text: String): Int =
+    Seq(text).toDF("t").select(c.as("v")).head().getInt(0)
+
+  test("subwordCount splits on whitespace AND letter/digit boundaries") {
+    val c = TextOps.subwordCount(col("t"))
+    assert(one(c, "hello world") == 2)
+    assert(one(c, "gpt4 turbo") == 3, "gpt|4|turbo")
+    assert(one(c, "a1b2") == 4)
+    assert(one(c, "v2 model 3x") == 5, "v|2|model|3|x")
+  }
+
+  test("shingles: sliding word n-grams; short docs yield an empty array") {
+    val got = Seq("a b c d", "a b", "").toDF("t")
+      .select(TextOps.shingles(col("t"), 3).as("s"))
+      .collect().map(_.getSeq[String](0))
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1) == Seq.empty)
+    assert(got(2) == Seq.empty)
+  }
+
+  test("langId picks the profile with the most stopword hits, ties lexicographic") {
+    val got = Seq(
+      "the cat sat on the mat and the dog",
+      "le chat est sur le tapis et les chiens",
+      "der hund ist nicht mit der katze und das haus").toDF("t")
+      .select(TextOps.langId(col("t")).as("l")).collect().map(_.getString(0))
+    assert(got.toSeq == Seq("en", "fr", "de"))
+  }
+}
