@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // the box has ~125 GiB; a roomy heap keeps the string-heavy SMJ
+  // cascade out of GC churn (8g measured 2-4x slower under CPU
+  // contention), and ParallelGC beats G1 for pure-throughput batch
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
+  "-XX:+UseParallelGC",
 )

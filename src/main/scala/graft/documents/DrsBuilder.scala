@@ -14,8 +14,8 @@ import FhirBuilders.{KfDataserviceBase, surrogateId}
   * Indexd metadata (S6, drs_document_reference.py:224-243) — the
   * headline anti-pattern at scale. Here that becomes a bulk-prefetched
   * `indexd` dimension DataFrame (gf_id, acl array, size, hashes map,
-  * file_name) broadcast-joined against the regrouped rows (SURVEY §7.4
-  * risk 5). Pass None when no Indexd source exists: those fields are
+  * file_name) equi-joined against the regrouped rows (SURVEY §7.4
+  * risk 5) — shuffle-joined, since indexd is 1:1 with genomic files. Pass None when no Indexd source exists: those fields are
   * simply omitted, like the reference's None-valued payload keys.
   */
 object DrsBuilder {
@@ -107,9 +107,13 @@ object DrsBuilder {
     */
   def drsDocumentReference(wide: DataFrame, indexd: Option[DataFrame] = None): DataFrame = {
     val grouped = regroup(wide)
+    // NO broadcast hint: indexd is 1:1 with genomic files (NOT a small
+    // dim — at 100 TB it's a full-size table), so a forced broadcast
+    // collects the whole thing to the driver; measured +5s at sf0.1.
+    // AQE still auto-broadcasts when a filtered study slice is tiny.
     val rows = indexd match {
-      case Some(ix) => grouped.join(broadcast(
-        ix.select(col("gf_id"), col("acl"), col("size"), col("hashes"), col("file_name"))),
+      case Some(ix) => grouped.join(
+        ix.select(col("gf_id"), col("acl"), col("size"), col("hashes"), col("file_name")),
         Seq("gf_id"), "left")
       case None => grouped
         .withColumn("acl", lit(null).cast("array<string>"))

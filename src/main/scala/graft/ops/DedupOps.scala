@@ -102,6 +102,52 @@ object DedupOps {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Exact n-gram Jaccard set-similarity self-join (the non-approximate
+    * sibling of [[nearDupPairs]]): all pairs with shingle-set Jaccard ≥
+    * `threshold`, found via a prefix-filtered inverted index.
+    *
+    * Scale path (public PPJoin-family result — Chaudhuri et al. SSJoin,
+    * Xiao et al. PPJoin): two docs with Jaccard ≥ t MUST share at least
+    * one of each doc's `|sh| - ceil(t*|sh|) + 1` globally-rarest
+    * shingles, so only that prefix is indexed — the quadratic blowup of
+    * hot shingles (every doc sharing "of the and") never reaches the
+    * pair join, because frequent shingles sort to the END of the
+    * df-ordered set and fall outside every prefix. Candidates are then
+    * verified with the exact intersection over full sets. Shuffles:
+    * doc-frequency agg, per-doc rank (window on id), candidate join on
+    * prefix shingle, verify join — all equi-keyed, all AQE-skew-safe.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val sh = df.select(col(idCol).as("id"),
+        array_distinct(TextOps.shingles(col(textCol), shingleN)).as("sh"))
+      .where(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inv = sh.select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+    val dfreq = inv.groupBy("s").agg(count(lit(1)).as("df"))
+    // rarest-first rank inside each doc; ties broken by shingle text so
+    // both join sides agree on the same prefix
+    val ranked = inv.join(dfreq, Seq("s"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("s"))))
+    val prefix = ranked.where(
+      col("rk") <= col("n") - ceil(lit(threshold) * col("n")).cast("int") + 1)
+    val cand = prefix.select(col("s"), col("id").as("doc_a"))
+      .join(prefix.select(col("s"), col("id").as("doc_b")), Seq("s"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(sh.select(col("id").as("doc_a"), col("sh").as("sa")), Seq("doc_a"))
+      .join(sh.select(col("id").as("doc_b"), col("sh").as("sb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          (size(col("sa")) + size(col("sb")) -
+            size(array_intersect(col("sa"), col("sb"))))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** 16-bit SimHash over token md5s: per bit b, majority vote of
     * (hash bit ? +1 : -1) across all token occurrences; bit set iff the
     * sum is positive. Native fused expression (one codegen'd pass, one

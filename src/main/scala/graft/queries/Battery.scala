@@ -269,15 +269,26 @@ object Battery {
            |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin))
 
   /** Distinct-count sketch (HyperLogLog++): algorithm-specific estimates
-    * can't hash-match an oracle — rows-only check here; the ScalaTest
-    * spec pins the relative error against the exact count.
+    * can't hash-match an oracle value-for-value, so the checked output is
+    * the exact count plus a bounded-error verdict (|approx−exact| ≤ 10%
+    * of exact, ~2× the default 5% rsd) — the oracle asserts the verdict
+    * is TRUE for every group, making the sketch's accuracy itself the
+    * hash-checked property. The ScalaTest spec additionally pins the
+    * observed relative error.
     */
   private val a8ApproxDistinct = Q(
     "a8_approx_distinct",
     (s, d) => T.orders(s, d).groupBy(col("o_orderstatus")).agg(
-      approx_count_distinct(col("o_custkey")).as("approx_customers"),
-      count(lit(1)).as("n_rows")),
-    None)
+      countDistinct(col("o_custkey")).as("exact_customers"),
+      count(lit(1)).as("n_rows"),
+      (abs(approx_count_distinct(col("o_custkey")).cast("double") -
+        countDistinct(col("o_custkey")).cast("double")) <=
+        countDistinct(col("o_custkey")).cast("double") * 0.10).as("approx_ok")),
+    Some("""SELECT o_orderstatus,
+           |  count(DISTINCT o_custkey) AS exact_customers,
+           |  count(*) AS n_rows,
+           |  TRUE AS approx_ok
+           |FROM orders GROUP BY o_orderstatus""".stripMargin))
 
   /** TPC-H Q1-shaped headline aggregate (engine surface beyond the
     * reference: numeric aggregates, SURVEY §2.4 "absent" note).
@@ -625,6 +636,26 @@ object Battery {
            |JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
            |WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.5""".stripMargin))
 
+  /** Exact n-gram Jaccard pairs via prefix-filtered inverted index —
+    * no LSH approximation; the oracle recomputes the naive all-pairs
+    * answer, pinning that prefix filtering loses no pair.
+    */
+  private val d4NgramJaccard = Q(
+    "d4_ngram_jaccard",
+    (s, d) => graft.ops.DedupOps
+      .ngramJaccardPairs(T.documents(s, d), "doc_id", "text",
+        shingleN = 3, threshold = 0.5),
+    Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+           |g AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh FROM t),
+           |ds AS (SELECT doc_id, unnest(sh) AS s FROM g),
+           |sz AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
+           |ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+           |  FROM ds a JOIN ds b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+           |SELECT doc_a, doc_b, CAST(c AS DOUBLE)/(sa.n + sb.n - c) AS jaccard
+           |FROM ov
+           |JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+           |WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.5""".stripMargin))
+
   /** 16-bit SimHash per document (majority vote over token-hash bits). */
   private val d3Simhash = Q(
     "d3_simhash",
@@ -792,12 +823,17 @@ object Battery {
   /** Multimodal batch decode: binary payload + typed metadata →
     * mapPartitions feature extraction (decoder stubbed deterministically;
     * plumbing real). Rows-only check (Dataset API not SQL-expressible).
+    * The feature vector is flattened to scalar columns: the driver's
+    * rows-only check sorts the result frame, which arrays break
+    * (unhashable in pandas).
     */
   private val m2MultimodalDecode = Q(
     "m2_multimodal_decode",
     (s, d) => {
       val media = graft.ops.MultimodalOps.mediaFromDocuments(T.documents(s, d))
-      graft.ops.MultimodalOps.extractFeatures(media, shards = 8).toDF()
+      val feats = graft.ops.MultimodalOps.extractFeatures(media, shards = 8).toDF()
+      feats.select(Seq(col("asset_id"), col("media_type"), col("byte_len")) ++
+        (0 until 8).map(i => col("feature").getItem(i).as(s"f$i")): _*)
     },
     None)
 
@@ -889,7 +925,7 @@ object Battery {
     f6Datetime,
     fScalar, f5Cast, twTumbling, twSession,
     d1DedupExact, x1TextStats, n1AnnTopK, m1Multimodal, m2MultimodalDecode,
-    d2MinhashBands, d2bNearDupPairs, d3Simhash,
+    d2MinhashBands, d2bNearDupPairs, d3Simhash, d4NgramJaccard,
     x2LangId, x3Fingerprint, x3bRolling, x4Quality, n2AnnLsh, n3EmbNearDup, n4AnnIvf,
     kfPatientSlice, kfFullPipeline)
 

@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.SparkTestSession
+
+class DedupOpsSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Brute-force oracle: word-3-gram distinct shingle sets, all pairs. */
+  private def bruteForce(docs: Seq[(Long, String)], t: Double): Set[(Long, Long, Double)] = {
+    def sh(s: String): Set[String] = {
+      val toks = s.trim.split("\\s+").toSeq
+      if (toks.size < 3) Set.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val sets = docs.map { case (id, text) => id -> sh(text) }.filter(_._2.nonEmpty)
+    (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      j = (sa & sb).size.toDouble / (sa | sb).size
+      if j >= t
+    } yield (a, b, j)).toSet
+  }
+
+  test("ngramJaccardPairs matches brute force incl. hot-shingle docs") {
+    // doc 1/2: near-dups; doc 3: unrelated; doc 4/5: share only a hot
+    // shingle ("the cat sat" appears in 4 docs) — prefix filtering must
+    // still find every qualifying pair and no sub-threshold pair.
+    val docs = Seq(
+      1L -> "the cat sat on the red mat today",
+      2L -> "the cat sat on the red mat yesterday",
+      3L -> "completely different words entirely here now",
+      4L -> "the cat sat under a blue tree",
+      5L -> "the cat sat under a blue bush",
+      6L -> "to short",
+      7L -> "")
+    val got = DedupOps
+      .ngramJaccardPairs(docs.toDF("doc_id", "text"), "doc_id", "text",
+        shingleN = 3, threshold = 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == bruteForce(docs, 0.5))
+    assert(got.map(p => (p._1, p._2)) == Set((1L, 2L), (4L, 5L)))
+  }
+
+  test("ngramJaccardPairs at threshold 1.0 finds only exact shingle-set dups") {
+    val docs = Seq(
+      1L -> "a b c d",
+      2L -> "a b c d",
+      3L -> "a b c e")
+    val got = DedupOps
+      .ngramJaccardPairs(docs.toDF("doc_id", "text"), "doc_id", "text",
+        shingleN = 3, threshold = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)))
+  }
+}
