@@ -59,6 +59,16 @@ object Pipeline {
       sliceCache.getOrElseUpdate(closed, result.slice(closed))
     }
 
+    // NOTE on shared-subchain materialization (measured, do not redo):
+    // persisting the chain prefixes that ≥2 closures replay (even only
+    // the DAG branch points — pairwise longest common prefixes) made the
+    // DRS builder 2.5-3.5x SLOWER at sf0.1: the un-pruned ~70-string-
+    // column columnar cache costs more to build AND scan than replaying
+    // the pruned, codegen'd join cascade per consumer. Catalyst's column
+    // pruning through independent replays beats a wide shared cache;
+    // Result.markPersistPrefix remains available for genuinely
+    // recompute-heavy chains.
+
     // Builders that filter ONLY on a shared join key also see the
     // reference's phantom rows: an orphan FK value in any sibling table
     // coalesces into the wide frame's key column with every other column

@@ -457,6 +457,28 @@ object Battery {
            |  CAST(floor(value) AS INT) AS value_floor
            |FROM events""".stripMargin))
 
+  /** F9 + P4 — map construction, null-entry dropping (`drop_none`,
+    * common/utils.py:23-24) and map iteration into one row per entry
+    * (`hash_dict.items()`, drs_document_reference.py:359-369): build a
+    * map from columns, `map_filter` out null values, explode
+    * `map_entries`.
+    */
+  private val f9MapExplode = Q(
+    "f9_map_explode",
+    (s, d) => {
+      val m = map(
+        lit("priority"), col("o_orderpriority"),
+        lit("status"), when(col("o_orderkey") % 3 === 0, col("o_orderstatus")))
+      T.orders(s, d)
+        .select(col("o_orderkey"),
+          explode(map_filter(m, (_, v) => v.isNotNull)))
+        .toDF("o_orderkey", "k", "v")
+    },
+    Some("""SELECT o_orderkey, 'priority' AS k, o_orderpriority AS v FROM orders
+           |UNION ALL
+           |SELECT o_orderkey, 'status' AS k, o_orderstatus AS v FROM orders
+           |WHERE o_orderkey % 3 = 0""".stripMargin))
+
   // --------------------------------------------------- time windows (§2.7)
 
   /** Tumbling window aggregate over the events table — batch form of the
@@ -923,7 +945,7 @@ object Battery {
     a1Collect, a2Collect, a5Dedup, a6Rollup, a7Cube, a8ApproxDistinct, q1Agg,
     w1Window, w2Analytic, topK, setOps,
     f6Datetime,
-    fScalar, f5Cast, twTumbling, twSession,
+    fScalar, f5Cast, f9MapExplode, twTumbling, twSession,
     d1DedupExact, x1TextStats, n1AnnTopK, m1Multimodal, m2MultimodalDecode,
     d2MinhashBands, d2bNearDupPairs, d3Simhash, d4NgramJaccard,
     x2LangId, x3Fingerprint, x3bRolling, x4Quality, n2AnnLsh, n3EmbNearDup, n4AnnIvf,
