@@ -457,6 +457,44 @@ object Battery {
            |  CAST(floor(value) AS INT) AS value_floor
            |FROM events""".stripMargin))
 
+  /** The SQL entry point: the same engine surface through `spark.sql`
+    * over registered temp views (TPC-H Q3-shaped: 3-way join + agg +
+    * top-k). Everything the DataFrame battery checks — pushdown,
+    * broadcast of the dim side, partial agg — must hold identically
+    * when the plan arrives as SQL text.
+    */
+  private val q3Sql = Q(
+    "q3_sql_topk",
+    (s, d) => {
+      T.customer(s, d).createOrReplaceTempView("g_customer")
+      T.orders(s, d).createOrReplaceTempView("g_orders")
+      T.lineitem(s, d).createOrReplaceTempView("g_lineitem")
+      s.sql("""SELECT l_orderkey,
+              |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+              |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+              |  o_orderdate, o_orderpriority
+              |FROM g_customer JOIN g_orders ON c_custkey = o_custkey
+              |JOIN g_lineitem ON l_orderkey = o_orderkey
+              |WHERE c_mktsegment = 'BUILDING'
+              |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+              |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+              |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+              |ORDER BY revenue DESC, l_orderkey
+              |LIMIT 10""".stripMargin)
+    },
+    Some("""SELECT l_orderkey,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+           |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           |  o_orderdate, o_orderpriority
+           |FROM customer JOIN orders ON c_custkey = o_custkey
+           |JOIN lineitem ON l_orderkey = o_orderkey
+           |WHERE c_mktsegment = 'BUILDING'
+           |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+           |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+           |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+           |ORDER BY revenue DESC, l_orderkey
+           |LIMIT 10""".stripMargin))
+
   /** F9 + P4 — map construction, null-entry dropping (`drop_none`,
     * common/utils.py:23-24) and map iteration into one row per entry
     * (`hash_dict.items()`, drs_document_reference.py:359-369): build a
@@ -942,7 +980,7 @@ object Battery {
   val all: Seq[Q] = Seq(
     s1PointScan, s3Crawl, p2Rename, p6Clean,
     j1Outer, jChain, j8Composite, jNullKey, j13Codes,
-    a1Collect, a2Collect, a5Dedup, a6Rollup, a7Cube, a8ApproxDistinct, q1Agg,
+    a1Collect, a2Collect, a5Dedup, a6Rollup, a7Cube, a8ApproxDistinct, q1Agg, q3Sql,
     w1Window, w2Analytic, topK, setOps,
     f6Datetime,
     fScalar, f5Cast, f9MapExplode, twTumbling, twSession,
