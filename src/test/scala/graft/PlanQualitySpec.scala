@@ -63,4 +63,20 @@ class PlanQualitySpec extends AnyFunSuite {
     val p = plan("x1_text_stats")
     assert(p.contains("codegen id"), s"codegen lost:\n$p")
   }
+
+  test("exact jaccard join has no cartesian product (prefix-filtered equi-joins only)") {
+    val p = plan("d4_ngram_jaccard")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"set-similarity join fell back to a product join:\n$p")
+  }
+
+  test("SQL entry point gets the same plan quality: pushdown + broadcast dim") {
+    val p = plan("q3_sql_topk")
+    assert(p.contains("PushedFilters") && p.contains("BUILDING"),
+      s"segment predicate not pushed into the scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"customer dim not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k not pushed into a TakeOrdered (full sort would not scale):\n$p")
+  }
 }
