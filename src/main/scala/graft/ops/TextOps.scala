@@ -46,9 +46,21 @@ object TextOps {
     size(filter(toks, t => t.isin(profile.map(x => x: Any): _*)))
 
   /** Predicted language = argmax of profile hit counts, lexicographic
-    * tie-break (deterministic).
+    * tie-break (deterministic). Native fused expression
+    * ([[graft.functions.LangIdText]]): one codegen'd pass, one hash
+    * probe per token — the composed form below runs one interpreted
+    * higher-order filter per language profile.
     */
   def langId(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.LangIdText(
+      GraftColumnBridge.expression(text)))
+  }
+
+  /** The composed-builtin language-ID — kept as the differential-test
+    * twin of the native expression.
+    */
+  private[graft] def langIdComposed(text: Column): Column = {
     val toks = tokens(text)
     val scores = StopwordProfiles.toSeq.sortBy(_._1)
       .map { case (lang, prof) => lang -> stopwordHits(toks, prof) }

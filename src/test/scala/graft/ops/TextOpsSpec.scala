@@ -38,4 +38,21 @@ class TextOpsSpec extends AnyFunSuite {
       .select(TextOps.langId(col("t")).as("l")).collect().map(_.getString(0))
     assert(got.toSeq == Seq("en", "fr", "de"))
   }
+
+  test("native langId equals the composed-builtin twin (incl. ties and empties)") {
+    val docs = Seq(
+      "the cat sat on the mat and the dog",
+      "le chat est sur le tapis et les chiens",
+      "der hund ist nicht mit der katze und das haus",
+      "el perro y el gato en la casa es que los",
+      "de la", // shared stopwords across profiles -> tie-break
+      "no stopwords here whatsoever",
+      "   ", "", "a",
+      "the the the le le le de de de") ++
+      (1 to 50).map(i => s"w$i the le der el en ${i % 7}")
+    val rows = docs.toDF("t").select(
+      TextOps.langId(col("t")).as("native"),
+      TextOps.langIdComposed(col("t")).as("composed")).collect()
+    rows.foreach(r => assert(r.getString(0) == r.getString(1), r))
+  }
 }
