@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scratch per-query profiler (not part of the driver contract): runs
+  * the named battery queries best-of-2 under the same session config as
+  * Bench, so a single operator can be iterated on without paying the
+  * full battery. Usage: runMain graft.ProfileQuery q1_agg d4_ngram_jaccard
+  */
+object ProfileQuery {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // experiment variants not in the driver battery
+    val extra: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+      "d4_hash_order" -> ((s, d) => graft.ops.DedupOps.ngramJaccardPairs(
+        Tables.documents(s, d), "doc_id", "text", 3, 0.5, orderByDocFreq = false)))
+    args.foreach { name =>
+      val fn = extra.getOrElse(name, SparkEntry.queries(name))
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val best = math.min(once(), once())
+      spark.catalog.clearCache()
+      println(f"[profile] $name: $best%.2f s (best of 2)")
+    }
+    spark.stop()
+  }
+}

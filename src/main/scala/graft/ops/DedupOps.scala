@@ -107,33 +107,54 @@ object DedupOps {
     * `threshold`, found via a prefix-filtered inverted index.
     *
     * Scale path (public PPJoin-family result — Chaudhuri et al. SSJoin,
-    * Xiao et al. PPJoin): two docs with Jaccard ≥ t MUST share at least
-    * one of each doc's `|sh| - ceil(t*|sh|) + 1` globally-rarest
-    * shingles, so only that prefix is indexed — the quadratic blowup of
-    * hot shingles (every doc sharing "of the and") never reaches the
-    * pair join, because frequent shingles sort to the END of the
-    * df-ordered set and fall outside every prefix. Candidates are then
-    * verified with the exact intersection over full sets. Shuffles:
-    * doc-frequency agg, per-doc rank (window on id), candidate join on
-    * prefix shingle, verify join — all equi-keyed, all AQE-skew-safe.
+    * Xiao et al. PPJoin): under ANY fixed global order of shingles, two
+    * docs with Jaccard ≥ t MUST share at least one of each doc's first
+    * `|sh| - ceil(t*|sh|) + 1` shingles, so only that prefix is
+    * indexed. Candidates are then verified with the exact intersection
+    * over full sets, so the order choice affects only candidate count,
+    * never the result:
+    *
+    *  - `orderByDocFreq = true` (default — the 100 TB path): order by
+    *    global document frequency, rarest first. Hot shingles (every
+    *    doc sharing "of the and") sort to the END of every set and
+    *    fall outside every prefix, so their quadratic pair blowup
+    *    never reaches the join. Costs a doc-frequency aggregate and a
+    *    per-doc rank window over the inverted index.
+    *  - `orderByDocFreq = false`: order by md5(shingle) — computed
+    *    per-row, fully narrow (no dfreq aggregate, no window). Cheaper
+    *    on corpora without hot shingles; degrades toward all-pairs on
+    *    skewed ones.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+      shingleN: Int = 3, threshold: Double = 0.5,
+      orderByDocFreq: Boolean = true): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
     import org.apache.spark.sql.expressions.Window
     val sh = df.select(col(idCol).as("id"),
         array_distinct(TextOps.shingles(col(textCol), shingleN)).as("sh"))
       .where(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val inv = sh.select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
-    val dfreq = inv.groupBy("s").agg(count(lit(1)).as("df"))
-    // rarest-first rank inside each doc; ties broken by shingle text so
-    // both join sides agree on the same prefix
-    val ranked = inv.join(dfreq, Seq("s"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("id")).orderBy(col("df"), col("s"))))
-    val prefix = ranked.where(
-      col("rk") <= col("n") - ceil(lit(threshold) * col("n")).cast("int") + 1)
+    val prefLen = col("n") - ceil(lit(threshold) * col("n")).cast("int") + 1
+    val prefix =
+      if (orderByDocFreq) {
+        val inv = sh.select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+        val dfreq = inv.groupBy("s").agg(count(lit(1)).as("df"))
+        // rarest-first rank inside each doc; ties broken by shingle text
+        // so both join sides agree on the same prefix
+        inv.join(dfreq, Seq("s"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("id")).orderBy(col("df"), col("s"))))
+          .where(col("rk") <= prefLen)
+      } else {
+        // hash-ordered prefix: sorted per-row, then sliced — no shuffle
+        // before the candidate join
+        sh.select(col("id"), size(col("sh")).as("n"),
+            explode(slice(
+              array_sort(transform(col("sh"), s => struct(md5(s).as("h"), s.as("s")))),
+              lit(1), greatest(lit(0), size(col("sh")) -
+                ceil(lit(threshold) * size(col("sh"))).cast("int") + 1))).as("e"))
+          .select(col("id"), col("e.s").as("s"))
+      }
     val cand = prefix.select(col("s"), col("id").as("doc_a"))
       .join(prefix.select(col("s"), col("id").as("doc_b")), Seq("s"))
       .where(col("doc_a") < col("doc_b"))
