@@ -30,4 +30,29 @@ object ParquetSink {
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(path)
   }
+
+  /** Bucketed parquet table — the co-located-join path: two tables
+    * bucketed on the same key into the same bucket count join with NO
+    * exchange on either side (hash(key) % n fixed at write time), the
+    * classic pre-shuffle for a fact table that is joined on the same
+    * key by many downstream queries. `sortCols` additionally pre-sorts
+    * within each bucket file for sort-merge reuse. Registered through
+    * the session catalog (`saveAsTable`) because bucket metadata lives
+    * there, not in the files.
+    */
+  def writeBucketed(df: DataFrame, table: String,
+      bucketCols: Seq[String], nBuckets: Int,
+      sortCols: Seq[String] = Nil,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(bucketCols.nonEmpty, "bucketed write needs at least one bucket column")
+    require(nBuckets > 0, "nBuckets must be positive")
+    val w = df
+      // one file per bucket per partition-write: co-located reads stay
+      // narrow even for skewed buckets
+      .repartition(nBuckets, bucketCols.map(c => col(s"`$c`")): _*)
+      .write.mode(mode).format("parquet")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
 }

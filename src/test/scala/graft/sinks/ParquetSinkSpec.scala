@@ -34,4 +34,38 @@ class ParquetSinkSpec extends AnyFunSuite {
     assert(p.contains("PartitionFilters: [isnotnull(o_orderstatus"),
       s"no partition pruning:\n$p")
   }
+
+  test("co-bucketed tables join with zero exchanges") {
+    val dir = "/root/testdata/sf0.001"
+    // a crashed previous run can leave the managed location behind with
+    // no catalog entry — clear both
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(loc)
+      }
+    }
+    ParquetSink.writeBucketed(
+      graft.Tables.orders(spark, dir), "b_orders", Seq("o_orderkey"), 4,
+      sortCols = Seq("o_orderkey"))
+    ParquetSink.writeBucketed(
+      graft.Tables.lineitem(spark, dir)
+        .select("l_orderkey", "l_quantity"),
+      "b_lineitem", Seq("l_orderkey"), 4, sortCols = Seq("l_orderkey"))
+    // force the sort-merge path (broadcast would mask bucketing)
+    val joined = spark.table("b_orders").hint("merge")
+      .join(spark.table("b_lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .withColumn("q", col("l_quantity") + 1)
+    val p = joined.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"co-bucketed join still shuffles:\n$p")
+    assert(p.contains("Bucketed: true"), s"bucketed read not used:\n$p")
+    assert(joined.count() ==
+      graft.Tables.lineitem(spark, dir).count())
+  }
 }
