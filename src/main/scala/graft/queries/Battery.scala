@@ -536,6 +536,30 @@ object Battery {
   /** Session windows (gap = 30 min) per user — Spark `session_window`
     * vs. a gaps-and-islands oracle. Session end = last event + gap.
     */
+  /** As-of join: enrich every event with the value of the user's most
+    * recent click at-or-before it — the latest-dimension-state operator
+    * Spark lacks natively, composed as union + one window
+    * ([[RelationalOps.asofJoin]]); DuckDB's native ASOF JOIN is the
+    * oracle.
+    */
+  private val j14Asof = Q(
+    "j14_asof_join",
+    (s, d) => {
+      val events = T.events(s, d)
+      val clicks = events.where(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("last_click_value"))
+      asofJoin(
+        events.select("event_id", "user_id", "ts"),
+        clicks, Seq("user_id"), "ts", "ts", Seq("last_click_value"))
+        .select("event_id", "user_id", "last_click_value")
+    },
+    Some("""WITH r AS (SELECT user_id, ts, max(value) AS last_click_value
+           |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+           |SELECT l.event_id, l.user_id, r.last_click_value
+           |FROM events l ASOF LEFT JOIN r
+           |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin))
+
   private val twSession = Q(
     "tw_session_window",
     (s, d) => graft.streaming.Streaming.sessionStats(T.events(s, d), "30 minutes"),
@@ -979,7 +1003,7 @@ object Battery {
 
   val all: Seq[Q] = Seq(
     s1PointScan, s3Crawl, p2Rename, p6Clean,
-    j1Outer, jChain, j8Composite, jNullKey, j13Codes,
+    j1Outer, jChain, j8Composite, jNullKey, j13Codes, j14Asof,
     a1Collect, a2Collect, a5Dedup, a6Rollup, a7Cube, a8ApproxDistinct, q1Agg, q3Sql,
     w1Window, w2Analytic, topK, setOps,
     f6Datetime,

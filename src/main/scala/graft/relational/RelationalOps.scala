@@ -89,4 +89,57 @@ object RelationalOps {
       explode(sequence(lit(0), lit(buckets - 1))))
     saltedLeft.join(saltedRight, keys :+ "__salt", joinType).drop("__salt")
   }
+
+  /** As-of join (most-recent-match): for every left row, the payload of
+    * the latest right row with the same keys and `rightTs` ≤ `leftTs`
+    * (inclusive), or nulls when no such row exists — the
+    * enrich-events-with-latest-dimension-state operator Spark has no
+    * built-in for.
+    *
+    * Spark-first composition instead of a custom physical operator: tag
+    * and union both sides, then one window per key ordered by
+    * (timestamp, side) carries the last non-null payload forward
+    * (right rows sort before left rows at equal timestamps, giving the
+    * inclusive match). Exactly ONE shuffle on the keys and a per-key
+    * sort — no range-condition row explosion, no broadcast of either
+    * side; skewed keys split by AQE like any window. This is the plan a
+    * custom `SparkStrategy` would produce anyway, so the composed form
+    * is preferred (SURVEY §7.3 ladder).
+    *
+    * `right` must be unique per (keys, rightTs) — pre-aggregate
+    * otherwise (window order among equal timestamps would be
+    * nondeterministic).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val leftCols = left.columns.toSeq
+    require(payload.nonEmpty, "asofJoin needs at least one payload column")
+    require(!payload.exists(leftCols.contains),
+      s"payload columns $payload collide with left columns")
+    val l = left
+      .withColumn("__asof_ts", col(s"`$leftTs`"))
+      .withColumn("__asof_side", lit(1))
+      .select(Seq(col("__asof_ts"), col("__asof_side")) ++
+        keys.map(k => col(s"`$k`")) ++
+        leftCols.filterNot(keys.contains).map(c => col(s"`$c`")) ++
+        payload.map(p => lit(null).cast(right.schema(p).dataType).as(p)): _*)
+    val r = right
+      .withColumn("__asof_ts", col(s"`$rightTs`"))
+      .withColumn("__asof_side", lit(0))
+      .select(Seq(col("__asof_ts"), col("__asof_side")) ++
+        keys.map(k => col(s"`$k`")) ++
+        leftCols.filterNot(keys.contains).map(c =>
+          lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payload.map(p => col(s"`$p`")): _*)
+    val w = Window.partitionBy(keys.map(k => col(s"`$k`")): _*)
+      .orderBy(col("__asof_ts"), col("__asof_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = l.unionByName(r).select(
+      Seq(col("__asof_side")) ++ keys.map(k => col(s"`$k`")) ++
+        leftCols.filterNot(keys.contains).map(c => col(s"`$c`")) ++
+        payload.map(p => last(col(s"`$p`"), ignoreNulls = true).over(w).as(p)): _*)
+    filled.where(col("__asof_side") === 1).drop("__asof_side")
+      .select(leftCols.map(c => col(s"`$c`")) ++ payload.map(p => col(s"`$p`")): _*)
+  }
 }

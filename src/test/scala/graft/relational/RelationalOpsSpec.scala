@@ -30,6 +30,47 @@ class RelationalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("asofJoin picks the latest right row at-or-before each left ts") {
+    val left = Seq(
+      (1L, 10L, 100L), (2L, 10L, 250L), (3L, 10L, 300L),
+      (4L, 20L, 150L), // user with no prior state at first event
+      (5L, 30L, 500L)  // user with no right rows at all
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, 100L, "s@100"), // equal ts -> inclusive match
+      (10L, 200L, "s@200"),
+      (10L, 301L, "s@301"), // after every left row -> never matched
+      (20L, 160L, "s@160")
+    ).toDF("user_id", "ts", "state")
+    val got = RelationalOps
+      .asofJoin(left, right, Seq("user_id"), "ts", "ts", Seq("state"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(got == Map(
+      1L -> Some("s@100"), 2L -> Some("s@200"), 3L -> Some("s@200"),
+      4L -> None, 5L -> None))
+  }
+
+  test("asofJoin matches a brute-force scan on random data") {
+    val rnd = new scala.util.Random(7)
+    val left = (1 to 300).map(i =>
+      (i.toLong, (rnd.nextInt(5) + 1).toLong, rnd.nextInt(1000).toLong))
+    val right = (1 to 100).map { i =>
+      ((rnd.nextInt(5) + 1).toLong, rnd.nextInt(1000).toLong, i.toLong)
+    }.distinct.groupBy(r => (r._1, r._2)).values.map(_.maxBy(_._3)).toSeq
+    val expected = left.map { case (id, u, ts) =>
+      val cands = right.filter(r => r._1 == u && r._2 <= ts)
+      id -> (if (cands.isEmpty) None
+             else Some(cands.maxBy(r => (r._2, r._3))._3))
+    }.toMap
+    val got = RelationalOps.asofJoin(
+      left.toDF("event_id", "user_id", "ts"),
+      right.toDF("user_id", "ts", "payload"),
+      Seq("user_id"), "ts", "ts", Seq("payload"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(got == expected)
+  }
+
   test("approx_count_distinct stays within 5% of exact on the orders table") {
     val orders = graft.Tables.orders(spark, "/root/testdata/sf0.01")
     val row = orders.agg(
