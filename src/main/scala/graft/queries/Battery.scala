@@ -560,6 +560,39 @@ object Battery {
            |FROM events l ASOF LEFT JOIN r
            |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin))
 
+  /** Bucketized interval-containment join: events matched to the login
+    * windows containing them via equi-join on (user, time-bucket) +
+    * exact BETWEEN — no nested loop ([[RelationalOps.rangeJoin]]).
+    */
+  private val j15Range = Q(
+    "j15_range_join",
+    (s, d) => {
+      val events = T.events(s, d)
+      val windows = events.where(col("event_type") === "login")
+        .select(col("event_id").as("login_id"), col("user_id"),
+          col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("w_end"))
+      rangeJoin(events.select("event_id", "user_id", "ts"), windows,
+        Seq("user_id"), "ts", "w_start", "w_end", bucketWidthSeconds = 1800)
+        .select("event_id", "user_id", "login_id")
+    },
+    Some("""SELECT l.event_id, l.user_id, r.login_id
+           |FROM events l JOIN (
+           |  SELECT event_id AS login_id, user_id, ts AS w_start,
+           |         ts + INTERVAL '30 minutes' AS w_end
+           |  FROM events WHERE event_type = 'login') r
+           |ON l.user_id = r.user_id AND l.ts >= r.w_start AND l.ts <= r.w_end""".stripMargin))
+
+  /** Deterministic hash sample (reproducible dataset curation): same
+    * rows selected by any engine with md5, any partitioning.
+    */
+  private val p8HashSample = Q(
+    "p8_hash_sample",
+    (s, d) => graft.relational.RelationalOps.hashSample(
+      T.orders(s, d), "o_orderkey", 0.1),
+    Some("""SELECT * FROM orders
+           |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) < '199a'""".stripMargin))
+
   private val twSession = Q(
     "tw_session_window",
     (s, d) => graft.streaming.Streaming.sessionStats(T.events(s, d), "30 minutes"),
@@ -1002,8 +1035,8 @@ object Battery {
   // ---------------------------------------------------------------- export
 
   val all: Seq[Q] = Seq(
-    s1PointScan, s3Crawl, p2Rename, p6Clean,
-    j1Outer, jChain, j8Composite, jNullKey, j13Codes, j14Asof,
+    s1PointScan, s3Crawl, p2Rename, p6Clean, p8HashSample,
+    j1Outer, jChain, j8Composite, jNullKey, j13Codes, j14Asof, j15Range,
     a1Collect, a2Collect, a5Dedup, a6Rollup, a7Cube, a8ApproxDistinct, q1Agg, q3Sql,
     w1Window, w2Analytic, topK, setOps,
     f6Datetime,

@@ -142,4 +142,64 @@ object RelationalOps {
     filled.where(col("__asof_side") === 1).drop("__asof_side")
       .select(leftCols.map(c => col(s"`$c`")) ++ payload.map(p => col(s"`$p`")): _*)
   }
+
+  /** Deterministic reproducible sample: keep a row iff the first 16
+    * bits of md5(key) fall below `fraction` of the space — the
+    * dataset-curation sampler that is (a) stable across runs, engines,
+    * partitionings and cluster sizes (unlike `df.sample`, whose
+    * per-partition RNG changes with the split layout), (b) consistent
+    * BY KEY, so the same document keeps or loses membership in every
+    * derived table it appears in, and (c) pure narrow compute — no
+    * shuffle, prunes at the scan. Comparison is on the fixed-width hex
+    * prefix string, so any engine with md5 reproduces the exact sample.
+    */
+  def hashSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, "fraction must be in [0, 1]")
+    val threshold = f"${math.round(fraction * 65536)}%04x"
+    df.where(substring(md5(col(s"`$keyCol`").cast("string")), 1, 4) < lit(threshold))
+  }
+
+  /** Interval-containment join (left.ts ∈ [right.start, right.end])
+    * without a nested-loop: both sides are mapped onto fixed-width time
+    * buckets — the left row to the one bucket holding its timestamp,
+    * the right interval to every bucket it overlaps — so candidates
+    * come from a plain equi-join on (keys, bucket), then the exact
+    * BETWEEN filter keeps true matches. Each matching pair meets in
+    * exactly one bucket (the left row's), so no dedup is needed.
+    *
+    * Scale: shuffle on (keys, bucket) — narrow, AQE-skew-splittable —
+    * instead of Spark's BroadcastNestedLoopJoin fallback for non-equi
+    * conditions, which cannot scale past a broadcastable side. Choose
+    * `bucketWidthSeconds` near the TYPICAL interval length: too small
+    * explodes long intervals into many bucket rows, too large turns the
+    * equi-join back into mostly-filtered candidates.
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, startCol: String, endCol: String,
+      bucketWidthSeconds: Long, joinType: String = "inner"): DataFrame = {
+    require(Seq("inner", "left", "left_outer").contains(joinType),
+      s"bucketized range join supports inner/left joins, not $joinType")
+    require(bucketWidthSeconds > 0, "bucket width must be positive")
+    val w = lit(bucketWidthSeconds * 1000000L)
+    val lb = left.withColumn("__rbucket",
+      floor(unix_micros(col(s"`$leftTs`")) / w))
+    val rb = right.withColumn("__rbucket",
+      explode(sequence(
+        floor(unix_micros(col(s"`$startCol`")) / w),
+        floor(unix_micros(col(s"`$endCol`")) / w))))
+    val cond = col(s"`$leftTs`") >= col(s"`$startCol`") &&
+      col(s"`$leftTs`") <= col(s"`$endCol`")
+    if (joinType == "inner")
+      lb.join(rb, keys :+ "__rbucket").where(cond).drop("__rbucket")
+    else {
+      // left join: keep unmatched left rows exactly once — inner-match
+      // first, then add never-matched left rows with null right columns
+      val matched = lb.join(rb, keys :+ "__rbucket").where(cond).drop("__rbucket")
+      val unmatched = lb.drop("__rbucket")
+        .join(matched.select(keys.map(k => col(s"`$k`")) :+
+          col(s"`$leftTs`"): _*).distinct(),
+          keys :+ leftTs, "left_anti")
+      matched.unionByName(unmatched, allowMissingColumns = true)
+    }
+  }
 }

@@ -71,6 +71,44 @@ class RelationalOpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("rangeJoin equals the brute-force interval join, incl. bucket-straddling intervals") {
+    val rnd = new scala.util.Random(11)
+    val left = (1 to 200).map(i =>
+      (i.toLong, (rnd.nextInt(4) + 1).toLong,
+        java.sql.Timestamp.valueOf(s"2024-01-01 0${rnd.nextInt(10)}:0${rnd.nextInt(6)}:0${rnd.nextInt(10)}")))
+    val right = (1 to 40).map { i =>
+      val s = rnd.nextInt(9 * 3600)
+      val e = s + rnd.nextInt(2 * 3600) // up to 2h, straddles 30-min buckets
+      (i.toLong, (rnd.nextInt(4) + 1).toLong,
+        new java.sql.Timestamp(java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime + s * 1000L),
+        new java.sql.Timestamp(java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime + e * 1000L))
+    }
+    val expected = (for {
+      (id, u, ts) <- left
+      (rid, ru, rs, re) <- right
+      if ru == u && !ts.before(rs) && !ts.after(re)
+    } yield (id, rid)).toSet
+    val got = RelationalOps.rangeJoin(
+      left.toDF("event_id", "user_id", "ts"),
+      right.toDF("win_id", "user_id", "w_start", "w_end"),
+      Seq("user_id"), "ts", "w_start", "w_end", bucketWidthSeconds = 1800)
+      .select("event_id", "win_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+  }
+
+  test("hashSample is deterministic, key-consistent, and near the requested fraction") {
+    val orders = graft.Tables.orders(spark, "/root/testdata/sf0.01")
+    val s1 = RelationalOps.hashSample(orders, "o_orderkey", 0.1)
+    val n = orders.count().toDouble
+    val k = s1.count().toDouble
+    assert(math.abs(k / n - 0.1) < 0.02, s"sampled ${k / n}")
+    // same keys survive when sampling a differently-partitioned copy
+    val s2 = RelationalOps.hashSample(orders.repartition(7), "o_orderkey", 0.1)
+    assert(s2.select("o_orderkey").except(s1.select("o_orderkey")).isEmpty)
+    assert(s1.select("o_orderkey").except(s2.select("o_orderkey")).isEmpty)
+  }
+
   test("approx_count_distinct stays within 5% of exact on the orders table") {
     val orders = graft.Tables.orders(spark, "/root/testdata/sf0.01")
     val row = orders.agg(
