@@ -389,6 +389,56 @@ object Battery {
            |FROM events""".stripMargin))
 
   /** Sort + limit / top-k with unique tiebreak (SURVEY §2.5). */
+  /** Group-wise top-k (rank window + filter — the per-group analog of
+    * the global TakeOrdered; no global sort at any scale).
+    */
+  private val w3TopKPerGroup = Q(
+    "w3_topk_per_group",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      T.orders(s, d)
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select(col("o_orderstatus"), col("rnk").cast("int").as("rnk"),
+          col("o_orderkey"), col("o_totalprice"))
+    },
+    Some("""SELECT o_orderstatus, CAST(rnk AS INT) AS rnk, o_orderkey, o_totalprice
+           |FROM (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+           |        ORDER BY o_totalprice DESC, o_orderkey) AS rnk FROM orders)
+           |WHERE rnk <= 3""".stripMargin))
+
+  /** Pivot: one column per order status holding that status's decimal-
+    * pinned revenue (groupBy().pivot() — conditional aggregation under
+    * the hood, one shuffle, explicit value list so no discovery pass).
+    */
+  private val a9Pivot = Q(
+    "a9_pivot",
+    (s, d) => T.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(decSum(col("o_totalprice")))
+      .toDF("o_orderpriority", "rev_f", "rev_o", "rev_p"),
+    Some("""SELECT o_orderpriority,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'F') AS DOUBLE) AS rev_f,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'O') AS DOUBLE) AS rev_o,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'P') AS DOUBLE) AS rev_p
+           |FROM orders GROUP BY o_orderpriority""".stripMargin))
+
+  /** Unpivot (wide → long, the inverse of a9): one row per (key,
+    * metric) — `unpivot` is a Generate-free Expand, pure narrow.
+    */
+  private val a10Unpivot = Q(
+    "a10_unpivot",
+    (s, d) => T.customer(s, d)
+      .select(col("c_custkey"), col("c_acctbal"),
+        col("c_nationkey").cast("double").as("c_nation_d"))
+      .unpivot(Array(col("c_custkey")),
+        Array(col("c_acctbal"), col("c_nation_d")), "metric", "val"),
+    Some("""SELECT c_custkey, 'c_acctbal' AS metric, c_acctbal AS val FROM customer
+           |UNION ALL
+           |SELECT c_custkey, 'c_nation_d' AS metric, CAST(c_nationkey AS DOUBLE) AS val FROM customer""".stripMargin))
+
   private val topK = Q(
     "topk_sort_limit",
     (s, d) => T.orders(s, d)
@@ -1038,7 +1088,7 @@ object Battery {
     s1PointScan, s3Crawl, p2Rename, p6Clean, p8HashSample,
     j1Outer, jChain, j8Composite, jNullKey, j13Codes, j14Asof, j15Range,
     a1Collect, a2Collect, a5Dedup, a6Rollup, a7Cube, a8ApproxDistinct, q1Agg, q3Sql,
-    w1Window, w2Analytic, topK, setOps,
+    w1Window, w2Analytic, w3TopKPerGroup, a9Pivot, a10Unpivot, topK, setOps,
     f6Datetime,
     fScalar, f5Cast, f9MapExplode, twTumbling, twSession,
     d1DedupExact, x1TextStats, n1AnnTopK, m1Multimodal, m2MultimodalDecode,
