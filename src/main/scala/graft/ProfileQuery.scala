@@ -22,7 +22,14 @@ object ProfileQuery {
     // experiment variants not in the driver battery
     val extra: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
       "d4_hash_order" -> ((s, d) => graft.ops.DedupOps.ngramJaccardPairs(
-        Tables.documents(s, d), "doc_id", "text", 3, 0.5, orderByDocFreq = false)))
+        Tables.documents(s, d), "doc_id", "text", 3, 0.5, orderByDocFreq = false)),
+      "kf_bcast_indexd" -> ((s, d) => {
+        val result = graft.etl.Transform(graft.queries.KfShaped.endpoints(s, d))
+        graft.etl.Pipeline.buildAllUnion(result,
+          indexd = Some(org.apache.spark.sql.functions.broadcast(
+            graft.queries.KfShaped.indexd(s, d))),
+          centerNames = Map("SC_1" -> "Center One", "SC_2" -> "Center Two"))
+      }))
     args.foreach { name =>
       val fn = extra.getOrElse(name, SparkEntry.queries(name))
       def once(): Double = {

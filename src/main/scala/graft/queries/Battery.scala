@@ -290,6 +290,23 @@ object Battery {
            |  TRUE AS approx_ok
            |FROM orders GROUP BY o_orderstatus""".stripMargin))
 
+  /** Exact percentiles per group (sort-based `percentile`, linear
+    * interpolation — same definition as the oracle's quantile_cont).
+    */
+  private val a11Percentile = Q(
+    "a11_percentile",
+    (s, d) => T.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        percentile(col("o_totalprice"), lit(0.25)).as("p25"),
+        percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+        percentile(col("o_totalprice"), lit(0.75)).as("p75")),
+    Some("""SELECT o_orderstatus,
+           |  quantile_cont(o_totalprice, 0.25) AS p25,
+           |  quantile_cont(o_totalprice, 0.5) AS p50,
+           |  quantile_cont(o_totalprice, 0.75) AS p75
+           |FROM orders GROUP BY o_orderstatus""".stripMargin))
+
   /** TPC-H Q1-shaped headline aggregate (engine surface beyond the
     * reference: numeric aggregates, SURVEY §2.4 "absent" note).
     */
@@ -1087,7 +1104,8 @@ object Battery {
   val all: Seq[Q] = Seq(
     s1PointScan, s3Crawl, p2Rename, p6Clean, p8HashSample,
     j1Outer, jChain, j8Composite, jNullKey, j13Codes, j14Asof, j15Range,
-    a1Collect, a2Collect, a5Dedup, a6Rollup, a7Cube, a8ApproxDistinct, q1Agg, q3Sql,
+    a1Collect, a2Collect, a5Dedup, a6Rollup, a7Cube, a8ApproxDistinct,
+    a11Percentile, q1Agg, q3Sql,
     w1Window, w2Analytic, w3TopKPerGroup, a9Pivot, a10Unpivot, topK, setOps,
     f6Datetime,
     fScalar, f5Cast, f9MapExplode, twTumbling, twSession,
