@@ -56,4 +56,23 @@ object Streaming {
     */
   def readEventStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).parquet(dir)
+
+  /** Incremental batch execution (`Trigger.AvailableNow`): process every
+    * input file not yet recorded in the checkpoint, hand each
+    * micro-batch to `batchFn`, then stop. Re-running with the same
+    * checkpoint picks up ONLY files that arrived since — the periodic-
+    * ingest pattern for a 100 TB table where reprocessing history every
+    * run is not an option, with exactly-once file tracking for free.
+    * `batchFn` typically writes an idempotent sink (keyed upsert /
+    * partition overwrite) keyed by `batchId` for retry safety.
+    */
+  def runAvailableNow(transformed: DataFrame, checkpoint: String)(
+      batchFn: (DataFrame, Long) => Unit): Unit = {
+    val q = transformed.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(batchFn)
+      .start()
+    q.awaitTermination()
+  }
 }

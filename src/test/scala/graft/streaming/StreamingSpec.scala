@@ -66,6 +66,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("AvailableNow incremental run processes only files new since the checkpoint") {
+    val in = java.nio.file.Files.createTempDirectory("an-in")
+    val ckpt = java.nio.file.Files.createTempDirectory("an-ckpt").toString
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val perFile = spark.read.parquet(src.toString).count()
+    java.nio.file.Files.copy(src, in.resolve("part1.parquet"))
+
+    var processed = 0L
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(src.toString).schema)
+        .parquet(in.toString)
+        .select("event_id")
+      Streaming.runAvailableNow(stream, ckpt) { (df, _) =>
+        processed += df.count()
+      }
+    }
+    run()
+    assert(processed == perFile, "first run processes the initial file")
+    run()
+    assert(processed == perFile, "no new files -> second run processes nothing")
+    java.nio.file.Files.copy(src, in.resolve("part2.parquet"))
+    run()
+    assert(processed == 2 * perFile,
+      "third run processes exactly the one new file")
+  }
+
   test("watermarked dedup emits each event_id once") {
     val (_, stream) = eventStream()
     val q = Streaming.streamingDedup(stream, "10 minutes", Seq("event_id"))
