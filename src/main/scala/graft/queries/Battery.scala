@@ -307,6 +307,26 @@ object Battery {
            |  quantile_cont(o_totalprice, 0.75) AS p75
            |FROM orders GROUP BY o_orderstatus""".stripMargin))
 
+  /** Approximate percentile (KLL-style sketch, `percentile_approx`) —
+    * like a8, the hash-checked property is the sketch's accuracy: the
+    * oracle pins exact quantiles and asserts the approximation lands
+    * within 1%. The sketch is the 100 TB path (mergeable, bounded
+    * memory); the exact form (a11) collects per-group sorted values.
+    */
+  private val a12ApproxPercentile = Q(
+    "a12_approx_percentile",
+    (s, d) => T.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        percentile(col("o_totalprice"), lit(0.5)).as("p50_exact"),
+        (abs(percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)) -
+          percentile(col("o_totalprice"), lit(0.5))) <=
+          percentile(col("o_totalprice"), lit(0.5)) * 0.01).as("approx_ok")),
+    Some("""SELECT o_orderstatus,
+           |  quantile_cont(o_totalprice, 0.5) AS p50_exact,
+           |  TRUE AS approx_ok
+           |FROM orders GROUP BY o_orderstatus""".stripMargin))
+
   /** TPC-H Q1-shaped headline aggregate (engine surface beyond the
     * reference: numeric aggregates, SURVEY §2.4 "absent" note).
     */
@@ -1105,7 +1125,7 @@ object Battery {
     s1PointScan, s3Crawl, p2Rename, p6Clean, p8HashSample,
     j1Outer, jChain, j8Composite, jNullKey, j13Codes, j14Asof, j15Range,
     a1Collect, a2Collect, a5Dedup, a6Rollup, a7Cube, a8ApproxDistinct,
-    a11Percentile, q1Agg, q3Sql,
+    a11Percentile, a12ApproxPercentile, q1Agg, q3Sql,
     w1Window, w2Analytic, w3TopKPerGroup, a9Pivot, a10Unpivot, topK, setOps,
     f6Datetime,
     fScalar, f5Cast, f9MapExplode, twTumbling, twSession,
