@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{LangIdText, MinhashSlices, MinhashText, SimhashText}
+import graft.functions.{DotProduct, LangIdText, MinhashSlices, MinhashText, SimhashText}
 
 /** Engine extension point (SURVEY §7.3): registers the custom Catalyst
   * expressions with the session so plain SQL can call them too. Activate
@@ -36,6 +36,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 3, "minhash_text(text, n, k)")
         MinhashText(children.head,
           intLit(children(1), "minhash_text n"), intLit(children(2), "minhash_text k"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "dot_product(array<double>, array<double>)")
+        DotProduct(children.head, children(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("langid_text"),

@@ -13,9 +13,18 @@ import org.apache.spark.sql.functions._
 object SimilarityOps {
 
   /** Strict left-fold dot product in doubles (deterministic bits;
-    * matches a sequential oracle loop).
+    * matches a sequential oracle loop). Native codegen'd expression —
+    * the composed `aggregate(zip_with(...))` twin below is interpreted
+    * and re-evaluated per reference.
     */
-  def dot(a: Column, b: Column): Column =
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.DotProduct(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  }
+
+  /** Composed-builtin twin of [[dot]] (differential test anchor). */
+  private[graft] def dotComposed(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def cosine(a: Column, b: Column): Column =

@@ -736,8 +736,7 @@ object Battery {
         transform(col("embedding"), x => x.cast("double")).as("v"))
       val q = emb.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("v").as("qv"))
       val c = emb.select(col("vec_id").as("cid"), col("v").as("cv"))
-      def dot(a: Column, b: Column): Column =
-        aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+      def dot(a: Column, b: Column): Column = graft.ops.SimilarityOps.dot(a, b)
       val scored = q.join(c, col("cid") =!= col("qid"))
         .select(col("qid"), col("cid"),
           (dot(col("qv"), col("cv")) /

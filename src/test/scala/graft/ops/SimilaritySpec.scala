@@ -36,6 +36,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(full == exact, "probing every cell must equal brute force")
   }
 
+  test("native dot product is bit-identical to the composed left fold") {
+    val rnd = new scala.util.Random(3)
+    val rows = (1 to 200).map { i =>
+      (i.toLong,
+        Seq.fill(64)(rnd.nextDouble() * 2 - 1),
+        Seq.fill(64)(rnd.nextDouble() * 2 - 1))
+    }
+    val df = spark.createDataFrame(rows).toDF("id", "a", "b")
+    val diff = df.select(
+        SimilarityOps.dot(col("a"), col("b")).as("native"),
+        SimilarityOps.dotComposed(col("a"), col("b")).as("composed"))
+      .collect()
+    diff.foreach(r => assert(
+      java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+      s"bit drift: ${r.getDouble(0)} vs ${r.getDouble(1)}"))
+    // null semantics: mismatched lengths and null arrays -> null
+    val edge = spark.createDataFrame(Seq(
+      (1L, Seq(1.0, 2.0), Seq(1.0)),
+      (2L, null, Seq(1.0))).asInstanceOf[Seq[(Long, Seq[Double], Seq[Double])]])
+      .toDF("id", "a", "b")
+      .select(SimilarityOps.dot(col("a"), col("b")).as("d")).collect()
+    assert(edge.forall(_.isNullAt(0)))
+  }
+
   test("ivfCell assigns each vector to its nearest centroid") {
     val centroids = Seq(Seq(0.0, 0.0), Seq(10.0, 10.0))
     val df = spark.createDataFrame(Seq(
