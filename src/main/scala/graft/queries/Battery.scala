@@ -604,6 +604,24 @@ object Battery {
            |SELECT o_orderkey, 'status' AS k, o_orderstatus AS v FROM orders
            |WHERE o_orderkey % 3 = 0""".stripMargin))
 
+  /** F10 read side — JSON parsing: both the path extractor
+    * (`get_json_object`) and the schema-full parse (`from_json` into a
+    * struct), over the events props column.
+    */
+  private val f12Json = Q(
+    "f12_json_extract",
+    (s, d) => T.events(s, d).select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("int").as("k_path"),
+      from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.IntegerType))))
+        .getField("k").as("k_struct")),
+    Some("""SELECT event_id,
+           |  CAST(props->>'$.k' AS INT) AS k_path,
+           |  CAST(props->>'$.k' AS INT) AS k_struct
+           |FROM events""".stripMargin))
+
   // --------------------------------------------------- time windows (§2.7)
 
   /** Tumbling window aggregate over the events table — batch form of the
@@ -1127,7 +1145,7 @@ object Battery {
     a11Percentile, a12ApproxPercentile, q1Agg, q3Sql,
     w1Window, w2Analytic, w3TopKPerGroup, a9Pivot, a10Unpivot, topK, setOps,
     f6Datetime,
-    fScalar, f5Cast, f9MapExplode, twTumbling, twSession,
+    fScalar, f5Cast, f9MapExplode, f12Json, twTumbling, twSession,
     d1DedupExact, x1TextStats, n1AnnTopK, m1Multimodal, m2MultimodalDecode,
     d2MinhashBands, d2bNearDupPairs, d3Simhash, d4NgramJaccard,
     x2LangId, x3Fingerprint, x3bRolling, x4Quality, n2AnnLsh, n3EmbNearDup, n4AnnIvf,
