@@ -1000,8 +1000,12 @@ object Battery {
     })
 
   /** IVF ANN: deterministic seeded coarse quantizer, probe-cell
-    * equi-join, exact cosine rank (scale path beside n2's LSH; not
-    * SQL-expressible — rows-only check, recall pinned in ScalaTest).
+    * equi-join, exact cosine rank (scale path beside n2's LSH). The IVF
+    * result itself is approximation-dependent (not SQL-expressible), so
+    * — like a8/a12 — the hash-checked property is its ACCURACY: overall
+    * recall of the probe-limited search against the exact brute-force
+    * top-k, computed in-query and asserted ≥ 0.3 (the same bound the
+    * ScalaTest spec pins).
     */
   private val n4AnnIvf = Q(
     "n4_ann_ivf_topk",
@@ -1014,10 +1018,17 @@ object Battery {
       val q = emb.where(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("v").as("qv"))
       val c = emb.select(col("vec_id").as("cid"), col("v").as("cv"))
-      S.ivfTopK(q, c, centroids, nProbe = 4, k = 10)
-        .select(col("qid"), col("cid").as("neighbor_id"), col("rnk"))
+      val ivf = S.ivfTopK(q, c, centroids, nProbe = 4, k = 10)
+        .select(col("qid"), col("cid"))
+      val exact = S.bruteForceTopK(q, c, k = 10).select(col("qid"), col("cid"))
+      val hits = ivf.intersect(exact).count().toDouble
+      val total = exact.count().toDouble
+      val spark = s
+      import spark.implicits._
+      Seq((total.toLong, hits / total >= 0.3)).toDF("n_exact", "recall_ok")
     },
-    None)
+    Some("""SELECT CAST(100 AS BIGINT) AS n_exact, TRUE AS recall_ok
+           |FROM (SELECT 1) one""".stripMargin))
 
   /** Embedding-cosine near-duplicate pairs: LSH-bucket candidates +
     * exact cosine ≥ threshold (the embedding sibling of d2b).
