@@ -665,6 +665,35 @@ object Battery {
            |FROM events l ASOF LEFT JOIN r
            |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin))
 
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): the
+    * opposite null policy from the reference's outer chain (where null
+    * keys never match, j_nullkey_outer) — engine surface for joins that
+    * treat null as a value.
+    */
+  private val j16NullSafe = Q(
+    "j16_nullsafe_join",
+    (s, d) => {
+      val l = T.orders(s, d).select(col("o_orderkey"),
+        when(col("o_orderkey") % 10 === 0, lit(null).cast("string"))
+          .otherwise(col("o_orderpriority")).as("k"))
+      val r = T.orders(s, d).where(col("o_orderkey") % 100 < 2)
+        .select(col("o_orderkey").as("r_key"),
+          when(col("o_orderkey") % 10 === 0, lit(null).cast("string"))
+            .otherwise(col("o_orderpriority")).as("k"))
+      l.join(r, l("k") <=> r("k"))
+        .groupBy(l("k").as("k"))
+        .agg(count(lit(1)).as("n_pairs"))
+    },
+    Some("""WITH l AS (SELECT o_orderkey,
+           |    CASE WHEN o_orderkey % 10 = 0 THEN NULL ELSE o_orderpriority END AS k
+           |  FROM orders),
+           |r AS (SELECT o_orderkey AS r_key,
+           |    CASE WHEN o_orderkey % 10 = 0 THEN NULL ELSE o_orderpriority END AS k
+           |  FROM orders WHERE o_orderkey % 100 < 2)
+           |SELECT l.k, count(*) AS n_pairs
+           |FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+           |GROUP BY l.k""".stripMargin))
+
   /** Bucketized interval-containment join: events matched to the login
     * windows containing them via equi-join on (user, time-bucket) +
     * exact BETWEEN — no nested loop ([[RelationalOps.rangeJoin]]).
@@ -1069,6 +1098,22 @@ object Battery {
     },
     None)
 
+  /** Video frame sampling: flatMap fan-out of each video into (asset,
+    * frame) rows — narrow, frames stay in their asset's partition. Frame
+    * payloads surface as md5 digests (scalar, sortable) rather than raw
+    * bytes; decode is the documented deterministic stub, so rows-only
+    * check.
+    */
+  private val m3FrameSample = Q(
+    "m3_frame_sample",
+    (s, d) => {
+      val media = graft.ops.MultimodalOps.mediaFromDocuments(T.documents(s, d))
+      graft.ops.MultimodalOps.sampleFrames(media, everyMs = 60000L).toDF()
+        .select(col("asset_id"), col("frame_idx"), col("ts_ms"),
+          md5(col("frame")).as("frame_md5"))
+    },
+    None)
+
   // ------------------------------------------ KF ETL end-to-end slice (§7.2)
 
   /** The reference pipeline end-to-end on KF-shaped tables derived from
@@ -1151,13 +1196,14 @@ object Battery {
 
   val all: Seq[Q] = Seq(
     s1PointScan, s3Crawl, p2Rename, p6Clean, p8HashSample,
-    j1Outer, jChain, j8Composite, jNullKey, j13Codes, j14Asof, j15Range,
+    j1Outer, jChain, j8Composite, jNullKey, j13Codes, j14Asof, j15Range, j16NullSafe,
     a1Collect, a2Collect, a5Dedup, a6Rollup, a7Cube, a8ApproxDistinct,
     a11Percentile, a12ApproxPercentile, q1Agg, q3Sql,
     w1Window, w2Analytic, w3TopKPerGroup, a9Pivot, a10Unpivot, topK, setOps,
     f6Datetime,
     fScalar, f5Cast, f9MapExplode, f12Json, twTumbling, twSession,
     d1DedupExact, x1TextStats, n1AnnTopK, m1Multimodal, m2MultimodalDecode,
+    m3FrameSample,
     d2MinhashBands, d2bNearDupPairs, d3Simhash, d4NgramJaccard,
     x2LangId, x3Fingerprint, x3bRolling, x4Quality, n2AnnLsh, n3EmbNearDup, n4AnnIvf,
     kfPatientSlice, kfFullPipeline)
