@@ -125,6 +125,50 @@ object SimilarityOps {
       .map(_.getSeq[Double](0).toSeq).toSeq
   }
 
+  /** Product quantization (PQ) — the embedding-compression path for
+    * 100 TB-scale similarity search: split each d-dim vector into
+    * `m = subCentroids.size` contiguous blocks and store, per block,
+    * only the index of its nearest sub-centroid — d doubles become m
+    * small ints (with k=16 centroids/block, a 64-dim vector compresses
+    * 128× to 8 nibbles). Codes are narrow per-row expressions; the
+    * codebooks ship as broadcast literals like IVF centroids.
+    */
+  def pqEncode(v: Column, subCentroids: Seq[Seq[Seq[Double]]]): Column = {
+    val blockLen = subCentroids.head.head.size
+    array(subCentroids.zipWithIndex.map { case (cents, b) =>
+      val block = slice(v, b * blockLen + 1, blockLen)
+      array_min(array(cents.zipWithIndex.map { case (c, i) =>
+        struct(sqDistTo(block, c).as("d"), lit(i).as("i"))
+      }: _*)).getField("i")
+    }: _*)
+  }
+
+  /** Reconstruct the quantized vector from its PQ code (block-wise
+    * codebook lookup + concat) — used for asymmetric distance and for
+    * bounding the quantization error.
+    */
+  def pqDecode(code: Column, subCentroids: Seq[Seq[Seq[Double]]]): Column =
+    flatten(array(subCentroids.zipWithIndex.map { case (cents, b) =>
+      element_at(typedLit(cents), element_at(code, b + 1) + 1)
+    }: _*))
+
+  /** Per-block codebooks from the same deterministic id-hash sample as
+    * [[seedCentroids]] — k-means would refine; a reproducible uniform
+    * sample already quantizes usefully.
+    */
+  def seedSubCentroids(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int): Seq[Seq[Seq[Double]]] = {
+    val sample = seedCentroids(emb, idCol, vecCol, k)
+    val d = sample.head.size
+    require(d % m == 0, s"dim $d not divisible into $m blocks")
+    val blockLen = d / m
+    (0 until m).map(b => sample.map(v => v.slice(b * blockLen, (b + 1) * blockLen)))
+  }
+
+  private def sqDistTo(block: Column, c: Seq[Double]): Column =
+    aggregate(zip_with(block, typedLit(c), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
   /** Embedding-cosine near-duplicate pairs: candidates from an
     * LSH-bucket self-equi-join (each side shuffles once on the bucket
     * key — never a cross join), exact cosine only on candidates, keep

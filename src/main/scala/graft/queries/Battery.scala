@@ -1059,6 +1059,33 @@ object Battery {
     Some("""SELECT CAST(100 AS BIGINT) AS n_exact, TRUE AS recall_ok
            |FROM (SELECT 1) one""".stripMargin))
 
+  /** Product quantization: encode every embedding to m codebook indices,
+    * reconstruct, and — as with a8/a12/n4 — hash-check the ACCURACY:
+    * quantized vectors must stay closer to their original than to the
+    * corpus mean (relative squared error < 1), on average well below.
+    */
+  private val n5PqQuantize = Q(
+    "n5_pq_quantize",
+    (s, d) => {
+      val S = graft.ops.SimilarityOps
+      val emb = T.embeddings(s, d).select(
+        col("vec_id"), S.asDouble(col("embedding")).as("v"))
+      val codebooks = S.seedSubCentroids(emb, "vec_id", "v", m = 8, k = 16)
+      val recon = S.pqDecode(S.pqEncode(col("v"), codebooks), codebooks)
+      val errNum = S.dot(zipDiff(col("v"), recon), zipDiff(col("v"), recon))
+      val errDen = S.dot(col("v"), col("v"))
+      val perRow = emb.select(col("vec_id"), (errNum / errDen).as("rel_err"))
+      perRow.agg(
+        count(lit(1)).as("n_vectors"),
+        (avg(col("rel_err")) < 0.9).as("avg_err_ok"),
+        (max(col("rel_err")) < 2.0).as("max_err_ok"))
+    },
+    Some("""SELECT count(*) AS n_vectors, TRUE AS avg_err_ok, TRUE AS max_err_ok
+           |FROM embeddings""".stripMargin))
+
+  private def zipDiff(a: Column, b: Column): Column =
+    zip_with(a, b, (x, y) => x - y)
+
   /** Embedding-cosine near-duplicate pairs: LSH-bucket candidates +
     * exact cosine ≥ threshold (the embedding sibling of d2b).
     */
@@ -1206,6 +1233,7 @@ object Battery {
     m3FrameSample,
     d2MinhashBands, d2bNearDupPairs, d3Simhash, d4NgramJaccard,
     x2LangId, x3Fingerprint, x3bRolling, x4Quality, n2AnnLsh, n3EmbNearDup, n4AnnIvf,
+    n5PqQuantize,
     kfPatientSlice, kfFullPipeline)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

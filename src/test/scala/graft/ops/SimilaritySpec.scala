@@ -61,6 +61,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(edge.forall(_.isNullAt(0)))
   }
 
+  test("PQ round-trip: codes in range, reconstruction beats the zero vector") {
+    val emb = Tables.embeddings(spark, dir).select(
+      col("vec_id"), SimilarityOps.asDouble(col("embedding")).as("v"))
+    val books = SimilarityOps.seedSubCentroids(emb, "vec_id", "v", m = 8, k = 16)
+    assert(books.size == 8 && books.forall(_.size == 16))
+    assert(books.forall(_.forall(_.size == books.head.head.size)))
+    val withCode = emb.select(col("vec_id"), col("v"),
+      SimilarityOps.pqEncode(col("v"), books).as("code"))
+    val codes = withCode.select("code").collect().map(_.getSeq[Int](0))
+    assert(codes.forall(c => c.size == 8 && c.forall(i => i >= 0 && i < 16)))
+    // a sampled-codebook quantizer must on average reconstruct closer
+    // than the zero vector (rel err < 1)
+    val recon = SimilarityOps.pqDecode(col("code"), books)
+    def diff(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.functions.zip_with(a, b, (x, y) => x - y)
+    val avgErr = withCode.select(
+        (SimilarityOps.dot(diff(col("v"), recon), diff(col("v"), recon)) /
+          SimilarityOps.dot(col("v"), col("v"))).as("e"))
+      .agg(avg(col("e"))).head().getDouble(0)
+    assert(avgErr < 0.9, s"avg relative quantization error $avgErr")
+  }
+
   test("ivfCell assigns each vector to its nearest centroid") {
     val centroids = Seq(Seq(0.0, 0.0), Seq(10.0, 10.0))
     val df = spark.createDataFrame(Seq(
