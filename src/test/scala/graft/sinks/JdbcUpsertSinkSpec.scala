@@ -1,8 +1,77 @@
 package graft.sinks
 
+import java.lang.reflect.{InvocationHandler, Method, Proxy}
+import java.sql.{Connection, PreparedStatement}
+
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.etl.SparkTestSession
+
+/** Records every JDBC call through reflective proxies so the
+  * foreachPartition upsert path is testable without a live database.
+  * Static (object-level) state: executors share the JVM in local mode.
+  */
+object RecordingJdbc {
+  val events = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  def connection(): Connection = {
+    val psHandler = new InvocationHandler {
+      private val current = new Array[String](3)
+      override def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef =
+        m.getName match {
+          case "setString" =>
+            current(args(0).asInstanceOf[Integer] - 1) = args(1).asInstanceOf[String]
+            null
+          case "addBatch" => events.add(s"row:${current.mkString("|")}"); null
+          case "executeBatch" => events.add("executeBatch"); Array.empty[Int]
+          case _ => null
+        }
+    }
+    val ps = Proxy.newProxyInstance(getClass.getClassLoader,
+      Array(classOf[PreparedStatement]), psHandler).asInstanceOf[PreparedStatement]
+    val connHandler = new InvocationHandler {
+      override def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef =
+        m.getName match {
+          case "prepareStatement" => ps
+          case "commit" => events.add("commit"); null
+          case "setAutoCommit" => events.add(s"autocommit:${args(0)}"); null
+          case _ => null
+        }
+    }
+    Proxy.newProxyInstance(getClass.getClassLoader,
+      Array(classOf[Connection]), connHandler).asInstanceOf[Connection]
+  }
+}
+
 class JdbcUpsertSinkSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.spark
+
+  test("upsert batches, commits per flush, and dedups conflict keys") {
+    import spark.implicits._
+    RecordingJdbc.events.clear()
+    val docs = Seq(
+      ("K1", "Patient", "{\"a\":1}"),
+      ("K2", "Patient", "{\"a\":2}"),
+      ("K2", "Patient", "{\"a\":2-dup}"), // same conflict key: must collapse
+      ("K3", "Specimen", "{\"a\":3}"),
+      ("K4", "Specimen", "{\"a\":4}"))
+      .toDF("key", "resource_type", "resource_json")
+    JdbcUpsertSink.upsert(docs,
+      JdbcUpsertSink.Config(url = "jdbc:fake", table = "t", batchSize = 2),
+      connect = _ => RecordingJdbc.connection())
+    val ev = RecordingJdbc.events.toArray(Array.empty[String]).toSeq
+    val rows = ev.filter(_.startsWith("row:"))
+    assert(rows.size == 4, s"expected 4 deduped rows, got $rows")
+    assert(rows.map(_.split("\\|")(0)).distinct.size == 4,
+      "duplicate conflict key reached the batch")
+    val flushes = ev.count(_ == "executeBatch")
+    assert(flushes >= 1)
+    assert(ev.count(_ == "commit") == flushes,
+      "every executeBatch must be followed by exactly one commit")
+    assert(ev.contains("autocommit:false"))
+  }
+
 
   test("upsert statement is a keyed ON CONFLICT upsert over all non-key columns") {
     val sql = JdbcUpsertSink.upsertSql("fhir_resources", "key",
