@@ -70,6 +70,25 @@ class PlanQualitySpec extends AnyFunSuite {
       s"set-similarity join fell back to a product join:\n$p")
   }
 
+  test("as-of join is one window over a union — no join operator, no product") {
+    val p = plan("j14_asof_join")
+    assert(p.contains("Window"), s"asof lost its window form:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"asof degraded to a product join:\n$p")
+  }
+
+  test("range join stays an equi-join on (keys, bucket) — never a nested loop") {
+    val p = plan("j15_range_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"range join degraded to a product join:\n$p")
+  }
+
+  test("hash sample pushes its predicate to the scan and stays narrow") {
+    val p = plan("p8_hash_sample")
+    val exchanges = p.linesIterator.count(_.matches(".*[+:]- Exchange .*"))
+    assert(exchanges == 0, s"sampling must not shuffle:\n$p")
+  }
+
   test("SQL entry point gets the same plan quality: pushdown + broadcast dim") {
     val p = plan("q3_sql_topk")
     assert(p.contains("PushedFilters") && p.contains("BUILDING"),
