@@ -23,6 +23,21 @@ object ProfileQuery {
     val extra: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
       "d4_hash_order" -> ((s, d) => graft.ops.DedupOps.ngramJaccardPairs(
         Tables.documents(s, d), "doc_id", "text", 3, 0.5, orderByDocFreq = false)),
+      "debug_drs_keys" -> ((s, d) => {
+        val result = graft.etl.Transform(graft.queries.KfShaped.endpoints(s, d))
+        val required = Set("studies", "participants", "biospecimens",
+          "biospecimen-genomic-files", "genomic-files",
+          "sequencing-experiment-genomic-files", "sequencing-experiments")
+        val grouped = graft.documents.DrsBuilder.regroup(result.slice(required))
+        import org.apache.spark.sql.functions._
+        val agg = grouped.agg(
+          count(lit(1)).as("n_groups"),
+          countDistinct(col("gf_id")).as("n_gf"),
+          countDistinct(col("gf_id"), col("seq_id")).as("n_gf_seq"),
+          countDistinct(col("study_id"), col("gf_id"), col("seq_id")).as("n_sgs"))
+        println("[debug] " + agg.collect().mkString)
+        agg
+      }),
       "kf_bcast_indexd" -> ((s, d) => {
         val result = graft.etl.Transform(graft.queries.KfShaped.endpoints(s, d))
         graft.etl.Pipeline.buildAllUnion(result,

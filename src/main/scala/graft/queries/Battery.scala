@@ -1219,6 +1219,43 @@ object Battery {
     },
     None)
 
+  /** The flagship's hash-checked face: per-builder output cardinalities
+    * of the COMPLETE pipeline, against an oracle that re-derives each
+    * builder's natural-key count straight from the TPC-H tables (one
+    * Practitioner per investigator=region, one Patient per participant
+    * key incl. orphan-FK phantoms, one Specimen per distinct
+    * biospecimen key, one DocumentReference per (study, file, seq-exp)
+    * group, …). This pins the chain's fan-out/dedup/phantom semantics —
+    * the part of the reference most easily broken by a join-order or
+    * null-policy regression — without having to hash JSON bodies.
+    */
+  private val kfCountsByType = Q(
+    "kf_counts_by_type",
+    (s, d) => {
+      val result = graft.etl.Transform(KfShaped.endpoints(s, d))
+      graft.etl.Pipeline.buildAllUnion(result,
+        indexd = Some(KfShaped.indexd(s, d)),
+        centerNames = Map("SC_1" -> "Center One", "SC_2" -> "Center Two"))
+        .groupBy(col("builder")).agg(count(lit(1)).as("n"))
+    },
+    Some("""SELECT 'practitioner' AS builder, count(*) AS n FROM region
+           |UNION ALL SELECT 'organization', count(*) FROM region
+           |UNION ALL SELECT 'practitioner_role', count(*) FROM region
+           |UNION ALL SELECT 'research_study', count(*) FROM region
+           |UNION ALL SELECT 'patient', count(*) FROM customer
+           |UNION ALL SELECT 'proband_status', count(*) FROM customer
+           |UNION ALL SELECT 'research_subject', count(*) FROM customer
+           |UNION ALL SELECT 'family', count(DISTINCT c_nationkey) FROM customer
+           |UNION ALL SELECT 'family_relationship', count(*) FROM customer WHERE c_custkey % 2 = 1
+           |UNION ALL SELECT 'disease', count(*) FROM orders
+           |UNION ALL SELECT 'phenotype', count(*) FROM orders WHERE o_orderkey % 3 = 0
+           |UNION ALL SELECT 'vital_status', count(*) FROM orders WHERE o_orderkey % 7 = 0
+           |UNION ALL SELECT 'sequencing_center', count(DISTINCT l_suppkey) FROM lineitem
+           |UNION ALL SELECT 'specimen', count(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem
+           |UNION ALL SELECT 'histopathology', count(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem
+           |UNION ALL SELECT 'drs_document_reference',
+           |  count(DISTINCT (l_orderkey, l_linenumber, l_suppkey)) FROM lineitem""".stripMargin))
+
   // ---------------------------------------------------------------- export
 
   val all: Seq[Q] = Seq(
@@ -1234,7 +1271,7 @@ object Battery {
     d2MinhashBands, d2bNearDupPairs, d3Simhash, d4NgramJaccard,
     x2LangId, x3Fingerprint, x3bRolling, x4Quality, n2AnnLsh, n3EmbNearDup, n4AnnIvf,
     n5PqQuantize,
-    kfPatientSlice, kfFullPipeline)
+    kfPatientSlice, kfFullPipeline, kfCountsByType)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -224,14 +224,18 @@ object KfShaped {
   }
 
   /** Synthetic Indexd dimension for the DRS builder's bulk-prefetch path
-    * (replaces the reference's per-row REST GET, S6).
+    * (replaces the reference's per-row REST GET, S6). Exactly ONE row
+    * per genomic file — the Indexd GET returns one document per file —
+    * so the synthetic data's duplicate (orderkey, linenumber) pairs
+    * must be deduped deterministically or the DRS left join fans out.
     */
   def indexd(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // narrow derivation (no orders join needed), kept independent of the
     // endpoints() cache
     val li = Tables.lineitem(s, d)
       .withColumn("bs_key", concat(col("l_orderkey"), lit("_"), col("l_linenumber")))
-    li.select(
+    val rows = li.select(
       concat(lit("GF_"), col("bs_key")).as("gf_id"),
       when(col("l_orderkey") % 3 === 0,
         array(concat(lit("phs00000"), col("l_suppkey") % 5, lit(".c1")), lit("open")))
@@ -241,5 +245,9 @@ object KfShaped {
         lit("sha256"), sha2(concat(lit("content:"), col("bs_key")), 256)).as("hashes"),
       concat(lit("s3://bucket/prefix/file_"), col("bs_key"), lit(".cram"))
         .as("file_name"))
+    rows.withColumn("__rk", row_number().over(
+        Window.partitionBy(col("gf_id")).orderBy(col("size").desc,
+          coalesce(get(col("acl"), lit(0)), lit("")))))
+      .where(col("__rk") === 1).drop("__rk")
   }
 }
