@@ -134,6 +134,16 @@ object SimilarityOps {
     * codebooks ship as broadcast literals like IVF centroids.
     */
   def pqEncode(v: Column, subCentroids: Seq[Seq[Seq[Double]]]): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.PqEncode(
+      GraftColumnBridge.expression(v),
+      subCentroids.map(_.map(_.toArray).toArray).toArray))
+  }
+
+  /** Composed-builtin twin of [[pqEncode]] (differential test anchor) —
+    * m×k interpreted folds per row; the native expression is one pass.
+    */
+  private[graft] def pqEncodeComposed(v: Column, subCentroids: Seq[Seq[Seq[Double]]]): Column = {
     val blockLen = subCentroids.head.head.size
     array(subCentroids.zipWithIndex.map { case (cents, b) =>
       val block = slice(v, b * blockLen + 1, blockLen)

@@ -61,6 +61,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(edge.forall(_.isNullAt(0)))
   }
 
+  test("native PQ encoder equals the composed argmin form") {
+    val emb = Tables.embeddings(spark, dir).select(
+      col("vec_id"), SimilarityOps.asDouble(col("embedding")).as("v"))
+    val books = SimilarityOps.seedSubCentroids(emb, "vec_id", "v", m = 8, k = 16)
+    val rows = emb.select(
+        SimilarityOps.pqEncode(col("v"), books).as("native"),
+        SimilarityOps.pqEncodeComposed(col("v"), books).as("composed"))
+      .collect()
+    rows.foreach(r =>
+      assert(r.getSeq[Int](0) == r.getSeq[Int](1), s"code drift: $r"))
+  }
+
   test("PQ round-trip: codes in range, reconstruction beats the zero vector") {
     val emb = Tables.embeddings(spark, dir).select(
       col("vec_id"), SimilarityOps.asDouble(col("embedding")).as("v"))
