@@ -1125,6 +1125,22 @@ object Battery {
     },
     None)
 
+  /** Corpus token histogram: explode tokens → count — the vocabulary/
+    * token-counting sweep of a training-data pipeline (one shuffle on
+    * the token, map-side partial counts). Top-50 by (count desc, token)
+    * keeps the result deterministic.
+    */
+  private val x5TokenFreq = Q(
+    "x5_token_freq",
+    (s, d) => T.documents(s, d)
+      .select(explode(graft.ops.TextOps.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(50),
+    Some("""SELECT token, count(*) AS n
+           |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents)
+           |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin))
+
   /** Video frame sampling: flatMap fan-out of each video into (asset,
     * frame) rows — narrow, frames stay in their asset's partition. Frame
     * payloads surface as md5 digests (scalar, sortable) rather than raw
@@ -1269,8 +1285,8 @@ object Battery {
     d1DedupExact, x1TextStats, n1AnnTopK, m1Multimodal, m2MultimodalDecode,
     m3FrameSample,
     d2MinhashBands, d2bNearDupPairs, d3Simhash, d4NgramJaccard,
-    x2LangId, x3Fingerprint, x3bRolling, x4Quality, n2AnnLsh, n3EmbNearDup, n4AnnIvf,
-    n5PqQuantize,
+    x2LangId, x3Fingerprint, x3bRolling, x4Quality, x5TokenFreq,
+    n2AnnLsh, n3EmbNearDup, n4AnnIvf, n5PqQuantize,
     kfPatientSlice, kfFullPipeline, kfCountsByType)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
