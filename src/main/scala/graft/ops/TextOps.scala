@@ -23,9 +23,18 @@ object TextOps {
     size(split(trim(text), "\\s+|(?<=[a-z])(?=[0-9])|(?<=[0-9])(?=[a-z])"))
 
   /** Word n-gram shingles; empty array when the doc has fewer than n
-    * tokens (guards `sequence`'s descending-range behavior).
+    * tokens. Native fused expression ([[graft.functions.ShinglesText]]):
+    * tokenize once, one pass — the composed form below re-slices the
+    * token array per output position, interpreted.
     */
   def shingles(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.ShinglesText(
+      GraftColumnBridge.expression(text), n))
+  }
+
+  /** Composed-builtin twin of [[shingles]] (differential test anchor). */
+  private[graft] def shinglesComposed(text: Column, n: Int): Column = {
     val toks = tokens(text)
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),

@@ -30,6 +30,19 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got(2) == Seq.empty)
   }
 
+  test("native shingles equal the composed twin on varied inputs") {
+    val docs = Seq("a b c d e", "  padded   spaces  here now ", "one",
+      "", "exactly three toks") ++
+      (1 to 30).map(i => (0 to i % 7).map(j => s"w$j").mkString(" "))
+    for (n <- Seq(2, 3, 4)) {
+      val rows = docs.toDF("t").select(
+        TextOps.shingles(col("t"), n).as("native"),
+        TextOps.shinglesComposed(col("t"), n).as("composed")).collect()
+      rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"n=$n drift: $r"))
+    }
+  }
+
   test("langId picks the profile with the most stopword hits, ties lexicographic") {
     val got = Seq(
       "the cat sat on the mat and the dog",
