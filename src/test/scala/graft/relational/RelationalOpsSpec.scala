@@ -97,6 +97,24 @@ class RelationalOpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("rangeJoin left keeps unmatched left rows exactly once with null right side") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 1L, ts("2024-01-01 00:10:00")), // inside w10
+      (2L, 1L, ts("2024-01-01 05:00:00")), // matches nothing
+      (3L, 2L, ts("2024-01-01 00:10:00"))  // user without windows
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, 1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:30:00")))
+      .toDF("win_id", "user_id", "w_start", "w_end")
+    val got = RelationalOps.rangeJoin(left, right, Seq("user_id"),
+        "ts", "w_start", "w_end", bucketWidthSeconds = 600, joinType = "left")
+      .select("event_id", "win_id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSeq.sorted
+    assert(got == Seq(1L -> Some(10L), 2L -> None, 3L -> None))
+  }
+
   test("hashSample is deterministic, key-consistent, and near the requested fraction") {
     val orders = graft.Tables.orders(spark, "/root/testdata/sf0.01")
     val s1 = RelationalOps.hashSample(orders, "o_orderkey", 0.1)
