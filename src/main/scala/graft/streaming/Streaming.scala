@@ -57,6 +57,29 @@ object Streaming {
   def readEventStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).parquet(dir)
 
+  /** Stream-stream inner join with event-time bounds: clicks joined to
+    * the impressions they follow within `maxDelay`. Works identically
+    * on batch frames (plain conditional join) and on streams, where the
+    * watermarks plus the time-range condition let Spark expire join
+    * state — without the bound, stream-stream state grows forever.
+    * Column contract: left has (join key `k`, `lts`), right has
+    * (`k`, `rts`).
+    */
+  def timeBoundJoin(left: DataFrame, right: DataFrame,
+      maxDelay: String): DataFrame =
+    left.join(right,
+      left("k") === right("k") &&
+        right("rts") >= left("lts") &&
+        right("rts") <= left("lts") + expr(s"INTERVAL $maxDelay"))
+      .select(left("k").as("k"), col("lts"), col("rts"))
+
+  def streamingTimeBoundJoin(left: DataFrame, right: DataFrame,
+      lateness: String, maxDelay: String): DataFrame =
+    timeBoundJoin(
+      left.withWatermark("lts", lateness),
+      right.withWatermark("rts", lateness),
+      maxDelay)
+
   /** Incremental batch execution (`Trigger.AvailableNow`): process every
     * input file not yet recorded in the checkpoint, hand each
     * micro-batch to `batchFn`, then stop. Re-running with the same

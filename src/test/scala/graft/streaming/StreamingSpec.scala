@@ -93,6 +93,47 @@ class StreamingSpec extends AnyFunSuite {
       "third run processes exactly the one new file")
   }
 
+  test("stream-stream time-bound join equals the batch join") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // base away from epoch 0: the initial watermark is 0, and state-
+    // eviction bounds computed against it misbehave at the origin
+    val base = 36000000L
+    val ts = (m: Long) => new java.sql.Timestamp(base + m)
+    val imps = Seq( // (k, lts)
+      (1L, ts(0L)), (1L, ts(60000L)), (2L, ts(0L)))
+    val clicks = Seq( // (k, rts)
+      (1L, ts(30000L)),  // within 1 min of imp@0, of imp@60000? before it -> no
+      (1L, ts(90000L)),  // within of imp@60000 only
+      (2L, ts(600000L)), // too late
+      (3L, ts(1000L)))   // no impression
+    val expected = Streaming.timeBoundJoin(
+        imps.toDF("k", "lts"), clicks.toDF("k", "rts"), "1 MINUTE")
+      .collect().map(_.toString).sorted
+    assert(expected.length == 2)
+
+    val li = MemoryStream[(Long, java.sql.Timestamp)]
+    val ri = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = Streaming.streamingTimeBoundJoin(
+        li.toDS().toDF("k", "lts"), ri.toDS().toDF("k", "rts"),
+        lateness = "10 minutes", maxDelay = "1 MINUTE")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    try {
+      li.addData(imps)
+      ri.addData(clicks)
+      q.processAllAvailable()
+      // advance both watermarks far past every event so bounded rows
+      // emit; disjoint sentinel keys so the probes can't join
+      li.addData(Seq((98L, ts(7200000L))))
+      ri.addData(Seq((99L, ts(7200000L))))
+      q.processAllAvailable()
+      val got = spark.table("ssj_out").collect().map(_.toString).sorted
+      assert(got.sameElements(expected), s"stream ${got.toSeq} vs batch ${expected.toSeq}")
+    } finally q.stop()
+  }
+
   test("watermarked dedup emits each event_id once") {
     val (_, stream) = eventStream()
     val q = Streaming.streamingDedup(stream, "10 minutes", Seq("event_id"))
