@@ -167,6 +167,18 @@ object Battery {
            |FULL JOIN (SELECT NULLIF(n_nationkey, 4) AS nk, n_name FROM nation) n
            |USING (nk)""".stripMargin))
 
+  /** Anti join — rows with NO match on the other side (orphan detection;
+    * the negative of S3's semi-join crawl). Broadcast-able like any
+    * equi-join; at scale the build side is the filter key set only.
+    */
+  private val j17Anti = Q(
+    "j17_anti_join",
+    (s, d) => T.customer(s, d)
+      .join(T.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name"),
+    Some("""SELECT c_custkey, c_name FROM customer
+           |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin))
+
   /** J13/F7 — broadcast code-system dictionary lookup with and without
     * default (patient.py:12-115, family.py:78).
     */
@@ -267,6 +279,30 @@ object Battery {
            |  count(*) AS n,
            |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
            |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin))
+
+  /** Explicit GROUPING SETS — the general form behind a6/a7: an
+    * arbitrary set list ((status, priority), (priority), ()) in ONE
+    * shuffle via Expand, instead of unioning three aggregations.
+    */
+  private val a13GroupingSets = Q(
+    "a13_grouping_sets",
+    (s, d) => T.orders(s, d)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_priority"),
+        count(lit(1)).as("n"),
+        decSum(col("o_totalprice")).as("total")),
+    Some("""SELECT o_orderstatus, o_orderpriority,
+           |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           |  CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           |  count(*) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM orders
+           |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())""".stripMargin))
 
   /** Distinct-count sketch (HyperLogLog++): algorithm-specific estimates
     * can't hash-match an oracle value-for-value, so the checked output is
@@ -402,6 +438,57 @@ object Battery {
            |FROM orders
            |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin))
 
+  /** Value-based (RANGE) window frame: trailing 30-day spend per
+    * customer. Unlike w1's ROWS frame, the frame bound is a value
+    * interval on the ordering key, so peers (ties) are always included
+    * together — deterministic regardless of tie order. Both sides order
+    * by epoch seconds so the frame arithmetic is identical.
+    */
+  private val w4RangeFrame = Q(
+    "w4_range_frame",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(unix_timestamp(col("o_orderdate")))
+        .rangeBetween(-30L * 86400, Window.currentRow)
+      T.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        count(lit(1)).over(w).as("n_30d"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+          .cast("double").as("spend_30d"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+           |  count(*) OVER w AS n_30d,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS spend_30d
+           |FROM orders
+           |WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+           |             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)""".stripMargin))
+
+  /** Row generator (explode(sequence)) + gap-fill: a daily date spine
+    * left-joined to per-day order counts, absent days as zero — the
+    * calendar-densify step of any time-series pipeline. The spine is
+    * rows-from-nothing (no input scan); the join broadcasts the tiny
+    * aggregated side.
+    */
+  private val g1DateSpine = Q(
+    "g1_date_spine",
+    (s, d) => {
+      val spine = s.range(1).select(explode(sequence(
+        lit("1995-01-01").cast("timestamp"),
+        lit("1995-01-31").cast("timestamp"),
+        expr("INTERVAL 1 DAY"))).as("day"))
+      val daily = T.orders(s, d)
+        .groupBy(date_trunc("DAY", col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n_orders"))
+      spine.join(daily, Seq("day"), "left")
+        .select(col("day"), coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+    },
+    Some("""WITH spine AS (SELECT unnest(generate_series(TIMESTAMP '1995-01-01',
+           |    TIMESTAMP '1995-01-31', INTERVAL 1 DAY)) AS day),
+           |daily AS (SELECT date_trunc('day', o_orderdate) AS day, count(*) AS n_orders
+           |  FROM orders GROUP BY 1)
+           |SELECT day, COALESCE(n_orders, 0) AS n_orders
+           |FROM spine LEFT JOIN daily USING (day)""".stripMargin))
+
   /** Date/time scalar functions over the event stream: truncation,
     * field extraction, interval arithmetic, epoch (engine surface —
     * the reference keeps ages as day counts, SURVEY §2.6 note).
@@ -528,6 +615,28 @@ object Battery {
            |  TRY_CAST(string_split(p_brand, '#')[2] AS INT) AS brand_num
            |FROM part""".stripMargin))
 
+  /** F8 engine surface — array manipulation battery: distinct, sort,
+    * slice, reverse over the tokenized part name (all narrow, codegen'd;
+    * results re-joined to strings so array encodings can't matter).
+    */
+  private val f13ArrayOps = Q(
+    "f13_array_ops",
+    (s, d) => {
+      val words = split(col("p_name"), " ")
+      T.part(s, d).select(
+        col("p_partkey"),
+        array_join(array_sort(array_distinct(words)), ",").as("words_sorted"),
+        size(array_distinct(words)).cast("long").as("n_distinct_words"),
+        array_join(slice(words, 1, 2), ",").as("first_two"),
+        array_join(reverse(words), ",").as("rev"))
+    },
+    Some("""SELECT p_partkey,
+           |  array_to_string(list_sort(list_distinct(string_split(p_name, ' '))), ',') AS words_sorted,
+           |  CAST(len(list_distinct(string_split(p_name, ' '))) AS BIGINT) AS n_distinct_words,
+           |  array_to_string(string_split(p_name, ' ')[1:2], ',') AS first_two,
+           |  array_to_string(list_reverse(string_split(p_name, ' ')), ',') AS rev
+           |FROM part""".stripMargin))
+
   /** F5 — failure-tolerant casts: Spark cast yields null on failure,
     * matching the reference's try/except-omit (disease.py:161-194).
     */
@@ -637,6 +746,24 @@ object Battery {
            |  count(*) AS n,
            |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
            |FROM events GROUP BY 1, 2""".stripMargin))
+
+  /** Sliding window aggregate (10-min windows every 5 min): each event
+    * lands in exactly two windows (Expand — narrow fan-out, then the
+    * same one-shuffle agg as tumbling). The oracle re-derives both
+    * bucketings explicitly.
+    */
+  private val twSliding = Q(
+    "tw_sliding_window",
+    (s, d) => graft.streaming.Streaming
+      .windowedCounts(T.events(s, d), "10 minutes", Some("5 minutes")),
+    Some("""WITH x AS (
+           |  SELECT time_bucket(INTERVAL '5 minutes', ts) AS ws, event_type, value FROM events
+           |  UNION ALL
+           |  SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes', event_type, value FROM events)
+           |SELECT ws, ws + INTERVAL '10 minutes' AS we, event_type,
+           |  count(*) AS n,
+           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM x GROUP BY ws, event_type""".stripMargin))
 
   /** Session windows (gap = 30 min) per user — Spark `session_window`
     * vs. a gaps-and-islands oracle. Session end = last event + gap.
@@ -769,6 +896,26 @@ object Battery {
            |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
            |  CAST(length(regexp_replace(text, '[^aeiou]', '', 'g')) AS BIGINT) AS n_vowels,
            |  CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) AS BIGINT) AS n_spaces
+           |FROM documents""".stripMargin))
+
+  /** BPE-ish subword counting: whitespace tokens plus letter↔digit
+    * boundary splits (zero-width lookarounds in the Spark regex). The
+    * oracle's RE2 engine has no lookarounds, so it counts the same
+    * quantity arithmetically: tokens + matches of [a-z][0-9] +
+    * matches of [0-9][a-z] (each zero-width boundary adds one piece).
+    */
+  private val x6SubwordCount = Q(
+    "x6_subword_count",
+    (s, d) => T.documents(s, d).select(
+      col("doc_id"),
+      size(graft.ops.TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+      graft.ops.TextOps.subwordCount(col("text")).cast("long").as("n_subwords")),
+    Some("""SELECT doc_id,
+           |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+           |  CAST(len(string_split_regex(trim(text), '\s+'))
+           |    + (length(text) - length(regexp_replace(text, '[a-z][0-9]', '', 'g'))) // 2
+           |    + (length(text) - length(regexp_replace(text, '[0-9][a-z]', '', 'g'))) // 2
+           |    AS BIGINT) AS n_subwords
            |FROM documents""".stripMargin))
 
   /** Brute-force cosine top-k ANN baseline over the embeddings table.
@@ -1276,12 +1423,17 @@ object Battery {
 
   val all: Seq[Q] = Seq(
     s1PointScan, s3Crawl, p2Rename, p6Clean, p8HashSample,
-    j1Outer, jChain, j8Composite, jNullKey, j13Codes, j14Asof, j15Range, j16NullSafe,
-    a1Collect, a2Collect, a5Dedup, a6Rollup, a7Cube, a8ApproxDistinct,
+    j1Outer, jChain, j8Composite, jNullKey, j13Codes, j14Asof, j15Range,
+    j16NullSafe, j17Anti,
+    a1Collect, a2Collect, a5Dedup, a6Rollup, a7Cube, a13GroupingSets,
+    a8ApproxDistinct,
     a11Percentile, a12ApproxPercentile, q1Agg, q3Sql,
-    w1Window, w2Analytic, w3TopKPerGroup, a9Pivot, a10Unpivot, topK, setOps,
-    f6Datetime,
-    fScalar, f5Cast, f9MapExplode, f12Json, twTumbling, twSession,
+    w1Window, w2Analytic, w3TopKPerGroup, w4RangeFrame, a9Pivot, a10Unpivot,
+    topK, setOps,
+    f6Datetime, g1DateSpine,
+    fScalar, f5Cast, f9MapExplode, f12Json, f13ArrayOps,
+    twTumbling, twSliding, twSession,
+    x6SubwordCount,
     d1DedupExact, x1TextStats, n1AnnTopK, m1Multimodal, m2MultimodalDecode,
     m3FrameSample,
     d2MinhashBands, d2bNearDupPairs, d3Simhash, d4NgramJaccard,

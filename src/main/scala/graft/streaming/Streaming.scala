@@ -37,8 +37,8 @@ object Streaming {
     * data up to `lateness`) before the stateful aggregation.
     */
   def streamingWindowedCounts(events: DataFrame, windowLen: String,
-      lateness: String): DataFrame =
-    windowedCounts(events.withWatermark("ts", lateness), windowLen)
+      lateness: String, slide: Option[String] = None): DataFrame =
+    windowedCounts(events.withWatermark("ts", lateness), windowLen, slide)
 
   def streamingSessionStats(events: DataFrame, gap: String, lateness: String): DataFrame =
     sessionStats(events.withWatermark("ts", lateness), gap)

@@ -51,6 +51,22 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sliding windowed counts: streaming result equals batch result") {
+    val (batch, stream) = eventStream()
+    val expected = Streaming.windowedCounts(batch, "10 minutes", Some("5 minutes"))
+      .collect().map(_.toString).sorted
+    val q = Streaming.streamingWindowedCounts(
+        stream, "10 minutes", "10 minutes", Some("5 minutes"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("slide_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("slide_out").collect().map(_.toString).sorted
+      assert(got.length == expected.length)
+      assert(got.sameElements(expected))
+    } finally q.stop()
+  }
+
   test("session windows: streaming result equals batch result") {
     val (batch, stream) = eventStream()
     val expected = Streaming.sessionStats(batch, "30 minutes")
