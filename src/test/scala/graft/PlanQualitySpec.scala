@@ -89,6 +89,35 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(exchanges == 0, s"sampling must not shuffle:\n$p")
   }
 
+  test("anti join broadcasts the filter side (no shuffle of the big side)") {
+    val p = plan("j17_anti_join")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"anti join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join:\n$p")
+  }
+
+  test("grouping sets run as ONE Expand + aggregate, not unioned scans") {
+    val p = plan("a13_grouping_sets")
+    assert(p.contains("Expand"), s"grouping sets lost the Expand form:\n$p")
+    assert(p.linesIterator.count(_.matches(".*[+:]- Scan parquet.*")) == 1,
+      s"grouping sets should scan the input once:\n$p")
+  }
+
+  test("date spine gap-fill broadcasts the aggregated side (spine never shuffles)") {
+    val p = plan("g1_date_spine")
+    assert(p.contains("BroadcastHashJoin"), s"gap-fill join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"spine join degraded to a product:\n$p")
+  }
+
+  test("sliding windows expand narrowly then aggregate partially (one shuffle)") {
+    val p = plan("tw_sliding_window")
+    assert(p.contains("Expand"), s"sliding window lost its Expand form:\n$p")
+    assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
+    val exchanges = p.linesIterator.count(_.matches(".*[+:]- Exchange .*"))
+    assert(exchanges == 1, s"expected exactly one shuffle, got $exchanges:\n$p")
+  }
+
   test("SQL entry point gets the same plan quality: pushdown + broadcast dim") {
     val p = plan("q3_sql_topk")
     assert(p.contains("PushedFilters") && p.contains("BUILDING"),
