@@ -1306,15 +1306,11 @@ object Battery {
 
   // ------------------------------------------ KF ETL end-to-end slice (§7.2)
 
-  /** The reference pipeline end-to-end on KF-shaped tables derived from
-    * the TPC-H data: extract-shaped inputs → rename → presence-driven
-    * outer-join chain → clean → Patient document expression → to_json.
-    * Touches every layer (SURVEY §7.2). JSON output is golden-tested in
-    * ScalaTest; here the driver records a rows-only check.
+  /** KF-shaped slice inputs (studies/participants/families) derived from
+    * region/nation/customer, shared by the content-level JSON oracle
+    * queries below.
     */
-  private val kfPatientSlice = Q(
-    "kf_patient_slice",
-    (s, d) => {
+  private def kfSliceResult(s: SparkSession, d: String): graft.etl.Transform.Result = {
       val region = T.region(s, d)
       val customer = T.customer(s, d)
       val nation = T.nation(s, d)
@@ -1359,13 +1355,75 @@ object Battery {
         .distinct()
         .withColumn("external_id", concat(lit("fam-"), col("kf_id")))
         .withColumn("visible", lit("True"))
-      val result = graft.etl.Transform(Map(
+      graft.etl.Transform(Map(
         "studies" -> studies,
         "participants" -> participants,
         "families" -> families))
-      graft.documents.FhirBuilders.patient(result.wide)
-    },
-    None)
+  }
+
+  /** The reference pipeline end-to-end on KF-shaped tables derived from
+    * the TPC-H data: extract-shaped inputs → rename → presence-driven
+    * outer-join chain → clean → Patient document expression → to_json.
+    * Touches every layer (SURVEY §7.2). The oracle re-derives the FULL
+    * resource_json byte-for-byte in DuckDB (independent string-built
+    * canonical JSON from customer⋈nation, reproducing to_json's
+    * null-dropping: race extension vanishes where CleanOps nulls the
+    * "Unknown"/"Not Reported" sentinels) — the content-level check for
+    * the builder bodies, not just cardinalities.
+    */
+  private val kfPatientSlice = Q(
+    "kf_patient_slice",
+    (s, d) => graft.documents.FhirBuilders.patient(kfSliceResult(s, d).wide),
+    Some("""WITH p AS (
+           |  SELECT 'PT_' || c_custkey AS pid,
+           |         c_name AS external_id,
+           |         'SD_' || n_regionkey AS study_id,
+           |         CASE c_mktsegment
+           |           WHEN 'BUILDING' THEN 'male' WHEN 'MACHINERY' THEN 'male'
+           |           WHEN 'AUTOMOBILE' THEN 'female' WHEN 'HOUSEHOLD' THEN 'female'
+           |           WHEN 'FURNITURE' THEN 'other' END AS gender,
+           |         CASE c_custkey % 5
+           |           WHEN 0 THEN 'White' WHEN 1 THEN 'Asian'
+           |           WHEN 2 THEN 'Black or African American' END AS race,
+           |         CASE c_custkey % 5
+           |           WHEN 0 THEN '2106-3' WHEN 1 THEN '2028-9'
+           |           WHEN 2 THEN '2054-5' END AS race_code
+           |  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+           |SELECT pid AS key, 'Patient' AS resource_type,
+           |  '{"resourceType":"Patient","id":"' || md5('Patient/' || pid) ||
+           |  '","meta":{"profile":["http://hl7.org/fhir/StructureDefinition/Patient"],"tag":[{"code":"' || study_id ||
+           |  '"}]},"identifier":[{"use":"official","system":"https://kf-api-dataservice.kidsfirstdrc.org/participants/","value":"' || pid ||
+           |  '"},{"use":"secondary","value":"' || external_id ||
+           |  '"}],"extension":[' ||
+           |  CASE WHEN race IS NOT NULL THEN
+           |    '{"url":"http://hl7.org/fhir/us/core/StructureDefinition/us-core-race","extension":[{"url":"text","valueString":"' || race ||
+           |    '"},{"url":"ombCategory","valueCoding":{"system":"urn:oid:2.16.840.1.113883.6.238","code":"' || race_code ||
+           |    '","display":"' || race || '"}}]},'
+           |  ELSE '' END ||
+           |  '{"url":"http://hl7.org/fhir/us/core/StructureDefinition/us-core-ethnicity","extension":[{"url":"text","valueString":"Not Hispanic or Latino"},{"url":"ombCategory","valueCoding":{"system":"urn:oid:2.16.840.1.113883.6.238","code":"2186-5","display":"Not Hispanic or Latino"}}]}],"gender":"' ||
+           |  gender || '"}' AS resource_json
+           |FROM p""".stripMargin))
+
+  /** ResearchSubject bodies over the same slice — second content-level
+    * JSON oracle (research_subject.py:18-76 shape: meta tag, two
+    * identifiers, study + individual surrogate references).
+    */
+  private val kfRSubjectSlice = Q(
+    "kf_rsubject_slice",
+    (s, d) => graft.documents.ParticipantBuilders.researchSubject(kfSliceResult(s, d).wide),
+    Some("""WITH p AS (
+           |  SELECT 'PT_' || c_custkey AS pid,
+           |         c_name AS external_id,
+           |         'SD_' || n_regionkey AS study_id
+           |  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+           |SELECT pid AS key, 'ResearchSubject' AS resource_type,
+           |  '{"resourceType":"ResearchSubject","id":"' || md5('ResearchSubject/' || pid) ||
+           |  '","meta":{"profile":["http://hl7.org/fhir/StructureDefinition/ResearchSubject"],"tag":[{"code":"' || study_id ||
+           |  '"}]},"identifier":[{"use":"official","system":"https://kf-api-dataservice.kidsfirstdrc.org/participants/","value":"' || pid ||
+           |  '"},{"use":"secondary","value":"' || external_id ||
+           |  '"}],"status":"off-study","study":{"reference":"ResearchStudy/' || md5('ResearchStudy/' || study_id) ||
+           |  '"},"individual":{"reference":"Patient/' || md5('Patient/' || pid) || '"}}' AS resource_json
+           |FROM p""".stripMargin))
 
   /** The COMPLETE reference pipeline: 14 KF-shaped endpoint tables →
     * presence-driven transform → all 16 entity builders (incl. the
@@ -1439,7 +1497,7 @@ object Battery {
     d2MinhashBands, d2bNearDupPairs, d3Simhash, d4NgramJaccard,
     x2LangId, x3Fingerprint, x3bRolling, x4Quality, x5TokenFreq,
     n2AnnLsh, n3EmbNearDup, n4AnnIvf, n5PqQuantize,
-    kfPatientSlice, kfFullPipeline, kfCountsByType)
+    kfPatientSlice, kfRSubjectSlice, kfFullPipeline, kfCountsByType)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
