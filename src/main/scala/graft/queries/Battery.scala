@@ -796,20 +796,28 @@ object Battery {
     * opposite null policy from the reference's outer chain (where null
     * keys never match, j_nullkey_outer) — engine surface for joins that
     * treat null as a value.
+    *
+    * Scale shape: a raw pair-join on this 6-value key is the textbook
+    * skew-killer (~90 M intermediate pairs at sf0.1, all on one
+    * partition). Since the query only counts pairs per key, both sides
+    * are pre-aggregated by `k` first — counts multiply through the
+    * join, so ~6 rows meet ~6 rows under the same `<=>` semantics and
+    * the answer is identical at any scale.
     */
   private val j16NullSafe = Q(
     "j16_nullsafe_join",
     (s, d) => {
-      val l = T.orders(s, d).select(col("o_orderkey"),
+      val l = T.orders(s, d).select(
         when(col("o_orderkey") % 10 === 0, lit(null).cast("string"))
           .otherwise(col("o_orderpriority")).as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("nl"))
       val r = T.orders(s, d).where(col("o_orderkey") % 100 < 2)
-        .select(col("o_orderkey").as("r_key"),
+        .select(
           when(col("o_orderkey") % 10 === 0, lit(null).cast("string"))
             .otherwise(col("o_orderpriority")).as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("nr"))
       l.join(r, l("k") <=> r("k"))
-        .groupBy(l("k").as("k"))
-        .agg(count(lit(1)).as("n_pairs"))
+        .select(l("k").as("k"), (col("nl") * col("nr")).as("n_pairs"))
     },
     Some("""WITH l AS (SELECT o_orderkey,
            |    CASE WHEN o_orderkey % 10 = 0 THEN NULL ELSE o_orderpriority END AS k

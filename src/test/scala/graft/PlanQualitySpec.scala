@@ -118,6 +118,23 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected exactly one shuffle, got $exchanges:\n$p")
   }
 
+  test("null-safe join pre-aggregates both sides (no skewed pair fan-out)") {
+    // a raw <=> join on a 6-value key is ~90M pairs on one partition at
+    // sf0.1; the query must aggregate BEFORE joining so the join meets
+    // ~6 rows per side regardless of scale
+    val p = plan("j16_nullsafe_join")
+    val joinLine = p.linesIterator.indexWhere(l =>
+      l.contains("HashJoin") || l.contains("SortMergeJoin"))
+    val aggLines = p.linesIterator.zipWithIndex.collect {
+      case (l, i) if l.contains("HashAggregate") => i }.toSeq
+    assert(joinLine >= 0, s"no join in plan:\n$p")
+    // in formatted explain the tree is printed top-down: both input
+    // aggregates must appear BELOW the join node (larger line index)
+    assert(aggLines.count(_ > joinLine) >= 2,
+      s"join inputs not pre-aggregated (join@$joinLine, aggs@$aggLines):\n$p")
+    assert(p.contains("partial_count"), s"no map-side partial count:\n$p")
+  }
+
   test("SQL entry point gets the same plan quality: pushdown + broadcast dim") {
     val p = plan("q3_sql_topk")
     assert(p.contains("PushedFilters") && p.contains("BUILDING"),
