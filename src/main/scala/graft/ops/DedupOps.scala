@@ -96,9 +96,13 @@ object DedupOps {
     cand
       .join(sets.select(col("id").as("doc_a"), col("shingle_set").as("sa")), Seq("doc_a"))
       .join(sets.select(col("id").as("doc_b"), col("shingle_set").as("sb")), Seq("doc_b"))
+      // one intersection per pair; |a ∪ b| = |a| + |b| - |a ∩ b| avoids
+      // building the union set (array_union hashes both arrays again)
       .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
-          size(array_union(col("sa"), col("sb")))).as("jaccard"))
+        size(array_intersect(col("sa"), col("sb"))).as("c"),
+        size(col("sa")).as("na"), size(col("sb")).as("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
@@ -145,6 +149,11 @@ object DedupOps {
           .withColumn("rk", row_number().over(
             Window.partitionBy(col("id")).orderBy(col("df"), col("s"))))
           .where(col("rk") <= prefLen)
+          // a df=1 shingle exists in exactly one doc: it can only ever
+          // self-join, so dropping it from the candidate index is
+          // lossless and removes the (usually long) unique-shingle tail
+          // from the join shuffle
+          .where(col("df") > 1)
       } else {
         // hash-ordered prefix: sorted per-row, then sliced — no shuffle
         // before the candidate join
@@ -162,10 +171,14 @@ object DedupOps {
     cand
       .join(sh.select(col("id").as("doc_a"), col("sh").as("sa")), Seq("doc_a"))
       .join(sh.select(col("id").as("doc_b"), col("sh").as("sb")), Seq("doc_b"))
+      // alias the intersection size so it is computed ONCE per pair
+      // (CollapseProject keeps the two-step projection because a
+      // non-cheap alias referenced twice is never inlined)
       .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
-          (size(col("sa")) + size(col("sb")) -
-            size(array_intersect(col("sa"), col("sb"))))).as("jaccard"))
+        size(array_intersect(col("sa"), col("sb"))).as("c"),
+        size(col("sa")).as("na"), size(col("sb")).as("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
