@@ -28,11 +28,13 @@ object Bench {
     // measured, not first-query classloading.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    // best-of-2: single cold runs swing ±5× from JIT/GC noise in one
-    // shared JVM; the min of two runs is a stable per-query signal.
-    // Caches are cleared BETWEEN query families (kept within the pair so
-    // intentional persists still help) so one query's leftover cached
+    // best-of-N (default 3): single cold runs swing ±5× from JIT/GC noise
+    // in one shared JVM; the min of N runs is a stable per-query signal
+    // and the spread ((max-min)/min) says whether the min is trustworthy.
+    // Caches are cleared BETWEEN query families (kept within the repeats
+    // so intentional persists still help) so one query's leftover cached
     // blocks don't turn into another query's GC pressure.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -40,14 +42,20 @@ object Bench {
         catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
-      val best = math.min(once(), once())
+      val times = Seq.fill(runs)(once())
       spark.catalog.clearCache()
-      name -> best
+      name -> times
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def obj(f: Seq[Double] => Double): String = results
+      .map { case (k, ts) => "\"" + k + "\":" + f"${f(ts)}%.4f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = obj(_.min)
+    // relative spread: how far the worst run strayed from the best —
+    // >1.0 means the round was contended and per-query deltas vs the
+    // previous round are noise, not regressions
+    val spreads = obj(ts => (ts.max - ts.min) / math.max(ts.min, 1e-9))
+    val total = results.map(_._2.min).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spreads":$spreads,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -45,6 +45,16 @@ object Cli {
     val studies = all.get("studies")
       .map(_.filter(col("kf_id").isin(studyIds.map(x => x: Any): _*)))
       .getOrElse(throw new IllegalArgumentException(s"no studies.parquet in $dir"))
+    // Fail fast when a requested study id matches nothing (ingest.py:71,98
+    // "{kf_study_id} not found" / "Found {found} study(ies) but expected
+    // {expected}") — a typo'd SD_x must not silently produce an empty
+    // pipeline. One action over a study-count-sized frame; negligible.
+    val found = studies.select("kf_id").distinct()
+      .collect().map(_.getString(0)).toSet
+    val missing = studyIds.filterNot(found)
+    if (missing.nonEmpty) throw new IllegalArgumentException(
+      s"${missing.mkString(", ")} not found: " +
+        s"found ${found.size} study(ies) but expected ${studyIds.size}")
 
     // child endpoint → (child FK column, parent endpoint, parent column)
     val fkDag: Seq[(String, String, String, String)] = Seq(

@@ -7,8 +7,15 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outDir = args(1)
-    // optional 3rd arg: comma-separated query-name filter (dev iteration)
+    // optional 3rd arg: comma-separated query-name filter (dev iteration).
+    // Unknown names fail fast — a typo'd filter silently writing nothing
+    // looks exactly like a pass.
     val only = args.lift(2).map(_.split(",").toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"unknown query name(s) in filter: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -16,14 +16,18 @@ object RelationshipBuilders {
   private val c = (n: String) => col(s"`$n`")
 
   /** Note: the reference reads `record[CONCEPT.PROJECT.ID]` for the study
-    * tag (family_relationship.py:329) — a column the family-relationship
-    * table never carries. We accept the study id from the driver (which
-    * knows which study is being processed) instead; `lit(null)` mirrors
-    * the reference's missing-column behavior.
+    * tag (family_relationship.py:329-343) — in its per-study run the
+    * record's study is ambient. Distributed over many studies at once,
+    * we derive it per row from the participants table: each member's
+    * `study_id`, person1 first (both members share a study in practice;
+    * coalesce covers an orphan person1). `studyByParticipant` is the
+    * 2-column (participant kf_id, study kf_id) projection — an equi-join
+    * either way, broadcastable when small, shuffle-safe at scale.
+    * `None` mirrors the missing-column behavior (null tag).
     */
   def familyRelationship(frTable: DataFrame,
-      studyId: Column = lit(null).cast("string")): DataFrame = {
-    val rows = frTable.select(
+      studyByParticipant: Option[DataFrame] = None): DataFrame = {
+    val base = frTable.select(
       c(FamilyRelationship.TargetServiceId).as("fr_id"),
       c(FamilyRelationship.Id).as("external_id"),
       c(FamilyRelationship.Person1).as("p1"),
@@ -31,6 +35,20 @@ object RelationshipBuilders {
       c(FamilyRelationship.RelationFrom1To2).as("relation"))
       .where(col("fr_id").isNotNull)
       .dropDuplicates("fr_id")
+    val rows = studyByParticipant match {
+      case Some(sbp) =>
+        // dedup the map side so a duplicated participant row can never
+        // multiply relationship rows through the join
+        val m = sbp.toDF("__pid", "__study")
+          .where(col("__pid").isNotNull).dropDuplicates("__pid")
+        base
+          .join(m.toDF("p1", "__study1"), Seq("p1"), "left")
+          .join(m.toDF("p2", "__study2"), Seq("p2"), "left")
+          .withColumn("__study", coalesce(col("__study1"), col("__study2")))
+          .drop("__study1", "__study2")
+      case None => base.withColumn("__study", lit(null).cast("string"))
+    }
+    val studyId = col("__study")
     val entity = struct(
       lit("Observation").as("resourceType"),
       surrogateId("Observation/famrel", col("fr_id")).as("id"),

@@ -45,6 +45,16 @@ object Pipeline {
       "studies", "participants", "biospecimens", "biospecimen-genomic-files",
       "genomic-files", "sequencing-experiment-genomic-files", "sequencing-experiments"))
 
+  /** (participant kf_id, study kf_id) projection of the participants
+    * endpoint — lets the FamilyRelationship builder derive each row's
+    * study tag (family_relationship.py:329) without the per-study run
+    * context the reference has ambiently.
+    */
+  private def studyByParticipant(result: Transform.Result): Option[DataFrame] =
+    result.steps.find(_.endpoint == "participants").map(_.df.select(
+      org.apache.spark.sql.functions.col(s"`${Concepts.Participant.TargetServiceId}`"),
+      org.apache.spark.sql.functions.col(s"`${Concepts.Study.TargetServiceId}`")))
+
   /** builder name → DataFrame of (key, resource_type, resource_json). */
   def buildAll(result: Transform.Result,
       indexd: Option[DataFrame] = None,
@@ -95,7 +105,7 @@ object Pipeline {
         withKeyUniverse("patient", Concepts.Participant.TargetServiceId))),
       "proband_status" -> (() => ParticipantBuilders.probandStatus(sliceFor("proband_status"))),
       "family_relationship" -> (() => RelationshipBuilders.familyRelationship(
-        result.familyRelationship.get)),
+        result.familyRelationship.get, studyByParticipant(result))),
       "family" -> (() => FhirBuilders.family(sliceFor("family"))),
       "research_study" -> (() => FhirBuilders.researchStudy(
         withKeyUniverse("research_study", Concepts.Study.TargetServiceId))),

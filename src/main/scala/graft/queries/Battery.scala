@@ -817,7 +817,13 @@ object Battery {
             .otherwise(col("o_orderpriority")).as("k"))
         .groupBy(col("k")).agg(count(lit(1)).as("nr"))
       l.join(r, l("k") <=> r("k"))
-        .select(l("k").as("k"), (col("nl") * col("nr")).as("n_pairs"))
+        // decimal(38,0) product, double at the boundary (the battery's
+        // convention): two Long counts can each exceed 4.3e9 at the
+        // 100 TB design point, where Long×Long overflows (ANSI mode:
+        // runtime error); 38 digits holds any pair of Long counts.
+        .select(l("k").as("k"),
+          (col("nl").cast("decimal(19,0)") * col("nr").cast("decimal(19,0)"))
+            .cast("double").as("n_pairs"))
     },
     Some("""WITH l AS (SELECT o_orderkey,
            |    CASE WHEN o_orderkey % 10 = 0 THEN NULL ELSE o_orderpriority END AS k
@@ -825,7 +831,7 @@ object Battery {
            |r AS (SELECT o_orderkey AS r_key,
            |    CASE WHEN o_orderkey % 10 = 0 THEN NULL ELSE o_orderpriority END AS k
            |  FROM orders WHERE o_orderkey % 100 < 2)
-           |SELECT l.k, count(*) AS n_pairs
+           |SELECT l.k, CAST(count(*) AS DOUBLE) AS n_pairs
            |FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
            |GROUP BY l.k""".stripMargin))
 

@@ -74,4 +74,20 @@ class CliSpec extends AnyFunSuite {
       "resource_type=Observation", "resource_type=ResearchSubject",
       "resource_type=Condition"), dirs.toString)
   }
+
+  test("extract fails fast on a study id that matches nothing (ingest.py:71)") {
+    val in = Files.createTempDirectory("cli-in-missing").toString
+    Seq(("SD_1", "phs1.v1.p1", "One", "O", "SO", "v1", null, "dbGaP", "CANCER",
+        "KF", "Pending", "True", null))
+      .toDF("kf_id", "external_id", "name", "short_name", "short_code", "version",
+        "attribution", "data_access_authority", "domain", "program",
+        "release_status", "visible", "investigator_id")
+      .write.parquet(s"$in/studies.parquet")
+    val e = intercept[IllegalArgumentException] {
+      Cli.extract(spark, in, Seq("SD_1", "SD_TYPO"))
+    }
+    assert(e.getMessage.contains("SD_TYPO"), e.getMessage)
+    // the happy path on the same fixture still extracts
+    assert(Cli.extract(spark, in, Seq("SD_1"))("studies").count() == 1)
+  }
 }

@@ -123,13 +123,18 @@ class PlanQualitySpec extends AnyFunSuite {
     // sf0.1; the query must aggregate BEFORE joining so the join meets
     // ~6 rows per side regardless of scale
     val p = plan("j16_nullsafe_join")
-    val joinLine = p.linesIterator.indexWhere(l =>
+    // FormattedMode appends "(n) HashAggregate" detail blocks AFTER the
+    // tree — scanning the whole string made this gate vacuous (any plan
+    // with 2 aggregates anywhere passed). Restrict to the tree section:
+    // the lines before the first blank line.
+    val tree = p.linesIterator.takeWhile(_.trim.nonEmpty).toSeq
+    val joinLine = tree.indexWhere(l =>
       l.contains("HashJoin") || l.contains("SortMergeJoin"))
-    val aggLines = p.linesIterator.zipWithIndex.collect {
-      case (l, i) if l.contains("HashAggregate") => i }.toSeq
+    val aggLines = tree.zipWithIndex.collect {
+      case (l, i) if l.contains("HashAggregate") => i }
     assert(joinLine >= 0, s"no join in plan:\n$p")
-    // in formatted explain the tree is printed top-down: both input
-    // aggregates must appear BELOW the join node (larger line index)
+    // the tree is printed top-down: both input aggregates must appear
+    // BELOW the join node (larger line index) — i.e. as join children
     assert(aggLines.count(_ > joinLine) >= 2,
       s"join inputs not pre-aggregated (join@$joinLine, aggs@$aggLines):\n$p")
     assert(p.contains("partial_count"), s"no map-side partial count:\n$p")

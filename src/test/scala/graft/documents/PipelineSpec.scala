@@ -150,6 +150,10 @@ class PipelineSpec extends AnyFunSuite {
     assert(weird.get("valueCodeableConcept").get("text").asText == "Weird cousin thing")
     val patientId = docs("patient")("PT_2").get("id").asText
     assert(mother.get("subject").get("reference").asText == s"Patient/$patientId")
+    // study tag derived from the members' participant rows
+    // (family_relationship.py:329,343: meta.tag = [{"code": study_id}])
+    assert(mother.get("meta").get("tag").get(0).get("code").asText == "SD_X")
+    assert(weird.get("meta").get("tag").get(0).get("code").asText == "SD_X")
   }
 
   test("disease: ontology codings with sentinels skipped, relative date, unparsable age omitted") {
