@@ -46,8 +46,12 @@ object Bench {
       spark.catalog.clearCache()
       name -> times
     }
+    // Locale.ROOT: a comma-decimal default locale (e.g. de_DE) would
+    // otherwise emit `0,1234` and break the JSON line.
+    def num(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
     def obj(f: Seq[Double] => Double): String = results
-      .map { case (k, ts) => "\"" + k + "\":" + f"${f(ts)}%.4f" }
+      .map { case (k, ts) => "\"" + k + "\":" + num(f(ts)) }
       .mkString("{", ",", "}")
     val qs = obj(_.min)
     // relative spread: how far the worst run strayed from the best —

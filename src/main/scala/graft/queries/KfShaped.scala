@@ -131,7 +131,37 @@ object KfShaped {
       .withColumn("bs_key", concat(col("l_orderkey"), lit("_"), col("l_linenumber")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val biospecimens = biospecimensFrom(li)
+    val biospecimens = li.select(
+      concat(lit("BS_"), col("bs_key")).as("kf_id"),
+      concat(lit("PT_"), col("o_custkey")).as("participant_id"),
+      concat(lit("SC_"), col("l_suppkey")).as("sequencing_center_id"),
+      (col("l_orderkey") % 4000).cast("string").as("age_at_event_days"),
+      when(col("l_linenumber") % 2 === 0, "DNA").otherwise("RNA").as("analyte_type"),
+      when(col("l_linenumber") % 3 === 0, "Blood")
+        .when(col("l_linenumber") % 3 === 1, "Saliva")
+        .otherwise("Unmapped composition").as("composition"),
+      when(col("l_linenumber") % 2 === 0, "GRU").otherwise(lit(null).cast("string"))
+        .as("consent_type"),
+      concat(lit("phs00000"), col("l_suppkey") % 5, lit(".c"), col("l_linenumber"))
+        .as("dbgap_consent_code"),
+      concat(lit("aliquot-"), col("bs_key")).as("external_aliquot_id"),
+      concat(lit("sample-"), col("l_orderkey")).as("external_sample_id"),
+      when(col("l_linenumber") % 2 === 0, "Blood Draw").otherwise("Biopsy")
+        .as("method_of_smaple_procurement"),
+      concat(lit("NCIT:C"), col("l_suppkey") % 100).as("ncit_id_anatomical_site"),
+      when(col("l_linenumber") % 2 === 0, concat(lit("NCIT:C"), col("l_partkey") % 100))
+        .otherwise("no-prefix").as("ncit_id_tissue_type"),
+      lit("Chest wall").as("source_text_anatomical_site"),
+      when(col("l_linenumber") % 2 === 0, "Tumor").otherwise(lit(null).cast("string"))
+        .as("source_text_tissue_type"),
+      when(col("l_linenumber") % 2 === 0, "Primary").otherwise("N/A")
+        .as("source_text_tumor_descriptor"),
+      lit(null).cast("string").as("spatial_descriptor"),
+      when(col("l_linenumber") % 3 === 0, concat(lit("UBERON:00"), col("l_partkey") % 100))
+        .when(col("l_linenumber") % 3 === 1, concat(lit("EFO:"), col("l_partkey") % 100))
+        .otherwise("bare-code").as("uberon_id_anatomical_site"),
+      col("l_quantity").cast("string").as("volume_ul"),
+      lit("True").as("visible"))
 
     val biospecimenDiagnoses = li.select(
       concat(lit("BD_"), col("bs_key")).as("kf_id"),
