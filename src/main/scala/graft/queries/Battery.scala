@@ -1439,6 +1439,149 @@ object Battery {
            |  '"},"individual":{"reference":"Patient/' || md5('Patient/' || pid) || '"}}' AS resource_json
            |FROM p""".stripMargin))
 
+  /** Specimen bodies over the real biospecimen chain — third content-level
+    * JSON oracle (specimen.py:438-638: consent/dbgap → meta.security,
+    * three identifiers, NCIT/OBI type codings, collection block with
+    * relative-date extension, volume quantity, SNOMED method,
+    * prefix-sensitive bodySite systems). The oracle re-derives the FULL
+    * resource_json byte-for-byte in DuckDB from lineitem⋈orders⋈customer⋈
+    * nation, reproducing to_json's null-dropping per branch.
+    *
+    * The synthetic lineitem duplicates ~24% of (orderkey, linenumber)
+    * keys; the builder's dropDuplicates keeps an arbitrary survivor
+    * there, so the byte-level check pins the unambiguous keys only
+    * (~46k rows at sf0.01). Duplicate-key cardinality semantics are
+    * already pinned by kf_counts_by_type.
+    */
+  private val kfSpecimenSlice = Q(
+    "kf_specimen_slice",
+    (s, d) => {
+      val result = graft.etl.Transform(KfShaped.endpoints(s, d))
+      val spec = graft.documents.SpecimenBuilder.specimen(
+        result.slice(Set("studies", "participants", "biospecimens")))
+      val uniq = T.lineitem(s, d)
+        .groupBy(concat(lit("BS_"), col("l_orderkey"), lit("_"),
+          col("l_linenumber")).as("key"))
+        .count().where(col("count") === 1).select("key")
+      spec.join(uniq, Seq("key"))
+    },
+    Some("""WITH uniq AS (
+           |  SELECT l_orderkey, l_linenumber FROM lineitem
+           |  GROUP BY 1, 2 HAVING count(*) = 1),
+           |b AS (
+           |  SELECT l.l_orderkey AS ok, l.l_linenumber AS ln,
+           |         l.l_partkey % 100 AS pk, l.l_suppkey AS sk,
+           |         l.l_quantity AS qty, o.o_custkey AS ck, n.n_regionkey AS rk,
+           |         l.l_orderkey || '_' || l.l_linenumber AS k
+           |  FROM lineitem l
+           |  JOIN uniq u ON l.l_orderkey = u.l_orderkey AND l.l_linenumber = u.l_linenumber
+           |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+           |  JOIN customer c ON o.o_custkey = c.c_custkey
+           |  JOIN nation n ON c.c_nationkey = n.n_nationkey)
+           |SELECT 'BS_' || k AS key, 'Specimen' AS resource_type,
+           |  '{"resourceType":"Specimen","id":"' || md5('Specimen/BS_' || k) ||
+           |  '","meta":{"profile":["http://hl7.org/fhir/StructureDefinition/Specimen"],"tag":[{"code":"SD_' || rk ||
+           |  '"}],"security":[' ||
+           |  CASE WHEN ln % 2 = 0 THEN '{"system":"https://kf-api-dataservice.kidsfirstdrc.org/biospecimens?consent_type=","code":"GRU"},' ELSE '' END ||
+           |  '{"system":"https://kf-api-dataservice.kidsfirstdrc.org/biospecimens?dbgap_consent_code=","code":"phs00000' || (sk % 5) || '.c' || ln ||
+           |  '"}]},"identifier":[{"use":"official","system":"https://kf-api-dataservice.kidsfirstdrc.org/biospecimens/","value":"BS_' || k ||
+           |  '"},{"use":"secondary","system":"https://kf-api-dataservice.kidsfirstdrc.org/biospecimens?external_sample_id=","value":"sample-' || ok ||
+           |  '"},{"use":"secondary","system":"https://kf-api-dataservice.kidsfirstdrc.org/biospecimens?external_aliquot_id=","value":"aliquot-' || k ||
+           |  '"}],"status":"unavailable","subject":{"reference":"Patient/' || md5('Patient/PT_' || ck) ||
+           |  '"},"type":{"coding":[' ||
+           |  CASE WHEN ln % 2 = 0 THEN '{"system":"http://purl.obolibrary.org/obo/ncit.owl","code":"NCIT:C' || pk || '"},' ELSE '' END ||
+           |  CASE WHEN ln % 3 = 0 THEN '{"system":"http://purl.obolibrary.org/obo/ncit.owl","code":"C17610","display":"Blood Sample"},'
+           |       WHEN ln % 3 = 1 THEN '{"system":"http://purl.obolibrary.org/obo/ncit.owl","code":"C174119","display":"Saliva Sample"},'
+           |       ELSE '' END ||
+           |  CASE WHEN ln % 2 = 0 THEN '{"system":"http://purl.obolibrary.org/obo/obi.owl","code":"OBI:0001051","display":"DNA extract"}'
+           |       ELSE '{"system":"http://purl.obolibrary.org/obo/obi.owl","code":"OBI:0000880","display":"RNA extract"}' END ||
+           |  ']' || CASE WHEN ln % 2 = 0 THEN ',"text":"Tumor"' ELSE '' END ||
+           |  '},"collection":{"_collectedDateTime":{"extension":[{"extension":[{"url":"event","valueCodeableConcept":{"coding":[{"system":"http://snomed.info/sct","code":"3950001","display":"Birth"}]}},{"url":"relationship","valueCode":"after"},{"url":"offset","valueDuration":{"value":' || (ok % 4000) ||
+           |  ',"unit":"day","system":"http://unitsofmeasure.org","code":"d"}}],"url":"http://hl7.org/fhir/StructureDefinition/relative-date"}]},"quantity":{"value":' || qty ||
+           |  ',"unit":"microliters","system":"http://unitsofmeasure.org","code":"uL"},"method":' ||
+           |  CASE WHEN ln % 2 = 0 THEN '{"coding":[{"system":"http://snomed.info/sct","code":"396540005","display":"Phlebotomy (procedure)"}],"text":"Blood Draw"}'
+           |       ELSE '{"coding":[{"system":"http://snomed.info/sct","code":"86273004","display":"Biopsy (procedure)"}],"text":"Biopsy"}' END ||
+           |  ',"bodySite":{"text":"Chest wall","coding":[' ||
+           |  CASE WHEN ln % 3 = 0 THEN '{"system":"http://purl.obolibrary.org/obo/uberon.owl","code":"UBERON:00' || pk || '"},'
+           |       WHEN ln % 3 = 1 THEN '{"system":"http://www.ebi.ac.uk/efo/efo.owl","code":"EFO:' || pk || '"},'
+           |       ELSE '{"code":"bare-code"},' END ||
+           |  '{"system":"http://purl.obolibrary.org/obo/ncit.owl","code":"NCIT:C' || (sk % 100) || '"}]}}}' AS resource_json
+           |FROM b""".stripMargin))
+
+  /** DRSDocumentReference bodies — fourth content-level JSON oracle
+    * (drs_document_reference.py:163-412): regroup to one doc per
+    * (study, file, seq-exp), Indexd-enriched attachment with size +
+    * hash extensions, index-file type imputation (:246-254, tbi over
+    * the two variations types ⇒ "… Index", which also suppresses
+    * context.related :393-410 and has no type coding), acl-derived
+    * security labels, dual category codings. Unambiguous-keys filter as
+    * in kf_specimen_slice (here a duplicate key also fans the regroup
+    * out to two seq-exp groups, so only unique keys are byte-stable).
+    */
+  private val kfDrsSlice = Q(
+    "kf_drs_slice",
+    (s, d) => {
+      val result = graft.etl.Transform(KfShaped.endpoints(s, d))
+      val drs = graft.documents.DrsBuilder.drsDocumentReference(
+        result.slice(Set("studies", "participants", "biospecimens",
+          "biospecimen-genomic-files", "genomic-files",
+          "sequencing-experiment-genomic-files", "sequencing-experiments")),
+        Some(KfShaped.indexd(s, d)))
+      val uniq = T.lineitem(s, d)
+        .groupBy(concat(lit("GF_"), col("l_orderkey"), lit("_"),
+          col("l_linenumber")).as("key"))
+        .count().where(col("count") === 1).select("key")
+      drs.join(uniq, Seq("key"))
+    },
+    Some("""WITH uniq AS (
+           |  SELECT l_orderkey, l_linenumber FROM lineitem
+           |  GROUP BY 1, 2 HAVING count(*) = 1),
+           |b AS (
+           |  SELECT l.l_orderkey AS ok, l.l_partkey % 5 AS pk5, l.l_suppkey AS sk,
+           |         CAST(trunc(l.l_extendedprice * 100) AS BIGINT) AS fsize,
+           |         o.o_custkey AS ck, n.n_regionkey AS rk,
+           |         l.l_orderkey || '_' || l.l_linenumber AS k
+           |  FROM lineitem l
+           |  JOIN uniq u ON l.l_orderkey = u.l_orderkey AND l.l_linenumber = u.l_linenumber
+           |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+           |  JOIN customer c ON o.o_custkey = c.c_custkey
+           |  JOIN nation n ON c.c_nationkey = n.n_nationkey)
+           |SELECT 'GF_' || k AS key, 'DocumentReference' AS resource_type,
+           |  '{"resourceType":"DocumentReference","id":"' || md5('DocumentReference/GF_' || k) ||
+           |  '","meta":{"profile":["https://nih-ncpi.github.io/ncpi-fhir-ig/StructureDefinition/drs-document-reference"],"tag":[{"code":"SD_' || rk ||
+           |  '"}]},"identifier":[{"use":"official","system":"https://kf-api-dataservice.kidsfirstdrc.org/genomic-files/","value":"GF_' || k ||
+           |  '"}],"status":"current","docStatus":"final","type":' ||
+           |  CASE pk5
+           |    WHEN 0 THEN '{"coding":[{"system":"https://includedcc.org/fhir/code-systems/data_types","code":"Aligned-Reads","display":"Aligned Reads"}],"text":"Aligned Reads"}'
+           |    WHEN 1 THEN '{"coding":[{"system":"https://includedcc.org/fhir/code-systems/data_types","code":"Variant-Calls","display":"Variant Calls"}],"text":"Variant Calls"}'
+           |    WHEN 2 THEN '{"coding":[{"system":"https://includedcc.org/fhir/code-systems/data_types","code":"gVCF","display":"gVCF"}],"text":"gVCF"}'
+           |    WHEN 3 THEN '{"text":"Simple Nucleotide Variations Index"}'
+           |    ELSE '{"text":"Somatic Structural Variations Index"}' END ||
+           |  ',"category":' ||
+           |  CASE WHEN sk % 2 = 0
+           |    THEN '[{"coding":[{"system":"https://includedcc.org/fhir/code-systems/experimental_strategies","code":"WGS","display":"Whole Genome Sequencing"}],"text":"WGS"},{"coding":[{"system":"https://includedcc.org/fhir/code-systems/data_categories","code":"Genomics","display":"Genomics"}],"text":"WGS"}]'
+           |    ELSE '[{"coding":[{"system":"https://includedcc.org/fhir/code-systems/experimental_strategies","code":"RNA-Seq","display":"RNA-Seq"}],"text":"RNA-Seq"},{"coding":[{"system":"https://includedcc.org/fhir/code-systems/data_categories","code":"Transcriptomics","display":"Transcriptomics"}],"text":"RNA-Seq"}]' END ||
+           |  ',"subject":{"reference":"Patient/' || md5('Patient/PT_' || ck) ||
+           |  '"},"securityLabel":[' ||
+           |  CASE WHEN ok % 2 = 0
+           |    THEN '{"coding":[{"system":"https://includedcc.org/fhir/code-systems/data_access_types","code":"controlled","display":"Controlled"}],"text":"True"}'
+           |    ELSE '{"coding":[{"system":"https://includedcc.org/fhir/code-systems/data_access_types","code":"registered","display":"Registered"}],"text":"False"}' END ||
+           |  CASE WHEN ok % 3 = 0
+           |    THEN ',{"coding":[{"code":"c1"}],"text":"phs00000' || (sk % 5) || '.c1"},{"text":"open"}'
+           |    ELSE ',{"text":"nocode"}' END ||
+           |  '],"content":[{"format":{"display":"' ||
+           |  CASE WHEN pk5 >= 3 THEN 'tbi' ELSE 'cram' END ||
+           |  '"},"attachment":{"extension":[{"url":"https://nih-ncpi.github.io/ncpi-fhir-ig/StructureDefinition/file-size","valueDecimal":' || fsize ||
+           |  '},{"url":"https://nih-ncpi.github.io/ncpi-fhir-ig/StructureDefinition/hashes","valueCodeableConcept":{"coding":[{"display":"md5"}],"text":"' || md5('content:' || k) ||
+           |  '"}},{"url":"https://nih-ncpi.github.io/ncpi-fhir-ig/StructureDefinition/hashes","valueCodeableConcept":{"coding":[{"display":"sha256"}],"text":"' || sha256('content:' || k) ||
+           |  '"}}],"url":"drs://data.kidsfirstdrc.org/' || md5('did:' || k) ||
+           |  '","title":"file_' || k || '.cram"}}]' ||
+           |  CASE WHEN pk5 < 3
+           |    THEN ',"context":{"related":[{"reference":"Specimen/' || md5('Specimen/BS_' || k) || '"}]}'
+           |    ELSE '' END ||
+           |  '}' AS resource_json
+           |FROM b""".stripMargin))
+
   /** The COMPLETE reference pipeline: 14 KF-shaped endpoint tables →
     * presence-driven transform → all 16 entity builders (incl. the
     * bulk-prefetched Indexd dimension replacing per-row REST) → one
@@ -1511,7 +1654,8 @@ object Battery {
     d2MinhashBands, d2bNearDupPairs, d3Simhash, d4NgramJaccard,
     x2LangId, x3Fingerprint, x3bRolling, x4Quality, x5TokenFreq,
     n2AnnLsh, n3EmbNearDup, n4AnnIvf, n5PqQuantize,
-    kfPatientSlice, kfRSubjectSlice, kfFullPipeline, kfCountsByType)
+    kfPatientSlice, kfRSubjectSlice, kfSpecimenSlice, kfDrsSlice,
+    kfFullPipeline, kfCountsByType)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
