@@ -1,0 +1,88 @@
+package graft.sinks
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.SparkTestSession
+
+class IdCacheSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docs(keys: String*): DataFrame =
+    keys.map((_, "{}")).toDF("key", "resource_json")
+
+  test("second run resolves from cache without refetching") {
+    val dir = Files.createTempDirectory("idcache").toString
+    val calls = new AtomicInteger(0)
+    // "server" knows PT_1 and PT_2, not PT_3
+    val server = Map("PT_1" -> "srv-001", "PT_2" -> "srv-002")
+    val fetch: DataFrame => DataFrame = miss => {
+      calls.incrementAndGet()
+      val known = miss.collect().map(_.getString(0)).filter(server.contains)
+      known.map(k => (k, server(k))).toSeq.toDF("key", "resolved_id")
+    }
+
+    val run1 = new IdCache(spark, dir)
+      .resolve("patient", docs("PT_1", "PT_2"), fetch)
+      .select("key", "resolved_id").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(run1 == Map("PT_1" -> "srv-001", "PT_2" -> "srv-002"))
+    assert(calls.get() == 1)
+
+    // fresh instance, same dir — every key cached, fetch never consulted
+    val run2 = new IdCache(spark, dir)
+      .resolve("patient", docs("PT_1", "PT_2"), fetch)
+      .select("key", "resolved_id").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(run2 == Map("PT_1" -> "srv-001", "PT_2" -> "srv-002"))
+    assert(calls.get() == 1)
+  }
+
+  test("only cache-miss keys reach the fetch; unknown keys stay null and re-query") {
+    val dir = Files.createTempDirectory("idcache").toString
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Set[String]]
+    val server = Map("A" -> "id-a", "B" -> "id-b", "D" -> "id-d")
+    val fetch: DataFrame => DataFrame = miss => {
+      val keys = miss.collect().map(_.getString(0)).toSet
+      seen += keys
+      keys.filter(server.contains).map(k => (k, server(k))).toSeq
+        .toDF("key", "resolved_id")
+    }
+
+    val cache = new IdCache(spark, dir)
+    val r1 = cache.resolve("specimen", docs("A", "B", "C"), fetch)
+      .select("key", "resolved_id").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(r1 == Map("A" -> Some("id-a"), "B" -> Some("id-b"), "C" -> None))
+    assert(seen == Seq(Set("A", "B", "C")))
+
+    // A and B resolve locally; C is an unresolved miss again (no negative
+    // caching), D is new — fetch sees exactly {C, D}
+    val r2 = cache.resolve("specimen", docs("A", "B", "C", "D"), fetch)
+      .select("key", "resolved_id").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(r2 == Map("A" -> Some("id-a"), "B" -> Some("id-b"),
+      "C" -> None, "D" -> Some("id-d")))
+    assert(seen == Seq(Set("A", "B", "C"), Set("C", "D")))
+  }
+
+  test("entity classes are cached independently") {
+    val dir = Files.createTempDirectory("idcache").toString
+    val calls = new AtomicInteger(0)
+    val fetch: DataFrame => DataFrame = miss => {
+      calls.incrementAndGet()
+      miss.collect().map(r => (r.getString(0), "x-" + r.getString(0))).toSeq
+        .toDF("key", "resolved_id")
+    }
+    val cache = new IdCache(spark, dir)
+    cache.resolve("patient", docs("K1"), fetch).collect()
+    // same key, different class — its own store, so it must fetch again
+    cache.resolve("specimen", docs("K1"), fetch).collect()
+    assert(calls.get() == 2)
+  }
+}
