@@ -80,6 +80,31 @@ object Streaming {
       right.withWatermark("rts", lateness),
       maxDelay)
 
+  /** Stream-stream LEFT OUTER time-bound join — the common telemetry
+    * shape: EVERY left event survives, padded with nulls when no right
+    * event arrived within `maxDelay`. On streams this is only decidable
+    * with the watermark: "no match" for a left row is known once the
+    * watermark passes `lts + maxDelay`, at which point Spark emits the
+    * null-padded row and drops its state — so unmatched-left results
+    * trail the event time by (lateness + maxDelay), and state stays
+    * bounded at any scale. Batch form is the same plain left join.
+    */
+  def timeBoundLeftJoin(left: DataFrame, right: DataFrame,
+      maxDelay: String): DataFrame =
+    left.join(right,
+      left("k") === right("k") &&
+        right("rts") >= left("lts") &&
+        right("rts") <= left("lts") + expr(s"INTERVAL $maxDelay"),
+      "left_outer")
+      .select(left("k").as("k"), col("lts"), col("rts"))
+
+  def streamingTimeBoundLeftJoin(left: DataFrame, right: DataFrame,
+      lateness: String, maxDelay: String): DataFrame =
+    timeBoundLeftJoin(
+      left.withWatermark("lts", lateness),
+      right.withWatermark("rts", lateness),
+      maxDelay)
+
   /** Incremental batch execution (`Trigger.AvailableNow`): process every
     * input file not yet recorded in the checkpoint, hand each
     * micro-batch to `batchFn`, then stop. Re-running with the same

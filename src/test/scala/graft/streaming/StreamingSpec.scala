@@ -150,6 +150,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream left-outer time-bound join equals the batch left join, " +
+      "incl. null-padded unmatched-left rows after watermark expiry") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val base = 36000000L
+    val ts = (m: Long) => new java.sql.Timestamp(base + m)
+    val imps = Seq( // (k, lts)
+      (1L, ts(0L)), (1L, ts(60000L)), (2L, ts(0L)))
+    val clicks = Seq( // (k, rts)
+      (1L, ts(30000L)),  // matches imp@0 only
+      (1L, ts(90000L)),  // matches imp@60000 only
+      (2L, ts(600000L)), // outside the 1-minute bound -> imp 2 unmatched
+      (3L, ts(1000L)))   // click with no impression: dropped by left join
+    val expected = Streaming.timeBoundLeftJoin(
+        imps.toDF("k", "lts"), clicks.toDF("k", "rts"), "1 MINUTE")
+      .collect().map(_.toString).sorted
+    // 2 matches + the null-padded unmatched imp for k=2
+    assert(expected.length == 3)
+    assert(expected.count(_.contains("null")) == 1)
+
+    val li = MemoryStream[(Long, java.sql.Timestamp)]
+    val ri = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = Streaming.streamingTimeBoundLeftJoin(
+        li.toDS().toDF("k", "lts"), ri.toDS().toDF("k", "rts"),
+        lateness = "10 minutes", maxDelay = "1 MINUTE")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssoj_out").start()
+    try {
+      li.addData(imps)
+      ri.addData(clicks)
+      q.processAllAvailable()
+      // push both watermarks far past lts+maxDelay for every real event so
+      // the unmatched-left rows emit; the left sentinel itself stays in
+      // state (its own expiry never passes) — filter sentinels out
+      li.addData(Seq((98L, ts(7200000L))))
+      ri.addData(Seq((99L, ts(7200000L))))
+      q.processAllAvailable()
+      val got = spark.table("ssoj_out").where("k < 90")
+        .collect().map(_.toString).sorted
+      assert(got.sameElements(expected), s"stream ${got.toSeq} vs batch ${expected.toSeq}")
+    } finally q.stop()
+  }
+
   test("watermarked dedup emits each event_id once") {
     val (_, stream) = eventStream()
     val q = Streaming.streamingDedup(stream, "10 minutes", Seq("event_id"))
