@@ -84,6 +84,59 @@ class JdbcUpsertSinkSpec extends AnyFunSuite {
         "resource_json = EXCLUDED.resource_json")
   }
 
+  test("live embedded-Derby round trip: upsert is executable and idempotent") {
+    import spark.implicits._
+    // Derby ships in /opt/spark/jars; in-memory DB shared across the
+    // local-mode executor threads, so foreachPartition connections all
+    // see one database — a real (driver, network-free) S7b round trip.
+    Class.forName("org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    val url = "jdbc:derby:memory:upserttest;create=true"
+    val setup = java.sql.DriverManager.getConnection(url)
+    setup.createStatement().execute(
+      """CREATE TABLE resources ("key" VARCHAR(64) PRIMARY KEY,
+        |  "resource_type" VARCHAR(32), "resource_json" VARCHAR(4096))""".stripMargin)
+    setup.close()
+    val cfg = JdbcUpsertSink.Config(url = url, table = "resources",
+      batchSize = 2, dialect = JdbcUpsertSink.AnsiMergeDialect)
+
+    def dump(): Map[String, (String, String)] = {
+      val c = java.sql.DriverManager.getConnection(url)
+      try {
+        val rs = c.createStatement().executeQuery(
+          """SELECT "key", "resource_type", "resource_json" FROM resources""")
+        val b = Map.newBuilder[String, (String, String)]
+        while (rs.next()) b += rs.getString(1) -> (rs.getString(2), rs.getString(3))
+        b.result()
+      } finally c.close()
+    }
+
+    val first = Seq(
+      ("K1", "Patient", "{\"v\":1}"),
+      ("K2", "Patient", "{\"v\":2}"),
+      ("K3", "Specimen", "{\"v\":3}"))
+      .toDF("key", "resource_type", "resource_json").repartition(2)
+    JdbcUpsertSink.upsert(first, cfg)
+    assert(dump() == Map(
+      "K1" -> ("Patient", "{\"v\":1}"),
+      "K2" -> ("Patient", "{\"v\":2}"),
+      "K3" -> ("Specimen", "{\"v\":3}")))
+
+    // second run: K2 changed, K4 new, K1/K3 identical — a re-run must
+    // update in place without key conflicts or duplicate rows
+    val second = Seq(
+      ("K1", "Patient", "{\"v\":1}"),
+      ("K2", "Patient", "{\"v\":2,\"rev\":2}"),
+      ("K3", "Specimen", "{\"v\":3}"),
+      ("K4", "Specimen", "{\"v\":4}"))
+      .toDF("key", "resource_type", "resource_json").repartition(2)
+    JdbcUpsertSink.upsert(second, cfg)
+    assert(dump() == Map(
+      "K1" -> ("Patient", "{\"v\":1}"),
+      "K2" -> ("Patient", "{\"v\":2,\"rev\":2}"),
+      "K3" -> ("Specimen", "{\"v\":3}"),
+      "K4" -> ("Specimen", "{\"v\":4}")))
+  }
+
   test("key column must be present") {
     intercept[IllegalArgumentException] {
       JdbcUpsertSink.upsertSql("t", "missing", Seq("a", "b"))
