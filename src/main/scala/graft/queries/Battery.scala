@@ -1582,6 +1582,91 @@ object Battery {
            |  '}' AS resource_json
            |FROM b""".stripMargin))
 
+  /** Disease Condition bodies — fifth content-level JSON oracle
+    * (disease.py:38-200): fixed clinicalStatus/category, affected-status
+    * verification coding, three-ontology code block with sentinel
+    * filtering (cleaned "Unknown" MONDO ids vanish), branchy bodySite
+    * (uberon coding and/or tumor-location text, sentinel-nulled
+    * "Not Reported" locations), and the relative-date _recordedDate that
+    * the reference's bare `int()` try/except silently omits on the
+    * "bogus" ages. Orders keys are unique, so no ambiguity filter is
+    * needed; phantom-key rows (via biospecimen-diagnoses) are a Pipeline
+    * concern pinned by kf_counts_by_type, not replayed here.
+    */
+  private val kfDiseaseSlice = Q(
+    "kf_disease_slice",
+    (s, d) => {
+      val result = graft.etl.Transform(KfShaped.endpoints(s, d))
+      graft.documents.ConditionBuilders.disease(
+        result.slice(Set("studies", "participants", "diagnoses")))
+    },
+    Some("""WITH b AS (
+           |  SELECT o.o_orderkey AS ok, o.o_custkey AS ck, n.n_regionkey AS rk,
+           |         o.o_orderpriority AS prio
+           |  FROM orders o
+           |  JOIN customer c ON o.o_custkey = c.c_custkey
+           |  JOIN nation n ON c.c_nationkey = n.n_nationkey)
+           |SELECT 'DG_' || ok AS key, 'Condition' AS resource_type,
+           |  '{"resourceType":"Condition","id":"' || md5('Condition/disease/DG_' || ok) ||
+           |  '","meta":{"profile":["https://nih-ncpi.github.io/ncpi-fhir-ig/StructureDefinition/disease"],"tag":[{"code":"SD_' || rk ||
+           |  '"}]},"identifier":[{"use":"official","system":"https://kf-api-dataservice.kidsfirstdrc.org/diagnoses/","value":"DG_' || ok ||
+           |  '"}],"clinicalStatus":{"coding":[{"system":"http://terminology.hl7.org/CodeSystem/condition-clinical","code":"active","display":"Active"}],"text":"Active"},' ||
+           |  '"category":[{"coding":[{"system":"http://terminology.hl7.org/CodeSystem/condition-category","code":"encounter-diagnosis","display":"Encounter Diagnosis"}]}],' ||
+           |  '"subject":{"reference":"Patient/' || md5('Patient/PT_' || ck) ||
+           |  '"},"verificationStatus":{"coding":[' ||
+           |  CASE WHEN ck % 3 = 0
+           |    THEN '{"system":"http://terminology.hl7.org/CodeSystem/condition-ver-status","code":"confirmed","display":"Confirmed"}],"text":"True"}'
+           |    ELSE '{"system":"http://terminology.hl7.org/CodeSystem/condition-ver-status","code":"refuted","display":"Refuted"}],"text":"False"}' END ||
+           |  ',"code":{"coding":[' ||
+           |  CASE WHEN ok % 3 = 0 THEN '{"system":"http://purl.obolibrary.org/obo/mondo.owl","code":"MONDO:00' || (ok % 100) || '"},' ELSE '' END ||
+           |  '{"system":"https://www.who.int/classifications/classification-of-diseases","code":"C' || (ok % 90) ||
+           |  '"},{"system":"http://purl.obolibrary.org/obo/ncit.owl","code":"NCIT:C' || (ok % 900) ||
+           |  '"}],"text":"' || prio || '"},"bodySite":[{' ||
+           |  CASE WHEN ok % 2 = 0 THEN '"coding":[{"system":"http://purl.obolibrary.org/obo/uberon.owl","code":"UBERON:00' || (ok % 100) || '"}]' ELSE '' END ||
+           |  CASE WHEN ok % 4 = 0 THEN ''
+           |       WHEN ok % 2 = 0 THEN ',"text":"Chest wall"'
+           |       ELSE '"text":"Chest wall"' END ||
+           |  '}]' ||
+           |  CASE WHEN ok % 10 = 9 THEN ''
+           |    ELSE ',"_recordedDate":{"extension":[{"extension":[{"url":"event","valueCodeableConcept":{"coding":[{"system":"http://snomed.info/sct","code":"3950001","display":"Birth"}]}},{"url":"relationship","valueCode":"after"},{"url":"offset","valueDuration":{"value":' || (ok % 5000) ||
+           |         ',"unit":"day","system":"http://unitsofmeasure.org","code":"d"}}],"url":"http://hl7.org/fhir/StructureDefinition/relative-date"}]}' END ||
+           |  '}' AS resource_json
+           |FROM b""".stripMargin))
+
+  /** Phenotype Condition bodies — sixth content-level JSON oracle
+    * (phenotype.py:38-154): observed → verification coding, HPO +
+    * sentinel-filtered SNOMED code block, relative-date _recordedDate.
+    */
+  private val kfPhenotypeSlice = Q(
+    "kf_phenotype_slice",
+    (s, d) => {
+      val result = graft.etl.Transform(KfShaped.endpoints(s, d))
+      graft.documents.ConditionBuilders.phenotype(
+        result.slice(Set("studies", "participants", "phenotypes")))
+    },
+    Some("""WITH b AS (
+           |  SELECT o.o_orderkey AS ok, o.o_custkey AS ck, n.n_regionkey AS rk,
+           |         o.o_orderstatus AS st
+           |  FROM orders o
+           |  JOIN customer c ON o.o_custkey = c.c_custkey
+           |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+           |  WHERE o.o_orderkey % 3 = 0)
+           |SELECT 'PH_' || ok AS key, 'Condition' AS resource_type,
+           |  '{"resourceType":"Condition","id":"' || md5('Condition/phenotype/PH_' || ok) ||
+           |  '","meta":{"profile":["https://nih-ncpi.github.io/ncpi-fhir-ig/StructureDefinition/phenotype"],"tag":[{"code":"SD_' || rk ||
+           |  '"}]},"identifier":[{"use":"official","system":"https://kf-api-dataservice.kidsfirstdrc.org/phenotypes/","value":"PH_' || ok ||
+           |  '"}],"subject":{"reference":"Patient/' || md5('Patient/PT_' || ck) ||
+           |  '"},"verificationStatus":{"coding":[' ||
+           |  CASE WHEN ok % 2 = 0
+           |    THEN '{"system":"http://terminology.hl7.org/CodeSystem/condition-ver-status","code":"confirmed","display":"Confirmed"}],"text":"Positive"}'
+           |    ELSE '{"system":"http://terminology.hl7.org/CodeSystem/condition-ver-status","code":"refuted","display":"Refuted"}],"text":"Negative"}' END ||
+           |  ',"code":{"coding":[{"system":"http://purl.obolibrary.org/obo/hp.owl","code":"HP:000' || (ok % 1000) || '"}' ||
+           |  CASE WHEN ok % 6 = 0 THEN ',{"system":"http://snomed.info/sct","code":"1234' || (ok % 10) || '"}' ELSE '' END ||
+           |  '],"text":"' || st ||
+           |  '"},"_recordedDate":{"extension":[{"extension":[{"url":"event","valueCodeableConcept":{"coding":[{"system":"http://snomed.info/sct","code":"3950001","display":"Birth"}]}},{"url":"relationship","valueCode":"after"},{"url":"offset","valueDuration":{"value":' || (ok % 6000) ||
+           |  ',"unit":"day","system":"http://unitsofmeasure.org","code":"d"}}],"url":"http://hl7.org/fhir/StructureDefinition/relative-date"}]}}' AS resource_json
+           |FROM b""".stripMargin))
+
   /** The COMPLETE reference pipeline: 14 KF-shaped endpoint tables →
     * presence-driven transform → all 16 entity builders (incl. the
     * bulk-prefetched Indexd dimension replacing per-row REST) → one
@@ -1655,7 +1740,7 @@ object Battery {
     x2LangId, x3Fingerprint, x3bRolling, x4Quality, x5TokenFreq,
     n2AnnLsh, n3EmbNearDup, n4AnnIvf, n5PqQuantize,
     kfPatientSlice, kfRSubjectSlice, kfSpecimenSlice, kfDrsSlice,
-    kfFullPipeline, kfCountsByType)
+    kfDiseaseSlice, kfPhenotypeSlice, kfFullPipeline, kfCountsByType)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
