@@ -1271,10 +1271,14 @@ object Battery {
 
   /** Multimodal batch decode: binary payload + typed metadata →
     * mapPartitions feature extraction (decoder stubbed deterministically;
-    * plumbing real). Rows-only check (Dataset API not SQL-expressible).
-    * The feature vector is flattened to scalar columns: the driver's
-    * rows-only check sorts the result frame, which arrays break
-    * (unhashable in pandas).
+    * plumbing real). The stub feature(i) is the mean of the payload
+    * bytes at positions ≡ i (mod 8); multiplying back by byte_len and
+    * rounding recovers the stride byte-SUM exactly (float32 relative
+    * error ~2^-24 ⇒ absolute error ≪ 0.5 at these magnitudes), which
+    * turns the formerly rows-only check into an integer-exact DuckDB
+    * oracle (the payloads are ASCII, so byte positions = char
+    * positions). The float vectors themselves stay pinned by
+    * MultimodalOpsSpec.
     */
   private val m2MultimodalDecode = Q(
     "m2_multimodal_decode",
@@ -1282,9 +1286,28 @@ object Battery {
       val media = graft.ops.MultimodalOps.mediaFromDocuments(T.documents(s, d))
       val feats = graft.ops.MultimodalOps.extractFeatures(media, shards = 8).toDF()
       feats.select(Seq(col("asset_id"), col("media_type"), col("byte_len")) ++
-        (0 until 8).map(i => col("feature").getItem(i).as(s"f$i")): _*)
+        (0 until 8).map(i =>
+          round(col("feature").getItem(i) * col("byte_len")).cast("long")
+            .as(s"s$i")): _*)
     },
-    None)
+    Some {
+      val sums = (0 until 8).map(i =>
+        s"CAST(max(CASE WHEN i = $i THEN v END) AS BIGINT) AS s$i").mkString(",\n  ")
+      s"""WITH g AS (
+         |  SELECT doc_id, unnest(range(1, length(text) + 1)) AS p, text
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, (p - 1) % 8 AS i,
+         |         sum(ascii(substring(text, CAST(p AS INT), 1))) AS v
+         |  FROM g GROUP BY 1, 2)
+         |SELECT d.doc_id AS asset_id,
+         |  CASE CAST(d.doc_id % 3 AS INT) WHEN 0 THEN 'image'
+         |       WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+         |  CAST(length(d.text) AS BIGINT) AS byte_len,
+         |  $sums
+         |FROM documents d JOIN s ON d.doc_id = s.doc_id
+         |GROUP BY 1, 2, 3""".stripMargin
+    })
 
   /** Corpus token histogram: explode tokens → count — the vocabulary/
     * token-counting sweep of a training-data pipeline (one shuffle on
@@ -1305,18 +1328,33 @@ object Battery {
   /** Video frame sampling: flatMap fan-out of each video into (asset,
     * frame) rows — narrow, frames stay in their asset's partition. Frame
     * payloads surface as md5 digests (scalar, sortable) rather than raw
-    * bytes; decode is the documented deterministic stub, so rows-only
-    * check.
+    * bytes. The stub "frame" is a deterministic 16-byte wraparound
+    * window of the payload at ts % len, which DuckDB reproduces with
+    * substring over a doubled string (payloads are ASCII and ≥ 16
+    * chars, so byte windows = char windows and one doubling suffices) —
+    * full content oracle, no longer rows-only. 5 s cadence so the
+    * synthetic durations (doc_id·100 ms ≤ 50 s) yield multi-frame
+    * fan-outs with wraparound starts.
     */
   private val m3FrameSample = Q(
     "m3_frame_sample",
     (s, d) => {
       val media = graft.ops.MultimodalOps.mediaFromDocuments(T.documents(s, d))
-      graft.ops.MultimodalOps.sampleFrames(media, everyMs = 60000L).toDF()
+      graft.ops.MultimodalOps.sampleFrames(media, everyMs = 5000L).toDF()
         .select(col("asset_id"), col("frame_idx"), col("ts_ms"),
           md5(col("frame")).as("frame_md5"))
     },
-    None)
+    Some("""WITH v AS (
+           |  SELECT doc_id AS asset_id, text, length(text) AS len
+           |  FROM documents WHERE doc_id % 3 = 2),
+           |f AS (
+           |  SELECT asset_id, text, len,
+           |         unnest(range(0, CAST(asset_id * 100 AS BIGINT), 5000)) AS ts_ms
+           |  FROM v)
+           |SELECT asset_id, CAST(ts_ms / 5000 AS INT) AS frame_idx, ts_ms,
+           |  md5(substring(text || text, CAST(ts_ms % len AS INT) + 1,
+           |      least(16, len))) AS frame_md5
+           |FROM f""".stripMargin))
 
   // ------------------------------------------ KF ETL end-to-end slice (§7.2)
 
