@@ -140,6 +140,18 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("partial_count"), s"no map-side partial count:\n$p")
   }
 
+  test("content-slice queries never degrade to a cartesian product") {
+    // the specimen/DRS slices join builder output against the derived
+    // unambiguous-key set, and the DRS chain adds the indexd equi-join;
+    // all of it must stay equi-join shaped at any scale
+    for (name <- Seq("kf_specimen_slice", "kf_drs_slice",
+        "kf_disease_slice", "kf_phenotype_slice")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name degraded to a product join:\n$p")
+    }
+  }
+
   test("SQL entry point gets the same plan quality: pushdown + broadcast dim") {
     val p = plan("q3_sql_topk")
     assert(p.contains("PushedFilters") && p.contains("BUILDING"),
