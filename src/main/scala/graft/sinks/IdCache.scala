@@ -47,6 +47,24 @@ final class IdCache(spark: SparkSession, dir: String) {
     resolved.select(col("key").cast("string"), col("resolved_id").cast("string"))
       .write.mode("append").parquet(path(entityClass))
 
+  /** Compact one entity class's append-only store: rewrite the deduped
+    * pairs as a single snapshot and swap it in (write-elsewhere +
+    * Hadoop FS rename — atomic on HDFS/local, best-effort on object
+    * stores, where a committer-backed overwrite is the production
+    * variant). Out-of-band maintenance for when the batch count grows;
+    * resolution correctness never depends on it.
+    */
+  def compact(entityClass: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path(entityClass))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val tmp = new org.apache.hadoop.fs.Path(path(entityClass) + "__compacting")
+      read(entityClass).write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(p, true)
+      fs.rename(tmp, p)
+    }
+  }
+
   /** Resolve `docs` (must carry a `key` column) against the cache;
     * `fetch` is consulted ONLY for cache-miss keys (it receives a
     * one-column `key` DataFrame and returns (key, resolved_id) rows for

@@ -105,6 +105,18 @@ object Streaming {
       right.withWatermark("rts", lateness),
       maxDelay)
 
+  /** Stream–static dimension enrichment: join a stream against a batch
+    * dimension table. The static side is re-planned per micro-batch (so
+    * a dimension refresh is picked up without restarting the query) and
+    * needs no watermark — no stream-stream state is kept. `broadcast()`
+    * on the dimension keeps every micro-batch shuffle-free; at a
+    * driver-OOM-sized dimension, drop the hint and let AQE decide.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String,
+      broadcastDim: Boolean = true): DataFrame =
+    stream.join(
+      if (broadcastDim) broadcast(dim) else dim, Seq(key), "left")
+
   /** Incremental batch execution (`Trigger.AvailableNow`): process every
     * input file not yet recorded in the checkpoint, hand each
     * micro-batch to `batchFn`, then stop. Re-running with the same

@@ -71,6 +71,22 @@ class IdCacheSpec extends AnyFunSuite {
     assert(seen == Seq(Set("A", "B", "C"), Set("C", "D")))
   }
 
+  test("compaction collapses appended batches without changing resolution") {
+    val dir = Files.createTempDirectory("idcache").toString
+    val cache = new IdCache(spark, dir)
+    cache.append("patient", Seq(("A", "id-a"), ("B", "id-b")).toDF("key", "resolved_id"))
+    cache.append("patient", Seq(("B", "id-b"), ("C", "id-c")).toDF("key", "resolved_id"))
+    val before = cache.read("patient").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    cache.compact("patient")
+    val after = cache.read("patient").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(after == before)
+    assert(after == Map("A" -> "id-a", "B" -> "id-b", "C" -> "id-c"))
+    // compacting a never-written class is a no-op, not an error
+    cache.compact("specimen")
+  }
+
   test("entity classes are cached independently") {
     val dir = Files.createTempDirectory("idcache").toString
     val calls = new AtomicInteger(0)

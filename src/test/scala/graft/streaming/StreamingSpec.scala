@@ -194,6 +194,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins the dimension by broadcast, batch-parity") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dim = Seq(("SC_1", "Center One"), ("SC_2", "Center Two"))
+      .toDF("center_id", "center_name")
+    val events = Seq((1L, "SC_1"), (2L, "SC_2"), (3L, "SC_9"))
+    val expected = Streaming.enrich(
+        events.toDF("id", "center_id"), dim, "center_id")
+      .collect().map(_.toString).sorted
+    assert(expected.length == 3) // left join: unmatched SC_9 survives
+
+    val in = MemoryStream[(Long, String)]
+    val enriched = Streaming.enrich(in.toDS().toDF("id", "center_id"), dim, "center_id")
+    val q = enriched.writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out").start()
+    try {
+      in.addData(events)
+      q.processAllAvailable()
+      val got = spark.table("enrich_out").collect().map(_.toString).sorted
+      assert(got.sameElements(expected), s"stream ${got.toSeq} vs batch ${expected.toSeq}")
+    } finally q.stop()
+    // dimension side must be broadcast — no shuffle per micro-batch
+    val plan = Streaming.enrich(events.toDF("id", "center_id"), dim, "center_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"dim not broadcast:\n$plan")
+  }
+
   test("watermarked dedup emits each event_id once") {
     val (_, stream) = eventStream()
     val q = Streaming.streamingDedup(stream, "10 minutes", Seq("event_id"))
