@@ -78,4 +78,42 @@ class LoadStageSpec extends AnyFunSuite {
     // PT_1 came from the cache; only the unresolved PT_2 re-queries
     assert(fetched.collect { case ("patient", ks) => ks } == Seq(Set("PT_2")))
   }
+
+  test("end-to-end load: resolved ids PUT to the server id, the rest POST") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    import java.net.InetSocketAddress
+    import java.util.concurrent.ConcurrentLinkedQueue
+    val requests = new ConcurrentLinkedQueue[String]()
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    server.createContext("/", new HttpHandler {
+      override def handle(t: HttpExchange): Unit = {
+        requests.add(t.getRequestMethod + " " + t.getRequestURI.getPath)
+        t.getRequestBody.readAllBytes()
+        val ok = "{}".getBytes("UTF-8")
+        t.sendResponseHeaders(if (t.getRequestMethod == "POST") 201 else 200, ok.length)
+        t.getResponseBody.write(ok); t.close()
+      }
+    })
+    server.start()
+    try {
+      val base = s"http://localhost:${server.getAddress.getPort}"
+      val dir = Files.createTempDirectory("loadstage-e2e").toString
+      val server2 = Map(("patient", "PT_1") -> "srv-pat-1")
+      val fetch: (String, DataFrame) => DataFrame = (cls, miss) => {
+        val keys = miss.collect().map(_.getString(0))
+        keys.flatMap(k => server2.get((cls, k)).map(k -> _)).toSeq
+          .toDF("key", "resolved_id")
+      }
+      LoadStage.run(result,
+        (_, df) => graft.sinks.HttpUpsertSink.upsert(df,
+          graft.sinks.HttpUpsertSink.Config(base), idCol = "resolved_id"),
+        cache = Some(new IdCache(spark, dir)), fetch = fetch)
+      val reqs = requests.toArray(Array.empty[String]).toSeq
+      // 2 patients + 2 proband observations + 1 study + 2 subjects = 7 rows;
+      // exactly the one resolved patient PUTs to its server id
+      assert(reqs.count(_.startsWith("PUT ")) == 1, reqs)
+      assert(reqs.contains("PUT /Patient/srv-pat-1"), reqs)
+      assert(reqs.count(_.startsWith("POST ")) == 6, reqs)
+    } finally server.stop(0)
+  }
 }
