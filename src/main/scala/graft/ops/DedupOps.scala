@@ -193,6 +193,58 @@ object DedupOps {
       GraftColumnBridge.expression(text), 16))
   }
 
+  /** Dedup cluster formation: connected components over a near-dup pair
+    * graph by iterative min-label propagation — the step after candidate
+    * generation in a dedup pipeline (every member of a component keeps
+    * one representative, the minimum id).
+    *
+    * Shape per iteration: one groupBy (each node's neighborhood minimum)
+    * + one join (apply it) — two shuffles on the node id, both
+    * AQE-planned; labels persist so iteration N+1 reads a materialized
+    * frame, not a replay of the whole chain. Converges in O(component
+    * diameter) rounds (near-dup components are shallow — pairs share a
+    * bucket); the driver-side convergence count is one action per round
+    * over a node-sized frame. `maxIter` bounds the loop; non-convergence
+    * throws rather than returning a half-propagated labeling. At larger
+    * diameters the standard refinement is small-star/large-star
+    * alternation — the same join shape, fewer rounds.
+    *
+    * Returns one row per node in `nodes`: (idCol, cluster) where
+    * cluster = min id reachable via `pairs` (singletons label
+    * themselves).
+    */
+  def connectedComponents(nodes: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes.select(col(idCol).as("node")).distinct()
+      .withColumn("label", col("node"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = edges.join(labels, edges("src") === labels("node"))
+        .groupBy(edges("dst").as("nbr_node"))
+        .agg(min(col("label")).as("nbr_min"))
+      val next = labels
+        .join(neighborMin, labels("node") === neighborMin("nbr_node"), "left")
+        .select(col("node"), col("label").as("old_label"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next.where(col("label") =!= col("old_label")).count()
+      labels.unpersist()
+      labels = next.select("node", "label")
+      iter += 1
+    }
+    edges.unpersist()
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter iterations")
+    labels.select(col("node").as(idCol), col("label").as("cluster"))
+  }
+
   /** The composed-builtin SimHash (16 interpreted array folds) — kept as
     * the differential-test twin of the native expression.
     */

@@ -1309,6 +1309,45 @@ object Battery {
          |GROUP BY 1, 2, 3""".stripMargin
     })
 
+  /** Dedup cluster formation: connected components over the embedding
+    * near-dup pair graph (iterative min-label propagation, two shuffles
+    * per round) — every corpus member labeled with its component's
+    * minimum id, singletons labeling themselves. The oracle computes the
+    * same labeling in DuckDB with a recursive transitive-closure CTE
+    * over the identical LSH-bucketed pair set.
+    */
+  private val d5DedupClusters = Q(
+    "d5_dedup_clusters",
+    (s, d) => {
+      val emb = T.embeddings(s, d)
+      val pairs = graft.ops.SimilarityOps.nearDupPairs(
+        emb, "vec_id", "embedding", nBits = 4, half = 32, threshold = 0.35)
+      graft.ops.DedupOps.connectedComponents(
+        emb.select(col("vec_id")), "vec_id", pairs, "id_a", "id_b")
+    },
+    Some {
+      val bits = (1 to 4).map(j =>
+        s"CASE WHEN v[$j] - v[${j + 32}] > 0 THEN ${1 << (j - 1)} ELSE 0 END").mkString(" + ")
+      s"""WITH RECURSIVE
+         |b AS (SELECT vec_id, embedding::DOUBLE[] AS v, $bits AS bucket
+         |      FROM embeddings),
+         |p AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b
+         |      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+         |      WHERE list_dot_product(a.v, b2.v) /
+         |          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v)))
+         |        >= 0.35),
+         |e AS (SELECT id_a AS a, id_b AS bb FROM p
+         |      UNION SELECT id_b, id_a FROM p),
+         |reach(a, bb) AS (
+         |  SELECT a, bb FROM e
+         |  UNION
+         |  SELECT r.a, e.bb FROM reach r JOIN e ON r.bb = e.a)
+         |SELECT n.vec_id,
+         |  least(n.vec_id, coalesce(min(r.bb), n.vec_id)) AS cluster
+         |FROM embeddings n LEFT JOIN reach r ON r.a = n.vec_id
+         |GROUP BY n.vec_id""".stripMargin
+    })
+
   /** Corpus token histogram: explode tokens → count — the vocabulary/
     * token-counting sweep of a training-data pipeline (one shuffle on
     * the token, map-side partial counts). Top-50 by (count desc, token)
@@ -1775,6 +1814,7 @@ object Battery {
     d1DedupExact, x1TextStats, n1AnnTopK, m1Multimodal, m2MultimodalDecode,
     m3FrameSample,
     d2MinhashBands, d2bNearDupPairs, d3Simhash, d4NgramJaccard,
+    d5DedupClusters,
     x2LangId, x3Fingerprint, x3bRolling, x4Quality, x5TokenFreq,
     n2AnnLsh, n3EmbNearDup, n4AnnIvf, n5PqQuantize,
     kfPatientSlice, kfRSubjectSlice, kfSpecimenSlice, kfDrsSlice,

@@ -58,4 +58,25 @@ class DedupOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((1L, 2L)))
   }
+
+  test("connectedComponents labels chains, merges, and singletons by min id") {
+    // components: {1,2,3,4} (a chain), {5,6,9} (merged via two pairs),
+    // {7} (singleton, no edges), {8} (appears only as a node)
+    val nodes = (1L to 9L).map(Tuple1(_)).toDF("id")
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (5L, 6L), (9L, 6L), (7L, 7L))
+      .toDF("a", "b")
+    val got = DedupOps.connectedComponents(nodes, "id", pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 9L -> 5L, 7L -> 7L, 8L -> 8L))
+  }
+
+  test("connectedComponents throws instead of returning half-propagated labels") {
+    // a 6-node path needs ~5 rounds; maxIter=2 must refuse, not lie
+    val nodes = (1L to 6L).map(Tuple1(_)).toDF("id")
+    val pairs = (1L to 5L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      DedupOps.connectedComponents(nodes, "id", pairs, "a", "b", maxIter = 2)
+    }
+  }
 }
