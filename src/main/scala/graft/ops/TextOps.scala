@@ -42,6 +42,19 @@ object TextOps {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** In-document repetition: fraction of n-gram occurrences that repeat
+    * an earlier n-gram (1 − distinct/total) — the standard "duplicated
+    * n-grams" quality signal for filtering boilerplate/template text.
+    * Narrow (one shingle pass + a distinct over a per-row array), zero
+    * shuffle; 0.0 for docs shorter than n tokens.
+    */
+  def repetitionRatio(text: Column, n: Int = 3): Column = {
+    val sh = shingles(text, n)
+    when(size(sh) > 0,
+      lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
   /** Stopword profiles for the n-gram/stopword language-ID heuristic. */
   val StopwordProfiles: Map[String, Seq[String]] = Map(
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),

@@ -1348,6 +1348,67 @@ object Battery {
          |GROUP BY n.vec_id""".stripMargin
     })
 
+  /** The dedup pipeline end-to-end: exact n-gram Jaccard pairs →
+    * connected components → keep each component's representative (its
+    * minimum doc id) — the corpus a training run would actually consume.
+    * Emits md5(text) rather than the text so the row stays scalar.
+    */
+  private val d6DedupCorpus = Q(
+    "d6_dedup_corpus",
+    (s, d) => {
+      val docs = T.documents(s, d)
+      val pairs = graft.ops.DedupOps.ngramJaccardPairs(
+        docs, "doc_id", "text", shingleN = 3, threshold = 0.5)
+      val clusters = graft.ops.DedupOps.connectedComponents(
+        docs.select(col("doc_id")), "doc_id", pairs, "doc_a", "doc_b")
+      docs
+        .join(clusters.where(col("doc_id") === col("cluster")).select("doc_id"),
+          Seq("doc_id"))
+        .select(col("doc_id"), md5(col("text")).as("text_md5"))
+    },
+    Some("""WITH RECURSIVE
+           |t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+           |g AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh FROM t),
+           |ds AS (SELECT doc_id, unnest(sh) AS s FROM g),
+           |sz AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
+           |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM ds a JOIN ds b USING (s)
+           |  JOIN sz sa ON sa.doc_id = a.doc_id
+           |  JOIN sz sb ON sb.doc_id = b.doc_id
+           |  WHERE a.doc_id < b.doc_id
+           |  GROUP BY 1, 2, sa.n, sb.n
+           |  HAVING CAST(count(*) AS DOUBLE)/(sa.n + sb.n - count(*)) >= 0.5),
+           |e AS (SELECT doc_a AS a, doc_b AS bb FROM p
+           |      UNION SELECT doc_b, doc_a FROM p),
+           |reach(a, bb) AS (
+           |  SELECT a, bb FROM e
+           |  UNION
+           |  SELECT r.a, e.bb FROM reach r JOIN e ON r.bb = e.a)
+           |SELECT d.doc_id, md5(d.text) AS text_md5
+           |FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+           |GROUP BY d.doc_id, d.text
+           |HAVING least(d.doc_id, coalesce(min(r.bb), d.doc_id)) = d.doc_id""".stripMargin))
+
+  /** In-document n-gram repetition ratio (1 − distinct/total 3-grams) —
+    * the boilerplate/template filter signal. Narrow, zero shuffle.
+    */
+  private val x7Repetition = Q(
+    "x7_repetition",
+    (s, d) => T.documents(s, d).select(
+      col("doc_id"),
+      round(graft.ops.TextOps.repetitionRatio(col("text"), 3), 6).as("repetition")),
+    Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+           |g AS (SELECT doc_id,
+           |        CASE WHEN len(toks) >= 3
+           |          THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]
+           |          ELSE [] END AS sh
+           |      FROM t)
+           |SELECT doc_id,
+           |  round(CASE WHEN len(sh) > 0
+           |    THEN 1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh)
+           |    ELSE 0.0 END, 6) AS repetition
+           |FROM g""".stripMargin))
+
   /** Corpus token histogram: explode tokens → count — the vocabulary/
     * token-counting sweep of a training-data pipeline (one shuffle on
     * the token, map-side partial counts). Top-50 by (count desc, token)
@@ -1814,8 +1875,9 @@ object Battery {
     d1DedupExact, x1TextStats, n1AnnTopK, m1Multimodal, m2MultimodalDecode,
     m3FrameSample,
     d2MinhashBands, d2bNearDupPairs, d3Simhash, d4NgramJaccard,
-    d5DedupClusters,
+    d5DedupClusters, d6DedupCorpus,
     x2LangId, x3Fingerprint, x3bRolling, x4Quality, x5TokenFreq,
+    x7Repetition,
     n2AnnLsh, n3EmbNearDup, n4AnnIvf, n5PqQuantize,
     kfPatientSlice, kfRSubjectSlice, kfSpecimenSlice, kfDrsSlice,
     kfDiseaseSlice, kfPhenotypeSlice, kfFullPipeline, kfCountsByType)

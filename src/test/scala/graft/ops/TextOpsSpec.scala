@@ -68,4 +68,17 @@ class TextOpsSpec extends AnyFunSuite {
       TextOps.langIdComposed(col("t")).as("composed")).collect()
     rows.foreach(r => assert(r.getString(0) == r.getString(1), r))
   }
+  test("repetitionRatio: 1 - distinct/total 3-grams; short docs are 0") {
+    val got = Seq(
+      ("a b c d e", 0.0),          // 3 distinct 3-grams of 3
+      ("a b c a b c a b c", 4.0 / 7.0), // 7 grams, 3 distinct
+      ("x y", 0.0),                // < 3 tokens -> no grams -> 0
+      ("", 0.0))
+      .map(_._1).toDF("t")
+      .select(TextOps.repetitionRatio(col("t"), 3).as("r"))
+      .collect().map(_.getDouble(0))
+    assert(got(0) == 0.0)
+    assert(math.abs(got(1) - 4.0 / 7.0) < 1e-12)
+    assert(got(2) == 0.0 && got(3) == 0.0)
+  }
 }
