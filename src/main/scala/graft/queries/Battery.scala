@@ -1805,6 +1805,271 @@ object Battery {
            |  ',"unit":"day","system":"http://unitsofmeasure.org","code":"d"}}],"url":"http://hl7.org/fhir/StructureDefinition/relative-date"}]}}' AS resource_json
            |FROM b""".stripMargin))
 
+  /** Histopathology Observation bodies — seventh content-level JSON
+    * oracle (histopathology.py:28-126): the dual-ancestor link resource
+    * (subject → patient, focus → disease Condition, specimen →
+    * Specimen) with its OWN sentinel set for the tumor descriptor; the
+    * global clean already nulls "N/A" descriptors upstream. Unambiguous
+    * (orderkey, linenumber) keys only, as in kf_specimen_slice.
+    */
+  private val kfHistoSlice = Q(
+    "kf_histo_slice",
+    (s, d) => {
+      val result = graft.etl.Transform(KfShaped.endpoints(s, d))
+      val histo = graft.documents.ConditionBuilders.histopathology(
+        result.slice(Set("studies", "participants", "diagnoses",
+          "biospecimen-diagnoses", "biospecimens")))
+      val uniq = T.lineitem(s, d)
+        .groupBy(concat(lit("BD_"), col("l_orderkey"), lit("_"),
+          col("l_linenumber")).as("key"))
+        .count().where(col("count") === 1).select("key")
+      histo.join(uniq, Seq("key"))
+    },
+    Some("""WITH uniq AS (
+           |  SELECT l_orderkey, l_linenumber FROM lineitem
+           |  GROUP BY 1, 2 HAVING count(*) = 1),
+           |b AS (
+           |  SELECT l.l_orderkey AS ok, l.l_linenumber AS ln,
+           |         o.o_custkey AS ck, n.n_regionkey AS rk,
+           |         l.l_orderkey || '_' || l.l_linenumber AS k
+           |  FROM lineitem l
+           |  JOIN uniq u ON l.l_orderkey = u.l_orderkey AND l.l_linenumber = u.l_linenumber
+           |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+           |  JOIN customer c ON o.o_custkey = c.c_custkey
+           |  JOIN nation n ON c.c_nationkey = n.n_nationkey)
+           |SELECT 'BD_' || k AS key, 'Observation' AS resource_type,
+           |  '{"resourceType":"Observation","id":"' || md5('Observation/histo/BD_' || k) ||
+           |  '","meta":{"profile":["http://hl7.org/fhir/StructureDefinition/Observation"],"tag":[{"code":"SD_' || rk ||
+           |  '"}]},"identifier":[{"use":"official","system":"https://kf-api-dataservice.kidsfirstdrc.org/biospecimen-diagnoses/","value":"BD_' || k ||
+           |  '"}],"status":"final","category":[{"coding":[{"system":"http://terminology.hl7.org/CodeSystem/observation-category","code":"laboratory","display":"Laboratory"}],"text":"Histopathology"}],' ||
+           |  '"code":{"coding":[{"system":"http://snomed.info/sct","code":"250537006","display":"Histopathology finding (finding)"}],"text":"Histopathology"},' ||
+           |  '"subject":{"reference":"Patient/' || md5('Patient/PT_' || ck) ||
+           |  '"},"focus":[{"reference":"Condition/' || md5('Condition/disease/DG_' || ok) ||
+           |  '"}],"specimen":{"reference":"Specimen/' || md5('Specimen/BS_' || k) || '"}' ||
+           |  CASE WHEN ln % 2 = 0 THEN ',"valueCodeableConcept":{"text":"Primary"}' ELSE '' END ||
+           |  '}' AS resource_json
+           |FROM b""".stripMargin))
+
+  /** VitalStatus Observation bodies — eighth content-level JSON oracle
+    * (vital_status.py:16-94): SNOMED clinical-status code, relative-date
+    * _effectiveDateTime, Alive/Deceased value coding.
+    */
+  private val kfVitalSlice = Q(
+    "kf_vital_slice",
+    (s, d) => {
+      val result = graft.etl.Transform(KfShaped.endpoints(s, d))
+      graft.documents.ParticipantBuilders.vitalStatus(
+        result.slice(Set("studies", "participants", "outcomes")))
+    },
+    Some("""WITH b AS (
+           |  SELECT o.o_orderkey AS ok, o.o_custkey AS ck, n.n_regionkey AS rk
+           |  FROM orders o
+           |  JOIN customer c ON o.o_custkey = c.c_custkey
+           |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+           |  WHERE o.o_orderkey % 7 = 0)
+           |SELECT 'OC_' || ok AS key, 'Observation' AS resource_type,
+           |  '{"resourceType":"Observation","id":"' || md5('Observation/vital/OC_' || ok) ||
+           |  '","meta":{"profile":["https://nih-ncpi.github.io/ncpi-fhir-ig/StructureDefinition/vital-status"],"tag":[{"code":"SD_' || rk ||
+           |  '"}]},"identifier":[{"use":"official","system":"https://kf-api-dataservice.kidsfirstdrc.org/outcomes/","value":"OC_' || ok ||
+           |  '"}],"status":"final","code":{"coding":[{"system":"http://snomed.info/sct","code":"263493007","display":"Clinical status (attribute)"}],"text":"Clinical status"},' ||
+           |  '"subject":{"reference":"Patient/' || md5('Patient/PT_' || ck) ||
+           |  '"},"_effectiveDateTime":{"extension":[{"extension":[{"url":"event","valueCodeableConcept":{"coding":[{"system":"http://snomed.info/sct","code":"3950001","display":"Birth"}]}},{"url":"relationship","valueCode":"after"},{"url":"offset","valueDuration":{"value":' || (ok % 7000) ||
+           |  ',"unit":"day","system":"http://unitsofmeasure.org","code":"d"}}],"url":"http://hl7.org/fhir/StructureDefinition/relative-date"}]},' ||
+           |  '"valueCodeableConcept":' ||
+           |  CASE WHEN ok % 2 = 0
+           |    THEN '{"coding":[{"system":"http://snomed.info/sct","code":"438949009","display":"Alive (finding)"}],"text":"Alive"}'
+           |    ELSE '{"coding":[{"system":"http://snomed.info/sct","code":"419099009","display":"Dead (finding)"}],"text":"Deceased"}' END ||
+           |  '}' AS resource_json
+           |FROM b""".stripMargin))
+
+  /** Family Group bodies — ninth content-level JSON oracle
+    * (family.py:22-130): the A1 regroup per (study, family) with sorted
+    * member reference structs, species-driven group type, quantity, and
+    * the secondary external-id identifier. The member array is rebuilt
+    * in DuckDB with a list comprehension over the lexicographically
+    * sorted patient ids (matching sort_array on strings).
+    */
+  private val kfFamilySlice = Q(
+    "kf_family_slice",
+    (s, d) => {
+      val result = graft.etl.Transform(KfShaped.endpoints(s, d))
+      graft.documents.FhirBuilders.family(
+        result.slice(Set("studies", "participants", "families")))
+    },
+    Some("""WITH fam AS (
+           |  SELECT 'FM_' || c.c_nationkey AS fid, 'SD_' || n.n_regionkey AS sid,
+           |         list_sort(list('PT_' || c.c_custkey)) AS members
+           |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+           |  GROUP BY 1, 2)
+           |SELECT fid AS key, 'Group' AS resource_type,
+           |  '{"resourceType":"Group","id":"' || md5('Group/' || fid) ||
+           |  '","meta":{"profile":["http://hl7.org/fhir/StructureDefinition/Group"],"tag":[{"code":"' || sid ||
+           |  '"}]},"identifier":[{"use":"official","system":"https://kf-api-dataservice.kidsfirstdrc.org/families/","value":"' || fid ||
+           |  '"},{"use":"secondary","value":"fam-' || fid ||
+           |  '"}],"type":"person","actual":true,"code":{"coding":[{"system":"http://terminology.hl7.org/CodeSystem/v3-RoleCode","code":"FAMMEMB","display":"family member"}]},' ||
+           |  '"quantity":' || len(members) || ',"member":[' ||
+           |  array_to_string([
+           |    '{"entity":{"reference":"Patient/' || md5('Patient/' || p) || '"},"inactive":false}'
+           |    for p in members], ',') ||
+           |  ']}' AS resource_json
+           |FROM fam""".stripMargin))
+
+  /** ResearchStudy bodies — content-level oracle #10
+    * (research_study.py:33-125): dbGaP accession string surgery
+    * (split + version suffix), SNOMED domain category, program/short-code
+    * keywords, PI PractitionerRole reference. Phantom study keys are a
+    * Pipeline concern (kf_counts_by_type); this pins the body.
+    */
+  private val kfStudySlice = Q(
+    "kf_study_slice",
+    (s, d) => {
+      val result = graft.etl.Transform(KfShaped.endpoints(s, d))
+      graft.documents.FhirBuilders.researchStudy(result.slice(Set("studies")))
+    },
+    Some("""SELECT 'SD_' || r_regionkey AS key, 'ResearchStudy' AS resource_type,
+           |  '{"resourceType":"ResearchStudy","id":"' || md5('ResearchStudy/SD_' || r_regionkey) ||
+           |  '","meta":{"profile":["http://hl7.org/fhir/StructureDefinition/ResearchStudy"],"tag":[{"code":"SD_' || r_regionkey ||
+           |  '"}]},"identifier":[{"use":"official","system":"https://kf-api-dataservice.kidsfirstdrc.org/studies/","value":"SD_' || r_regionkey ||
+           |  '"},{"use":"secondary","system":"https://www.ncbi.nlm.nih.gov/projects/gap/cgi-bin/study.cgi?study_id=","value":"phs00000' || r_regionkey ||
+           |  '.v1"}],"status":"completed","title":"' || r_name ||
+           |  '","category":[{"text":"CANCER","coding":[{"system":"http://snomed.info/sct","code":"86049000","display":"Malignant neoplasm, primary (morphologic abnormality)"}]}],' ||
+           |  '"keyword":[{"coding":[{"code":"Kids First"}]},{"coding":[{"code":"S' || r_regionkey ||
+           |  '"}]}],"principalInvestigator":{"reference":"PractitionerRole/' || md5('PractitionerRole/IV_' || r_regionkey) || '"}}' AS resource_json
+           |FROM region""".stripMargin))
+
+  /** ProbandStatus Observation bodies — content-level oracle #11
+    * (proband_status.py:30-99), incl. the deliberate Python-truthiness
+    * quirk: the identifier value is boolean TRUE for any non-null
+    * proband string, "False" included.
+    */
+  private val kfProbandSlice = Q(
+    "kf_proband_slice",
+    (s, d) => {
+      val result = graft.etl.Transform(KfShaped.endpoints(s, d))
+      graft.documents.ParticipantBuilders.probandStatus(
+        result.slice(Set("studies", "participants")))
+    },
+    Some("""WITH p AS (
+           |  SELECT c.c_custkey AS ck, n.n_regionkey AS rk
+           |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey)
+           |SELECT 'PT_' || ck AS key, 'Observation' AS resource_type,
+           |  '{"resourceType":"Observation","id":"' || md5('Observation/proband/PT_' || ck) ||
+           |  '","meta":{"profile":["http://hl7.org/fhir/StructureDefinition/Observation"],"tag":[{"code":"SD_' || rk ||
+           |  '"}]},"identifier":[{"use":"official","system":"https://kf-api-dataservice.kidsfirstdrc.org/participants?is_proband=","value":true}],' ||
+           |  '"status":"final","code":{"coding":[{"system":"http://snomed.info/sct","code":"85900004","display":"Proband (finding)"}],"text":"Proband status"},' ||
+           |  '"subject":{"reference":"Patient/' || md5('Patient/PT_' || ck) ||
+           |  '"},"valueCodeableConcept":' ||
+           |  CASE WHEN ck % 2 = 0
+           |    THEN '{"coding":[{"system":"http://terminology.hl7.org/CodeSystem/v2-0136","code":"Y","display":"Yes"}],"text":"True"}'
+           |    ELSE '{"coding":[{"system":"http://terminology.hl7.org/CodeSystem/v2-0136","code":"N","display":"No"}],"text":"False"}' END ||
+           |  '}' AS resource_json
+           |FROM p""".stripMargin))
+
+  /** FamilyRelationship Observation bodies — content-level oracle #12
+    * (family_relationship.py:310-404): v3-RoleCode relation coding with
+    * text-only fallback for unmapped relations, and the study tag
+    * derived per row from the participants table (the reference has it
+    * ambient per study run).
+    */
+  private val kfFamRelSlice = Q(
+    "kf_famrel_slice",
+    (s, d) => {
+      val result = graft.etl.Transform(KfShaped.endpoints(s, d))
+      val sbp = result.steps.find(_.endpoint == "participants").map(_.df.select(
+        col(s"`${graft.etl.Concepts.Participant.TargetServiceId}`"),
+        col(s"`${graft.etl.Concepts.Study.TargetServiceId}`")))
+      graft.documents.RelationshipBuilders.familyRelationship(
+        result.familyRelationship.get, sbp)
+    },
+    Some("""WITH p AS (
+           |  SELECT c.c_custkey AS ck, n.n_regionkey AS rk
+           |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+           |  WHERE c.c_custkey % 2 = 1)
+           |SELECT 'FR_' || ck AS key, 'Observation' AS resource_type,
+           |  '{"resourceType":"Observation","id":"' || md5('Observation/famrel/FR_' || ck) ||
+           |  '","meta":{"profile":["https://nih-ncpi.github.io/ncpi-fhir-ig/StructureDefinition/family-relationship"],"tag":[{"code":"SD_' || rk ||
+           |  '"}]},"identifier":[{"use":"official","system":"https://kf-api-dataservice.kidsfirstdrc.org/family-relationships/","value":"FR_' || ck ||
+           |  '"},{"use":"secondary","value":"fr-' || ck ||
+           |  '"}],"status":"final","code":{"coding":[{"system":"http://terminology.hl7.org/CodeSystem/v3-RoleCode","code":"FAMMEMB","display":"family member"}],"text":"Family Relationship"},' ||
+           |  '"subject":{"reference":"Patient/' || md5('Patient/PT_' || ck) ||
+           |  '"},"focus":[{"reference":"Patient/' || md5('Patient/PT_' || (ck - 1)) ||
+           |  '"}],"valueCodeableConcept":' ||
+           |  CASE CAST(ck % 5 AS INT)
+           |    WHEN 0 THEN '{"coding":[{"system":"http://terminology.hl7.org/CodeSystem/v3-RoleCode","code":"MTH","display":"mother"}],"text":"Mother"}'
+           |    WHEN 1 THEN '{"coding":[{"system":"http://terminology.hl7.org/CodeSystem/v3-RoleCode","code":"FTH","display":"father"}],"text":"Father"}'
+           |    WHEN 2 THEN '{"coding":[{"system":"http://terminology.hl7.org/CodeSystem/v3-RoleCode","code":"SIB","display":"sibling"}],"text":"Sibling"}'
+           |    WHEN 3 THEN '{"coding":[{"system":"http://terminology.hl7.org/CodeSystem/v3-RoleCode","code":"PUNCLE","display":"paternal uncle"}],"text":"Paternal uncle"}'
+           |    ELSE '{"text":"Some unmapped relation"}' END ||
+           |  '}' AS resource_json
+           |FROM p""".stripMargin))
+
+  /** SequencingCenter Organization bodies — content-level oracle #13
+    * (sequencing_center.py:12-69): injected display names present only
+    * for known centers, no study tag on meta.
+    */
+  private val kfSeqCenterSlice = Q(
+    "kf_seqcenter_slice",
+    (s, d) => {
+      val result = graft.etl.Transform(KfShaped.endpoints(s, d))
+      graft.documents.ParticipantBuilders.sequencingCenter(
+        result.slice(Set("biospecimens")),
+        Map("SC_1" -> "Center One", "SC_2" -> "Center Two"))
+    },
+    Some("""SELECT 'SC_' || sk AS key, 'Organization' AS resource_type,
+           |  '{"resourceType":"Organization","id":"' || md5('Organization/sc/SC_' || sk) ||
+           |  '","meta":{"profile":["http://hl7.org/fhir/StructureDefinition/Organization"]},' ||
+           |  '"identifier":[{"use":"official","system":"https://kf-api-dataservice.kidsfirstdrc.org/sequencing-centers/","value":"SC_' || sk || '"}]' ||
+           |  CASE WHEN sk = 1 THEN ',"name":"Center One"'
+           |       WHEN sk = 2 THEN ',"name":"Center Two"'
+           |       ELSE '' END ||
+           |  '}' AS resource_json
+           |FROM (SELECT DISTINCT l_suppkey AS sk FROM lineitem)""".stripMargin))
+
+  /** The investigator trio — content-level oracles #14-16
+    * (practitioner.py:11-63, organization.py:11-53,
+    * practitioner_role.py:15-82): no study tags, secondary external-id
+    * identifiers, the role's practitioner/organization surrogate
+    * references and researcher coding.
+    */
+  private def invSlice(s: SparkSession, d: String) = {
+    val result = graft.etl.Transform(KfShaped.endpoints(s, d))
+    result.slice(Set("studies", "investigators"))
+  }
+
+  private val kfPractitionerSlice = Q(
+    "kf_practitioner_slice",
+    (s, d) => graft.documents.InvestigatorBuilders.practitioner(invSlice(s, d)),
+    Some("""SELECT 'IV_' || r_regionkey AS key, 'Practitioner' AS resource_type,
+           |  '{"resourceType":"Practitioner","id":"' || md5('Practitioner/IV_' || r_regionkey) ||
+           |  '","meta":{"profile":["http://hl7.org/fhir/StructureDefinition/Practitioner"]},' ||
+           |  '"identifier":[{"use":"official","system":"https://kf-api-dataservice.kidsfirstdrc.org/investigators/","value":"IV_' || r_regionkey ||
+           |  '"},{"use":"secondary","value":"inv-' || r_name ||
+           |  '"}],"active":true,"name":[{"text":"PI of ' || r_name || '"}]}' AS resource_json
+           |FROM region""".stripMargin))
+
+  private val kfOrganizationSlice = Q(
+    "kf_organization_slice",
+    (s, d) => graft.documents.InvestigatorBuilders.organization(invSlice(s, d)),
+    Some("""SELECT 'IV_' || r_regionkey AS key, 'Organization' AS resource_type,
+           |  '{"resourceType":"Organization","id":"' || md5('Organization/IV_' || r_regionkey) ||
+           |  '","meta":{"profile":["http://hl7.org/fhir/StructureDefinition/Organization"]},' ||
+           |  '"identifier":[{"use":"official","system":"https://kf-api-dataservice.kidsfirstdrc.org/investigators/","value":"IV_' || r_regionkey ||
+           |  '"}],"active":true,"name":"' || r_name || ' University"}' AS resource_json
+           |FROM region""".stripMargin))
+
+  private val kfPractRoleSlice = Q(
+    "kf_practrole_slice",
+    (s, d) => graft.documents.InvestigatorBuilders.practitionerRole(invSlice(s, d)),
+    Some("""SELECT 'IV_' || r_regionkey AS key, 'PractitionerRole' AS resource_type,
+           |  '{"resourceType":"PractitionerRole","id":"' || md5('PractitionerRole/IV_' || r_regionkey) ||
+           |  '","meta":{"profile":["http://hl7.org/fhir/StructureDefinition/PractitionerRole"]},' ||
+           |  '"identifier":[{"use":"official","system":"https://kf-api-dataservice.kidsfirstdrc.org/investigators/","value":"IV_' || r_regionkey ||
+           |  '"},{"use":"secondary","value":"inv-' || r_name ||
+           |  '"}],"active":true,"practitioner":{"reference":"Practitioner/' || md5('Practitioner/IV_' || r_regionkey) ||
+           |  '"},"organization":{"reference":"Organization/' || md5('Organization/IV_' || r_regionkey) ||
+           |  '"},"code":[{"coding":[{"system":"http://terminology.hl7.org/CodeSystem/practitioner-role","code":"researcher","display":"Researcher"}]}]}' AS resource_json
+           |FROM region""".stripMargin))
+
   /** The COMPLETE reference pipeline: 14 KF-shaped endpoint tables →
     * presence-driven transform → all 16 entity builders (incl. the
     * bulk-prefetched Indexd dimension replacing per-row REST) → one
@@ -1880,7 +2145,10 @@ object Battery {
     x7Repetition,
     n2AnnLsh, n3EmbNearDup, n4AnnIvf, n5PqQuantize,
     kfPatientSlice, kfRSubjectSlice, kfSpecimenSlice, kfDrsSlice,
-    kfDiseaseSlice, kfPhenotypeSlice, kfFullPipeline, kfCountsByType)
+    kfDiseaseSlice, kfPhenotypeSlice, kfHistoSlice, kfVitalSlice,
+    kfFamilySlice, kfStudySlice, kfProbandSlice, kfFamRelSlice,
+    kfSeqCenterSlice, kfPractitionerSlice, kfOrganizationSlice,
+    kfPractRoleSlice, kfFullPipeline, kfCountsByType)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
