@@ -92,6 +92,38 @@ object TextOps {
     }
   }
 
+  /** The quality score in exact MILLIONTHS (a long): the same formula
+    * as [[qualityScore]] evaluated as one rational N/D over a common
+    * integer denominator, rounded half-up with integer division — so
+    * the value is bit-identical across engines and partitionings.
+    * Motivation: the double form rounds at a 1e-6 knife edge, and at
+    * sf0.1 two of 5000 documents landed exactly on a .5 boundary where
+    * Spark's BigDecimal HALF_UP and DuckDB's double-multiply rounding
+    * disagree. Bounds: N ≤ 1e6·D and D = 8·nTokens·nChars ≤ ~1e7 on
+    * real text, far inside Long.
+    */
+  def qualityScoreMillionths(text: Column): Column = {
+    val toks = tokens(text)
+    val nt = size(toks).cast("long")
+    val stop = stopwordHits(toks, StopwordProfiles("en")).cast("long")
+    val nch = length(text).cast("long")
+    val dig = length(regexp_replace(text, "[^0-9]", "")).cast("long")
+    // 0.4·min(4·stop/nt, 1) + 0.3·(1 − dig/nch) + 0.3·min((nch−nt+1)/(8·nt), 1)
+    val t1 = least(stop * 4, nt)           // numerator over nt
+    val t3 = least(nch - nt + 1, nt * 8)   // numerator over 8·nt
+    val n = lit(400000L) * t1 * 8L * nch +
+      lit(300000L) * (nch - dig) * 8L * nt +
+      lit(300000L) * t3 * nch
+    val d = lit(8L) * nt * nch
+    // half-up: floor(N/D + 1/2) = (2N + D) div (2D). No integral-div
+    // Column op exists, so subtract the remainder first: the double
+    // division of exactly-divisible longs (< 2^53) is IEEE-exact,
+    // unlike truncating a near-integer quotient.
+    val x = n * 2L + d
+    val y = d * 2L
+    ((x - pmod(x, y)) / y).cast("long")
+  }
+
   /** Quality-score inputs + composite score in [0,1]: rewards stopword
     * density and moderate token length, penalizes digit load. All
     * ratios are exact-int / exact-int in double — deterministic.

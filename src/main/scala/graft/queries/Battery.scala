@@ -1136,26 +1136,34 @@ object Battery {
            |       (acc, x) -> (acc * 1000003 + x) % 2147483647) AS BIGINT) AS fp64
            |FROM h""".stripMargin))
 
-  /** Composite quality score from exact integer ratios. */
+  /** Composite quality score, emitted in exact integer MILLIONTHS:
+    * the double form rounded at a 1e-6 knife edge, and at sf0.1 two
+    * documents landed exactly on a .5 rounding boundary where Spark and
+    * DuckDB disagree — integer rational arithmetic with half-up integer
+    * division is bit-identical at any scale factor.
+    */
   private val x4Quality = Q(
     "x4_quality_score",
     (s, d) => T.documents(s, d).select(
       col("doc_id"),
-      graft.ops.TextOps.qualityScore(col("text")).as("quality")),
+      graft.ops.TextOps.qualityScoreMillionths(col("text")).as("quality_e6")),
     Some {
       val stops = graft.ops.TextOps.StopwordProfiles("en").map(w => s"'$w'").mkString(", ")
       s"""WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
          |c AS (SELECT doc_id,
-         |  CAST(len(toks) AS DOUBLE) AS n_tokens,
-         |  CAST(len(list_filter(toks, t -> list_contains([$stops], t))) AS DOUBLE) AS stop,
-         |  CAST(length(text) AS DOUBLE) AS n_chars,
-         |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS n_digits
-         |FROM t)
-         |SELECT doc_id,
-         |  round(0.4 * least((stop / n_tokens) * 4, 1.0) +
-         |        0.3 * (1.0 - (n_digits / n_chars)) +
-         |        0.3 * least(((n_chars - (n_tokens - 1)) / n_tokens) / 8.0, 1.0), 6) AS quality
-         |FROM c""".stripMargin
+         |  CAST(len(toks) AS BIGINT) AS nt,
+         |  CAST(len(list_filter(toks, t -> list_contains([$stops], t))) AS BIGINT) AS stop,
+         |  CAST(length(text) AS BIGINT) AS nch,
+         |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS dig
+         |FROM t),
+         |r AS (SELECT doc_id,
+         |  400000 * least(stop * 4, nt) * 8 * nch +
+         |  300000 * (nch - dig) * 8 * nt +
+         |  300000 * least(nch - nt + 1, nt * 8) * nch AS n,
+         |  8 * nt * nch AS d
+         |FROM c)
+         |SELECT doc_id, (n * 2 + d) // (d * 2) AS quality_e6
+         |FROM r""".stripMargin
     })
 
   /** LSH-bucketed ANN (4-bit random-hyperplane buckets): candidates come
