@@ -109,6 +109,58 @@ class StreamingSpec extends AnyFunSuite {
       "third run processes exactly the one new file")
   }
 
+  test("incremental stream load into a live database is exactly-once " +
+      "across restarts (AvailableNow checkpoint + keyed upsert)") {
+    import graft.sinks.JdbcUpsertSink
+    // the production periodic-ingest shape: file checkpointing gives
+    // at-least-once batches, the keyed upsert makes the landing
+    // idempotent — together exactly-once in the database
+    Class.forName("org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    val url = "jdbc:derby:memory:streamload;create=true"
+    val setup = java.sql.DriverManager.getConnection(url)
+    setup.createStatement().execute(
+      """CREATE TABLE events_landed ("key" VARCHAR(64) PRIMARY KEY,
+        |  "resource_type" VARCHAR(32), "resource_json" VARCHAR(4096))""".stripMargin)
+    setup.close()
+    val cfg = JdbcUpsertSink.Config(url = url, table = "events_landed",
+      dialect = JdbcUpsertSink.AnsiMergeDialect)
+
+    val in = java.nio.file.Files.createTempDirectory("sl-in")
+    val ckpt = java.nio.file.Files.createTempDirectory("sl-ckpt").toString
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    java.nio.file.Files.copy(src, in.resolve("part1.parquet"))
+    val distinctIds = spark.read.parquet(src.toString)
+      .select("event_id").distinct().count()
+
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(src.toString).schema)
+        .parquet(in.toString)
+        .selectExpr("CAST(event_id AS STRING) AS key",
+          "'Event' AS resource_type", "CAST(value AS STRING) AS resource_json")
+      Streaming.runAvailableNow(stream, ckpt) { (df, _) =>
+        JdbcUpsertSink.upsert(df, cfg)
+      }
+    }
+    def landed(): Long = {
+      val c = java.sql.DriverManager.getConnection(url)
+      try {
+        val rs = c.createStatement().executeQuery("SELECT count(*) FROM events_landed")
+        rs.next(); rs.getLong(1)
+      } finally c.close()
+    }
+
+    run()
+    assert(landed() == distinctIds, "first run lands every distinct event once")
+    run()
+    assert(landed() == distinctIds, "restart with no new files lands nothing new")
+    // the same file again under a new name: reprocessed by the file
+    // source, but the keyed upsert keeps the table exactly-once
+    java.nio.file.Files.copy(src, in.resolve("part2.parquet"))
+    run()
+    assert(landed() == distinctIds, "replayed data upserts in place, no duplicates")
+  }
+
   test("stream-stream time-bound join equals the batch join") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
