@@ -55,6 +55,19 @@ object TextOps {
       .otherwise(lit(0.0))
   }
 
+  /** [[repetitionRatio]] in exact half-up millionths (same engine-proof
+    * integer arithmetic as [[qualityScoreMillionths]] — the double form
+    * rounds at a knife edge that eventually lands on a cross-engine
+    * .5 boundary).
+    */
+  def repetitionMillionths(text: Column, n: Int = 3): Column = {
+    val sh = shingles(text, n)
+    val total = size(sh).cast("long")
+    val dup = total - size(array_distinct(sh)).cast("long")
+    when(total > 0, exactDiv(dup * 2000000L + total, total * 2L))
+      .otherwise(lit(0L))
+  }
+
   /** Stopword profiles for the n-gram/stopword language-ID heuristic. */
   val StopwordProfiles: Map[String, Seq[String]] = Map(
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
@@ -99,8 +112,11 @@ object TextOps {
     * Motivation: the double form rounds at a 1e-6 knife edge, and at
     * sf0.1 two of 5000 documents landed exactly on a .5 boundary where
     * Spark's BigDecimal HALF_UP and DuckDB's double-multiply rounding
-    * disagree. Bounds: N ≤ 1e6·D and D = 8·nTokens·nChars ≤ ~1e7 on
-    * real text, far inside Long.
+    * disagree. Exactness: the division goes through decimal(38,0)
+    * (see [[exactDiv]]) so it is exact for the full long range; the
+    * numerator itself only overflows Long beyond
+    * nTokens·nChars ≈ 5·10^11 (multi-megabyte documents — far past any
+    * per-document text this engine targets).
     */
   def qualityScoreMillionths(text: Column): Column = {
     val toks = tokens(text)
@@ -115,14 +131,20 @@ object TextOps {
       lit(300000L) * (nch - dig) * 8L * nt +
       lit(300000L) * t3 * nch
     val d = lit(8L) * nt * nch
-    // half-up: floor(N/D + 1/2) = (2N + D) div (2D). No integral-div
-    // Column op exists, so subtract the remainder first: the double
-    // division of exactly-divisible longs (< 2^53) is IEEE-exact,
-    // unlike truncating a near-integer quotient.
-    val x = n * 2L + d
-    val y = d * 2L
-    ((x - pmod(x, y)) / y).cast("long")
+    // half-up: floor(N/D + 1/2) = (2N + D) div (2D)
+    exactDiv(n * 2L + d, d * 2L)
   }
+
+  /** Exact long division x div y (x, y ≥ 0, y > 0, x exactly divisible
+    * after remainder subtraction). No integral-div Column op exists;
+    * a double division is only exact below 2^53, so route the
+    * remainder-subtracted numerator through decimal(38,0) division —
+    * exact for the full long range (the quotient is an exact integer,
+    * so the result scale rounding never fires).
+    */
+  private[ops] def exactDiv(x: Column, y: Column): Column =
+    ((x - pmod(x, y)).cast("decimal(38,0)") / y.cast("decimal(38,0)"))
+      .cast("long")
 
   /** Quality-score inputs + composite score in [0,1]: rewards stopword
     * density and moderate token length, penalizes digit load. All

@@ -1299,8 +1299,11 @@ object Battery {
             .as(s"s$i")): _*)
     },
     Some {
+      // LEFT JOIN + coalesce: an empty or sub-8-char doc must still emit
+      // its row with zero sums, as the decoder does
       val sums = (0 until 8).map(i =>
-        s"CAST(max(CASE WHEN i = $i THEN v END) AS BIGINT) AS s$i").mkString(",\n  ")
+        s"CAST(coalesce(max(CASE WHEN i = $i THEN v END), 0) AS BIGINT) AS s$i")
+        .mkString(",\n  ")
       s"""WITH g AS (
          |  SELECT doc_id, unnest(range(1, length(text) + 1)) AS p, text
          |  FROM documents),
@@ -1313,7 +1316,7 @@ object Battery {
          |       WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
          |  CAST(length(d.text) AS BIGINT) AS byte_len,
          |  $sums
-         |FROM documents d JOIN s ON d.doc_id = s.doc_id
+         |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
          |GROUP BY 1, 2, 3""".stripMargin
     })
 
@@ -1404,18 +1407,21 @@ object Battery {
     "x7_repetition",
     (s, d) => T.documents(s, d).select(
       col("doc_id"),
-      round(graft.ops.TextOps.repetitionRatio(col("text"), 3), 6).as("repetition")),
+      graft.ops.TextOps.repetitionMillionths(col("text"), 3).as("repetition_e6")),
     Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
            |g AS (SELECT doc_id,
            |        CASE WHEN len(toks) >= 3
            |          THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]
            |          ELSE [] END AS sh
-           |      FROM t)
+           |      FROM t),
+           |c AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS total,
+           |        CAST(len(sh) - len(list_distinct(sh)) AS BIGINT) AS dup
+           |      FROM g)
            |SELECT doc_id,
-           |  round(CASE WHEN len(sh) > 0
-           |    THEN 1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh)
-           |    ELSE 0.0 END, 6) AS repetition
-           |FROM g""".stripMargin))
+           |  CASE WHEN total > 0
+           |    THEN (dup * 2000000 + total) // (total * 2)
+           |    ELSE 0 END AS repetition_e6
+           |FROM c""".stripMargin))
 
   /** Corpus token histogram: explode tokens → count — the vocabulary/
     * token-counting sweep of a training-data pipeline (one shuffle on
@@ -1441,8 +1447,8 @@ object Battery {
     * substring over a doubled string (payloads are ASCII and ≥ 16
     * chars, so byte windows = char windows and one doubling suffices) —
     * full content oracle, no longer rows-only. 5 s cadence so the
-    * synthetic durations (doc_id·100 ms ≤ 50 s) yield multi-frame
-    * fan-outs with wraparound starts.
+    * synthetic durations ((doc_id mod 10000)·100 ms, up to ~1000 s)
+    * yield multi-frame fan-outs with wraparound starts.
     */
   private val m3FrameSample = Q(
     "m3_frame_sample",
@@ -1457,7 +1463,7 @@ object Battery {
            |  FROM documents WHERE doc_id % 3 = 2),
            |f AS (
            |  SELECT asset_id, text, len,
-           |         unnest(range(0, CAST(asset_id * 100 AS BIGINT), 5000)) AS ts_ms
+           |         unnest(range(0, CAST((asset_id % 10000) * 100 AS BIGINT), 5000)) AS ts_ms
            |  FROM v)
            |SELECT asset_id, CAST(ts_ms / 5000 AS INT) AS frame_idx, ts_ms,
            |  md5(substring(text || text, CAST(ts_ms % len AS INT) + 1,
@@ -1585,6 +1591,18 @@ object Battery {
            |  '"},"individual":{"reference":"Patient/' || md5('Patient/' || pid) || '"}}' AS resource_json
            |FROM p""".stripMargin))
 
+  /** Keys of lineitem rows whose (orderkey, linenumber) pair is unique,
+    * prefixed into the given surrogate namespace — the shared
+    * unambiguous-key filter for the byte-level biospecimen-chain oracles
+    * (the synthetic data duplicates ~24% of pairs and the builders'
+    * dropDuplicates keeps an arbitrary survivor there).
+    */
+  private def uniqueLineitemKeys(s: SparkSession, d: String, prefix: String) =
+    T.lineitem(s, d)
+      .groupBy(concat(lit(prefix), col("l_orderkey"), lit("_"),
+        col("l_linenumber")).as("key"))
+      .count().where(col("count") === 1).select("key")
+
   /** Specimen bodies over the real biospecimen chain — third content-level
     * JSON oracle (specimen.py:438-638: consent/dbgap → meta.security,
     * three identifiers, NCIT/OBI type codings, collection block with
@@ -1605,10 +1623,7 @@ object Battery {
       val result = graft.etl.Transform(KfShaped.endpoints(s, d))
       val spec = graft.documents.SpecimenBuilder.specimen(
         result.slice(Set("studies", "participants", "biospecimens")))
-      val uniq = T.lineitem(s, d)
-        .groupBy(concat(lit("BS_"), col("l_orderkey"), lit("_"),
-          col("l_linenumber")).as("key"))
-        .count().where(col("count") === 1).select("key")
+      val uniq = uniqueLineitemKeys(s, d, "BS_")
       spec.join(uniq, Seq("key"))
     },
     Some("""WITH uniq AS (
@@ -1673,10 +1688,7 @@ object Battery {
           "biospecimen-genomic-files", "genomic-files",
           "sequencing-experiment-genomic-files", "sequencing-experiments")),
         Some(KfShaped.indexd(s, d)))
-      val uniq = T.lineitem(s, d)
-        .groupBy(concat(lit("GF_"), col("l_orderkey"), lit("_"),
-          col("l_linenumber")).as("key"))
-        .count().where(col("count") === 1).select("key")
+      val uniq = uniqueLineitemKeys(s, d, "GF_")
       drs.join(uniq, Seq("key"))
     },
     Some("""WITH uniq AS (
@@ -1827,10 +1839,7 @@ object Battery {
       val histo = graft.documents.ConditionBuilders.histopathology(
         result.slice(Set("studies", "participants", "diagnoses",
           "biospecimen-diagnoses", "biospecimens")))
-      val uniq = T.lineitem(s, d)
-        .groupBy(concat(lit("BD_"), col("l_orderkey"), lit("_"),
-          col("l_linenumber")).as("key"))
-        .count().where(col("count") === 1).select("key")
+      val uniq = uniqueLineitemKeys(s, d, "BD_")
       histo.join(uniq, Seq("key"))
     },
     Some("""WITH uniq AS (

@@ -60,8 +60,13 @@ final class IdCache(spark: SparkSession, dir: String) {
     if (fs.exists(p)) {
       val tmp = new org.apache.hadoop.fs.Path(path(entityClass) + "__compacting")
       read(entityClass).write.mode("overwrite").parquet(tmp.toString)
-      fs.delete(p, true)
-      fs.rename(tmp, p)
+      // failures must THROW, not fall through: a false from delete means
+      // rename would nest the snapshot inside the live dir (invisible to
+      // the reader), and a false from rename means the cache vanished
+      require(fs.delete(p, true),
+        s"idcache compact: could not delete $p; snapshot left at $tmp")
+      require(fs.rename(tmp, p),
+        s"idcache compact: could not swap in $tmp; store deleted, snapshot intact")
     }
   }
 
@@ -89,10 +94,16 @@ final class IdCache(spark: SparkSession, dir: String) {
     val idMap =
       if (anyMiss) {
         val fetched = fetch(missKeys).select(col("key"), col("resolved_id"))
-        append(entityClass, fetched)
-        // re-read instead of unioning the fetched plan: the appended
-        // files are on disk now, and one scan keeps the join single-source
-        read(entityClass)
+        // a fetch that resolved nothing (all misses unknown server-side)
+        // must not append: permanently-unknown keys would otherwise grow
+        // one empty parquet batch per run, forever
+        if (fetched.isEmpty) cached
+        else {
+          append(entityClass, fetched)
+          // re-read instead of unioning the fetched plan: the appended
+          // files are on disk now, and one scan keeps the join single-source
+          read(entityClass)
+        }
       } else cached
     missKeys.unpersist()
     docs.join(idMap, Seq("key"), "left")

@@ -88,11 +88,12 @@ object JdbcUpsertSink {
       driverClass: Option[String] = None,
       dialect: Dialect = PostgresDialect)
 
-  /** The exact statement submitted per row — split out so tests can pin
-    * it without a live database.
+  /** The exact statement submitted per row for a dialect — split out so
+    * tests can pin it without a live database.
     */
-  def upsertSql(table: String, keyCol: String, cols: Seq[String]): String =
-    PostgresDialect.upsertSql(table, keyCol, cols)
+  def upsertSql(table: String, keyCol: String, cols: Seq[String],
+      dialect: Dialect = PostgresDialect): String =
+    dialect.upsertSql(table, keyCol, cols)
 
   /** Upsert (key, resource_type, resource_json) rows. `connect` is
     * injectable for tests; defaults to DriverManager on config.url.

@@ -56,7 +56,7 @@ class LoadStageSpec extends AnyFunSuite {
         .toDF("key", "resolved_id")
     }
 
-    def patients(run: () => Unit): Map[String, Option[String]] = {
+    def patients(): Map[String, Option[String]] = {
       var out: Map[String, Option[String]] = null
       LoadStage.run(result, (name, df) => if (name == "patient") {
         out = df.select("key", "resolved_id").collect()
@@ -65,7 +65,7 @@ class LoadStageSpec extends AnyFunSuite {
       out
     }
 
-    val first = patients(() => ())
+    val first = patients()
     assert(first == Map("PT_1" -> Some("srv-pat-1"), "PT_2" -> None))
     // every class fetched once on the cold cache, each with its own keys
     assert(fetched.map(_._1).toSet ==
@@ -73,7 +73,7 @@ class LoadStageSpec extends AnyFunSuite {
     assert(fetched.collect { case ("patient", ks) => ks } == Seq(Set("PT_1", "PT_2")))
 
     fetched.clear()
-    val second = patients(() => ())
+    val second = patients()
     assert(second == Map("PT_1" -> Some("srv-pat-1"), "PT_2" -> None))
     // PT_1 came from the cache; only the unresolved PT_2 re-queries
     assert(fetched.collect { case ("patient", ks) => ks } == Seq(Set("PT_2")))

@@ -81,4 +81,13 @@ class TextOpsSpec extends AnyFunSuite {
     assert(math.abs(got(1) - 4.0 / 7.0) < 1e-12)
     assert(got(2) == 0.0 && got(3) == 0.0)
   }
+
+  test("repetitionMillionths: exact half-up integer form") {
+    val got = Seq("a b c d e", "a b c a b c a b c", "x y", "")
+      .toDF("t")
+      .select(TextOps.repetitionMillionths(col("t"), 3).as("r"))
+      .collect().map(_.getLong(0))
+    // 4/7 in millionths = 571428.571... -> half-up 571429
+    assert(got.toSeq == Seq(0L, 571429L, 0L, 0L))
+  }
 }
