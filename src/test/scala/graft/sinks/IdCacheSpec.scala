@@ -71,6 +71,23 @@ class IdCacheSpec extends AnyFunSuite {
     assert(seen == Seq(Set("A", "B", "C"), Set("C", "D")))
   }
 
+  test("a fetch that resolves nothing appends no batch (unknown keys don't grow the store)") {
+    val dir = Files.createTempDirectory("idcache").toString
+    val cache = new IdCache(spark, dir)
+    val noResolve: DataFrame => DataFrame = miss =>
+      miss.limit(0).select(miss("key"), miss("key").as("resolved_id"))
+    def storeFiles(): Int = {
+      val d = new java.io.File(s"$dir/patient")
+      if (d.exists()) d.listFiles().length else 0
+    }
+    cache.resolve("patient", docs("U1", "U2"), noResolve).collect()
+    val after1 = storeFiles()
+    cache.resolve("patient", docs("U1", "U2"), noResolve).collect()
+    assert(storeFiles() == after1,
+      "second all-unknown run must not add parquet batches")
+    assert(after1 == 0, "an all-unknown fetch should never create the store")
+  }
+
   test("compaction collapses appended batches without changing resolution") {
     val dir = Files.createTempDirectory("idcache").toString
     val cache = new IdCache(spark, dir)

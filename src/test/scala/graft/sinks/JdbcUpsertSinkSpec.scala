@@ -137,6 +137,18 @@ class JdbcUpsertSinkSpec extends AnyFunSuite {
       "K4" -> ("Specimen", "{\"v\":4}")))
   }
 
+  test("upsertSql reports the statement for the requested dialect") {
+    val merge = JdbcUpsertSink.upsertSql("t", "key",
+      Seq("key", "resource_type", "resource_json"),
+      dialect = JdbcUpsertSink.AnsiMergeDialect)
+    assert(merge.startsWith("MERGE INTO t "))
+    assert(merge.contains("SYSIBM.SYSDUMMY1"))
+    // bind order: key (ON), 2 non-key (UPDATE SET), 3 (INSERT VALUES)
+    assert(JdbcUpsertSink.AnsiMergeDialect
+      .paramOrder("key", Seq("key", "resource_type", "resource_json"))
+      == Seq(0, 1, 2, 0, 1, 2))
+  }
+
   test("key column must be present") {
     intercept[IllegalArgumentException] {
       JdbcUpsertSink.upsertSql("t", "missing", Seq("a", "b"))
