@@ -34,16 +34,31 @@ object ProfileDrs {
       "sequencing-experiment-genomic-files", "sequencing-experiments")
     val indexd = graft.queries.KfShaped.indexd(spark, sfDir)
 
+    import org.apache.spark.sql.functions._
+    val regroupCols = Seq("study_id", "gf_id", "pid", "bs_id", "data_type",
+      "file_format", "latest_did", "controlled_access", "seq_id", "strategy")
+    def pruned() = {
+      val w = result.slice(required)
+      import graft.etl.Concepts._
+      w.select(
+        col(s"`${Study.TargetServiceId}`").as("study_id"),
+        col(s"`${GenomicFile.TargetServiceId}`").as("gf_id"),
+        col(s"`${Participant.TargetServiceId}`").as("pid"),
+        col(s"`${Biospecimen.TargetServiceId}`").as("bs_id"),
+        col(s"`${Sequencing.TargetServiceId}`").as("seq_id"))
+    }
     // warm the li persist + JIT once
-    time("warmup slice")(noop(result.slice(required)))
-    time("slice only")(noop(result.slice(required)))
-    time("regroup")(noop(graft.documents.DrsBuilder.regroup(result.slice(required))))
-    time("builder no indexd")(noop(
-      graft.documents.DrsBuilder.drsDocumentReference(result.slice(required), None)))
-    time("builder with indexd")(noop(
+    time("warmup pruned slice")(noop(pruned()))
+    time("pruned slice")(noop(pruned()))
+    time("pruned slice count")(println("rows=" + pruned().count()))
+    time("fanned regroup")(noop(graft.documents.DrsBuilder.regroup(result.slice(required))))
+    time("decomposed regroup")(noop(graft.documents.DrsBuilder.regroupFromChain(result)))
+    time("fanned builder+indexd")(noop(
       graft.documents.DrsBuilder.drsDocumentReference(result.slice(required), Some(indexd))))
-    time("builder with indexd again")(noop(
-      graft.documents.DrsBuilder.drsDocumentReference(result.slice(required), Some(indexd))))
+    time("decomposed builder+indexd")(noop(
+      graft.documents.DrsBuilder.drsDocumentReference(result, Some(indexd))))
+    time("decomposed builder+indexd again")(noop(
+      graft.documents.DrsBuilder.drsDocumentReference(result, Some(indexd))))
     spark.stop()
   }
 }

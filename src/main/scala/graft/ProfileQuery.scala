@@ -21,6 +21,20 @@ object ProfileQuery {
     spark.sparkContext.setLogLevel("WARN")
     // experiment variants not in the driver battery
     val extra: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+      "kf_drs_fanned" -> ((s, d) => {
+        import org.apache.spark.sql.functions._
+        val result = graft.etl.Transform(graft.queries.KfShaped.endpoints(s, d))
+        val drs = graft.documents.DrsBuilder.drsDocumentReference(
+          result.slice(Set("studies", "participants", "biospecimens",
+            "biospecimen-genomic-files", "genomic-files",
+            "sequencing-experiment-genomic-files", "sequencing-experiments")),
+          Some(graft.queries.KfShaped.indexd(s, d)))
+        val uniq = Tables.lineitem(s, d)
+          .groupBy(concat(lit("GF_"), col("l_orderkey"), lit("_"),
+            col("l_linenumber")).as("key"))
+          .count().where(col("count") === 1).select("key")
+        drs.join(uniq, Seq("key"))
+      }),
       "d4_hash_order" -> ((s, d) => graft.ops.DedupOps.ngramJaccardPairs(
         Tables.documents(s, d), "doc_id", "text", 3, 0.5, orderByDocFreq = false)),
       "debug_drs_keys" -> ((s, d) => {

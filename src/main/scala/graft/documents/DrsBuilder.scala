@@ -101,12 +101,92 @@ object DrsBuilder {
         first(col("controlled_access"), ignoreNulls = true).as("controlled_access"))
   }
 
+  /** Regroup computed WITHOUT materializing the biospecimen-path ×
+    * sequencing-link row product. The 7-endpoint slice fans out to
+    * B×S rows per genomic file (≈20× lineitem at sf0.1 — 11.9M rows),
+    * yet the collected sets are separable: `pids`/`bs_ids` depend only
+    * on (study, gf) and `strategy` only on (gf, seq-exp). So aggregate
+    * each side of the chain FIRST and inner-join the far smaller
+    * aggregates on the coalesced gf key. Equivalent to
+    * [[regroup]]-on-the-full-slice because (a) every bs-path row is
+    * crossed with every seq link of its gf in the fanned frame, so the
+    * per-(study,gf,seq) sets equal the per-(study,gf) sets; (b) outer
+    * key coalescing means orphan seq links and link-only gf ids surface
+    * identically on both sides; (c) the fanned regroup drops
+    * null-study/null-seq rows exactly where the two filters below do.
+    * At 100 TB this is the difference between shuffling the join
+    * product and shuffling two table-sized aggregates.
+    */
+  def regroupFromChain(result: graft.etl.Transform.Result): DataFrame = {
+    // only gf NON-key columns are read on this side — biospecimens and
+    // the bs-gf link contribute key values alone, so naming just
+    // {studies, participants, genomic-files} lets slice() pull them as
+    // key-projected DISTINCT sets (closure still replays the exact join
+    // chain, composite biospecimen key included)
+    val bsWide = result.slice(Set("studies", "participants", "genomic-files"))
+    val bsAgg = bsWide
+      .where(c(GenomicFile.TargetServiceId).isNotNull &&
+        c(Study.TargetServiceId).isNotNull)
+      .groupBy(
+        c(Study.TargetServiceId).as("study_id"),
+        c(GenomicFile.TargetServiceId).as("gf_id"))
+      .agg(
+        sort_array(collect_set(c(Participant.TargetServiceId))).as("pids"),
+        sort_array(collect_set(c(Biospecimen.TargetServiceId))).as("bs_ids"),
+        first(c(GenomicFile.DataType), ignoreNulls = true).as("data_type"),
+        first(c(GenomicFile.FileFormat), ignoreNulls = true).as("file_format"),
+        first(c(GenomicFile.LatestDid), ignoreNulls = true).as("latest_did"),
+        first(c(GenomicFile.ControlledAccess), ignoreNulls = true)
+          .as("controlled_access"))
+    val hasLink =
+      result.steps.exists(_.endpoint == "sequencing-experiment-genomic-files")
+    if (!hasLink)
+      bsAgg
+        .withColumn("seq_id", lit(null).cast("string"))
+        .withColumn("strategy", lit(null).cast("string"))
+    else {
+      // seq-exps present: the link is pure key provenance (distinct'd
+      // (gf, seq) pairs). Link WITHOUT seq-exps: the link's seq-id
+      // column is itself the read, so it must join in full — and there
+      // is no strategy column (reference joins seq-exps only when the
+      // link exists, ingest.py:465-483).
+      val seqExpPresent =
+        result.steps.exists(_.endpoint == "sequencing-experiments")
+      val seqWide =
+        if (seqExpPresent)
+          result.slice(Set("genomic-files", "sequencing-experiments"))
+        else
+          result.slice(Set("genomic-files", "sequencing-experiment-genomic-files"))
+      val strat =
+        if (seqWide.columns.contains(Sequencing.Strategy)) c(Sequencing.Strategy)
+        else lit(null).cast("string")
+      val seqPairs = seqWide
+        .where(c(GenomicFile.TargetServiceId).isNotNull &&
+          c(Sequencing.TargetServiceId).isNotNull)
+        .groupBy(
+          c(GenomicFile.TargetServiceId).as("gf_id"),
+          c(Sequencing.TargetServiceId).as("seq_id"))
+        .agg(get(sort_array(collect_set(strat)), lit(0)).as("strategy"))
+      bsAgg.join(seqPairs, Seq("gf_id"), "inner")
+    }
+  }
+
+  /** Build from the transform chain via the decomposed regroup — the
+    * scale path; [[drsDocumentReference(wide:*]] keeps the reference's
+    * one-wide-frame API for parity testing.
+    */
+  def drsDocumentReference(result: graft.etl.Transform.Result,
+      indexd: Option[DataFrame]): DataFrame =
+    build(regroupFromChain(result), indexd)
+
   /** Build DocumentReference docs. `indexd` columns: gf_id, acl
     * (array&lt;string&gt;), size (long), hashes (map&lt;string,string&gt;),
     * file_name.
     */
-  def drsDocumentReference(wide: DataFrame, indexd: Option[DataFrame] = None): DataFrame = {
-    val grouped = regroup(wide)
+  def drsDocumentReference(wide: DataFrame, indexd: Option[DataFrame] = None): DataFrame =
+    build(regroup(wide), indexd)
+
+  private def build(grouped: DataFrame, indexd: Option[DataFrame]): DataFrame = {
     // NO broadcast hint: indexd is 1:1 with genomic files (NOT a small
     // dim — at 100 TB it's a full-size table), so a forced broadcast
     // collects the whole thing to the driver; measured +5s at sf0.1.

@@ -59,14 +59,15 @@ object Pipeline {
   def buildAll(result: Transform.Result,
       indexd: Option[DataFrame] = None,
       centerNames: Map[String, String] = Map.empty): Seq[(String, DataFrame)] = {
-    // memoize slices by the CLOSED table set so builders whose
-    // requirements close to the same chain (e.g. specimen and
-    // histopathology) share ONE plan object — Catalyst then reuses the
-    // exchange across union branches
+    // memoize slices by the required table set (slice must see the
+    // consumer's TRUE reads, not the closure, so pure-provenance steps
+    // join key-projected + distinct'd); builders with equal requirements
+    // (e.g. patient/proband/research_subject) still share ONE plan object
     val sliceCache = mutable.Map.empty[Set[String], DataFrame]
     def sliceFor(name: String): DataFrame = {
-      val closed = result.closure(RequiredTables(name))
-      sliceCache.getOrElseUpdate(closed, result.slice(closed))
+      val present = result.steps.map(_.endpoint).toSet
+      val req = RequiredTables(name).filter(present)
+      sliceCache.getOrElseUpdate(req, result.slice(req))
     }
 
     // NOTE on shared-subchain materialization (measured, do not redo):
@@ -118,8 +119,10 @@ object Pipeline {
         sliceFor("sequencing_center"), centerNames)),
       "specimen" -> (() => SpecimenBuilder.specimen(sliceFor("specimen"))),
       "histopathology" -> (() => ConditionBuilders.histopathology(sliceFor("histopathology"))),
+      // decomposed regroup straight off the chain — never materializes
+      // the bs-path × seq-link product (see DrsBuilder.regroupFromChain)
       "drs_document_reference" -> (() => DrsBuilder.drsDocumentReference(
-        sliceFor("drs_document_reference"), indexd)))
+        result, indexd)))
     result.targets.map(name => name -> builders(name)())
   }
 

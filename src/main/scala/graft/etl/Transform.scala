@@ -49,7 +49,8 @@ object Transform {
     * chain.
     */
   final case class Step(
-      endpoint: String, df: DataFrame, keys: Seq[String], deps: Set[String])
+      endpoint: String, df: DataFrame, keys: Seq[String], deps: Set[String],
+      keyOnly: Boolean = false)
 
   final case class Result(
       steps: Seq[Step],
@@ -131,10 +132,33 @@ object Transform {
       if (more == need) need else closure(more)
     }
 
+    /** Steps kept by [[closure]] but NOT in `required` exist purely as
+      * key provenance — the consumer reads none of their non-key
+      * columns. Those join as their chain-key columns DISTINCT'd
+      * (semi-join reduction): key value sets — hence which rows match
+      * and how key columns coalesce — are preserved exactly, only row
+      * multiplicity shrinks, which consumers erase anyway (the dedup
+      * assumption above). The payoff is quadratic at scale: a link
+      * table with d duplicate rows per key multiplies matches by d per
+      * join it participates in; distinct'ing every pure-provenance link
+      * collapses d^k chain fan-out to the d of the tables actually
+      * read.
+      */
     def slice(required: Set[String]): DataFrame = {
       val need = closure(required)
       require(need.nonEmpty, s"no requested endpoint present: $required")
-      val kept = steps.filter(s => need(s.endpoint))
+      val keptRaw = steps.filter(s => need(s.endpoint))
+      val chainKeys = keptRaw.flatMap(_.keys).distinct
+      val kept = keptRaw.map { s =>
+        if (required(s.endpoint)) s
+        else {
+          val keep = chainKeys.filter(s.df.columns.contains)
+          s.copy(
+            df = s.df.select(keep.map(k =>
+              org.apache.spark.sql.functions.col(s"`$k`")): _*).distinct(),
+            keyOnly = true)
+        }
+      }
       CleanOps.cleanStrings(foldChain(kept))
     }
 
@@ -154,7 +178,11 @@ object Transform {
     }
 
     private def foldChain(chain: Seq[Step]): DataFrame = {
-      val names = chain.map(_.endpoint)
+      // key-only variants fold to different frames than full steps —
+      // the cache key must tell them apart or a shared prefix would
+      // serve the wrong projection
+      val names = chain.map(s =>
+        if (s.keyOnly) s.endpoint + "#keys" else s.endpoint)
       prefixCache.getOrElseUpdate(names, {
         val df =
           if (chain.sizeIs == 1) chain.head.df

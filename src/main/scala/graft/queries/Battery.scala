@@ -1684,10 +1684,7 @@ object Battery {
     (s, d) => {
       val result = graft.etl.Transform(KfShaped.endpoints(s, d))
       val drs = graft.documents.DrsBuilder.drsDocumentReference(
-        result.slice(Set("studies", "participants", "biospecimens",
-          "biospecimen-genomic-files", "genomic-files",
-          "sequencing-experiment-genomic-files", "sequencing-experiments")),
-        Some(KfShaped.indexd(s, d)))
+        result, Some(KfShaped.indexd(s, d)))
       val uniq = uniqueLineitemKeys(s, d, "GF_")
       drs.join(uniq, Seq("key"))
     },

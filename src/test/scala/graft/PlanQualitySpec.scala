@@ -140,6 +140,27 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("partial_count"), s"no map-side partial count:\n$p")
   }
 
+  test("DRS regroup aggregates each chain side BELOW the final join") {
+    // the 7-endpoint slice fans out to bs-paths × seq-links per genomic
+    // file (11.9M rows at sf0.1); regroupFromChain must keep both
+    // collect_set aggregates UNDER the bs⋈seq join so the shuffles meet
+    // table-sized inputs, never the product
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan}
+    val result = graft.etl.Transform(graft.queries.KfShaped.endpoints(spark, dir))
+    val optimized = graft.documents.DrsBuilder.regroupFromChain(result)
+      .queryExecution.optimizedPlan
+    val topJoin = optimized.collectFirst { case j: Join => j }
+      .getOrElse(fail("no join in decomposed regroup plan"))
+    @annotation.tailrec
+    def aggAtTop(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => true
+      case u if u.children.sizeIs == 1 => aggAtTop(u.children.head)
+      case _ => false
+    }
+    assert(aggAtTop(topJoin.left) && aggAtTop(topJoin.right),
+      s"a regroup side reached the join un-aggregated:\n$optimized")
+  }
+
   test("content-slice queries never degrade to a cartesian product") {
     // the specimen/DRS slices join builder output against the derived
     // unambiguous-key set, and the DRS chain adds the indexd equi-join;
