@@ -51,14 +51,11 @@ object ProfileDrs {
     time("warmup pruned slice")(noop(pruned()))
     time("pruned slice")(noop(pruned()))
     time("pruned slice count")(println("rows=" + pruned().count()))
-    time("fanned regroup")(noop(graft.documents.DrsBuilder.regroup(result.slice(required))))
-    time("decomposed regroup")(noop(graft.documents.DrsBuilder.regroupFromChain(result)))
-    time("fanned builder+indexd")(noop(
-      graft.documents.DrsBuilder.drsDocumentReference(result.slice(required), Some(indexd))))
     time("decomposed builder+indexd")(noop(
       graft.documents.DrsBuilder.drsDocumentReference(result, Some(indexd))))
-    time("decomposed builder+indexd again")(noop(
-      graft.documents.DrsBuilder.drsDocumentReference(result, Some(indexd))))
+    // per-builder cost inside the full pipeline
+    for ((name, df) <- graft.etl.Pipeline.buildAll(result, Some(indexd)))
+      time(s"builder $name")(noop(df))
     spark.stop()
   }
 }

@@ -161,6 +161,19 @@ class PlanQualitySpec extends AnyFunSuite {
       s"a regroup side reached the join un-aggregated:\n$optimized")
   }
 
+  test("pure-provenance slice steps join as key-projected distincts") {
+    // the specimen slice pulls diagnoses + biospecimen-diagnoses only as
+    // key provenance; slice() must fold them distinct'd on their chain
+    // keys (two Aggregates in a plan that otherwise has none) so the
+    // duplicate-link d^k fan-out never materializes
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val result = graft.etl.Transform(graft.queries.KfShaped.endpoints(spark, dir))
+    val sliced = result.slice(Set("studies", "participants", "biospecimens"))
+    val aggs = sliced.queryExecution.optimizedPlan.collect { case a: Aggregate => a }
+    assert(aggs.sizeIs >= 2,
+      s"provenance steps not distinct'd (aggregates: ${aggs.size})")
+  }
+
   test("content-slice queries never degrade to a cartesian product") {
     // the specimen/DRS slices join builder output against the derived
     // unambiguous-key set, and the DRS chain adds the indexd equi-join;
