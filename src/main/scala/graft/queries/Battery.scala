@@ -398,8 +398,14 @@ object Battery {
   private val w1Window = Q(
     "w1_window_rank",
     (s, d) => {
+      // l_quantity/l_extendedprice tiebreakers make the order total over
+      // the synthetic duplicate (orderkey, linenumber) rows — without
+      // them the running sum is tie-order-dependent and the oracle
+      // compare is a coin flip (one ambiguous tie group exists at sf0.1;
+      // rows tying on ALL five keys leave every prefix sum invariant)
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"))
       T.lineitem(s, d).select(
         col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         row_number().over(w).as("rn"),
@@ -412,7 +418,8 @@ object Battery {
            |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
            |       OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
            |FROM lineitem
-           |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)""".stripMargin))
+           |WINDOW w AS (PARTITION BY l_suppkey
+           |             ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice)""".stripMargin))
 
   /** Analytic window functions beyond ranking: lag/lead offsets,
     * first-value frames, quantile buckets (engine surface, SURVEY §2.5).
