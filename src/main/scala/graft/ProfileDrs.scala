@@ -35,8 +35,6 @@ object ProfileDrs {
     val indexd = graft.queries.KfShaped.indexd(spark, sfDir)
 
     import org.apache.spark.sql.functions._
-    val regroupCols = Seq("study_id", "gf_id", "pid", "bs_id", "data_type",
-      "file_format", "latest_did", "controlled_access", "seq_id", "strategy")
     def pruned() = {
       val w = result.slice(required)
       import graft.etl.Concepts._

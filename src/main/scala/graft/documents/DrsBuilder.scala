@@ -145,18 +145,22 @@ object DrsBuilder {
         .withColumn("seq_id", lit(null).cast("string"))
         .withColumn("strategy", lit(null).cast("string"))
     else {
-      // seq-exps present: the link is pure key provenance (distinct'd
-      // (gf, seq) pairs). Link WITHOUT seq-exps: the link's seq-id
-      // column is itself the read, so it must join in full — and there
-      // is no strategy column (reference joins seq-exps only when the
-      // link exists, ingest.py:465-483).
+      // the pairs need only the link (⟗ seq-exps for strategy when
+      // present): gf-table-only ids have no link row and are filtered by
+      // the null-seq rule either way, and link-side gf ids coalesce to
+      // the same values the gf-rooted fold would produce — so joining
+      // the full-size gf table here would contribute nothing but its
+      // duplicate-row multiplicity. No strategy column when seq-exps is
+      // absent (reference joins it only when the link exists,
+      // ingest.py:465-483).
       val seqExpPresent =
         result.steps.exists(_.endpoint == "sequencing-experiments")
       val seqWide =
         if (seqExpPresent)
-          result.slice(Set("genomic-files", "sequencing-experiments"))
+          result.slice(Set("sequencing-experiment-genomic-files",
+            "sequencing-experiments"))
         else
-          result.slice(Set("genomic-files", "sequencing-experiment-genomic-files"))
+          result.slice(Set("sequencing-experiment-genomic-files"))
       val strat =
         if (seqWide.columns.contains(Sequencing.Strategy)) c(Sequencing.Strategy)
         else lit(null).cast("string")

@@ -40,10 +40,10 @@ object Pipeline {
     "sequencing_center" -> Set("biospecimens"),
     "specimen" -> Set("studies", "participants", "biospecimens"),
     "histopathology" -> Set(
-      "studies", "participants", "diagnoses", "biospecimen-diagnoses", "biospecimens"),
-    "drs_document_reference" -> Set(
-      "studies", "participants", "biospecimens", "biospecimen-genomic-files",
-      "genomic-files", "sequencing-experiment-genomic-files", "sequencing-experiments"))
+      "studies", "participants", "diagnoses", "biospecimen-diagnoses", "biospecimens"))
+    // drs_document_reference is absent on purpose: its builder goes
+    // through DrsBuilder.regroupFromChain, which derives its own
+    // per-side slices instead of one ancestor-path frame
 
   /** (participant kf_id, study kf_id) projection of the participants
     * endpoint — lets the FamilyRelationship builder derive each row's

@@ -114,9 +114,12 @@ object Transform {
     /** Key-provenance closure of `required` (present endpoints only).
       * The earliest kept step is the fold root and never joins, so its
       * own deps are not needed (right-side key values coalesce through
-      * skipped ancestors unchanged). Public so callers can memoize
-      * slices by the CLOSED set — consumers whose requirements close to
-      * the same chain share one plan object.
+      * skipped ancestors unchanged).
+      *
+      * Memoize slices by the REQUIRED set, not this closure:
+      * slice(closure(r)) would mark every step a true read and forfeit
+      * the key-only distinct that slice(r) applies to pure-provenance
+      * steps.
       */
     @annotation.tailrec
     final def closure(required: Set[String]): Set[String] = {
@@ -178,11 +181,14 @@ object Transform {
     }
 
     private def foldChain(chain: Seq[Step]): DataFrame = {
-      // key-only variants fold to different frames than full steps —
-      // the cache key must tell them apart or a shared prefix would
-      // serve the wrong projection
+      // key-only variants fold to different frames than full steps, and
+      // WHICH keys a key-only step keeps depends on the whole slice's
+      // chain (keys of later steps) — the cache key must carry the
+      // projected column list itself, or two slices sharing a prefix
+      // name sequence could serve each other the wrong projection
       val names = chain.map(s =>
-        if (s.keyOnly) s.endpoint + "#keys" else s.endpoint)
+        if (s.keyOnly) s.endpoint + "#" + s.df.columns.mkString(",")
+        else s.endpoint)
       prefixCache.getOrElseUpdate(names, {
         val df =
           if (chain.sizeIs == 1) chain.head.df
