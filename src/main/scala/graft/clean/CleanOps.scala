@@ -63,4 +63,27 @@ object CleanOps {
   /** Drop the Dataservice system columns (etl/ingest.py:121). */
   def dropSystemColumns(df: DataFrame): DataFrame =
     df.drop("uuid", "created_at", "modified_at")
+
+  /** Deterministic single-survivor dedup: keep, per key, the row whose
+    * remaining-column tuple is MINIMAL in column order (nulls first, as
+    * Spark orders struct fields ascending).
+    *
+    * `dropDuplicates(key)` keeps an ARBITRARY survivor — at cluster
+    * scale the winner can change across task retries and speculative
+    * duplicates, so two runs of the same job over the same input may
+    * emit different bytes. This variant pins the survivor with a total
+    * order while keeping the scale-right plan shape: `min(struct(...))`
+    * is a hash aggregate with map-side partial merge (one exchange on
+    * the key, no per-partition sort — cheaper than a window
+    * `row_number`).
+    *
+    * Rows that tie on every column are exact duplicates, so any
+    * survivor is byte-identical; ordering is total for dedup purposes.
+    */
+  def dedupMinByKey(df: DataFrame, key: String): DataFrame = {
+    val others = df.columns.filter(_ != key).toSeq
+    df.groupBy(col(s"`$key`"))
+      .agg(min(struct(others.map(n => col(s"`$n`")): _*)).as("__min"))
+      .select(col(s"`$key`") +: others.map(n => col(s"__min.`$n`").as(n)): _*)
+  }
 }

@@ -95,10 +95,14 @@ object DrsBuilder {
         // get() not getItem(): the set is empty when every strategy is
         // null and ANSI mode would throw on the out-of-bounds index
         get(sort_array(collect_set(col("strategy"))), lit(0)).as("strategy"),
-        first(col("data_type"), ignoreNulls = true).as("data_type"),
-        first(col("file_format"), ignoreNulls = true).as("file_format"),
-        first(col("latest_did"), ignoreNulls = true).as("latest_did"),
-        first(col("controlled_access"), ignoreNulls = true).as("controlled_access"))
+        // min, not first(ignoreNulls): same pick-one-non-null-per-column
+        // semantics as the reference's head(1)-after-groupby, but
+        // DETERMINISTIC — first() can change winners across task
+        // retries/speculation when a group holds conflicting duplicates
+        min(col("data_type")).as("data_type"),
+        min(col("file_format")).as("file_format"),
+        min(col("latest_did")).as("latest_did"),
+        min(col("controlled_access")).as("controlled_access"))
   }
 
   /** Regroup computed WITHOUT materializing the biospecimen-path ×
@@ -133,11 +137,11 @@ object DrsBuilder {
       .agg(
         sort_array(collect_set(c(Participant.TargetServiceId))).as("pids"),
         sort_array(collect_set(c(Biospecimen.TargetServiceId))).as("bs_ids"),
-        first(c(GenomicFile.DataType), ignoreNulls = true).as("data_type"),
-        first(c(GenomicFile.FileFormat), ignoreNulls = true).as("file_format"),
-        first(c(GenomicFile.LatestDid), ignoreNulls = true).as("latest_did"),
-        first(c(GenomicFile.ControlledAccess), ignoreNulls = true)
-          .as("controlled_access"))
+        // min for determinism under retries — see regroup's note
+        min(c(GenomicFile.DataType)).as("data_type"),
+        min(c(GenomicFile.FileFormat)).as("file_format"),
+        min(c(GenomicFile.LatestDid)).as("latest_did"),
+        min(c(GenomicFile.ControlledAccess)).as("controlled_access"))
     val hasLink =
       result.steps.exists(_.endpoint == "sequencing-experiment-genomic-files")
     if (!hasLink)

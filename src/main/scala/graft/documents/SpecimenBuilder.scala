@@ -37,7 +37,9 @@ object SpecimenBuilder {
       c(Biospecimen.UberonAnatomySiteId).as("uberon_site"),
       c(Biospecimen.NcitAnatomySiteId).as("ncit_site"))
       .where(col("bs_id").isNotNull)
-      .dropDuplicates("bs_id")
+    // deterministic survivor (not dropDuplicates): output bytes must be
+    // stable under task retries/speculation — see CleanOps.dedupMinByKey
+    val deduped = graft.clean.CleanOps.dedupMinByKey(rows, "bs_id")
 
     val security = compactArray(
       optional(col("consent_type"), struct(
@@ -118,7 +120,7 @@ object SpecimenBuilder {
       specimenType.as("type"),
       collection.as("collection"))
 
-    rows.select(col("bs_id").as("key"), lit("Specimen").as("resource_type"),
+    deduped.select(col("bs_id").as("key"), lit("Specimen").as("resource_type"),
       to_json(entity).as("resource_json"))
   }
 }

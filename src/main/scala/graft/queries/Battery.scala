@@ -1598,18 +1598,6 @@ object Battery {
            |  '"},"individual":{"reference":"Patient/' || md5('Patient/' || pid) || '"}}' AS resource_json
            |FROM p""".stripMargin))
 
-  /** Keys of lineitem rows whose (orderkey, linenumber) pair is unique,
-    * prefixed into the given surrogate namespace — the shared
-    * unambiguous-key filter for the byte-level biospecimen-chain oracles
-    * (the synthetic data duplicates ~24% of pairs and the builders'
-    * dropDuplicates keeps an arbitrary survivor there).
-    */
-  private def uniqueLineitemKeys(s: SparkSession, d: String, prefix: String) =
-    T.lineitem(s, d)
-      .groupBy(concat(lit(prefix), col("l_orderkey"), lit("_"),
-        col("l_linenumber")).as("key"))
-      .count().where(col("count") === 1).select("key")
-
   /** Specimen bodies over the real biospecimen chain — third content-level
     * JSON oracle (specimen.py:438-638: consent/dbgap → meta.security,
     * three identifiers, NCIT/OBI type codings, collection block with
@@ -1618,34 +1606,42 @@ object Battery {
     * resource_json byte-for-byte in DuckDB from lineitem⋈orders⋈customer⋈
     * nation, reproducing to_json's null-dropping per branch.
     *
-    * The synthetic lineitem duplicates ~24% of (orderkey, linenumber)
-    * keys; the builder's dropDuplicates keeps an arbitrary survivor
-    * there, so the byte-level check pins the unambiguous keys only
-    * (~46k rows at sf0.01). Duplicate-key cardinality semantics are
-    * already pinned by kf_counts_by_type.
+    * Covers ALL keys including the ~24% duplicated (orderkey,
+    * linenumber) pairs: the builder's deterministic min-struct dedup
+    * (CleanOps.dedupMinByKey) makes the duplicate-key survivor
+    * byte-reproducible, pinned here with a matching QUALIFY.
     */
   private val kfSpecimenSlice = Q(
     "kf_specimen_slice",
     (s, d) => {
       val result = graft.etl.Transform(KfShaped.endpoints(s, d))
-      val spec = graft.documents.SpecimenBuilder.specimen(
+      graft.documents.SpecimenBuilder.specimen(
         result.slice(Set("studies", "participants", "biospecimens")))
-      val uniq = uniqueLineitemKeys(s, d, "BS_")
-      spec.join(uniq, Seq("key"))
     },
-    Some("""WITH uniq AS (
-           |  SELECT l_orderkey, l_linenumber FROM lineitem
-           |  GROUP BY 1, 2 HAVING count(*) = 1),
-           |b AS (
+    // ALL keys: the builder's dedupMinByKey keeps the min-struct row per
+    // bs_id; reproduce with row_number ordered by the columns that VARY
+    // within a duplicate-key group (dbgap, ncit_tissue, volume, uberon,
+    // ncit_site — the pk/sk/qty-derived ones), in Spark struct order.
+    // Every other struct field derives from (ok, ln) alone and is
+    // constant within the group, so it cannot affect the comparison.
+    Some("""WITH b0 AS (
            |  SELECT l.l_orderkey AS ok, l.l_linenumber AS ln,
            |         l.l_partkey % 100 AS pk, l.l_suppkey AS sk,
            |         l.l_quantity AS qty, o.o_custkey AS ck, n.n_regionkey AS rk,
            |         l.l_orderkey || '_' || l.l_linenumber AS k
            |  FROM lineitem l
-           |  JOIN uniq u ON l.l_orderkey = u.l_orderkey AND l.l_linenumber = u.l_linenumber
            |  JOIN orders o ON l.l_orderkey = o.o_orderkey
            |  JOIN customer c ON o.o_custkey = c.c_custkey
-           |  JOIN nation n ON c.c_nationkey = n.n_nationkey)
+           |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+           |b AS (
+           |  SELECT * FROM b0
+           |  QUALIFY row_number() OVER (PARTITION BY k ORDER BY
+           |    'phs00000' || (sk % 5) || '.c' || ln,
+           |    CASE WHEN ln % 2 = 0 THEN 'NCIT:C' || pk ELSE 'no-prefix' END,
+           |    CAST(qty AS VARCHAR),
+           |    CASE WHEN ln % 3 = 0 THEN 'UBERON:00' || pk
+           |         WHEN ln % 3 = 1 THEN 'EFO:' || pk ELSE 'bare-code' END,
+           |    'NCIT:C' || (sk % 100)) = 1)
            |SELECT 'BS_' || k AS key, 'Specimen' AS resource_type,
            |  '{"resourceType":"Specimen","id":"' || md5('Specimen/BS_' || k) ||
            |  '","meta":{"profile":["http://hl7.org/fhir/StructureDefinition/Specimen"],"tag":[{"code":"SD_' || rk ||
@@ -1682,30 +1678,54 @@ object Battery {
     * hash extensions, index-file type imputation (:246-254, tbi over
     * the two variations types ⇒ "… Index", which also suppresses
     * context.related :393-410 and has no type coding), acl-derived
-    * security labels, dual category codings. Unambiguous-keys filter as
-    * in kf_specimen_slice (here a duplicate key also fans the regroup
-    * out to two seq-exp groups, so only unique keys are byte-stable).
+    * security labels, dual category codings.
+    *
+    * Covers ALL keys: one output row per distinct (file key, seq-exp) —
+    * duplicate lineitem pairs with two suppkeys fan the regroup into
+    * two seq-exp rows sharing a key (set-deterministic) — while the
+    * per-(study,file) column aggregates are the builder's deterministic
+    * per-column `min`s and the Indexd survivor is its (size DESC,
+    * acl[0]) argmax, both replayed below.
     */
   private val kfDrsSlice = Q(
     "kf_drs_slice",
     (s, d) => {
       val result = graft.etl.Transform(KfShaped.endpoints(s, d))
-      val drs = graft.documents.DrsBuilder.drsDocumentReference(
+      graft.documents.DrsBuilder.drsDocumentReference(
         result, Some(KfShaped.indexd(s, d)))
-      val uniq = uniqueLineitemKeys(s, d, "GF_")
-      drs.join(uniq, Seq("key"))
     },
-    Some("""WITH uniq AS (
-           |  SELECT l_orderkey, l_linenumber FROM lineitem
-           |  GROUP BY 1, 2 HAVING count(*) = 1),
+    Some("""WITH pr AS (
+           |  SELECT DISTINCT l_orderkey AS ok, l_linenumber AS ln, l_suppkey AS sk
+           |  FROM lineitem),
+           |g AS (
+           |  SELECT l_orderkey AS gok, l_linenumber AS gln,
+           |         min(CASE l_partkey % 5
+           |           WHEN 0 THEN 'Aligned Reads' WHEN 1 THEN 'Variant Calls'
+           |           WHEN 2 THEN 'gVCF' WHEN 3 THEN 'Simple Nucleotide Variations'
+           |           ELSE 'Somatic Structural Variations' END) AS dt,
+           |         min(CASE WHEN l_partkey % 5 >= 3 THEN 'tbi' ELSE 'cram' END) AS fmt
+           |  FROM lineitem GROUP BY 1, 2),
+           |ix AS (
+           |  SELECT iok, iln, fsize, acl0 FROM (
+           |    SELECT l_orderkey AS iok, l_linenumber AS iln,
+           |           CAST(trunc(l_extendedprice * 100) AS BIGINT) AS fsize,
+           |           CASE WHEN l_orderkey % 3 = 0
+           |             THEN 'phs00000' || (l_suppkey % 5) || '.c1' ELSE 'nocode' END AS acl0,
+           |           row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+           |             ORDER BY CAST(trunc(l_extendedprice * 100) AS BIGINT) DESC,
+           |               CASE WHEN l_orderkey % 3 = 0
+           |                 THEN 'phs00000' || (l_suppkey % 5) || '.c1' ELSE 'nocode' END) AS rn
+           |    FROM lineitem) WHERE rn = 1),
            |b AS (
-           |  SELECT l.l_orderkey AS ok, l.l_partkey % 5 AS pk5, l.l_suppkey AS sk,
-           |         CAST(trunc(l.l_extendedprice * 100) AS BIGINT) AS fsize,
+           |  SELECT pr.ok, pr.ln, pr.sk, g.dt, g.fmt, ix.fsize, ix.acl0,
            |         o.o_custkey AS ck, n.n_regionkey AS rk,
-           |         l.l_orderkey || '_' || l.l_linenumber AS k
-           |  FROM lineitem l
-           |  JOIN uniq u ON l.l_orderkey = u.l_orderkey AND l.l_linenumber = u.l_linenumber
-           |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+           |         pr.ok || '_' || pr.ln AS k,
+           |         (g.dt IN ('Simple Nucleotide Variations', 'Somatic Structural Variations')
+           |           AND g.fmt = 'tbi') AS imputed
+           |  FROM pr
+           |  JOIN g ON pr.ok = g.gok AND pr.ln = g.gln
+           |  JOIN ix ON pr.ok = ix.iok AND pr.ln = ix.iln
+           |  JOIN orders o ON pr.ok = o.o_orderkey
            |  JOIN customer c ON o.o_custkey = c.c_custkey
            |  JOIN nation n ON c.c_nationkey = n.n_nationkey)
            |SELECT 'GF_' || k AS key, 'DocumentReference' AS resource_type,
@@ -1713,12 +1733,13 @@ object Battery {
            |  '","meta":{"profile":["https://nih-ncpi.github.io/ncpi-fhir-ig/StructureDefinition/drs-document-reference"],"tag":[{"code":"SD_' || rk ||
            |  '"}]},"identifier":[{"use":"official","system":"https://kf-api-dataservice.kidsfirstdrc.org/genomic-files/","value":"GF_' || k ||
            |  '"}],"status":"current","docStatus":"final","type":' ||
-           |  CASE pk5
-           |    WHEN 0 THEN '{"coding":[{"system":"https://includedcc.org/fhir/code-systems/data_types","code":"Aligned-Reads","display":"Aligned Reads"}],"text":"Aligned Reads"}'
-           |    WHEN 1 THEN '{"coding":[{"system":"https://includedcc.org/fhir/code-systems/data_types","code":"Variant-Calls","display":"Variant Calls"}],"text":"Variant Calls"}'
-           |    WHEN 2 THEN '{"coding":[{"system":"https://includedcc.org/fhir/code-systems/data_types","code":"gVCF","display":"gVCF"}],"text":"gVCF"}'
-           |    WHEN 3 THEN '{"text":"Simple Nucleotide Variations Index"}'
-           |    ELSE '{"text":"Somatic Structural Variations Index"}' END ||
+           |  CASE WHEN imputed THEN '{"text":"' || dt || ' Index"}'
+           |  ELSE CASE dt
+           |    WHEN 'Aligned Reads' THEN '{"coding":[{"system":"https://includedcc.org/fhir/code-systems/data_types","code":"Aligned-Reads","display":"Aligned Reads"}],"text":"Aligned Reads"}'
+           |    WHEN 'Variant Calls' THEN '{"coding":[{"system":"https://includedcc.org/fhir/code-systems/data_types","code":"Variant-Calls","display":"Variant Calls"}],"text":"Variant Calls"}'
+           |    WHEN 'gVCF' THEN '{"coding":[{"system":"https://includedcc.org/fhir/code-systems/data_types","code":"gVCF","display":"gVCF"}],"text":"gVCF"}'
+           |    WHEN 'Simple Nucleotide Variations' THEN '{"coding":[{"system":"https://includedcc.org/fhir/code-systems/data_types","code":"Simple-Nucleotide-Variations","display":"Simple Nucleotide Variations"}],"text":"Simple Nucleotide Variations"}'
+           |    ELSE '{"coding":[{"system":"https://includedcc.org/fhir/code-systems/data_types","code":"Somatic-Structural-Variations","display":"Somatic Structural Variations"}],"text":"Somatic Structural Variations"}' END END ||
            |  ',"category":' ||
            |  CASE WHEN sk % 2 = 0
            |    THEN '[{"coding":[{"system":"https://includedcc.org/fhir/code-systems/experimental_strategies","code":"WGS","display":"Whole Genome Sequencing"}],"text":"WGS"},{"coding":[{"system":"https://includedcc.org/fhir/code-systems/data_categories","code":"Genomics","display":"Genomics"}],"text":"WGS"}]'
@@ -1729,16 +1750,15 @@ object Battery {
            |    THEN '{"coding":[{"system":"https://includedcc.org/fhir/code-systems/data_access_types","code":"controlled","display":"Controlled"}],"text":"True"}'
            |    ELSE '{"coding":[{"system":"https://includedcc.org/fhir/code-systems/data_access_types","code":"registered","display":"Registered"}],"text":"False"}' END ||
            |  CASE WHEN ok % 3 = 0
-           |    THEN ',{"coding":[{"code":"c1"}],"text":"phs00000' || (sk % 5) || '.c1"},{"text":"open"}'
+           |    THEN ',{"coding":[{"code":"c1"}],"text":"' || acl0 || '"},{"text":"open"}'
            |    ELSE ',{"text":"nocode"}' END ||
-           |  '],"content":[{"format":{"display":"' ||
-           |  CASE WHEN pk5 >= 3 THEN 'tbi' ELSE 'cram' END ||
+           |  '],"content":[{"format":{"display":"' || fmt ||
            |  '"},"attachment":{"extension":[{"url":"https://nih-ncpi.github.io/ncpi-fhir-ig/StructureDefinition/file-size","valueDecimal":' || fsize ||
            |  '},{"url":"https://nih-ncpi.github.io/ncpi-fhir-ig/StructureDefinition/hashes","valueCodeableConcept":{"coding":[{"display":"md5"}],"text":"' || md5('content:' || k) ||
            |  '"}},{"url":"https://nih-ncpi.github.io/ncpi-fhir-ig/StructureDefinition/hashes","valueCodeableConcept":{"coding":[{"display":"sha256"}],"text":"' || sha256('content:' || k) ||
            |  '"}}],"url":"drs://data.kidsfirstdrc.org/' || md5('did:' || k) ||
            |  '","title":"file_' || k || '.cram"}}]' ||
-           |  CASE WHEN pk5 < 3
+           |  CASE WHEN NOT imputed
            |    THEN ',"context":{"related":[{"reference":"Specimen/' || md5('Specimen/BS_' || k) || '"}]}'
            |    ELSE '' END ||
            |  '}' AS resource_json
@@ -1833,29 +1853,28 @@ object Battery {
     * oracle (histopathology.py:28-126): the dual-ancestor link resource
     * (subject → patient, focus → disease Condition, specimen →
     * Specimen) with its OWN sentinel set for the tumor descriptor; the
-    * global clean already nulls "N/A" descriptors upstream. Unambiguous
-    * (orderkey, linenumber) keys only, as in kf_specimen_slice.
+    * global clean already nulls "N/A" descriptors upstream. Covers ALL
+    * keys: duplicate lineitem rows are column-identical here.
     */
   private val kfHistoSlice = Q(
     "kf_histo_slice",
     (s, d) => {
       val result = graft.etl.Transform(KfShaped.endpoints(s, d))
-      val histo = graft.documents.ConditionBuilders.histopathology(
+      graft.documents.ConditionBuilders.histopathology(
         result.slice(Set("studies", "participants", "diagnoses",
           "biospecimen-diagnoses", "biospecimens")))
-      val uniq = uniqueLineitemKeys(s, d, "BD_")
-      histo.join(uniq, Seq("key"))
     },
-    Some("""WITH uniq AS (
-           |  SELECT l_orderkey, l_linenumber FROM lineitem
-           |  GROUP BY 1, 2 HAVING count(*) = 1),
+    // ALL keys: duplicate (orderkey, linenumber) rows carry identical
+    // histo columns (every field derives from ok/ln alone), so the
+    // builder's dedup is content-deterministic — DISTINCT base keys
+    Some("""WITH hb AS (
+           |  SELECT DISTINCT l_orderkey AS dok, l_linenumber AS dln FROM lineitem),
            |b AS (
-           |  SELECT l.l_orderkey AS ok, l.l_linenumber AS ln,
+           |  SELECT hb.dok AS ok, hb.dln AS ln,
            |         o.o_custkey AS ck, n.n_regionkey AS rk,
-           |         l.l_orderkey || '_' || l.l_linenumber AS k
-           |  FROM lineitem l
-           |  JOIN uniq u ON l.l_orderkey = u.l_orderkey AND l.l_linenumber = u.l_linenumber
-           |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+           |         hb.dok || '_' || hb.dln AS k
+           |  FROM hb
+           |  JOIN orders o ON hb.dok = o.o_orderkey
            |  JOIN customer c ON o.o_custkey = c.c_custkey
            |  JOIN nation n ON c.c_nationkey = n.n_nationkey)
            |SELECT 'BD_' || k AS key, 'Observation' AS resource_type,
@@ -2104,7 +2123,34 @@ object Battery {
         indexd = Some(KfShaped.indexd(s, d)),
         centerNames = Map("SC_1" -> "Center One", "SC_2" -> "Center Two"))
     },
-    None)
+    // content-level oracle for the COMPLETE pipeline: the 16 per-builder
+    // slice oracles (each already byte-exact over ALL keys) UNION ALL'd
+    // with the builder tag buildAllUnion stamps on each part. Valid
+    // because each pipeline slice equals the corresponding battery
+    // slice (same required-table set) and the key-universe phantom sets
+    // are empty in the test data (no orphan FKs — kf_counts_by_type
+    // pins that equivalence at the cardinality level).
+    Some(Seq(
+      "practitioner" -> kfPractitionerSlice,
+      "organization" -> kfOrganizationSlice,
+      "practitioner_role" -> kfPractRoleSlice,
+      "patient" -> kfPatientSlice,
+      "proband_status" -> kfProbandSlice,
+      "family_relationship" -> kfFamRelSlice,
+      "family" -> kfFamilySlice,
+      "research_study" -> kfStudySlice,
+      "research_subject" -> kfRSubjectSlice,
+      "disease" -> kfDiseaseSlice,
+      "phenotype" -> kfPhenotypeSlice,
+      "vital_status" -> kfVitalSlice,
+      "sequencing_center" -> kfSeqCenterSlice,
+      "specimen" -> kfSpecimenSlice,
+      "histopathology" -> kfHistoSlice,
+      "drs_document_reference" -> kfDrsSlice)
+      .map { case (tag, q) =>
+        s"SELECT key, resource_type, resource_json, '$tag' AS builder FROM (\n${q.oracle.get}\n)"
+      }
+      .mkString("\nUNION ALL\n")))
 
   /** The flagship's hash-checked face: per-builder output cardinalities
     * of the COMPLETE pipeline, against an oracle that re-derives each
