@@ -59,7 +59,16 @@ object Bench {
     // previous round are noise, not regressions
     val spreads = obj(ts => (ts.max - ts.min) / math.max(ts.min, 1e-9))
     val total = results.map(_._2.min).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spreads":$spreads,"runs":$runs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spreads":$spreads,"runs":$runs,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist the record: stdout of a long run can be tail-truncated
+    // by the harness (round 6 lost the per-query minima that way); the
+    // file copy makes the bench record recoverable regardless.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -40,12 +40,17 @@ object MultimodalOps {
     def decode(row: MediaRow): MediaFeatures = {
       val bytes = row.content
       val n = bytes.length
-      val feature = Array.tabulate(8) { i =>
-        if (n == 0) 0f
-        else bytes.iterator.zipWithIndex
-          .filter { case (_, idx) => idx % 8 == i }
-          .map { case (b, _) => (b & 0xff).toFloat }
-          .sum / n
+      // one indexed pass, Long accumulators (byte sums are integers, so
+      // Long is exact at any payload size; the old sequential Float32
+      // sum drifted past the oracle's round() tolerance on large blobs)
+      val sums = new Array[Long](8)
+      var i = 0
+      while (i < n) {
+        sums(i % 8) += (bytes(i) & 0xff).toLong
+        i += 1
+      }
+      val feature = Array.tabulate(8) { s =>
+        if (n == 0) 0f else (sums(s).toDouble / n).toFloat
       }
       MediaFeatures(row.asset_id, row.media_type, n.toLong, feature)
     }

@@ -31,9 +31,11 @@ final class IdCache(spark: SparkSession, dir: String) {
   private def path(entityClass: String) = s"$dir/$entityClass"
 
   /** Cached (key, resolved_id) pairs for an entity class; empty frame
-    * when the class has never been cached. Deduped by key.
+    * when the class has never been cached. Deduped by key. Adopts any
+    * compaction snapshot stranded by a crash first (see [[recover]]).
     */
   def read(entityClass: String): DataFrame = {
+    recover(entityClass)
     val p = new org.apache.hadoop.fs.Path(path(entityClass))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p))
@@ -48,25 +50,56 @@ final class IdCache(spark: SparkSession, dir: String) {
       .write.mode("append").parquet(path(entityClass))
 
   /** Compact one entity class's append-only store: rewrite the deduped
-    * pairs as a single snapshot and swap it in (write-elsewhere +
-    * Hadoop FS rename — atomic on HDFS/local, best-effort on object
-    * stores, where a committer-backed overwrite is the production
-    * variant). Out-of-band maintenance for when the batch count grows;
+    * pairs as a single snapshot and swap it in with a two-rename cycle
+    * (live → retired, snapshot → live, drop retired). Renames are
+    * atomic on HDFS/local (best-effort on object stores, where a
+    * committer-backed overwrite is the production variant), so a crash
+    * at ANY point leaves a recoverable state: either the live dir still
+    * exists, or a complete `_SUCCESS`-marked snapshot and/or the retired
+    * copy do — [[recover]] re-adopts whichever is authoritative on the
+    * next read. Out-of-band maintenance for when the batch count grows;
     * resolution correctness never depends on it.
     */
   def compact(entityClass: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path(entityClass))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recover(entityClass)
     if (fs.exists(p)) {
       val tmp = new org.apache.hadoop.fs.Path(path(entityClass) + "__compacting")
+      val old = new org.apache.hadoop.fs.Path(path(entityClass) + "__retired")
       read(entityClass).write.mode("overwrite").parquet(tmp.toString)
-      // failures must THROW, not fall through: a false from delete means
-      // rename would nest the snapshot inside the live dir (invisible to
-      // the reader), and a false from rename means the cache vanished
-      require(fs.delete(p, true),
-        s"idcache compact: could not delete $p; snapshot left at $tmp")
+      // failures must THROW, not fall through — each rename below has a
+      // recover() transition for the crash-between states, but a FALSE
+      // return with no exception means the fs refused the op outright
+      require(fs.rename(p, old),
+        s"idcache compact: could not retire $p; snapshot left at $tmp")
       require(fs.rename(tmp, p),
-        s"idcache compact: could not swap in $tmp; store deleted, snapshot intact")
+        s"idcache compact: could not swap in $tmp; retired store at $old")
+      fs.delete(old, true)
+    }
+  }
+
+  /** Crash recovery for [[compact]]'s rename cycle — idempotent, called
+    * before every read: (a) live store present → any leftover snapshot /
+    * retired copy is stale, drop both; (b) live store missing but a
+    * COMPLETE snapshot exists (`_SUCCESS` marker — a crash mid-write
+    * leaves none) → adopt it; (c) live and complete snapshot both
+    * missing but the retired copy exists → roll back to it.
+    */
+  private def recover(entityClass: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path(entityClass))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path(entityClass) + "__compacting")
+    val old = new org.apache.hadoop.fs.Path(path(entityClass) + "__retired")
+    if (fs.exists(p)) {
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      if (fs.exists(old)) fs.delete(old, true)
+    } else if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) {
+      require(fs.rename(tmp, p), s"idcache recover: could not adopt snapshot $tmp")
+      if (fs.exists(old)) fs.delete(old, true)
+    } else if (fs.exists(old)) {
+      if (fs.exists(tmp)) fs.delete(tmp, true) // incomplete snapshot
+      require(fs.rename(old, p), s"idcache recover: could not roll back to $old")
     }
   }
 
@@ -93,19 +126,49 @@ final class IdCache(spark: SparkSession, dir: String) {
     val anyMiss = !missKeys.isEmpty
     val idMap =
       if (anyMiss) {
+        // persist BEFORE the emptiness probe: each partition of the
+        // fetch plan then executes at most once across probe + append —
+        // a lazily re-evaluated fetch would hit the target service twice
         val fetched = fetch(missKeys).select(col("key"), col("resolved_id"))
+          .persist()
         // a fetch that resolved nothing (all misses unknown server-side)
         // must not append: permanently-unknown keys would otherwise grow
         // one empty parquet batch per run, forever
-        if (fetched.isEmpty) cached
-        else {
-          append(entityClass, fetched)
-          // re-read instead of unioning the fetched plan: the appended
-          // files are on disk now, and one scan keeps the join single-source
-          read(entityClass)
-        }
+        val result =
+          if (fetched.isEmpty) cached
+          else {
+            append(entityClass, fetched)
+            // re-read instead of unioning the fetched plan: the appended
+            // files are on disk now, and one scan keeps the join single-source
+            read(entityClass)
+          }
+        fetched.unpersist()
+        result
       } else cached
     missKeys.unpersist()
     docs.join(idMap, Seq("key"), "left")
   }
+}
+
+/** Cache-free id-map helpers (the former IdMap object, folded in —
+  * the S8 join-based replacement for per-row `get_target_id_from_record`
+  * RPCs, etl/ingest.py:508-515).
+  */
+object IdCache {
+
+  /** Left-join resolved server ids onto docs; unresolved keys keep their
+    * surrogate id (already embedded in the document JSON).
+    *
+    * Plain equi-join, NO broadcast hint: an id map is 1:1 with the
+    * entity universe — at scale a forced broadcast is a driver OOM.
+    * AQE still auto-broadcasts genuinely small maps on its own.
+    */
+  def resolveWith(docs: DataFrame, idMap: DataFrame,
+      keyCol: String = "key", idCol: String = "resolved_id"): DataFrame =
+    docs.join(idMap.select(col(keyCol), col(idCol)), Seq(keyCol), "left")
+
+  /** An id-map from a JDBC registry (e.g. the Postgres sink variant). */
+  def fromJdbc(spark: SparkSession, url: String, table: String,
+      props: java.util.Properties = new java.util.Properties()): DataFrame =
+    spark.read.jdbc(url, table, props)
 }

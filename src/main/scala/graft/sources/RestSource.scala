@@ -13,7 +13,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * lands in a DataFrame via `spark.read.json` over a Dataset[String] —
   * appropriate for the reference's use (id resolution: result sets are
   * keys, not bulk data). Bulk per-key enrichment belongs to the
-  * broadcast-join path (IdMap/S6 bulk prefetch), NOT to a bigger REST
+  * equi-join path (IdCache/S6 bulk prefetch), NOT to a bigger REST
   * loop.
   */
 object RestSource {

@@ -195,4 +195,28 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"),
       s"top-k not pushed into a TakeOrdered (full sort would not scale):\n$p")
   }
+
+  test("no forced broadcast anywhere in the load/build paths (source gate)") {
+    // an id map / Indexd dim / builder input is 1:1 with the entity
+    // universe — a broadcast() hint there is a driver OOM at scale. AQE
+    // broadcasts genuinely small frames on its own; the hint is banned
+    // from these packages outright (small-dim joins that WANT a hint
+    // live in queries/ and ops/).
+    val banned = Seq("sinks", "documents", "etl", "sources")
+    for (pkg <- banned) {
+      val dir = java.nio.file.Paths.get(s"src/main/scala/graft/$pkg")
+      import scala.jdk.CollectionConverters._
+      val offending = java.nio.file.Files.walk(dir).iterator().asScala
+        .filter(_.toString.endsWith(".scala"))
+        .flatMap { f =>
+          val src = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+          src.linesIterator.zipWithIndex.collect {
+            case (line, i) if line.contains("broadcast(") && !line.trim.startsWith("*") &&
+              !line.trim.startsWith("//") => s"$f:${i + 1}: $line"
+          }
+        }.toList
+      assert(offending.isEmpty,
+        s"forced broadcast() in load-path package $pkg:\n${offending.mkString("\n")}")
+    }
+  }
 }

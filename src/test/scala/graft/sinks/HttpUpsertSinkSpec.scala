@@ -81,4 +81,27 @@ class HttpUpsertSinkSpec extends AnyFunSuite {
       assert(ok == 1 && failed == 0)
     }
   }
+
+  test("retry exhaustion fails the job loudly with a bounded request count") {
+    withServer { (target, url) =>
+      target.failFirstN = Int.MaxValue // permanent 503
+      val docs = Seq(("known-x", "Patient", """{"id":"known-x"}"""))
+        .toDF("key", "resource_type", "resource_json")
+      val thrown = intercept[Exception] {
+        HttpUpsertSink.upsert(docs,
+          HttpUpsertSink.Config(url, maxRetries = 2, initialBackoffMs = 1))
+      }
+      // the task failure must carry the HTTP status, not vanish into a
+      // silent skip — surfacing is the contract
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(thrown).exists(_.contains("503")),
+        s"status not surfaced: ${messages(thrown)}")
+      assert(target.store.isEmpty, "nothing may be recorded as stored")
+      // bounded attempts: (maxRetries+1) PUTs then (maxRetries+1) POSTs
+      // per task attempt — never an unbounded loop
+      assert(target.flaky.get <= 2 * 3 * 4,
+        s"unbounded retries: ${target.flaky.get} requests")
+    }
+  }
 }

@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.etl.SparkTestSession
 
-class IdMapSpec extends AnyFunSuite {
+class IdCacheResolveWithSpec extends AnyFunSuite {
 
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
@@ -14,7 +14,7 @@ class IdMapSpec extends AnyFunSuite {
       .toDF("key", "resource_json")
     val idMap = Seq(("PT_1", "srv-001"), ("PT_3", "srv-003"))
       .toDF("key", "resolved_id")
-    val got = IdMap.resolve(docs, idMap)
+    val got = IdCache.resolveWith(docs, idMap)
       .select("key", "resolved_id")
       .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
     assert(got == Map(
@@ -26,6 +26,6 @@ class IdMapSpec extends AnyFunSuite {
   test("resolve never drops or duplicates rows (left join on unique keys)") {
     val docs = (1 to 100).map(i => (s"K_$i", "{}")).toDF("key", "resource_json")
     val idMap = (1 to 50).map(i => (s"K_$i", s"id-$i")).toDF("key", "resolved_id")
-    assert(IdMap.resolve(docs, idMap).count() == 100)
+    assert(IdCache.resolveWith(docs, idMap).count() == 100)
   }
 }

@@ -104,6 +104,43 @@ class IdCacheSpec extends AnyFunSuite {
     cache.compact("specimen")
   }
 
+  test("compaction crash states recover: stranded snapshot adopted, retired rolled back") {
+    import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
+    def mapOf(c: IdCache) = c.read("patient").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val expect = Map("A" -> "id-a", "B" -> "id-b")
+
+    // crash BETWEEN the two renames: live gone, complete snapshot stranded
+    val d1 = Files.createTempDirectory("idcache").toString
+    val c1 = new IdCache(spark, d1)
+    c1.append("patient", Seq(("A", "id-a"), ("B", "id-b")).toDF("key", "resolved_id"))
+    c1.compact("patient") // produce a snapshot-shaped store (has _SUCCESS)
+    JFiles.move(Paths.get(s"$d1/patient"), Paths.get(s"$d1/patient__compacting"),
+      StandardCopyOption.ATOMIC_MOVE)
+    assert(mapOf(new IdCache(spark, d1)) == expect, "stranded snapshot not adopted")
+    assert(!JFiles.exists(Paths.get(s"$d1/patient__compacting")))
+
+    // crash DURING the snapshot write (no _SUCCESS): roll back to retired
+    val d2 = Files.createTempDirectory("idcache").toString
+    val c2 = new IdCache(spark, d2)
+    c2.append("patient", Seq(("A", "id-a"), ("B", "id-b")).toDF("key", "resolved_id"))
+    JFiles.move(Paths.get(s"$d2/patient"), Paths.get(s"$d2/patient__retired"),
+      StandardCopyOption.ATOMIC_MOVE)
+    JFiles.createDirectory(Paths.get(s"$d2/patient__compacting")) // incomplete: no _SUCCESS
+    assert(mapOf(new IdCache(spark, d2)) == expect, "retired store not rolled back")
+    assert(!JFiles.exists(Paths.get(s"$d2/patient__compacting")))
+
+    // live store present: stale leftovers are swept, content untouched
+    val d3 = Files.createTempDirectory("idcache").toString
+    val c3 = new IdCache(spark, d3)
+    c3.append("patient", Seq(("A", "id-a"), ("B", "id-b")).toDF("key", "resolved_id"))
+    JFiles.createDirectory(Paths.get(s"$d3/patient__compacting"))
+    JFiles.createDirectory(Paths.get(s"$d3/patient__retired"))
+    assert(mapOf(new IdCache(spark, d3)) == expect)
+    assert(!JFiles.exists(Paths.get(s"$d3/patient__compacting")) &&
+      !JFiles.exists(Paths.get(s"$d3/patient__retired")), "stale leftovers not swept")
+  }
+
   test("entity classes are cached independently") {
     val dir = Files.createTempDirectory("idcache").toString
     val calls = new AtomicInteger(0)

@@ -43,13 +43,13 @@ class JdbcSourceSpec extends AnyFunSuite {
     assert(df.count() == 50)
   }
 
-  test("IdMap.fromJdbc reads a live registry table") {
+  test("IdCache.fromJdbc reads a live registry table") {
     val c = DriverManager.getConnection(url)
     val st = c.createStatement()
     st.execute("""CREATE TABLE idmap ("key" VARCHAR(32), "resolved_id" VARCHAR(32))""")
     st.execute("""INSERT INTO idmap VALUES ('PT_1', 'srv-1'), ('PT_2', 'srv-2')""")
     c.close()
-    val got = graft.sinks.IdMap.fromJdbc(spark, url, "idmap")
+    val got = graft.sinks.IdCache.fromJdbc(spark, url, "idmap")
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(got == Map("PT_1" -> "srv-1", "PT_2" -> "srv-2"))
   }
