@@ -363,6 +363,73 @@ object Battery {
            |  TRUE AS approx_ok
            |FROM orders GROUP BY o_orderstatus""".stripMargin))
 
+  /** Windowed percentiles: every row sees its group's exact median as
+    * an analytic column, plus a windowed `percentile_approx` pinned to
+    * within 1% of it (the a12 pattern, per-row). Exact windowed
+    * percentile sorts each partition — fine for bounded partitions; at
+    * 100 TB the mergeable sketch is the scale path, which is why the
+    * accuracy gate rides along.
+    */
+  private val a14WindowedPercentile = Q(
+    "a14_windowed_percentile",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("o_orderstatus")
+      T.orders(s, d).select(
+        col("o_orderkey"),
+        col("o_orderstatus"),
+        percentile(col("o_totalprice"), lit(0.5)).over(w).as("p50_status"),
+        (abs(percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).over(w) -
+          percentile(col("o_totalprice"), lit(0.5)).over(w)) <=
+          percentile(col("o_totalprice"), lit(0.5)).over(w) * 0.01).as("approx_ok"))
+    },
+    Some("""SELECT o_orderkey, o_orderstatus,
+           |  quantile_cont(o_totalprice, 0.5) OVER (PARTITION BY o_orderstatus) AS p50_status,
+           |  TRUE AS approx_ok
+           |FROM orders""".stripMargin))
+
+  /** Correlation / covariance via exact decimal moment sums and a
+    * closed-form double finish. Spark's own `corr`/`covar_samp`
+    * accumulate co-moments in doubles, so the last-ulp result depends
+    * on partition merge order — not reproducible across runs, let alone
+    * engines. Summing the five moments as fixed-scale decimals (exact,
+    * map-side partial) and deriving the statistics with the SAME IEEE
+    * double expression on both sides is deterministic AND mergeable at
+    * any scale.
+    */
+  private val a15CorrCovar = Q(
+    "a15_corr_covar",
+    (s, d) => {
+      val q = col("l_quantity").cast("decimal(18,2)")
+      val p = col("l_extendedprice").cast("decimal(18,2)")
+      val moments = T.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(q).as("sx"), sum(p).as("sy"),
+          sum(q * q).as("sxx"), sum(p * p).as("syy"), sum(q * p).as("sxy"))
+      val (n, sx, sy) =
+        (col("n").cast("double"), col("sx").cast("double"), col("sy").cast("double"))
+      val (sxx, syy, sxy) =
+        (col("sxx").cast("double"), col("syy").cast("double"), col("sxy").cast("double"))
+      moments.select(
+        col("l_returnflag"), col("n"),
+        ((n * sxy - sx * sy) /
+          sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))).as("corr_qty_price"),
+        ((n * sxy - sx * sy) / (n * (n - lit(1.0)))).as("covar_samp_qty_price"))
+    },
+    Some("""SELECT l_returnflag, n,
+           |  (nd*sxy - sx*sy) / sqrt((nd*sxx - sx*sx) * (nd*syy - sy*sy)) AS corr_qty_price,
+           |  (nd*sxy - sx*sy) / (nd*(nd - 1.0)) AS covar_samp_qty_price
+           |FROM (
+           |  SELECT l_returnflag, count(*) AS n,
+           |    CAST(count(*) AS DOUBLE) AS nd,
+           |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+           |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+           |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+           |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+           |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+           |  FROM lineitem GROUP BY l_returnflag)""".stripMargin))
+
   /** TPC-H Q1-shaped headline aggregate (engine surface beyond the
     * reference: numeric aggregates, SURVEY §2.4 "absent" note).
     */
@@ -2197,7 +2264,8 @@ object Battery {
     j16NullSafe, j17Anti,
     a1Collect, a2Collect, a5Dedup, a6Rollup, a7Cube, a13GroupingSets,
     a8ApproxDistinct,
-    a11Percentile, a12ApproxPercentile, q1Agg, q3Sql,
+    a11Percentile, a12ApproxPercentile, a14WindowedPercentile, a15CorrCovar,
+    q1Agg, q3Sql,
     w1Window, w2Analytic, w3TopKPerGroup, w4RangeFrame, a9Pivot, a10Unpivot,
     topK, setOps,
     f6Datetime, g1DateSpine,
