@@ -194,70 +194,102 @@ object DedupOps {
   }
 
   /** Dedup cluster formation: connected components over a near-dup pair
-    * graph by iterative min-label propagation — the step after candidate
-    * generation in a dedup pipeline (every member of a component keeps
-    * one representative, the minimum id).
+    * graph via the ALTERNATING STAR algorithm (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    * step after candidate generation in a dedup pipeline (every member
+    * of a component keeps one representative, the minimum id).
     *
-    * Shape per iteration: neighborhood minimum (groupBy + join) followed
-    * by one pointer-jumping hop (label ← label's own label, a labels
-    * self-join) — the jump propagates minima exponentially along
-    * chains, so convergence is O(log diameter) rounds instead of
-    * O(diameter) (measured 34 s → ~7 s on the sf0.1 embedding near-dup
-    * graph, whose loose threshold produces long-chained components).
-    * All joins are node-id equi-joins, AQE-planned; labels persist so
-    * iteration N+1 reads a materialized frame, not a replay of the
-    * whole chain. The driver-side convergence count is one action per
-    * round over a node-sized frame. `maxIter` bounds the loop;
-    * non-convergence throws rather than returning a half-propagated
-    * labeling.
+    * Each round rewrites the EDGE LIST with two phases. large-star:
+    * every node attaches its strictly-larger neighbors to the minimum
+    * of its closed neighborhood; small-star: it attaches its
+    * smaller-or-equal neighbors (and itself) to that minimum. The edge
+    * set contracts toward one star per component, centered at the
+    * component's min id — convergence is O(log²) guaranteed, ~log₂(n)+1
+    * observed, INDEPENDENT of how ids are placed on the graph.
+    *
+    * This replaced a min-label-propagation loop with a stale pointer
+    * jump: that jump only doubles reach when the current minimum sits
+    * at the propagation frontier (ids assigned along the chain — the
+    * battery's happy case). ScaleStressSpec's randomized-id chain
+    * showed the truth: ~n/2 rounds, i.e. O(diameter), a scale killer
+    * on giant chained components.
+    *
+    * Both phases are node-keyed groupBy + equi-join over the current
+    * edge frame, AQE-planned. Each round localCheckpoints (lineage
+    * truncation — persist alone leaves Catalyst replanning a plan that
+    * nests every prior round and goes quadratic; measured on the sf0.1
+    * graph). The convergence probe is one `isEmpty` over a symmetric
+    * edge difference — edge-frame-sized, and the frame SHRINKS every
+    * round. `maxIter` bounds the loop; non-convergence throws rather
+    * than returning a half-contracted graph.
     *
     * Returns one row per node in `nodes`: (idCol, cluster) where
-    * cluster = min id reachable via `pairs` (singletons label
+    * cluster = min id of the node's component (singletons label
     * themselves).
     */
   def connectedComponents(nodes: DataFrame, idCol: String,
       pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 25): DataFrame = {
-    // localCheckpoint (not persist): each round's frame must TRUNCATE
-    // lineage, or round N's logical plan nests rounds 1..N-1 and
-    // Catalyst replanning grows quadratically — the classic iterative-
-    // algorithm trap (measured: the un-truncated loop got slower every
-    // round on the sf0.1 graph). Executor-local storage is the right
-    // trade here; a production run on flaky spot nodes would swap in
-    // reliable checkpointing, same call shape.
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .localCheckpoint()
-    var labels = nodes.select(col(idCol).as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint()
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      val neighborMin = edges.join(labels, edges("src") === labels("node"))
-        .groupBy(edges("dst").as("nbr_node"))
-        .agg(min(col("label")).as("nbr_min"))
-      // pointer jump: label ← its label's label, read from the PREVIOUS
-      // round's (already-materialized) labels — every label value is
-      // itself a node id and labels only decrease, so the stale hop is
-      // min-safe, collapses chains exponentially (O(log diameter)
-      // rounds), and costs no extra materialization inside the round.
-      val hop = labels.select(col("node").as("jump_node"), col("label").as("jump_label"))
-      val next = labels
-        .join(neighborMin, labels("node") === neighborMin("nbr_node"), "left")
-        .select(col("node"), col("label").as("old_label"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label1"))
-        .join(hop, col("label1") === col("jump_node"), "left")
-        .select(col("node"), col("old_label"),
-          least(col("label1"), coalesce(col("jump_label"), col("label1"))).as("label"))
-        .localCheckpoint()
-      changed = next.where(col("label") =!= col("old_label")).count()
-      labels = next.select("node", "label")
-      iter += 1
+      maxIter: Int = 25): DataFrame =
+    connectedComponentsWithStats(nodes, idCol, pairs, aCol, bCol, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of alternating-star rounds
+    * it took — the observable for convergence-bound tests (the
+    * algorithm promises ~log₂(component size) + 1 rounds regardless of
+    * id placement; a spec holds it to that).
+    */
+  private[graft] def connectedComponentsWithStats(nodes: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): (DataFrame, Int) = {
+    // closed-neighborhood minimum per node over canonical (u, v) edges
+    def closedMin(edges: DataFrame): DataFrame =
+      edges.select(col("u").as("node"), col("v").as("nbr"))
+        .union(edges.select(col("v").as("node"), col("u").as("nbr")))
+        .groupBy("node").agg(min(col("nbr")).as("mn"))
+        .select(col("node"), least(col("mn"), col("node")).as("m"))
+    // large-star: (nbr > node) → (m, nbr); small-star: (nbr < node) and
+    // the node itself → (m, ·). Output stays canonical because m is the
+    // closed-neighborhood minimum: m < every emitted partner.
+    def largeStar(edges: DataFrame): DataFrame = {
+      val adj = edges.select(col("u").as("node"), col("v").as("nbr"))
+        .union(edges.select(col("v").as("node"), col("u").as("nbr")))
+      adj.join(closedMin(edges), Seq("node"))
+        .where(col("nbr") > col("node") && col("nbr") =!= col("m"))
+        .select(col("m").as("u"), col("nbr").as("v")).distinct()
     }
-    require(changed == 0,
+    def smallStar(edges: DataFrame): DataFrame = {
+      val adj = edges.select(col("u").as("node"), col("v").as("nbr"))
+        .union(edges.select(col("v").as("node"), col("u").as("nbr")))
+      val m = closedMin(edges)
+      adj.join(m, Seq("node"))
+        .where(col("nbr") < col("node") && col("nbr") =!= col("m"))
+        .select(col("m").as("u"), col("nbr").as("v"))
+        .union(m.where(col("node") =!= col("m"))
+          .select(col("m").as("u"), col("node").as("v")))
+        .distinct()
+    }
+
+    var edges = pairs
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .where(col("u") =!= col("v") && col("u").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    var iter = 0
+    var converged = edges.isEmpty
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      iter += 1
+      converged = next.exceptAll(edges).union(edges.exceptAll(next)).isEmpty
+      edges = next
+    }
+    require(converged,
       s"connectedComponents did not converge in $maxIter iterations")
-    labels.select(col("node").as(idCol), col("label").as("cluster"))
+    // final edges are stars: u = component min, v = member
+    val labels = nodes.select(col(idCol).as("node")).distinct()
+      .join(edges.select(col("v").as("node"), col("u").as("star")), Seq("node"), "left")
+      .select(col("node").as(idCol),
+        coalesce(col("star"), col("node")).as("cluster"))
+    (labels, iter)
   }
 
   /** The composed-builtin SimHash (16 interpreted array folds) — kept as

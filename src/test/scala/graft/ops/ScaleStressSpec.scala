@@ -1,0 +1,167 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.{SparkTestSession, Transform}
+
+/** Synthetic scale/skew stress for the three headline 100 TB design
+  * claims, which the sf-gated battery can't exercise directly:
+  *
+  *  (a) LSH candidate generation stays NEAR-LINEAR on a chained
+  *      near-dup corpus (a doc is similar only to its neighbors —
+  *      banding must surface ~O(L) pairs, not the O(L²) all-pairs), and
+  *      a pathological hot bucket (h identical docs) yields exactly its
+  *      own C(h,2) true pairs without leaking cross-family junk.
+  *  (b) Connected components (alternating star) converges in
+  *      ~log₂(n) rounds on a long chain — the worst-case graph for
+  *      plain label propagation (which needs O(diameter)). This spec
+  *      CAUGHT the previous implementation's flaw: its stale pointer
+  *      jump was only logarithmic when ids were assigned along the
+  *      chain, and degenerated to ~n/2 rounds on arbitrary ids.
+  *  (c) The decomposed DRS regroup aggregates each chain side at its
+  *      own cardinality (B + S rows) instead of shuffling the fanned
+  *      B×S product, while producing identical output.
+  *
+  * All corpora are deterministic (no RNG), so the asserted bounds are
+  * exact properties of the fixed inputs, not flaky statistics.
+  */
+class ScaleStressSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  // ---------------------------------------------------------- (a) LSH
+
+  test("nearDupPairs: chained corpus yields near-linear pairs; hot bucket only its own") {
+    val L = 400 // chain: doc i = 20-token window at offset i => similar only to neighbors
+    val chain = (0 until L).map { i =>
+      (i.toLong, (i until i + 20).map(j => s"w$j").mkString(" "))
+    }
+    val h = 300 // hot bucket: h byte-identical docs => one band bucket of size h
+    val hot = (0 until h).map { i =>
+      (10000L + i, "the exact same hot document body repeated verbatim for every row")
+    }
+    val docs = (chain ++ hot).toDF("doc_id", "text")
+
+    val bands = DedupOps.minhashBands(docs, "doc_id", "text")
+    val pairs = DedupOps.nearDupPairs(bands, nBands = 4, threshold = 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+
+    val (hotPairs, chainSide) = pairs.partition { case (a, b) => a >= 10000L && b >= 10000L }
+    val crossFamily = chainSide.filter { case (a, b) => b >= 10000L || a >= 10000L }
+
+    // hot bucket: exactly its own true pairs — quadratic IN THE BUCKET
+    // because every pair is a real dup, never beyond it
+    assert(hotPairs.length == h * (h - 1) / 2,
+      s"hot bucket must yield exactly C($h,2) pairs, got ${hotPairs.length}")
+    assert(crossFamily.isEmpty,
+      s"no chain-to-hot pair shares any shingle: ${crossFamily.take(5).mkString(",")}")
+
+    // chain: each doc overlaps only a ±bounded neighborhood at t=0.5,
+    // so the pair count is c·L — the near-linear claim. The all-pairs
+    // degenerate would be L²/2 = 80k.
+    val chainPairs = chainSide.length
+    assert(chainPairs >= L / 2, s"banding lost the chain's adjacent pairs: $chainPairs")
+    assert(chainPairs <= 10 * L,
+      s"chain pair count must stay near-linear (≤ ${10 * L}), got $chainPairs")
+    // and every surfaced pair really is a neighborhood pair
+    assert(chainSide.forall { case (a, b) => math.abs(a - b) <= 20 },
+      "a verified chain pair can only span overlapping windows")
+  }
+
+  // ----------------------------------------------- (b) CC convergence
+
+  test("connectedComponents converges in O(log diameter) rounds on a 1024-chain") {
+    val n = 1024
+    val nodes = (0 until n).map(i => Tuple1(s"D_$i")).toDF("id")
+    val edges = (0 until n - 1).map(i => (s"D_$i", s"D_${i + 1}")).toDF("a", "b")
+    val (labels, rounds) = DedupOps.connectedComponentsWithStats(
+      nodes, "id", edges, "a", "b", maxIter = 25)
+    val clusters = labels.select("cluster").distinct().collect().map(_.getString(0))
+    assert(clusters.toSeq == Seq("D_0"), "one giant component labeled by its min id")
+    // alternating star contracts the chain by ~half per round
+    // regardless of id placement: log2(1024) = 10 plus small slack for
+    // the final fixpoint-detection round
+    assert(rounds <= 14,
+      s"alternating star must converge in ~log2($n)=10 (+slack) rounds, took $rounds")
+  }
+
+  // ------------------------------------------ (c) DRS decomposed regroup
+
+  private def skewedEndpoints(b: Int, s: Int): Map[String, DataFrame] = {
+    val studies = Seq(("SD_1", "phs1", "S", "S", "S1", "v1", null: String,
+      "dbGaP", "CANCER", "Kids First", "Pending", "True", "IV_1"))
+      .toDF("kf_id", "external_id", "name", "short_name", "short_code", "version",
+        "attribution", "data_access_authority", "domain", "program",
+        "release_status", "visible", "investigator_id")
+    val participants = Seq(("PT_1", "p1", "SD_1", "FM_1", "True", "True",
+      "Cancer", "Female", "Not Hispanic or Latino", "White", "Homo sapiens", "True"))
+      .toDF("kf_id", "external_id", "study_id", "family_id", "is_proband",
+        "affected_status", "diagnosis_category", "gender", "ethnicity", "race",
+        "species", "visible")
+    val biospecimens = (0 until b).map(i =>
+      (s"BS_$i", "PT_1", s"SC_1", "100", "DNA", "Blood", "GRU", "phs1.c1",
+        s"aliquot-$i", "sample-1", "Blood Draw", "NCIT:C1", "NCIT:C2",
+        "Chest wall", "Tumor", "Primary", null: String, "UBERON:001", "1.0", "True"))
+      .toDF("kf_id", "participant_id", "sequencing_center_id", "age_at_event_days",
+        "analyte_type", "composition", "consent_type", "dbgap_consent_code",
+        "external_aliquot_id", "external_sample_id", "method_of_smaple_procurement",
+        "ncit_id_anatomical_site", "ncit_id_tissue_type", "source_text_anatomical_site",
+        "source_text_tissue_type", "source_text_tumor_descriptor", "spatial_descriptor",
+        "uberon_id_anatomical_site", "volume_ul", "visible")
+    val bsGf = (0 until b).map(i =>
+      (s"BGF_$i", s"bgf-$i", s"BS_$i", "GF_HOT", "True"))
+      .toDF("kf_id", "external_id", "biospecimen_id", "genomic_file_id", "visible")
+    val genomicFiles = Seq(("GF_HOT", "gf-hot", "did-hot", "Aligned Reads", "cram",
+      "True", "GRCh38", "True", null: String, "True"))
+      .toDF("kf_id", "external_id", "latest_did", "data_type", "file_format",
+        "is_harmonized", "reference_genome", "controlled_access", "availability",
+        "visible")
+    val seqGf = (0 until s).map(j =>
+      (s"SGF_$j", s"sgf-$j", s"SE_$j", "GF_HOT", "True"))
+      .toDF("kf_id", "external_id", "sequencing_experiment_id", "genomic_file_id",
+        "visible")
+    val seqExps = (0 until s).map(j => (s"SE_$j", s"se-$j", "WGS", "True"))
+      .toDF("kf_id", "external_id", "experiment_strategy", "visible")
+    Map(
+      "studies" -> studies, "participants" -> participants,
+      "biospecimens" -> biospecimens, "biospecimen-genomic-files" -> bsGf,
+      "genomic-files" -> genomicFiles,
+      "sequencing-experiment-genomic-files" -> seqGf,
+      "sequencing-experiments" -> seqExps)
+  }
+
+  test("DRS decomposed regroup shuffles B+S rows where the fanned slice is B×S") {
+    val (b, s) = (300, 300)
+    val result = Transform(skewedEndpoints(b, s))
+
+    // the reference's one-wide-frame path: the hot file fans to B×S rows
+    val allNames = Set("studies", "participants", "biospecimens",
+      "biospecimen-genomic-files", "genomic-files",
+      "sequencing-experiment-genomic-files", "sequencing-experiments")
+    val fanned = result.slice(allNames)
+    assert(fanned.count() == b.toLong * s,
+      s"fanned slice must be the B×S product (${b.toLong * s})")
+
+    // the decomposed inputs stay at their own cardinality — this is the
+    // frame each side AGGREGATES (and therefore shuffles): 600 rows vs 90k
+    val bsSide = result.slice(Set("studies", "participants", "genomic-files"))
+    val seqSide = result.slice(Set("sequencing-experiment-genomic-files",
+      "sequencing-experiments"))
+    assert(bsSide.count() == b, s"bs-path side must be B rows, got ${bsSide.count()}")
+    assert(seqSide.count() == s, s"seq-link side must be S rows, got ${seqSide.count()}")
+
+    // and the cheap path computes the SAME result as the fanned regroup
+    val viaChain = graft.documents.DrsBuilder.regroupFromChain(result)
+    val viaWide = graft.documents.DrsBuilder.regroup(fanned)
+    def canon(df: DataFrame) = df
+      .select(col("study_id"), col("gf_id"), col("seq_id"), col("strategy"),
+        col("pids"), col("bs_ids"), col("data_type"), col("file_format"))
+      .collect().map(_.toString).sorted
+    val (a1, a2) = (canon(viaChain), canon(viaWide))
+    assert(a1.length == s, s"one regrouped row per seq-exp, got ${a1.length}")
+    assert(a1.sameElements(a2), "decomposed and fanned regroups must agree")
+  }
+}
