@@ -274,13 +274,23 @@ object DedupOps {
       .where(col("u") =!= col("v") && col("u").isNotNull)
       .distinct()
       .localCheckpoint()
+    var edgeCount = edges.count()
     var iter = 0
-    var converged = edges.isEmpty
+    var converged = edgeCount == 0
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // checkpoint the mid-phase too: small-star reads its input three
+      // times (adjacency both ways + the min join) — without
+      // materialization each read would replay the whole large-star
+      val ls = largeStar(edges).localCheckpoint()
+      val next = smallStar(ls).localCheckpoint()
       iter += 1
-      converged = next.exceptAll(edges).union(edges.exceptAll(next)).isEmpty
+      // both frames are distinct sets, so equal counts plus an empty
+      // one-sided difference IS set equality; the count fast-path skips
+      // the exceptAll on every round where the size still moved
+      val nextCount = next.count()
+      converged = nextCount == edgeCount && next.exceptAll(edges).isEmpty
       edges = next
+      edgeCount = nextCount
     }
     require(converged,
       s"connectedComponents did not converge in $maxIter iterations")
