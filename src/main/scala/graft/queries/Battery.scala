@@ -1354,13 +1354,16 @@ object Battery {
   /** Multimodal batch decode: binary payload + typed metadata →
     * mapPartitions feature extraction (decoder stubbed deterministically;
     * plumbing real). The stub feature(i) is the mean of the payload
-    * bytes at positions ≡ i (mod 8); multiplying back by byte_len and
-    * rounding recovers the stride byte-SUM exactly (float32 relative
-    * error ~2^-24 ⇒ absolute error ≪ 0.5 at these magnitudes), which
-    * turns the formerly rows-only check into an integer-exact DuckDB
-    * oracle (the payloads are ASCII, so byte positions = char
-    * positions). The float vectors themselves stay pinned by
-    * MultimodalOpsSpec.
+    * bytes at positions ≡ i (mod 8), accumulated as an exact Long sum
+    * before the single divide; multiplying back by byte_len and
+    * rounding recovers that stride byte-SUM exactly: the ONLY rounding
+    * left is float32-izing sum/n (relative error 2⁻²⁴), so the absolute
+    * error vs the sum stays < 0.5 while byte_len < 2²⁴/255 ≈ 65 KB —
+    * far above the synthetic docs. (The old per-element float32
+    * accumulation drifted with length.) This turns the formerly
+    * rows-only check into an integer-exact DuckDB oracle (the payloads
+    * are ASCII, so byte positions = char positions). The float vectors
+    * themselves stay pinned by MultimodalOpsSpec.
     */
   private val m2MultimodalDecode = Q(
     "m2_multimodal_decode",
