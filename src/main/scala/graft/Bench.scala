@@ -68,7 +68,11 @@ object Bench {
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")),
       (line + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    catch {
+      // best-effort, but never silently: an invisible miss here recreates
+      // the exact lost-record failure this file exists to prevent
+      case e: Exception => System.err.println(s"[bench] could not write record: $e")
+    }
     spark.stop()
   }
 }

@@ -218,10 +218,12 @@ object DedupOps {
     * edge frame, AQE-planned. Each round localCheckpoints (lineage
     * truncation — persist alone leaves Catalyst replanning a plan that
     * nests every prior round and goes quadratic; measured on the sf0.1
-    * graph). The convergence probe is one `isEmpty` over a symmetric
-    * edge difference — edge-frame-sized, and the frame SHRINKS every
-    * round. `maxIter` bounds the loop; non-convergence throws rather
-    * than returning a half-contracted graph.
+    * graph). The convergence probe is a count fast-path plus ONE
+    * one-sided `exceptAll` when counts match (both frames are distinct
+    * sets, so equal size + empty difference IS equality) — and the
+    * frame SHRINKS every round. `maxIter` bounds the loop;
+    * non-convergence throws rather than returning a half-contracted
+    * graph.
     *
     * Returns one row per node in `nodes`: (idCol, cluster) where
     * cluster = min id of the node's component (singletons label
@@ -240,26 +242,28 @@ object DedupOps {
   private[graft] def connectedComponentsWithStats(nodes: DataFrame, idCol: String,
       pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25): (DataFrame, Int) = {
-    // closed-neighborhood minimum per node over canonical (u, v) edges
-    def closedMin(edges: DataFrame): DataFrame =
+    // one bidirectional adjacency per phase, shared by the min
+    // aggregate and the attach join (building it separately for each
+    // consumer would double the per-round scans)
+    def adjacency(edges: DataFrame): DataFrame =
       edges.select(col("u").as("node"), col("v").as("nbr"))
         .union(edges.select(col("v").as("node"), col("u").as("nbr")))
-        .groupBy("node").agg(min(col("nbr")).as("mn"))
+    def closedMin(adj: DataFrame): DataFrame =
+      adj.groupBy("node").agg(min(col("nbr")).as("mn"))
         .select(col("node"), least(col("mn"), col("node")).as("m"))
     // large-star: (nbr > node) → (m, nbr); small-star: (nbr < node) and
     // the node itself → (m, ·). Output stays canonical because m is the
-    // closed-neighborhood minimum: m < every emitted partner.
+    // closed-neighborhood minimum: m ≤ node, so m < every emitted
+    // partner (for large-star m < nbr follows from m ≤ node < nbr).
     def largeStar(edges: DataFrame): DataFrame = {
-      val adj = edges.select(col("u").as("node"), col("v").as("nbr"))
-        .union(edges.select(col("v").as("node"), col("u").as("nbr")))
-      adj.join(closedMin(edges), Seq("node"))
-        .where(col("nbr") > col("node") && col("nbr") =!= col("m"))
+      val adj = adjacency(edges)
+      adj.join(closedMin(adj), Seq("node"))
+        .where(col("nbr") > col("node"))
         .select(col("m").as("u"), col("nbr").as("v")).distinct()
     }
     def smallStar(edges: DataFrame): DataFrame = {
-      val adj = edges.select(col("u").as("node"), col("v").as("nbr"))
-        .union(edges.select(col("v").as("node"), col("u").as("nbr")))
-      val m = closedMin(edges)
+      val adj = adjacency(edges)
+      val m = closedMin(adj)
       adj.join(m, Seq("node"))
         .where(col("nbr") < col("node") && col("nbr") =!= col("m"))
         .select(col("m").as("u"), col("nbr").as("v"))

@@ -1357,8 +1357,9 @@ object Battery {
     * bytes at positions ≡ i (mod 8), accumulated as an exact Long sum
     * before the single divide; multiplying back by byte_len and
     * rounding recovers that stride byte-SUM exactly: the ONLY rounding
-    * left is float32-izing sum/n (relative error 2⁻²⁴), so the absolute
-    * error vs the sum stays < 0.5 while byte_len < 2²⁴/255 ≈ 65 KB —
+    * left is float32-izing sum/n (relative error ≤ 2⁻²⁴ round-to-
+    * nearest), so |round(feature·n) − sum| < 0.5 while sum < 2²³, i.e.
+    * byte_len ≲ 33 KB for arbitrary bytes (~66 KB for ASCII ≤ 0x7F) —
     * far above the synthetic docs. (The old per-element float32
     * accumulation drifted with length.) This turns the formerly
     * rows-only check into an integer-exact DuckDB oracle (the payloads

@@ -31,13 +31,17 @@ final class IdCache(spark: SparkSession, dir: String) {
   private def path(entityClass: String) = s"$dir/$entityClass"
 
   /** Cached (key, resolved_id) pairs for an entity class; empty frame
-    * when the class has never been cached. Deduped by key. Adopts any
-    * compaction snapshot stranded by a crash first (see [[recover]]).
+    * when the class has never been cached. Deduped by key. When the
+    * live store is MISSING, adopts whatever a crashed compaction left
+    * behind (see [[recover]]) — a reader never deletes anything while
+    * the live store exists, so it cannot race an out-of-band
+    * [[compact]]'s in-progress snapshot; leftover sweeping belongs to
+    * compact() alone.
     */
   def read(entityClass: String): DataFrame = {
-    recover(entityClass)
     val p = new org.apache.hadoop.fs.Path(path(entityClass))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) recover(entityClass)
     if (fs.exists(p))
       spark.read.schema(schema).parquet(path(entityClass)).dropDuplicates("key")
     else spark.createDataFrame(
@@ -79,12 +83,16 @@ final class IdCache(spark: SparkSession, dir: String) {
     }
   }
 
-  /** Crash recovery for [[compact]]'s rename cycle — idempotent, called
-    * before every read: (a) live store present → any leftover snapshot /
-    * retired copy is stale, drop both; (b) live store missing but a
-    * COMPLETE snapshot exists (`_SUCCESS` marker — a crash mid-write
-    * leaves none) → adopt it; (c) live and complete snapshot both
-    * missing but the retired copy exists → roll back to it.
+  /** Crash recovery for [[compact]]'s rename cycle — idempotent:
+    * (a) live store present → any leftover snapshot / retired copy is
+    * stale, drop both (reached only from compact(), so it cannot delete
+    * another compaction's in-progress snapshot under a reader);
+    * (b) live store missing but a COMPLETE snapshot exists (`_SUCCESS`
+    * marker — a crash mid-write leaves none) → adopt it; (c) live and
+    * complete snapshot both missing but the retired copy exists → roll
+    * back to it. Maintenance is single-writer: two concurrent
+    * compact() calls on one entity class are not supported (like any
+    * rename-swap store).
     */
   private def recover(entityClass: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path(entityClass))
@@ -122,30 +130,32 @@ final class IdCache(spark: SparkSession, dir: String) {
     val missKeys = docs.select(col("key")).distinct()
       .join(cached, Seq("key"), "left_anti")
       .persist() // read twice: the emptiness probe and the fetch input
-    // limit-1 probe, not a count: we only need "any miss at all?"
-    val anyMiss = !missKeys.isEmpty
+    // try/finally: a throwing fetch/append must not strand cached
+    // blocks in executor storage for the session's lifetime
     val idMap =
-      if (anyMiss) {
-        // persist BEFORE the emptiness probe: each partition of the
-        // fetch plan then executes at most once across probe + append —
-        // a lazily re-evaluated fetch would hit the target service twice
-        val fetched = fetch(missKeys).select(col("key"), col("resolved_id"))
-          .persist()
-        // a fetch that resolved nothing (all misses unknown server-side)
-        // must not append: permanently-unknown keys would otherwise grow
-        // one empty parquet batch per run, forever
-        val result =
-          if (fetched.isEmpty) cached
-          else {
-            append(entityClass, fetched)
-            // re-read instead of unioning the fetched plan: the appended
-            // files are on disk now, and one scan keeps the join single-source
-            read(entityClass)
-          }
-        fetched.unpersist()
-        result
-      } else cached
-    missKeys.unpersist()
+      try {
+        // limit-1 probe, not a count: we only need "any miss at all?"
+        if (!missKeys.isEmpty) {
+          // persist BEFORE the emptiness probe: each partition of the
+          // fetch plan then executes at most once across probe + append —
+          // a lazily re-evaluated fetch would hit the target service twice
+          val fetched = fetch(missKeys).select(col("key"), col("resolved_id"))
+            .persist()
+          try {
+            // a fetch that resolved nothing (all misses unknown
+            // server-side) must not append: permanently-unknown keys
+            // would otherwise grow one empty parquet batch per run
+            if (fetched.isEmpty) cached
+            else {
+              append(entityClass, fetched)
+              // re-read instead of unioning the fetched plan: the
+              // appended files are on disk now, and one scan keeps the
+              // join single-source
+              read(entityClass)
+            }
+          } finally fetched.unpersist()
+        } else cached
+      } finally missKeys.unpersist()
     docs.join(idMap, Seq("key"), "left")
   }
 }

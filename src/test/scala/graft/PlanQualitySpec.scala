@@ -206,15 +206,18 @@ class PlanQualitySpec extends AnyFunSuite {
     for (pkg <- banned) {
       val dir = java.nio.file.Paths.get(s"src/main/scala/graft/$pkg")
       import scala.jdk.CollectionConverters._
-      val offending = java.nio.file.Files.walk(dir).iterator().asScala
-        .filter(_.toString.endsWith(".scala"))
-        .flatMap { f =>
-          val src = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
-          src.linesIterator.zipWithIndex.collect {
-            case (line, i) if line.contains("broadcast(") && !line.trim.startsWith("*") &&
-              !line.trim.startsWith("//") => s"$f:${i + 1}: $line"
-          }
-        }.toList
+      val walk = java.nio.file.Files.walk(dir) // close releases dir handles
+      val offending =
+        try walk.iterator().asScala
+          .filter(_.toString.endsWith(".scala"))
+          .flatMap { f =>
+            val src = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+            src.linesIterator.zipWithIndex.collect {
+              case (line, i) if line.contains("broadcast(") && !line.trim.startsWith("*") &&
+                !line.trim.startsWith("//") => s"$f:${i + 1}: $line"
+            }
+          }.toList
+        finally walk.close()
       assert(offending.isEmpty,
         s"forced broadcast() in load-path package $pkg:\n${offending.mkString("\n")}")
     }

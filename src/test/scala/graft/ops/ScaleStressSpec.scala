@@ -158,7 +158,8 @@ class ScaleStressSpec extends AnyFunSuite {
     val viaWide = graft.documents.DrsBuilder.regroup(fanned)
     def canon(df: DataFrame) = df
       .select(col("study_id"), col("gf_id"), col("seq_id"), col("strategy"),
-        col("pids"), col("bs_ids"), col("data_type"), col("file_format"))
+        col("pids"), col("bs_ids"), col("data_type"), col("file_format"),
+        col("latest_did"), col("controlled_access"))
       .collect().map(_.toString).sorted
     val (a1, a2) = (canon(viaChain), canon(viaWide))
     assert(a1.length == s, s"one regrouped row per seq-exp, got ${a1.length}")

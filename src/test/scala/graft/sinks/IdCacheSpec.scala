@@ -130,15 +130,23 @@ class IdCacheSpec extends AnyFunSuite {
     assert(mapOf(new IdCache(spark, d2)) == expect, "retired store not rolled back")
     assert(!JFiles.exists(Paths.get(s"$d2/patient__compacting")))
 
-    // live store present: stale leftovers are swept, content untouched
+    // live store present + stale leftovers: a READER must not touch
+    // them (it could be racing an out-of-band compaction); the next
+    // compact() sweeps them and still swaps in the right content
     val d3 = Files.createTempDirectory("idcache").toString
     val c3 = new IdCache(spark, d3)
     c3.append("patient", Seq(("A", "id-a"), ("B", "id-b")).toDF("key", "resolved_id"))
     JFiles.createDirectory(Paths.get(s"$d3/patient__compacting"))
     JFiles.createDirectory(Paths.get(s"$d3/patient__retired"))
     assert(mapOf(new IdCache(spark, d3)) == expect)
+    assert(JFiles.exists(Paths.get(s"$d3/patient__compacting")) &&
+      JFiles.exists(Paths.get(s"$d3/patient__retired")),
+      "a reader must leave maintenance leftovers alone while live exists")
+    c3.compact("patient")
+    assert(mapOf(c3) == expect)
     assert(!JFiles.exists(Paths.get(s"$d3/patient__compacting")) &&
-      !JFiles.exists(Paths.get(s"$d3/patient__retired")), "stale leftovers not swept")
+      !JFiles.exists(Paths.get(s"$d3/patient__retired")),
+      "compact() sweeps stale leftovers")
   }
 
   test("entity classes are cached independently") {
