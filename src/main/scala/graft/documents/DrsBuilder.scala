@@ -60,7 +60,7 @@ object DrsBuilder {
     "Somatic Structural Variations Index", "Variant Calls Index")
 
   /** A2-style regroup: one row per (study, genomic file [, seq-exp]) with
-    * collected participant/biospecimen sets and first-distinct strategy
+    * collected participant/biospecimen sets and min-distinct strategy
     * (drs_document_reference.py:170-206) — pinned deterministic with
     * sorted sets (SURVEY §7.4 risk 6).
     */
