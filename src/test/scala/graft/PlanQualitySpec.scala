@@ -196,6 +196,32 @@ class PlanQualitySpec extends AnyFunSuite {
       s"top-k not pushed into a TakeOrdered (full sort would not scale):\n$p")
   }
 
+  // FormattedMode prints each node twice (tree line + detail header);
+  // count only the numbered detail headers
+  private def nodeCount(p: String, op: String): Int =
+    p.linesIterator.count(l => l.trim.matches(s"\\(\\d+\\) $op(\\s.*)?"))
+
+  test("moment-sum corr/covar is one partial+final hash aggregate, no sort, no window") {
+    val p = plan("a15_corr_covar")
+    assert(p.contains("partial_sum") && p.contains("HashAggregate"),
+      s"expected map-side partial hash aggregate:\n$p")
+    val exchanges = nodeCount(p, "Exchange")
+    assert(exchanges == 1, s"moment sums must shuffle once, found $exchanges:\n$p")
+    assert(nodeCount(p, "Window") == 0 && nodeCount(p, "Sort") == 0,
+      s"closed-form stats must not sort or window:\n$p")
+  }
+
+  test("windowed percentile shuffles once on the partition key") {
+    val p = plan("a14_windowed_percentile")
+    assert(nodeCount(p, "Window") >= 1, s"expected a Window node:\n$p")
+    val exchanges = nodeCount(p, "Exchange")
+    assert(exchanges == 1,
+      s"all three window aggregates share one partitionBy shuffle, found $exchanges:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("o_comment"),
+      s"scan must prune to the three read columns: $readSchema")
+  }
+
   test("no forced broadcast anywhere in the load/build paths (source gate)") {
     // an id map / Indexd dim / builder input is 1:1 with the entity
     // universe — a broadcast() hint there is a driver OOM at scale. AQE
