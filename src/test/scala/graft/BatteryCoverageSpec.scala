@@ -26,4 +26,11 @@ class BatteryCoverageSpec extends AnyFunSuite {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle entries without a query: $orphans")
   }
+
+  test("driver smoke contract: entry() yields rows at sf0.001") {
+    // the driver's own gate is rows > 0; Bench's warmup swallows entry()
+    // failures, so pin it here where a break is loud
+    val n = SparkEntry.entry(graft.etl.SparkTestSession.spark).count()
+    assert(n > 0, "entry() must produce rows for the driver smoke check")
+  }
 }
