@@ -255,6 +255,13 @@ object DedupOps {
     // the node itself → (m, ·). Output stays canonical because m is the
     // closed-neighborhood minimum: m ≤ node, so m < every emitted
     // partner (for large-star m < nbr follows from m ≤ node < nbr).
+    // DELIBERATE deviation from Kiveris et al.'s small-star, which
+    // attaches to the min over {smaller neighbors} ∪ {self}: both
+    // phases here use the GLOBAL closed-neighborhood minimum. That is a
+    // valid strengthening (the attach target is ≤ the paper's, still in
+    // the same component, so connectivity and monotone convergence are
+    // preserved) and lets one closedMin aggregate serve both phases —
+    // do not "fix" it back to the paper's subset form without thought.
     def largeStar(edges: DataFrame): DataFrame = {
       val adj = adjacency(edges)
       adj.join(closedMin(adj), Seq("node"))

@@ -34,9 +34,13 @@ final class IdCache(spark: SparkSession, dir: String) {
     * when the class has never been cached. Deduped by key. When the
     * live store is MISSING, adopts whatever a crashed compaction left
     * behind (see [[recover]]) — a reader never deletes anything while
-    * the live store exists, so it cannot race an out-of-band
-    * [[compact]]'s in-progress snapshot; leftover sweeping belongs to
-    * compact() alone.
+    * the live store exists, so leftover sweeping belongs to compact()
+    * alone. A reader CAN observe the window between compact()'s two
+    * renames (the snapshot is `_SUCCESS`-complete before the live dir
+    * is retired, so it is adoptable mid-swap); that concurrent
+    * recovery is RESOLVED, not impossible — whichever process loses
+    * the adopt-rename re-checks that the live store exists and treats
+    * that as success (see [[recover]]).
     */
   def read(entityClass: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path(entityClass))
@@ -74,11 +78,18 @@ final class IdCache(spark: SparkSession, dir: String) {
       read(entityClass).write.mode("overwrite").parquet(tmp.toString)
       // failures must THROW, not fall through — each rename below has a
       // recover() transition for the crash-between states, but a FALSE
-      // return with no exception means the fs refused the op outright
+      // return with no exception means the fs refused the op outright.
+      // EXCEPTION: a failed swap-in with the live dir present again
+      // means a concurrent reader's recover() adopted the (complete)
+      // snapshot between our two renames — the final state is exactly
+      // what this compaction wanted, so the race loser succeeds too.
       require(fs.rename(p, old),
         s"idcache compact: could not retire $p; snapshot left at $tmp")
-      require(fs.rename(tmp, p),
-        s"idcache compact: could not swap in $tmp; retired store at $old")
+      if (!fs.rename(tmp, p)) {
+        require(fs.exists(p),
+          s"idcache compact: could not swap in $tmp and no live store at $p; retired store at $old")
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+      }
       fs.delete(old, true)
     }
   }
@@ -92,7 +103,10 @@ final class IdCache(spark: SparkSession, dir: String) {
     * complete snapshot both missing but the retired copy exists → roll
     * back to it. Maintenance is single-writer: two concurrent
     * compact() calls on one entity class are not supported (like any
-    * rename-swap store).
+    * rename-swap store). A CONCURRENT READER is supported: if it
+    * observes the mid-swap window (live retired, snapshot complete)
+    * both it and the compactor race the adopt-rename; the loser
+    * re-checks that the live store exists and treats that as success.
     */
   private def recover(entityClass: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path(entityClass))
@@ -103,11 +117,15 @@ final class IdCache(spark: SparkSession, dir: String) {
       if (fs.exists(tmp)) fs.delete(tmp, true)
       if (fs.exists(old)) fs.delete(old, true)
     } else if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) {
-      require(fs.rename(tmp, p), s"idcache recover: could not adopt snapshot $tmp")
+      // rename race: a concurrent recover()/compact() may adopt the
+      // same snapshot first — "live exists now" is success, not failure
+      if (!fs.rename(tmp, p))
+        require(fs.exists(p), s"idcache recover: could not adopt snapshot $tmp")
       if (fs.exists(old)) fs.delete(old, true)
     } else if (fs.exists(old)) {
       if (fs.exists(tmp)) fs.delete(tmp, true) // incomplete snapshot
-      require(fs.rename(old, p), s"idcache recover: could not roll back to $old")
+      if (!fs.rename(old, p))
+        require(fs.exists(p), s"idcache recover: could not roll back to $old")
     }
   }
 

@@ -228,9 +228,18 @@ class PlanQualitySpec extends AnyFunSuite {
     // broadcasts genuinely small frames on its own; the hint is banned
     // from these packages outright (small-dim joins that WANT a hint
     // live in queries/ and ops/).
+    // anchor on the build dir sbt sets for forked/IDE runs, falling
+    // back to CWD — a bare relative path breaks under runners whose
+    // working directory is not the repo root
+    val repoRoot = sys.props.get("user.dir")
+      .map(java.nio.file.Paths.get(_))
+      .filter(r => java.nio.file.Files.exists(r.resolve("build.sbt")))
+      .getOrElse(java.nio.file.Paths.get("."))
+    assume(java.nio.file.Files.exists(repoRoot.resolve("src/main/scala/graft")),
+      "source tree not locatable from this working directory; gate runs from sbt at the repo root")
     val banned = Seq("sinks", "documents", "etl", "sources")
     for (pkg <- banned) {
-      val dir = java.nio.file.Paths.get(s"src/main/scala/graft/$pkg")
+      val dir = repoRoot.resolve(s"src/main/scala/graft/$pkg")
       import scala.jdk.CollectionConverters._
       val walk = java.nio.file.Files.walk(dir) // close releases dir handles
       val offending =
