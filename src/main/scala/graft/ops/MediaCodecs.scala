@@ -1,0 +1,228 @@
+package graft.ops
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Pure-JVM media codecs: RIFF/PCM WAV and 24-bpp uncompressed BMP,
+  * byte-level encode + decode with no library dependency. These retire
+  * the "no media codecs in the container" stub for the two formats the
+  * JVM can honestly round-trip: the decode path in a multimodal
+  * pipeline ([[MultimodalOps.extractFeatures]]) can now parse REAL
+  * container bytes, not a deterministic fake.
+  *
+  * Scope is deliberate: PCM16 WAV and BI_RGB 24-bpp BMP — formats whose
+  * full spec fits in a page and whose decode is pure integer byte
+  * walking (codegen-adjacent, allocation-light, safe inside an executor
+  * task). JPEG/MP4/FLAC still need a native library; they slot in
+  * behind the same [[MultimodalOps.MediaDecoder]] seam.
+  *
+  * Mirrors the reference's file-blob handling boundary
+  * (drs_document_reference.py:224-243 treats genomic files as opaque
+  * URLs + size/hash metadata): the engine-side contract is
+  * "binary column in, typed rows out", which is exactly what these
+  * codecs implement.
+  *
+  * Correctness is pinned two independent ways:
+  *  - differential spec vs the JDK's own codecs (`javax.sound.sampled`
+  *    for WAV, `javax.imageio` for BMP), both directions;
+  *  - battery queries `m4_wav_decode` / `m5_bmp_decode`, whose DuckDB
+  *    oracle recomputes the decoded sample/pixel statistics in closed
+  *    form — a mis-parsed header, wrong stride, missed row padding, or
+  *    un-flipped bottom-up image hash-mismatches.
+  */
+object MediaCodecs {
+
+  /** Decoded PCM16 audio: interleaved samples, frame-major. */
+  final case class WavData(sampleRate: Int, channels: Int, samples: Array[Short])
+
+  /** Decoded image: row-major TOP-DOWN pixels, packed 0xRRGGBB. */
+  final case class BmpData(width: Int, height: Int, pixels: Array[Int])
+
+  object WavCodec {
+    /** Canonical 44-byte-header PCM16 little-endian WAV. */
+    def encode(samples: Array[Short], sampleRate: Int, channels: Int = 1): Array[Byte] = {
+      require(channels > 0 && sampleRate > 0, "invalid WAV params")
+      val dataLen = samples.length * 2
+      val buf = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+      val blockAlign = channels * 2
+      buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1) // PCM
+        .putShort(channels.toShort)
+        .putInt(sampleRate)
+        .putInt(sampleRate * blockAlign) // byte rate
+        .putShort(blockAlign.toShort)
+        .putShort(16) // bits per sample
+      buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      var i = 0
+      while (i < samples.length) { buf.putShort(samples(i)); i += 1 }
+      buf.array()
+    }
+
+    /** Chunk-walking RIFF parse: tolerates extra chunks (LIST, fact —
+      * the JDK writer emits none, other writers do), enforces PCM16.
+      * Odd-sized chunks carry a pad byte per the RIFF spec.
+      */
+    def decode(bytes: Array[Byte]): WavData = {
+      require(bytes.length >= 44, s"WAV too short: ${bytes.length} bytes")
+      val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      def fourCC(at: Int): String =
+        new String(bytes, at, 4, "US-ASCII")
+      require(fourCC(0) == "RIFF" && fourCC(8) == "WAVE",
+        s"not a RIFF/WAVE stream: '${fourCC(0)}'/'${fourCC(8)}'")
+      var pos = 12
+      var sampleRate = -1; var channels = -1; var bits = -1; var fmt = -1
+      var dataOff = -1; var dataLen = -1
+      while (pos + 8 <= bytes.length && (sampleRate < 0 || dataOff < 0)) {
+        val id = fourCC(pos)
+        val size = buf.getInt(pos + 4)
+        require(size >= 0 && pos + 8 + size <= bytes.length,
+          s"chunk '$id' overruns the buffer (size=$size at pos=$pos)")
+        id match {
+          case "fmt " =>
+            require(size >= 16, s"fmt chunk too small: $size")
+            fmt = buf.getShort(pos + 8) & 0xffff
+            channels = buf.getShort(pos + 10) & 0xffff
+            sampleRate = buf.getInt(pos + 12)
+            bits = buf.getShort(pos + 22) & 0xffff
+          case "data" =>
+            dataOff = pos + 8; dataLen = size
+          case _ => () // skip LIST/fact/bext/...
+        }
+        pos += 8 + size + (size & 1) // odd chunks are padded
+      }
+      require(fmt == 1, s"unsupported WAV format code $fmt (PCM only)")
+      require(bits == 16, s"unsupported bit depth $bits (PCM16 only)")
+      require(channels > 0 && sampleRate > 0, "malformed fmt chunk")
+      require(dataOff >= 0, "no data chunk")
+      val n = dataLen / 2
+      val samples = new Array[Short](n)
+      var i = 0
+      while (i < n) { samples(i) = buf.getShort(dataOff + 2 * i); i += 1 }
+      WavData(sampleRate, channels, samples)
+    }
+  }
+
+  object BmpCodec {
+    /** Row stride in bytes: 24-bpp rows pad to 4-byte multiples. */
+    def stride(width: Int): Int = ((width * 3 + 3) / 4) * 4
+
+    /** Canonical BITMAPINFOHEADER 24-bpp BI_RGB BMP: bottom-up rows,
+      * BGR byte order, 4-byte row padding — `pixels` is row-major
+      * TOP-DOWN packed 0xRRGGBB (the natural in-memory order; the
+      * encoder does the flip the format demands).
+      */
+    def encode(pixels: Array[Int], width: Int, height: Int): Array[Byte] = {
+      require(width > 0 && height > 0 && pixels.length == width * height,
+        s"pixel buffer ${pixels.length} != ${width}x$height")
+      val rowBytes = stride(width)
+      val imageSize = rowBytes * height
+      val buf = ByteBuffer.allocate(54 + imageSize).order(ByteOrder.LITTLE_ENDIAN)
+      buf.put('B'.toByte).put('M'.toByte).putInt(54 + imageSize)
+        .putInt(0) // reserved
+        .putInt(54) // pixel data offset
+        .putInt(40) // BITMAPINFOHEADER size
+        .putInt(width).putInt(height) // positive height = bottom-up
+        .putShort(1) // planes
+        .putShort(24) // bpp
+        .putInt(0) // BI_RGB
+        .putInt(imageSize)
+        .putInt(2835).putInt(2835) // 72 DPI
+        .putInt(0).putInt(0) // palette
+      var y = height - 1 // bottom-up: last pixel row first
+      while (y >= 0) {
+        var x = 0
+        while (x < width) {
+          val p = pixels(y * width + x)
+          buf.put((p & 0xff).toByte) // B
+            .put(((p >> 8) & 0xff).toByte) // G
+            .put(((p >> 16) & 0xff).toByte) // R
+          x += 1
+        }
+        var pad = rowBytes - width * 3
+        while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+        y -= 1
+      }
+      buf.array()
+    }
+
+    /** Parses BI_RGB 24-bpp with either row order (positive height =
+      * bottom-up per the spec, negative = top-down) and any declared
+      * pixel-data offset (extra header fields / palettes are skipped by
+      * honoring the offset, not assumed absent).
+      */
+    def decode(bytes: Array[Byte]): BmpData = {
+      require(bytes.length >= 54, s"BMP too short: ${bytes.length} bytes")
+      require(bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte, "not a BMP stream")
+      val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      val dataOff = buf.getInt(10)
+      val headerSize = buf.getInt(14)
+      require(headerSize >= 40, s"unsupported BMP header size $headerSize")
+      val width = buf.getInt(18)
+      val rawHeight = buf.getInt(22)
+      val bpp = buf.getShort(28) & 0xffff
+      val compression = buf.getInt(30)
+      require(bpp == 24, s"unsupported bit depth $bpp (24-bpp only)")
+      require(compression == 0, s"unsupported compression $compression (BI_RGB only)")
+      val bottomUp = rawHeight > 0
+      val height = math.abs(rawHeight)
+      require(width > 0 && height > 0, s"degenerate dimensions ${width}x$rawHeight")
+      val rowBytes = stride(width)
+      require(dataOff >= 54 && dataOff.toLong + rowBytes.toLong * height <= bytes.length,
+        s"pixel data overruns the buffer (offset=$dataOff rows=$height stride=$rowBytes)")
+      val pixels = new Array[Int](width * height)
+      var y = 0
+      while (y < height) {
+        val srcRow = if (bottomUp) height - 1 - y else y
+        val base = dataOff + srcRow * rowBytes
+        var x = 0
+        while (x < width) {
+          val b = bytes(base + x * 3) & 0xff
+          val g = bytes(base + x * 3 + 1) & 0xff
+          val r = bytes(base + x * 3 + 2) & 0xff
+          pixels(y * width + x) = (r << 16) | (g << 8) | b
+          x += 1
+        }
+        y += 1
+      }
+      BmpData(width, height, pixels)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Deterministic synthetic payloads for the oracle battery: REAL
+  // container bytes whose decoded statistics have a closed form in
+  // doc_id, so DuckDB can recompute them without a codec. The analytic
+  // formulas are duplicated verbatim in the m4/m5 oracle SQL.
+  // ------------------------------------------------------------------
+
+  /** PCM16 mono 8 kHz WAV, 64 + (id % 191) samples,
+    * sample(i) = ((id·2654435761 + i·40503) mod 65536) − 32768.
+    */
+  def syntheticWav(docId: Long): Array[Byte] = {
+    require(docId >= 0, "synthetic payloads are defined for non-negative ids")
+    val n = 64 + (docId % 191).toInt
+    val samples = Array.tabulate(n) { i =>
+      ((docId * 2654435761L + i.toLong * 40503L) % 65536L - 32768L).toShort
+    }
+    WavCodec.encode(samples, sampleRate = 8000)
+  }
+
+  /** (4 + id%13) × (3 + id%7) 24-bpp BMP with analytic channels:
+    * r = (id + 7x + 13y) mod 256, g = (3id + 5x + y) mod 256,
+    * b = (11id + x + 2y) mod 256.
+    */
+  def syntheticBmp(docId: Long): Array[Byte] = {
+    require(docId >= 0, "synthetic payloads are defined for non-negative ids")
+    val w = 4 + (docId % 13).toInt
+    val h = 3 + (docId % 7).toInt
+    val pixels = Array.tabulate(w * h) { idx =>
+      val x = idx % w; val y = idx / w
+      val r = ((docId + 7L * x + 13L * y) % 256L).toInt
+      val g = ((3L * docId + 5L * x + y) % 256L).toInt
+      val b = ((11L * docId + x + 2L * y) % 256L).toInt
+      (r << 16) | (g << 8) | b
+    }
+    BmpCodec.encode(pixels, w, h)
+  }
+}

@@ -7,13 +7,15 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, batch-shaped decode/feature-extract over
   * `mapPartitions`.
   *
-  * Container note (per the brief): no media codecs ship in this
-  * environment, so [[FakeDecoder]] is a clearly-marked deterministic
-  * stand-in — the Spark-side plumbing (schema, shard partitioning, batch
-  * iterator shape, feature schema) is real and tested. Swap `decode`
-  * with a JNI/FFmpeg/libvips call per partition in production; the
-  * iterator shape (init-once-per-partition, stream rows through)
-  * already matches what a native decoder needs.
+  * Decode is a pluggable seam ([[MediaDecoder]]): [[CodecDecoder]]
+  * parses REAL container bytes for the formats the JVM can honestly
+  * round-trip (PCM16 WAV, 24-bpp BMP — see [[MediaCodecs]], pinned by
+  * a JDK-differential spec and the m4/m5 analytic oracles);
+  * [[FakeDecoder]] remains the clearly-marked deterministic stand-in
+  * for formats that need a native library (JPEG/MP4/FLAC — swap in a
+  * JNI/FFmpeg/libvips call per partition in production). The iterator
+  * shape (init-once-per-partition, stream rows through) already
+  * matches what a native decoder needs.
   */
 object MultimodalOps {
 
@@ -32,11 +34,23 @@ object MultimodalOps {
       byte_len: Long,
       feature: Array[Float])    // fixed-dim embedding slot
 
+  /** The decode seam: one asset row in, one feature row out. A
+    * partition-level native context (FFmpeg handle, libvips pool)
+    * belongs in the `mapPartitions` wrapper, not here — implementations
+    * stay per-row and serializable. [[FakeDecoder]] is the
+    * deterministic stand-in for formats with no pure-JVM codec;
+    * [[CodecDecoder]] parses REAL WAV/BMP container bytes via
+    * [[MediaCodecs]].
+    */
+  trait MediaDecoder extends Serializable {
+    def decode(row: MediaRow): MediaFeatures
+  }
+
   /** STUB decoder: ??? in production; here a deterministic fake that
     * derives an 8-dim "feature" from byte statistics so tests can pin
     * exact outputs.
     */
-  object FakeDecoder {
+  object FakeDecoder extends MediaDecoder {
     def decode(row: MediaRow): MediaFeatures = {
       val bytes = row.content
       val n = bytes.length
@@ -66,6 +80,54 @@ object MultimodalOps {
         Array.tabulate(math.min(16, bytes.length))(i =>
           bytes((start + i) % bytes.length))
       }
+    }
+  }
+
+  /** REAL-codec decoder: parses the payload as an actual media
+    * container — PCM16 WAV for `audio`, 24-bpp BMP for `image`
+    * ([[MediaCodecs]], pure JVM) — and derives the 8-dim feature from
+    * the DECODED samples/pixels, not the raw bytes. `video` still has
+    * no pure-JVM codec and falls back to [[FakeDecoder]] (documented
+    * stub, same row shape). Malformed audio/image payloads THROW —
+    * a training pipeline must quarantine bad blobs explicitly
+    * (filter + try/catch at the call site), not average them into
+    * features silently.
+    */
+  object CodecDecoder extends MediaDecoder {
+    def decode(row: MediaRow): MediaFeatures = row.media_type match {
+      case "audio" =>
+        val wav = MediaCodecs.WavCodec.decode(row.content)
+        val n = wav.samples.length
+        var sum = 0L; var sumAbs = 0L; var peak = 0L
+        var i = 0
+        while (i < n) {
+          val v = wav.samples(i).toLong
+          sum += v; sumAbs += math.abs(v); peak = math.max(peak, math.abs(v))
+          i += 1
+        }
+        val feature = Array(
+          n.toFloat, wav.sampleRate.toFloat, wav.channels.toFloat,
+          if (n == 0) 0f else (sum.toDouble / n).toFloat,
+          if (n == 0) 0f else (sumAbs.toDouble / n).toFloat,
+          peak.toFloat, 0f, 0f)
+        MediaFeatures(row.asset_id, row.media_type, row.content.length.toLong, feature)
+      case "image" =>
+        val bmp = MediaCodecs.BmpCodec.decode(row.content)
+        val np = bmp.pixels.length
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var i = 0
+        while (i < np) {
+          val p = bmp.pixels(i)
+          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+          i += 1
+        }
+        val feature = Array(
+          bmp.width.toFloat, bmp.height.toFloat,
+          (sr.toDouble / np).toFloat, (sg.toDouble / np).toFloat,
+          (sb.toDouble / np).toFloat,
+          ((sr + 2 * sg + sb).toDouble / (4.0 * np)).toFloat, 0f, 0f)
+        MediaFeatures(row.asset_id, row.media_type, row.content.length.toLong, feature)
+      case _ => FakeDecoder.decode(row)
     }
   }
 
@@ -125,7 +187,8 @@ object MultimodalOps {
     * iterator shape a native decoder wants (no per-row init, no
     * collect).
     */
-  def extractFeatures(media: DataFrame, shards: Int = 0): Dataset[MediaFeatures] = {
+  def extractFeatures(media: DataFrame, shards: Int = 0,
+      decoder: MediaDecoder = FakeDecoder): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     val sharded =
@@ -133,7 +196,7 @@ object MultimodalOps {
       else media
     sharded.as[MediaRow].mapPartitions { rows =>
       // init per-partition decoder context here (native lib handle)
-      rows.map(FakeDecoder.decode)
+      rows.map(decoder.decode)
     }
   }
 }

@@ -1548,6 +1548,105 @@ object Battery {
            |      least(16, len))) AS frame_md5
            |FROM f""".stripMargin))
 
+  /** REAL audio decode: each audio asset's payload is an actual PCM16
+    * RIFF/WAVE container ([[graft.ops.MediaCodecs.syntheticWav]] —
+    * samples analytic in doc_id), parsed back by the pure-JVM
+    * [[graft.ops.MediaCodecs.WavCodec]]; the output is integer sample
+    * statistics of the DECODED stream. The DuckDB oracle recomputes
+    * them in closed form, so a mis-parsed fmt chunk, wrong data offset,
+    * or byte-order slip hash-mismatches; `byte_len` additionally pins
+    * the 44-byte canonical header framing. Narrow map-only plan — the
+    * decode runs where the row lives, no shuffle.
+    */
+  private val m4WavDecode = Q(
+    "m4_wav_decode",
+    (s, d) => {
+      import s.implicits._
+      T.documents(s, d).where(pmod(col("doc_id"), lit(3)) === 1)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val bytes = graft.ops.MediaCodecs.syntheticWav(id)
+            val wav = graft.ops.MediaCodecs.WavCodec.decode(bytes)
+            var sum = 0L; var sabs = 0L; var peak = 0L
+            var i = 0
+            while (i < wav.samples.length) {
+              val v = wav.samples(i).toLong
+              sum += v; sabs += math.abs(v); peak = math.max(peak, math.abs(v))
+              i += 1
+            }
+            (id, wav.samples.length, wav.sampleRate, wav.channels,
+              sum, sabs, peak, bytes.length.toLong)
+          }
+        }.toDF("asset_id", "n_samples", "sample_rate", "channels",
+          "sum_sample", "sum_abs", "peak_abs", "byte_len")
+    },
+    Some("""WITH a AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
+           |s AS (SELECT doc_id, unnest(range(0, 64 + doc_id % 191)) AS i FROM a),
+           |v AS (SELECT doc_id,
+           |        (doc_id * 2654435761 + i * 40503) % 65536 - 32768 AS smp
+           |      FROM s)
+           |SELECT doc_id AS asset_id,
+           |  CAST(count(*) AS INT) AS n_samples,
+           |  8000 AS sample_rate,
+           |  1 AS channels,
+           |  CAST(sum(smp) AS BIGINT) AS sum_sample,
+           |  CAST(sum(abs(smp)) AS BIGINT) AS sum_abs,
+           |  CAST(max(abs(smp)) AS BIGINT) AS peak_abs,
+           |  CAST(44 + 2 * count(*) AS BIGINT) AS byte_len
+           |FROM v GROUP BY doc_id""".stripMargin))
+
+  /** REAL image decode: each image asset's payload is an actual 24-bpp
+    * BI_RGB BMP ([[graft.ops.MediaCodecs.syntheticBmp]] — channels
+    * analytic in (doc_id, x, y)), parsed back by the pure-JVM
+    * [[graft.ops.MediaCodecs.BmpCodec]]. Channel sums pin the BGR byte
+    * order; the position-weighted `wsum_r` pins the bottom-up → top-down
+    * row flip (plain sums are row-order invariant, the weighted one is
+    * not); `byte_len` pins the 4-byte row-stride padding. Narrow
+    * map-only plan.
+    */
+  private val m5BmpDecode = Q(
+    "m5_bmp_decode",
+    (s, d) => {
+      import s.implicits._
+      T.documents(s, d).where(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val bytes = graft.ops.MediaCodecs.syntheticBmp(id)
+            val bmp = graft.ops.MediaCodecs.BmpCodec.decode(bytes)
+            var sr = 0L; var sg = 0L; var sb = 0L; var wr = 0L
+            var i = 0
+            while (i < bmp.pixels.length) {
+              val p = bmp.pixels(i)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              wr += i.toLong * ((p >> 16) & 0xff)
+              i += 1
+            }
+            (id, bmp.width, bmp.height, sr, sg, sb, wr, bytes.length.toLong)
+          }
+        }.toDF("asset_id", "width", "height", "sum_r", "sum_g", "sum_b",
+          "wsum_r", "byte_len")
+    },
+    Some("""WITH a AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+           |           FROM documents WHERE doc_id % 3 = 0),
+           |p AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS idx FROM a),
+           |c AS (SELECT doc_id, w, h, idx, idx % w AS x, idx // w AS y FROM p),
+           |v AS (SELECT doc_id, w, h, idx,
+           |        (doc_id + 7 * x + 13 * y) % 256 AS r,
+           |        (3 * doc_id + 5 * x + y) % 256 AS g,
+           |        (11 * doc_id + x + 2 * y) % 256 AS b
+           |      FROM c)
+           |SELECT doc_id AS asset_id,
+           |  CAST(any_value(w) AS INT) AS width,
+           |  CAST(any_value(h) AS INT) AS height,
+           |  CAST(sum(r) AS BIGINT) AS sum_r,
+           |  CAST(sum(g) AS BIGINT) AS sum_g,
+           |  CAST(sum(b) AS BIGINT) AS sum_b,
+           |  CAST(sum(idx * r) AS BIGINT) AS wsum_r,
+           |  CAST(54 + any_value(h) * ((3 * any_value(w) + 3) // 4 * 4) AS BIGINT) AS byte_len
+           |FROM v GROUP BY doc_id""".stripMargin))
+
   // ------------------------------------------ KF ETL end-to-end slice (§7.2)
 
   /** KF-shaped slice inputs (studies/participants/families) derived from
@@ -2277,7 +2376,7 @@ object Battery {
     twTumbling, twSliding, twSession,
     x6SubwordCount,
     d1DedupExact, x1TextStats, n1AnnTopK, m1Multimodal, m2MultimodalDecode,
-    m3FrameSample,
+    m3FrameSample, m4WavDecode, m5BmpDecode,
     d2MinhashBands, d2bNearDupPairs, d3Simhash, d4NgramJaccard,
     d5DedupClusters, d6DedupCorpus,
     x2LangId, x3Fingerprint, x3bRolling, x4Quality, x5TokenFreq,

@@ -1,0 +1,183 @@
+package graft.ops
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.MediaCodecs.{BmpCodec, WavCodec}
+
+/** Differential tests of the pure-Scala WAV/BMP codecs against the
+  * JDK's own, independently-written codecs (`javax.sound.sampled` and
+  * `javax.imageio`) — BOTH directions, so a bug that a symmetric
+  * encode/decode pair would cancel out (wrong data offset, skipped
+  * padding, flipped byte order) is caught by the foreign implementation.
+  */
+class MediaCodecsSpec extends AnyFunSuite {
+
+  private def shorts(n: Int, seed: Int): Array[Short] =
+    Array.tabulate(n)(i => (((seed * 2654435761L + i * 40503L) % 65536L) - 32768L).toShort)
+
+  // ------------------------------------------------------------- WAV
+
+  test("WAV: our encode is readable by the JDK decoder, sample-exact") {
+    val samples = shorts(777, seed = 5)
+    val bytes = WavCodec.encode(samples, sampleRate = 8000)
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(bytes))
+    val f = ais.getFormat
+    assert(f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+    assert(f.getSampleRate == 8000f && f.getChannels == 1 &&
+      f.getSampleSizeInBits == 16 && !f.isBigEndian)
+    assert(ais.getFrameLength == samples.length.toLong)
+    val raw = ais.readAllBytes()
+    val back = java.nio.ByteBuffer.wrap(raw)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).asShortBuffer()
+    val decoded = new Array[Short](samples.length)
+    back.get(decoded)
+    assert(decoded.toSeq == samples.toSeq)
+  }
+
+  test("WAV: the JDK encoder's output is decodable by ours, sample-exact") {
+    val samples = shorts(513, seed = 9)
+    val fmt = new javax.sound.sampled.AudioFormat(44100f, 16, 2, true, false)
+    // interleave as stereo frames: the 513 shorts become ~256 L/R frames
+    val frames = samples.length / 2
+    val raw = java.nio.ByteBuffer.allocate(frames * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until frames * 2).foreach(i => raw.putShort(samples(i)))
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(raw.array()), fmt, frames.toLong)
+    val bos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val w = WavCodec.decode(bos.toByteArray)
+    assert(w.sampleRate == 44100 && w.channels == 2)
+    assert(w.samples.toSeq == samples.take(frames * 2).toSeq)
+  }
+
+  test("WAV: chunk walker skips foreign chunks (odd-size, padded) before data") {
+    val samples = shorts(100, seed = 3)
+    val canonical = WavCodec.encode(samples, 16000)
+    // splice an odd-sized LIST chunk between fmt and data: decoders that
+    // assume samples start at byte 44 break here
+    val head = canonical.slice(0, 36) // RIFF..WAVE + fmt chunk
+    val tail = canonical.drop(36) // data chunk
+    val junk = "junk!".getBytes("US-ASCII") // 5 bytes, odd → 1 pad byte
+    val chunk = java.nio.ByteBuffer.allocate(8 + junk.length + 1)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    chunk.put("LIST".getBytes("US-ASCII")).putInt(junk.length).put(junk).put(0.toByte)
+    val spliced = head ++ chunk.array() ++ tail
+    // fix the RIFF size field to cover the splice
+    val fixed = spliced.clone()
+    java.nio.ByteBuffer.wrap(fixed).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, spliced.length - 8)
+    val w = WavCodec.decode(fixed)
+    assert(w.sampleRate == 16000 && w.samples.toSeq == samples.toSeq)
+  }
+
+  test("WAV: malformed streams throw, never return garbage") {
+    val good = WavCodec.encode(shorts(8, 1), 8000)
+    intercept[IllegalArgumentException](WavCodec.decode(good.take(20))) // truncated
+    val notRiff = good.clone(); notRiff(0) = 'X'.toByte
+    intercept[IllegalArgumentException](WavCodec.decode(notRiff))
+    val eightBit = good.clone()
+    java.nio.ByteBuffer.wrap(eightBit).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(34, 8.toShort) // bits-per-sample field
+    intercept[IllegalArgumentException](WavCodec.decode(eightBit))
+  }
+
+  // ------------------------------------------------------------- BMP
+
+  private def pattern(w: Int, h: Int, seed: Int): Array[Int] =
+    Array.tabulate(w * h) { idx =>
+      val x = idx % w; val y = idx / w
+      (((seed + 7 * x + 13 * y) % 256) << 16) |
+        (((3 * seed + 5 * x + y) % 256) << 8) |
+        ((11 * seed + x + 2 * y) % 256)
+    }
+
+  test("BMP: our encode is readable by ImageIO, pixel-exact (incl. padded widths)") {
+    for ((w, h) <- Seq((5, 3), (4, 4), (7, 2), (1, 1))) { // 5,7 exercise row padding
+      val px = pattern(w, h, seed = w * 31 + h)
+      val bytes = BmpCodec.encode(px, w, h)
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+      assert(img != null, s"ImageIO could not parse our ${w}x$h BMP")
+      assert(img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert((img.getRGB(x, y) & 0xffffff) == px(y * w + x),
+          s"pixel ($x,$y) of ${w}x$h")
+    }
+  }
+
+  test("BMP: ImageIO's own BMP writer output is decodable by ours, pixel-exact") {
+    val (w, h) = (6, 5)
+    val px = pattern(w, h, seed = 42)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, px(y * w + x))
+    val bos = new ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "bmp", bos), "no JDK BMP writer")
+    val decoded = BmpCodec.decode(bos.toByteArray)
+    assert(decoded.width == w && decoded.height == h)
+    assert(decoded.pixels.toSeq == px.toSeq)
+  }
+
+  test("BMP: negative height means top-down rows; decode flips accordingly") {
+    val (w, h) = (4, 3)
+    val px = pattern(w, h, seed = 7)
+    val bytes = BmpCodec.encode(px, w, h).clone()
+    // declare top-down WITHOUT reordering the stored (bottom-up) rows →
+    // the decoded image must come back vertically flipped
+    java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(22, -h)
+    val flipped = BmpCodec.decode(bytes)
+    val expect = Array.tabulate(w * h) { idx =>
+      val x = idx % w; val y = idx / w
+      px((h - 1 - y) * w + x)
+    }
+    assert(flipped.pixels.toSeq == expect.toSeq)
+  }
+
+  test("BMP: malformed streams throw, never return garbage") {
+    val good = BmpCodec.encode(pattern(4, 3, 1), 4, 3)
+    intercept[IllegalArgumentException](BmpCodec.decode(good.take(40))) // truncated
+    val notBmp = good.clone(); notBmp(0) = 'X'.toByte
+    intercept[IllegalArgumentException](BmpCodec.decode(notBmp))
+    val thirtyTwo = good.clone()
+    java.nio.ByteBuffer.wrap(thirtyTwo).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(28, 32.toShort) // bpp field
+    intercept[IllegalArgumentException](BmpCodec.decode(thirtyTwo))
+  }
+
+  // ------------------------------------------------- the decoder seam
+
+  test("CodecDecoder derives features from DECODED content; video falls back to stub") {
+    val wavRow = MultimodalOps.MediaRow(10L, "audio",
+      MediaCodecs.syntheticWav(10L), None, None, Some(1000L))
+    val wf = MultimodalOps.CodecDecoder.decode(wavRow)
+    val wav = WavCodec.decode(wavRow.content)
+    assert(wf.feature(0) == wav.samples.length.toFloat)
+    assert(wf.feature(1) == 8000f && wf.feature(2) == 1f)
+    assert(wf.byte_len == wavRow.content.length.toLong)
+
+    val bmpRow = MultimodalOps.MediaRow(9L, "image",
+      MediaCodecs.syntheticBmp(9L), Some(640), Some(480), None)
+    val bf = MultimodalOps.CodecDecoder.decode(bmpRow)
+    val bmp = BmpCodec.decode(bmpRow.content)
+    assert(bf.feature(0) == bmp.width.toFloat && bf.feature(1) == bmp.height.toFloat)
+    val sumR = bmp.pixels.map(p => (p >> 16) & 0xff).map(_.toLong).sum
+    assert(bf.feature(2) == (sumR.toDouble / bmp.pixels.length).toFloat)
+
+    val vidRow = MultimodalOps.MediaRow(8L, "video",
+      Array.tabulate(64)(_.toByte), None, None, Some(5000L))
+    val (cv, fv) = (MultimodalOps.CodecDecoder.decode(vidRow),
+      MultimodalOps.FakeDecoder.decode(vidRow))
+    // field-wise: case-class == is reference equality on the array member
+    assert(cv.asset_id == fv.asset_id && cv.byte_len == fv.byte_len &&
+      cv.feature.toSeq == fv.feature.toSeq)
+
+    // malformed audio payload fails loudly, not silently
+    intercept[IllegalArgumentException](
+      MultimodalOps.CodecDecoder.decode(wavRow.copy(content = Array[Byte](1, 2, 3))))
+  }
+}
