@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Volume probe: replicate a testdata SF N× with per-replica key
+  * remapping, then run the headline battery plans against the inflated
+  * copy under whatever heap the JVM was given — the point is to show
+  * the plans COMPLETE and their outputs scale linearly when the data
+  * grows 10× but memory does not (spill-safe shuffles, no driver-side
+  * materialization, no broadcast of something that grew with the data).
+  *
+  * Replication is a narrow `explode(sequence(0, N-1))` fan-out — no
+  * shuffle — with every join/identity key remapped `key*N + replica`,
+  * so each replica is a self-consistent closed world: join
+  * cardinalities, group sizes, and pipeline outputs all scale exactly
+  * ×N, which turns "did it survive the volume" into checkable row
+  * arithmetic instead of a vibe. (Non-key attributes are byte-identical
+  * across replicas — deliberately adversarial for the dedup family,
+  * whose candidate buckets grow quadratically in the clone count.)
+  *
+  * Usage: `SPARK_DRIVER_MEM=6g sbt "runMain graft.VolumeProbe
+  * /root/testdata/sf0.1 /tmp/vol10 10"` — results print as one JSON
+  * line per query plus a trailing summary line; see SCALE_PROBE.md for
+  * the recorded run.
+  */
+object VolumeProbe {
+
+  /** Tables the headline probe queries read. `events` is excluded: its
+    * TIMESTAMP(NANOS) needs the legacy reader conf and no probe query
+    * touches it.
+    */
+  private val tables = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "documents", "embeddings")
+
+  /** Identity/join keys to remap per replica: every TPC-H `*key`
+    * column plus the documents/embeddings ids.
+    */
+  private def keyCols(df: DataFrame): Seq[String] =
+    df.columns.toSeq.filter(c =>
+      c.endsWith("key") || c == "doc_id" || c == "vec_id")
+
+  /** lcm of every `% m` the KfShaped fixture derives entity membership
+    * from (2,3,4,5,6,7,10,90,100,900,1000,4000,5000,6000,7000): an
+    * offset that is a multiple of this leaves `key % m` unchanged, so
+    * each replica derives the same entities from its remapped keys and
+    * pipeline outputs scale EXACTLY ×factor. (A multiplicative remap
+    * `key*factor+rep` breaks this — it reshuffles modular membership
+    * and the scaling assert becomes approximate.)
+    */
+  private val ModLcm = 1260000L
+
+  def multiply(df: DataFrame, factor: Int, keyOffset: Long): DataFrame = {
+    require(keyOffset % ModLcm == 0, s"offset must preserve mod-$ModLcm classes")
+    val exploded = df.withColumn("__rep",
+      explode(sequence(lit(0L), lit(factor - 1L))))
+    keyCols(df).foldLeft(exploded) { (d, c) =>
+      d.withColumn(c, col(c) + col("__rep") * keyOffset)
+    }.drop("__rep")
+  }
+
+  /** Smallest ModLcm multiple strictly above every key in every table —
+    * replicas get disjoint key ranges while keeping modular classes.
+    */
+  def keyOffsetFor(spark: SparkSession, srcDir: String): Long = {
+    val maxKey = tables.map { t =>
+      val df = spark.read.parquet(s"$srcDir/$t.parquet")
+      val ks = keyCols(df)
+      if (ks.isEmpty) 0L
+      else {
+        val maxes = ks.map(c => max(col(c)).cast("long"))
+        val top = if (maxes.size == 1) maxes.head else greatest(maxes: _*)
+        df.select(top).head().getLong(0)
+      }
+    }.max
+    (maxKey / ModLcm + 1) * ModLcm
+  }
+
+  /** Headline plans: the e2e ETL pipeline, the dedup corpus rollup,
+    * banded near-dup pair generation, the corpus token histogram, and
+    * the widest outer-join chain.
+    */
+  val headline: Seq[String] = Seq(
+    "kf_full_pipeline", "d6_dedup_corpus", "d2b_neardup_pairs",
+    "x5_token_freq", "j_outer_chain")
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outDir = args.lift(1).getOrElse("/tmp/graft_volume_probe")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    println(s"""{"probe":"volume","factor":$factor,"src":"$srcDir","heap_mb":${Runtime.getRuntime.maxMemory() / (1 << 20)}}""")
+
+    val offset = keyOffsetFor(spark, srcDir)
+    println(s"""{"probe":"volume","key_offset":$offset}""")
+    for (t <- tables) {
+      multiply(spark.read.parquet(s"$srcDir/$t.parquet"), factor, offset)
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+
+    var failed = 0
+    for (name <- headline) {
+      val fn = SparkEntry.queries(name)
+      // the base (1×) pass runs OUTSIDE the timer: `sec` is the
+      // inflated run alone
+      val baseRows: Either[String, Seq[(String, Long)]] =
+        try {
+          if (name == "x5_token_freq")
+            Right(fn(spark, srcDir).collect()
+              .map(r => (r.getString(0), r.getLong(1))).toSeq)
+          else Right(Seq(("", fn(spark, srcDir).count())))
+        } catch { case e: Throwable => Left(e.toString.take(200)) }
+      val t0 = System.nanoTime()
+      val outcome: Either[String, (Long, Long, String, Boolean)] =
+        baseRows.flatMap { base =>
+          try {
+            if (name == "x5_token_freq") {
+              // top-50 token histogram: text is byte-identical across
+              // replicas, so the EXACT SAME ranked rows must come back
+              // with every count ×factor — a content check, since the
+              // row count is pinned at 50 by the limit either way
+              val big = fn(spark, outDir).collect()
+                .map(r => (r.getString(0), r.getLong(1))).toSeq
+              val ok = big == base.map { case (t, n) => (t, n * factor) }
+              Right((big.length.toLong, base.length.toLong, "content x" + factor, ok))
+            } else {
+              val n = fn(spark, outDir).count()
+              val b = base.head._2
+              // per-replica-closed plans scale exactly ×factor; the
+              // dedup family sees cross-replica clones (bigger clusters,
+              // quadratic candidate buckets), so only a bound holds
+              val exact = !name.startsWith("d")
+              val ok = if (exact) n == b * factor else n >= b
+              Right((n, b, if (exact) "exact x" + factor else "lower-bound", ok))
+            }
+          } catch { case e: Throwable => Left(e.toString.take(200)) }
+        }
+      val sec = (System.nanoTime() - t0) / 1e9
+      outcome match {
+        case Right((n, base, mode, ok)) =>
+          if (!ok) failed += 1
+          println(f"""{"query":"$name","sec":$sec%.2f,"rows":$n,"base_rows":$base,"scaling":"$mode","ok":$ok}""")
+        case Left(err) =>
+          failed += 1
+          println(s"""{"query":"$name","sec":$sec,"error":"${err.replace('"', '\'')}","ok":false}""")
+      }
+    }
+    println(s"""{"probe":"volume","failed":$failed,"queries":${headline.size}}""")
+    spark.stop()
+    if (failed > 0) sys.exit(1)
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+/** In-suite form of the volume probe (see SCALE_PROBE.md for the
+  * recorded 10× sf0.1 bounded-heap run): replicate sf0.001 ×3 with the
+  * key-offset remap and assert the scaling INVARIANTS — per-replica-
+  * closed plans scale exactly ×N, the token histogram returns identical
+  * ranked rows with counts ×N. These hold only if replication preserves
+  * both FK consistency and the fixture's modular entity derivations,
+  * and the plans themselves neither drop nor duplicate rows at volume.
+  */
+class VolumeProbeSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.etl.SparkTestSession.spark
+  private val srcDir = "/root/testdata/sf0.001"
+  private val factor = 3
+
+  private lazy val outDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_volspec").toString
+    val offset = VolumeProbe.keyOffsetFor(spark, srcDir)
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "documents", "embeddings"))
+      VolumeProbe.multiply(spark.read.parquet(s"$srcDir/$t.parquet"), factor, offset)
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    dir
+  }
+
+  test("multiply: xN rows, disjoint replica key ranges, modular classes preserved") {
+    val base = spark.read.parquet(s"$srcDir/orders.parquet")
+    val offset = VolumeProbe.keyOffsetFor(spark, srcDir)
+    val big = VolumeProbe.multiply(base, factor, offset)
+    assert(big.count() == base.count() * factor)
+    assert(big.select("o_orderkey").distinct().count() ==
+      base.count() * factor, "replica keys must not collide")
+    // the fixture derives outcomes from o_orderkey % 7 and ages from
+    // % 6000 — replication must not move keys across those classes
+    for (m <- Seq(7, 6000)) {
+      val baseHist = base.groupBy(col("o_orderkey") % m).count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val bigHist = big.groupBy(col("o_orderkey") % m).count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(bigHist == baseHist.map { case (k, v) => k -> v * factor },
+        s"mod-$m class sizes must scale uniformly")
+    }
+  }
+
+  test("kf_full_pipeline scales exactly xN on replicated volume") {
+    val fn = SparkEntry.queries("kf_full_pipeline")
+    assert(fn(spark, outDir).count() == fn(spark, srcDir).count() * factor)
+  }
+
+  test("j_outer_chain scales exactly xN; x5 histogram contents scale xN") {
+    val j = SparkEntry.queries("j_outer_chain")
+    assert(j(spark, outDir).count() == j(spark, srcDir).count() * factor)
+    val x5 = SparkEntry.queries("x5_token_freq")
+    val base = x5(spark, srcDir).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val big = x5(spark, outDir).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(big == base.map { case (t, n) => (t, n * factor) },
+      "identical ranked top tokens with counts xN")
+  }
+}

@@ -50,6 +50,32 @@ class MultimodalSpec extends AnyFunSuite {
       frames.map(f => (f.asset_id, f.frame_idx, f.frame.toSeq)).toSet)
   }
 
+  test("extractFeatures with CodecDecoder: real WAV/BMP payloads through the Dataset path") {
+    import spark.implicits._
+    val rows = (0L until 40L).map { i =>
+      if (i % 2 == 0)
+        MultimodalOps.MediaRow(i, "audio", MediaCodecs.syntheticWav(i),
+          None, None, Some(1000L))
+      else
+        MultimodalOps.MediaRow(i, "image", MediaCodecs.syntheticBmp(i),
+          Some(640), Some(480), None)
+    }
+    val media = rows.toDS().toDF()
+    val feats = MultimodalOps
+      .extractFeatures(media, shards = 4, decoder = MultimodalOps.CodecDecoder)
+      .collect().map(f => f.asset_id -> f).toMap
+    assert(feats.size == rows.size)
+    rows.foreach { r =>
+      val expect = MultimodalOps.CodecDecoder.decode(r)
+      val got = feats(r.asset_id)
+      assert(got.feature.toSeq == expect.feature.toSeq &&
+        got.byte_len == expect.byte_len, s"asset ${r.asset_id}")
+    }
+    // audio features really come from the decoded stream, not byte stats
+    val wav = MediaCodecs.WavCodec.decode(rows.head.content)
+    assert(feats(0L).feature(0) == wav.samples.length.toFloat)
+  }
+
   test("resize updates image metadata only, payload untouched") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val media = MultimodalOps.mediaFromDocuments(docs)
