@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level training-data operations beyond per-document scoring:
+  * benchmark decontamination, token-budget sequence packing, and PII
+  * redaction — the standard steps between "raw filtered corpus" and
+  * "training batches" in an LLM data pipeline.
+  */
+object CorpusOps {
+
+  /** Benchmark decontamination: flag corpus documents sharing any word
+    * n-gram with a held-out benchmark set (the GPT-3-style overlap
+    * check, word-shingle form). Returns one row per corpus document:
+    * (id, n_hits = DISTINCT overlapping shingles, contaminated).
+    *
+    * Scale shape: candidate generation is an EQUI-JOIN on the shingle
+    * string — never a cross join. Both sides are shingle-DISTINCTed
+    * BEFORE the join (the per-doc distinct caps a pathological doc's
+    * contribution at its vocabulary, and the benchmark side collapses
+    * to its shingle set, typically small enough that AQE broadcasts
+    * it). The final left join restores zero-hit documents without a
+    * second pass over the text.
+    */
+  def contaminationHits(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val corpusShingles = corpus
+      .select(col(idCol), explode(TextOps.shingles(col(textCol), n)).as("sh"))
+      .distinct()
+    val benchShingles = benchmark
+      .select(explode(TextOps.shingles(col(textCol), n)).as("sh"))
+      .distinct()
+    val hits = corpusShingles.join(benchShingles, Seq("sh"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+    corpus.select(col(idCol)).distinct()
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Token-budget sequence packing: assign each document to a pack of
+    * ~`budget` tokens by contiguous greedy fill — pack_id = (tokens
+    * before this doc in its shard) div budget, i.e. a doc starts a new
+    * pack when the running total crosses the budget, and an over-budget
+    * doc spills into its own pack(s). The deterministic, associative
+    * form of what a packing worker does before concatenating sequences
+    * for training.
+    *
+    * Scale shape: packing is PER SHARD (`id % shards`), matching how
+    * distributed packing actually runs (each worker packs its own
+    * partition) — the window sort is within a shard, never global, so
+    * no single-partition bottleneck. One shuffle on the shard key.
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      budget: Int, shards: Int): DataFrame = {
+    require(budget > 0 && shards > 0, "budget and shards must be positive")
+    val t = docs.select(
+      col(idCol),
+      pmod(col(idCol), lit(shards.toLong)).as("shard"),
+      size(TextOps.tokens(col(textCol))).cast("long").as("n_tok"))
+    val w = Window.partitionBy("shard").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.withColumn("before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .select(col(idCol), col("shard"), col("n_tok"),
+        (col("before") - pmod(col("before"), lit(budget.toLong)))
+          .divide(lit(budget.toLong)).cast("long").as("pack_id"))
+  }
+
+  /** PII redaction: replace emails, NANP-style phone fragments, and
+    * IPv4 addresses with typed placeholder tags. Pure
+    * `regexp_replace` — narrow, codegen'd, no UDF. Patterns are kept
+    * RE2-compatible (no backreferences or lookarounds) so the same
+    * regexes run on engines with either regex dialect; replacement
+    * order is part of the contract (emails first, so an address inside
+    * a redacted email can't double-fire).
+    */
+  val EmailPattern = "[A-Za-z0-9._]+@[A-Za-z0-9.]+[A-Za-z]"
+  val PhonePattern = "555-[0-9]{4}"
+  val Ipv4Pattern = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  def redactPii(text: Column): Column = {
+    val noEmail = regexp_replace(text, EmailPattern, "<EMAIL>")
+    val noPhone = regexp_replace(noEmail, PhonePattern, "<PHONE>")
+    regexp_replace(noPhone, Ipv4Pattern, "<IP>")
+  }
+}

@@ -1501,6 +1501,96 @@ object Battery {
            |    ELSE 0 END AS repetition_e6
            |FROM c""".stripMargin))
 
+  /** Benchmark decontamination (GPT-3-style word-shingle overlap):
+    * every 97th document stands in as the held-out benchmark set; each
+    * remaining corpus document is flagged with its count of DISTINCT
+    * 3-gram shingles shared with the benchmark. Candidate generation
+    * is an equi-join on the shingle string with both sides distincted
+    * first — never corpus × benchmark; the small benchmark shingle set
+    * broadcasts under AQE.
+    */
+  private val x8Decontaminate = Q(
+    "x8_decontaminate",
+    (s, d) => {
+      val docs = T.documents(s, d)
+      graft.ops.CorpusOps.contaminationHits(
+        corpus = docs.where(pmod(col("doc_id"), lit(97)) =!= 0),
+        benchmark = docs.where(pmod(col("doc_id"), lit(97)) === 0),
+        idCol = "doc_id", textCol = "text", n = 3)
+    },
+    Some("""WITH bt AS (SELECT string_split_regex(trim(text), '\s+') AS tk
+           |            FROM documents WHERE doc_id % 97 = 0),
+           |bs AS (SELECT DISTINCT array_to_string(tk[i:i+2], ' ') AS sh
+           |       FROM bt, UNNEST(range(1, len(tk) - 1)) AS t(i) WHERE len(tk) >= 3),
+           |ct AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+           |       FROM documents WHERE doc_id % 97 <> 0),
+           |cs AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS sh
+           |       FROM ct, UNNEST(range(1, len(tk) - 1)) AS t(i) WHERE len(tk) >= 3),
+           |h AS (SELECT doc_id, count(*) AS n_hits FROM cs JOIN bs USING (sh) GROUP BY doc_id)
+           |SELECT d.doc_id,
+           |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           |  coalesce(h.n_hits, 0) > 0 AS contaminated
+           |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+           |LEFT JOIN h ON d.doc_id = h.doc_id""".stripMargin))
+
+  /** Token-budget sequence packing: contiguous greedy fill into
+    * 512-token packs, per shard (`doc_id % 8`) — the window prefix-sum
+    * runs within a shard, never globally, so the sort parallelizes
+    * like the distributed packing step it models.
+    */
+  private val x9PackSequences = Q(
+    "x9_pack_sequences",
+    (s, d) => graft.ops.CorpusOps.packSequences(
+      T.documents(s, d), "doc_id", "text", budget = 512, shards = 8),
+    Some("""WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+           |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+           |  FROM documents),
+           |c AS (SELECT doc_id, shard, n_tok,
+           |        coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+           |      FROM t)
+           |SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tok,
+           |  CAST(bef // 512 AS BIGINT) AS pack_id
+           |FROM c""".stripMargin))
+
+  /** PII redaction: every document is deterministically augmented with
+    * a synthetic email / phone / IPv4 (the raw corpus has none — the
+    * augmentation makes the replacement path actually fire), then
+    * redacted with RE2-compatible patterns in a fixed order. The
+    * oracle re-runs the identical augment+redact in DuckDB and
+    * compares md5 of the redacted body plus per-kind match counts.
+    */
+  private val x10Redact = Q(
+    "x10_redact",
+    (s, d) => {
+      val aug = concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@mail.example.com or 555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" at 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+        lit("."), pmod(col("doc_id") * 7, lit(256)).cast("string"))
+      T.documents(s, d).select(
+        col("doc_id"),
+        md5(graft.ops.CorpusOps.redactPii(aug)).as("red_md5"),
+        regexp_count(aug, lit(graft.ops.CorpusOps.EmailPattern)).cast("long").as("n_email"),
+        regexp_count(aug, lit(graft.ops.CorpusOps.PhonePattern)).cast("long").as("n_phone"),
+        regexp_count(aug, lit(graft.ops.CorpusOps.Ipv4Pattern)).cast("long").as("n_ip"))
+    },
+    Some("""WITH a AS (SELECT doc_id,
+           |  text || ' contact user' || doc_id || '@mail.example.com or 555-' ||
+           |  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+           |  ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
+           |  CAST((doc_id * 7) % 256 AS VARCHAR) AS aug
+           |  FROM documents)
+           |SELECT doc_id,
+           |  md5(regexp_replace(regexp_replace(regexp_replace(aug,
+           |    '[A-Za-z0-9._]+@[A-Za-z0-9.]+[A-Za-z]', '<EMAIL>', 'g'),
+           |    '555-[0-9]{4}', '<PHONE>', 'g'),
+           |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g')) AS red_md5,
+           |  CAST(len(regexp_extract_all(aug, '[A-Za-z0-9._]+@[A-Za-z0-9.]+[A-Za-z]')) AS BIGINT) AS n_email,
+           |  CAST(len(regexp_extract_all(aug, '555-[0-9]{4}')) AS BIGINT) AS n_phone,
+           |  CAST(len(regexp_extract_all(aug, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ip
+           |FROM a""".stripMargin))
+
   /** Corpus token histogram: explode tokens → count — the vocabulary/
     * token-counting sweep of a training-data pipeline (one shuffle on
     * the token, map-side partial counts). Top-50 by (count desc, token)
@@ -2380,7 +2470,7 @@ object Battery {
     d2MinhashBands, d2bNearDupPairs, d3Simhash, d4NgramJaccard,
     d5DedupClusters, d6DedupCorpus,
     x2LangId, x3Fingerprint, x3bRolling, x4Quality, x5TokenFreq,
-    x7Repetition,
+    x7Repetition, x8Decontaminate, x9PackSequences, x10Redact,
     n2AnnLsh, n3EmbNearDup, n4AnnIvf, n5PqQuantize,
     kfPatientSlice, kfRSubjectSlice, kfSpecimenSlice, kfDrsSlice,
     kfDiseaseSlice, kfPhenotypeSlice, kfHistoSlice, kfVitalSlice,

@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.SparkTestSession
+
+class CorpusOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("contaminationHits: brute-force parity, zero-hit docs retained, no cartesian") {
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma zeta"), // shares 'alpha beta gamma'
+      (2L, "beta gamma delta eta theta"), // shares 'beta gamma delta'
+      (3L, "iota kappa lambda"), // clean
+      (4L, "xy")) // < n tokens: no shingles, must still appear
+      .toDF("doc_id", "text")
+    val out = CorpusOps.contaminationHits(corpus, bench, "doc_id", "text", n = 3)
+    val byId = out.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(byId == Map(
+      1L -> ((1L, true)), 2L -> ((1L, true)),
+      3L -> ((0L, false)), 4L -> ((0L, false))))
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"contamination join must be an equi-join:\n$p")
+  }
+
+  test("packSequences: greedy fill respects budget boundaries per shard") {
+    // one shard (shards=1) with known token counts: 3,4,4,2,5
+    val docs = Seq(
+      (0L, "a b c"), (1L, "d e f g"), (2L, "h i j k"),
+      (3L, "l m"), (4L, "n o p q r"))
+      .toDF("doc_id", "text")
+    val out = CorpusOps.packSequences(docs, "doc_id", "text", budget = 8, shards = 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    // before: 0,3,7,11,13 → pack = before div 8 = 0,0,0,1,1
+    assert(out.toSeq == Seq((0L, 3L, 0L), (1L, 4L, 0L), (2L, 4L, 0L),
+      (3L, 2L, 1L), (4L, 5L, 1L)))
+    // an over-budget doc occupies its own pack and shifts the next one
+    val big = Seq((0L, ("w " * 20).trim), (1L, "x y")).toDF("doc_id", "text")
+    val out2 = CorpusOps.packSequences(big, "doc_id", "text", budget = 8, shards = 1)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(out2.toSeq == Seq((0L, 0L), (1L, 2L))) // before=20 → pack 2
+  }
+
+  test("packSequences: shards pack independently (no global sort)") {
+    val docs = (0L until 20L).map(i => (i, "t " * (i % 5 + 1).toInt)).toDF("doc_id", "text")
+    val out = CorpusOps.packSequences(docs, "doc_id", "text", budget = 6, shards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.forall { case (id, shard, _, _) => shard == id % 4 })
+    // within each shard, pack_id must be non-decreasing in id order and
+    // equal the prefix-sum definition
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._1)
+      var before = 0L
+      sorted.foreach { case (id, _, nTok, packId) =>
+        assert(packId == before / 6, s"doc $id: pack $packId, before $before")
+        before += nTok
+      }
+    }
+  }
+
+  test("redactPii: typed placeholders, fixed order, no false hits") {
+    val rows = Seq(
+      "mail me at jane.doe@site.org today",
+      "call 555-0199 or visit 10.1.2.3 now",
+      "plain text with no pii at all",
+      "edge: a@b.c and 555-12345 and 999.999.999.999")
+      .toDF("text")
+    val got = rows.select(CorpusOps.redactPii(org.apache.spark.sql.functions.col("text")))
+      .as[String].collect()
+    assert(got(0) == "mail me at <EMAIL> today")
+    assert(got(1) == "call <PHONE> or visit <IP> now")
+    assert(got(2) == "plain text with no pii at all")
+    // 555-12345: the pattern takes its 4 digits, the 5th survives;
+    // 999.999.999.999 is shape-valid for the RE2-safe pattern (no
+    // range check — documented simplification)
+    assert(got(3) == "edge: <EMAIL> and <PHONE>5 and <IP>")
+  }
+}
