@@ -958,6 +958,94 @@ object Battery {
            |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
            |FROM sx GROUP BY user_id, sess""".stripMargin))
 
+  /** Watermarked streaming dedup, batch twin. The streaming op
+    * ([[graft.streaming.Streaming.streamingDedup]],
+    * `dropDuplicatesWithinWatermark`) is streaming-only by definition, so
+    * the battery pins its batch fixpoint: one row per
+    * (user, event_type, day). The projection IS the key set, so the
+    * surviving row is unique per key and arrival-order-free;
+    * StreamingSpec asserts the streaming op over the same projection
+    * equals this query exactly.
+    */
+  private val twDedupWatermark = Q(
+    "tw_dedup_watermark",
+    (s, d) => graft.streaming.Streaming.dedupKeys(
+      T.events(s, d).select(col("user_id"), col("event_type"),
+        date_trunc("day", col("ts")).as("ts")),
+      Seq("user_id", "event_type", "ts")),
+    Some("""SELECT DISTINCT user_id, event_type, date_trunc('day', ts) AS ts
+           |FROM events""".stripMargin))
+
+  /** Stream-stream time-bound inner join, batch form — the SAME
+    * [[graft.streaming.Streaming.timeBoundJoin]] the streaming query
+    * plans (stream parity pinned by StreamingSpec): every click within
+    * 2 hours after a view by the same user. The time bound is what lets
+    * the streaming side expire join state; in batch it's a conditional
+    * equi-join on the user key, with per-key fan-out bounded by the
+    * events-per-user-per-2h density (not a cartesian).
+    */
+  private val twJoinBound = Q(
+    "tw_timebound_join",
+    (s, d) => {
+      val ev = T.events(s, d)
+      graft.streaming.Streaming.timeBoundJoin(
+        ev.where(col("event_type") === "view")
+          .select(col("user_id").as("k"), col("ts").as("lts")),
+        ev.where(col("event_type") === "click")
+          .select(col("user_id").as("k"), col("ts").as("rts")),
+        "2 HOURS")
+    },
+    Some("""SELECT l.user_id AS k, l.ts AS lts, r.ts AS rts
+           |FROM events l JOIN events r
+           |  ON l.user_id = r.user_id AND r.ts >= l.ts
+           | AND r.ts <= l.ts + INTERVAL '2 hours'
+           |WHERE l.event_type = 'view' AND r.event_type = 'click'""".stripMargin))
+
+  /** Stream-stream LEFT OUTER time-bound join, batch form
+    * ([[graft.streaming.Streaming.timeBoundLeftJoin]]; null-padded
+    * unmatched-left emission after watermark expiry pinned by
+    * StreamingSpec): every view survives, padded when no click followed
+    * within 2 hours.
+    */
+  private val twJoinBoundLeft = Q(
+    "tw_timebound_left_join",
+    (s, d) => {
+      val ev = T.events(s, d)
+      graft.streaming.Streaming.timeBoundLeftJoin(
+        ev.where(col("event_type") === "view")
+          .select(col("user_id").as("k"), col("ts").as("lts")),
+        ev.where(col("event_type") === "click")
+          .select(col("user_id").as("k"), col("ts").as("rts")),
+        "2 HOURS")
+    },
+    Some("""SELECT l.user_id AS k, l.ts AS lts, r.ts AS rts
+           |FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') l
+           |LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') r
+           |  ON l.user_id = r.user_id AND r.ts >= l.ts
+           | AND r.ts <= l.ts + INTERVAL '2 hours'""".stripMargin))
+
+  /** `flatMapGroupsWithState` per-user running totals
+    * ([[graft.streaming.Stateful.runningUserTotals]]), batch invocation
+    * (one call per key, no carried state — cross-micro-batch
+    * accumulation is pinned by StatefulSpec). The state accumulates
+    * `total` in exact micros (long) so cross-batch order can't drift the
+    * double; the oracle reproduces the identical round-to-micros
+    * arithmetic, and `last_event_ms` is the epoch-millis floor both
+    * engines take (java.sql.Timestamp.getTime / epoch_ms).
+    */
+  private val stUserTotals = Q(
+    "st_user_totals",
+    (s, d) => {
+      import s.implicits._
+      graft.streaming.Stateful.runningUserTotals(
+        T.events(s, d).as[graft.streaming.Stateful.Event]).toDF()
+    },
+    Some("""SELECT user_id, count(*) AS n_events,
+           |  CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE)
+           |    / 1000000.0 AS total,
+           |  epoch_ms(max(ts)) AS last_event_ms
+           |FROM events GROUP BY user_id""".stripMargin))
+
   // ----------------------------------------- LLM-pipeline ops (north star)
 
   /** Exact deduplication by content hash (hash-groupBy). */
@@ -2464,6 +2552,7 @@ object Battery {
     f6Datetime, g1DateSpine,
     fScalar, f5Cast, f9MapExplode, f12Json, f13ArrayOps,
     twTumbling, twSliding, twSession,
+    twDedupWatermark, twJoinBound, twJoinBoundLeft, stUserTotals,
     x6SubwordCount,
     d1DedupExact, x1TextStats, n1AnnTopK, m1Multimodal, m2MultimodalDecode,
     m3FrameSample, m4WavDecode, m5BmpDecode,

@@ -51,6 +51,16 @@ object Streaming {
     events.withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Batch twin of [[streamingDedup]] — `dropDuplicatesWithinWatermark`
+    * is streaming-only by definition (Spark rejects it on batch frames),
+    * so the batch fixpoint is: project to exactly the key set, drop
+    * duplicates. With the projection equal to the keys the surviving row
+    * is unique per key, making the result independent of arrival order;
+    * StreamingSpec pins stream output == this on the same projection.
+    */
+  def dedupKeys(events: DataFrame, keys: Seq[String]): DataFrame =
+    events.select(keys.map(col): _*).dropDuplicates()
+
   /** File-source stream reader with an explicit schema (required for
     * streaming reads).
     */

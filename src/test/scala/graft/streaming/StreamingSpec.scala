@@ -274,6 +274,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"dim not broadcast:\n$plan")
   }
 
+  test("watermarked dedup equals the batch twin on the projected key set " +
+      "(the tw_dedup_watermark battery query)") {
+    import org.apache.spark.sql.functions.{col, date_trunc}
+    val (batch, stream) = eventStream()
+    val keys = Seq("user_id", "event_type", "ts")
+    def proj(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("user_id"), col("event_type"),
+        date_trunc("day", col("ts")).as("ts"))
+    val expected = Streaming.dedupKeys(proj(batch), keys)
+      .collect().map(_.toString).sorted
+    val q = Streaming.streamingDedup(proj(stream), "10 minutes", keys)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_twin_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dedup_twin_out").collect().map(_.toString).sorted
+      assert(got.length == expected.length,
+        s"stream ${got.length} rows vs batch ${expected.length}")
+      assert(got.sameElements(expected))
+    } finally q.stop()
+  }
+
   test("watermarked dedup emits each event_id once") {
     val (_, stream) = eventStream()
     val q = Streaming.streamingDedup(stream, "10 minutes", Seq("event_id"))
