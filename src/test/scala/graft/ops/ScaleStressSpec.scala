@@ -165,4 +165,60 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(a1.length == s, s"one regrouped row per seq-exp, got ${a1.length}")
     assert(a1.sameElements(a2), "decomposed and fanned regroups must agree")
   }
+
+  // ------------------------------------------------- (d) salted skew join
+
+  test("saltedJoin balances a hot key over buckets tasks where the plain " +
+      "shuffle join concentrates it in one") {
+    import graft.relational.RelationalOps
+    val conf = spark.conf
+    val prevAqe = conf.get("spark.sql.adaptive.enabled")
+    val prevBc = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevSp = conf.get("spark.sql.shuffle.partitions")
+    // the documented use case: AQE skew-split unavailable and the dim not
+    // broadcastable — force the raw sort-merge shuffle shape. Reducer
+    // count must exceed `buckets` for salting to spread at all (true on
+    // any real cluster; the test session's default of 4 is not).
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.shuffle.partitions", "64")
+    try {
+      val nHot = 40000
+      val left = spark.range(0, nHot + 4000).select(
+        when(col("id") < nHot, lit("hot"))
+          .otherwise(concat(lit("k"), col("id"))).as("k"),
+        col("id").as("v"))
+      val right = spark.range(0, 64).select(
+        when(col("id") === 0, lit("hot"))
+          .otherwise(concat(lit("k"), col("id") + nHot)).as("k"),
+        col("id").as("w"))
+
+      def partSizes(df: DataFrame): Seq[Int] =
+        df.select("k").rdd.mapPartitions(it => Iterator(it.size)).collect().toSeq
+
+      val plain = left.join(right, Seq("k"))
+      val salted = RelationalOps.saltedJoin(left, right, Seq("k"), buckets = 16)
+      assert(salted.count() == plain.count(), "salting must not change the multiset")
+
+      // plain: the join output is partitioned by k, so ONE task owns every
+      // hot-key row — the straggler that stalls the 1000-executor stage
+      assert(partSizes(plain).max >= nHot,
+        "expected the whole hot key in a single plain-join partition")
+
+      // salted: partitioned by (k, __salt) — the hot key spreads over up
+      // to `buckets` tasks. Several salt values can hash into the same
+      // shuffle partition (16 values into 64 partitions), but the max
+      // task must sit far below the full hot key and the spread be real.
+      val ss = partSizes(salted)
+      assert(ss.max <= nHot / 2,
+        s"hot key not spread: max salted partition ${ss.max} of $nHot " +
+          s"(sizes ${ss.filter(_ > 0).sorted.reverse.mkString(",")})")
+      assert(ss.count(_ > 1000) >= 4,
+        s"expected >=4 non-trivial salted partitions, got ${ss.filter(_ > 1000)}")
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", prevAqe)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      conf.set("spark.sql.shuffle.partitions", prevSp)
+    }
+  }
 }
