@@ -37,12 +37,29 @@ object ProfileMain {
         df.write.format("noop").mode("overwrite").save()
       }
     }
+    def union() = graft.etl.Pipeline.buildAllUnion(result,
+      indexd = Some(graft.queries.KfShaped.indexd(spark, sfDir)),
+      centerNames = Map("SC_1" -> "Center One", "SC_2" -> "Center Two"))
     time("full union one-shot") {
-      graft.etl.Pipeline.buildAllUnion(result,
-        indexd = Some(graft.queries.KfShaped.indexd(spark, sfDir)),
-        centerNames = Map("SC_1" -> "Center One", "SC_2" -> "Center Two"))
-        .write.format("noop").mode("overwrite").save()
+      union().write.format("noop").mode("overwrite").save()
     }
+
+    // kf_full_pipeline / kf_counts_by_type overlap: is recomputing the
+    // union for the counts cheaper than persisting it once and serving
+    // both? (a) the independent-plans pair as the bench runs it;
+    // (b) persist -> noop write materializes the cache -> counts off it.
+    time("(a) counts recompute, independent plan") {
+      union().groupBy("builder").count().collect()
+    }
+    val cached = union().persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    time("(b) full union WITH persist (materialize)") {
+      cached.write.format("noop").mode("overwrite").save()
+    }
+    time("(b) counts off the persisted union") {
+      cached.groupBy("builder").count().collect()
+    }
+    cached.unpersist()
     spark.stop()
   }
 }
