@@ -222,6 +222,46 @@ class PlanQualitySpec extends AnyFunSuite {
       s"scan must prune to the three read columns: $readSchema")
   }
 
+  test("decontamination joins corpus and benchmark shingles by equi-join " +
+      "(never corpus × benchmark)") {
+    val p = plan("x8_decontaminate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"decontamination degraded to a product join:\n$p")
+    assert(p.contains("partial_"), s"shingle distincts lost map-side partials:\n$p")
+  }
+
+  test("sequence packing windows within the shard — one hash shuffle, " +
+      "never a global sort") {
+    val p = plan("x9_pack_sequences")
+    assert(nodeCount(p, "Window") == 1, s"expected exactly one Window:\n$p")
+    assert(nodeCount(p, "Exchange") == 1,
+      s"packing must shuffle once on the shard key:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"global range sort would serialize packing at scale:\n$p")
+  }
+
+  test("PII redaction is a pure narrow map (zero exchanges)") {
+    val p = plan("x10_redact")
+    val exchanges = nodeCount(p, "Exchange")
+    assert(exchanges == 0, s"redaction must not shuffle, found $exchanges:\n$p")
+  }
+
+  test("time-bound join stays an equi-join on the key (no nested loop)") {
+    val p = plan("tw_timebound_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"time-bound join degraded to a product join:\n$p")
+  }
+
+  test("stateful user totals shuffle once on the grouping key") {
+    val p = plan("st_user_totals")
+    // batch execution rewrites flatMapGroupsWithState to a stateless
+    // MapGroups (one invocation per key)
+    assert(p.contains("MapGroups"),
+      s"expected the stateful operator's batch form (MapGroups):\n$p")
+    assert(nodeCount(p, "Exchange") == 1,
+      s"stateful totals must shuffle once:\n$p")
+  }
+
   test("no forced broadcast anywhere in the load/build paths (source gate)") {
     // an id map / Indexd dim / builder input is 1:1 with the entity
     // universe — a broadcast() hint there is a driver OOM at scale. AQE
