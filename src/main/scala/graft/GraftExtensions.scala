@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{DotProduct, LangIdText, MinhashSlices, MinhashText, SimhashText}
+import graft.functions.{DotProduct, LangIdText, MinhashSlices, MinhashText, SimhashLong, SimhashText}
 
 /** Engine extension point (SURVEY §7.3): registers the custom Catalyst
   * expressions with the session so plain SQL can call them too. Activate
@@ -57,6 +57,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "simhash_text(text, bits)")
         SimhashText(children.head, intLit(children(1), "simhash_text bits"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash_long"),
+      new ExpressionInfo(classOf[SimhashLong].getName, "simhash_long"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "simhash_long(text, bits)")
+        SimhashLong(children.head, intLit(children(1), "simhash_long bits"))
       }))
   }
 }

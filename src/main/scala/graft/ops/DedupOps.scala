@@ -193,6 +193,58 @@ object DedupOps {
       GraftColumnBridge.expression(text), 16))
   }
 
+  /** 64-bit SimHash (long-packed; see [[graft.functions.SimhashLong]]) —
+    * the fingerprint width Hamming-banded pair search needs.
+    */
+  def simhash64(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.SimhashLong(
+      GraftColumnBridge.expression(text), 64))
+  }
+
+  /** SimHash near-duplicate pairs within Hamming distance ≤ `maxDist`
+    * over a 64-BIT fingerprint, found by BLOCK BANDING (the public
+    * Manku/Jain/Das Sarma WWW'07 construction): split the fingerprint
+    * into `maxDist + 1` contiguous blocks — by pigeonhole, two
+    * fingerprints within `maxDist` differing bits must agree EXACTLY on
+    * at least one whole block. Candidates are therefore a (block_idx,
+    * block_value) equi-join — one shuffle on the block key, never an
+    * all-pairs product — and the exact `bit_count(xor)` distance
+    * verifies only the candidates, so banding affects candidate count,
+    * never the result. The fingerprint rides along through the explode,
+    * so the verify needs no extra join back to the signature table.
+    *
+    * Width matters for the shuffle key: the default maxDist=3 gives
+    * 16-bit blocks — 65 536 bucket values per block position — where
+    * banding the 16-bit [[simhash16]] would leave 16 values per block
+    * and an O(n²/16) candidate blowup. 64 bits must split evenly:
+    * `maxDist + 1` ∈ {1, 2, 4, 8, 16, 32, 64}.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val nBlocks = maxDist + 1
+    require(64 % nBlocks == 0, s"maxDist+1 must divide 64, got $nBlocks")
+    val blockBits = 64 / nBlocks
+    val mask = if (blockBits == 64) -1L else (1L << blockBits) - 1
+    val sh = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
+    // A pair agreeing on several blocks surfaces once per agreement —
+    // dedup AFTER the cheap Hamming filter (fewer rows to distinct).
+    val tagged = sh.select(col("id"), col("sh"),
+      posexplode(array((0 until nBlocks).map(i =>
+        shiftright(col("sh"), i * blockBits).bitwiseAND(lit(mask))): _*))
+        .as(Seq("bi", "block")))
+    val l = tagged.select(col("bi"), col("block"),
+      col("id").as("doc_a"), col("sh").as("sh_a"))
+    val r = tagged.select(col("bi"), col("block"),
+      col("id").as("doc_b"), col("sh").as("sh_b"))
+    l.join(r, Seq("bi", "block"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .where(col("hamming") <= maxDist)
+      .distinct()
+  }
+
   /** Dedup cluster formation: connected components over a near-dup pair
     * graph via the ALTERNATING STAR algorithm (Kiveris et al.,
     * "Connected Components in MapReduce and Beyond", SoCC'14) — the

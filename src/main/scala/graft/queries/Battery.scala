@@ -1229,6 +1229,17 @@ object Battery {
            |JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
            |WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.5""".stripMargin))
 
+  /** DuckDB replay of the SimHash majority vote over token-md5 hex
+    * nibbles (shared by d3/d7): packed value over fingerprint bits
+    * [from, until), each weighted 2^(b-from).
+    */
+  private def simhashOracleTerms(from: Int = 0, until: Int = 16): String =
+    (from until until).map { b =>
+      val pos = 1 + b / 4
+      val shift = 3 - (b % 4)
+      s"""CASE WHEN 2*len(list_filter(hl, h -> ((instr('0123456789abcdef', substr(h, $pos, 1)) - 1) >> $shift) & 1 = 1)) - len(hl) > 0 THEN ${1L << (b - from)} ELSE 0 END"""
+    }.mkString(" + ")
+
   /** 16-bit SimHash per document (majority vote over token-hash bits). */
   private val d3Simhash = Q(
     "d3_simhash",
@@ -1236,14 +1247,38 @@ object Battery {
       col("doc_id"),
       graft.ops.DedupOps.simhash16(col("text")).as("simhash")),
     Some {
-      val terms = (0 until 16).map { b =>
-        val pos = 1 + b / 4
-        val shift = 3 - (b % 4)
-        s"""CASE WHEN 2*len(list_filter(hl, h -> ((instr('0123456789abcdef', substr(h, $pos, 1)) - 1) >> $shift) & 1 = 1)) - len(hl) > 0 THEN ${1 << b} ELSE 0 END"""
-      }.mkString(" + ")
       s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
          |h AS (SELECT doc_id, [md5(t) for t in toks] AS hl FROM t)
-         |SELECT doc_id, CAST($terms AS INT) AS simhash FROM h""".stripMargin
+         |SELECT doc_id, CAST(${simhashOracleTerms(0, 16)} AS INT) AS simhash FROM h""".stripMargin
+    })
+
+  /** SimHash near-dup pairs within Hamming distance ≤ 3 over the
+    * 64-bit fingerprint via Manku block banding
+    * ([[graft.ops.DedupOps.simhashPairs]]): 4 blocks of 16 bits; a
+    * qualifying pair must agree exactly on ≥ 1 block (pigeonhole), so
+    * candidates come from ONE (block_idx, block_value) equi-join
+    * shuffle — 65 536 bucket values per block — and exact
+    * bit_count(xor) verifies candidates only. The oracle is the honest
+    * brute-force quadratic over all id-ordered pairs — tractable at
+    * oracle SF, which is exactly the check that the banded join loses
+    * no pair. DuckDB carries the fingerprint as two 32-bit halves
+    * (BIGINT-safe — a bit-63 weight literal would overflow to
+    * HUGEINT); Hamming distance = sum of per-half bit_count(xor).
+    */
+  private val d7SimhashPairs = Q(
+    "d7_simhash_pairs",
+    (s, d) => graft.ops.DedupOps.simhashPairs(
+      T.documents(s, d), "doc_id", "text", maxDist = 3),
+    Some {
+      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+         |h AS (SELECT doc_id, [md5(t) for t in toks] AS hl FROM t),
+         |sg AS (SELECT doc_id,
+         |         CAST(${simhashOracleTerms(0, 32)} AS BIGINT) AS lo,
+         |         CAST(${simhashOracleTerms(32, 64)} AS BIGINT) AS hi FROM h)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INT) AS hamming
+         |FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3""".stripMargin
     })
 
   /** Language-ID: stopword-profile argmax (lexicographic tie-break). */
@@ -2563,7 +2598,7 @@ object Battery {
     x6SubwordCount,
     d1DedupExact, x1TextStats, n1AnnTopK, m1Multimodal, m2MultimodalDecode,
     m3FrameSample, m4WavDecode, m5BmpDecode,
-    d2MinhashBands, d2bNearDupPairs, d3Simhash, d4NgramJaccard,
+    d2MinhashBands, d2bNearDupPairs, d3Simhash, d7SimhashPairs, d4NgramJaccard,
     d5DedupClusters, d6DedupCorpus,
     x2LangId, x3Fingerprint, x3bRolling, x4Quality, x5TokenFreq,
     x7Repetition, x8Decontaminate, x9PackSequences, x10Redact,

@@ -70,6 +70,12 @@ class PlanQualitySpec extends AnyFunSuite {
       s"set-similarity join fell back to a product join:\n$p")
   }
 
+  test("simhash pair search is a banded equi-join — never a product") {
+    val p = plan("d7_simhash_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"Hamming pair search fell back to a product join:\n$p")
+  }
+
   test("as-of join is one window over a union — no join operator, no product") {
     val p = plan("j14_asof_join")
     assert(p.contains("Window"), s"asof lost its window form:\n$p")

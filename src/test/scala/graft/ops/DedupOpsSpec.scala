@@ -47,6 +47,44 @@ class DedupOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("simhashPairs banding loses no pair vs brute force, for several maxDist") {
+    // 1/4 exact dups (Hamming 0, must always surface); 2 a one-token
+    // variant of 1 (small but fingerprint-dependent distance); 3
+    // unrelated. The expected set is brute-forced from the SAME
+    // fingerprint expression (its correctness is pinned separately by
+    // the d3/d7 DuckDB oracles), so this test isolates exactly the
+    // banding claim: the (block_idx, block_value) equi-join finds every
+    // pair the quadratic scan finds.
+    val docs = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog again and again today",
+      2L -> "the quick brown fox jumps over the lazy dog again and again tomorrow",
+      3L -> "completely unrelated text about astrophysics and galactic rotation",
+      4L -> "the quick brown fox jumps over the lazy dog again and again today")
+    val df = docs.toDF("doc_id", "text")
+    val sh = df.select($"doc_id", DedupOps.simhash64($"text").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (maxDist <- Seq(1, 3, 7)) {
+      val expect = (for {
+        a <- sh.keys; b <- sh.keys if a < b
+        h = java.lang.Long.bitCount(sh(a) ^ sh(b)) if h <= maxDist
+      } yield (a, b, h)).toSet
+      val got = DedupOps.simhashPairs(df, "doc_id", "text", maxDist)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == expect, s"maxDist=$maxDist")
+      assert(got.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 0),
+        s"exact dup not found at maxDist=$maxDist")
+    }
+  }
+
+  test("simhash64's low 16 bits equal simhash16 (shared bit layout)") {
+    val df = Seq("a b c", "the cat sat on the mat", " padded  ", "")
+      .toDF("text")
+    df.select(DedupOps.simhash16($"text").cast("long").as("s16"),
+        DedupOps.simhash64($"text").as("s64"))
+      .collect()
+      .foreach(r => assert((r.getLong(1) & 0xFFFFL) == r.getLong(0)))
+  }
+
   test("ngramJaccardPairs at threshold 1.0 finds only exact shingle-set dups") {
     val docs = Seq(
       1L -> "a b c d",
