@@ -77,6 +77,40 @@ object CorpusOps {
     * order is part of the contract (emails first, so an address inside
     * a redacted email can't double-fire).
     */
+  /** Deterministic stratified sampling to a target corpus mixture
+    * (domain/language reweighting — the "20% code, 5% each low-resource
+    * language" step): each stratum keeps its own fraction, applied with
+    * the keyed md5-prefix rule of
+    * [[graft.relational.RelationalOps.hashSample]], so membership is
+    * stable across runs, engines, partitionings AND strata definitions
+    * — the same key survives at fraction f regardless of which stratum
+    * it lands in, so tightening one stratum's rate never reshuffles
+    * another's sample. Strata absent from `fractions` keep
+    * `defaultFraction`.
+    *
+    * Scale shape: the per-stratum threshold is a literal CASE chain
+    * (broadcast nothing, join nothing), the whole filter is narrow and
+    * codegen'd, and rows drop at the scan.
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 1.0): DataFrame = {
+    def thr(f: Double): String = {
+      require(f >= 0 && f <= 1, s"fraction $f outside [0, 1]")
+      val t = math.round(f * 65536)
+      // 65536 prints as the 5-char "10000", which sorts BELOW "2***"
+      // in the string compare — keep-everything needs a sentinel that
+      // sorts above every hex prefix instead
+      if (t == 65536) "g" else f"$t%04x"
+    }
+    // keys are distinct, so fold order cannot change the result
+    val threshold = fractions.foldLeft(lit(thr(defaultFraction))) {
+      case (acc, (stratum, f)) =>
+        when(col(strataCol) === stratum, lit(thr(f))).otherwise(acc)
+    }
+    df.where(substring(md5(col(s"`$keyCol`").cast("string")), 1, 4) < threshold)
+  }
+
   val EmailPattern = "[A-Za-z0-9._]+@[A-Za-z0-9.]+[A-Za-z]"
   val PhonePattern = "555-[0-9]{4}"
   val Ipv4Pattern = "([0-9]{1,3}\\.){3}[0-9]{1,3}"

@@ -1714,6 +1714,25 @@ object Battery {
            |  CAST(len(regexp_extract_all(aug, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ip
            |FROM a""".stripMargin))
 
+  /** Stratified mixture resampling
+    * ([[graft.ops.CorpusOps.stratifiedSample]]): keep English at 50%,
+    * Chinese at 75%, French whole, everything else at 20% — the
+    * domain/language reweighting step of corpus curation, as a
+    * deterministic keyed-hash filter (stable across engines and
+    * partitionings; literal CASE thresholds, narrow, no shuffle). The
+    * oracle replays the identical md5-prefix rule per stratum.
+    */
+  private val x11StratifiedSample = Q(
+    "x11_stratified_sample",
+    (s, d) => graft.ops.CorpusOps.stratifiedSample(
+      T.documents(s, d), "lang", "doc_id",
+      Map("en" -> 0.5, "zh" -> 0.75, "fr" -> 1.0),
+      defaultFraction = 0.2),
+    Some("""SELECT * FROM documents
+           |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+           |  CASE lang WHEN 'en' THEN '8000' WHEN 'zh' THEN 'c000'
+           |            WHEN 'fr' THEN 'g' ELSE '3333' END""".stripMargin))
+
   /** Corpus token histogram: explode tokens → count — the vocabulary/
     * token-counting sweep of a training-data pipeline (one shuffle on
     * the token, map-side partial counts). Top-50 by (count desc, token)
@@ -2602,6 +2621,7 @@ object Battery {
     d5DedupClusters, d6DedupCorpus,
     x2LangId, x3Fingerprint, x3bRolling, x4Quality, x5TokenFreq,
     x7Repetition, x8Decontaminate, x9PackSequences, x10Redact,
+    x11StratifiedSample,
     n2AnnLsh, n3EmbNearDup, n4AnnIvf, n5PqQuantize,
     kfPatientSlice, kfRSubjectSlice, kfSpecimenSlice, kfDrsSlice,
     kfDiseaseSlice, kfPhenotypeSlice, kfHistoSlice, kfVitalSlice,

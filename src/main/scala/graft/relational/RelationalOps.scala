@@ -155,7 +155,10 @@ object RelationalOps {
     */
   def hashSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame = {
     require(fraction >= 0 && fraction <= 1, "fraction must be in [0, 1]")
-    val threshold = f"${math.round(fraction * 65536)}%04x"
+    val t = math.round(fraction * 65536)
+    // 65536 would print as the 5-char "10000", which string-sorts BELOW
+    // "2***" — fraction 1.0 needs a sentinel above every hex prefix
+    val threshold = if (t == 65536) "g" else f"$t%04x"
     df.where(substring(md5(col(s"`$keyCol`").cast("string")), 1, 4) < lit(threshold))
   }
 

@@ -95,6 +95,13 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(exchanges == 0, s"sampling must not shuffle:\n$p")
   }
 
+  test("stratified sample is a narrow literal-CASE filter (no shuffle, no join)") {
+    val p = plan("x11_stratified_sample")
+    val exchanges = p.linesIterator.count(_.matches(".*[+:]- Exchange .*"))
+    assert(exchanges == 0, s"mixture sampling must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"mixture sampling must not join:\n$p")
+  }
+
   test("anti join broadcasts the filter side (no shuffle of the big side)") {
     val p = plan("j17_anti_join")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),

@@ -63,6 +63,31 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("stratifiedSample: per-stratum rates, key-consistency, 0/1 edge fractions") {
+    val rows = (1L to 2000L).map(i =>
+      (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr"))
+    val df = rows.toDF("doc_id", "lang")
+    val got = CorpusOps.stratifiedSample(df, "lang", "doc_id",
+        Map("en" -> 1.0, "de" -> 0.0), defaultFraction = 0.25)
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    val byLang = got.groupBy(_._2).view.mapValues(_.length).toMap
+    // fraction 1.0 keeps the WHOLE stratum (the "10000" threshold bug
+    // kept ~1/16); 0.0 keeps none; the default lands near its rate
+    assert(byLang.getOrElse("en", 0) == rows.count(_._2 == "en"))
+    assert(byLang.getOrElse("de", 0) == 0)
+    val frTotal = rows.count(_._2 == "fr")
+    val frKept = byLang.getOrElse("fr", 0)
+    assert(math.abs(frKept.toDouble / frTotal - 0.25) < 0.08,
+      s"fr kept $frKept of $frTotal")
+    // key-consistency: a stratum sampled at f keeps EXACTLY the keys
+    // plain hashSample at f keeps — mixture tuning can't reshuffle
+    // which documents survive
+    val frDirect = graft.relational.RelationalOps
+      .hashSample(df.where($"lang" === "fr"), "doc_id", 0.25)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.filter(_._2 == "fr").map(_._1).toSet == frDirect)
+  }
+
   test("redactPii: typed placeholders, fixed order, no false hits") {
     val rows = Seq(
       "mail me at jane.doe@site.org today",

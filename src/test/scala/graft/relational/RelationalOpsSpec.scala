@@ -125,6 +125,11 @@ class RelationalOpsSpec extends AnyFunSuite {
     val s2 = RelationalOps.hashSample(orders.repartition(7), "o_orderkey", 0.1)
     assert(s2.select("o_orderkey").except(s1.select("o_orderkey")).isEmpty)
     assert(s1.select("o_orderkey").except(s2.select("o_orderkey")).isEmpty)
+    // edge fractions: 1.0 keeps everything (the naive "%04x" threshold
+    // prints 65536 as "10000", which string-sorts below "2***" and
+    // silently kept ~1/16), 0.0 keeps nothing
+    assert(RelationalOps.hashSample(orders, "o_orderkey", 1.0).count() == n.toLong)
+    assert(RelationalOps.hashSample(orders, "o_orderkey", 0.0).isEmpty)
   }
 
   test("approx_count_distinct stays within 5% of exact on the orders table") {
