@@ -71,6 +71,30 @@ class ScaleStressSpec extends AnyFunSuite {
       "a verified chain pair can only span overlapping windows")
   }
 
+  test("simhashPairs: hot fingerprint yields exactly its own pairs; " +
+      "unrelated corpus contributes none") {
+    // h byte-identical docs share one 64-bit fingerprint — every block
+    // bucket is hot, but every surfaced pair is a TRUE dup (Hamming 0):
+    // quadratic inside the clone family because the answer is
+    // quadratic, never beyond it. The unrelated background (distinct
+    // token vocabularies per doc) must produce zero pairs at
+    // maxDist=3 — 64-bit fingerprints keep random docs ~32 bits apart,
+    // and banding must not manufacture candidates that verify falsely.
+    val h = 200
+    val hot = (0 until h).map(i =>
+      (10000L + i, "the exact same hot document body repeated verbatim"))
+    val bg = (0 until 300).map { i =>
+      (i.toLong, (0 until 25).map(j => s"bg${i}w$j").mkString(" "))
+    }
+    val pairs = DedupOps
+      .simhashPairs((hot ++ bg).toDF("doc_id", "text"), "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.length == h * (h - 1) / 2,
+      s"hot fingerprint must yield exactly C($h,2) pairs, got ${pairs.length}")
+    assert(pairs.forall { case (a, b, d) => a >= 10000L && b >= 10000L && d == 0 },
+      "only Hamming-0 clone pairs may surface")
+  }
+
   // ----------------------------------------------- (b) CC convergence
 
   test("connectedComponents converges in O(log diameter) rounds on a 1024-chain") {
