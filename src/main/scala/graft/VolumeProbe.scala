@@ -40,15 +40,18 @@ object VolumeProbe {
     df.columns.toSeq.filter(c =>
       c.endsWith("key") || c == "doc_id" || c == "vec_id")
 
-  /** lcm of every `% m` the KfShaped fixture derives entity membership
-    * from (2,3,4,5,6,7,10,90,100,900,1000,4000,5000,6000,7000): an
-    * offset that is a multiple of this leaves `key % m` unchanged, so
-    * each replica derives the same entities from its remapped keys and
-    * pipeline outputs scale EXACTLY ×factor. (A multiplicative remap
-    * `key*factor+rep` breaks this — it reshuffles modular membership
-    * and the scaling assert becomes approximate.)
+  /** lcm of every `% m` a probed query derives membership from: the
+    * KfShaped fixture's entity moduli
+    * (2,3,4,5,6,7,10,90,100,900,1000,4000,5000,6000,7000 → 1 260 000),
+    * x8's benchmark split (`doc_id % 97`), and x9's shard (`% 8`,
+    * already covered). An offset that is a multiple of this leaves
+    * `key % m` unchanged, so each replica derives the same entities /
+    * benchmark membership from its remapped keys and outputs scale
+    * EXACTLY ×factor. (A multiplicative remap `key*factor+rep` breaks
+    * this — it reshuffles modular membership and the scaling assert
+    * becomes approximate.)
     */
-  private val ModLcm = 1260000L
+  private val ModLcm = 1260000L * 97L
 
   def multiply(df: DataFrame, factor: Int, keyOffset: Long): DataFrame = {
     require(keyOffset % ModLcm == 0, s"offset must preserve mod-$ModLcm classes")
@@ -77,12 +80,14 @@ object VolumeProbe {
   }
 
   /** Headline plans: the e2e ETL pipeline, the dedup corpus rollup,
-    * banded near-dup pair generation, the corpus token histogram, and
-    * the widest outer-join chain.
+    * banded near-dup pair generation (MinHash and SimHash forms), the
+    * corpus token histogram, benchmark decontamination, sequence
+    * packing, and the widest outer-join chain.
     */
   val headline: Seq[String] = Seq(
     "kf_full_pipeline", "d6_dedup_corpus", "d2b_neardup_pairs",
-    "x5_token_freq", "j_outer_chain")
+    "d7_simhash_pairs", "x5_token_freq", "x8_decontaminate",
+    "x9_pack_sequences", "j_outer_chain")
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
