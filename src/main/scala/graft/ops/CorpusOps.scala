@@ -77,6 +77,36 @@ object CorpusOps {
     * order is part of the contract (emails first, so an address inside
     * a redacted email can't double-fire).
     */
+  /** Corpus document-frequency statistics per document — the exact
+    * integer core of frequency-based quality scoring (a KenLM-style
+    * perplexity filter's cheap cousin): for each document, its token
+    * count, the SUM of the corpus document frequencies of its tokens
+    * (low mean df ⇒ unusual vocabulary), and the MINIMUM df (1 ⇒ the
+    * doc contains a token found nowhere else — a strong junk/PII
+    * signal). All-integer output so any engine reproduces it
+    * byte-exactly; a real pipeline turns these into -log-frequency
+    * scores downstream.
+    *
+    * Scale shape: one token-explode feeding (a) the vocabulary df
+    * aggregate (map-side partial countDistinct) and (b) the
+    * token-keyed join back, then one regroup on the doc id. The df
+    * side is vocabulary-sized — orders smaller than the token stream —
+    * so AQE broadcasts it when it fits and skew-splits the hot
+    * stopword keys when it does not; nothing is ever corpus × corpus.
+    */
+  def rareTokenStats(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(TextOps.tokens(col(textCol))).as("token"))
+    val dfreq = toks.groupBy("token")
+      .agg(countDistinct(col(idCol)).as("df"))
+    toks.join(dfreq, "token")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("df").as("sum_df"),
+        min("df").as("min_df"))
+  }
+
   /** Deterministic stratified sampling to a target corpus mixture
     * (domain/language reweighting — the "20% code, 5% each low-resource
     * language" step): each stratum keeps its own fraction, applied with

@@ -1733,6 +1733,26 @@ object Battery {
            |  CASE lang WHEN 'en' THEN '8000' WHEN 'zh' THEN 'c000'
            |            WHEN 'fr' THEN 'g' ELSE '3333' END""".stripMargin))
 
+  /** Corpus document-frequency stats per document
+    * ([[graft.ops.CorpusOps.rareTokenStats]]): n_tokens, sum of token
+    * document-frequencies, min df — the integer-exact core of
+    * frequency-based quality filtering. DuckDB recomputes the df table
+    * and the per-doc rollup from scratch.
+    */
+  private val x12RareTokens = Q(
+    "x12_rare_token_score",
+    (s, d) => graft.ops.CorpusOps.rareTokenStats(
+      T.documents(s, d), "doc_id", "text"),
+    Some("""WITH tk AS (SELECT doc_id,
+           |    unnest(string_split_regex(trim(text), '\s+')) AS token
+           |  FROM documents),
+           |df AS (SELECT token, count(DISTINCT doc_id) AS df
+           |       FROM tk GROUP BY token)
+           |SELECT doc_id, count(*) AS n_tokens,
+           |  CAST(sum(df) AS BIGINT) AS sum_df,
+           |  min(df) AS min_df
+           |FROM tk JOIN df USING (token) GROUP BY doc_id""".stripMargin))
+
   /** Corpus token histogram: explode tokens → count — the vocabulary/
     * token-counting sweep of a training-data pipeline (one shuffle on
     * the token, map-side partial counts). Top-50 by (count desc, token)
@@ -2621,7 +2641,7 @@ object Battery {
     d5DedupClusters, d6DedupCorpus,
     x2LangId, x3Fingerprint, x3bRolling, x4Quality, x5TokenFreq,
     x7Repetition, x8Decontaminate, x9PackSequences, x10Redact,
-    x11StratifiedSample,
+    x11StratifiedSample, x12RareTokens,
     n2AnnLsh, n3EmbNearDup, n4AnnIvf, n5PqQuantize,
     kfPatientSlice, kfRSubjectSlice, kfSpecimenSlice, kfDrsSlice,
     kfDiseaseSlice, kfPhenotypeSlice, kfHistoSlice, kfVitalSlice,

@@ -95,6 +95,14 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(exchanges == 0, s"sampling must not shuffle:\n$p")
   }
 
+  test("rare-token stats: partial aggregation below both shuffles, no product") {
+    val p = plan("x12_rare_token_score")
+    assert(p.contains("partial_count"),
+      s"df/doc rollups lost map-side partials:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"token join degraded to a product:\n$p")
+  }
+
   test("stratified sample is a narrow literal-CASE filter (no shuffle, no join)") {
     val p = plan("x11_stratified_sample")
     val exchanges = p.linesIterator.count(_.matches(".*[+:]- Exchange .*"))

@@ -63,6 +63,20 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("rareTokenStats: hand-checked df rollup; min_df=1 flags unique-token docs") {
+    // df: a→{1,2}=2, b→{1,3}=2, c→{2}=1 (token multiplicity inside a
+    // doc must not inflate df, but DOES count in n_tokens/sum_df)
+    val docs = Seq((1L, "a b a"), (2L, "a c"), (3L, "b b b"))
+      .toDF("doc_id", "text")
+    val got = CorpusOps.rareTokenStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == Map(
+      1L -> ((3L, 6L, 2L)),
+      2L -> ((2L, 3L, 1L)),
+      3L -> ((3L, 6L, 2L))))
+  }
+
   test("stratifiedSample: per-stratum rates, key-consistency, 0/1 edge fractions") {
     val rows = (1L to 2000L).map(i =>
       (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr"))
