@@ -107,6 +107,54 @@ object CorpusOps {
         min("df").as("min_df"))
   }
 
+  /** Exact corpus heavy hitters, cross-checked against a Count-Min
+    * Sketch — the last classic sketch in the engine's family (HLL++
+    * `a8`, approx-percentile `a12`, MinHash `d2`, SimHash `d3`, PQ
+    * `n5`): the top-k tokens by exact count, with an in-query gate (the
+    * `a12`/`n4` discipline) requiring the CMS estimate of every
+    * returned token to satisfy the sketch's guarantee
+    * `exact ≤ est ≤ exact + eps·N`. The sketch is built by Spark's
+    * partial-merged `count_min_sketch` aggregate — one pass, map-side
+    * partials, a fixed-size blob on the driver regardless of corpus
+    * size — which is the 100 TB shape: at scale the sketch REPLACES
+    * the exact aggregate; here the exact side doubles as its oracle.
+    *
+    * Driver-side work is bounded: k result rows + one eps⁻¹-sized
+    * sketch blob (the [[graft.ops.SimilarityOps]] centroid-seeding
+    * exception). The returned frame is the collected top-k as a local
+    * relation, so downstream consumers re-read k rows, not the corpus.
+    */
+  def heavyHitters(docs: DataFrame, textCol: String, k: Int,
+      eps: Double = 0.001, seed: Int = 42): DataFrame = {
+    val spark = docs.sparkSession
+    val toks = docs.select(explode(TextOps.tokens(col(textCol))).as("token"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val exact = toks.groupBy("token").agg(count(lit(1)).as("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val rows = exact.orderBy(col("n").desc, col("token")).limit(k).collect()
+        val total = exact.agg(sum(col("n"))).head.getLong(0)
+        val skBytes = toks
+          .agg(count_min_sketch(col("token"), lit(eps), lit(0.99), lit(seed)).as("sk"))
+          .head.getAs[Array[Byte]]("sk")
+        val cms = org.apache.spark.util.sketch.CountMinSketch
+          .readFrom(new java.io.ByteArrayInputStream(skBytes))
+        val bound = math.ceil(eps * total).toLong
+        rows.foreach { r =>
+          val (tok, n) = (r.getString(0), r.getLong(1))
+          val est = cms.estimateCount(tok)
+          require(est >= n, s"CMS underestimated '$tok': $est < $n")
+          require(est <= n + bound,
+            s"CMS error for '$tok' beyond eps*N: $est vs $n + $bound")
+        }
+        import spark.implicits._
+        rows.map(r => (r.getString(0), r.getLong(1))).toSeq
+          .toDF("token", "n")
+      } finally exact.unpersist()
+    } finally toks.unpersist()
+  }
+
   /** Deterministic stratified sampling to a target corpus mixture
     * (domain/language reweighting — the "20% code, 5% each low-resource
     * language" step): each stratum keeps its own fraction, applied with

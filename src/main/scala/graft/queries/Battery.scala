@@ -1753,6 +1753,19 @@ object Battery {
            |  min(df) AS min_df
            |FROM tk JOIN df USING (token) GROUP BY doc_id""".stripMargin))
 
+  /** Heavy hitters with a Count-Min-Sketch cross-check
+    * ([[graft.ops.CorpusOps.heavyHitters]]): exact top-20 tokens, each
+    * gated in-query by the sketch guarantee exact ≤ est ≤ exact+eps·N.
+    * The oracle checks the exact side; the gate checks the sketch.
+    */
+  private val x13HeavyHitters = Q(
+    "x13_heavy_hitters",
+    (s, d) => graft.ops.CorpusOps.heavyHitters(
+      T.documents(s, d), "text", k = 20),
+    Some("""SELECT token, count(*) AS n
+           |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents)
+           |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin))
+
   /** Corpus token histogram: explode tokens → count — the vocabulary/
     * token-counting sweep of a training-data pipeline (one shuffle on
     * the token, map-side partial counts). Top-50 by (count desc, token)
@@ -2641,7 +2654,7 @@ object Battery {
     d5DedupClusters, d6DedupCorpus,
     x2LangId, x3Fingerprint, x3bRolling, x4Quality, x5TokenFreq,
     x7Repetition, x8Decontaminate, x9PackSequences, x10Redact,
-    x11StratifiedSample, x12RareTokens,
+    x11StratifiedSample, x12RareTokens, x13HeavyHitters,
     n2AnnLsh, n3EmbNearDup, n4AnnIvf, n5PqQuantize,
     kfPatientSlice, kfRSubjectSlice, kfSpecimenSlice, kfDrsSlice,
     kfDiseaseSlice, kfPhenotypeSlice, kfHistoSlice, kfVitalSlice,

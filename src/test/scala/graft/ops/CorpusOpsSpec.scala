@@ -63,6 +63,21 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("heavyHitters: exact top-k on a skewed stream, CMS bound honored") {
+    // 'hot' appears sum(i%5+1) = 600 times; every other token once.
+    // Ties rank lexicographically, so the result is fully pinned. The
+    // CMS gate runs inside heavyHitters (require throws on violation)
+    // with a tight-ish eps so the sketch actually has collisions to
+    // absorb at this vocab size.
+    val docs = (0 until 200).map(i =>
+      (i.toLong, ("hot " * (i % 5 + 1)) + s"w$i unique$i"))
+      .toDF("doc_id", "text")
+    val got = CorpusOps.heavyHitters(docs, "text", k = 5, eps = 0.05, seed = 7)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq("hot" -> 600L, "unique0" -> 1L, "unique1" -> 1L,
+      "unique10" -> 1L, "unique100" -> 1L))
+  }
+
   test("rareTokenStats: hand-checked df rollup; min_df=1 flags unique-token docs") {
     // df: a→{1,2}=2, b→{1,3}=2, c→{2}=1 (token multiplicity inside a
     // doc must not inflate df, but DOES count in n_tokens/sum_df)
