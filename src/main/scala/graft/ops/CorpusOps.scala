@@ -189,6 +189,47 @@ object CorpusOps {
     df.where(substring(md5(col(s"`$keyCol`").cast("string")), 1, 4) < threshold)
   }
 
+  /** Per-domain document cap (the "at most k pages per site" step of
+    * web-corpus curation): keep, for each value of `domainCol`, the `k`
+    * rows with the smallest `(md5(key), key)` — a deterministic,
+    * engine- and partitioning-stable selection (same rule family as
+    * [[stratifiedSample]]), equivalent to a per-domain
+    * `row_number() ≤ k` under that ordering.
+    *
+    * Scale shape: a single window over the domain sorts EACH domain in
+    * one task — a hot domain (one crawl source dominating the corpus)
+    * becomes a straggler sort at 100 TB. This runs the cap in two
+    * bounded phases instead: phase 1 ranks within (domain, salt) where
+    * the salt is derived from the KEY (deterministic, so the result
+    * stays reproducible), cutting every sort to ~1/`salts` of the
+    * domain; phase 2 re-ranks only the ≤ salts·k per-bucket survivors —
+    * a frame bounded by salts·k rows PER DOMAIN regardless of corpus
+    * size. The global k smallest of a domain are each among the k
+    * smallest of their own salt bucket, so the two-phase result is
+    * identical to the single-window form (pinned by the spec).
+    */
+  def domainCap(df: DataFrame, domainCol: String, keyCol: String, k: Int,
+      salts: Int = 64): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(salts > 0, s"salts must be positive, got $salts")
+    val ord = md5(col(keyCol).cast("string"))
+    val salted = df
+      .withColumn("__cap_h", ord)
+      .withColumn("__cap_salt", pmod(xxhash64(col(keyCol)), lit(salts.toLong)))
+    val w1 = Window.partitionBy(col(domainCol), col("__cap_salt"))
+      .orderBy(col("__cap_h"), col(keyCol))
+    val survivors = salted
+      .withColumn("__cap_r", row_number().over(w1))
+      .where(col("__cap_r") <= k)
+      .drop("__cap_r", "__cap_salt")
+    val w2 = Window.partitionBy(col(domainCol))
+      .orderBy(col("__cap_h"), col(keyCol))
+    survivors
+      .withColumn("__cap_r", row_number().over(w2))
+      .where(col("__cap_r") <= k)
+      .drop("__cap_r", "__cap_h")
+  }
+
   val EmailPattern = "[A-Za-z0-9._]+@[A-Za-z0-9.]+[A-Za-z]"
   val PhonePattern = "555-[0-9]{4}"
   val Ipv4Pattern = "([0-9]{1,3}\\.){3}[0-9]{1,3}"

@@ -1766,6 +1766,52 @@ object Battery {
            |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents)
            |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin))
 
+  /** Per-domain document cap ([[graft.ops.CorpusOps.domainCap]]): at
+    * most 12 documents per source, selected deterministically by
+    * (md5(doc_id), doc_id). The implementation is the skew-proof
+    * two-phase salted top-k (each sort bounded by domain/salts, then by
+    * salts·k); the oracle is the single-window `row_number ≤ k` form
+    * the two-phase shape is provably equal to — so a hash-match here IS
+    * the equivalence proof at data scale, and the spec pins it again on
+    * a one-hot-domain fixture.
+    */
+  private val x14DomainCap = Q(
+    "x14_domain_cap",
+    (s, d) => graft.ops.CorpusOps.domainCap(
+      T.documents(s, d), "source", "doc_id", k = 12),
+    Some("""SELECT * FROM documents
+           |QUALIFY row_number() OVER (PARTITION BY source
+           |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 12""".stripMargin))
+
+  /** Corpus bigram statistics (the n-gram language-model counting pass;
+    * top-50 by count): bigrams are built NARROWLY inside the token
+    * array — `zip_with(a[0..n-2], a[1..n-1], concat)` — so the only
+    * shuffle is the final count on the bigram key (map-side partials),
+    * exactly the shape of the unigram sweep `x5` one order up. DuckDB
+    * rebuilds the pairs positionally from the same split.
+    */
+  private val x15BigramCounts = Q(
+    "x15_bigram_counts",
+    (s, d) => {
+      val a = graft.ops.TextOps.tokens(col("text"))
+      val n1 = greatest(size(a) - 1, lit(0))
+      val pairs = zip_with(
+        slice(a, lit(1), n1),
+        slice(a, lit(2), n1),
+        (x, y) => concat_ws(" ", x, y))
+      T.documents(s, d)
+        .select(explode(pairs).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(50)
+    },
+    Some("""WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS a
+           |            FROM documents),
+           |b AS (SELECT a[i] || ' ' || a[i+1] AS bigram
+           |      FROM t, unnest(range(1, len(a))) AS u(i))
+           |SELECT bigram, count(*) AS n FROM b
+           |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50""".stripMargin))
+
   /** Corpus token histogram: explode tokens → count — the vocabulary/
     * token-counting sweep of a training-data pipeline (one shuffle on
     * the token, map-side partial counts). Top-50 by (count desc, token)
@@ -2654,7 +2700,8 @@ object Battery {
     d5DedupClusters, d6DedupCorpus,
     x2LangId, x3Fingerprint, x3bRolling, x4Quality, x5TokenFreq,
     x7Repetition, x8Decontaminate, x9PackSequences, x10Redact,
-    x11StratifiedSample, x12RareTokens, x13HeavyHitters,
+    x11StratifiedSample, x12RareTokens, x13HeavyHitters, x14DomainCap,
+    x15BigramCounts,
     n2AnnLsh, n3EmbNearDup, n4AnnIvf, n5PqQuantize,
     kfPatientSlice, kfRSubjectSlice, kfSpecimenSlice, kfDrsSlice,
     kfDiseaseSlice, kfPhenotypeSlice, kfHistoSlice, kfVitalSlice,

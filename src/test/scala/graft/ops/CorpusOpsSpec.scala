@@ -117,6 +117,55 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.filter(_._2 == "fr").map(_._1).toSet == frDirect)
   }
 
+  test("domainCap: two-phase salted cap equals single-window rank on a hot domain") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // one domain holds 90% of the rows (the skew case the two-phase
+    // shape exists for), two small domains, one domain under the cap
+    val rows = (1L to 2000L).map(i => (i,
+      if (i <= 1800) "hot.example" else if (i <= 1900) "a.example"
+      else if (i <= 1995) "b.example" else "tiny.example"))
+    val df = rows.toDF("doc_id", "domain").repartition(7)
+    val got = CorpusOps.domainCap(df, "domain", "doc_id", k = 10, salts = 8)
+      .select("doc_id", "domain").as[(Long, String)].collect().toSet
+    // naive single-window reference: k smallest (md5(id), id) per domain
+    val w = Window.partitionBy($"domain").orderBy(md5($"doc_id".cast("string")), $"doc_id")
+    val want = df.withColumn("r", row_number().over(w)).where($"r" <= 10)
+      .select("doc_id", "domain").as[(Long, String)].collect().toSet
+    assert(got == want)
+    val byDomain = got.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byDomain == Map("hot.example" -> 10, "a.example" -> 10,
+      "b.example" -> 10, "tiny.example" -> 5)) // under-cap domain kept whole
+    // determinism across partitionings — the selection is a function of
+    // the data, not of the physical layout
+    val again = CorpusOps.domainCap(df.repartition(31), "domain", "doc_id",
+      k = 10, salts = 8).select("doc_id", "domain").as[(Long, String)].collect().toSet
+    assert(again == got)
+    // no helper columns leak into the result schema
+    assert(CorpusOps.domainCap(df, "domain", "doc_id", k = 10).columns.toSeq ==
+      Seq("doc_id", "domain"))
+  }
+
+  test("domainCap: phase-1 survivors are bounded by salts*k per domain") {
+    import org.apache.spark.sql.functions._
+    // The scale claim: after the (domain, salt) rank, a domain
+    // contributes at most salts*k rows to the phase-2 sort no matter
+    // how large it is. Reproduce phase 1 exactly and measure.
+    val df = (1L to 5000L).map(i => (i, "hot")).toDF("doc_id", "domain")
+    val salts = 4
+    val k = 3
+    import org.apache.spark.sql.expressions.Window
+    val salted = df
+      .withColumn("h", md5($"doc_id".cast("string")))
+      .withColumn("s", pmod(xxhash64($"doc_id"), lit(salts.toLong)))
+    val w1 = Window.partitionBy($"domain", $"s").orderBy($"h", $"doc_id")
+    val phase1 = salted.withColumn("r", row_number().over(w1)).where($"r" <= k)
+    val n = phase1.count()
+    assert(n <= salts.toLong * k, s"phase-1 frame $n exceeds salts*k=${salts * k}")
+    // and the final cap still returns exactly k
+    assert(CorpusOps.domainCap(df, "domain", "doc_id", k, salts).count() == k)
+  }
+
   test("redactPii: typed placeholders, fixed order, no false hits") {
     val rows = Seq(
       "mail me at jane.doe@site.org today",
