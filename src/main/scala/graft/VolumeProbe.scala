@@ -86,8 +86,15 @@ object VolumeProbe {
     */
   val headline: Seq[String] = Seq(
     "kf_full_pipeline", "d6_dedup_corpus", "d2b_neardup_pairs",
-    "d7_simhash_pairs", "x5_token_freq", "x8_decontaminate",
-    "x9_pack_sequences", "j_outer_chain")
+    "d7_simhash_pairs", "x5_token_freq", "x15_bigram_counts",
+    "x8_decontaminate", "x9_pack_sequences", "x14_domain_cap",
+    "j_outer_chain")
+
+  /** Ranked-histogram queries: text is byte-identical across replicas,
+    * so the EXACT SAME ranked rows must come back with every count
+    * ×factor — a content check, since the limit pins the row count.
+    */
+  private val rankedContent = Set("x5_token_freq", "x15_bigram_counts")
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -119,7 +126,7 @@ object VolumeProbe {
       // inflated run alone
       val baseRows: Either[String, Seq[(String, Long)]] =
         try {
-          if (name == "x5_token_freq")
+          if (rankedContent(name))
             Right(fn(spark, srcDir).collect()
               .map(r => (r.getString(0), r.getLong(1))).toSeq)
           else Right(Seq(("", fn(spark, srcDir).count())))
@@ -128,11 +135,7 @@ object VolumeProbe {
       val outcome: Either[String, (Long, Long, String, Boolean)] =
         baseRows.flatMap { base =>
           try {
-            if (name == "x5_token_freq") {
-              // top-50 token histogram: text is byte-identical across
-              // replicas, so the EXACT SAME ranked rows must come back
-              // with every count ×factor — a content check, since the
-              // row count is pinned at 50 by the limit either way
+            if (rankedContent(name)) {
               val big = fn(spark, outDir).collect()
                 .map(r => (r.getString(0), r.getLong(1))).toSeq
               val ok = big == base.map { case (t, n) => (t, n * factor) }
@@ -142,10 +145,21 @@ object VolumeProbe {
               val b = base.head._2
               // per-replica-closed plans scale exactly ×factor; the
               // dedup family sees cross-replica clones (bigger clusters,
-              // quadratic candidate buckets), so only a bound holds
-              val exact = !name.startsWith("d")
-              val ok = if (exact) n == b * factor else n >= b
-              Right((n, b, if (exact) "exact x" + factor else "lower-bound", ok))
+              // quadratic candidate buckets), so only a bound holds; the
+              // domain cap's law is INVARIANCE — 10× the candidates per
+              // domain must still yield exactly k survivors each (every
+              // sf0.1 source is already above the cap at 1×)
+              val ok = name match {
+                case "x14_domain_cap" => n == b
+                case d if d.startsWith("d") => n >= b
+                case _ => n == b * factor
+              }
+              val mode = name match {
+                case "x14_domain_cap" => "cap-invariant"
+                case d if d.startsWith("d") => "lower-bound"
+                case _ => "exact x" + factor
+              }
+              Right((n, b, mode, ok))
             }
           } catch { case e: Throwable => Left(e.toString.take(200)) }
         }

@@ -110,6 +110,29 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"mixture sampling must not join:\n$p")
   }
 
+  test("domain cap shuffles exactly twice — (domain, salt) then domain — no join") {
+    val p = plan("x14_domain_cap")
+    val exchanges = p.linesIterator.count(_.matches(".*[+:]- Exchange .*"))
+    assert(exchanges == 2,
+      s"two-phase cap must shuffle once per phase, found $exchanges:\n$p")
+    assert(!p.contains("Join"), s"the cap is windows, not joins:\n$p")
+    // both ranks must be the early-out RunningWindowFunction form
+    // (row_number with a stop-at-k filter), not a full-window sort+agg
+    assert(p.linesIterator.count(_.contains("Window")) >= 2,
+      s"expected two window phases:\n$p")
+  }
+
+  test("bigram counts: narrow pair-building, one count shuffle, top-k sort") {
+    val p = plan("x15_bigram_counts")
+    val exchanges = p.linesIterator.count(_.matches(".*[+:]- Exchange .*"))
+    assert(exchanges == 1,
+      s"bigram pairing must stay in the array (one count shuffle), found $exchanges:\n$p")
+    assert(p.contains("partial_count"),
+      s"bigram count lost map-side partials:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-50 must be TakeOrdered, not a global sort:\n$p")
+  }
+
   test("anti join broadcasts the filter side (no shuffle of the big side)") {
     val p = plan("j17_anti_join")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
