@@ -11,8 +11,11 @@ import org.apache.spark.sql.functions._
   * materialization, no broadcast of something that grew with the data).
   *
   * Replication is a narrow `explode(sequence(0, N-1))` fan-out — no
-  * shuffle — with every join/identity key remapped `key*N + replica`,
-  * so each replica is a self-consistent closed world: join
+  * shuffle — with every join/identity key remapped
+  * `key + replica·keyOffset` (the offset a multiple of ModLcm, see
+  * below — an additive remap, because a multiplicative one would
+  * reshuffle the fixtures' modular entity derivations), so each
+  * replica is a self-consistent closed world: join
   * cardinalities, group sizes, and pipeline outputs all scale exactly
   * ×N, which turns "did it survive the volume" into checkable row
   * arithmetic instead of a vibe. (Non-key attributes are byte-identical

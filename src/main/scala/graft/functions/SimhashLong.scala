@@ -38,22 +38,7 @@ case class SimhashLong(child: Expression, bits: Int)
 object SimhashLong {
 
   def compute(text: UTF8String, bits: Int): Long = {
-    val toks = Md5Hex.sqlTrim(text.toString).split("\\s+", -1)
-    val votes = new Array[Int](bits)
-    val hex = new Array[Char](32)
-    var i = 0
-    while (i < toks.length) {
-      Md5Hex.digestInto(
-        toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8), hex)
-      var b = 0
-      while (b < bits) {
-        val nibble = Character.digit(hex(b / 4), 16)
-        val bit = (nibble >> (3 - (b % 4))) & 1
-        votes(b) += (if (bit == 1) 1 else -1)
-        b += 1
-      }
-      i += 1
-    }
+    val votes = SimhashKernel.votes(text, bits)
     var result = 0L
     var b = 0
     while (b < bits) {

@@ -39,6 +39,28 @@ case class SimhashText(child: Expression, bits: Int)
 object SimhashText {
 
   def compute(text: UTF8String, bits: Int): Int = {
+    val votes = SimhashKernel.votes(text, bits)
+    var result = 0
+    var b = 0
+    while (b < bits) {
+      if (votes(b) > 0) result |= 1 << b
+      b += 1
+    }
+    result
+  }
+}
+
+/** The ONE copy of the tokenize→md5→majority-vote kernel both packing
+  * widths ([[SimhashText]] → int, [[SimhashLong]] → long) share. The
+  * trim/split semantics and the nibble bit layout (bit b from hex char
+  * b/4, position 3 − b%4) are oracle-load-bearing for d3/d7 and the
+  * composed form in DedupOps — a fix here reaches both expressions, so
+  * the `simhash64 low bits == simhash16` invariant cannot silently
+  * diverge.
+  */
+private[functions] object SimhashKernel {
+
+  def votes(text: UTF8String, bits: Int): Array[Int] = {
     // SQL trim semantics + limit -1, matching split(trim(text), "\s+")
     val toks = Md5Hex.sqlTrim(text.toString).split("\\s+", -1)
     val votes = new Array[Int](bits)
@@ -57,12 +79,6 @@ object SimhashText {
       }
       i += 1
     }
-    var result = 0
-    var b = 0
-    while (b < bits) {
-      if (votes(b) > 0) result |= 1 << b
-      b += 1
-    }
-    result
+    votes
   }
 }

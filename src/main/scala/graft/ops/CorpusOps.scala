@@ -69,14 +69,6 @@ object CorpusOps {
           .divide(lit(budget.toLong)).cast("long").as("pack_id"))
   }
 
-  /** PII redaction: replace emails, NANP-style phone fragments, and
-    * IPv4 addresses with typed placeholder tags. Pure
-    * `regexp_replace` — narrow, codegen'd, no UDF. Patterns are kept
-    * RE2-compatible (no backreferences or lookarounds) so the same
-    * regexes run on engines with either regex dialect; replacement
-    * order is part of the contract (emails first, so an address inside
-    * a redacted email can't double-fire).
-    */
   /** Corpus document-frequency statistics per document — the exact
     * integer core of frequency-based quality scoring (a KenLM-style
     * perplexity filter's cheap cousin): for each document, its token
@@ -87,12 +79,16 @@ object CorpusOps {
     * byte-exactly; a real pipeline turns these into -log-frequency
     * scores downstream.
     *
-    * Scale shape: one token-explode feeding (a) the vocabulary df
+    * Scale shape: the token stream feeds (a) the vocabulary df
     * aggregate (map-side partial countDistinct) and (b) the
-    * token-keyed join back, then one regroup on the doc id. The df
-    * side is vocabulary-sized — orders smaller than the token stream —
-    * so AQE broadcasts it when it fits and skew-splits the hot
-    * stopword keys when it does not; nothing is ever corpus × corpus.
+    * token-keyed join back, then one regroup on the doc id. The
+    * scan+tokenize runs TWICE (once per consumer) — deliberately:
+    * it is narrow and pipelined, while caching the exploded stream
+    * would materialize something larger than the input corpus, the
+    * wrong trade at 100 TB. The df side is vocabulary-sized — orders
+    * smaller than the token stream — so AQE broadcasts it when it fits
+    * and skew-splits the hot stopword keys when it does not; nothing
+    * is ever corpus × corpus.
     */
   def rareTokenStats(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
@@ -111,9 +107,10 @@ object CorpusOps {
     * Sketch — the last classic sketch in the engine's family (HLL++
     * `a8`, approx-percentile `a12`, MinHash `d2`, SimHash `d3`, PQ
     * `n5`): the top-k tokens by exact count, with an in-query gate (the
-    * `a12`/`n4` discipline) requiring the CMS estimate of every
-    * returned token to satisfy the sketch's guarantee
-    * `exact ≤ est ≤ exact + eps·N`. The sketch is built by Spark's
+    * `a12`/`n4` discipline) on the sketch's guarantees:
+    * `est ≥ exact` hard (deterministic), `est ≤ exact + eps·N` within a
+    * small violator budget (that bound is per-lookup probabilistic at
+    * `confidence`). The sketch is built by Spark's
     * partial-merged `count_min_sketch` aggregate — one pass, map-side
     * partials, a fixed-size blob on the driver regardless of corpus
     * size — which is the 100 TB shape: at scale the sketch REPLACES
@@ -126,6 +123,7 @@ object CorpusOps {
     */
   def heavyHitters(docs: DataFrame, textCol: String, k: Int,
       eps: Double = 0.001, seed: Int = 42): DataFrame = {
+    val confidence = 0.99
     val spark = docs.sparkSession
     val toks = docs.select(explode(TextOps.tokens(col(textCol))).as("token"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -136,18 +134,29 @@ object CorpusOps {
         val rows = exact.orderBy(col("n").desc, col("token")).limit(k).collect()
         val total = exact.agg(sum(col("n"))).head.getLong(0)
         val skBytes = toks
-          .agg(count_min_sketch(col("token"), lit(eps), lit(0.99), lit(seed)).as("sk"))
+          .agg(count_min_sketch(col("token"), lit(eps), lit(confidence), lit(seed)).as("sk"))
           .head.getAs[Array[Byte]]("sk")
         val cms = org.apache.spark.util.sketch.CountMinSketch
           .readFrom(new java.io.ByteArrayInputStream(skBytes))
         val bound = math.ceil(eps * total).toLong
-        rows.foreach { r =>
+        // The lower bound is a DETERMINISTIC CMS guarantee (min over
+        // rows of non-negative counters can never undercount) — any
+        // violation is a broken sketch, so it stays a hard failure. The
+        // upper bound holds only with probability `confidence` PER
+        // LOOKUP, so across k lookups a healthy sketch may exceed it on
+        // a few tokens for some dataset+seed (deterministically, not as
+        // a flake); gate on a budget of ceil(k·(1−confidence)) + 1
+        // violators instead of any single one.
+        val overBudget = math.ceil(rows.length * (1 - confidence)).toLong + 1
+        val over = rows.flatMap { r =>
           val (tok, n) = (r.getString(0), r.getLong(1))
           val est = cms.estimateCount(tok)
           require(est >= n, s"CMS underestimated '$tok': $est < $n")
-          require(est <= n + bound,
-            s"CMS error for '$tok' beyond eps*N: $est vs $n + $bound")
+          if (est > n + bound) Some(s"'$tok': $est vs $n + $bound") else None
         }
+        require(over.length <= overBudget,
+          s"CMS exceeded eps*N on ${over.length} of ${rows.length} top-k tokens " +
+            s"(budget $overBudget): ${over.mkString("; ")}")
         import spark.implicits._
         rows.map(r => (r.getString(0), r.getLong(1))).toSeq
           .toDF("token", "n")
@@ -173,20 +182,13 @@ object CorpusOps {
   def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
       fractions: Map[String, Double],
       defaultFraction: Double = 1.0): DataFrame = {
-    def thr(f: Double): String = {
-      require(f >= 0 && f <= 1, s"fraction $f outside [0, 1]")
-      val t = math.round(f * 65536)
-      // 65536 prints as the 5-char "10000", which sorts BELOW "2***"
-      // in the string compare — keep-everything needs a sentinel that
-      // sorts above every hex prefix instead
-      if (t == 65536) "g" else f"$t%04x"
-    }
+    import graft.relational.RelationalOps.{hashDigest, hashThreshold}
     // keys are distinct, so fold order cannot change the result
-    val threshold = fractions.foldLeft(lit(thr(defaultFraction))) {
+    val threshold = fractions.foldLeft(lit(hashThreshold(defaultFraction))) {
       case (acc, (stratum, f)) =>
-        when(col(strataCol) === stratum, lit(thr(f))).otherwise(acc)
+        when(col(strataCol) === stratum, lit(hashThreshold(f))).otherwise(acc)
     }
-    df.where(substring(md5(col(s"`$keyCol`").cast("string")), 1, 4) < threshold)
+    df.where(hashDigest(keyCol) < threshold)
   }
 
   /** Per-domain document cap (the "at most k pages per site" step of
@@ -230,6 +232,14 @@ object CorpusOps {
       .drop("__cap_r", "__cap_h")
   }
 
+  /** PII redaction: replace emails, NANP-style phone fragments, and
+    * IPv4 addresses with typed placeholder tags. Pure
+    * `regexp_replace` — narrow, codegen'd, no UDF. Patterns are kept
+    * RE2-compatible (no backreferences or lookarounds) so the same
+    * regexes run on engines with either regex dialect; replacement
+    * order is part of the contract (emails first, so an address inside
+    * a redacted email can't double-fire).
+    */
   val EmailPattern = "[A-Za-z0-9._]+@[A-Za-z0-9.]+[A-Za-z]"
   val PhonePattern = "555-[0-9]{4}"
   val Ipv4Pattern = "([0-9]{1,3}\\.){3}[0-9]{1,3}"

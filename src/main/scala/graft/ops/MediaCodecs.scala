@@ -167,9 +167,15 @@ object MediaCodecs {
       val bottomUp = rawHeight > 0
       val height = math.abs(rawHeight)
       require(width > 0 && height > 0, s"degenerate dimensions ${width}x$rawHeight")
-      val rowBytes = stride(width)
-      require(dataOff >= 54 && dataOff.toLong + rowBytes.toLong * height <= bytes.length,
-        s"pixel data overruns the buffer (offset=$dataOff rows=$height stride=$rowBytes)")
+      // stride in Long: `width * 3` overflows Int for a hostile header
+      // (e.g. width = 0x55555556 wraps to 2), which would slip a
+      // multi-GB allocation past the overrun guard below — the guard
+      // must see the TRUE byte count
+      val rowBytesL = (width.toLong * 3 + 3) / 4 * 4
+      require(dataOff >= 54 && dataOff.toLong + rowBytesL * height <= bytes.length,
+        s"pixel data overruns the buffer (offset=$dataOff rows=$height stride=$rowBytesL)")
+      // post-guard: rowBytes*height <= bytes.length, so both fit in Int
+      val rowBytes = rowBytesL.toInt
       val pixels = new Array[Int](width * height)
       var y = 0
       while (y < height) {

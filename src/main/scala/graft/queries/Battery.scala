@@ -1755,7 +1755,8 @@ object Battery {
 
   /** Heavy hitters with a Count-Min-Sketch cross-check
     * ([[graft.ops.CorpusOps.heavyHitters]]): exact top-20 tokens, each
-    * gated in-query by the sketch guarantee exact ≤ est ≤ exact+eps·N.
+    * gated in-query by the sketch guarantees — est ≥ exact hard, the
+    * probabilistic eps·N upper bound within a violator budget.
     * The oracle checks the exact side; the gate checks the sketch.
     */
   private val x13HeavyHitters = Q(

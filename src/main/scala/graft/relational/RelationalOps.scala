@@ -153,14 +153,26 @@ object RelationalOps {
     * shuffle, prunes at the scan. Comparison is on the fixed-width hex
     * prefix string, so any engine with md5 reproduces the exact sample.
     */
-  def hashSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame = {
-    require(fraction >= 0 && fraction <= 1, "fraction must be in [0, 1]")
+  /** The md5-prefix threshold encoding a keep-fraction — ONE copy of
+    * the rule, shared with [[graft.ops.CorpusOps.stratifiedSample]],
+    * whose key-consistency contract (a stratum sampled at f keeps
+    * exactly the keys hashSample at f keeps) requires the encodings to
+    * stay byte-identical.
+    */
+  private[graft] def hashThreshold(fraction: Double): String = {
+    require(fraction >= 0 && fraction <= 1, s"fraction $fraction outside [0, 1]")
     val t = math.round(fraction * 65536)
     // 65536 would print as the 5-char "10000", which string-sorts BELOW
     // "2***" — fraction 1.0 needs a sentinel above every hex prefix
-    val threshold = if (t == 65536) "g" else f"$t%04x"
-    df.where(substring(md5(col(s"`$keyCol`").cast("string")), 1, 4) < lit(threshold))
+    if (t == 65536) "g" else f"$t%04x"
   }
+
+  /** The 4-hex-char key digest [[hashThreshold]] compares against. */
+  private[graft] def hashDigest(keyCol: String): Column =
+    substring(md5(col(s"`$keyCol`").cast("string")), 1, 4)
+
+  def hashSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
+    df.where(hashDigest(keyCol) < lit(hashThreshold(fraction)))
 
   /** Interval-containment join (left.ts ∈ [right.start, right.end])
     * without a nested-loop: both sides are mapped onto fixed-width time

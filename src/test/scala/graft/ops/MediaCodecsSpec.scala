@@ -147,6 +147,20 @@ class MediaCodecsSpec extends AnyFunSuite {
     java.nio.ByteBuffer.wrap(thirtyTwo).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       .putShort(28, 32.toShort) // bpp field
     intercept[IllegalArgumentException](BmpCodec.decode(thirtyTwo))
+    // hostile width that wraps width*3 past Int: 0x55555556*3 ≡ 2, so an
+    // Int-arithmetic stride would pass the overrun guard and attempt a
+    // ~5.7 GB pixel allocation; the Long-stride guard must reject it
+    val hostile = new Array[Byte](58)
+    val hb = java.nio.ByteBuffer.wrap(hostile).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    hb.put('B'.toByte).put('M'.toByte).putInt(58).putInt(0)
+      .putInt(54) // data offset
+      .putInt(40) // header size
+      .putInt(0x55555556) // width
+      .putInt(1) // height
+      .putShort(1).putShort(24) // planes, bpp
+      .putInt(0) // BI_RGB
+    val ex = intercept[IllegalArgumentException](BmpCodec.decode(hostile))
+    assert(ex.getMessage.contains("overruns"), ex.getMessage)
   }
 
   // ------------------------------------------------- the decoder seam
