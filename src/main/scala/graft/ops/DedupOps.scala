@@ -245,6 +245,56 @@ object DedupOps {
       .distinct()
   }
 
+  /** Duplicate n-gram SPAN detection — the exact-substring dedup signal
+    * (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", ACL'22: drop any ≥n-token substring that occurs twice in
+    * the corpus). A window start position `pos` is COVERED when the
+    * n-token window beginning there occurs ≥ 2 times corpus-wide (in
+    * any document, its own included — self-repeats are duplication
+    * too). Runs of adjacent covered starts merge into maximal spans.
+    *
+    * Returns (id, span_start, span_end, n_windows): 0-based token
+    * indices, `span_end` = last token of the last covered window
+    * (start + n − 1), `n_windows` = covered window starts in the span.
+    * Downstream curation can cut or drop these spans; emitting spans
+    * rather than rewritten text keeps the operator's output scalar and
+    * auditable.
+    *
+    * Scale shape: positional shingle explode (narrow) → ONE count
+    * aggregate on the shingle string (map-side partial combine; the
+    * heavy-hitter shingle count is bounded by corpus size, never
+    * squared) → semi-join of positions against the duplicated-shingle
+    * set (equi-join on the shingle — no product anywhere) → per-doc
+    * gaps-and-islands window (`pos − row_number`), partitioned by doc
+    * id so span assembly parallelizes per document. A suffix-array
+    * build (the paper's in-memory construction) does not distribute;
+    * this positional-shingle form is the standard shared-nothing
+    * equivalent for fixed minimum match length n.
+    */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = df
+      .select(col(idCol).as("id"),
+        posexplode(TextOps.shingles(col(textCol), n)).as(Seq("pos", "s")))
+    // left-semi keeps the probe side narrow: positions flow through,
+    // the duplicated-shingle set is only a filter
+    val dup = win.groupBy("s").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 2).select("s")
+    val covered = win.join(dup, Seq("s"), "left_semi")
+    val grp = col("pos") - row_number().over(
+      Window.partitionBy(col("id")).orderBy(col("pos")))
+    covered
+      .select(col("id"), col("pos"), grp.as("grp"))
+      .groupBy("id", "grp")
+      .agg(
+        min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + lit(n - 1)).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("id").as(idCol), col("span_start"), col("span_end"),
+        col("n_windows"))
+  }
+
   /** Dedup cluster formation: connected components over a near-dup pair
     * graph via the ALTERNATING STAR algorithm (Kiveris et al.,
     * "Connected Components in MapReduce and Beyond", SoCC'14) — the

@@ -1281,6 +1281,33 @@ object Battery {
          |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3""".stripMargin
     })
 
+  /** Duplicate n-gram span detection
+    * ([[graft.ops.DedupOps.duplicateSpans]]): a token position is
+    * covered when its 8-token window occurs ≥ 2 times corpus-wide;
+    * adjacent covered starts merge into maximal spans (the Lee et al.
+    * exact-substring dedup signal — the spans a curation pass would cut
+    * rather than dropping whole near-dup documents). The oracle replays
+    * the same positional-shingle → corpus-count → gaps-and-islands
+    * construction; `pos − row_number` is engine-independent, so the
+    * spans are hash-exact.
+    */
+  private val d8DupSpans = Q(
+    "d8_dup_spans",
+    (s, d) => graft.ops.DedupOps.duplicateSpans(
+      T.documents(s, d), "doc_id", "text", n = 8),
+    Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+           |w AS (SELECT doc_id, i - 1 AS pos, array_to_string(tk[i:i+7], ' ') AS s
+           |      FROM t, UNNEST(range(1, len(tk) - 6)) AS u(i) WHERE len(tk) >= 8),
+           |dup AS (SELECT s FROM w GROUP BY s HAVING count(*) >= 2),
+           |p AS (SELECT doc_id, pos FROM w JOIN dup USING (s)),
+           |g AS (SELECT doc_id, pos,
+           |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+           |      FROM p)
+           |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+           |  CAST(max(pos) + 7 AS BIGINT) AS span_end,
+           |  count(*) AS n_windows
+           |FROM g GROUP BY doc_id, grp""".stripMargin))
+
   /** Language-ID: stopword-profile argmax (lexicographic tie-break). */
   private val x2LangId = Q(
     "x2_langid",
@@ -2698,7 +2725,7 @@ object Battery {
     d1DedupExact, x1TextStats, n1AnnTopK, m1Multimodal, m2MultimodalDecode,
     m3FrameSample, m4WavDecode, m5BmpDecode,
     d2MinhashBands, d2bNearDupPairs, d3Simhash, d7SimhashPairs, d4NgramJaccard,
-    d5DedupClusters, d6DedupCorpus,
+    d5DedupClusters, d6DedupCorpus, d8DupSpans,
     x2LangId, x3Fingerprint, x3bRolling, x4Quality, x5TokenFreq,
     x7Repetition, x8Decontaminate, x9PackSequences, x10Redact,
     x11StratifiedSample, x12RareTokens, x13HeavyHitters, x14DomainCap,

@@ -290,6 +290,17 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(exchanges == 0, s"redaction must not shuffle, found $exchanges:\n$p")
   }
 
+  test("duplicate-span detection: shingle-count semi-join, partial agg, " +
+      "no product join") {
+    val p = plan("d8_dup_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"span coverage degraded to a product join:\n$p")
+    assert(p.contains("partial_"),
+      s"corpus shingle count lost map-side partials:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"covered-position filter should be a semi-join (narrow probe):\n$p")
+  }
+
   test("time-bound join stays an equi-join on the key (no nested loop)") {
     val p = plan("tw_timebound_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),

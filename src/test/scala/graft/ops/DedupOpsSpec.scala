@@ -109,6 +109,29 @@ class DedupOpsSpec extends AnyFunSuite {
       5L -> 5L, 6L -> 5L, 9L -> 5L, 7L -> 7L, 8L -> 8L))
   }
 
+  test("duplicateSpans merges adjacent covered windows; counts self-repeats") {
+    // doc 1 and 2 share the 3-gram windows at positions 0 and 1 → one
+    // merged span [0,3] in each; doc 3 repeats "p q r s" internally →
+    // TWO disjoint spans (self-repeats count toward corpus frequency);
+    // doc 4's single window is unique; doc 5 is below the window width.
+    val docs = Seq(
+      1L -> "a b c d e f g",
+      2L -> "a b c d x y z",
+      3L -> "p q r s p q r s",
+      4L -> "u v w",
+      5L -> "only two")
+    val got = DedupOps
+      .duplicateSpans(docs.toDF("doc_id", "text"), "doc_id", "text", n = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set(
+      (1L, 0L, 3L, 2L),
+      (2L, 0L, 3L, 2L),
+      (3L, 0L, 3L, 2L),
+      (3L, 4L, 7L, 2L)))
+  }
+
   test("connectedComponents throws instead of returning half-propagated labels") {
     // a 6-node path needs ~5 rounds; maxIter=2 must refuse, not lie
     val nodes = (1L to 6L).map(Tuple1(_)).toDF("id")
