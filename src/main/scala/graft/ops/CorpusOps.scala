@@ -53,20 +53,25 @@ object CorpusOps {
     * distributed packing actually runs (each worker packs its own
     * partition) — the window sort is within a shard, never global, so
     * no single-partition bottleneck. One shuffle on the shard key.
+    * `carry` columns (evaluated against `docs`) ride that same shuffle
+    * into the output, so a composed pipeline (see [[curate]]) attaches
+    * per-document annotations without a second corpus-sized join.
     */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
-      budget: Int, shards: Int): DataFrame = {
+      budget: Int, shards: Int, carry: Seq[Column] = Nil): DataFrame = {
     require(budget > 0 && shards > 0, "budget and shards must be positive")
-    val t = docs.select(
-      col(idCol),
-      pmod(col(idCol), lit(shards.toLong)).as("shard"),
-      size(TextOps.tokens(col(textCol))).cast("long").as("n_tok"))
+    val t = docs.select(col(idCol) +:
+      pmod(col(idCol), lit(shards.toLong)).as("shard") +:
+      size(TextOps.tokens(col(textCol))).cast("long").as("n_tok") +:
+      carry: _*)
+    val carryNames = t.columns.drop(3)
     val w = Window.partitionBy("shard").orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, -1)
     t.withColumn("before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
-      .select(col(idCol), col("shard"), col("n_tok"),
+      .select(col(idCol) +: col("shard") +: col("n_tok") +:
         (col("before") - pmod(col("before"), lit(budget.toLong)))
-          .divide(lit(budget.toLong)).cast("long").as("pack_id"))
+          .divide(lit(budget.toLong)).cast("long").as("pack_id") +:
+        carryNames.map(col): _*)
   }
 
   /** Corpus document-frequency statistics per document — the exact
@@ -248,5 +253,57 @@ object CorpusOps {
     val noEmail = regexp_replace(text, EmailPattern, "<EMAIL>")
     val noPhone = regexp_replace(noEmail, PhonePattern, "<PHONE>")
     regexp_replace(noPhone, Ipv4Pattern, "<IP>")
+  }
+
+  /** End-to-end corpus curation — the flagship composition of the
+    * operator families a training-data pipeline chains in practice:
+    *
+    *   1. language gate: stopword-profile argmax == `lang`
+    *   2. quality gate: integer-exact composite score ≥ `minQualityE6`
+    *   3. exact dedup: normalized-text fingerprint, min-id survivor
+    *   4. near-dup dedup: n-gram Jaccard candidate pairs →
+    *      alternating-star connected components → keep each cluster's
+    *      min-id representative
+    *   5. PII redaction: md5 of the redacted body rides to the output
+    *   6. token-budget sequence packing over the survivors
+    *
+    * One row per SURVIVING document:
+    * (id, shard, n_tok, pack_id, pred_lang, quality_e6, red_md5).
+    *
+    * Scale shape: stages 1–2 are narrow fused kernels (no shuffle);
+    * stage 3 is one fingerprint groupBy + semi-join back; stage 4 is
+    * [[DedupOps]]'s prefix-filtered candidate equi-join + O(log²) CC;
+    * stages 5–6 ride ONE shard shuffle (redaction is narrow and the
+    * packing window carries its hash via `carry`, so no corpus-sized
+    * post-join). Nothing is quadratic in the corpus and every join is
+    * an equi-join. The survivor frame is recomputed per consumer
+    * rather than cached — the same measured trade as the KF pipeline
+    * (Pipeline.scala:73-81): the kernels are narrow and pipelined,
+    * while caching would materialize a corpus-sized intermediate.
+    */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+      lang: String = "en", minQualityE6: Long = 550000L,
+      shingleN: Int = 3, jaccardThreshold: Double = 0.5,
+      budget: Int = 512, shards: Int = 8): DataFrame = {
+    val scored = docs.select(col(idCol), col(textCol),
+        TextOps.langId(col(textCol)).as("pred_lang"),
+        TextOps.qualityScoreMillionths(col(textCol)).as("quality_e6"))
+      .where(col("pred_lang") === lang &&
+        col("quality_e6") >= minQualityE6)
+    val exactKeep = scored
+      .groupBy(TextOps.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    val s1 = scored.join(exactKeep, Seq(idCol), "left_semi")
+    val pairs = DedupOps.ngramJaccardPairs(
+      s1, idCol, textCol, shingleN, jaccardThreshold)
+    val reps = DedupOps.connectedComponents(
+        s1.select(col(idCol)), idCol, pairs, "doc_a", "doc_b")
+      .where(col(idCol) === col("cluster"))
+      .select(idCol)
+    val s2 = s1.join(reps, Seq(idCol), "left_semi")
+    packSequences(s2, idCol, textCol, budget, shards,
+      carry = Seq(col("pred_lang"), col("quality_e6"),
+        md5(redactPii(col(textCol))).as("red_md5")))
   }
 }

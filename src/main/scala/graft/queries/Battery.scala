@@ -1308,6 +1308,94 @@ object Battery {
            |  count(*) AS n_windows
            |FROM g GROUP BY doc_id, grp""".stripMargin))
 
+  /** The curation pipeline end-to-end
+    * ([[graft.ops.CorpusOps.curate]]) — the LLM-data twin of
+    * `kf_full_pipeline`: language gate → quality gate → exact dedup →
+    * near-dup connected-components pick-one → PII redaction →
+    * token-budget packing, one row per surviving document with its
+    * pack assignment and redacted-body md5. The oracle splices the
+    * SAME generated langid/quality CTE chains the standalone x2/x4
+    * oracles use, then replays fingerprint dedup, the Jaccard pair +
+    * recursive-reach clustering of d6, and x9's packing window over
+    * the survivor set — so the composition is hash-exact through all
+    * six stages.
+    */
+  private val c1Curation = Q(
+    "c1_corpus_curation",
+    (s, d) => graft.ops.CorpusOps.curate(
+      T.documents(s, d), "doc_id", "text"),
+    Some {
+      s"""WITH RECURSIVE
+         |${langIdOracleCtes("cl")},
+         |${qualityOracleCtes("cq")},
+         |s0 AS (SELECT d.doc_id, d.text, cl.pred_lang, cq.quality_e6
+         |       FROM documents d JOIN cl USING (doc_id) JOIN cq USING (doc_id)
+         |       WHERE cl.pred_lang = 'en' AND cq.quality_e6 >= 550000),
+         |fpd AS (SELECT *, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp FROM s0),
+         |k1 AS (SELECT min(doc_id) AS doc_id FROM fpd GROUP BY fp),
+         |s1 AS (SELECT f.* FROM fpd f JOIN k1 USING (doc_id)),
+         |tt AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM s1),
+         |gg AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh FROM tt),
+         |dsh AS (SELECT doc_id, unnest(sh) AS s FROM gg),
+         |ssz AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1),
+         |pp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM dsh a JOIN dsh b USING (s)
+         |  JOIN ssz sa ON sa.doc_id = a.doc_id
+         |  JOIN ssz sb ON sb.doc_id = b.doc_id
+         |  WHERE a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, sa.n, sb.n
+         |  HAVING CAST(count(*) AS DOUBLE)/(sa.n + sb.n - count(*)) >= 0.5),
+         |ee AS (SELECT doc_a AS a, doc_b AS bb FROM pp
+         |       UNION SELECT doc_b, doc_a FROM pp),
+         |reach(a, bb) AS (
+         |  SELECT a, bb FROM ee
+         |  UNION
+         |  SELECT r.a, ee.bb FROM reach r JOIN ee ON r.bb = ee.a),
+         |reps AS (SELECT s1.doc_id FROM s1 LEFT JOIN reach r ON r.a = s1.doc_id
+         |  GROUP BY s1.doc_id
+         |  HAVING least(s1.doc_id, coalesce(min(r.bb), s1.doc_id)) = s1.doc_id),
+         |s2 AS (SELECT f.* FROM s1 f JOIN reps USING (doc_id)),
+         |pk AS (SELECT doc_id, doc_id % 8 AS shard,
+         |        CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
+         |       FROM s2),
+         |pc AS (SELECT doc_id, shard, n_tok,
+         |        coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+         |       FROM pk)
+         |SELECT s2.doc_id, s2.pred_lang, s2.quality_e6,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(s2.text,
+         |    '[A-Za-z0-9._]+@[A-Za-z0-9.]+[A-Za-z]', '<EMAIL>', 'g'),
+         |    '555-[0-9]{4}', '<PHONE>', 'g'),
+         |    '([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g')) AS red_md5,
+         |  CAST(pc.shard AS BIGINT) AS shard, pc.n_tok,
+         |  CAST(pc.bef // 512 AS BIGINT) AS pack_id
+         |FROM s2 JOIN pc USING (doc_id)""".stripMargin
+    })
+
+  /** Generated DuckDB CTE chain for the language-ID kernel, shared
+    * verbatim by the standalone query (x2) and the composed curation
+    * pipeline (c1) so every comparison uses ONE canonical SQL form.
+    * `prefix` keeps CTE names collision-free when several chains are
+    * spliced into a single WITH clause; the final CTE (named
+    * `<prefix>`) exposes (doc_id, pred_lang).
+    */
+  private def langIdOracleCtes(prefix: String): String = {
+    val profiles = graft.ops.TextOps.StopwordProfiles.toSeq.sortBy(_._1)
+    val counts = profiles.map { case (lang, prof) =>
+      val lst = prof.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(toks, t -> list_contains([$lst], t))) AS c_$lang"
+    }.mkString(",\n  ")
+    val langs = profiles.map(_._1)
+    val best = s"greatest(${langs.map("c_" + _).mkString(", ")})"
+    val pred = langs.map(l => s"WHEN c_$l = m THEN '$l'").mkString("CASE ", " ", " END")
+    s"""${prefix}_t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+       |${prefix}_c AS (SELECT doc_id,
+       |  $counts
+       |FROM ${prefix}_t),
+       |${prefix}_m AS (SELECT *, $best AS m FROM ${prefix}_c),
+       |$prefix AS (SELECT doc_id, $pred AS pred_lang FROM ${prefix}_m)""".stripMargin
+  }
+
   /** Language-ID: stopword-profile argmax (lexicographic tie-break). */
   private val x2LangId = Q(
     "x2_langid",
@@ -1316,20 +1404,9 @@ object Battery {
       graft.ops.TextOps.langId(col("text")).as("pred_lang"),
       (graft.ops.TextOps.langId(col("text")) === col("lang")).as("is_correct")),
     Some {
-      val profiles = graft.ops.TextOps.StopwordProfiles.toSeq.sortBy(_._1)
-      val counts = profiles.map { case (lang, prof) =>
-        val lst = prof.map(w => s"'$w'").mkString(", ")
-        s"len(list_filter(toks, t -> list_contains([$lst], t))) AS c_$lang"
-      }.mkString(",\n  ")
-      val langs = profiles.map(_._1)
-      val best = s"greatest(${langs.map("c_" + _).mkString(", ")})"
-      val pred = langs.map(l => s"WHEN c_$l = m THEN '$l'").mkString("CASE ", " ", " END")
-      s"""WITH t AS (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
-         |c AS (SELECT doc_id, lang,
-         |  $counts
-         |FROM t),
-         |m AS (SELECT *, $best AS m FROM c)
-         |SELECT doc_id, $pred AS pred_lang, ($pred = lang) AS is_correct FROM m""".stripMargin
+      s"""WITH ${langIdOracleCtes("li")}
+         |SELECT d.doc_id, li.pred_lang, (li.pred_lang = d.lang) AS is_correct
+         |FROM documents d JOIN li USING (doc_id)""".stripMargin
     })
 
   /** Content fingerprint of normalized text (exact-dedup key). */
@@ -1366,28 +1443,37 @@ object Battery {
     * DuckDB disagree — integer rational arithmetic with half-up integer
     * division is bit-identical at any scale factor.
     */
+  /** Generated DuckDB CTE chain for the quality-score kernel (shared
+    * by x4 and c1, same contract as [[langIdOracleCtes]]): the final
+    * CTE (named `<prefix>`) exposes (doc_id, quality_e6).
+    */
+  private def qualityOracleCtes(prefix: String): String = {
+    val stops = graft.ops.TextOps.StopwordProfiles("en").map(w => s"'$w'").mkString(", ")
+    s"""${prefix}_t AS (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+       |${prefix}_c AS (SELECT doc_id,
+       |  CAST(len(toks) AS BIGINT) AS nt,
+       |  CAST(len(list_filter(toks, t -> list_contains([$stops], t))) AS BIGINT) AS stop,
+       |  CAST(length(text) AS BIGINT) AS nch,
+       |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS dig
+       |FROM ${prefix}_t),
+       |${prefix}_r AS (SELECT doc_id,
+       |  400000 * least(stop * 4, nt) * 8 * nch +
+       |  300000 * (nch - dig) * 8 * nt +
+       |  300000 * least(nch - nt + 1, nt * 8) * nch AS n,
+       |  8 * nt * nch AS d
+       |FROM ${prefix}_c),
+       |$prefix AS (SELECT doc_id, (n * 2 + d) // (d * 2) AS quality_e6
+       |FROM ${prefix}_r)""".stripMargin
+  }
+
   private val x4Quality = Q(
     "x4_quality_score",
     (s, d) => T.documents(s, d).select(
       col("doc_id"),
       graft.ops.TextOps.qualityScoreMillionths(col("text")).as("quality_e6")),
     Some {
-      val stops = graft.ops.TextOps.StopwordProfiles("en").map(w => s"'$w'").mkString(", ")
-      s"""WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
-         |c AS (SELECT doc_id,
-         |  CAST(len(toks) AS BIGINT) AS nt,
-         |  CAST(len(list_filter(toks, t -> list_contains([$stops], t))) AS BIGINT) AS stop,
-         |  CAST(length(text) AS BIGINT) AS nch,
-         |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS dig
-         |FROM t),
-         |r AS (SELECT doc_id,
-         |  400000 * least(stop * 4, nt) * 8 * nch +
-         |  300000 * (nch - dig) * 8 * nt +
-         |  300000 * least(nch - nt + 1, nt * 8) * nch AS n,
-         |  8 * nt * nch AS d
-         |FROM c)
-         |SELECT doc_id, (n * 2 + d) // (d * 2) AS quality_e6
-         |FROM r""".stripMargin
+      s"""WITH ${qualityOracleCtes("qs")}
+         |SELECT doc_id, quality_e6 FROM qs""".stripMargin
     })
 
   /** LSH-bucketed ANN (4-bit random-hyperplane buckets): candidates come
@@ -2729,7 +2815,7 @@ object Battery {
     x2LangId, x3Fingerprint, x3bRolling, x4Quality, x5TokenFreq,
     x7Repetition, x8Decontaminate, x9PackSequences, x10Redact,
     x11StratifiedSample, x12RareTokens, x13HeavyHitters, x14DomainCap,
-    x15BigramCounts,
+    x15BigramCounts, c1Curation,
     n2AnnLsh, n3EmbNearDup, n4AnnIvf, n5PqQuantize,
     kfPatientSlice, kfRSubjectSlice, kfSpecimenSlice, kfDrsSlice,
     kfDiseaseSlice, kfPhenotypeSlice, kfHistoSlice, kfVitalSlice,

@@ -301,6 +301,17 @@ class PlanQualitySpec extends AnyFunSuite {
       s"covered-position filter should be a semi-join (narrow probe):\n$p")
   }
 
+  test("curation pipeline composes as equi-joins and semi-joins only " +
+      "(no product join end-to-end)") {
+    val p = plan("c1_corpus_curation")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"curation degraded to a product join:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"survivor filtering should be semi-joins (narrow probe):\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"packing inside curation must not global-sort:\n$p")
+  }
+
   test("time-bound join stays an equi-join on the key (no nested loop)") {
     val p = plan("tw_timebound_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),

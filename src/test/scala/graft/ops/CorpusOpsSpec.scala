@@ -183,4 +183,32 @@ class CorpusOpsSpec extends AnyFunSuite {
     // range check — documented simplification)
     assert(got(3) == "edge: <EMAIL> and <PHONE>5 and <IP>")
   }
+
+  test("curate: each stage drops exactly its targets; packing rides along") {
+    // 1: english survivor; 2: exact dup of 1 up to whitespace
+    // normalization (fingerprint collapses it, min id 1 kept);
+    // 3: near-dup of 1 (9 of 11 distinct 3-grams shared = 0.82 ≥ 0.5,
+    // clustered under rep 1); 4: french (language gate); 5: distinct
+    // english survivor.
+    val docs = Seq(
+      1L -> "the cat sat on the mat and the dog is here today",
+      2L -> "the  cat sat on the mat  and the dog is here today",
+      3L -> "the cat sat on the mat and the dog is here tonight",
+      4L -> "le chat de la maison est sur le tapis et le chien",
+      5L -> "this is a story of a fox and a hound in the woods that run")
+      .toDF("doc_id", "text")
+    val out = CorpusOps.curate(docs, "doc_id", "text", minQualityE6 = 0L)
+    val rows = out.collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))).toMap
+    assert(rows.keySet == Set(1L, 5L))
+    // survivors pack alone in their shards: pack 0, n_tok = token count
+    val (sh1, nt1, pk1, lang1) = rows(1L)
+    val (sh5, nt5, pk5, lang5) = rows(5L)
+    assert((sh1, nt1, pk1, lang1) == ((1L, 12L, 0L, "en")))
+    assert((sh5, nt5, pk5, lang5) == ((5L, 15L, 0L, "en")))
+    // the quality gate is live: an unreachable threshold empties the set
+    assert(CorpusOps.curate(docs, "doc_id", "text",
+      minQualityE6 = 2000000L).isEmpty)
+  }
 }
