@@ -89,9 +89,9 @@ object VolumeProbe {
     */
   val headline: Seq[String] = Seq(
     "kf_full_pipeline", "d6_dedup_corpus", "d2b_neardup_pairs",
-    "d7_simhash_pairs", "x5_token_freq", "x15_bigram_counts",
-    "x8_decontaminate", "x9_pack_sequences", "x14_domain_cap",
-    "j_outer_chain")
+    "d7_simhash_pairs", "d8_dup_spans", "x5_token_freq",
+    "x15_bigram_counts", "x8_decontaminate", "x9_pack_sequences",
+    "x14_domain_cap", "c1_corpus_curation", "j_outer_chain")
 
   /** Ranked-histogram queries: text is byte-identical across replicas,
     * so the EXACT SAME ranked rows must come back with every count
@@ -148,17 +148,24 @@ object VolumeProbe {
               val b = base.head._2
               // per-replica-closed plans scale exactly ×factor; the
               // dedup family sees cross-replica clones (bigger clusters,
-              // quadratic candidate buckets), so only a bound holds; the
-              // domain cap's law is INVARIANCE — 10× the candidates per
-              // domain must still yield exactly k survivors each (every
-              // sf0.1 source is already above the cap at 1×)
+              // quadratic candidate buckets), so only a bound holds
+              // (d8: every window now repeats cross-replica, so spans
+              // widen to whole documents); the domain cap's law is
+              // INVARIANCE — 10× the candidates per domain must still
+              // yield exactly k survivors each (every sf0.1 source is
+              // already above the cap at 1×); curation's law is also
+              // INVARIANCE — replicas are byte-identical text, so the
+              // exact-dedup stage collapses every clone set to its
+              // min-id (replica-0) member and curating N copies of a
+              // corpus must return exactly the 1× curation
               val ok = name match {
-                case "x14_domain_cap" => n == b
+                case "x14_domain_cap" | "c1_corpus_curation" => n == b
                 case d if d.startsWith("d") => n >= b
                 case _ => n == b * factor
               }
               val mode = name match {
                 case "x14_domain_cap" => "cap-invariant"
+                case "c1_corpus_curation" => "dedup-invariant"
                 case d if d.startsWith("d") => "lower-bound"
                 case _ => "exact x" + factor
               }

@@ -61,4 +61,29 @@ class VolumeProbeSpec extends AnyFunSuite {
     assert(big == base.map { case (t, n) => (t, n * factor) },
       "identical ranked top tokens with counts xN")
   }
+
+  test("curation is INVARIANT under replication: N byte-identical copies " +
+      "curate to exactly the 1x output") {
+    // replicas carry identical text under remapped ids, so the exact-
+    // fingerprint stage collapses every clone set to its min-id
+    // (replica-0) member — the rest of the pipeline then sees exactly
+    // the original corpus. Content equality, not just count.
+    val c1 = SparkEntry.queries("c1_corpus_curation")
+    val base = c1(spark, srcDir).collect().map(_.toSeq).toSet
+    val big = c1(spark, outDir).collect().map(_.toSeq).toSet
+    assert(big == base, "curated output must be byte-identical at xN")
+  }
+
+  test("duplicate spans at xN cover every window-bearing doc end-to-end") {
+    // with N >= 2 byte-identical replicas, EVERY 8-token window repeats
+    // corpus-wide, so each doc with >= 8 tokens yields exactly ONE
+    // whole-doc span — rows = N x (docs with >= 8 tokens), an exact
+    // law, and every span must start at 0 and span all windows.
+    val d8 = SparkEntry.queries("d8_dup_spans")
+    val big = d8(spark, outDir).collect()
+    val docsWith8 = spark.read.parquet(s"$srcDir/documents.parquet")
+      .where(size(split(trim(col("text")), "\\s+")) >= 8).count()
+    assert(big.length == factor * docsWith8)
+    assert(big.forall(_.getLong(1) == 0L), "whole-doc spans start at 0")
+  }
 }
