@@ -125,6 +125,57 @@ object SimilarityOps {
       .map(_.getSeq[Double](0).toSeq).toSeq
   }
 
+  /** Distributed Lloyd's k-means FIT — the trainer that turns
+    * [[seedCentroids]]' uniform sample into a real coarse quantizer
+    * for [[ivfTopK]] / [[pqEncode]]. Each iteration: (1) assign every
+    * vector to its nearest centroid with [[ivfCell]] (centroids are
+    * k×d broadcast literals, a narrow codegen'd argmin — never a
+    * join); (2) recompute each centroid as the mean of its members
+    * with ONE hash aggregate (d decimal sums + a count per cell,
+    * map-side partial combine); (3) collect the k aggregate rows to
+    * the driver for the next iteration's literals — the same
+    * k-rows-per-iteration driver loop Spark MLlib's KMeans runs, and
+    * the only `.collect()` in the operator (bounded by k, not data).
+    *
+    * DETERMINISM is the design constraint (it is what makes the fit
+    * oracle-checkable): seeds are the k lowest ids; per-dimension
+    * member sums use DECIMAL(38,20) — exact and order-independent
+    * where a double sum varies with partial-aggregation order — and
+    * the mean is (exact decimal → nearest double) / count, two IEEE
+    * operations any engine reproduces; argmin ties break on the lower
+    * centroid index. Empty cells throw (k too large for the data —
+    * production k-means re-seeds; silently shrinking k would make the
+    * result depend on which cell died).
+    *
+    * Returns (final centroids after `iters` updates, assignment of
+    * every vector against those final centroids) — `(id, cluster)`.
+    */
+  def kmeansFit(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): (Seq[Seq[Double]], DataFrame) = {
+    require(k > 0 && iters >= 0, "k must be positive, iters non-negative")
+    val e = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    var cents: Seq[Seq[Double]] = e.orderBy(col("id")).limit(k)
+      .select("v").collect().map(_.getSeq[Double](0).toSeq).toSeq
+    require(cents.size == k, s"need at least $k vectors to seed, got ${cents.size}")
+    val d = cents.head.size
+    for (_ <- 0 until iters) {
+      val assigned = e.withColumn("cell", ivfCell(col("v"), cents))
+      val sums = (0 until d).map(j =>
+        sum(element_at(col("v"), j + 1).cast("decimal(38,20)")).as(s"s$j"))
+      val rows = assigned.groupBy("cell")
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .collect()
+      require(rows.length == k,
+        s"${k - rows.length} empty cluster(s) — k=$k too large for this data")
+      cents = rows.sortBy(_.getInt(0)).map { r =>
+        val n = r.getLong(1)
+        (0 until d).map(j => r.getDecimal(2 + j).doubleValue() / n)
+      }.toSeq
+    }
+    (cents, e.select(col("id").as(idCol),
+      ivfCell(col("v"), cents).as("cluster")))
+  }
+
   /** Product quantization (PQ) — the embedding-compression path for
     * 100 TB-scale similarity search: split each d-dim vector into
     * `m = subCentroids.size` contiguous blocks and store, per block,

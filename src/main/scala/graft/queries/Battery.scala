@@ -1562,6 +1562,50 @@ object Battery {
     Some("""SELECT count(*) AS n_vectors, TRUE AS avg_err_ok, TRUE AS max_err_ok
            |FROM embeddings""".stripMargin))
 
+  /** Distributed k-means FIT ([[graft.ops.SimilarityOps.kmeansFit]]):
+    * two full Lloyd's iterations (assign → decimal-exact means →
+    * re-assign), k = 4 over the 64-dim embeddings, output = every
+    * vector's final cluster. Unlike a8/a12/n4's accuracy-gate oracles
+    * this is a CONTENT oracle for an iterative trainer: decimal member
+    * sums are order-independent (a double sum would drift with
+    * partial-agg order), the mean is (exact decimal → nearest double)
+    * / count, and the squared-distance fold is sequential on both
+    * engines — so DuckDB replays both iterations bit-for-bit. The
+    * oracle's CROSS JOIN is against the k=4 centroid rows (bounded);
+    * the Spark side has no join at all — centroids are broadcast
+    * literals in a narrow codegen'd argmin.
+    */
+  private val n6KmeansFit = Q(
+    "n6_kmeans_fit",
+    (s, d) => graft.ops.SimilarityOps.kmeansFit(
+      T.embeddings(s, d), "vec_id", "embedding", k = 4, iters = 2)._2,
+    Some {
+      val dims = 1 to 64
+      val meanCols = dims.map(j =>
+        s"CAST(sum(CAST(v[$j] AS DECIMAL(38,20))) AS DOUBLE) / count(*) AS m$j")
+        .mkString(",\n  ")
+      val arr = dims.map(j => s"m$j").mkString("[", ", ", "]")
+      def assign(prev: String, out: String) =
+        s"""${out}_d AS (SELECT vec_id, v, ci,
+           |  list_reduce(list_prepend(0.0, [ (v[j] - cv[j]) * (v[j] - cv[j]) for j in range(1, 65) ]),
+           |    (acc, x) -> acc + x) AS dist
+           |  FROM e CROSS JOIN $prev),
+           |$out AS (SELECT vec_id, v, ci FROM
+           |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, ci) AS rn FROM ${out}_d)
+           |  WHERE rn = 1)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, v AS cv
+         |       FROM (SELECT * FROM e ORDER BY vec_id LIMIT 4)),
+         |${assign("c0", "b0")},
+         |c1 AS (SELECT ci, $meanCols FROM b0 GROUP BY ci),
+         |c1v AS (SELECT ci, $arr AS cv FROM c1),
+         |${assign("c1v", "b1")},
+         |c2 AS (SELECT ci, $meanCols FROM b1 GROUP BY ci),
+         |c2v AS (SELECT ci, $arr AS cv FROM c2),
+         |${assign("c2v", "b2")}
+         |SELECT vec_id, CAST(ci AS INT) AS cluster FROM b2""".stripMargin
+    })
+
   private def zipDiff(a: Column, b: Column): Column =
     zip_with(a, b, (x, y) => x - y)
 
@@ -2816,7 +2860,7 @@ object Battery {
     x7Repetition, x8Decontaminate, x9PackSequences, x10Redact,
     x11StratifiedSample, x12RareTokens, x13HeavyHitters, x14DomainCap,
     x15BigramCounts, c1Curation,
-    n2AnnLsh, n3EmbNearDup, n4AnnIvf, n5PqQuantize,
+    n2AnnLsh, n3EmbNearDup, n4AnnIvf, n5PqQuantize, n6KmeansFit,
     kfPatientSlice, kfRSubjectSlice, kfSpecimenSlice, kfDrsSlice,
     kfDiseaseSlice, kfPhenotypeSlice, kfHistoSlice, kfVitalSlice,
     kfFamilySlice, kfStudySlice, kfProbandSlice, kfFamRelSlice,

@@ -104,4 +104,33 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(cells == Map(1L -> 0, 2L -> 1))
   }
+
+  test("kmeansFit separates well-separated clusters and recovers their means") {
+    // two tight clusters far apart; seeds (ids 1,2) both start in the
+    // left cluster, so only a real Lloyd's update can pull centroid 1
+    // across to the right cluster
+    val df = spark.createDataFrame(Seq(
+      (1L, Seq(0.0, 0.0)), (2L, Seq(1.0, 0.0)), (3L, Seq(0.0, 1.0)),
+      (4L, Seq(100.0, 100.0)), (5L, Seq(101.0, 100.0)), (6L, Seq(100.0, 101.0))))
+      .toDF("id", "v")
+    val (cents, assign) = SimilarityOps.kmeansFit(df, "id", "v", k = 2, iters = 3)
+    val byId = assign.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(byId.filter(_._1 <= 3L).values.toSet.size == 1, "left cluster together")
+    assert(byId.filter(_._1 >= 4L).values.toSet.size == 1, "right cluster together")
+    assert(byId(1L) != byId(4L), "clusters separated")
+    // exact expected doubles: (decimal member sum → double) / count
+    val sorted = cents.sortBy(_.head)
+    assert(sorted(0) == Seq(1.0 / 3, 1.0 / 3), s"left mean: ${sorted(0)}")
+    assert(sorted(1) == Seq(301.0 / 3, 301.0 / 3), s"right mean: ${sorted(1)}")
+  }
+
+  test("kmeansFit refuses to return a fit with an empty cluster") {
+    // both seeds identical: every point ties to index 0, cell 1 empties
+    val df = spark.createDataFrame(Seq(
+      (1L, Seq(5.0, 5.0)), (2L, Seq(5.0, 5.0)), (3L, Seq(6.0, 5.0))))
+      .toDF("id", "v")
+    intercept[IllegalArgumentException] {
+      SimilarityOps.kmeansFit(df, "id", "v", k = 2, iters = 1)
+    }
+  }
 }
