@@ -295,6 +295,49 @@ object DedupOps {
         col("n_windows"))
   }
 
+  /** Companion to [[duplicateSpans]] — actually CUT the duplicated
+    * spans (what the Lee et al. pipeline does with the spans it finds):
+    * every token inside a covered window is removed, the survivors are
+    * re-joined with single spaces in original order. The contract is
+    * token-level (a normalized reconstruction), so the output carries
+    * `md5` of the cleaned body rather than the body itself plus exact
+    * kept/cut token counts — scalar, auditable, and joinable back to
+    * the corpus by id. Every input document appears in the output,
+    * including fully-cut ones (empty body, `md5('')`).
+    *
+    * Scale shape: same as [[duplicateSpans]] through the covered-start
+    * semi-join; covered starts then expand ×n into cut token indices
+    * (bounded by n × covered, never n × corpus), and ONE groupBy(id)
+    * assembles counts and the ordered survivor join — `collect_list`
+    * of (index, token) structs sorted per row, partitioned by doc so
+    * assembly parallelizes per document.
+    */
+  def cutDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("ti", "tok")))
+    val win = df.select(col(idCol).as("id"),
+      posexplode(TextOps.shingles(col(textCol), n)).as(Seq("pos", "s")))
+    val dup = win.groupBy("s").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 2).select("s")
+    val cut = win.join(dup, Seq("s"), "left_semi")
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("ti"))
+      .distinct()
+      .withColumn("c", lit(1))
+    toks.join(cut, Seq("id", "ti"), "left_outer")
+      .groupBy("id")
+      .agg(
+        md5(concat_ws(" ", transform(
+          sort_array(collect_list(when(col("c").isNull,
+            struct(col("ti"), col("tok"))))),
+          s => s.getField("tok")))).as("clean_md5"),
+        count(when(col("c").isNull, 1)).as("n_kept"),
+        count(col("c")).as("n_cut"))
+      .select(col("id").as(idCol), col("clean_md5"),
+        col("n_kept"), col("n_cut"))
+  }
+
   /** Dedup cluster formation: connected components over a near-dup pair
     * graph via the ALTERNATING STAR algorithm (Kiveris et al.,
     * "Connected Components in MapReduce and Beyond", SoCC'14) — the

@@ -1308,6 +1308,35 @@ object Battery {
            |  count(*) AS n_windows
            |FROM g GROUP BY doc_id, grp""".stripMargin))
 
+  /** Duplicate-span CUTTING ([[graft.ops.DedupOps.cutDuplicateSpans]]):
+    * the action to d8's detection — every token inside a repeated
+    * 8-gram window is removed and the survivors re-joined, emitted as
+    * md5(cleaned body) + exact kept/cut counts per document (every
+    * document appears, fully-cut ones with md5('')). The oracle
+    * rebuilds the cleaned body with an ORDER BY inside string_agg —
+    * byte-equal to Spark's sorted collect_list reconstruction.
+    */
+  private val d9DupSpanCut = Q(
+    "d9_dup_span_cut",
+    (s, d) => graft.ops.DedupOps.cutDuplicateSpans(
+      T.documents(s, d), "doc_id", "text", n = 8),
+    Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+           |w AS (SELECT doc_id, i - 1 AS pos, array_to_string(tk[i:i+7], ' ') AS s
+           |      FROM t, UNNEST(range(1, len(tk) - 6)) AS u(i) WHERE len(tk) >= 8),
+           |dup AS (SELECT s FROM w GROUP BY s HAVING count(*) >= 2),
+           |cut AS (SELECT DISTINCT doc_id, pos + j AS ti
+           |        FROM (SELECT doc_id, pos FROM w JOIN dup USING (s)) c,
+           |             UNNEST(range(0, 8)) AS v(j)),
+           |tok AS (SELECT doc_id, i - 1 AS ti, tk[i] AS tok
+           |        FROM t, UNNEST(range(1, len(tk) + 1)) AS u(i)),
+           |k AS (SELECT tok.doc_id, tok.ti, tok.tok, cut.ti IS NOT NULL AS is_cut
+           |      FROM tok LEFT JOIN cut ON tok.doc_id = cut.doc_id AND tok.ti = cut.ti)
+           |SELECT doc_id,
+           |  md5(coalesce(string_agg(CASE WHEN NOT is_cut THEN tok END, ' ' ORDER BY ti), '')) AS clean_md5,
+           |  CAST(count(*) FILTER (NOT is_cut) AS BIGINT) AS n_kept,
+           |  CAST(count(*) FILTER (is_cut) AS BIGINT) AS n_cut
+           |FROM k GROUP BY doc_id""".stripMargin))
+
   /** The curation pipeline end-to-end
     * ([[graft.ops.CorpusOps.curate]]) — the LLM-data twin of
     * `kf_full_pipeline`: language gate → quality gate → exact dedup →
@@ -2855,7 +2884,7 @@ object Battery {
     d1DedupExact, x1TextStats, n1AnnTopK, m1Multimodal, m2MultimodalDecode,
     m3FrameSample, m4WavDecode, m5BmpDecode,
     d2MinhashBands, d2bNearDupPairs, d3Simhash, d7SimhashPairs, d4NgramJaccard,
-    d5DedupClusters, d6DedupCorpus, d8DupSpans,
+    d5DedupClusters, d6DedupCorpus, d8DupSpans, d9DupSpanCut,
     x2LangId, x3Fingerprint, x3bRolling, x4Quality, x5TokenFreq,
     x7Repetition, x8Decontaminate, x9PackSequences, x10Redact,
     x11StratifiedSample, x12RareTokens, x13HeavyHitters, x14DomainCap,

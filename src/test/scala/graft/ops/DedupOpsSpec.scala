@@ -132,6 +132,32 @@ class DedupOpsSpec extends AnyFunSuite {
       (3L, 4L, 7L, 2L)))
   }
 
+  test("cutDuplicateSpans removes covered tokens; fully-cut and short docs kept") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // same corpus as the duplicateSpans test: docs 1/2 lose tokens 0-3,
+    // doc 3's self-repeat covers ALL its tokens (empty survivor must
+    // still appear), docs 4/5 are untouched
+    val docs = Seq(
+      1L -> "a b c d e f g",
+      2L -> "a b c d x y z",
+      3L -> "p q r s p q r s",
+      4L -> "u v w",
+      5L -> "only two")
+    val got = DedupOps
+      .cutDuplicateSpans(docs.toDF("doc_id", "text"), "doc_id", "text", n = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(
+      1L -> ((md5hex("e f g"), 3L, 4L)),
+      2L -> ((md5hex("x y z"), 3L, 4L)),
+      3L -> ((md5hex(""), 0L, 8L)),
+      4L -> ((md5hex("u v w"), 3L, 0L)),
+      5L -> ((md5hex("only two"), 2L, 0L))))
+  }
+
   test("connectedComponents throws instead of returning half-propagated labels") {
     // a 6-node path needs ~5 rounds; maxIter=2 must refuse, not lie
     val nodes = (1L to 6L).map(Tuple1(_)).toDF("id")
