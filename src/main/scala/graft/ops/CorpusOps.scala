@@ -108,6 +108,39 @@ object CorpusOps {
         min("df").as("min_df"))
   }
 
+  /** Per-document most-DISTINGUISHING term: the token maximizing
+    * tf/df — highest in-document frequency relative to how many
+    * documents contain it (the argmax of the classic tf-idf weight
+    * under a monotone idf transform). EXACTNESS is integer arithmetic
+    * end to end: score = tf·10⁶ floor-div df (integral division, on
+    * which both engines agree for positives), ties broken by the
+    * lexicographically smallest token — no floating idf logs whose
+    * last ulp could flip an argmax between engines.
+    *
+    * Scale shape: tf is one (doc, token) hash aggregate; df is one
+    * vocabulary aggregate OVER THE TF FRAME (counting rows, not
+    * re-scanning text); the join back is vocabulary-keyed (AQE
+    * broadcasts a small vocabulary, skew-splits hot stopwords); and
+    * the per-doc argmax is a partially-aggregable `min(struct)` —
+    * never a corpus-wide window. Returns (id, top_term, tf, df,
+    * score).
+    */
+  def topDistinctTerm(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "token")
+      .withColumn("score", expr("tf * CAST(1000000 AS BIGINT) div df"))
+      .groupBy(col(idCol))
+      .agg(min(struct((-col("score")).as("ns"), col("token").as("t"),
+        col("tf").as("f"), col("df").as("d"))).as("b"))
+      .select(col(idCol), col("b.t").as("top_term"), col("b.f").as("tf"),
+        col("b.d").as("df"), (-col("b.ns")).as("score"))
+  }
+
   /** Exact corpus heavy hitters, cross-checked against a Count-Min
     * Sketch — the last classic sketch in the engine's family (HLL++
     * `a8`, approx-percentile `a12`, MinHash `d2`, SimHash `d3`, PQ

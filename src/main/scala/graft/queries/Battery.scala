@@ -1999,6 +1999,26 @@ object Battery {
            |SELECT bigram, count(*) AS n FROM b
            |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50""".stripMargin))
 
+  /** Per-document most-distinguishing term
+    * ([[graft.ops.CorpusOps.topDistinctTerm]]): argmax of tf/df as
+    * integer arithmetic — score = tf·10⁶ floor-div df, ties to the
+    * lexicographically smallest token. The Spark side's argmax is a
+    * partially-aggregable min(struct); the oracle's is a row_number
+    * window — same result, and the integral scoring makes the whole
+    * row hash-exact with no float idf anywhere.
+    */
+  private val x16TopDistinctTerm = Q(
+    "x16_top_distinct_term",
+    (s, d) => graft.ops.CorpusOps.topDistinctTerm(
+      T.documents(s, d), "doc_id", "text"),
+    Some("""WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
+           |tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
+           |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+           |sc AS (SELECT doc_id, token, tf.tf, df.df, tf.tf * 1000000 // df.df AS score
+           |       FROM tf JOIN df USING (token)),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rn FROM sc)
+           |SELECT doc_id, token AS top_term, tf, df, score FROM r WHERE rn = 1""".stripMargin))
+
   /** Corpus token histogram: explode tokens → count — the vocabulary/
     * token-counting sweep of a training-data pipeline (one shuffle on
     * the token, map-side partial counts). Top-50 by (count desc, token)
@@ -2888,7 +2908,7 @@ object Battery {
     x2LangId, x3Fingerprint, x3bRolling, x4Quality, x5TokenFreq,
     x7Repetition, x8Decontaminate, x9PackSequences, x10Redact,
     x11StratifiedSample, x12RareTokens, x13HeavyHitters, x14DomainCap,
-    x15BigramCounts, c1Curation,
+    x15BigramCounts, x16TopDistinctTerm, c1Curation,
     n2AnnLsh, n3EmbNearDup, n4AnnIvf, n5PqQuantize, n6KmeansFit,
     kfPatientSlice, kfRSubjectSlice, kfSpecimenSlice, kfDrsSlice,
     kfDiseaseSlice, kfPhenotypeSlice, kfHistoSlice, kfVitalSlice,

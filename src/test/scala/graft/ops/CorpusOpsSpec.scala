@@ -184,6 +184,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(3) == "edge: <EMAIL> and <PHONE>5 and <IP>")
   }
 
+  test("topDistinctTerm: integer tf/df argmax, lexicographic tie-break") {
+    // df: apple=1, banana=2, cherry=1, the=3, alpha=1, zeta=1
+    val docs = Seq(
+      (1L, "apple apple banana the"), // apple: 2e6/1, beats banana 5e5, the 333333
+      (2L, "banana cherry the the"),  // cherry: 1e6/1 beats the 666666
+      (3L, "the the the the"),        // the: 4e6//3 = 1333333
+      (4L, "zeta alpha"))             // both score 1e6 → tie → alpha
+      .toDF("doc_id", "text")
+    val got = CorpusOps.topDistinctTerm(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got == Map(
+      1L -> (("apple", 2L, 1L, 2000000L)),
+      2L -> (("cherry", 1L, 1L, 1000000L)),
+      3L -> (("the", 4L, 3L, 1333333L)),
+      4L -> (("alpha", 1L, 1L, 1000000L))))
+  }
+
   test("curate: each stage drops exactly its targets; packing rides along") {
     // 1: english survivor; 2: exact dup of 1 up to whitespace
     // normalization (fingerprint collapses it, min id 1 kept);
