@@ -145,4 +145,23 @@ object Streaming {
       .start()
     q.awaitTermination()
   }
+
+  /** Streaming corpus gate — the NARROW curation stages (language-ID
+    * argmax + integer quality score, the first two stages of
+    * [[graft.ops.CorpusOps.curate]]) applied to a document stream.
+    * Both kernels are stateless per-row expressions, so the same
+    * definition serves batch and streaming unchanged, needs no
+    * watermark, and adds NO state store (asserted in the parity spec)
+    * — each micro-batch filters independently, which is exactly how a
+    * continuously-ingesting corpus applies its cheap gates before
+    * batch-global stages (dedup, clustering) that genuinely need the
+    * whole corpus.
+    */
+  def corpusGate(docs: DataFrame, lang: String = "en",
+      minQualityE6: Long = 550000L): DataFrame =
+    docs.select(col("doc_id"), col("text"),
+        graft.ops.TextOps.langId(col("text")).as("pred_lang"),
+        graft.ops.TextOps.qualityScoreMillionths(col("text")).as("quality_e6"))
+      .where(col("pred_lang") === lang &&
+        col("quality_e6") >= minQualityE6)
 }

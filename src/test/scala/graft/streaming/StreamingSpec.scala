@@ -309,4 +309,32 @@ class StreamingSpec extends AnyFunSuite {
       assert(n == Tables.events(spark, dir).count())
     } finally q.stop()
   }
+
+  test("streaming corpus gate equals the batch gate and keeps NO state") {
+    val docsDir = {
+      val d = java.nio.file.Files.createTempDirectory("graft_docstream")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/documents.parquet"),
+        d.resolve("documents.parquet"))
+      d.toString
+    }
+    val batch = Streaming.corpusGate(Tables.documents(spark, dir))
+      .collect().map(_.toString).sorted
+    assert(batch.nonEmpty, "gate must pass some documents at sf0.001")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/documents.parquet").schema)
+      .parquet(docsDir)
+    val q = Streaming.corpusGate(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("gate_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("gate_out").collect().map(_.toString).sorted
+      assert(got.sameElements(batch), "stream/batch gate parity")
+      // both kernels are stateless narrow expressions: the query must
+      // run with zero state stores (no watermark, nothing to expire)
+      assert(q.lastProgress.stateOperators.isEmpty,
+        s"gate must be stateless, found ${q.lastProgress.stateOperators.length}")
+    } finally q.stop()
+  }
 }
