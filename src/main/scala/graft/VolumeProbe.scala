@@ -91,7 +91,14 @@ object VolumeProbe {
     "kf_full_pipeline", "d6_dedup_corpus", "d2b_neardup_pairs",
     "d7_simhash_pairs", "d8_dup_spans", "x5_token_freq",
     "x15_bigram_counts", "x8_decontaminate", "x9_pack_sequences",
-    "x14_domain_cap", "c1_corpus_curation", "j_outer_chain")
+    "x14_domain_cap", "c1_corpus_curation", "n6_kmeans_fit",
+    "j_outer_chain")
+  // n6's law is exact ×factor BY CONSTRUCTION, not just by closure:
+  // seeds are the k lowest ids — replica 0's originals — and each
+  // clone set contributes 10 identical copies to its cell's mean, so
+  // every centroid (a mean) is unchanged and every clone inherits its
+  // original's assignment. An iterative fit that scales exactly is
+  // strong evidence nothing in the loop depends on partitioning.
 
   /** Ranked-histogram queries: text is byte-identical across replicas,
     * so the EXACT SAME ranked rows must come back with every count

@@ -74,6 +74,23 @@ class VolumeProbeSpec extends AnyFunSuite {
     assert(big == base, "curated output must be byte-identical at xN")
   }
 
+  test("k-means fit at xN: centroids unchanged, every clone inherits " +
+      "its original's cluster") {
+    // identical copies leave every cell mean unchanged (seeds are the
+    // k lowest ids = replica 0's originals), so the ENTIRE iterative
+    // fit is invariant and assignments replicate exactly
+    val n6 = SparkEntry.queries("n6_kmeans_fit")
+    val base = n6(spark, srcDir).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val big = n6(spark, outDir).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(big.size == base.size * factor)
+    val offset = VolumeProbe.keyOffsetFor(spark, srcDir)
+    for (rep <- 0 until factor; (id, c) <- base)
+      assert(big(id + rep * offset) == c,
+        s"replica $rep of vec $id changed cluster")
+  }
+
   test("duplicate spans at xN cover every window-bearing doc end-to-end") {
     // with N >= 2 byte-identical replicas, EVERY 8-token window repeats
     // corpus-wide, so each doc with >= 8 tokens yields exactly ONE

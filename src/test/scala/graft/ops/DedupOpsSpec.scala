@@ -97,6 +97,56 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(got == Set((1L, 2L)))
   }
 
+  test("duplicateSpans + cutDuplicateSpans match brute force on random corpora") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val rnd = new scala.util.Random(42)
+    val vocab = Seq("a", "b", "c", "d") // tiny vocab forces collisions
+    for (trial <- 1 to 3) {
+      val docs = (1L to 30L).map { id =>
+        id -> Seq.fill(5 + rnd.nextInt(11))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" ")
+      }
+      val n = 3
+      // brute force: corpus-wide window counts → covered starts → spans
+      val wins = docs.flatMap { case (id, t) =>
+        t.split(" ").toSeq.sliding(n).zipWithIndex
+          .filter(_._1.size == n)
+          .map { case (w, i) => (id, i, w.mkString(" ")) }
+      }
+      val counts = wins.groupBy(_._3).view.mapValues(_.size).toMap
+      val covered = wins.filter(w => counts(w._3) >= 2)
+      val spans = covered.groupBy(_._1).flatMap { case (id, ws) =>
+        val starts = ws.map(_._2).sorted
+        val runs = starts.foldLeft(List.empty[List[Int]]) {
+          case (acc, p) if acc.nonEmpty && acc.head.head == p - 1 =>
+            (p :: acc.head) :: acc.tail
+          case (acc, p) => List(p) :: acc
+        }
+        runs.map(r => (id, r.min.toLong, (r.max + n - 1).toLong, r.size.toLong))
+      }.toSet
+      val df = docs.toDF("doc_id", "text")
+      val gotSpans = DedupOps.duplicateSpans(df, "doc_id", "text", n)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(gotSpans == spans, s"trial $trial spans")
+      // cut: every token inside a covered window goes; md5 + counts
+      val cutIdx = covered.groupBy(_._1).view
+        .mapValues(_.flatMap(w => w._2 until w._2 + n).toSet).toMap
+      val expCut = docs.map { case (id, t) =>
+        val toks = t.split(" ").toSeq
+        val cut = cutIdx.getOrElse(id, Set.empty)
+        val kept = toks.zipWithIndex.collect { case (tk, i) if !cut(i) => tk }
+        id -> ((md5hex(kept.mkString(" ")), kept.size.toLong, cut.size.toLong))
+      }.toMap
+      val gotCut = DedupOps.cutDuplicateSpans(df, "doc_id", "text", n)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(gotCut == expCut, s"trial $trial cut")
+    }
+  }
+
   test("connectedComponents labels chains, merges, and singletons by min id") {
     // components: {1,2,3,4} (a chain), {5,6,9} (merged via two pairs),
     // {7} (singleton, no edges), {8} (appears only as a node)
