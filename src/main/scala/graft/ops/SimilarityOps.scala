@@ -246,4 +246,40 @@ object SimilarityOps {
       .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))
       .where(col("cos") >= threshold)
   }
+
+  /** SEMANTIC dedup (the SemDeDup construction — Abbas et al. 2023,
+    * arXiv:2303.09540): k-means cluster the embedding space with
+    * [[kmeansFit]], search cosine near-duplicates WITHIN each cluster
+    * only, connect the pair graph, keep each component's min-id
+    * representative. Returns one row per vector: (id, cluster, rep) —
+    * `rep == id` marks the survivors a curation pass would keep.
+    *
+    * Scale shape: the candidate join is an equi-join on the cluster id
+    * — candidates are cluster-quadratic, never corpus-quadratic, and k
+    * is the knob that bounds cluster size as the corpus grows (SemDeDup
+    * runs k ≈ n/10⁴ at web scale for exactly this reason). Pair
+    * verification is the exact cosine on candidates only; components
+    * use [[DedupOps.connectedComponents]]' alternating-star loop
+    * (near-dup graphs are overwhelmingly small stars, so it converges
+    * in ~2 rounds). Cross-cluster near-dups are missed BY DESIGN —
+    * that approximation is the published trade the operator models.
+    */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, threshold: Double): DataFrame = {
+    val (_, assign) = kmeansFit(emb, idCol, vecCol, k, iters)
+    val e = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .join(assign.select(col(idCol).as("id"), col("cluster")), Seq("id"))
+    val l = e.select(col("cluster"), col("id").as("id_a"), col("v").as("va"))
+    val r = e.select(col("cluster"), col("id").as("id_b"), col("v").as("vb"))
+    val pairs = l.join(r, Seq("cluster")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("va"), col("vb")).as("cos"))
+      .where(col("cos") >= threshold)
+      .select("id_a", "id_b")
+    DedupOps.connectedComponents(
+        e.select(col("id")), "id", pairs, "id_a", "id_b")
+      .withColumnRenamed("cluster", "rep")
+      .join(e.select(col("id"), col("cluster")), Seq("id"))
+      .select(col("id").as(idCol), col("cluster"), col("rep"))
+  }
 }

@@ -1604,35 +1604,76 @@ object Battery {
     * the Spark side has no join at all — centroids are broadcast
     * literals in a narrow codegen'd argmin.
     */
+  /** Generated DuckDB CTE chain replaying [[kmeansFit]]'s two Lloyd's
+    * iterations (k = 4, 64 dims) — shared by n6 and the semantic-dedup
+    * composition (n7). The final CTE `b2` exposes (vec_id, v, ci): the
+    * final assignment with the vector still attached.
+    */
+  private def kmeansOracleCtes: String = {
+    val dims = 1 to 64
+    val meanCols = dims.map(j =>
+      s"CAST(sum(CAST(v[$j] AS DECIMAL(38,20))) AS DOUBLE) / count(*) AS m$j")
+      .mkString(",\n  ")
+    val arr = dims.map(j => s"m$j").mkString("[", ", ", "]")
+    def assign(prev: String, out: String) =
+      s"""${out}_d AS (SELECT vec_id, v, ci,
+         |  list_reduce(list_prepend(0.0, [ (v[j] - cv[j]) * (v[j] - cv[j]) for j in range(1, 65) ]),
+         |    (acc, x) -> acc + x) AS dist
+         |  FROM e CROSS JOIN $prev),
+         |$out AS (SELECT vec_id, v, ci FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, ci) AS rn FROM ${out}_d)
+         |  WHERE rn = 1)""".stripMargin
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, v AS cv
+       |       FROM (SELECT * FROM e ORDER BY vec_id LIMIT 4)),
+       |${assign("c0", "b0")},
+       |c1 AS (SELECT ci, $meanCols FROM b0 GROUP BY ci),
+       |c1v AS (SELECT ci, $arr AS cv FROM c1),
+       |${assign("c1v", "b1")},
+       |c2 AS (SELECT ci, $meanCols FROM b1 GROUP BY ci),
+       |c2v AS (SELECT ci, $arr AS cv FROM c2),
+       |${assign("c2v", "b2")}""".stripMargin
+  }
+
   private val n6KmeansFit = Q(
     "n6_kmeans_fit",
     (s, d) => graft.ops.SimilarityOps.kmeansFit(
       T.embeddings(s, d), "vec_id", "embedding", k = 4, iters = 2)._2,
     Some {
-      val dims = 1 to 64
-      val meanCols = dims.map(j =>
-        s"CAST(sum(CAST(v[$j] AS DECIMAL(38,20))) AS DOUBLE) / count(*) AS m$j")
-        .mkString(",\n  ")
-      val arr = dims.map(j => s"m$j").mkString("[", ", ", "]")
-      def assign(prev: String, out: String) =
-        s"""${out}_d AS (SELECT vec_id, v, ci,
-           |  list_reduce(list_prepend(0.0, [ (v[j] - cv[j]) * (v[j] - cv[j]) for j in range(1, 65) ]),
-           |    (acc, x) -> acc + x) AS dist
-           |  FROM e CROSS JOIN $prev),
-           |$out AS (SELECT vec_id, v, ci FROM
-           |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, ci) AS rn FROM ${out}_d)
-           |  WHERE rn = 1)""".stripMargin
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, v AS cv
-         |       FROM (SELECT * FROM e ORDER BY vec_id LIMIT 4)),
-         |${assign("c0", "b0")},
-         |c1 AS (SELECT ci, $meanCols FROM b0 GROUP BY ci),
-         |c1v AS (SELECT ci, $arr AS cv FROM c1),
-         |${assign("c1v", "b1")},
-         |c2 AS (SELECT ci, $meanCols FROM b1 GROUP BY ci),
-         |c2v AS (SELECT ci, $arr AS cv FROM c2),
-         |${assign("c2v", "b2")}
+      s"""WITH $kmeansOracleCtes
          |SELECT vec_id, CAST(ci AS INT) AS cluster FROM b2""".stripMargin
+    })
+
+  /** Semantic dedup ([[graft.ops.SimilarityOps.semanticDedup]] — the
+    * SemDeDup construction): k-means clusters → within-cluster cosine
+    * near-dup pairs (cluster equi-join, cluster-quadratic candidates)
+    * → connected components → min-id representative per component.
+    * The oracle splices the shared k-means CTE chain with the
+    * recursive-reach closure of d6 — the full composition
+    * (iterative fit + pair graph + components) is hash-exact.
+    */
+  private val n7SemanticDedup = Q(
+    "n7_semantic_dedup",
+    (s, d) => graft.ops.SimilarityOps.semanticDedup(
+      T.embeddings(s, d), "vec_id", "embedding",
+      k = 4, iters = 2, threshold = 0.35),
+    Some {
+      s"""WITH RECURSIVE $kmeansOracleCtes,
+         |pp AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM b2 a JOIN b2 b ON a.ci = b.ci AND a.vec_id < b.vec_id
+         |  WHERE list_dot_product(a.v, b.v) /
+         |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+         |    >= 0.35),
+         |ee AS (SELECT id_a AS a, id_b AS bb FROM pp
+         |       UNION SELECT id_b, id_a FROM pp),
+         |reach(a, bb) AS (
+         |  SELECT a, bb FROM ee
+         |  UNION
+         |  SELECT r.a, ee.bb FROM reach r JOIN ee ON r.bb = ee.a)
+         |SELECT n.vec_id, CAST(n.ci AS INT) AS cluster,
+         |  least(n.vec_id, coalesce(min(r.bb), n.vec_id)) AS rep
+         |FROM b2 n LEFT JOIN reach r ON r.a = n.vec_id
+         |GROUP BY n.vec_id, n.ci""".stripMargin
     })
 
   private def zipDiff(a: Column, b: Column): Column =
@@ -2909,7 +2950,7 @@ object Battery {
     x7Repetition, x8Decontaminate, x9PackSequences, x10Redact,
     x11StratifiedSample, x12RareTokens, x13HeavyHitters, x14DomainCap,
     x15BigramCounts, x16TopDistinctTerm, c1Curation,
-    n2AnnLsh, n3EmbNearDup, n4AnnIvf, n5PqQuantize, n6KmeansFit,
+    n2AnnLsh, n3EmbNearDup, n4AnnIvf, n5PqQuantize, n6KmeansFit, n7SemanticDedup,
     kfPatientSlice, kfRSubjectSlice, kfSpecimenSlice, kfDrsSlice,
     kfDiseaseSlice, kfPhenotypeSlice, kfHistoSlice, kfVitalSlice,
     kfFamilySlice, kfStudySlice, kfProbandSlice, kfFamRelSlice,

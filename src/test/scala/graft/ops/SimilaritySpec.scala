@@ -124,6 +124,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(sorted(1) == Seq(301.0 / 3, 301.0 / 3), s"right mean: ${sorted(1)}")
   }
 
+  test("semanticDedup: within-cluster near-dups collapse to min-id reps") {
+    // two direction-aligned families far apart; both seeds (ids 1,2)
+    // start in the right family, so the fit must first separate the
+    // space before the within-cluster pair search can find the dups
+    val df = spark.createDataFrame(Seq(
+      (1L, Seq(10.0, 0.0)), (2L, Seq(10.1, 0.0)), (3L, Seq(9.9, 0.0)),
+      (4L, Seq(0.0, 10.0)), (5L, Seq(0.1, 10.0)), (6L, Seq(-0.1, 10.0))))
+      .toDF("id", "v")
+    val out = SimilarityOps.semanticDedup(df, "id", "v",
+        k = 2, iters = 2, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(out.map { case (id, (_, rep)) => id -> rep } ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 4L))
+    assert(Set(1L, 2L, 3L).map(out(_)._1).size == 1, "right family one cluster")
+    assert(Set(4L, 5L, 6L).map(out(_)._1).size == 1, "left family one cluster")
+    assert(out(1L)._1 != out(4L)._1, "families in different clusters")
+  }
+
   test("kmeansFit refuses to return a fit with an empty cluster") {
     // both seeds identical: every point ties to index 0, cell 1 empties
     val df = spark.createDataFrame(Seq(
