@@ -301,6 +301,14 @@ class PlanQualitySpec extends AnyFunSuite {
       s"covered-position filter should be a semi-join (narrow probe):\n$p")
   }
 
+  test("span cutting and semantic dedup never degrade to a product join") {
+    for (name <- Seq("d9_dup_span_cut", "n7_semantic_dedup")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"$name degraded to a product join:\n$p")
+    }
+  }
+
   test("curation pipeline composes as equi-joins and semi-joins only " +
       "(no product join end-to-end)") {
     val p = plan("c1_corpus_curation")
