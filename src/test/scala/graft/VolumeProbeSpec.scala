@@ -91,6 +91,24 @@ class VolumeProbeSpec extends AnyFunSuite {
         s"replica $rep of vec $id changed cluster")
   }
 
+  test("semantic dedup at xN: every clone adopts a replica-0 representative") {
+    // a clone has cosine 1.0 with its original, lands in the same
+    // k-means cell (fit invariance), and therefore joins its
+    // original's component — whose min id is always the replica-0
+    // member. So replica-0 vectors keep their base reps verbatim and
+    // the distinct-rep set does not grow at all under xN replication.
+    val n7 = SparkEntry.queries("n7_semantic_dedup")
+    val base = n7(spark, srcDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val big = n7(spark, outDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(big.size == base.size * factor)
+    for ((id, rep) <- base)
+      assert(big(id) == rep, s"replica-0 vec $id changed representative")
+    assert(big.values.toSet == base.values.toSet,
+      "replication must not mint new representatives")
+  }
+
   test("duplicate spans at xN cover every window-bearing doc end-to-end") {
     // with N >= 2 byte-identical replicas, EVERY 8-token window repeats
     // corpus-wide, so each doc with >= 8 tokens yields exactly ONE
