@@ -45,18 +45,27 @@ object Bench {
     // record's consumers use it for. Disable with SPARK_GRAFT_BENCH_WARM=0
     // to measure cold-start behavior instead.
     val warm = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM", "1") != "0"
+    // A query that throws must NOT post a timing: round 8's regenerated
+    // testdata broke 12 events queries and each "ran" in 0.1-0.9s — the
+    // time of an analysis exception, indistinguishable from a fast query
+    // in the record. Failures go to an `errors` map in the JSON line and
+    // are excluded from `queries`/`spreads`/`total`.
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        catch { case e: Throwable =>
+          failures.getOrElseUpdate(name, e.getClass.getName)
+          System.err.println(s"[bench] $name failed: ${e.getClass.getName}: ${String.valueOf(e.getMessage).take(200)}")
+        }
         (System.nanoTime() - t0) / 1e9
       }
       if (warm) once()
       val times = Seq.fill(runs)(once())
       spark.catalog.clearCache()
       name -> times
-    }
+    }.filter { case (name, _) => !failures.contains(name) }
     // Locale.ROOT: a comma-decimal default locale (e.g. de_DE) would
     // otherwise emit `0,1234` and break the JSON line.
     def num(d: Double): String =
@@ -70,8 +79,11 @@ object Bench {
     // previous round are noise, not regressions
     val spreads = obj(ts => (ts.max - ts.min) / math.max(ts.min, 1e-9))
     val total = results.map(_._2.min).sum
+    val errs = failures
+      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spreads":$spreads,"runs":$runs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spreads":$spreads,"errors":$errs,"runs":$runs,"sf":"$sfDir"}"""
     println(line)
     // Also persist the record: stdout of a long run can be tail-truncated
     // by the harness (round 6 lost the per-query minima that way); the

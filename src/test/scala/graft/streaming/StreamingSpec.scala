@@ -25,14 +25,9 @@ class StreamingSpec extends AnyFunSuite {
 
   private def eventStream() = {
     val batch = Tables.events(spark, dir)
-    // stream the same parquet through a file source with the raw schema,
-    // then apply the same nanos→micros conversion
-    val raw = spark.readStream
-      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
-      .parquet(streamDir)
-    val stream = raw.withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    // stream the same parquet through a file source; Tables applies the
+    // same schema-adaptive ts normalization as the batch loader
+    val stream = Tables.eventsStream(spark, streamDir, dir)
     (batch, stream)
   }
 
