@@ -1701,51 +1701,112 @@ object Battery {
          |SELECT id_a, id_b, round(cos, 6) AS cos_r FROM p WHERE cos >= 0.35""".stripMargin
     })
 
-  /** Multimodal batch decode: binary payload + typed metadata →
-    * mapPartitions feature extraction (decoder stubbed deterministically;
-    * plumbing real). The stub feature(i) is the mean of the payload
-    * bytes at positions ≡ i (mod 8), accumulated as an exact Long sum
-    * before the single divide; multiplying back by byte_len and
-    * rounding recovers that stride byte-SUM exactly: the ONLY rounding
-    * left is float32-izing sum/n (relative error ≤ 2⁻²⁴ round-to-
-    * nearest), so |round(feature·n) − sum| < 0.5 while sum < 2²³, i.e.
-    * byte_len ≲ 33 KB for arbitrary bytes (~66 KB for ASCII ≤ 0x7F) —
-    * far above the synthetic docs. (The old per-element float32
-    * accumulation drifted with length.) This turns the formerly
-    * rows-only check into an integer-exact DuckDB oracle (the payloads
-    * are ASCII, so byte positions = char positions). The float vectors
-    * themselves stay pinned by MultimodalOpsSpec.
+  /** Multimodal batch decode over REAL containers: audio payloads are
+    * actual PCM16 WAV and image payloads actual 24-bpp BMP
+    * ([[graft.ops.MultimodalOps.mediaFromDocumentsReal]]), decoded by
+    * [[graft.ops.MultimodalOps.CodecDecoder]] through the same
+    * `extractFeatures` mapPartitions seam production would use; only
+    * `video` (no pure-JVM codec) keeps the FakeDecoder byte-stat stub.
+    * The per-type float features are de-rounded back to the integers
+    * they encode (multiply means back by their counts; exact while the
+    * underlying sums stay < 2²³ — audio sum ≤ 254·32768 = 8 323 072,
+    * image sums ≤ 144·255, video stride sums bounded by the doc length
+    * analysis from round 6), so the oracle recomputes DECODED sample /
+    * pixel statistics in closed form: a mis-parsed fmt chunk, BGR slip,
+    * or row-flip error hash-mismatches. Float vectors stay pinned by
+    * MultimodalOpsSpec.
     */
   private val m2MultimodalDecode = Q(
     "m2_multimodal_decode",
     (s, d) => {
-      val media = graft.ops.MultimodalOps.mediaFromDocuments(T.documents(s, d))
-      val feats = graft.ops.MultimodalOps.extractFeatures(media, shards = 8).toDF()
+      val media = graft.ops.MultimodalOps
+        .mediaFromDocumentsReal(T.documents(s, d)).toDF()
+      val feats = graft.ops.MultimodalOps
+        .extractFeatures(media, shards = 8,
+          decoder = graft.ops.MultimodalOps.CodecDecoder).toDF()
+      val f = (i: Int) => col("feature").getItem(i).cast("double")
+      val np = f(0) * f(1) // image pixel count (w·h, both exact in f32)
+      def sCol(i: Int): Column = {
+        val audio: Column = i match {
+          case 0 | 1 | 2 | 5 => round(f(i))        // n, rate, channels, peak
+          case 3 | 4         => round(f(i) * f(0)) // mean·n → sum, sum_abs
+          case _             => lit(0.0)
+        }
+        val image: Column = i match {
+          case 0 | 1     => round(f(i))                 // width, height
+          case 2 | 3 | 4 => round(f(i) * np)            // mean·np → channel sums
+          case 5         => round(f(5) * lit(4.0) * np) // luma·4np → r+2g+b
+          case _         => lit(0.0)
+        }
+        val video: Column = round(f(i) * col("byte_len")) // stride byte sums
+        when(col("media_type") === "audio", audio)
+          .when(col("media_type") === "image", image)
+          .otherwise(video)
+          .cast("long").as(s"s$i")
+      }
       feats.select(Seq(col("asset_id"), col("media_type"), col("byte_len")) ++
-        (0 until 8).map(i =>
-          round(col("feature").getItem(i) * col("byte_len")).cast("long")
-            .as(s"s$i")): _*)
+        (0 until 8).map(sCol): _*)
     },
     Some {
-      // LEFT JOIN + coalesce: an empty or sub-8-char doc must still emit
-      // its row with zero sums, as the decoder does
-      val sums = (0 until 8).map(i =>
+      val videoSums = (0 until 8).map(i =>
         s"CAST(coalesce(max(CASE WHEN i = $i THEN v END), 0) AS BIGINT) AS s$i")
         .mkString(",\n  ")
-      s"""WITH g AS (
+      s"""WITH wav_s AS (
+         |  SELECT doc_id, unnest(range(0, 64 + doc_id % 191)) AS i
+         |  FROM documents WHERE doc_id % 3 = 1),
+         |wav_v AS (
+         |  SELECT doc_id,
+         |    (doc_id * 2654435761 + i * 40503) % 65536 - 32768 AS smp
+         |  FROM wav_s),
+         |audio AS (
+         |  SELECT doc_id AS asset_id, 'audio' AS media_type,
+         |    CAST(44 + 2 * count(*) AS BIGINT) AS byte_len,
+         |    CAST(count(*) AS BIGINT) AS s0,
+         |    CAST(8000 AS BIGINT) AS s1, CAST(1 AS BIGINT) AS s2,
+         |    CAST(sum(smp) AS BIGINT) AS s3,
+         |    CAST(sum(abs(smp)) AS BIGINT) AS s4,
+         |    CAST(max(abs(smp)) AS BIGINT) AS s5,
+         |    CAST(0 AS BIGINT) AS s6, CAST(0 AS BIGINT) AS s7
+         |  FROM wav_v GROUP BY doc_id),
+         |bmp_a AS (
+         |  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |bmp_p AS (
+         |  SELECT doc_id, w, h, unnest(range(0, w * h)) AS idx FROM bmp_a),
+         |bmp_v AS (
+         |  SELECT doc_id, w, h,
+         |    (doc_id + 7 * (idx % w) + 13 * (idx // w)) % 256 AS r,
+         |    (3 * doc_id + 5 * (idx % w) + (idx // w)) % 256 AS g,
+         |    (11 * doc_id + (idx % w) + 2 * (idx // w)) % 256 AS b
+         |  FROM bmp_p),
+         |image AS (
+         |  SELECT doc_id AS asset_id, 'image' AS media_type,
+         |    CAST(54 + any_value(h) * ((3 * any_value(w) + 3) // 4 * 4) AS BIGINT) AS byte_len,
+         |    CAST(any_value(w) AS BIGINT) AS s0,
+         |    CAST(any_value(h) AS BIGINT) AS s1,
+         |    CAST(sum(r) AS BIGINT) AS s2,
+         |    CAST(sum(g) AS BIGINT) AS s3,
+         |    CAST(sum(b) AS BIGINT) AS s4,
+         |    CAST(sum(r) + 2 * sum(g) + sum(b) AS BIGINT) AS s5,
+         |    CAST(0 AS BIGINT) AS s6, CAST(0 AS BIGINT) AS s7
+         |  FROM bmp_v GROUP BY doc_id),
+         |vid_g AS (
          |  SELECT doc_id, unnest(range(1, length(text) + 1)) AS p, text
-         |  FROM documents),
-         |s AS (
+         |  FROM documents WHERE doc_id % 3 = 2),
+         |vid_s AS (
          |  SELECT doc_id, (p - 1) % 8 AS i,
          |         sum(ascii(substring(text, CAST(p AS INT), 1))) AS v
-         |  FROM g GROUP BY 1, 2)
-         |SELECT d.doc_id AS asset_id,
-         |  CASE CAST(d.doc_id % 3 AS INT) WHEN 0 THEN 'image'
-         |       WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-         |  CAST(length(d.text) AS BIGINT) AS byte_len,
-         |  $sums
-         |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
-         |GROUP BY 1, 2, 3""".stripMargin
+         |  FROM vid_g GROUP BY 1, 2),
+         |video AS (
+         |  SELECT d.doc_id AS asset_id, 'video' AS media_type,
+         |    CAST(length(d.text) AS BIGINT) AS byte_len,
+         |    $videoSums
+         |  FROM documents d LEFT JOIN vid_s s ON d.doc_id = s.doc_id
+         |  WHERE d.doc_id % 3 = 2
+         |  GROUP BY 1, 2, 3)
+         |SELECT * FROM audio
+         |UNION ALL SELECT * FROM image
+         |UNION ALL SELECT * FROM video""".stripMargin
     })
 
   /** Dedup cluster formation: connected components over the embedding
@@ -2106,6 +2167,50 @@ object Battery {
            |  md5(substring(text || text, CAST(ts_ms % len AS INT) + 1,
            |      least(16, len))) AS frame_md5
            |FROM f""".stripMargin))
+
+  /** REAL image frame extraction: image assets carry actual 24-bpp BMP
+    * containers and `sampleFrames(decodeImages = true)` emits each
+    * image's single frame as its DECODED top-down RGB pixel stream —
+    * the frame bytes come out of [[graft.ops.MediaCodecs.BmpCodec]],
+    * not the container. Content is pinned by position-weighted byte
+    * sums over the emitted frame (wsum pins RGB interleave order AND
+    * the bottom-up→top-down row flip; plain sums are order-invariant),
+    * which the oracle recomputes from the analytic pixel formulas.
+    * Narrow flatMap + map, no shuffle.
+    */
+  private val m3bImageFrames = Q(
+    "m3b_image_frames",
+    (s, d) => {
+      import s.implicits._
+      val media = graft.ops.MultimodalOps
+        .mediaFromDocumentsReal(T.documents(s, d))
+        .filter(col("media_type") === "image").toDF()
+      graft.ops.MultimodalOps.sampleFrames(media, everyMs = 5000L, decodeImages = true)
+        .map { fr =>
+          var sum = 0L; var wsum = 0L
+          var i = 0
+          while (i < fr.frame.length) {
+            val b = (fr.frame(i) & 0xff).toLong
+            sum += b; wsum += i.toLong * b
+            i += 1
+          }
+          (fr.asset_id, fr.frame_idx, fr.ts_ms, fr.frame.length.toLong, sum, wsum)
+        }.toDF("asset_id", "frame_idx", "ts_ms", "frame_len", "frame_sum", "frame_wsum")
+    },
+    Some("""WITH a AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+           |           FROM documents WHERE doc_id % 3 = 0),
+           |p AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS idx FROM a),
+           |v AS (SELECT doc_id, w, h, idx,
+           |        (doc_id + 7 * (idx % w) + 13 * (idx // w)) % 256 AS r,
+           |        (3 * doc_id + 5 * (idx % w) + (idx // w)) % 256 AS g,
+           |        (11 * doc_id + (idx % w) + 2 * (idx // w)) % 256 AS b
+           |      FROM p)
+           |SELECT doc_id AS asset_id, CAST(0 AS INT) AS frame_idx,
+           |  CAST(0 AS BIGINT) AS ts_ms,
+           |  CAST(3 * any_value(w) * any_value(h) AS BIGINT) AS frame_len,
+           |  CAST(sum(r + g + b) AS BIGINT) AS frame_sum,
+           |  CAST(sum(3 * idx * r + (3 * idx + 1) * g + (3 * idx + 2) * b) AS BIGINT) AS frame_wsum
+           |FROM v GROUP BY doc_id""".stripMargin))
 
   /** REAL audio decode: each audio asset's payload is an actual PCM16
     * RIFF/WAVE container ([[graft.ops.MediaCodecs.syntheticWav]] —
@@ -2943,7 +3048,7 @@ object Battery {
     twDedupWatermark, twJoinBound, twJoinBoundLeft, stUserTotals,
     x6SubwordCount,
     d1DedupExact, x1TextStats, n1AnnTopK, m1Multimodal, m2MultimodalDecode,
-    m3FrameSample, m4WavDecode, m5BmpDecode,
+    m3FrameSample, m3bImageFrames, m4WavDecode, m5BmpDecode,
     d2MinhashBands, d2bNearDupPairs, d3Simhash, d7SimhashPairs, d4NgramJaccard,
     d5DedupClusters, d6DedupCorpus, d8DupSpans, d9DupSpanCut,
     x2LangId, x3Fingerprint, x3bRolling, x4Quality, x5TokenFreq,

@@ -76,6 +76,51 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats(0L).feature(0) == wav.samples.length.toFloat)
   }
 
+  test("mediaFromDocumentsReal: payloads are real containers that round-trip the codecs") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(30)
+    val media = MultimodalOps.mediaFromDocumentsReal(docs).collect()
+    assert(media.length == 30)
+    media.foreach { m =>
+      (m.asset_id % 3) match {
+        case 0 =>
+          assert(m.media_type == "image")
+          val bmp = MediaCodecs.BmpCodec.decode(m.content)
+          assert(m.width.contains(bmp.width) && m.height.contains(bmp.height))
+        case 1 =>
+          assert(m.media_type == "audio")
+          val wav = MediaCodecs.WavCodec.decode(m.content)
+          assert(m.duration_ms.contains(wav.samples.length * 1000L / 8000L))
+        case _ =>
+          assert(m.media_type == "video" && m.duration_ms.nonEmpty)
+      }
+    }
+  }
+
+  test("sampleFrames(decodeImages): the emitted frame is the DECODED top-down RGB stream") {
+    import spark.implicits._
+    val ids = Seq(0L, 3L, 6L, 9L, 12L)
+    val media = ids.map { id =>
+      MultimodalOps.MediaRow(id, "image", MediaCodecs.syntheticBmp(id), None, None, None)
+    }.toDS().toDF()
+    val frames = MultimodalOps.sampleFrames(media, everyMs = 5000L, decodeImages = true)
+      .collect().map(f => f.asset_id -> f).toMap
+    assert(frames.keySet == ids.toSet)
+    ids.foreach { id =>
+      val bmp = MediaCodecs.BmpCodec.decode(MediaCodecs.syntheticBmp(id))
+      val fr = frames(id)
+      assert(fr.frame_idx == 0 && fr.ts_ms == 0L)
+      assert(fr.frame.length == bmp.width * bmp.height * 3)
+      // spot-check pixel (x=1, y=1), top-down row-major RGB interleave
+      val idx = bmp.width + 1
+      val p = bmp.pixels(idx)
+      assert((fr.frame(3 * idx) & 0xff) == ((p >> 16) & 0xff))
+      assert((fr.frame(3 * idx + 1) & 0xff) == ((p >> 8) & 0xff))
+      assert((fr.frame(3 * idx + 2) & 0xff) == (p & 0xff))
+    }
+    // without the flag, image assets emit nothing (m3's video-only contract)
+    assert(MultimodalOps.sampleFrames(media, everyMs = 5000L).count() == 0L)
+  }
+
   test("resize updates image metadata only, payload untouched") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val media = MultimodalOps.mediaFromDocuments(docs)
