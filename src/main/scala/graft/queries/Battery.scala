@@ -976,6 +976,50 @@ object Battery {
     Some("""SELECT DISTINCT user_id, event_type, date_trunc('day', ts) AS ts
            |FROM events""".stripMargin))
 
+  /** Late-arrival drop/keep boundary of `dropDuplicatesWithinWatermark`,
+    * batch twin. Fixture: a two-batch replay of events keyed on
+    * (user_id, event_type) — batch 1 is each key's arg-min-ts row, batch
+    * 2 everything else. After batch 1 the watermark is FIXED at
+    * `W1 = max(per-key min ts) − 1h` for all of batch 2 (watermarks only
+    * advance at batch boundaries), which gives every key a closed-form
+    * emission count:
+    *   - a batch-2 row with ts < W1 is LATE → dropped;
+    *   - else if the key's state is still live (`W1 ≤ tmin + 1h`) →
+    *     deduped;
+    *   - else (state expired, row on time) → RE-EMITTED, and every later
+    *     same-key row in the batch deduplicates against the new state
+    *     (its ts ≥ W1, so the refreshed state cannot expire within the
+    *     batch) — so n_emitted per key is exactly 1 or 2.
+    * [[graft.streaming.StreamingSpec]] drives the REAL two-batch stream
+    * (maxFilesPerTrigger=1) and asserts its per-key emission multiset
+    * equals this query — pinning the drop/keep boundary itself, not just
+    * the single-batch fixpoint (tw_dedup_watermark).
+    */
+  private val twDedupLateBoundary = Q(
+    "tw_dedup_late_boundary",
+    (s, d) => {
+      val k = T.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(col("ts")).as("tmin"), max(col("ts")).as("tmax"),
+          count(lit(1)).as("n"))
+      val w1 = k.agg(max(col("tmin")).as("m1"))
+        .select((col("m1") - expr("INTERVAL 1 HOUR")).as("w1"))
+      k.crossJoin(broadcast(w1))
+        .select(col("user_id"), col("event_type"),
+          when(col("n") > 1 && col("tmax") >= col("w1") &&
+              col("w1") > col("tmin") + expr("INTERVAL 1 HOUR"), lit(2L))
+            .otherwise(lit(1L)).as("n_emitted"))
+    },
+    Some("""WITH k AS (
+           |  SELECT user_id, event_type, min(ts) AS tmin, max(ts) AS tmax,
+           |         count(*) AS n
+           |  FROM events GROUP BY 1, 2),
+           |w AS (SELECT max(tmin) - INTERVAL '1 hour' AS w1 FROM k)
+           |SELECT user_id, event_type,
+           |  CASE WHEN n > 1 AND tmax >= w1 AND w1 > tmin + INTERVAL '1 hour'
+           |       THEN 2 ELSE 1 END AS n_emitted
+           |FROM k, w""".stripMargin))
+
   /** Stream-stream time-bound inner join, batch form — the SAME
     * [[graft.streaming.Streaming.timeBoundJoin]] the streaming query
     * plans (stream parity pinned by StreamingSpec): every click within
@@ -3045,7 +3089,7 @@ object Battery {
     f6Datetime, g1DateSpine,
     fScalar, f5Cast, f9MapExplode, f12Json, f13ArrayOps,
     twTumbling, twSliding, twSession,
-    twDedupWatermark, twJoinBound, twJoinBoundLeft, stUserTotals,
+    twDedupWatermark, twDedupLateBoundary, twJoinBound, twJoinBoundLeft, stUserTotals,
     x6SubwordCount,
     d1DedupExact, x1TextStats, n1AnnTopK, m1Multimodal, m2MultimodalDecode,
     m3FrameSample, m3bImageFrames, m4WavDecode, m5BmpDecode,

@@ -291,6 +291,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark late-arrival boundary: the real two-batch " +
+      "replay equals the tw_dedup_late_boundary closed form") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // fixture: batch 1 = each (user_id, event_type) key's arg-min-ts row
+    // (tie-break event_id, so the stored state ts is deterministic),
+    // batch 2 = everything else. Watermarks advance only at the batch
+    // boundary, so all of batch 2 sees W1 = max(per-key min ts) - 1h.
+    val rows = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .as[(Long, String, java.sql.Timestamp, Long)].collect()
+    val argmin = rows.groupBy(r => (r._1, r._2)).map { case (_, rs) =>
+      rs.minBy(r => (r._3.getTime, r._4))
+    }.toSet
+    val strip = (r: (Long, String, java.sql.Timestamp, Long)) => (r._1, r._2, r._3)
+    val batch1 = argmin.toSeq.map(strip)
+    val batch2 = rows.filterNot(argmin).map(strip).toSeq
+    assert(batch2.nonEmpty, "fixture needs duplicate keys to exercise the boundary")
+
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = Streaming.streamingDedup(
+        in.toDS().toDF("user_id", "event_type", "ts"),
+        "1 hour", Seq("user_id", "event_type"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("late_bound_out").start()
+    try {
+      in.addData(batch1); q.processAllAvailable()
+      in.addData(batch2); q.processAllAvailable()
+      val got = spark.table("late_bound_out")
+        .groupBy("user_id", "event_type")
+        .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      val want = graft.SparkEntry.queries("tw_dedup_late_boundary")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got.size == want.size, s"key count ${got.size} vs ${want.size}")
+      val diffs = want.collect { case (k, n) if got.getOrElse(k, 0L) != n =>
+        s"$k: stream ${got.getOrElse(k, 0L)} vs closed-form $n" }
+      assert(diffs.isEmpty, diffs.take(5).mkString("; "))
+      assert(want.values.exists(_ == 2L) && want.values.exists(_ == 1L),
+        "fixture must exercise BOTH sides of the boundary")
+    } finally q.stop()
+  }
+
   test("watermarked dedup emits each event_id once") {
     val (_, stream) = eventStream()
     val q = Streaming.streamingDedup(stream, "10 minutes", Seq("event_id"))
