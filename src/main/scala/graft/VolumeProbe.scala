@@ -29,19 +29,26 @@ import org.apache.spark.sql.functions._
   */
 object VolumeProbe {
 
-  /** Tables the headline probe queries read. `events` is excluded: its
-    * TIMESTAMP(NANOS) needs the legacy reader conf and no probe query
-    * touches it.
-    */
+  /** Tables the headline probe queries read. */
   private val tables = Seq("region", "nation", "customer", "supplier",
-    "part", "orders", "lineitem", "documents", "embeddings")
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
 
   /** Identity/join keys to remap per replica: every TPC-H `*key`
-    * column plus the documents/embeddings ids.
+    * column plus the documents/embeddings/events ids.
     */
   private def keyCols(df: DataFrame): Seq[String] =
     df.columns.toSeq.filter(c =>
-      c.endsWith("key") || c == "doc_id" || c == "vec_id")
+      c.endsWith("key") || c == "doc_id" || c == "vec_id" ||
+        c == "event_id" || c == "user_id")
+
+  /** Per-replica timestamp shift (events `ts`): the corpus spans ~30
+    * days, so 3650 days puts each replica in its own disjoint decade —
+    * time-window joins, as-of lookups, and windowed aggregations all
+    * stay replica-local and scale exactly ×factor. A whole number of
+    * days keeps day-truncations and window-bucket alignment identical
+    * within every replica.
+    */
+  private val TsShiftDays = 3650L
 
   /** lcm of every `% m` a probed query derives membership from: the
     * KfShaped fixture's entity moduli
@@ -60,9 +67,23 @@ object VolumeProbe {
     require(keyOffset % ModLcm == 0, s"offset must preserve mod-$ModLcm classes")
     val exploded = df.withColumn("__rep",
       explode(sequence(lit(0L), lit(factor - 1L))))
-    keyCols(df).foldLeft(exploded) { (d, c) =>
+    val keyed = keyCols(df).foldLeft(exploded) { (d, c) =>
       d.withColumn(c, col(c) + col("__rep") * keyOffset)
-    }.drop("__rep")
+    }
+    // ts-offset replica rule: shift each replica into its own decade so
+    // time-keyed plans (as-of, time-bound joins, windows) stay closed
+    // per replica — works on either physical ts form (NTZ or long nanos)
+    val shifted =
+      if (!df.columns.contains("ts")) keyed
+      else df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => // nanos-as-long
+          keyed.withColumn("ts",
+            col("ts") + col("__rep") * lit(TsShiftDays * 86400L * 1000000000L))
+        case _ =>
+          keyed.withColumn("ts",
+            expr(s"timestampadd(DAY, $TsShiftDays * __rep, ts)"))
+      }
+    shifted.drop("__rep")
   }
 
   /** Smallest ModLcm multiple strictly above every key in every table —
@@ -92,7 +113,13 @@ object VolumeProbe {
     "d7_simhash_pairs", "d8_dup_spans", "x5_token_freq",
     "x15_bigram_counts", "x8_decontaminate", "x9_pack_sequences",
     "x14_domain_cap", "c1_corpus_curation", "n6_kmeans_fit",
-    "j_outer_chain")
+    "j_outer_chain", "j14_asof_join", "tw_timebound_join")
+  // The two events-family probes pin the time-keyed claims: j14's
+  // window-over-union emits exactly one row per left event (×factor by
+  // user-disjoint replicas), and tw_timebound_join's per-key fan-out is
+  // bounded by per-user-per-2h density — cross-replica pairs are
+  // impossible with both user ids AND decades disjoint, so pair counts
+  // scale exactly ×factor, never quadratically.
   // n6's law is exact ×factor BY CONSTRUCTION, not just by closure:
   // seeds are the k lowest ids — replica 0's originals — and each
   // clone set contributes 10 identical copies to its cell's mean, so

@@ -22,7 +22,7 @@ class VolumeProbeSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft_volspec").toString
     val offset = VolumeProbe.keyOffsetFor(spark, srcDir)
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "documents", "embeddings"))
+        "orders", "lineitem", "events", "documents", "embeddings"))
       VolumeProbe.multiply(spark.read.parquet(s"$srcDir/$t.parquet"), factor, offset)
         .write.mode("overwrite").parquet(s"$dir/$t.parquet")
     dir
@@ -60,6 +60,23 @@ class VolumeProbeSpec extends AnyFunSuite {
     val big = x5(spark, outDir).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(big == base.map { case (t, n) => (t, n * factor) },
       "identical ranked top tokens with counts xN")
+  }
+
+  test("events family scales exactly xN: as-of join and time-bound join " +
+      "stay replica-local under the ts-offset rule") {
+    // user ids AND decades are disjoint across replicas, so no as-of
+    // lookup or 2h-bound pair can cross replicas: j14 emits one row per
+    // left event (xN), tw pair counts scale xN — never quadratically in
+    // the clone count
+    for (name <- Seq("j14_asof_join", "tw_timebound_join")) {
+      val fn = SparkEntry.queries(name)
+      assert(fn(spark, outDir).count() == fn(spark, srcDir).count() * factor,
+        s"$name must scale exactly x$factor")
+    }
+    // the shift is a whole number of days, so per-replica window
+    // bucketing is identical: tumbling-window rows also scale exactly
+    val tw = SparkEntry.queries("tw_tumbling_window")
+    assert(tw(spark, outDir).count() == tw(spark, srcDir).count() * factor)
   }
 
   test("curation is INVARIANT under replication: N byte-identical copies " +

@@ -245,4 +245,58 @@ class ScaleStressSpec extends AnyFunSuite {
       conf.set("spark.sql.shuffle.partitions", prevSp)
     }
   }
+
+  test("semanticDedup k-scaling: one cell holding a large clone family stays " +
+      "cell-quadratic in candidates, family-quadratic in true pairs, and the " +
+      "labeling is k-invariant down to the k=1 degenerate") {
+    // corpus: a 400-clone family (identical one-hot vectors — identical
+    // vectors get identical k-means assignments, so the whole family
+    // ALWAYS lands in one cell, whatever k) + 300 background vectors
+    // that are distinct one-hots (pairwise cosine exactly 0 — never a
+    // near-dup pair, in any cell). This is the n7 shape a 100 TB run
+    // could regret: shrinking k grows the family's cell, and candidate
+    // pairs grow cell-quadratically — the published SemDeDup trade.
+    val nFam = 400; val nBg = 300; val dim = nBg + 1
+    def oneHot(j: Int): Array[Float] = {
+      val a = new Array[Float](dim); a(j) = 1f; a
+    }
+    val rows =
+      (0 until nBg).map(i => (i.toLong, oneHot(i))) ++
+      (0 until nFam).map(i => ((nBg + i).toLong, oneHot(nBg)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val famIds = (nBg until nBg + nFam).map(_.toLong).toSet
+
+    for (k <- Seq(8, 2, 1)) {
+      // candidate count is EXACTLY Σ C(cell,2) over the fit's cells —
+      // the equi-join on the cluster id can't produce more (and at k=1
+      // degenerates to C(700,2): the corpus-quadratic ceiling the k
+      // knob exists to stay far under)
+      val (_, assign) = SimilarityOps.kmeansFit(emb, "vec_id", "embedding", k, 2)
+      val cellSizes = assign.groupBy("cluster").count()
+        .collect().map(_.getLong(1))
+      val candidates = cellSizes.map(n => n * (n - 1) / 2).sum
+      val famCell = assign.where(col("vec_id").isin(famIds.toSeq: _*))
+        .select("cluster").distinct().count()
+      assert(famCell == 1L, s"k=$k: clone family must share one cell")
+      assert(candidates >= nFam.toLong * (nFam - 1) / 2,
+        s"k=$k: the family's cell alone is C($nFam,2)")
+      if (k == 1)
+        assert(candidates == (nFam + nBg).toLong * (nFam + nBg - 1) / 2)
+
+      // ...but the OUTPUT stays family-quadratic and k-invariant:
+      // every family member labels with the family min id, every
+      // background vector stays a singleton — even at k=1, where the
+      // verifier scanned all 244 650 candidates
+      val out = SimilarityOps
+        .semanticDedup(emb, "vec_id", "embedding", k, iters = 2, threshold = 0.5)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(out.size == nFam + nBg)
+      famIds.foreach { id =>
+        assert(out(id) == nBg.toLong, s"k=$k: clone $id must label with the family min")
+      }
+      (0 until nBg).foreach { i =>
+        assert(out(i.toLong) == i.toLong, s"k=$k: background $i must stay a singleton")
+      }
+    }
+  }
 }
