@@ -336,6 +336,28 @@ class PlanQualitySpec extends AnyFunSuite {
       s"stateful totals must shuffle once:\n$p")
   }
 
+  test("real-codec decode is map-shaped: m2 shuffles only its explicit " +
+      "shard repartition, m3b decoded frames are fully narrow") {
+    // extractFeatures' one Exchange is the deliberate content-hash shard
+    // (spreads hot assets); the decode itself must add nothing
+    val p2 = plan("m2_multimodal_decode")
+    val ex2 = p2.linesIterator.count(_.matches(".*[+:]- Exchange .*"))
+    assert(ex2 == 1, s"m2 must shuffle exactly once (the shard), got $ex2:\n$p2")
+    // image frame decode + per-frame stats: filter, flatMap, map — a
+    // 100 TB media scan must not shuffle payloads at all
+    val p3 = plan("m3b_image_frames")
+    val ex3 = p3.linesIterator.count(_.matches(".*[+:]- Exchange .*"))
+    assert(ex3 == 0, s"m3b must be zero-exchange, got $ex3:\n$p3")
+  }
+
+  test("late-boundary dedup twin aggregates the key set once and broadcasts " +
+      "the scalar watermark (no second shuffle of the keys)") {
+    val p = plan("tw_dedup_late_boundary")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"W1 scalar not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"keys must not re-shuffle for W1:\n$p")
+  }
+
   test("no forced broadcast anywhere in the load/build paths (source gate)") {
     // an id map / Indexd dim / builder input is 1:1 with the entity
     // universe — a broadcast() hint there is a driver OOM at scale. AQE
