@@ -339,4 +339,74 @@ object CorpusOps {
       carry = Seq(col("pred_lang"), col("quality_e6"),
         md5(redactPii(col(textCol))).as("red_md5")))
   }
+
+  /** Deterministic epoch shuffle: assign every document a global
+    * position in a seeded pseudo-random permutation — the "shuffle the
+    * corpus each epoch" step of a training run, reproducible across
+    * engines and re-runs (same seed → same order, so a resumed job
+    * skips to the right offset).
+    *
+    * Scale shape: order key = md5(seed:id) (uniform, engine-portable);
+    * the global position comes from a RANGE-partitioned sort followed
+    * by `zipWithIndex`'s two-pass per-partition offset trick — the
+    * scalable global-numbering shape. A `row_number()` window with no
+    * partition spec would funnel 100 TB through ONE task; this sorts in
+    * parallel and runs one extra tiny job to collect partition counts.
+    */
+  /** The parallel-sort stage of [[epochShuffle]], exposed so the plan
+    * gate can assert the range partitioning (the zipWithIndex step that
+    * follows hides the sort behind an ExistingRDD plan boundary).
+    */
+  private[graft] def epochSorted(docs: DataFrame, idCol: String, seed: Long,
+      partitions: Int): DataFrame = {
+    val keyed = docs.select(col(idCol),
+      md5(concat_ws(":", lit(seed), col(idCol))).as("__h"))
+    val n = if (partitions > 0) partitions
+      else docs.sparkSession.sessionState.conf.numShufflePartitions
+    keyed.repartitionByRange(n, col("__h"), col(idCol))
+      .sortWithinPartitions(col("__h"), col(idCol))
+  }
+
+  def epochShuffle(docs: DataFrame, idCol: String, seed: Long,
+      partitions: Int = 0): DataFrame = {
+    val spark = docs.sparkSession
+    val sorted = epochSorted(docs, idCol, seed, partitions)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField("pos",
+          org.apache.spark.sql.types.LongType, nullable = false))
+    val withPos = sorted.rdd.zipWithIndex.map { case (row, idx) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (idx + 1L))
+    }
+    spark.createDataFrame(withPos, schema).drop("__h")
+  }
+
+  /** Length-bucketed batch assignment: route each document to a length
+    * bucket (fewer pad tokens per batch when co-batched lengths are
+    * close) and number fixed-size batches within each bucket. `bounds`
+    * are explicit token-count lower bounds for buckets 1..n (bucket 0
+    * catches the rest) — explicit, not quantile-derived, so the
+    * assignment is deterministic and engines agree bit-for-bit.
+    *
+    * Scale shape: bucketing is a narrow literal comparison chain; batch
+    * numbering shuffles once, partitioned by bucket. With a handful of
+    * buckets those partitions are wide at 100 TB — the production knob
+    * is the same two-phase (bucket, salt) split domainCap uses; the
+    * within-bucket order (token count, then id) is what keeps co-batched
+    * lengths adjacent, which is the point of the operator.
+    */
+  def lengthBucketBatches(docs: DataFrame, idCol: String, textCol: String,
+      bounds: Seq[Int], batchSize: Int): DataFrame = {
+    require(bounds == bounds.sorted && bounds.nonEmpty, "bounds must ascend")
+    require(batchSize > 0, "batchSize must be positive")
+    val bucket = bounds.zipWithIndex.foldLeft(lit(0)) { case (acc, (b, i)) =>
+      when(col("n_tokens") >= b, lit(i + 1)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("n_tokens"), col(idCol))
+    docs.select(col(idCol), size(TextOps.tokens(col(textCol))).as("n_tokens"))
+      .withColumn("bucket", bucket)
+      .withColumn("batch_idx",
+        ((row_number().over(w) - 1) / batchSize).cast("long"))
+  }
 }

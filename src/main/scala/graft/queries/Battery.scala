@@ -2165,6 +2165,45 @@ object Battery {
            |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rn FROM sc)
            |SELECT doc_id, token AS top_term, tf, df, score FROM r WHERE rn = 1""".stripMargin))
 
+  /** Deterministic epoch shuffle ([[graft.ops.CorpusOps.epochShuffle]]):
+    * every document's global position in the seed-42 permutation. The
+    * order key md5(seed:id) is engine-portable, so DuckDB's row_number
+    * over the same key reproduces the position bit-for-bit; the Spark
+    * side computes it with a RANGE-partitioned sort + zipWithIndex's
+    * per-partition offsets, never a single-task global window.
+    */
+  private val x17EpochShuffle = Q(
+    "x17_epoch_shuffle",
+    (s, d) => graft.ops.CorpusOps.epochShuffle(
+      T.documents(s, d), "doc_id", seed = 42L),
+    Some("""SELECT doc_id,
+           |  row_number() OVER (ORDER BY md5('42:' || doc_id), doc_id) AS pos
+           |FROM documents""".stripMargin))
+
+  /** Length-bucketed batch assignment
+    * ([[graft.ops.CorpusOps.lengthBucketBatches]]): documents routed to
+    * explicit token-count buckets, fixed-size batches numbered within
+    * each bucket (ordered by length then id, so co-batched lengths are
+    * adjacent — the padding-efficiency point of the operator).
+    */
+  private val x18LengthBuckets = Q(
+    "x18_length_buckets",
+    (s, d) => graft.ops.CorpusOps.lengthBucketBatches(
+      T.documents(s, d), "doc_id", "text",
+      bounds = Seq(20, 40, 80), batchSize = 16),
+    Some("""WITH t AS (SELECT doc_id,
+           |    len(string_split_regex(trim(text), '\s+')) AS n_tokens
+           |  FROM documents),
+           |b AS (SELECT doc_id, n_tokens,
+           |    CASE WHEN n_tokens >= 80 THEN 3
+           |         WHEN n_tokens >= 40 THEN 2
+           |         WHEN n_tokens >= 20 THEN 1 ELSE 0 END AS bucket
+           |  FROM t)
+           |SELECT doc_id, n_tokens, bucket,
+           |  CAST((row_number() OVER (PARTITION BY bucket
+           |        ORDER BY n_tokens, doc_id) - 1) // 16 AS BIGINT) AS batch_idx
+           |FROM b""".stripMargin))
+
   /** Corpus token histogram: explode tokens → count — the vocabulary/
     * token-counting sweep of a training-data pipeline (one shuffle on
     * the token, map-side partial counts). Top-50 by (count desc, token)
@@ -3098,7 +3137,7 @@ object Battery {
     x2LangId, x3Fingerprint, x3bRolling, x4Quality, x5TokenFreq,
     x7Repetition, x8Decontaminate, x9PackSequences, x10Redact,
     x11StratifiedSample, x12RareTokens, x13HeavyHitters, x14DomainCap,
-    x15BigramCounts, x16TopDistinctTerm, c1Curation,
+    x15BigramCounts, x16TopDistinctTerm, x17EpochShuffle, x18LengthBuckets, c1Curation,
     n2AnnLsh, n3EmbNearDup, n4AnnIvf, n5PqQuantize, n6KmeansFit, n7SemanticDedup,
     kfPatientSlice, kfRSubjectSlice, kfSpecimenSlice, kfDrsSlice,
     kfDiseaseSlice, kfPhenotypeSlice, kfHistoSlice, kfVitalSlice,

@@ -358,6 +358,27 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"keys must not re-shuffle for W1:\n$p")
   }
 
+  test("epoch shuffle sorts range-partitioned — never a single-task global window") {
+    // the zipWithIndex numbering step hides the sort behind an
+    // ExistingRDD boundary, so gate the sort stage and the final plan
+    // separately
+    val sortStage = graft.ops.CorpusOps
+      .epochSorted(graft.Tables.documents(spark, dir), "doc_id", 42L, 0)
+      .queryExecution.explainString(FormattedMode)
+    assert(sortStage.toLowerCase.contains("rangepartitioning"),
+      s"global order must range-partition:\n$sortStage")
+    val p = plan("x17_epoch_shuffle")
+    assert(!p.contains("Window"),
+      s"no window operator (zipWithIndex numbers globally):\n$p")
+  }
+
+  test("length bucketing shuffles once on the bucket key") {
+    val p = plan("x18_length_buckets")
+    val exchanges = p.linesIterator.count(_.matches(".*[+:]- Exchange .*"))
+    assert(exchanges == 1, s"expected exactly the bucket shuffle, got $exchanges:\n$p")
+    assert(p.contains("Window"), s"batch numbering must be a window:\n$p")
+  }
+
   test("no forced broadcast anywhere in the load/build paths (source gate)") {
     // an id map / Indexd dim / builder input is 1:1 with the entity
     // universe — a broadcast() hint there is a driver OOM at scale. AQE

@@ -230,4 +230,52 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(CorpusOps.curate(docs, "doc_id", "text",
       minQualityE6 = 2000000L).isEmpty)
   }
+
+  test("epochShuffle: a seeded bijection onto 1..n, stable across partition " +
+      "counts, different seeds produce different orders") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val n = docs.count()
+    val out = CorpusOps.epochShuffle(docs, "doc_id", seed = 42L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == n, "one position per document")
+    assert(out.values.toSeq.sorted == (1L to n).toSeq, "positions are exactly 1..n")
+    // partition count must not change the permutation (the global
+    // numbering is a property of the ORDER KEY, not the physical split)
+    val again = CorpusOps.epochShuffle(docs, "doc_id", seed = 42L, partitions = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == out, "permutation must be partitioning-invariant")
+    val other = CorpusOps.epochShuffle(docs, "doc_id", seed = 7L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(other != out, "different seed, different permutation")
+  }
+
+  test("lengthBucketBatches: bucket routing by bounds, batches full except " +
+      "the last per bucket, co-batched lengths adjacent") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = CorpusOps.lengthBucketBatches(docs, "doc_id", "text",
+        bounds = Seq(20, 40, 80), batchSize = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(out.length == docs.count())
+    out.foreach { case (_, nTok, bucket, _) =>
+      val expect = if (nTok >= 80) 3 else if (nTok >= 40) 2 else if (nTok >= 20) 1 else 0
+      assert(bucket == expect, s"n_tokens $nTok routed to bucket $bucket")
+    }
+    out.groupBy(t => (t._3, t._4)).foreach { case ((bucket, batchIdx), rows) =>
+      val maxIdx = out.filter(_._3 == bucket).map(_._4).max
+      if (batchIdx < maxIdx)
+        assert(rows.length == 16, s"bucket $bucket batch $batchIdx not full: ${rows.length}")
+      else assert(rows.length <= 16)
+    }
+    // within a bucket, batch index is monotone in token count: a batch
+    // never contains a longer doc than a later batch's shortest
+    out.groupBy(_._3).foreach { case (bucket, rows) =>
+      val byBatch = rows.groupBy(_._4).toSeq.sortBy(_._1)
+        .map { case (i, rs) => (i, rs.map(_._2).min, rs.map(_._2).max) }
+      byBatch.sliding(2).foreach {
+        case Seq((_, _, maxPrev), (_, minNext, _)) =>
+          assert(maxPrev <= minNext, s"bucket $bucket batches out of length order")
+        case _ => ()
+      }
+    }
+  }
 }
