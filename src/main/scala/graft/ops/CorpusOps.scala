@@ -367,6 +367,70 @@ object CorpusOps {
       .sortWithinPartitions(col("__h"), col(idCol))
   }
 
+  /** Like [[epochSorted]] but carrying each document's token count —
+    * the input ordering for [[chunkAssignments]]' prefix sum.
+    */
+  private[graft] def chunkSorted(docs: DataFrame, idCol: String, textCol: String,
+      seed: Long, partitions: Int): DataFrame = {
+    val keyed = docs.select(col(idCol),
+      size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"),
+      md5(concat_ws(":", lit(seed), col(idCol))).as("__h"))
+    val n = if (partitions > 0) partitions
+      else docs.sparkSession.sessionState.conf.numShufflePartitions
+    keyed.repartitionByRange(n, col("__h"), col(idCol))
+      .sortWithinPartitions(col("__h"), col(idCol))
+  }
+
+  /** Fixed-context-window chunk assignment: concatenate the whole
+    * corpus in seeded epoch-shuffle order and cut it into training
+    * examples of `chunkTokens` tokens, examples crossing document
+    * boundaries (the GPT-style "pack the token stream" regime —
+    * the boundary-respecting alternative is [[packSequences]]). Returns
+    * one row per document: its global token offset and the first/last
+    * chunk ids it contributes to.
+    *
+    * Scale shape: the global token offset is a DISTRIBUTED PREFIX SUM —
+    * range-partition + sort by the shuffle key, one tiny job to collect
+    * per-partition token totals (ONE Long per partition reaches the
+    * driver), broadcast the cumulative starts, then a narrow
+    * per-partition running sum. A window `sum() OVER (ORDER BY ...)`
+    * with no partition spec — the single-node SQL form the oracle uses —
+    * would funnel the corpus through one task; this never does. The
+    * sorted stage is computed once per pass (two passes total, same
+    * two-job pattern `zipWithIndex` uses); production would
+    * `localCheckpoint` it between passes if the sort dominated.
+    */
+  def chunkAssignments(docs: DataFrame, idCol: String, textCol: String,
+      seed: Long, chunkTokens: Int, partitions: Int = 0): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    val spark = docs.sparkSession
+    val sorted = chunkSorted(docs, idCol, textCol, seed, partitions)
+    val rdd = sorted.rdd
+    val partTotals = rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        Iterator((i, it.map(_.getLong(1)).sum))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val starts = partTotals.scanLeft(0L)(_ + _)  // starts(i) = tokens before partition i
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField("tok_start",
+          org.apache.spark.sql.types.LongType, nullable = false))
+    val withOffsets = rdd.mapPartitionsWithIndex { (i, it) =>
+      var off = starts(i)
+      it.map { row =>
+        val start = off
+        off += row.getLong(1)
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ start)
+      }
+    }
+    spark.createDataFrame(withOffsets, schema)
+      .select(col(idCol), col("n_tokens"), col("tok_start"),
+        (col("tok_start") / chunkTokens).cast("long").as("first_chunk"),
+        ((col("tok_start") + col("n_tokens") - 1) / chunkTokens)
+          .cast("long").as("last_chunk"))
+  }
+
   def epochShuffle(docs: DataFrame, idCol: String, seed: Long,
       partitions: Int = 0): DataFrame = {
     val spark = docs.sparkSession

@@ -2204,6 +2204,32 @@ object Battery {
            |        ORDER BY n_tokens, doc_id) - 1) // 16 AS BIGINT) AS batch_idx
            |FROM b""".stripMargin))
 
+  /** Fixed-context-window chunking over the shuffled token stream
+    * ([[graft.ops.CorpusOps.chunkAssignments]]): each document's global
+    * token offset in seed-42 epoch order and the first/last 512-token
+    * training chunks it lands in. The offset is a DISTRIBUTED prefix
+    * sum (range-partitioned sort + per-partition totals + narrow
+    * running sum); the oracle computes the same thing with the
+    * single-node `sum() OVER (ORDER BY ...)` window this shape exists
+    * to avoid at 100 TB.
+    */
+  private val x19TokenChunks = Q(
+    "x19_token_chunks",
+    (s, d) => graft.ops.CorpusOps.chunkAssignments(
+      T.documents(s, d), "doc_id", "text", seed = 42L, chunkTokens = 512),
+    Some("""WITH t AS (SELECT doc_id,
+           |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+           |    md5('42:' || doc_id) AS h
+           |  FROM documents),
+           |o AS (SELECT doc_id, n_tokens,
+           |    coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+           |  FROM t)
+           |SELECT doc_id, n_tokens, tok_start,
+           |  tok_start // 512 AS first_chunk,
+           |  (tok_start + n_tokens - 1) // 512 AS last_chunk
+           |FROM o""".stripMargin))
+
   /** Corpus token histogram: explode tokens → count — the vocabulary/
     * token-counting sweep of a training-data pipeline (one shuffle on
     * the token, map-side partial counts). Top-50 by (count desc, token)
@@ -3137,7 +3163,8 @@ object Battery {
     x2LangId, x3Fingerprint, x3bRolling, x4Quality, x5TokenFreq,
     x7Repetition, x8Decontaminate, x9PackSequences, x10Redact,
     x11StratifiedSample, x12RareTokens, x13HeavyHitters, x14DomainCap,
-    x15BigramCounts, x16TopDistinctTerm, x17EpochShuffle, x18LengthBuckets, c1Curation,
+    x15BigramCounts, x16TopDistinctTerm, x17EpochShuffle, x18LengthBuckets,
+    x19TokenChunks, c1Curation,
     n2AnnLsh, n3EmbNearDup, n4AnnIvf, n5PqQuantize, n6KmeansFit, n7SemanticDedup,
     kfPatientSlice, kfRSubjectSlice, kfSpecimenSlice, kfDrsSlice,
     kfDiseaseSlice, kfPhenotypeSlice, kfHistoSlice, kfVitalSlice,

@@ -372,6 +372,18 @@ class PlanQualitySpec extends AnyFunSuite {
       s"no window operator (zipWithIndex numbers globally):\n$p")
   }
 
+  test("token chunking's prefix sum is range-partitioned — no single-task " +
+      "global window in the distributed form") {
+    val sortStage = graft.ops.CorpusOps
+      .chunkSorted(graft.Tables.documents(spark, dir), "doc_id", "text", 42L, 0)
+      .queryExecution.explainString(FormattedMode)
+    assert(sortStage.toLowerCase.contains("rangepartitioning"),
+      s"prefix-sum input must range-partition:\n$sortStage")
+    val p = plan("x19_token_chunks")
+    assert(!p.contains("Window"),
+      s"no window operator (the offsets come from the two-pass prefix sum):\n$p")
+  }
+
   test("length bucketing shuffles once on the bucket key") {
     val p = plan("x18_length_buckets")
     val exchanges = p.linesIterator.count(_.matches(".*[+:]- Exchange .*"))

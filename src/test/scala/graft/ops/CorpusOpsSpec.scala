@@ -249,6 +249,41 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(other != out, "different seed, different permutation")
   }
 
+  test("chunkAssignments: contiguous token stream in shuffle order, " +
+      "partitioning-invariant, chunk spans consistent") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = CorpusOps.chunkAssignments(docs, "doc_id", "text",
+        seed = 42L, chunkTokens = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.length == docs.count())
+    // offsets tile the token stream exactly: sorted by tok_start, each
+    // doc starts where the previous ended
+    val byStart = out.sortBy(_._3)
+    byStart.sliding(2).foreach {
+      case Array((_, n1, s1, _, _), (_, _, s2, _, _)) =>
+        assert(s1 + n1 == s2, "token stream must be contiguous")
+      case _ => ()
+    }
+    assert(byStart.head._3 == 0L)
+    // chunk spans match the offsets
+    out.foreach { case (id, n, s, first, last) =>
+      assert(first == s / 64 && last == (s + n - 1) / 64, s"doc $id span")
+    }
+    // the same permutation as epochShuffle: tok_start order == pos order
+    val pos = CorpusOps.epochShuffle(docs, "doc_id", seed = 42L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byStart.map(_._1).toSeq == pos.toSeq.sortBy(_._2).map(_._1).toSeq,
+      "chunk order must be the epoch-shuffle order")
+    // physical partitioning must not change the assignment
+    val again = CorpusOps.chunkAssignments(docs, "doc_id", "text",
+        seed = 42L, chunkTokens = 64, partitions = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(again.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq,
+      "prefix sum must be partitioning-invariant")
+  }
+
   test("lengthBucketBatches: bucket routing by bounds, batches full except " +
       "the last per bucket, co-batched lengths adjacent") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
