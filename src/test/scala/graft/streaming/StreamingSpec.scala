@@ -291,6 +291,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("append-mode windowed counts emit exactly the windows the watermark " +
+      "has closed — the emission-timing boundary") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // 5-minute tumbling windows, 10-minute lateness. Batch 1 spans 3
+    // windows; batch 2 is one sentinel far ahead. processAllAvailable
+    // drains through the watermark-advance trigger, so after batch 1
+    // the watermark is W1 = max(batch-1 ts) - 10min and EXACTLY the
+    // windows with end <= W1 have emitted; the sentinel advances it to
+    // W2 and flushes the rest of batch 1, while the sentinel's own
+    // window (end > W2) stays in state. Complete-mode parity tests
+    // can't see this; the emission TIMING is the append-mode contract.
+    val base = 1704067200000L // 2024-01-01T00:00:00Z
+    val ts = (m: Long) => new java.sql.Timestamp(base + m * 60000L)
+    val batch1 = Seq( // (ts minutes, event_type, value)
+      (ts(1), "a", 1.0), (ts(2), "b", 1.0),   // window [0,5)
+      (ts(6), "a", 1.0),                      // window [5,10)
+      (ts(16), "a", 1.0))                     // window [15,20) -> max ts = 16min
+    val sentinel = Seq((ts(120), "z", 0.0))
+    // W1 = 16min - 10min = 6min: only window [0,5) has end <= W1
+    val in = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val q = Streaming.streamingWindowedCounts(
+        in.toDS().toDF("ts", "event_type", "value"), "5 minutes", "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("append_win_out").start()
+    def emitted(): Set[(Long, String, Long)] = spark.table("append_win_out")
+      .select("ws", "event_type", "n").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2))).toSet
+    val m = 60000L
+    try {
+      in.addData(batch1); q.processAllAvailable()
+      // W1 = 16min - 10min = 6min: only window [0,5) has end <= W1 —
+      // [5,10) and [15,20) hold their rows in state
+      assert(emitted() == Set((base, "a", 1L), (base, "b", 1L)),
+        s"after batch 1 exactly the closed window [0,5) emits: ${emitted()}")
+      in.addData(sentinel); q.processAllAvailable()
+      // W2 = 120min - 10min: the remaining batch-1 windows flush; the
+      // sentinel's own window [120,125) is still open and must NOT emit
+      assert(emitted() == Set(
+        (base, "a", 1L), (base, "b", 1L),
+        (base + 5 * m, "a", 1L), (base + 15 * m, "a", 1L)),
+        s"after the sentinel all batch-1 windows and nothing else: ${emitted()}")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark late-arrival boundary: the real two-batch " +
       "replay equals the tw_dedup_late_boundary closed form") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
