@@ -1090,6 +1090,27 @@ object Battery {
            |  epoch_ms(max(ts)) AS last_event_ms
            |FROM events GROUP BY user_id""".stripMargin))
 
+  /** The same running totals on Spark 4's `transformWithState`
+    * ([[graft.streaming.Stateful.runningUserTotalsV2]], typed
+    * ValueState in a StatefulProcessor) — the arbitrary-state successor
+    * to flatMapGroupsWithState, held to the identical oracle so the two
+    * stateful APIs are pinned arithmetic-equal through the verify gate;
+    * StatefulSpec additionally pins v2's cross-micro-batch accumulation
+    * on the RocksDB store.
+    */
+  private val stUserTotalsV2 = Q(
+    "st_user_totals_v2",
+    (s, d) => {
+      import s.implicits._
+      graft.streaming.Stateful.runningUserTotalsV2(
+        T.events(s, d).as[graft.streaming.Stateful.Event]).toDF()
+    },
+    Some("""SELECT user_id, count(*) AS n_events,
+           |  CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE)
+           |    / 1000000.0 AS total,
+           |  epoch_ms(max(ts)) AS last_event_ms
+           |FROM events GROUP BY user_id""".stripMargin))
+
   // ----------------------------------------- LLM-pipeline ops (north star)
 
   /** Exact deduplication by content hash (hash-groupBy). */
@@ -3154,7 +3175,8 @@ object Battery {
     f6Datetime, g1DateSpine,
     fScalar, f5Cast, f9MapExplode, f12Json, f13ArrayOps,
     twTumbling, twSliding, twSession,
-    twDedupWatermark, twDedupLateBoundary, twJoinBound, twJoinBoundLeft, stUserTotals,
+    twDedupWatermark, twDedupLateBoundary, twJoinBound, twJoinBoundLeft,
+    stUserTotals, stUserTotalsV2,
     x6SubwordCount,
     d1DedupExact, x1TextStats, n1AnnTopK, m1Multimodal, m2MultimodalDecode,
     m3FrameSample, m3bImageFrames, m4WavDecode, m5BmpDecode,

@@ -1,7 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Custom keyed state via `flatMapGroupsWithState` (the engine's
   * stateful-extension point, SURVEY §2.7/§2.8): a per-user running
@@ -68,5 +69,64 @@ object Stateful {
             Iterator.single(UserRunning(userId, n, total / 1e6, last))
           }
       }
+  }
+
+  /** The same running aggregate on Spark 4's `transformWithState` API —
+    * the arbitrary-state successor to `flatMapGroupsWithState`: typed
+    * [[ValueState]] handles from a [[StatefulProcessor]], per-state TTL
+    * instead of a per-key timeout conf, and (unlike GroupState) support
+    * for several independent state variables per key. Kept
+    * arithmetic-identical to [[runningUserTotals]] so the two APIs are
+    * differential twins: StatefulSpec asserts both produce the same
+    * rows on batch AND that the v2 streaming run accumulates across
+    * micro-batches exactly like v1.
+    *
+    * State-store note: streaming `transformWithState` requires the
+    * RocksDB state-store provider (set
+    * `spark.sql.streaming.stateStore.providerClass` before starting the
+    * query); batch invocation needs no store. TTL (`ttl`) bounds state
+    * at 100 TB the way v1's processing-time timeout does.
+    */
+  class RunningTotalsProcessor(ttl: TTLConfig = TTLConfig.NONE)
+      extends StatefulProcessor[Long, Event, UserRunning] {
+    @transient private var st: ValueState[St] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[St]("running", Encoders.product[St], ttl)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[UserRunning] = {
+      val prev = if (st.exists()) st.get() else St(0L, 0L, 0L)
+      var n = prev.n
+      var total = prev.totalMicros
+      var last = prev.lastMs
+      rows.foreach { e =>
+        n += 1
+        total += math.round(e.value * 1e6)
+        last = math.max(last, e.ts.getTime)
+      }
+      val next = St(n, total, last)
+      st.update(next)
+      Iterator.single(UserRunning(userId, n, total / 1e6, last))
+    }
+  }
+
+  def runningUserTotalsV2(events: Dataset[Event],
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[UserRunning] = {
+    implicit val outEnc = Encoders.product[UserRunning]
+    implicit val keyEnc = Encoders.scalaLong
+    // Batch invocation runs TransformWithStateExec over an ephemeral
+    // RocksDB store whose snapshot telemetry calls the driver's
+    // StateStoreCoordinator endpoint — an endpoint only registered once
+    // a STREAMING query has started in the session, so a fresh batch
+    // session dies with CANNOT_LOAD_STATE_STORE. Register it up front
+    // (forDriver is idempotent: it returns the existing endpoint if one
+    // is already live).
+    org.apache.spark.sql.execution.streaming.state.StateStoreCoordinatorRef
+      .forDriver(org.apache.spark.SparkEnv.get,
+        events.sparkSession.sessionState.conf)
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor(ttl),
+        TimeMode.None(), OutputMode.Update())
   }
 }

@@ -50,4 +50,44 @@ class StatefulSpec extends AnyFunSuite {
       .collect().map(r => (r.user_id, r.n_events, r.total, r.last_event_ms)).toSet
     assert(got == Set((1L, 2L, 3.0, 2000L), (2L, 1L, 5.5, 500L)))
   }
+
+  test("transformWithState twin: batch output equals the flatMapGroupsWithState " +
+      "form on the full events table") {
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .selectExpr("event_id", "user_id", "ts", "event_type", "value")
+      .as[Event]
+    val v1 = Stateful.runningUserTotals(events)
+      .collect().map(r => r.user_id -> ((r.n_events, r.total, r.last_event_ms))).toMap
+    val v2 = Stateful.runningUserTotalsV2(events)
+      .collect().map(r => r.user_id -> ((r.n_events, r.total, r.last_event_ms))).toMap
+    assert(v2 == v1, "the two stateful APIs must agree row-for-row")
+  }
+
+  test("transformWithState twin: streaming accumulation across micro-batches " +
+      "equals v1 (RocksDB state store)") {
+    implicit val sq = spark.sqlContext
+    val conf = spark.conf
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = conf.get(key, "")
+    conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Event]
+    val q = Stateful.runningUserTotalsV2(input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("running_v2_out").start()
+    try {
+      input.addData(ev(1, 7, 1000, 1.5), ev(2, 7, 2000, 2.25), ev(3, 8, 1500, 10.0))
+      q.processAllAvailable()
+      input.addData(ev(4, 7, 3000, 0.25))
+      q.processAllAvailable()
+      val rows = spark.table("running_v2_out").as[UserRunning].collect()
+      val latest7 = rows.filter(_.user_id == 7).maxBy(_.n_events)
+      assert(latest7.n_events == 3 && latest7.total == 4.0 &&
+        latest7.last_event_ms == 3000, s"v2 accumulation drifted: $latest7")
+      assert(rows.count(_.user_id == 8) == 1, "user 8 untouched in batch 2")
+    } finally {
+      q.stop()
+      if (prev.isEmpty) conf.unset(key) else conf.set(key, prev)
+    }
+  }
 }
