@@ -147,6 +147,9 @@ object VolumeProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // events replication reads the parquet raw; tolerate either physical
+    // ts form the corpus has shipped (see Tables.events)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     println(s"""{"probe":"volume","factor":$factor,"src":"$srcDir","heap_mb":${Runtime.getRuntime.maxMemory() / (1 << 20)}}""")
 
     val offset = keyOffsetFor(spark, srcDir)
