@@ -51,6 +51,15 @@ class TablesSpec extends AnyFunSuite {
     assert(rowsA.head._2 === Timestamp.from(java.time.Instant.ofEpochSecond(1704067200L, 123456000L)))
   }
 
+  test("events loader refuses an unrecognized ts type loudly") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("evt-bad").toString
+    Seq((1L, "not-a-timestamp")).toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalStateException] { Tables.events(spark, dir) }
+    assert(e.getMessage.contains("unsupported"), e.getMessage)
+  }
+
   test("events loader reads the driver corpus with a TimestampType ts") {
     val df = Tables.events(spark, "/root/testdata/sf0.001")
     assert(df.schema("ts").dataType === org.apache.spark.sql.types.TimestampType)
