@@ -334,6 +334,13 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected the stateful operator's batch form (MapGroups):\n$p")
     assert(nodeCount(p, "Exchange") == 1,
       s"stateful totals must shuffle once:\n$p")
+    // the transformWithState twin keeps the same one-shuffle shape
+    // (TransformWithState over the key exchange)
+    val p2 = plan("st_user_totals_v2")
+    assert(p2.contains("TransformWithState"),
+      s"v2 must plan the transformWithState operator:\n$p2")
+    assert(nodeCount(p2, "Exchange") == 1,
+      s"v2 stateful totals must shuffle once:\n$p2")
   }
 
   test("real-codec decode is map-shaped: m2 shuffles only its explicit " +
