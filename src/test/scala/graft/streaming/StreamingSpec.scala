@@ -337,6 +337,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("append-mode session windows merge across batches and emit only when " +
+      "the watermark closes the session") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // gap 5min, lateness 10min. Batch 1: A's two-event session closes
+    // under W1 = max(ts)-10min and emits; B's and D's stay open. Batch
+    // 2 extends D's session with an on-time event (>= W1, so admitted
+    // and MERGED into state) and a far sentinel that closes everything
+    // but itself.
+    val base = 1704067200000L
+    val ts = (m: Long) => new java.sql.Timestamp(base + m * 60000L)
+    val m = 60000L
+    val ev = (u: Long, tm: Long, v: Double) => (u, ts(tm), v)
+    val in = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val q = Streaming.streamingSessionStats(
+        in.toDS().toDF("user_id", "ts", "value"), "5 minutes", "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("append_sess_out").start()
+    def emitted(): Set[(Long, Long, Long, Long, Double)] =
+      spark.table("append_sess_out").collect().map(r =>
+        (r.getLong(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime,
+          r.getLong(3), r.getDouble(4))).toSet
+    try {
+      in.addData(Seq(ev(1, 0, 1.0), ev(1, 1, 2.0), ev(2, 50, 4.0), ev(4, 45, 8.0)))
+      q.processAllAvailable()
+      // W1 = 50min-10min = 40min: only A's session (end 1min+5min=6min) closed
+      assert(emitted() == Set((1L, base, base + 6 * m, 2L, 3.0)),
+        s"after batch 1 only A's session has closed: ${emitted()}")
+      in.addData(Seq(ev(4, 47, 16.0), ev(9, 200, 0.0)))
+      q.processAllAvailable()
+      // D@47min >= W1: admitted and merged -> one session [45,52) n=2.
+      // W2 = 190min closes B and the merged D; the sentinel stays open.
+      assert(emitted() == Set(
+        (1L, base, base + 6 * m, 2L, 3.0),
+        (2L, base + 50 * m, base + 55 * m, 1L, 4.0),
+        (4L, base + 45 * m, base + 52 * m, 2L, 24.0)),
+        s"after the sentinel B and the MERGED D emit, sentinel held: ${emitted()}")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark late-arrival boundary: the real two-batch " +
       "replay equals the tw_dedup_late_boundary closed form") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
