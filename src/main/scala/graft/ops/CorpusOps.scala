@@ -229,6 +229,43 @@ object CorpusOps {
     df.where(hashDigest(keyCol) < threshold)
   }
 
+  /** Temperature-scaled mixture sampling (the mT5/XLM-R `p ∝ n^α`
+    * rebalancing): sample each domain at a rate proportional to
+    * `n_d^(α-1)` so smaller domains are over-represented relative to
+    * their raw share, with `targetFraction` of the corpus kept overall
+    * (rates cap at 1; capped domains surrender their excess rather than
+    * redistributing it — deterministic and closed-form, documented
+    * trade). Selection reuses [[stratifiedSample]]'s deterministic
+    * hash-threshold rule, so the sample is reproducible across engines
+    * and partitionings.
+    *
+    * Scale shape: one tiny aggregate collects ONE count per domain to
+    * the driver (bounded by the domain vocabulary, the same pattern as
+    * `heavyHitters`); the filter itself is a narrow literal-CASE scan.
+    * Rates are computed in domain-sorted order with `sqrt`/`/` only
+    * (both IEEE-correctly-rounded), so an engine recomputing them —
+    * the DuckDB oracle does — lands on bit-identical thresholds; α is
+    * fixed at 0.5, the published default, to stay inside that
+    * correctly-rounded arithmetic (pow is not exactly reproducible
+    * across libms).
+    */
+  def temperatureMixture(df: DataFrame, domainCol: String, keyCol: String,
+      targetFraction: Double): DataFrame = {
+    require(targetFraction > 0 && targetFraction <= 1,
+      s"targetFraction $targetFraction outside (0, 1]")
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    require(counts.nonEmpty, "empty corpus")
+    val total = counts.map(_._2).sum
+    var powSum = 0.0
+    counts.foreach { case (_, n) => powSum += math.sqrt(n.toDouble) }
+    val c = targetFraction * total / powSum
+    val rates = counts.map { case (d, n) =>
+      d -> math.min(1.0, c / math.sqrt(n.toDouble))
+    }.toMap
+    stratifiedSample(df, domainCol, keyCol, rates, defaultFraction = 0.0)
+  }
+
   /** Per-domain document cap (the "at most k pages per site" step of
     * web-corpus curation): keep, for each value of `domainCol`, the `k`
     * rows with the smallest `(md5(key), key)` — a deterministic,

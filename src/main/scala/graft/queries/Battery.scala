@@ -2086,6 +2086,29 @@ object Battery {
            |  CASE lang WHEN 'en' THEN '8000' WHEN 'zh' THEN 'c000'
            |            WHEN 'fr' THEN 'g' ELSE '3333' END""".stripMargin))
 
+  /** Temperature-scaled mixture sampling
+    * ([[graft.ops.CorpusOps.temperatureMixture]], α = 0.5, 30 % kept):
+    * per-source rates ∝ n^(α−1) with the same hash-threshold selection
+    * rule as x11. The oracle recomputes the rates from scratch — counts,
+    * the domain-ordered √n sum, the capped rate, the 4-hex threshold —
+    * so both the α-rebalancing arithmetic AND the sampled row set are
+    * pinned, not just the mechanism.
+    */
+  private val x20TemperatureMixture = Q(
+    "x20_temperature_mixture",
+    (s, d) => graft.ops.CorpusOps.temperatureMixture(
+      T.documents(s, d), "source", "doc_id", targetFraction = 0.3),
+    Some("""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+           |s AS (SELECT sum(sqrt(n) ORDER BY source) AS ps, sum(n) AS total FROM c),
+           |r AS (SELECT source, least(1.0, ((0.3 * total) / ps) / sqrt(n)) AS rate
+           |      FROM c, s),
+           |t AS (SELECT source, CAST(round(rate * 65536) AS BIGINT) AS ti FROM r),
+           |th AS (SELECT source,
+           |         CASE WHEN ti >= 65536 THEN 'g' ELSE printf('%04x', ti) END AS thr
+           |       FROM t)
+           |SELECT d.* FROM documents d JOIN th USING (source)
+           |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < thr""".stripMargin))
+
   /** Corpus document-frequency stats per document
     * ([[graft.ops.CorpusOps.rareTokenStats]]): n_tokens, sum of token
     * document-frequencies, min df — the integer-exact core of
@@ -3186,7 +3209,7 @@ object Battery {
     x7Repetition, x8Decontaminate, x9PackSequences, x10Redact,
     x11StratifiedSample, x12RareTokens, x13HeavyHitters, x14DomainCap,
     x15BigramCounts, x16TopDistinctTerm, x17EpochShuffle, x18LengthBuckets,
-    x19TokenChunks, c1Curation,
+    x19TokenChunks, x20TemperatureMixture, c1Curation,
     n2AnnLsh, n3EmbNearDup, n4AnnIvf, n5PqQuantize, n6KmeansFit, n7SemanticDedup,
     kfPatientSlice, kfRSubjectSlice, kfSpecimenSlice, kfDrsSlice,
     kfDiseaseSlice, kfPhenotypeSlice, kfHistoSlice, kfVitalSlice,

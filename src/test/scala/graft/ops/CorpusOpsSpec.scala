@@ -249,6 +249,39 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(other != out, "different seed, different permutation")
   }
 
+  test("temperatureMixture: smaller domains sampled at higher rates, target " +
+      "fraction approximated, capped domains kept whole") {
+    import spark.implicits._
+    // skewed fixture: a dominant domain, a mid one, and a tiny one
+    val docs = ((0 until 900).map(i => (i.toLong, s"t $i", "big")) ++
+      (900 until 996).map(i => (i.toLong, s"t $i", "mid")) ++
+      (996 until 1000).map(i => (i.toLong, s"t $i", "tiny")))
+      .toDF("doc_id", "text", "source")
+    val kept = CorpusOps.temperatureMixture(docs, "source", "doc_id", 0.3)
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = Map("big" -> 900.0, "mid" -> 96.0, "tiny" -> 4.0)
+    val c = 0.3 * 1000 / (math.sqrt(900.0) + math.sqrt(96.0) + math.sqrt(4.0))
+    val rate = n.map { case (d, nd) => d -> math.min(1.0, c / math.sqrt(nd)) }
+    // α=0.5 inverts the skew: the tiny domain's rate caps at 1 (kept
+    // whole), the dominant one is sampled hardest
+    assert(rate("tiny") == 1.0 && kept("tiny") == 4L, "capped domain kept whole")
+    assert(rate("big") < rate("mid") && rate("mid") < 1.0)
+    // hash selection tracks the analytic rate within binomial noise
+    n.foreach { case (d, nd) =>
+      val got = kept.getOrElse(d, 0L).toDouble
+      val expect = rate(d) * nd
+      assert(math.abs(got - expect) <= math.max(4.0, 3 * math.sqrt(expect)),
+        s"$d: kept $got, analytic ${expect.round}")
+    }
+    // deterministic: same rows every run
+    val again = CorpusOps.temperatureMixture(docs, "source", "doc_id", 0.3)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val first = CorpusOps.temperatureMixture(docs, "source", "doc_id", 0.3)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(again == first)
+  }
+
   test("chunkAssignments: contiguous token stream in shuffle order, " +
       "partitioning-invariant, chunk spans consistent") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
