@@ -315,6 +315,21 @@ class CorpusOpsSpec extends AnyFunSuite {
         r.getLong(3), r.getLong(4)))
     assert(again.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq,
       "prefix sum must be partitioning-invariant")
+    // more partitions than rows: empty partitions contribute zero to
+    // the cumulative starts and the numbering stays a perfect tiling
+    val tiny = docs.limit(10)
+    val sparse = CorpusOps.chunkAssignments(tiny, "doc_id", "text",
+        seed = 42L, chunkTokens = 64, partitions = 64)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._2)
+    sparse.sliding(2).foreach {
+      case Array((n1, s1), (_, s2)) => assert(s1 + n1 == s2)
+      case _ => ()
+    }
+    assert(sparse.head._2 == 0L)
+    val sparsePos = CorpusOps.epochShuffle(tiny, "doc_id", seed = 42L, partitions = 64)
+      .collect().map(_.getLong(1)).sorted.toSeq
+    assert(sparsePos == (1L to 10L).toSeq,
+      "zipWithIndex numbering must survive empty partitions")
   }
 
   test("lengthBucketBatches: bucket routing by bounds, batches full except " +
