@@ -49,23 +49,58 @@ object Bench {
     // testdata broke 12 events queries and each "ran" in 0.1-0.9s — the
     // time of an analysis exception, indistinguishable from a fast query
     // in the record. Failures go to an `errors` map in the JSON line and
-    // are excluded from `queries`/`spreads`/`total`.
+    // are excluded from `queries`/`spreads`/`total`. Only the MEASURED
+    // runs record failures — the warm pass is purely advisory, so a
+    // transient warm-run hiccup can't silently drop a query whose timed
+    // runs all succeed.
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
+
+    // Fixed-work contention canary: the driver's record has run ~2.1-2.2×
+    // the clean record two rounds straight purely from machine state,
+    // which makes cross-round per-query deltas unreadable. These two
+    // measurements do a CONSTANT amount of work — a single-core integer
+    // busy-loop (CPU/steal pressure) and a fixed 32-partition shuffle
+    // micro-job (scheduler + shuffle-IO pressure) — so record consumers
+    // can normalize machine state out: query_time / (calib / calib_ref)
+    // compares rounds on equal footing. Taken before AND after the sweep
+    // (min of 3 each) to catch contention that arrives mid-run.
+    def cpuCalib(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < 200000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      if (x == 42L) System.err.println("unreachable") // defeat DCE
+      (System.nanoTime() - t0) / 1e9
+    }
+    def shuffleCalib(): Double = {
+      import org.apache.spark.sql.functions.{col, count, lit, pmod}
+      val t0 = System.nanoTime()
+      spark.range(0, 4000000L, 1, 32)
+        .groupBy(pmod(col("id"), lit(1024L))).agg(count(lit(1)))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val cpuPre = Seq.fill(3)(cpuCalib()).min
+    val shufPre = { shuffleCalib(); Seq.fill(3)(shuffleCalib()).min }
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
+      def once(recordFailure: Boolean): Double = {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
-          failures.getOrElseUpdate(name, e.getClass.getName)
-          System.err.println(s"[bench] $name failed: ${e.getClass.getName}: ${String.valueOf(e.getMessage).take(200)}")
+          if (recordFailure) failures.getOrElseUpdate(name, e.getClass.getName)
+          System.err.println(s"[bench] $name failed${if (recordFailure) "" else " (warm run, advisory)"}: ${e.getClass.getName}: ${String.valueOf(e.getMessage).take(200)}")
         }
         (System.nanoTime() - t0) / 1e9
       }
-      if (warm) once()
-      val times = Seq.fill(runs)(once())
+      if (warm) once(recordFailure = false)
+      val times = Seq.fill(runs)(once(recordFailure = true))
       spark.catalog.clearCache()
       name -> times
     }.filter { case (name, _) => !failures.contains(name) }
+
+    val cpuPost = Seq.fill(3)(cpuCalib()).min
+    val shufPost = Seq.fill(3)(shuffleCalib()).min
     // Locale.ROOT: a comma-decimal default locale (e.g. de_DE) would
     // otherwise emit `0,1234` and break the JSON line.
     def num(d: Double): String =
@@ -82,8 +117,10 @@ object Bench {
     val errs = failures
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
+    val calib =
+      s"""{"cpu_pre":${num(cpuPre)},"cpu_post":${num(cpuPost)},"shuffle_pre":${num(shufPre)},"shuffle_post":${num(shufPost)}}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spreads":$spreads,"errors":$errs,"runs":$runs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spreads":$spreads,"errors":$errs,"calibration":$calib,"runs":$runs,"sf":"$sfDir"}"""
     println(line)
     // Also persist the record: stdout of a long run can be tail-truncated
     // by the harness (round 6 lost the per-query minima that way); the

@@ -77,8 +77,18 @@ object VolumeProbe {
       if (!df.columns.contains("ts")) keyed
       else df.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType => // nanos-as-long
+          // Overflow guard: a ~2024 epoch base is ~1.7e18 ns and each
+          // replica adds ~3.15e17 ns — factor ≳ 25 would wrap Long and
+          // break the disjoint-decades closure the ×N laws depend on.
+          // Fail loudly instead of corrupting replicas.
+          val shiftNs = TsShiftDays * 86400L * 1000000000L
+          val maxRow = df.agg(max(col("ts")).cast("long")).head
+          val baseMaxTs = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+          require(baseMaxTs <= Long.MaxValue - (factor - 1).toLong * shiftNs,
+            s"replica ts shift overflows Long: max ts $baseMaxTs + " +
+              s"${factor - 1} * $shiftNs ns — lower the factor")
           keyed.withColumn("ts",
-            col("ts") + col("__rep") * lit(TsShiftDays * 86400L * 1000000000L))
+            col("ts") + col("__rep") * lit(shiftNs))
         case _ =>
           keyed.withColumn("ts",
             expr(s"timestampadd(DAY, $TsShiftDays * __rep, ts)"))

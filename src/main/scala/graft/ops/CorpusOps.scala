@@ -253,9 +253,13 @@ object CorpusOps {
       targetFraction: Double): DataFrame = {
     require(targetFraction > 0 && targetFraction <= 1,
       s"targetFraction $targetFraction outside (0, 1]")
+    // NULL domains carry no rate: they fall to stratifiedSample's
+    // defaultFraction = 0.0 path (dropped) rather than NPE-ing the
+    // driver-side rate computation below.
     val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
+      .where(col(domainCol).isNotNull)
       .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
-    require(counts.nonEmpty, "empty corpus")
+    require(counts.nonEmpty, "empty corpus (or all domains NULL)")
     val total = counts.map(_._2).sum
     var powSum = 0.0
     counts.foreach { case (_, n) => powSum += math.sqrt(n.toDouble) }
@@ -432,17 +436,22 @@ object CorpusOps {
     * driver), broadcast the cumulative starts, then a narrow
     * per-partition running sum. A window `sum() OVER (ORDER BY ...)`
     * with no partition spec — the single-node SQL form the oracle uses —
-    * would funnel the corpus through one task; this never does. The
-    * sorted stage is computed once per pass (two passes total, same
-    * two-job pattern `zipWithIndex` uses); production would
-    * `localCheckpoint` it between passes if the sort dominated.
+    * would funnel the corpus through one task; this never does.
+    *
+    * The sorted stage is `localCheckpoint`ed before the two passes: the
+    * numbering's CORRECTNESS (not just its cost) depends on both passes
+    * seeing identical partition contents, and re-deriving the stage from
+    * lineage would let a task retry with different upstream locality —
+    * or a future nondeterministic source — misnumber rows with no error.
+    * With the checkpoint, a lost block fails the job loudly instead
+    * (the same discipline as [[graft.ops.DedupOps.connectedComponents]]).
     */
   def chunkAssignments(docs: DataFrame, idCol: String, textCol: String,
       seed: Long, chunkTokens: Int, partitions: Int = 0): DataFrame = {
     require(chunkTokens > 0, "chunkTokens must be positive")
     val spark = docs.sparkSession
     val sorted = chunkSorted(docs, idCol, textCol, seed, partitions)
-    val rdd = sorted.rdd
+    val rdd = sorted.rdd.localCheckpoint()
     val partTotals = rdd
       .mapPartitionsWithIndex { (i, it) =>
         Iterator((i, it.map(_.getLong(1)).sum))
@@ -476,7 +485,11 @@ object CorpusOps {
       sorted.schema.fields :+
         org.apache.spark.sql.types.StructField("pos",
           org.apache.spark.sql.types.LongType, nullable = false))
-    val withPos = sorted.rdd.zipWithIndex.map { case (row, idx) =>
+    // zipWithIndex runs its own two jobs (per-partition counts, then the
+    // indexed map) — pin the sorted stage between them for the same
+    // reason chunkAssignments does: both jobs must see identical
+    // partition contents or positions silently misnumber.
+    val withPos = sorted.rdd.localCheckpoint().zipWithIndex.map { case (row, idx) =>
       org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (idx + 1L))
     }
     spark.createDataFrame(withPos, schema).drop("__h")

@@ -973,7 +973,8 @@ object Battery {
       T.events(s, d).select(col("user_id"), col("event_type"),
         date_trunc("day", col("ts")).as("ts")),
       Seq("user_id", "event_type", "ts")),
-    Some("""SELECT DISTINCT user_id, event_type, date_trunc('day', ts) AS ts
+    Some("""SELECT DISTINCT user_id, event_type,
+           |  CAST(date_trunc('day', ts) AS TIMESTAMP) AS ts
            |FROM events""".stripMargin))
 
   /** Late-arrival drop/keep boundary of `dropDuplicatesWithinWatermark`,
@@ -1016,8 +1017,8 @@ object Battery {
            |  FROM events GROUP BY 1, 2),
            |w AS (SELECT max(tmin) - INTERVAL '1 hour' AS w1 FROM k)
            |SELECT user_id, event_type,
-           |  CASE WHEN n > 1 AND tmax >= w1 AND w1 > tmin + INTERVAL '1 hour'
-           |       THEN 2 ELSE 1 END AS n_emitted
+           |  CAST(CASE WHEN n > 1 AND tmax >= w1 AND w1 > tmin + INTERVAL '1 hour'
+           |       THEN 2 ELSE 1 END AS BIGINT) AS n_emitted
            |FROM k, w""".stripMargin))
 
   /** Stream-stream time-bound inner join, batch form — the SAME
@@ -2236,7 +2237,7 @@ object Battery {
       T.documents(s, d), "doc_id", "text",
       bounds = Seq(20, 40, 80), batchSize = 16),
     Some("""WITH t AS (SELECT doc_id,
-           |    len(string_split_regex(trim(text), '\s+')) AS n_tokens
+           |    CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens
            |  FROM documents),
            |b AS (SELECT doc_id, n_tokens,
            |    CASE WHEN n_tokens >= 80 THEN 3
@@ -2266,12 +2267,12 @@ object Battery {
            |    md5('42:' || doc_id) AS h
            |  FROM documents),
            |o AS (SELECT doc_id, n_tokens,
-           |    coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
-           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+           |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
            |  FROM t)
            |SELECT doc_id, n_tokens, tok_start,
-           |  tok_start // 512 AS first_chunk,
-           |  (tok_start + n_tokens - 1) // 512 AS last_chunk
+           |  CAST(tok_start // 512 AS BIGINT) AS first_chunk,
+           |  CAST((tok_start + n_tokens - 1) // 512 AS BIGINT) AS last_chunk
            |FROM o""".stripMargin))
 
   /** Corpus token histogram: explode tokens → count — the vocabulary/

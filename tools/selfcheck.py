@@ -4,11 +4,50 @@ oracle_sql.json entry against the same parquet tables and compares with
 the Verify parquet output (columns sorted by name, rows sorted, values
 compared exactly; floats compared exactly first, then with rel-tol report).
 
+TYPE-STRICT: both sides also round-trip through arrow and their
+canonicalized arrow types must match per column. The driver's hash is
+type-sensitive (round 9: DuckDB HUGEINT vs Spark BIGINT hash-mismatched
+x19 while every VALUE was identical, and the old astype(str) compare here
+said PASS) — the local gate must be at least as strict as the driver's.
+
 Usage: python3 tools/selfcheck.py <sfdir> <verify_outdir>
 """
 import json, sys, glob, math
 import duckdb
 import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def canon_type(t):
+    """Canonical arrow type string: collapses representation-only variants
+    (large_string vs string, dictionary encodings, timestamp tz spellings)
+    while preserving every semantic difference the driver's hash can see
+    (int32 vs int64, int64 vs decimal128/HUGEINT, float vs double)."""
+    if pa.types.is_dictionary(t):
+        return canon_type(t.value_type)
+    if pa.types.is_large_string(t) or pa.types.is_string(t):
+        return "string"
+    if pa.types.is_large_binary(t) or pa.types.is_binary(t):
+        return "binary"
+    if pa.types.is_large_list(t) or pa.types.is_list(t):
+        return f"list<{canon_type(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ", ".join(f"{f.name}: {canon_type(f.type)}" for f in t)
+        return f"struct<{inner}>"
+    if pa.types.is_map(t):
+        return f"map<{canon_type(t.key_type)}, {canon_type(t.item_type)}>"
+    if pa.types.is_timestamp(t):
+        # unit (us vs ns) is a writer choice; tz presence is semantic
+        return f"timestamp[{'tz' if t.tz else 'ntz'}]"
+    if pa.types.is_null(t):
+        return "null"  # all-null column: wildcard, handled by caller
+    return str(t)
+
+
+def arrow_types(tbl):
+    return {f.name: canon_type(f.type) for f in tbl.schema}
+
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
@@ -20,12 +59,14 @@ oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fails, passes = [], []
 for name, sql in sorted(oracle.items()):
     try:
-        exp = con.execute(sql).fetchdf()
+        exp_arrow = con.execute(sql).arrow()
+        exp = exp_arrow.to_pandas()
     except Exception as e:
         fails.append((name, f"oracle error: {e}"))
         continue
     try:
-        got = pd.read_parquet(f"{outdir}/{name}")
+        got_arrow = pq.read_table(f"{outdir}/{name}")
+        got = got_arrow.to_pandas()
     except Exception as e:
         fails.append((name, f"spark output missing: {e}"))
         continue
@@ -33,6 +74,15 @@ for name, sql in sorted(oracle.items()):
     got = got.reindex(sorted(got.columns), axis=1)
     if list(exp.columns) != list(got.columns):
         fails.append((name, f"schema: oracle={list(exp.columns)} spark={list(got.columns)}"))
+        continue
+    etypes, gtypes = arrow_types(exp_arrow), arrow_types(got_arrow)
+    type_diffs = [
+        f"{c}: oracle={etypes[c]} spark={gtypes[c]}"
+        for c in exp.columns
+        if etypes[c] != gtypes[c] and "null" not in (etypes[c], gtypes[c])
+    ]
+    if type_diffs:
+        fails.append((name, "types: " + "; ".join(type_diffs[:4])))
         continue
     if len(exp) != len(got):
         fails.append((name, f"rows: oracle={len(exp)} spark={len(got)}"))
