@@ -195,6 +195,166 @@ object MediaCodecs {
     }
   }
 
+  /** Decoded video: per-frame row-major TOP-DOWN pixels, packed
+    * 0xRRGGBB, constant dimensions and frame period across the stream.
+    */
+  final case class AviData(width: Int, height: Int, usPerFrame: Int,
+      frames: Array[Array[Int]])
+
+  /** Uncompressed 24-bpp RIFF/AVI ('DIB ' video stream, '00db' frames)
+    * — the RIFF chunk walk of [[WavCodec]] generalized to the nested
+    * LIST grammar AVI uses (hdrl: avih + strl(strh, strf); movi: one
+    * '00db' chunk per frame). Frames are raw bottom-up BGR DIB rows
+    * with 4-byte padding — the SAME pixel layout as
+    * [[BmpCodec]] minus the BMP file header, so the frame decode shares
+    * its stride/flip/channel-order discipline. This retires the last
+    * synthetic decode seam: `video` payloads are now REAL container
+    * bytes a stock player could open, parsed back by a real parser.
+    */
+  object AviCodec {
+    private val HeaderBytes = 224 // 12 RIFF + 200 hdrl LIST + 12 movi LIST head
+
+    /** Canonical single-stream uncompressed AVI. `frames` are row-major
+      * TOP-DOWN packed 0xRRGGBB (the encoder does the bottom-up flip the
+      * DIB format demands).
+      */
+    def encode(frames: Array[Array[Int]], width: Int, height: Int,
+        usPerFrame: Int): Array[Byte] = {
+      require(width > 0 && height > 0 && usPerFrame > 0, "invalid AVI params")
+      require(frames.nonEmpty && frames.forall(_.length == width * height),
+        "every frame must be width*height pixels")
+      val rowBytes = BmpCodec.stride(width)
+      val frameBytes = rowBytes * height
+      val nF = frames.length
+      val total = HeaderBytes + nF * (8 + frameBytes)
+      val buf = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+      def fcc(s: String): Unit = buf.put(s.getBytes("US-ASCII"))
+      fcc("RIFF"); buf.putInt(total - 8); fcc("AVI ")
+      // LIST hdrl: avih(56) + LIST strl(strh(56) + strf(40))
+      fcc("LIST"); buf.putInt(4 + 64 + 124); fcc("hdrl")
+      fcc("avih"); buf.putInt(56)
+      buf.putInt(usPerFrame).putInt(frameBytes * 1000000 / usPerFrame)
+        .putInt(0).putInt(0) // padding granularity, flags
+        .putInt(nF).putInt(0) // total frames, initial frames
+        .putInt(1).putInt(frameBytes) // streams, suggested buffer
+        .putInt(width).putInt(height)
+        .putInt(0).putInt(0).putInt(0).putInt(0) // reserved
+      fcc("LIST"); buf.putInt(4 + 64 + 48); fcc("strl")
+      fcc("strh"); buf.putInt(56)
+      fcc("vids"); fcc("DIB ")
+      buf.putInt(0).putShort(0).putShort(0).putInt(0) // flags, prio, lang, initial
+        .putInt(usPerFrame).putInt(1000000) // scale, rate → fps = rate/scale
+        .putInt(0).putInt(nF) // start, length (frames)
+        .putInt(frameBytes).putInt(0).putInt(0) // sugg. buffer, quality, sample size
+        .putShort(0).putShort(0) // rcFrame left, top
+        .putShort(width.toShort).putShort(height.toShort)
+      fcc("strf"); buf.putInt(40)
+      buf.putInt(40).putInt(width).putInt(height) // positive = bottom-up DIB
+        .putShort(1).putShort(24) // planes, bpp
+        .putInt(0).putInt(frameBytes) // BI_RGB, image size
+        .putInt(2835).putInt(2835).putInt(0).putInt(0)
+      // LIST movi: one 00db chunk per frame
+      fcc("LIST"); buf.putInt(4 + nF * (8 + frameBytes)); fcc("movi")
+      frames.foreach { pixels =>
+        fcc("00db"); buf.putInt(frameBytes)
+        var y = height - 1
+        while (y >= 0) {
+          var x = 0
+          while (x < width) {
+            val p = pixels(y * width + x)
+            buf.put((p & 0xff).toByte)
+              .put(((p >> 8) & 0xff).toByte)
+              .put(((p >> 16) & 0xff).toByte)
+            x += 1
+          }
+          var pad = rowBytes - width * 3
+          while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+          y -= 1
+        }
+      }
+      buf.array()
+    }
+
+    /** Chunk-walking parse: tolerates extra chunks (JUNK, idx1, odd
+      * LISTs other writers emit), enforces a single uncompressed 24-bpp
+      * 'vids' stream, accepts '00db'/'00dc' frame chunks in movi order
+      * and either DIB row order (positive strf height = bottom-up).
+      */
+    def decode(bytes: Array[Byte]): AviData = {
+      require(bytes.length >= HeaderBytes, s"AVI too short: ${bytes.length} bytes")
+      val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      def fourCC(at: Int): String = new String(bytes, at, 4, "US-ASCII")
+      require(fourCC(0) == "RIFF" && fourCC(8) == "AVI ",
+        s"not a RIFF/AVI stream: '${fourCC(0)}'/'${fourCC(8)}'")
+      var usPerFrame = -1; var width = -1; var rawHeight = 0
+      var bpp = -1; var compression = -1
+      val frameOffs = scala.collection.mutable.ArrayBuffer.empty[Int]
+      // one walker for every nesting level: RIFF bodies and LIST bodies
+      // share the [fourcc size payload] grammar
+      def walk(from: Int, until: Int): Unit = {
+        var pos = from
+        while (pos + 8 <= until) {
+          val id = fourCC(pos)
+          val size = buf.getInt(pos + 4)
+          require(size >= 0 && pos + 8 + size <= until,
+            s"chunk '$id' overruns its parent (size=$size at pos=$pos)")
+          id match {
+            case "LIST" =>
+              require(size >= 4, s"degenerate LIST at pos=$pos")
+              walk(pos + 12, pos + 8 + size) // skip the list-type fourcc
+            case "avih" =>
+              require(size >= 40, s"avih chunk too small: $size")
+              usPerFrame = buf.getInt(pos + 8)
+            case "strf" =>
+              require(size >= 40, s"strf chunk too small: $size")
+              width = buf.getInt(pos + 12)
+              rawHeight = buf.getInt(pos + 16)
+              bpp = buf.getShort(pos + 22) & 0xffff
+              compression = buf.getInt(pos + 24)
+            case "00db" | "00dc" => frameOffs += pos + 8
+            case _ => () // strh/JUNK/idx1/...
+          }
+          pos += 8 + size + (size & 1) // odd chunks are padded
+        }
+      }
+      walk(12, bytes.length)
+      require(bpp == 24, s"unsupported bit depth $bpp (24-bpp only)")
+      require(compression == 0, s"unsupported compression $compression (uncompressed DIB only)")
+      require(usPerFrame > 0, "missing or malformed avih chunk")
+      val bottomUp = rawHeight > 0
+      val height = math.abs(rawHeight)
+      require(width > 0 && height > 0, s"degenerate dimensions ${width}x$rawHeight")
+      require(frameOffs.nonEmpty, "no frame chunks in movi list")
+      val rowBytesL = (width.toLong * 3 + 3) / 4 * 4
+      val rowBytes = {
+        require(rowBytesL * height <= bytes.length,
+          s"declared frame size overruns the buffer (${width}x$height)")
+        rowBytesL.toInt
+      }
+      val frames = frameOffs.toArray.map { off =>
+        require(off + rowBytes * height <= bytes.length,
+          s"frame at $off overruns the buffer")
+        val pixels = new Array[Int](width * height)
+        var y = 0
+        while (y < height) {
+          val srcRow = if (bottomUp) height - 1 - y else y
+          val base = off + srcRow * rowBytes
+          var x = 0
+          while (x < width) {
+            val b = bytes(base + x * 3) & 0xff
+            val g = bytes(base + x * 3 + 1) & 0xff
+            val r = bytes(base + x * 3 + 2) & 0xff
+            pixels(y * width + x) = (r << 16) | (g << 8) | b
+            x += 1
+          }
+          y += 1
+        }
+        pixels
+      }
+      AviData(width, height, usPerFrame, frames)
+    }
+  }
+
   // ------------------------------------------------------------------
   // Deterministic synthetic payloads for the oracle battery: REAL
   // container bytes whose decoded statistics have a closed form in
@@ -212,6 +372,29 @@ object MediaCodecs {
       ((docId * 2654435761L + i.toLong * 40503L) % 65536L - 32768L).toShort
     }
     WavCodec.encode(samples, sampleRate = 8000)
+  }
+
+  /** (4 + id%11) × (3 + id%5) uncompressed AVI, 2 + id%9 frames at
+    * 200 ms/frame, analytic channels per frame f:
+    * r = (id + 7x + 13y + 17f) mod 256,
+    * g = (3id + 5x + y + 29f) mod 256,
+    * b = (11id + x + 2y + 23f) mod 256.
+    */
+  def syntheticAvi(docId: Long): Array[Byte] = {
+    require(docId >= 0, "synthetic payloads are defined for non-negative ids")
+    val w = 4 + (docId % 11).toInt
+    val h = 3 + (docId % 5).toInt
+    val nF = 2 + (docId % 9).toInt
+    val frames = Array.tabulate(nF) { f =>
+      Array.tabulate(w * h) { idx =>
+        val x = idx % w; val y = idx / w
+        val r = ((docId + 7L * x + 13L * y + 17L * f) % 256L).toInt
+        val g = ((3L * docId + 5L * x + y + 29L * f) % 256L).toInt
+        val b = ((11L * docId + x + 2L * y + 23L * f) % 256L).toInt
+        (r << 16) | (g << 8) | b
+      }
+    }
+    AviCodec.encode(frames, w, h, usPerFrame = 200000)
   }
 
   /** (4 + id%13) × (3 + id%7) 24-bpp BMP with analytic channels:

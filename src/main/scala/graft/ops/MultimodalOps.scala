@@ -84,14 +84,13 @@ object MultimodalOps {
   }
 
   /** REAL-codec decoder: parses the payload as an actual media
-    * container — PCM16 WAV for `audio`, 24-bpp BMP for `image`
-    * ([[MediaCodecs]], pure JVM) — and derives the 8-dim feature from
-    * the DECODED samples/pixels, not the raw bytes. `video` still has
-    * no pure-JVM codec and falls back to [[FakeDecoder]] (documented
-    * stub, same row shape). Malformed audio/image payloads THROW —
-    * a training pipeline must quarantine bad blobs explicitly
-    * (filter + try/catch at the call site), not average them into
-    * features silently.
+    * container — PCM16 WAV for `audio`, 24-bpp BMP for `image`,
+    * uncompressed 24-bpp AVI for `video` ([[MediaCodecs]], pure JVM) —
+    * and derives the 8-dim feature from the DECODED
+    * samples/pixels/frames, not the raw bytes. Malformed payloads and
+    * unknown media types THROW — a training pipeline must quarantine
+    * bad blobs explicitly (filter + try/catch at the call site), not
+    * average them into features silently.
     */
   object CodecDecoder extends MediaDecoder {
     def decode(row: MediaRow): MediaFeatures = row.media_type match {
@@ -127,7 +126,29 @@ object MultimodalOps {
           (sb.toDouble / np).toFloat,
           ((sr + 2 * sg + sb).toDouble / (4.0 * np)).toFloat, 0f, 0f)
         MediaFeatures(row.asset_id, row.media_type, row.content.length.toLong, feature)
-      case _ => FakeDecoder.decode(row)
+      case "video" =>
+        val avi = MediaCodecs.AviCodec.decode(row.content)
+        val nF = avi.frames.length
+        val denom = avi.width.toDouble * avi.height * nF
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var f = 0
+        while (f < nF) {
+          val px = avi.frames(f)
+          var i = 0
+          while (i < px.length) {
+            val p = px(i)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            i += 1
+          }
+          f += 1
+        }
+        val feature = Array(
+          avi.width.toFloat, avi.height.toFloat, nF.toFloat,
+          (sr / denom).toFloat, (sg / denom).toFloat, (sb / denom).toFloat,
+          (avi.usPerFrame / 1000).toFloat, 0f)
+        MediaFeatures(row.asset_id, row.media_type, row.content.length.toLong, feature)
+      case other =>
+        throw new IllegalArgumentException(s"unknown media type '$other'")
     }
   }
 
@@ -146,18 +167,19 @@ object MultimodalOps {
         .cast("long").as("duration_ms"))
 
   /** Real-payload twin of [[mediaFromDocuments]]: audio assets carry an
-    * ACTUAL PCM16 RIFF/WAVE container and image assets an ACTUAL 24-bpp
-    * BMP ([[MediaCodecs.syntheticWav]]/[[MediaCodecs.syntheticBmp]] —
-    * decoded content analytic in doc_id, so DuckDB oracles can recompute
-    * decoded-sample statistics in closed form). Video keeps the UTF-8
-    * text payload (no pure-JVM codec). Metadata comes from the real
-    * containers: image width/height are the BMP dims, audio duration is
-    * n_samples/8 ms at 8 kHz.
+    * ACTUAL PCM16 RIFF/WAVE container, image assets an ACTUAL 24-bpp
+    * BMP, and video assets an ACTUAL uncompressed 24-bpp RIFF/AVI
+    * ([[MediaCodecs.syntheticWav]]/[[MediaCodecs.syntheticBmp]]/
+    * [[MediaCodecs.syntheticAvi]] — decoded content analytic in doc_id,
+    * so DuckDB oracles can recompute decoded statistics in closed
+    * form). Metadata comes from the real containers: image/video
+    * width/height are the DIB dims, audio duration is n_samples/8 ms at
+    * 8 kHz, video duration is n_frames × 200 ms.
     */
   def mediaFromDocumentsReal(docs: DataFrame): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+    docs.select(col("doc_id")).as[Long].map { id =>
       (id % 3) match {
         case 0 =>
           val w = 4 + (id % 13).toInt; val h = 3 + (id % 7).toInt
@@ -166,8 +188,10 @@ object MultimodalOps {
           val n = 64 + (id % 191)
           MediaRow(id, "audio", MediaCodecs.syntheticWav(id), None, None, Some(n * 1000L / 8000L))
         case _ =>
-          MediaRow(id, "video", Option(text).getOrElse("").getBytes(java.nio.charset.StandardCharsets.UTF_8),
-            None, None, Some((id % 10000L) * 100L))
+          val w = 4 + (id % 11).toInt; val h = 3 + (id % 5).toInt
+          val nF = 2 + (id % 9).toInt
+          MediaRow(id, "video", MediaCodecs.syntheticAvi(id),
+            Some(w), Some(h), Some(nF * 200L))
       }
     }
   }
@@ -185,21 +209,37 @@ object MultimodalOps {
     * out to its frames inside its own partition and downstream ops see
     * a uniform (asset, frame) row shape.
     *
+    * With `decodeVideo = true`, a video asset's payload is parsed as a
+    * REAL uncompressed AVI container ([[MediaCodecs.AviCodec]]): each
+    * sampled timestamp selects the container frame covering it
+    * (`min(nFrames−1, ts / framePeriod)`) and the emitted bytes are
+    * that frame's DECODED top-down RGB pixel stream (w·h·3 bytes).
+    * Default false keeps the byte-window stub for non-container
+    * payloads (e.g. [[mediaFromDocuments]]) — spec-only; every battery
+    * query decodes.
+    *
     * With `decodeImages = true`, an image asset is treated as a
     * single-frame video: its BMP payload is DECODED
     * ([[MediaCodecs.BmpCodec]]) and the one emitted frame's bytes are
-    * the top-down RGB pixel stream (w·h·3 bytes), not the container —
-    * the real-codec path round 8 proved on m4/m5, now in the frame
-    * shape. Default false keeps byte-payload media (e.g.
-    * [[mediaFromDocuments]]) decodable without a BMP container.
+    * the top-down RGB pixel stream, same contract as the video path.
     */
   def sampleFrames(media: DataFrame, everyMs: Long,
-      decodeImages: Boolean = false): Dataset[FrameRow] = {
+      decodeImages: Boolean = false,
+      decodeVideo: Boolean = false): Dataset[FrameRow] = {
     val spark = media.sparkSession
     import spark.implicits._
     require(everyMs > 0, "everyMs must be positive")
     media.as[MediaRow].flatMap { m =>
       m.media_type match {
+        case "video" if decodeVideo && m.content.nonEmpty =>
+          val avi = MediaCodecs.AviCodec.decode(m.content)
+          val periodMs = math.max(1L, avi.usPerFrame / 1000L)
+          val duration = m.duration_ms
+            .getOrElse(avi.frames.length * periodMs)
+          (0L until duration by everyMs).zipWithIndex.map { case (ts, i) =>
+            val fIdx = math.min(avi.frames.length - 1L, ts / periodMs).toInt
+            FrameRow(m.asset_id, i, ts, pixelsToRgb(avi.frames(fIdx)))
+          }
         case "video" =>
           m.duration_ms match {
             case Some(d) if d > 0 =>
@@ -210,19 +250,24 @@ object MultimodalOps {
           }
         case "image" if decodeImages && m.content.nonEmpty =>
           val bmp = MediaCodecs.BmpCodec.decode(m.content)
-          val rgb = new Array[Byte](bmp.pixels.length * 3)
-          var i = 0
-          while (i < bmp.pixels.length) {
-            val p = bmp.pixels(i)
-            rgb(3 * i) = ((p >> 16) & 0xff).toByte
-            rgb(3 * i + 1) = ((p >> 8) & 0xff).toByte
-            rgb(3 * i + 2) = (p & 0xff).toByte
-            i += 1
-          }
-          Iterator.single(FrameRow(m.asset_id, 0, 0L, rgb))
+          Iterator.single(FrameRow(m.asset_id, 0, 0L, pixelsToRgb(bmp.pixels)))
         case _ => Iterator.empty
       }
     }
+  }
+
+  /** Packed 0xRRGGBB pixels → interleaved top-down RGB byte stream. */
+  private def pixelsToRgb(pixels: Array[Int]): Array[Byte] = {
+    val rgb = new Array[Byte](pixels.length * 3)
+    var i = 0
+    while (i < pixels.length) {
+      val p = pixels(i)
+      rgb(3 * i) = ((p >> 16) & 0xff).toByte
+      rgb(3 * i + 1) = ((p >> 8) & 0xff).toByte
+      rgb(3 * i + 2) = (p & 0xff).toByte
+      i += 1
+    }
+    rgb
   }
 
   /** Resize plumbing: metadata transform + STUB re-encode (production

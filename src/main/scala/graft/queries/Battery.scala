@@ -1768,19 +1768,19 @@ object Battery {
     })
 
   /** Multimodal batch decode over REAL containers: audio payloads are
-    * actual PCM16 WAV and image payloads actual 24-bpp BMP
+    * actual PCM16 WAV, image payloads actual 24-bpp BMP, and video
+    * payloads actual uncompressed 24-bpp AVI
     * ([[graft.ops.MultimodalOps.mediaFromDocumentsReal]]), decoded by
     * [[graft.ops.MultimodalOps.CodecDecoder]] through the same
-    * `extractFeatures` mapPartitions seam production would use; only
-    * `video` (no pure-JVM codec) keeps the FakeDecoder byte-stat stub.
-    * The per-type float features are de-rounded back to the integers
-    * they encode (multiply means back by their counts; exact while the
-    * underlying sums stay < 2²³ — audio sum ≤ 254·32768 = 8 323 072,
-    * image sums ≤ 144·255, video stride sums bounded by the doc length
-    * analysis from round 6), so the oracle recomputes DECODED sample /
-    * pixel statistics in closed form: a mis-parsed fmt chunk, BGR slip,
-    * or row-flip error hash-mismatches. Float vectors stay pinned by
-    * MultimodalOpsSpec.
+    * `extractFeatures` mapPartitions seam production would use — no
+    * byte-stat stub for any media type. The per-type float features are
+    * de-rounded back to the integers they encode (multiply means back
+    * by their counts; exact while the underlying sums stay < 2²⁴ —
+    * audio sum ≤ 254·32768 = 8 323 072, image sums ≤ 144·255, video
+    * sums ≤ 980·255 = 249 900), so the oracle recomputes DECODED
+    * sample / pixel / frame statistics in closed form: a mis-parsed
+    * chunk, BGR slip, row-flip or frame-order error hash-mismatches.
+    * Float vectors stay pinned by MultimodalSpec/MediaCodecsSpec.
     */
   private val m2MultimodalDecode = Q(
     "m2_multimodal_decode",
@@ -1804,7 +1804,11 @@ object Battery {
           case 5         => round(f(5) * lit(4.0) * np) // luma·4np → r+2g+b
           case _         => lit(0.0)
         }
-        val video: Column = round(f(i) * col("byte_len")) // stride byte sums
+        val video: Column = i match {
+          case 0 | 1 | 2 | 6 => round(f(i))      // width, height, frames, period ms
+          case 3 | 4 | 5     => round(f(i) * f(0) * f(1) * f(2)) // mean·w·h·nF → sums
+          case _             => lit(0.0)
+        }
         when(col("media_type") === "audio", audio)
           .when(col("media_type") === "image", image)
           .otherwise(video)
@@ -1814,9 +1818,6 @@ object Battery {
         (0 until 8).map(sCol): _*)
     },
     Some {
-      val videoSums = (0 until 8).map(i =>
-        s"CAST(coalesce(max(CASE WHEN i = $i THEN v END), 0) AS BIGINT) AS s$i")
-        .mkString(",\n  ")
       s"""WITH wav_s AS (
          |  SELECT doc_id, unnest(range(0, 64 + doc_id % 191)) AS i
          |  FROM documents WHERE doc_id % 3 = 1),
@@ -1856,20 +1857,32 @@ object Battery {
          |    CAST(sum(r) + 2 * sum(g) + sum(b) AS BIGINT) AS s5,
          |    CAST(0 AS BIGINT) AS s6, CAST(0 AS BIGINT) AS s7
          |  FROM bmp_v GROUP BY doc_id),
-         |vid_g AS (
-         |  SELECT doc_id, unnest(range(1, length(text) + 1)) AS p, text
+         |vid_a AS (
+         |  SELECT doc_id, 4 + doc_id % 11 AS w, 3 + doc_id % 5 AS h,
+         |         2 + doc_id % 9 AS nf
          |  FROM documents WHERE doc_id % 3 = 2),
-         |vid_s AS (
-         |  SELECT doc_id, (p - 1) % 8 AS i,
-         |         sum(ascii(substring(text, CAST(p AS INT), 1))) AS v
-         |  FROM vid_g GROUP BY 1, 2),
+         |vid_f AS (
+         |  SELECT doc_id, w, h, nf, unnest(range(0, nf)) AS f FROM vid_a),
+         |vid_p AS (
+         |  SELECT doc_id, w, h, nf, f, unnest(range(0, w * h)) AS idx FROM vid_f),
+         |vid_v AS (
+         |  SELECT doc_id, w, h, nf,
+         |    (doc_id + 7 * (idx % w) + 13 * (idx // w) + 17 * f) % 256 AS r,
+         |    (3 * doc_id + 5 * (idx % w) + (idx // w) + 29 * f) % 256 AS g,
+         |    (11 * doc_id + (idx % w) + 2 * (idx // w) + 23 * f) % 256 AS b
+         |  FROM vid_p),
          |video AS (
-         |  SELECT d.doc_id AS asset_id, 'video' AS media_type,
-         |    CAST(length(d.text) AS BIGINT) AS byte_len,
-         |    $videoSums
-         |  FROM documents d LEFT JOIN vid_s s ON d.doc_id = s.doc_id
-         |  WHERE d.doc_id % 3 = 2
-         |  GROUP BY 1, 2, 3)
+         |  SELECT doc_id AS asset_id, 'video' AS media_type,
+         |    CAST(224 + any_value(nf) * (8 + ((3 * any_value(w) + 3) // 4 * 4) * any_value(h)) AS BIGINT) AS byte_len,
+         |    CAST(any_value(w) AS BIGINT) AS s0,
+         |    CAST(any_value(h) AS BIGINT) AS s1,
+         |    CAST(any_value(nf) AS BIGINT) AS s2,
+         |    CAST(sum(r) AS BIGINT) AS s3,
+         |    CAST(sum(g) AS BIGINT) AS s4,
+         |    CAST(sum(b) AS BIGINT) AS s5,
+         |    CAST(200 AS BIGINT) AS s6,
+         |    CAST(0 AS BIGINT) AS s7
+         |  FROM vid_v GROUP BY doc_id)
          |SELECT * FROM audio
          |UNION ALL SELECT * FROM image
          |UNION ALL SELECT * FROM video""".stripMargin
@@ -2291,36 +2304,60 @@ object Battery {
            |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents)
            |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin))
 
-  /** Video frame sampling: flatMap fan-out of each video into (asset,
-    * frame) rows — narrow, frames stay in their asset's partition. Frame
-    * payloads surface as md5 digests (scalar, sortable) rather than raw
-    * bytes. The stub "frame" is a deterministic 16-byte wraparound
-    * window of the payload at ts % len, which DuckDB reproduces with
-    * substring over a doubled string (payloads are ASCII and ≥ 16
-    * chars, so byte windows = char windows and one doubling suffices) —
-    * full content oracle, no longer rows-only. 5 s cadence so the
-    * synthetic durations ((doc_id mod 10000)·100 ms, up to ~1000 s)
-    * yield multi-frame fan-outs with wraparound starts.
+  /** REAL video frame sampling: video assets carry actual uncompressed
+    * 24-bpp RIFF/AVI containers ([[graft.ops.MediaCodecs.syntheticAvi]],
+    * 2–10 frames at 200 ms/frame, pixels analytic in (doc_id, frame))
+    * and `sampleFrames(decodeVideo = true)` selects, for each 300 ms
+    * sample tick, the container frame covering it
+    * (`min(nF−1, ts/200)`) and emits its DECODED top-down RGB pixel
+    * stream out of [[graft.ops.MediaCodecs.AviCodec]] — no byte-window
+    * stub anywhere in the path. Content is pinned by position-weighted
+    * byte sums (wsum pins RGB interleave order AND the bottom-up→
+    * top-down row flip AND which frame was selected; plain sums are
+    * order-invariant), which the oracle recomputes from the analytic
+    * per-frame pixel formulas. Narrow flatMap + map, no shuffle: frames
+    * fan out inside their asset's partition.
     */
   private val m3FrameSample = Q(
     "m3_frame_sample",
     (s, d) => {
-      val media = graft.ops.MultimodalOps.mediaFromDocuments(T.documents(s, d))
-      graft.ops.MultimodalOps.sampleFrames(media, everyMs = 5000L).toDF()
-        .select(col("asset_id"), col("frame_idx"), col("ts_ms"),
-          md5(col("frame")).as("frame_md5"))
+      import s.implicits._
+      val media = graft.ops.MultimodalOps
+        .mediaFromDocumentsReal(T.documents(s, d))
+        .filter(col("media_type") === "video").toDF()
+      graft.ops.MultimodalOps.sampleFrames(media, everyMs = 300L, decodeVideo = true)
+        .map { fr =>
+          var sum = 0L; var wsum = 0L
+          var i = 0
+          while (i < fr.frame.length) {
+            val b = (fr.frame(i) & 0xff).toLong
+            sum += b; wsum += i.toLong * b
+            i += 1
+          }
+          (fr.asset_id, fr.frame_idx, fr.ts_ms, fr.frame.length.toLong, sum, wsum)
+        }.toDF("asset_id", "frame_idx", "ts_ms", "frame_len", "frame_sum", "frame_wsum")
     },
-    Some("""WITH v AS (
-           |  SELECT doc_id AS asset_id, text, length(text) AS len
-           |  FROM documents WHERE doc_id % 3 = 2),
-           |f AS (
-           |  SELECT asset_id, text, len,
-           |         unnest(range(0, CAST((asset_id % 10000) * 100 AS BIGINT), 5000)) AS ts_ms
-           |  FROM v)
-           |SELECT asset_id, CAST(ts_ms / 5000 AS INT) AS frame_idx, ts_ms,
-           |  md5(substring(text || text, CAST(ts_ms % len AS INT) + 1,
-           |      least(16, len))) AS frame_md5
-           |FROM f""".stripMargin))
+    Some("""WITH a AS (SELECT doc_id, 4 + doc_id % 11 AS w, 3 + doc_id % 5 AS h,
+           |                  2 + doc_id % 9 AS nf
+           |           FROM documents WHERE doc_id % 3 = 2),
+           |s AS (SELECT doc_id, w, h, nf,
+           |        unnest(range(0, nf * 200, 300)) AS ts_ms
+           |      FROM a),
+           |fs AS (SELECT doc_id, w, h, ts_ms,
+           |         least(nf - 1, ts_ms // 200) AS f
+           |       FROM s),
+           |p AS (SELECT doc_id, w, h, ts_ms, f, unnest(range(0, w * h)) AS idx FROM fs),
+           |v AS (SELECT doc_id, ts_ms, f, idx,
+           |        (doc_id + 7 * (idx % w) + 13 * (idx // w) + 17 * f) % 256 AS r,
+           |        (3 * doc_id + 5 * (idx % w) + (idx // w) + 29 * f) % 256 AS g,
+           |        (11 * doc_id + (idx % w) + 2 * (idx // w) + 23 * f) % 256 AS b
+           |      FROM p)
+           |SELECT doc_id AS asset_id, CAST(ts_ms // 300 AS INT) AS frame_idx,
+           |  CAST(ts_ms AS BIGINT) AS ts_ms,
+           |  CAST(3 * count(*) AS BIGINT) AS frame_len,
+           |  CAST(sum(r + g + b) AS BIGINT) AS frame_sum,
+           |  CAST(sum(3 * idx * r + (3 * idx + 1) * g + (3 * idx + 2) * b) AS BIGINT) AS frame_wsum
+           |FROM v GROUP BY doc_id, ts_ms""".stripMargin))
 
   /** REAL image frame extraction: image assets carry actual 24-bpp BMP
     * containers and `sampleFrames(decodeImages = true)` emits each

@@ -4,7 +4,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.MediaCodecs.{BmpCodec, WavCodec}
+import graft.ops.MediaCodecs.{AviCodec, BmpCodec, WavCodec}
 
 /** Differential tests of the pure-Scala WAV/BMP codecs against the
   * JDK's own, independently-written codecs (`javax.sound.sampled` and
@@ -163,9 +163,89 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("overruns"), ex.getMessage)
   }
 
+  // ------------------------------------------------------------- AVI
+
+  private def aviFrames(n: Int, w: Int, h: Int, seed: Int): Array[Array[Int]] =
+    Array.tabulate(n)(f => pattern(w, h, seed = seed + 37 * f))
+
+  test("AVI: encode/decode round-trips dims, frame period, and every pixel") {
+    for ((w, h, n) <- Seq((5, 3, 4), (4, 4, 1), (7, 2, 9), (1, 1, 2))) {
+      val frames = aviFrames(n, w, h, seed = w * 131 + h)
+      val bytes = AviCodec.encode(frames, w, h, usPerFrame = 200000)
+      val back = AviCodec.decode(bytes)
+      assert(back.width == w && back.height == h && back.usPerFrame == 200000)
+      assert(back.frames.length == n)
+      (0 until n).foreach(f =>
+        assert(back.frames(f).toSeq == frames(f).toSeq, s"frame $f of ${w}x$h×$n"))
+    }
+  }
+
+  test("AVI: chunk walker skips foreign chunks (JUNK before movi, odd-size padded)") {
+    val frames = aviFrames(3, 5, 3, seed = 11)
+    val canonical = AviCodec.encode(frames, 5, 3, usPerFrame = 100000)
+    // splice an odd-sized JUNK chunk between the hdrl LIST and the movi
+    // LIST: decoders that assume movi starts at the canonical offset break
+    val headEnd = 12 + 200 // RIFF header + hdrl LIST
+    val junk = "junkie!".getBytes("US-ASCII") // 7 bytes, odd → 1 pad byte
+    val chunk = java.nio.ByteBuffer.allocate(8 + junk.length + 1)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    chunk.put("JUNK".getBytes("US-ASCII")).putInt(junk.length).put(junk).put(0.toByte)
+    val spliced = canonical.take(headEnd) ++ chunk.array() ++ canonical.drop(headEnd)
+    java.nio.ByteBuffer.wrap(spliced).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, spliced.length - 8)
+    val back = AviCodec.decode(spliced)
+    assert(back.frames.length == 3)
+    (0 until 3).foreach(f => assert(back.frames(f).toSeq == frames(f).toSeq))
+  }
+
+  test("AVI: negative strf height means top-down rows; decode flips accordingly") {
+    val (w, h) = (4, 3)
+    val frames = aviFrames(2, w, h, seed = 23)
+    val bytes = AviCodec.encode(frames, w, h, usPerFrame = 200000).clone()
+    // strf biHeight lives at: 12 + 8 hdrl-LIST-head + 4 'hdrl' + 64 avih +
+    // 8 strl-LIST-head + 4 'strl' + 64 strh + 8 strf-head + 8 = 180
+    java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(180, -h)
+    val flipped = AviCodec.decode(bytes)
+    val expect = frames.map { px =>
+      Array.tabulate(w * h) { idx => px((h - 1 - idx / w) * w + idx % w) }
+    }
+    (0 until 2).foreach(f => assert(flipped.frames(f).toSeq == expect(f).toSeq))
+  }
+
+  test("AVI: malformed streams throw, never return garbage") {
+    val good = AviCodec.encode(aviFrames(2, 4, 3, 1), 4, 3, usPerFrame = 200000)
+    intercept[IllegalArgumentException](AviCodec.decode(good.take(100))) // truncated
+    val notAvi = good.clone(); notAvi(8) = 'X'.toByte
+    intercept[IllegalArgumentException](AviCodec.decode(notAvi))
+    val thirtyTwo = good.clone()
+    java.nio.ByteBuffer.wrap(thirtyTwo).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(186, 32.toShort) // strf bpp field
+    intercept[IllegalArgumentException](AviCodec.decode(thirtyTwo))
+    val compressed = good.clone()
+    java.nio.ByteBuffer.wrap(compressed).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(188, 1) // strf biCompression = BI_RLE8
+    intercept[IllegalArgumentException](AviCodec.decode(compressed))
+  }
+
+  test("syntheticAvi: analytic frame formulas match the decoded container") {
+    val id = 17L
+    val avi = AviCodec.decode(MediaCodecs.syntheticAvi(id))
+    val (w, h, nF) = (4 + (id % 11).toInt, 3 + (id % 5).toInt, 2 + (id % 9).toInt)
+    assert(avi.width == w && avi.height == h && avi.frames.length == nF)
+    assert(avi.usPerFrame == 200000)
+    for (f <- 0 until nF; idx <- 0 until w * h) {
+      val x = idx % w; val y = idx / w
+      val expect = ((((id + 7 * x + 13 * y + 17 * f) % 256) << 16) |
+        (((3 * id + 5 * x + y + 29 * f) % 256) << 8) |
+        ((11 * id + x + 2 * y + 23 * f) % 256)).toInt
+      assert(avi.frames(f)(idx) == expect, s"frame $f pixel ($x,$y)")
+    }
+  }
+
   // ------------------------------------------------- the decoder seam
 
-  test("CodecDecoder derives features from DECODED content; video falls back to stub") {
+  test("CodecDecoder derives features from DECODED content for all three types") {
     val wavRow = MultimodalOps.MediaRow(10L, "audio",
       MediaCodecs.syntheticWav(10L), None, None, Some(1000L))
     val wf = MultimodalOps.CodecDecoder.decode(wavRow)
@@ -182,16 +262,24 @@ class MediaCodecsSpec extends AnyFunSuite {
     val sumR = bmp.pixels.map(p => (p >> 16) & 0xff).map(_.toLong).sum
     assert(bf.feature(2) == (sumR.toDouble / bmp.pixels.length).toFloat)
 
+    // video features come from the DECODED frame stream, not byte stats
     val vidRow = MultimodalOps.MediaRow(8L, "video",
-      Array.tabulate(64)(_.toByte), None, None, Some(5000L))
-    val (cv, fv) = (MultimodalOps.CodecDecoder.decode(vidRow),
-      MultimodalOps.FakeDecoder.decode(vidRow))
-    // field-wise: case-class == is reference equality on the array member
-    assert(cv.asset_id == fv.asset_id && cv.byte_len == fv.byte_len &&
-      cv.feature.toSeq == fv.feature.toSeq)
+      MediaCodecs.syntheticAvi(8L), None, None, Some(2000L))
+    val cv = MultimodalOps.CodecDecoder.decode(vidRow)
+    val avi = AviCodec.decode(vidRow.content)
+    assert(cv.feature(0) == avi.width.toFloat && cv.feature(1) == avi.height.toFloat)
+    assert(cv.feature(2) == avi.frames.length.toFloat)
+    val vSumR = avi.frames.flatMap(_.map(p => ((p >> 16) & 0xff).toLong)).sum
+    val denom = avi.width.toDouble * avi.height * avi.frames.length
+    assert(cv.feature(3) == (vSumR / denom).toFloat)
+    assert(cv.feature(6) == 200f)
 
-    // malformed audio payload fails loudly, not silently
+    // malformed payloads and unknown media types fail loudly, not silently
     intercept[IllegalArgumentException](
       MultimodalOps.CodecDecoder.decode(wavRow.copy(content = Array[Byte](1, 2, 3))))
+    intercept[IllegalArgumentException](
+      MultimodalOps.CodecDecoder.decode(vidRow.copy(content = Array.tabulate(64)(_.toByte))))
+    intercept[IllegalArgumentException](
+      MultimodalOps.CodecDecoder.decode(vidRow.copy(media_type = "hologram")))
   }
 }

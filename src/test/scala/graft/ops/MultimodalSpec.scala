@@ -91,7 +91,42 @@ class MultimodalSpec extends AnyFunSuite {
           val wav = MediaCodecs.WavCodec.decode(m.content)
           assert(m.duration_ms.contains(wav.samples.length * 1000L / 8000L))
         case _ =>
-          assert(m.media_type == "video" && m.duration_ms.nonEmpty)
+          assert(m.media_type == "video")
+          val avi = MediaCodecs.AviCodec.decode(m.content)
+          assert(m.width.contains(avi.width) && m.height.contains(avi.height))
+          assert(m.duration_ms.contains(avi.frames.length * 200L))
+      }
+    }
+  }
+
+  test("sampleFrames(decodeVideo): sampled frames are DECODED RGB of the covering container frame") {
+    import spark.implicits._
+    val ids = Seq(2L, 5L, 8L, 11L)
+    val media = ids.map { id =>
+      val nF = 2 + (id % 9).toInt
+      MultimodalOps.MediaRow(id, "video", MediaCodecs.syntheticAvi(id),
+        None, None, Some(nF * 200L))
+    }.toDS().toDF()
+    val frames = MultimodalOps.sampleFrames(media, everyMs = 300L, decodeVideo = true)
+      .collect().groupBy(_.asset_id)
+    assert(frames.keySet == ids.toSet)
+    ids.foreach { id =>
+      val avi = MediaCodecs.AviCodec.decode(MediaCodecs.syntheticAvi(id))
+      val nF = avi.frames.length
+      val expectSamples = (nF * 200L + 299L) / 300L
+      val fs = frames(id).sortBy(_.frame_idx)
+      assert(fs.length == expectSamples, s"asset $id")
+      fs.foreach { fr =>
+        assert(fr.ts_ms == fr.frame_idx * 300L)
+        val srcFrame = math.min(nF - 1L, fr.ts_ms / 200L).toInt
+        val px = avi.frames(srcFrame)
+        assert(fr.frame.length == px.length * 3)
+        // spot-check first and last pixel, RGB interleave
+        Seq(0, px.length - 1).foreach { i =>
+          assert((fr.frame(3 * i) & 0xff) == ((px(i) >> 16) & 0xff))
+          assert((fr.frame(3 * i + 1) & 0xff) == ((px(i) >> 8) & 0xff))
+          assert((fr.frame(3 * i + 2) & 0xff) == (px(i) & 0xff))
+        }
       }
     }
   }
