@@ -123,7 +123,8 @@ object VolumeProbe {
     "d7_simhash_pairs", "d8_dup_spans", "x5_token_freq",
     "x15_bigram_counts", "x8_decontaminate", "x9_pack_sequences",
     "x14_domain_cap", "c1_corpus_curation", "n6_kmeans_fit",
-    "j_outer_chain", "j14_asof_join", "tw_timebound_join")
+    "j_outer_chain", "j14_asof_join", "tw_timebound_join",
+    "x17_epoch_shuffle", "x19_token_chunks")
   // The two events-family probes pin the time-keyed claims: j14's
   // window-over-union emits exactly one row per left event (×factor by
   // user-disjoint replicas), and tw_timebound_join's per-key fan-out is
@@ -142,6 +143,21 @@ object VolumeProbe {
     * ×factor — a content check, since the limit pins the row count.
     */
   private val rankedContent = Set("x5_token_freq", "x15_bigram_counts")
+
+  // x17/x19 laws (the distributed global-numbering family — range sort +
+  // zipWithIndex / prefix sum): the seeded permutation INTERLEAVES
+  // replicas (md5 of remapped ids scatters them), so per-position
+  // content can't be compared to the base — the laws are the ones that
+  // survive cross-replica hash interleaving:
+  //   x17: pos is a BIJECTION onto 1..(factor·N) — count, min, max,
+  //        countDistinct all pin it; one lost/duplicated position from a
+  //        partition-boundary slip breaks one of the four.
+  //   x19: per-doc n_tokens preserved under the id remap (clone text is
+  //        byte-identical); the stream is CONTIGUOUS — min tok_start = 0
+  //        and max(tok_start + n_tokens) = Σ n_tokens = factor × base Σ
+  //        (a prefix-sum offset slip breaks the equality); and the chunk
+  //        ids satisfy first = tok_start div C, last = (end − 1) div C
+  //        row-by-row (integer div, engine-exact).
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -179,6 +195,11 @@ object VolumeProbe {
           if (rankedContent(name))
             Right(fn(spark, srcDir).collect()
               .map(r => (r.getString(0), r.getLong(1))).toSeq)
+          else if (name == "x19_token_chunks") Right {
+            val a = fn(spark, srcDir)
+              .agg(count(lit(1)), sum(col("n_tokens"))).head
+            Seq(("rows", a.getLong(0)), ("tok", a.getLong(1)))
+          }
           else Right(Seq(("", fn(spark, srcDir).count())))
         } catch { case e: Throwable => Left(e.toString.take(200)) }
       val t0 = System.nanoTime()
@@ -190,6 +211,37 @@ object VolumeProbe {
                 .map(r => (r.getString(0), r.getLong(1))).toSeq
               val ok = big == base.map { case (t, n) => (t, n * factor) }
               Right((big.length.toLong, base.length.toLong, "content x" + factor, ok))
+            } else if (name == "x17_epoch_shuffle") {
+              val a = fn(spark, outDir).agg(count(lit(1)), min(col("pos")),
+                max(col("pos")), countDistinct(col("pos"))).head
+              val n = a.getLong(0)
+              val b = base.head._2
+              val ok = n == b * factor && a.getLong(1) == 1L &&
+                a.getLong(2) == n && a.getLong(3) == n
+              Right((n, b, "pos-bijection x" + factor, ok))
+            } else if (name == "x19_token_chunks") {
+              val df = fn(spark, outDir)
+              val a = df.agg(count(lit(1)), sum(col("n_tokens")),
+                min(col("tok_start")), max(col("tok_start") + col("n_tokens")),
+                sum(when(expr("first_chunk != (tok_start div 512) OR " +
+                    "last_chunk != ((tok_start + n_tokens - 1) div 512)"), 1L)
+                  .otherwise(0L))).head
+              val (bRows, bTok) = (base.head._2, base(1)._2)
+              val n = a.getLong(0)
+              val tok = a.getLong(1)
+              // per-doc token counts preserved under the replica id remap
+              // (clone text is byte-identical; base ids < offset, so
+              // id mod offset recovers each clone's original)
+              val baseNt = fn(spark, srcDir)
+                .select(col("doc_id").as("bid"), col("n_tokens").as("bnt"))
+              val mismatched = df
+                .select(pmod(col("doc_id"), lit(offset)).as("bid"), col("n_tokens"))
+                .join(baseNt, "bid")
+                .where(col("n_tokens") =!= col("bnt")).count()
+              val ok = n == bRows * factor && tok == bTok * factor &&
+                a.getLong(2) == 0L && a.getLong(3) == tok &&
+                a.getLong(4) == 0L && mismatched == 0L
+              Right((n, bRows, "prefix-sum-contiguity x" + factor, ok))
             } else {
               val n = fn(spark, outDir).count()
               val b = base.head._2

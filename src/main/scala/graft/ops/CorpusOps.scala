@@ -513,14 +513,90 @@ object CorpusOps {
       bounds: Seq[Int], batchSize: Int): DataFrame = {
     require(bounds == bounds.sorted && bounds.nonEmpty, "bounds must ascend")
     require(batchSize > 0, "batchSize must be positive")
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("n_tokens"), col(idCol))
+    bucketed(docs, idCol, textCol, bounds)
+      .withColumn("batch_idx",
+        ((row_number().over(w) - 1) / batchSize).cast("long"))
+  }
+
+  /** The shared (id, n_tokens, bucket) projection of the two
+    * length-bucketing forms: bucket = index of the highest bound ≤
+    * n_tokens (bucket 0 below every bound), a narrow literal CASE chain.
+    */
+  private def bucketed(docs: DataFrame, idCol: String, textCol: String,
+      bounds: Seq[Int]): DataFrame = {
     val bucket = bounds.zipWithIndex.foldLeft(lit(0)) { case (acc, (b, i)) =>
       when(col("n_tokens") >= b, lit(i + 1)).otherwise(acc)
     }
-    val w = Window.partitionBy(col("bucket"))
-      .orderBy(col("n_tokens"), col(idCol))
     docs.select(col(idCol), size(TextOps.tokens(col(textCol))).as("n_tokens"))
       .withColumn("bucket", bucket)
-      .withColumn("batch_idx",
-        ((row_number().over(w) - 1) / batchSize).cast("long"))
+  }
+
+  /** Scalable twin of [[lengthBucketBatches]] — IDENTICAL output (the
+    * spec pins row-for-row equality), but the within-bucket batch
+    * numbering is a distributed PER-BUCKET PREFIX COUNT instead of one
+    * window task per bucket: with a handful of buckets, the single-window
+    * form sorts each bucket's entire share of a 100 TB corpus in one
+    * task. Here the frame is RANGE-partitioned on (bucket, n_tokens, id)
+    * — so every partition holds a contiguous slice of some bucket's
+    * global order — one tiny job collects per-(partition, bucket) row
+    * counts (≤ partitions × buckets pairs reach the driver), cumulative
+    * per-bucket starts are broadcast back, and a narrow per-partition
+    * pass assigns each row its global within-bucket rank. The
+    * [[chunkAssignments]] prefix-sum machinery, generalized from one
+    * global group to one group per bucket; `localCheckpoint` pins the
+    * two passes to identical partition contents for the same reason.
+    */
+  /** The parallel-sort stage of [[lengthBucketBatchesScalable]], exposed
+    * so the plan gate can assert the range partitioning (the prefix-count
+    * step that follows hides the sort behind an ExistingRDD boundary).
+    */
+  private[graft] def lengthBucketSorted(docs: DataFrame, idCol: String,
+      textCol: String, bounds: Seq[Int], partitions: Int): DataFrame = {
+    val n = if (partitions > 0) partitions
+      else docs.sparkSession.sessionState.conf.numShufflePartitions
+    bucketed(docs, idCol, textCol, bounds)
+      .repartitionByRange(n, col("bucket"), col("n_tokens"), col(idCol))
+      .sortWithinPartitions(col("bucket"), col("n_tokens"), col(idCol))
+  }
+
+  def lengthBucketBatchesScalable(docs: DataFrame, idCol: String,
+      textCol: String, bounds: Seq[Int], batchSize: Int,
+      partitions: Int = 0): DataFrame = {
+    require(bounds == bounds.sorted && bounds.nonEmpty, "bounds must ascend")
+    require(batchSize > 0, "batchSize must be positive")
+    val spark = docs.sparkSession
+    val sorted = lengthBucketSorted(docs, idCol, textCol, bounds, partitions)
+    val rdd = sorted.rdd.localCheckpoint()
+    val counts = rdd.mapPartitionsWithIndex { (i, it) =>
+      val m = scala.collection.mutable.Map.empty[Int, Long]
+      it.foreach { r =>
+        val b = r.getInt(2)
+        m(b) = m.getOrElse(b, 0L) + 1L
+      }
+      Iterator((i, m.toMap))
+    }.collect().sortBy(_._1)
+    // starts(i)(b) = rows of bucket b in partitions before i
+    val running = scala.collection.mutable.Map.empty[Int, Long]
+    val starts: Array[Map[Int, Long]] = counts.map { case (_, m) =>
+      val snap = running.toMap
+      m.foreach { case (b, c) => running(b) = running.getOrElse(b, 0L) + c }
+      snap
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField("batch_idx",
+          org.apache.spark.sql.types.LongType, nullable = false))
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      val local = scala.collection.mutable.Map.empty[Int, Long]
+      it.map { r =>
+        val b = r.getInt(2)
+        val rank = starts(i).getOrElse(b, 0L) + local.getOrElse(b, 0L)
+        local(b) = local.getOrElse(b, 0L) + 1L
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ rank / batchSize)
+      }
+    }
+    spark.createDataFrame(out, schema)
   }
 }

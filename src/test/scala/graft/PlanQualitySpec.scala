@@ -398,6 +398,25 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("Window"), s"batch numbering must be a window:\n$p")
   }
 
+  test("scalable length bucketing range-partitions (bucket, length, id) — " +
+      "never a per-bucket single-task window") {
+    // the prefix-count numbering hides the sort behind an ExistingRDD
+    // boundary (same as x17/x19) — gate the sort stage and the final
+    // plan separately
+    val sortStage = graft.ops.CorpusOps.lengthBucketSorted(
+      graft.Tables.documents(spark, dir), "doc_id", "text",
+      bounds = Seq(20, 40, 80), partitions = 0)
+      .queryExecution.explainString(FormattedMode)
+    assert(sortStage.toLowerCase.contains("rangepartitioning"),
+      s"per-bucket order must range-partition:\n$sortStage")
+    val p = graft.ops.CorpusOps.lengthBucketBatchesScalable(
+      graft.Tables.documents(spark, dir), "doc_id", "text",
+      bounds = Seq(20, 40, 80), batchSize = 16, partitions = 0)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Window"),
+      s"numbering must come from the per-bucket prefix count, not a window:\n$p")
+  }
+
   test("no forced broadcast anywhere in the load/build paths (source gate)") {
     // an id map / Indexd dim / builder input is 1:1 with the entity
     // universe — a broadcast() hint there is a driver OOM at scale. AQE

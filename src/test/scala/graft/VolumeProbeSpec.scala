@@ -79,6 +79,38 @@ class VolumeProbeSpec extends AnyFunSuite {
     assert(tw(spark, outDir).count() == tw(spark, srcDir).count() * factor)
   }
 
+  test("token-stream family at xN: epoch-shuffle bijection and chunk " +
+      "prefix-sum contiguity survive cross-replica hash interleaving") {
+    // the seeded permutation INTERLEAVES replicas (md5 of remapped ids
+    // scatters them), so per-position content can't be compared to the
+    // base — these are the laws that survive: pos is a bijection onto
+    // 1..3N; token mass scales x3 and the concatenated stream stays
+    // contiguous from offset 0; chunk ids satisfy the div arithmetic
+    // row-by-row
+    val x17 = SparkEntry.queries("x17_epoch_shuffle")
+    val base17 = x17(spark, srcDir).count()
+    val a = x17(spark, outDir).agg(count(lit(1)), min(col("pos")),
+      max(col("pos")), countDistinct(col("pos"))).head
+    assert(a.getLong(0) == base17 * factor, "row count must scale xN")
+    assert(a.getLong(1) == 1L && a.getLong(2) == a.getLong(0) &&
+      a.getLong(3) == a.getLong(0), "pos must be a bijection onto 1..N")
+
+    val x19 = SparkEntry.queries("x19_token_chunks")
+    val baseAgg = x19(spark, srcDir)
+      .agg(count(lit(1)), sum(col("n_tokens"))).head
+    val b = x19(spark, outDir).agg(count(lit(1)), sum(col("n_tokens")),
+      min(col("tok_start")), max(col("tok_start") + col("n_tokens")),
+      sum(when(expr("first_chunk != (tok_start div 512) OR " +
+          "last_chunk != ((tok_start + n_tokens - 1) div 512)"), 1L)
+        .otherwise(0L))).head
+    assert(b.getLong(0) == baseAgg.getLong(0) * factor)
+    assert(b.getLong(1) == baseAgg.getLong(1) * factor,
+      "total token mass must scale xN")
+    assert(b.getLong(2) == 0L && b.getLong(3) == b.getLong(1),
+      "the concatenated stream must stay contiguous from offset 0")
+    assert(b.getLong(4) == 0L, "chunk-id arithmetic must hold row-by-row")
+  }
+
   test("curation is INVARIANT under replication: N byte-identical copies " +
       "curate to exactly the 1x output") {
     // replicas carry identical text under remapped ids, so the exact-

@@ -361,4 +361,23 @@ class CorpusOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("lengthBucketBatchesScalable: row-for-row equal to the single-window " +
+      "form at every partitioning (the 100 TB production knob)") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))
+    val simple = CorpusOps.lengthBucketBatches(docs, "doc_id", "text",
+        bounds = Seq(20, 40, 80), batchSize = 16)
+      .collect().map(key).toSet
+    // partition counts below, at, and above the bucket count — including
+    // one that guarantees several partitions per bucket AND partitions
+    // spanning bucket boundaries
+    for (parts <- Seq(1, 3, 7, 16)) {
+      val scalable = CorpusOps.lengthBucketBatchesScalable(docs, "doc_id",
+          "text", bounds = Seq(20, 40, 80), batchSize = 16, partitions = parts)
+        .collect().map(key).toSet
+      assert(scalable == simple, s"scalable form diverged at partitions=$parts")
+    }
+  }
 }

@@ -63,6 +63,38 @@ class StatefulSpec extends AnyFunSuite {
     assert(v2 == v1, "the two stateful APIs must agree row-for-row")
   }
 
+  test("flatMapGroupsWithState on the RocksDB state-store provider matches " +
+      "the default-store run (both production backends exercised)") {
+    // the first test pins the default (HDFS-backed) provider; this one
+    // pins that the SAME operator accumulates identically on the RocksDB
+    // store — the provider a production deployment runs for large state
+    implicit val sq = spark.sqlContext
+    val conf = spark.conf
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = conf.get(key, "")
+    conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Event]
+    val q = Stateful.runningUserTotals(input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("running_rocks_out").start()
+    try {
+      input.addData(ev(1, 7, 1000, 1.5), ev(2, 7, 2000, 2.25), ev(3, 8, 1500, 10.0))
+      q.processAllAvailable()
+      input.addData(ev(4, 7, 3000, 0.25))
+      q.processAllAvailable()
+      val rows = spark.table("running_rocks_out").as[UserRunning].collect()
+      val latest7 = rows.filter(_.user_id == 7).maxBy(_.n_events)
+      assert(latest7.n_events == 3 && latest7.total == 4.0 &&
+        latest7.last_event_ms == 3000,
+        s"RocksDB-store accumulation drifted from the default-store run: $latest7")
+      assert(rows.count(_.user_id == 8) == 1, "user 8 untouched in batch 2")
+    } finally {
+      q.stop()
+      if (prev.isEmpty) conf.unset(key) else conf.set(key, prev)
+    }
+  }
+
   test("transformWithState twin: streaming accumulation across micro-batches " +
       "equals v1 (RocksDB state store)") {
     implicit val sq = spark.sqlContext
