@@ -1069,6 +1069,30 @@ object Battery {
            |  ON l.user_id = r.user_id AND r.ts >= l.ts
            | AND r.ts <= l.ts + INTERVAL '2 hours'""".stripMargin))
 
+  /** Stream-stream FULL OUTER time-bound join, batch form
+    * ([[graft.streaming.Streaming.timeBoundFullJoin]]): the
+    * reconciliation shape — every view AND every click survives,
+    * matched within 2 hours, both unmatched sides null-padded (their
+    * streaming emission timing pinned by StreamingSpec). The key
+    * coalesces across sides since either may be null.
+    */
+  private val twJoinBoundFull = Q(
+    "tw_timebound_full_join",
+    (s, d) => {
+      val ev = T.events(s, d)
+      graft.streaming.Streaming.timeBoundFullJoin(
+        ev.where(col("event_type") === "view")
+          .select(col("user_id").as("k"), col("ts").as("lts")),
+        ev.where(col("event_type") === "click")
+          .select(col("user_id").as("k"), col("ts").as("rts")),
+        "2 HOURS")
+    },
+    Some("""SELECT coalesce(l.user_id, r.user_id) AS k, l.ts AS lts, r.ts AS rts
+           |FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') l
+           |FULL JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') r
+           |  ON l.user_id = r.user_id AND r.ts >= l.ts
+           | AND r.ts <= l.ts + INTERVAL '2 hours'""".stripMargin))
+
   /** `flatMapGroupsWithState` per-user running totals
     * ([[graft.streaming.Stateful.runningUserTotals]]), batch invocation
     * (one call per key, no carried state — cross-micro-batch
@@ -3237,6 +3261,7 @@ object Battery {
     fScalar, f5Cast, f9MapExplode, f12Json, f13ArrayOps,
     twTumbling, twSliding, twSession,
     twDedupWatermark, twDedupLateBoundary, twJoinBound, twJoinBoundLeft,
+    twJoinBoundFull,
     stUserTotals, stUserTotalsV2,
     x6SubwordCount,
     d1DedupExact, x1TextStats, n1AnnTopK, m1Multimodal, m2MultimodalDecode,

@@ -115,6 +115,31 @@ object Streaming {
       right.withWatermark("rts", lateness),
       maxDelay)
 
+  /** Stream-stream FULL OUTER time-bound join — the reconciliation
+    * shape: EVERY event on both sides survives, matched pairs within
+    * `[lts, lts + maxDelay]`, the rest null-padded. On streams each
+    * side's "no match" is decidable from the watermark alone (a left
+    * row once it passes `lts + maxDelay`, a right row once no left
+    * could still arrive in `[rts − maxDelay, rts]`), so state stays as
+    * bounded as the inner/left forms. The key must `coalesce` across
+    * sides — either may be null on an unmatched row.
+    */
+  def timeBoundFullJoin(left: DataFrame, right: DataFrame,
+      maxDelay: String): DataFrame =
+    left.join(right,
+      left("k") === right("k") &&
+        right("rts") >= left("lts") &&
+        right("rts") <= left("lts") + expr(s"INTERVAL $maxDelay"),
+      "full_outer")
+      .select(coalesce(left("k"), right("k")).as("k"), col("lts"), col("rts"))
+
+  def streamingTimeBoundFullJoin(left: DataFrame, right: DataFrame,
+      lateness: String, maxDelay: String): DataFrame =
+    timeBoundFullJoin(
+      left.withWatermark("lts", lateness),
+      right.withWatermark("rts", lateness),
+      maxDelay)
+
   /** Stream–static dimension enrichment: join a stream against a batch
     * dimension table. The static side is re-planned per micro-batch (so
     * a dimension refresh is picked up without restarting the query) and

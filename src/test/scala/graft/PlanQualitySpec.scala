@@ -321,9 +321,12 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("time-bound join stays an equi-join on the key (no nested loop)") {
-    val p = plan("tw_timebound_join")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
-      s"time-bound join degraded to a product join:\n$p")
+    for (q <- Seq("tw_timebound_join", "tw_timebound_left_join",
+        "tw_timebound_full_join")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"$q degraded to a product join:\n$p")
+    }
   }
 
   test("stateful user totals shuffle once on the grouping key") {

@@ -241,6 +241,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream full-outer time-bound join equals the batch full join, " +
+      "incl. null-padded unmatched rows on BOTH sides after watermark expiry") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val base = 36000000L
+    val ts = (m: Long) => new java.sql.Timestamp(base + m)
+    val imps = Seq( // (k, lts)
+      (1L, ts(0L)), (1L, ts(60000L)), (2L, ts(0L)))
+    val clicks = Seq( // (k, rts)
+      (1L, ts(30000L)),  // matches imp@0 only
+      (1L, ts(90000L)),  // matches imp@60000 only
+      (2L, ts(600000L)), // outside the 1-minute bound -> BOTH sides unmatched
+      (3L, ts(1000L)))   // click with no impression -> unmatched right
+    val expected = Streaming.timeBoundFullJoin(
+        imps.toDF("k", "lts"), clicks.toDF("k", "rts"), "1 MINUTE")
+      .collect().map(_.toString).sorted
+    // 2 matches + unmatched imp (k=2) + unmatched clicks (k=2 late, k=3)
+    assert(expected.length == 5)
+    assert(expected.count(_.contains("null")) == 3)
+
+    val li = MemoryStream[(Long, java.sql.Timestamp)]
+    val ri = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = Streaming.streamingTimeBoundFullJoin(
+        li.toDS().toDF("k", "lts"), ri.toDS().toDF("k", "rts"),
+        lateness = "10 minutes", maxDelay = "1 MINUTE")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssfj_out").start()
+    try {
+      li.addData(imps)
+      ri.addData(clicks)
+      q.processAllAvailable()
+      // push both watermarks far past every real event's decision point
+      // so the unmatched rows on BOTH sides emit; the sentinels
+      // themselves stay in state — filter them out
+      li.addData(Seq((98L, ts(7200000L))))
+      ri.addData(Seq((99L, ts(7200000L))))
+      q.processAllAvailable()
+      val got = spark.table("ssfj_out").where("k < 90")
+        .collect().map(_.toString).sorted
+      assert(got.sameElements(expected), s"stream ${got.toSeq} vs batch ${expected.toSeq}")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins the dimension by broadcast, batch-parity") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
