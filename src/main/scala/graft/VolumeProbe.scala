@@ -124,7 +124,16 @@ object VolumeProbe {
     "x15_bigram_counts", "x8_decontaminate", "x9_pack_sequences",
     "x14_domain_cap", "c1_corpus_curation", "n6_kmeans_fit",
     "j_outer_chain", "j14_asof_join", "tw_timebound_join",
-    "x17_epoch_shuffle", "x19_token_chunks")
+    "x17_epoch_shuffle", "x19_token_chunks",
+    "m2_multimodal_decode", "m3_frame_sample")
+  // The multimodal rows probe REAL container decode at volume: every
+  // replica re-derives its own WAV/BMP/AVI payloads from its remapped
+  // doc_id, and the decode is a narrow map — so row counts are
+  // replica-closed and scale exactly ×factor (media_type = id % 3 and
+  // the AVI frame count = 2 + id % 9 survive the ModLcm remap — 3 and
+  // 9 divide it; the dimension moduli 11/13/191 do NOT, which only
+  // changes decoded CONTENT per replica, never row counts — a probe
+  // that decodes 10× the containers in the same heap is the claim).
   // The two events-family probes pin the time-keyed claims: j14's
   // window-over-union emits exactly one row per left event (×factor by
   // user-disjoint replicas), and tw_timebound_join's per-key fan-out is
