@@ -41,6 +41,61 @@ object CorpusOps {
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Bloom-pre-filtered decontamination — the 100 TB form of
+    * [[contaminationHits]], with IDENTICAL output: Bloom filters have
+    * no false negatives, and every candidate that passes the filter is
+    * still exact-verified by the same shingle equi-join (false
+    * positives only add a few verify rows — the `fpp` knob). The
+    * benchmark's distinct shingle set is aggregated into ONE
+    * fixed-size Bloom blob (partial-merged `BloomFilterAggregate`,
+    * ~1.2 MB per million shingles at 1% fpp — bounded by the BENCHMARK,
+    * which is small by definition; the blob and one count are the only
+    * driver-side state) and shipped as a literal into a codegen'd
+    * `might_contain` pre-filter over the corpus shingle stream.
+    *
+    * Scale shape: at 100 TB the corpus side drops to ~the true-hit
+    * rate AT THE SCAN, before the join shuffle — [[contaminationHits]]
+    * shuffles every distinct corpus shingle to meet the benchmark;
+    * this form shuffles only probable hits. Same sketch+exact-gate
+    * discipline as `heavyHitters` (CMS): the sketch accelerates, the
+    * exact operator decides.
+    */
+  def contaminationHitsBloom(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int,
+      fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => exprCol}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    require(fpp > 0 && fpp < 1, s"fpp $fpp outside (0, 1)")
+    val benchShingles = benchmark
+      .select(explode(TextOps.shingles(col(textCol), n)).as("sh"))
+      .distinct()
+    val corpusIds = corpus.select(col(idCol)).distinct()
+    val nBench = benchShingles.count()
+    if (nBench == 0L)
+      return corpusIds.select(col(idCol), lit(0L).as("n_hits"),
+        lit(false).as("contaminated"))
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(nBench, fpp)
+    val hash = (c: org.apache.spark.sql.Column) =>
+      new XxHash64(Seq(org.apache.spark.sql.GraftColumnBridge.expression(c)))
+    val blob = benchShingles
+      .select(exprCol(new BloomFilterAggregate(hash(col("sh")),
+          Literal(nBench), Literal(numBits)).toAggregateExpression()).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val prefiltered = corpus
+      .select(col(idCol), explode(TextOps.shingles(col(textCol), n)).as("sh"))
+      .distinct()
+      .where(exprCol(BloomFilterMightContain(
+        Literal(blob, org.apache.spark.sql.types.BinaryType), hash(col("sh")))))
+    val hits = prefiltered.join(benchShingles, Seq("sh"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+    corpusIds.join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Token-budget sequence packing: assign each document to a pack of
     * ~`budget` tokens by contiguous greedy fill — pack_id = (tokens
     * before this doc in its shard) div budget, i.e. a doc starts a new

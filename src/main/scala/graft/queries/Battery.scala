@@ -2047,6 +2047,42 @@ object Battery {
            |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
            |LEFT JOIN h ON d.doc_id = h.doc_id""".stripMargin))
 
+  /** Bloom-pre-filtered decontamination
+    * ([[graft.ops.CorpusOps.contaminationHitsBloom]]): the 100 TB form
+    * of x8 — the benchmark's shingle set collapses to ONE fixed-size
+    * Bloom blob (partial-merged `BloomFilterAggregate`) shipped as a
+    * literal into a codegen'd `might_contain` pre-filter, so at scale
+    * the corpus shingle stream drops to ~the true-hit rate BEFORE the
+    * join shuffle. Bloom filters have no false negatives and survivors
+    * are exact-verified by the same equi-join, so the output is
+    * IDENTICAL to x8 — the oracle IS x8's oracle, making any slip in
+    * the sketch path (hash mismatch between agg and probe, blob
+    * truncation, fpp arithmetic) a hash mismatch here.
+    */
+  private val x21BloomDecontaminate = Q(
+    "x21_bloom_decontaminate",
+    (s, d) => {
+      val docs = T.documents(s, d)
+      graft.ops.CorpusOps.contaminationHitsBloom(
+        corpus = docs.where(pmod(col("doc_id"), lit(97)) =!= 0),
+        benchmark = docs.where(pmod(col("doc_id"), lit(97)) === 0),
+        idCol = "doc_id", textCol = "text", n = 3)
+    },
+    Some("""WITH bt AS (SELECT string_split_regex(trim(text), '\s+') AS tk
+           |            FROM documents WHERE doc_id % 97 = 0),
+           |bs AS (SELECT DISTINCT array_to_string(tk[i:i+2], ' ') AS sh
+           |       FROM bt, UNNEST(range(1, len(tk) - 1)) AS t(i) WHERE len(tk) >= 3),
+           |ct AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+           |       FROM documents WHERE doc_id % 97 <> 0),
+           |cs AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS sh
+           |       FROM ct, UNNEST(range(1, len(tk) - 1)) AS t(i) WHERE len(tk) >= 3),
+           |h AS (SELECT doc_id, count(*) AS n_hits FROM cs JOIN bs USING (sh) GROUP BY doc_id)
+           |SELECT d.doc_id,
+           |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           |  coalesce(h.n_hits, 0) > 0 AS contaminated
+           |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+           |LEFT JOIN h ON d.doc_id = h.doc_id""".stripMargin))
+
   /** Token-budget sequence packing: contiguous greedy fill into
     * 512-token packs, per shard (`doc_id % 8`) — the window prefix-sum
     * runs within a shard, never globally, so the sort parallelizes
@@ -3272,7 +3308,7 @@ object Battery {
     x7Repetition, x8Decontaminate, x9PackSequences, x10Redact,
     x11StratifiedSample, x12RareTokens, x13HeavyHitters, x14DomainCap,
     x15BigramCounts, x16TopDistinctTerm, x17EpochShuffle, x18LengthBuckets,
-    x19TokenChunks, x20TemperatureMixture, c1Curation,
+    x19TokenChunks, x20TemperatureMixture, x21BloomDecontaminate, c1Curation,
     n2AnnLsh, n3EmbNearDup, n4AnnIvf, n5PqQuantize, n6KmeansFit, n7SemanticDedup,
     kfPatientSlice, kfRSubjectSlice, kfSpecimenSlice, kfDrsSlice,
     kfDiseaseSlice, kfPhenotypeSlice, kfHistoSlice, kfVitalSlice,

@@ -401,6 +401,15 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("Window"), s"batch numbering must be a window:\n$p")
   }
 
+  test("bloom decontamination pre-filters the corpus shingle stream with a " +
+      "codegen'd might_contain literal before the verify join") {
+    val p = plan("x21_bloom_decontaminate")
+    assert(p.toLowerCase.contains("might_contain"),
+      s"the Bloom pre-filter must appear in the corpus-side scan plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"verify join degraded to a product:\n$p")
+  }
+
   test("scalable length bucketing range-partitions (bucket, length, id) — " +
       "never a per-bucket single-task window") {
     // the prefix-count numbering hides the sort behind an ExistingRDD

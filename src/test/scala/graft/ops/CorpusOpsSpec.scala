@@ -362,6 +362,32 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("contaminationHitsBloom: identical to the exact form (no false " +
+      "negatives survive the sketch), empty benchmark short-circuits") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = docs.where("doc_id % 7 != 0")
+    val bench = docs.where("doc_id % 7 = 0")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getBoolean(2))
+    val exact = CorpusOps.contaminationHits(corpus, bench, "doc_id", "text", 3)
+      .collect().map(key).toSet
+    val bloom = CorpusOps.contaminationHitsBloom(corpus, bench, "doc_id", "text", 3)
+      .collect().map(key).toSet
+    assert(bloom == exact, "bloom pre-filter must not change the exact result")
+    assert(exact.exists(_._3), "fixture sanity: some contamination exists")
+    // a tight fpp changes nothing either (only the verify-join row count)
+    val tight = CorpusOps
+      .contaminationHitsBloom(corpus, bench, "doc_id", "text", 3, fpp = 0.5)
+      .collect().map(key).toSet
+    assert(tight == exact, "fpp is a cost knob, never a correctness knob")
+    // empty benchmark: every corpus doc comes back clean, no bloom built
+    val none = CorpusOps.contaminationHitsBloom(
+        corpus, bench.where("doc_id < 0"), "doc_id", "text", 3)
+      .collect().map(key)
+    assert(none.length == corpus.select("doc_id").distinct().count())
+    assert(none.forall(t => t._2 == 0L && !t._3))
+  }
+
   test("lengthBucketBatchesScalable: row-for-row equal to the single-window " +
       "form at every partitioning (the 100 TB production knob)") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
