@@ -170,8 +170,12 @@ object MediaCodecs {
       // stride in Long: `width * 3` overflows Int for a hostile header
       // (e.g. width = 0x55555556 wraps to 2), which would slip a
       // multi-GB allocation past the overrun guard below — the guard
-      // must see the TRUE byte count
+      // must see the TRUE byte count. Bound each factor FIRST so the
+      // product itself cannot wrap Long (stride ≤ len and rows ≤ len/4
+      // keep it under 2^60 for any parseable buffer).
       val rowBytesL = (width.toLong * 3 + 3) / 4 * 4
+      require(rowBytesL <= bytes.length && height.toLong * 4 <= bytes.length,
+        s"declared dimensions ${width}x$height exceed the buffer")
       require(dataOff >= 54 && dataOff.toLong + rowBytesL * height <= bytes.length,
         s"pixel data overruns the buffer (offset=$dataOff rows=$height stride=$rowBytesL)")
       // post-guard: rowBytes*height <= bytes.length, so both fit in Int
@@ -325,8 +329,12 @@ object MediaCodecs {
       val height = math.abs(rawHeight)
       require(width > 0 && height > 0, s"degenerate dimensions ${width}x$rawHeight")
       require(frameOffs.nonEmpty, "no frame chunks in movi list")
+      // bound each factor before the product so hostile width×height
+      // cannot wrap the Long overrun check (same discipline as BmpCodec)
       val rowBytesL = (width.toLong * 3 + 3) / 4 * 4
       val rowBytes = {
+        require(rowBytesL <= bytes.length && height.toLong * 4 <= bytes.length,
+          s"declared dimensions ${width}x$height exceed the buffer")
         require(rowBytesL * height <= bytes.length,
           s"declared frame size overruns the buffer (${width}x$height)")
         rowBytesL.toInt

@@ -160,7 +160,19 @@ class MediaCodecsSpec extends AnyFunSuite {
       .putShort(1).putShort(24) // planes, bpp
       .putInt(0) // BI_RGB
     val ex = intercept[IllegalArgumentException](BmpCodec.decode(hostile))
-    assert(ex.getMessage.contains("overruns"), ex.getMessage)
+    assert(ex.getMessage.contains("exceed") || ex.getMessage.contains("overruns"),
+      ex.getMessage)
+    // hostile width×height whose stride·rows product wraps Long negative
+    // (Int.Max × Int.Max ≈ 1.4e19 > Long.Max): a product-only guard
+    // would pass the wrapped value and attempt an impossible allocation
+    val wrap = new Array[Byte](58)
+    val wb = java.nio.ByteBuffer.wrap(wrap).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    wb.put('B'.toByte).put('M'.toByte).putInt(58).putInt(0)
+      .putInt(54).putInt(40)
+      .putInt(Int.MaxValue).putInt(Int.MaxValue)
+      .putShort(1).putShort(24).putInt(0)
+    val ex2 = intercept[IllegalArgumentException](BmpCodec.decode(wrap))
+    assert(ex2.getMessage.contains("exceed"), ex2.getMessage)
   }
 
   // ------------------------------------------------------------- AVI
@@ -226,6 +238,12 @@ class MediaCodecsSpec extends AnyFunSuite {
     java.nio.ByteBuffer.wrap(compressed).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       .putInt(188, 1) // strf biCompression = BI_RLE8
     intercept[IllegalArgumentException](AviCodec.decode(compressed))
+    // hostile strf dims whose stride·rows product wraps Long negative
+    val wrapDims = good.clone()
+    java.nio.ByteBuffer.wrap(wrapDims).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(176, Int.MaxValue).putInt(180, Int.MaxValue) // biWidth, biHeight
+    val exw = intercept[IllegalArgumentException](AviCodec.decode(wrapDims))
+    assert(exw.getMessage.contains("exceed"), exw.getMessage)
   }
 
   test("syntheticAvi: analytic frame formulas match the decoded container") {
