@@ -1136,6 +1136,25 @@ object Battery {
            |  epoch_ms(max(ts)) AS last_event_ms
            |FROM events GROUP BY user_id""".stripMargin))
 
+  /** `transformWithState` MAP-state twin
+    * ([[graft.streaming.Stateful.TypeCountsProcessor]]): per-(user,
+    * event_type) running counts in a keyed `MapState` — the state
+    * shape a single ValueState can't express (one sub-map per user,
+    * point-wise updates; RocksDB stores each entry as its own key).
+    * Batch invocation degenerates to a plain groupBy count, which is
+    * the oracle; the cross-micro-batch accumulation is pinned by
+    * StatefulSpec's two-batch stream.
+    */
+  private val stTypeCounts = Q(
+    "st_type_counts",
+    (s, d) => {
+      import s.implicits._
+      graft.streaming.Stateful.userTypeCounts(
+        T.events(s, d).as[graft.streaming.Stateful.Event]).toDF()
+    },
+    Some("""SELECT user_id, event_type, count(*) AS n
+           |FROM events GROUP BY user_id, event_type""".stripMargin))
+
   // ----------------------------------------- LLM-pipeline ops (north star)
 
   /** Exact deduplication by content hash (hash-groupBy). */
@@ -3298,7 +3317,7 @@ object Battery {
     twTumbling, twSliding, twSession,
     twDedupWatermark, twDedupLateBoundary, twJoinBound, twJoinBoundLeft,
     twJoinBoundFull,
-    stUserTotals, stUserTotalsV2,
+    stUserTotals, stUserTotalsV2, stTypeCounts,
     x6SubwordCount,
     d1DedupExact, x1TextStats, n1AnnTopK, m1Multimodal, m2MultimodalDecode,
     m3FrameSample, m3bImageFrames, m4WavDecode, m5BmpDecode,

@@ -1,8 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Custom keyed state via `flatMapGroupsWithState` (the engine's
   * stateful-extension point, SURVEY §2.7/§2.8): a per-user running
@@ -109,6 +109,51 @@ object Stateful {
       st.update(next)
       Iterator.single(UserRunning(userId, n, total / 1e6, last))
     }
+  }
+
+  /** Per-(user, event_type) running counts on `transformWithState`'s
+    * MAP state — the state shape [[RunningTotalsProcessor]]'s single
+    * ValueState can't express: one keyed sub-map per user, updated
+    * point-wise (a hot user's state grows with its TYPE vocabulary,
+    * not its event count, and RocksDB stores each map entry as its own
+    * key — no read-modify-write of a monolithic blob per event batch).
+    * Emits, per micro-batch, one refreshed row per (user, type) seen
+    * in that batch. Batch invocation (one call per user) degenerates
+    * to a plain groupBy count — the oracle-checkable twin.
+    */
+  final case class UserTypeCount(user_id: Long, event_type: String, n: Long)
+
+  class TypeCountsProcessor(ttl: TTLConfig = TTLConfig.NONE)
+      extends StatefulProcessor[Long, Event, UserTypeCount] {
+    @transient private var counts: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("type_counts",
+        Encoders.STRING, Encoders.scalaLong, ttl)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[UserTypeCount] = {
+      val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+      rows.foreach { e =>
+        val t = e.event_type
+        val prev = if (counts.containsKey(t)) counts.getValue(t) else 0L
+        counts.updateValue(t, prev + 1L)
+        touched += t
+      }
+      touched.iterator.map(t => UserTypeCount(userId, t, counts.getValue(t)))
+    }
+  }
+
+  def userTypeCounts(events: Dataset[Event],
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[UserTypeCount] = {
+    implicit val outEnc = Encoders.product[UserTypeCount]
+    implicit val keyEnc = Encoders.scalaLong
+    org.apache.spark.sql.execution.streaming.state.StateStoreCoordinatorRef
+      .forDriver(org.apache.spark.SparkEnv.get,
+        events.sparkSession.sessionState.conf)
+    events.groupByKey(_.user_id)
+      .transformWithState(new TypeCountsProcessor(ttl),
+        TimeMode.None(), OutputMode.Update())
   }
 
   def runningUserTotalsV2(events: Dataset[Event],

@@ -4,7 +4,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.etl.SparkTestSession
-import Stateful.{Event, UserRunning}
+import Stateful.{Event, UserRunning, UserTypeCount}
 
 /** flatMapGroupsWithState: cross-micro-batch accumulation and
   * stream/batch parity of the per-user running aggregate.
@@ -16,6 +16,55 @@ class StatefulSpec extends AnyFunSuite {
 
   private def ev(id: Long, user: Long, tsMs: Long, value: Double) =
     Event(id, user, new java.sql.Timestamp(tsMs), "click", value)
+
+  private def evT(id: Long, user: Long, typ: String) =
+    Event(id, user, new java.sql.Timestamp(1000L * id), typ, 1.0)
+
+  test("MapState type counts: per-(user, type) accumulation across " +
+      "micro-batches; batch invocation equals a plain groupBy count") {
+    // batch parity: one invocation per user -> exactly the groupBy count
+    val events = Seq(
+      evT(1, 7, "view"), evT(2, 7, "view"), evT(3, 7, "click"),
+      evT(4, 8, "view")).toDS()
+    val batch = Stateful.userTypeCounts(events)
+      .collect().map(r => (r.user_id, r.event_type, r.n)).toSet
+    assert(batch == Set((7L, "view", 2L), (7L, "click", 1L), (8L, "view", 1L)))
+
+    // streaming: the map accumulates point-wise across batches (RocksDB
+    // store — transformWithState requires it for streaming)
+    implicit val sq = spark.sqlContext
+    val conf = spark.conf
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = conf.get(key, "")
+    conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Event]
+    val q = Stateful.userTypeCounts(input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("type_counts_out").start()
+    try {
+      input.addData(evT(1, 7, "view"), evT(2, 7, "view"), evT(3, 8, "click"))
+      q.processAllAvailable()
+      val b1 = spark.table("type_counts_out").as[UserTypeCount]
+        .collect().map(r => (r.user_id, r.event_type) -> r.n).toMap
+      assert(b1((7L, "view")) == 2L && b1((8L, "click")) == 1L)
+
+      input.addData(evT(4, 7, "view"), evT(5, 7, "click"))
+      q.processAllAvailable()
+      val rows = spark.table("type_counts_out").as[UserTypeCount].collect()
+      // batch 2 refreshes only the types it touched: view -> 3, click -> 1
+      val latest = rows.groupBy(r => (r.user_id, r.event_type))
+        .map { case (k, rs) => k -> rs.map(_.n).max }
+      assert(latest((7L, "view")) == 3L, "view count must accumulate across batches")
+      assert(latest((7L, "click")) == 1L)
+      assert(latest((8L, "click")) == 1L)
+      // user 8 untouched in batch 2: no new row
+      assert(rows.count(_.user_id == 8L) == 1)
+    } finally {
+      q.stop()
+      if (prev.isEmpty) conf.unset(key) else conf.set(key, prev)
+    }
+  }
 
   test("state accumulates across micro-batches, update-mode emits per batch") {
     implicit val sq = spark.sqlContext
