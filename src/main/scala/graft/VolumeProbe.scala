@@ -125,7 +125,15 @@ object VolumeProbe {
     "x14_domain_cap", "c1_corpus_curation", "n6_kmeans_fit",
     "j_outer_chain", "j14_asof_join", "tw_timebound_join",
     "x17_epoch_shuffle", "x19_token_chunks",
-    "m2_multimodal_decode", "m3_frame_sample")
+    "m2_multimodal_decode", "m3_frame_sample",
+    "x21_bloom_decontaminate", "tw_timebound_full_join", "st_type_counts")
+  // x21 probes the Bloom path at volume: the benchmark side inflates
+  // ×factor too (doc_id % 97 divides ModLcm), the blob stays one
+  // bounded driver object, and the exact-verified output must equal
+  // x8's — i.e. scale exactly ×factor. tw_timebound_full_join: users
+  // AND decades disjoint per replica, so matched pairs and both
+  // null-padded sides all scale ×factor. st_type_counts: one row per
+  // (user, type) seen — users disjoint per replica → exact ×factor.
   // The multimodal rows probe REAL container decode at volume: every
   // replica re-derives its own WAV/BMP/AVI payloads from its remapped
   // doc_id, and the decode is a narrow map — so row counts are
