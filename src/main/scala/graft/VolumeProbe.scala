@@ -126,7 +126,8 @@ object VolumeProbe {
     "j_outer_chain", "j14_asof_join", "tw_timebound_join",
     "x17_epoch_shuffle", "x19_token_chunks",
     "m2_multimodal_decode", "m3_frame_sample",
-    "x21_bloom_decontaminate", "tw_timebound_full_join", "st_type_counts")
+    "x21_bloom_decontaminate", "tw_timebound_full_join", "st_type_counts",
+    "st_last_events")
   // x21 probes the Bloom path at volume: the benchmark side inflates
   // ×factor too (doc_id % 97 divides ModLcm), the blob stays one
   // bounded driver object, and the exact-verified output must equal

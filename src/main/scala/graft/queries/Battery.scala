@@ -1155,6 +1155,29 @@ object Battery {
     Some("""SELECT user_id, event_type, count(*) AS n
            |FROM events GROUP BY user_id, event_type""".stripMargin))
 
+  /** `transformWithState` LIST-state twin
+    * ([[graft.streaming.Stateful.LastEventsProcessor]]): each user's
+    * last 3 events by (ts, event_id) in a bounded `ListState` recency
+    * buffer — with MapState (`st_type_counts`) and ValueState
+    * (`st_user_totals_v2`) this completes all three state primitives.
+    * Batch invocation degenerates to a per-user top-N window — the
+    * oracle; state stays capped at N entries per key on streams
+    * (StatefulSpec pins cross-batch displacement).
+    */
+  private val stLastEvents = Q(
+    "st_last_events",
+    (s, d) => {
+      import s.implicits._
+      graft.streaming.Stateful.userLastEvents(
+        T.events(s, d).as[graft.streaming.Stateful.Event], n = 3).toDF()
+    },
+    Some("""SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, CAST(rnk AS INT) AS rank
+           |FROM (SELECT user_id, event_id, ts,
+           |        row_number() OVER (PARTITION BY user_id
+           |          ORDER BY ts DESC, event_id DESC) AS rnk
+           |      FROM events)
+           |WHERE rnk <= 3""".stripMargin))
+
   // ----------------------------------------- LLM-pipeline ops (north star)
 
   /** Exact deduplication by content hash (hash-groupBy). */
@@ -3317,7 +3340,7 @@ object Battery {
     twTumbling, twSliding, twSession,
     twDedupWatermark, twDedupLateBoundary, twJoinBound, twJoinBoundLeft,
     twJoinBoundFull,
-    stUserTotals, stUserTotalsV2, stTypeCounts,
+    stUserTotals, stUserTotalsV2, stTypeCounts, stLastEvents,
     x6SubwordCount,
     d1DedupExact, x1TextStats, n1AnnTopK, m1Multimodal, m2MultimodalDecode,
     m3FrameSample, m3bImageFrames, m4WavDecode, m5BmpDecode,

@@ -1,8 +1,9 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState,
-  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState,
+  MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues,
+  ValueState}
 
 /** Custom keyed state via `flatMapGroupsWithState` (the engine's
   * stateful-extension point, SURVEY §2.7/§2.8): a per-user running
@@ -153,6 +154,56 @@ object Stateful {
         events.sparkSession.sessionState.conf)
     events.groupByKey(_.user_id)
       .transformWithState(new TypeCountsProcessor(ttl),
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Per-user LAST-N event retention on `transformWithState`'s LIST
+    * state — the third and last state primitive (ValueState
+    * `st_user_totals_v2`, MapState `st_type_counts`, ListState here):
+    * a bounded recency buffer per key, the "recent context" shape a
+    * session-aware pipeline keeps per user. State is CAPPED at `n`
+    * entries regardless of how many events flow past — the
+    * bounded-state discipline every stateful op in this engine holds.
+    * Order is total ((ts, event_id) descending), so batch invocation —
+    * one call per key over arbitrarily-ordered rows — is deterministic
+    * and degenerates to a per-user top-N window, the oracle.
+    */
+  final case class RecentEvent(ts_ms: Long, event_id: Long)
+  final case class UserLastEvents(user_id: Long, event_id: Long,
+      ts_ms: Long, rank: Int)
+
+  class LastEventsProcessor(n: Int)
+      extends StatefulProcessor[Long, Event, UserLastEvents] {
+    require(n > 0, "n must be positive")
+    @transient private var recent: ListState[RecentEvent] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      recent = getHandle.getListState[RecentEvent]("recent",
+        Encoders.product[RecentEvent], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[UserLastEvents] = {
+      val prev = if (recent.exists()) recent.get().toArray else Array.empty[RecentEvent]
+      val merged = (prev.iterator ++
+          rows.map(e => RecentEvent(e.ts.getTime, e.event_id)))
+        .toArray
+        .sortBy(r => (-r.ts_ms, -r.event_id))
+        .take(n)
+      recent.put(merged)
+      merged.iterator.zipWithIndex.map { case (r, i) =>
+        UserLastEvents(userId, r.event_id, r.ts_ms, i + 1)
+      }
+    }
+  }
+
+  def userLastEvents(events: Dataset[Event], n: Int): Dataset[UserLastEvents] = {
+    implicit val outEnc = Encoders.product[UserLastEvents]
+    implicit val keyEnc = Encoders.scalaLong
+    org.apache.spark.sql.execution.streaming.state.StateStoreCoordinatorRef
+      .forDriver(org.apache.spark.SparkEnv.get,
+        events.sparkSession.sessionState.conf)
+    events.groupByKey(_.user_id)
+      .transformWithState(new LastEventsProcessor(n),
         TimeMode.None(), OutputMode.Update())
   }
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.etl.SparkTestSession
-import Stateful.{Event, UserRunning, UserTypeCount}
+import Stateful.{Event, UserLastEvents, UserRunning, UserTypeCount}
 
 /** flatMapGroupsWithState: cross-micro-batch accumulation and
   * stream/batch parity of the per-user running aggregate.
@@ -19,6 +19,45 @@ class StatefulSpec extends AnyFunSuite {
 
   private def evT(id: Long, user: Long, typ: String) =
     Event(id, user, new java.sql.Timestamp(1000L * id), typ, 1.0)
+
+  test("ListState last-N events: bounded recency buffer, newer events " +
+      "displace older across micro-batches; batch equals a top-N window") {
+    // batch parity: arbitrary iterator order, deterministic top-3
+    val events = Seq(
+      evT(5, 7, "view"), evT(1, 7, "view"), evT(9, 7, "click"),
+      evT(3, 7, "view"), evT(2, 8, "view")).toDS()
+    val batch = Stateful.userLastEvents(events, n = 3)
+      .collect().map(r => (r.user_id, r.rank, r.event_id)).toSet
+    // user 7 has ts = id*1000: top-3 by ts desc = ids 9, 5, 3
+    assert(batch == Set((7L, 1, 9L), (7L, 2, 5L), (7L, 3, 3L), (8L, 1, 2L)))
+
+    implicit val sq = spark.sqlContext
+    val conf = spark.conf
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = conf.get(key, "")
+    conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Event]
+    val q = Stateful.userLastEvents(input.toDS(), n = 3)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("last_events_out").start()
+    try {
+      input.addData(evT(1, 7, "view"), evT(5, 7, "view"), evT(3, 7, "view"))
+      q.processAllAvailable()
+      input.addData(evT(9, 7, "click"), evT(2, 7, "view"))
+      q.processAllAvailable()
+      val rows = spark.table("last_events_out").as[UserLastEvents].collect()
+      // the refreshed batch-2 emission: 9 displaced 1; 2 is too old to enter
+      val latest = rows.groupBy(_.rank).map { case (rk, rs) =>
+        rk -> rs.maxBy(_.ts_ms).event_id
+      }
+      assert(latest == Map(1 -> 9L, 2 -> 5L, 3 -> 3L),
+        s"state must keep exactly the newest 3: $rows")
+    } finally {
+      q.stop()
+      if (prev.isEmpty) conf.unset(key) else conf.set(key, prev)
+    }
+  }
 
   test("MapState type counts: per-(user, type) accumulation across " +
       "micro-batches; batch invocation equals a plain groupBy count") {
