@@ -84,7 +84,11 @@ object VolumeProbe {
           val shiftNs = TsShiftDays * 86400L * 1000000000L
           val maxRow = df.agg(max(col("ts")).cast("long")).head
           val baseMaxTs = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
-          require(baseMaxTs <= Long.MaxValue - (factor - 1).toLong * shiftNs,
+          // guard via DIVISION: the product form `(factor-1) * shiftNs`
+          // itself wraps Long for factor >= 31 and can land small-positive,
+          // silently passing the very check meant to catch the wrap
+          require(baseMaxTs >= 0 &&
+              (factor - 1).toLong <= (Long.MaxValue - baseMaxTs) / shiftNs,
             s"replica ts shift overflows Long: max ts $baseMaxTs + " +
               s"${factor - 1} * $shiftNs ns — lower the factor")
           keyed.withColumn("ts",

@@ -67,14 +67,22 @@ object CorpusOps {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     require(fpp > 0 && fpp < 1, s"fpp $fpp outside (0, 1)")
+    // the benchmark shingle set is read THREE times (count, Bloom
+    // aggregate, verify join) — persist it so the explode+distinct
+    // shuffle runs once; it is benchmark-sized (small by definition),
+    // and the cached blocks are released by the ContextCleaner when the
+    // returned frame is no longer referenced
     val benchShingles = benchmark
       .select(explode(TextOps.shingles(col(textCol), n)).as("sh"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpusIds = corpus.select(col(idCol)).distinct()
     val nBench = benchShingles.count()
-    if (nBench == 0L)
+    if (nBench == 0L) {
+      benchShingles.unpersist()
       return corpusIds.select(col(idCol), lit(0L).as("n_hits"),
         lit(false).as("contaminated"))
+    }
     val numBits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(nBench, fpp)
     val hash = (c: org.apache.spark.sql.Column) =>
@@ -588,6 +596,19 @@ object CorpusOps {
       .withColumn("bucket", bucket)
   }
 
+  /** The parallel-sort stage of [[lengthBucketBatchesScalable]], exposed
+    * so the plan gate can assert the range partitioning (the prefix-count
+    * step that follows hides the sort behind an ExistingRDD boundary).
+    */
+  private[graft] def lengthBucketSorted(docs: DataFrame, idCol: String,
+      textCol: String, bounds: Seq[Int], partitions: Int): DataFrame = {
+    val n = if (partitions > 0) partitions
+      else docs.sparkSession.sessionState.conf.numShufflePartitions
+    bucketed(docs, idCol, textCol, bounds)
+      .repartitionByRange(n, col("bucket"), col("n_tokens"), col(idCol))
+      .sortWithinPartitions(col("bucket"), col("n_tokens"), col(idCol))
+  }
+
   /** Scalable twin of [[lengthBucketBatches]] — IDENTICAL output (the
     * spec pins row-for-row equality), but the within-bucket batch
     * numbering is a distributed PER-BUCKET PREFIX COUNT instead of one
@@ -603,19 +624,6 @@ object CorpusOps {
     * global group to one group per bucket; `localCheckpoint` pins the
     * two passes to identical partition contents for the same reason.
     */
-  /** The parallel-sort stage of [[lengthBucketBatchesScalable]], exposed
-    * so the plan gate can assert the range partitioning (the prefix-count
-    * step that follows hides the sort behind an ExistingRDD boundary).
-    */
-  private[graft] def lengthBucketSorted(docs: DataFrame, idCol: String,
-      textCol: String, bounds: Seq[Int], partitions: Int): DataFrame = {
-    val n = if (partitions > 0) partitions
-      else docs.sparkSession.sessionState.conf.numShufflePartitions
-    bucketed(docs, idCol, textCol, bounds)
-      .repartitionByRange(n, col("bucket"), col("n_tokens"), col(idCol))
-      .sortWithinPartitions(col("bucket"), col("n_tokens"), col(idCol))
-  }
-
   def lengthBucketBatchesScalable(docs: DataFrame, idCol: String,
       textCol: String, bounds: Seq[Int], batchSize: Int,
       partitions: Int = 0): DataFrame = {

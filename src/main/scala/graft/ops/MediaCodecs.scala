@@ -76,7 +76,9 @@ object MediaCodecs {
       while (pos + 8 <= bytes.length && (sampleRate < 0 || dataOff < 0)) {
         val id = fourCC(pos)
         val size = buf.getInt(pos + 4)
-        require(size >= 0 && pos + 8 + size <= bytes.length,
+        // Long bound: a declared size near Int.Max wraps `pos + 8 + size`
+        // negative and would slip past an Int guard
+        require(size >= 0 && pos.toLong + 8 + size <= bytes.length,
           s"chunk '$id' overruns the buffer (size=$size at pos=$pos)")
         id match {
           case "fmt " =>
@@ -228,16 +230,25 @@ object MediaCodecs {
       require(frames.nonEmpty && frames.forall(_.length == width * height),
         "every frame must be width*height pixels")
       val rowBytes = BmpCodec.stride(width)
-      val frameBytes = rowBytes * height
+      // size arithmetic in Long: frameBytes and the container total wrap
+      // Int for large frames or counts, which would allocate garbage
+      val frameBytesL = rowBytes.toLong * height
       val nF = frames.length
-      val total = HeaderBytes + nF * (8 + frameBytes)
+      val totalL = HeaderBytes + nF.toLong * (8 + frameBytesL)
+      require(totalL <= Int.MaxValue,
+        s"container would exceed 2 GiB ($totalL bytes) — split the stream")
+      val frameBytes = frameBytesL.toInt
+      val total = totalL.toInt
+      // dwMaxBytesPerSec is informational; clamp instead of wrapping
+      val byteRate = math.min(Int.MaxValue.toLong,
+        frameBytesL * 1000000L / usPerFrame).toInt
       val buf = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
       def fcc(s: String): Unit = buf.put(s.getBytes("US-ASCII"))
       fcc("RIFF"); buf.putInt(total - 8); fcc("AVI ")
       // LIST hdrl: avih(56) + LIST strl(strh(56) + strf(40))
       fcc("LIST"); buf.putInt(4 + 64 + 124); fcc("hdrl")
       fcc("avih"); buf.putInt(56)
-      buf.putInt(usPerFrame).putInt(frameBytes * 1000000 / usPerFrame)
+      buf.putInt(usPerFrame).putInt(byteRate)
         .putInt(0).putInt(0) // padding granularity, flags
         .putInt(nF).putInt(0) // total frames, initial frames
         .putInt(1).putInt(frameBytes) // streams, suggested buffer
@@ -292,15 +303,18 @@ object MediaCodecs {
         s"not a RIFF/AVI stream: '${fourCC(0)}'/'${fourCC(8)}'")
       var usPerFrame = -1; var width = -1; var rawHeight = 0
       var bpp = -1; var compression = -1
-      val frameOffs = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val frameChunks = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
       // one walker for every nesting level: RIFF bodies and LIST bodies
-      // share the [fourcc size payload] grammar
+      // share the [fourcc size payload] grammar. Bounds arithmetic in
+      // Long: a hostile declared size near Int.Max wraps `pos + 8 + size`
+      // negative, slipping past an Int guard and re-entering the loop at
+      // a negative cursor.
       def walk(from: Int, until: Int): Unit = {
         var pos = from
         while (pos + 8 <= until) {
           val id = fourCC(pos)
           val size = buf.getInt(pos + 4)
-          require(size >= 0 && pos + 8 + size <= until,
+          require(size >= 0 && pos.toLong + 8 + size <= until,
             s"chunk '$id' overruns its parent (size=$size at pos=$pos)")
           id match {
             case "LIST" =>
@@ -315,7 +329,7 @@ object MediaCodecs {
               rawHeight = buf.getInt(pos + 16)
               bpp = buf.getShort(pos + 22) & 0xffff
               compression = buf.getInt(pos + 24)
-            case "00db" | "00dc" => frameOffs += pos + 8
+            case "00db" | "00dc" => frameChunks += ((pos + 8, size))
             case _ => () // strh/JUNK/idx1/...
           }
           pos += 8 + size + (size & 1) // odd chunks are padded
@@ -328,7 +342,7 @@ object MediaCodecs {
       val bottomUp = rawHeight > 0
       val height = math.abs(rawHeight)
       require(width > 0 && height > 0, s"degenerate dimensions ${width}x$rawHeight")
-      require(frameOffs.nonEmpty, "no frame chunks in movi list")
+      require(frameChunks.nonEmpty, "no frame chunks in movi list")
       // bound each factor before the product so hostile width×height
       // cannot wrap the Long overrun check (same discipline as BmpCodec)
       val rowBytesL = (width.toLong * 3 + 3) / 4 * 4
@@ -339,8 +353,13 @@ object MediaCodecs {
           s"declared frame size overruns the buffer (${width}x$height)")
         rowBytesL.toInt
       }
-      val frames = frameOffs.toArray.map { off =>
-        require(off + rowBytes * height <= bytes.length,
+      val frames = frameChunks.toArray.map { case (off, chunkSize) =>
+        // honor the chunk's own declared size: an undersized '00db' must
+        // throw, not silently decode whatever bytes follow it as pixels
+        require(chunkSize >= rowBytesL * height,
+          s"frame chunk at $off declares $chunkSize bytes, " +
+            s"needs ${rowBytesL * height}")
+        require(off.toLong + rowBytesL * height <= bytes.length,
           s"frame at $off overruns the buffer")
         val pixels = new Array[Int](width * height)
         var y = 0

@@ -2424,8 +2424,13 @@ object Battery {
     "m3_frame_sample",
     (s, d) => {
       import s.implicits._
+      // pre-filter the INPUT: the typed map in mediaFromDocumentsReal
+      // encodes a container per row, and Catalyst cannot push a filter
+      // through it — filtering afterwards would build-and-discard
+      // WAV/BMP payloads for 2/3 of the corpus
       val media = graft.ops.MultimodalOps
-        .mediaFromDocumentsReal(T.documents(s, d))
+        .mediaFromDocumentsReal(
+          T.documents(s, d).where(pmod(col("doc_id"), lit(3)) === 2))
         .filter(col("media_type") === "video").toDF()
       graft.ops.MultimodalOps.sampleFrames(media, everyMs = 300L, decodeVideo = true)
         .map { fr =>
@@ -2475,8 +2480,11 @@ object Battery {
     "m3b_image_frames",
     (s, d) => {
       import s.implicits._
+      // pre-filter the INPUT (same rationale as m3): don't encode
+      // WAV/AVI payloads for rows the media_type filter would drop
       val media = graft.ops.MultimodalOps
-        .mediaFromDocumentsReal(T.documents(s, d))
+        .mediaFromDocumentsReal(
+          T.documents(s, d).where(pmod(col("doc_id"), lit(3)) === 0))
         .filter(col("media_type") === "image").toDF()
       graft.ops.MultimodalOps.sampleFrames(media, everyMs = 5000L, decodeImages = true)
         .map { fr =>

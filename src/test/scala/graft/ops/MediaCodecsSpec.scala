@@ -244,6 +244,33 @@ class MediaCodecsSpec extends AnyFunSuite {
       .putInt(176, Int.MaxValue).putInt(180, Int.MaxValue) // biWidth, biHeight
     val exw = intercept[IllegalArgumentException](AviCodec.decode(wrapDims))
     assert(exw.getMessage.contains("exceed"), exw.getMessage)
+    // hostile chunk size near Int.Max: `pos + 8 + size` wraps an Int
+    // guard negative and re-enters the walk at a negative cursor — the
+    // Long guard must reject it as an overrun instead
+    val hugeChunk = good.clone()
+    java.nio.ByteBuffer.wrap(hugeChunk).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(16, 0x7FFFFFF0) // hdrl LIST declared size
+    val exh = intercept[IllegalArgumentException](AviCodec.decode(hugeChunk))
+    assert(exh.getMessage.contains("overruns"), exh.getMessage)
+    // undersized '00db' chunk: must throw, never decode whatever bytes
+    // happen to follow the truncated chunk as pixels
+    val shortFrame = good.clone()
+    java.nio.ByteBuffer.wrap(shortFrame).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(228, 4) // first frame chunk's declared size (movi head at 212)
+    intercept[IllegalArgumentException](AviCodec.decode(shortFrame))
+  }
+
+  test("AVI: encode sizes computed in Long — byte rate no longer wraps for " +
+      "frames over 2147 bytes") {
+    val (w, h) = (30, 24) // frameBytes = 92*24 = 2208 > 2147: Int form wrapped
+    val frames = aviFrames(2, w, h, seed = 3)
+    val bytes = AviCodec.encode(frames, w, h, usPerFrame = 200000)
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // avih dwMaxBytesPerSec at offset 36 = frameBytes * 1e6 / usPerFrame
+    assert(buf.getInt(36) == 2208L * 1000000L / 200000L,
+      s"byte rate wrapped: ${buf.getInt(36)}")
+    val back = AviCodec.decode(bytes)
+    assert(back.frames.length == 2 && back.frames(0).toSeq == frames(0).toSeq)
   }
 
   test("syntheticAvi: analytic frame formulas match the decoded container") {
