@@ -119,8 +119,12 @@ object Bench {
       .mkString("{", ",", "}")
     val calib =
       s"""{"cpu_pre":${num(cpuPre)},"cpu_post":${num(cpuPost)},"shuffle_pre":${num(shufPre)},"shuffle_post":${num(shufPost)}}"""
+    // headline fields ALSO at the END of the line: the driver's capture
+    // can truncate long stdout from the front, and the per-query maps in
+    // the middle are the bulky part — a tail-parse must still recover the
+    // total and the error count without the full record
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spreads":$spreads,"errors":$errs,"calibration":$calib,"runs":$runs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spreads":$spreads,"errors":$errs,"calibration":$calib,"runs":$runs,"sf":"$sfDir","total_s":${num(total)},"n_errors":${failures.size}}"""
     println(line)
     // Also persist the record: stdout of a long run can be tail-truncated
     // by the harness (round 6 lost the per-query minima that way); the

@@ -303,39 +303,64 @@ object MediaCodecs {
         s"not a RIFF/AVI stream: '${fourCC(0)}'/'${fourCC(8)}'")
       var usPerFrame = -1; var width = -1; var rawHeight = 0
       var bpp = -1; var compression = -1
+      var vidsStreams = 0       // accepted 'vids' strf chunks
+      var pendingStrh = ""      // fccType of the most recent strh
       val frameChunks = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
       // one walker for every nesting level: RIFF bodies and LIST bodies
-      // share the [fourcc size payload] grammar. Bounds arithmetic in
-      // Long: a hostile declared size near Int.Max wraps `pos + 8 + size`
-      // negative, slipping past an Int guard and re-entering the loop at
-      // a negative cursor.
-      def walk(from: Int, until: Int): Unit = {
-        var pos = from
-        while (pos + 8 <= until) {
+      // share the [fourcc size payload] grammar. ITERATIVE with an
+      // explicit LIFO of (pos, until) ranges — a recursive walk has no
+      // nesting-depth bound, so a hostile buffer of minimal nested LISTs
+      // (~len/12 deep) would StackOverflowError, a java.lang.Error that
+      // escapes the IllegalArgumentException contract malformed streams
+      // hold. One chunk per iteration: on LIST, push the sibling
+      // continuation first, then the list body — LIFO pops the body next,
+      // preserving pre-order (movi frame chunks stay in stream order).
+      // Bounds arithmetic in Long: a hostile declared size near Int.Max
+      // wraps `pos + 8 + size` negative, slipping past an Int guard and
+      // re-entering the loop at a negative cursor.
+      val ranges = scala.collection.mutable.ArrayDeque.empty[(Int, Int)]
+      ranges.prepend((12, bytes.length))
+      while (ranges.nonEmpty) {
+        val (pos, until) = ranges.removeHead()
+        if (pos + 8 <= until) {
           val id = fourCC(pos)
           val size = buf.getInt(pos + 4)
           require(size >= 0 && pos.toLong + 8 + size <= until,
             s"chunk '$id' overruns its parent (size=$size at pos=$pos)")
+          ranges.prepend((pos + 8 + size + (size & 1), until)) // odd chunks padded
           id match {
             case "LIST" =>
               require(size >= 4, s"degenerate LIST at pos=$pos")
-              walk(pos + 12, pos + 8 + size) // skip the list-type fourcc
+              ranges.prepend((pos + 12, pos + 8 + size)) // skip the list-type fourcc
             case "avih" =>
               require(size >= 40, s"avih chunk too small: $size")
               usPerFrame = buf.getInt(pos + 8)
+            case "strh" =>
+              require(size >= 4, s"strh chunk too small: $size")
+              pendingStrh = fourCC(pos + 8) // fccType: vids/auds/txts/...
             case "strf" =>
-              require(size >= 40, s"strf chunk too small: $size")
-              width = buf.getInt(pos + 12)
-              rawHeight = buf.getInt(pos + 16)
-              bpp = buf.getShort(pos + 22) & 0xffff
-              compression = buf.getInt(pos + 24)
+              // only a VIDEO stream's format chunk may set the decode
+              // dims: an audio WAVEFORMATEX strf would otherwise land
+              // wBitsPerSample on the bpp field and clobber the video
+              // dims last-writer. The stream type is the fccType of the
+              // strh that precedes the strf inside its strl list.
+              if (pendingStrh == "vids") {
+                vidsStreams += 1
+                require(vidsStreams == 1,
+                  "multiple vids streams (single-video AVIs only)")
+                require(size >= 40, s"vids strf chunk too small: $size")
+                width = buf.getInt(pos + 12)
+                rawHeight = buf.getInt(pos + 16)
+                bpp = buf.getShort(pos + 22) & 0xffff
+                compression = buf.getInt(pos + 24)
+              }
+              pendingStrh = "" // consumed: one strf per strh
             case "00db" | "00dc" => frameChunks += ((pos + 8, size))
-            case _ => () // strh/JUNK/idx1/...
+            case _ => () // JUNK/idx1/...
           }
-          pos += 8 + size + (size & 1) // odd chunks are padded
         }
       }
-      walk(12, bytes.length)
+      require(vidsStreams == 1, "no vids stream (strh fccType) found")
       require(bpp == 24, s"unsupported bit depth $bpp (24-bpp only)")
       require(compression == 0, s"unsupported compression $compression (uncompressed DIB only)")
       require(usPerFrame > 0, "missing or malformed avih chunk")

@@ -48,7 +48,12 @@ object MultimodalOps {
 
   /** STUB decoder: ??? in production; here a deterministic fake that
     * derives an 8-dim "feature" from byte statistics so tests can pin
-    * exact outputs.
+    * exact outputs. QUARANTINED to specs that construct it explicitly —
+    * no default-argument call path reaches it ([[extractFeatures]]
+    * defaults to [[CodecDecoder]], [[sampleFrames]] defaults to real
+    * container decode); it stands in only for payloads that are not
+    * real containers (e.g. [[mediaFromDocuments]]'s UTF-8 text bytes)
+    * or formats that need a native library (JPEG/MP4/FLAC).
     */
   object FakeDecoder extends MediaDecoder {
     def decode(row: MediaRow): MediaFeatures = {
@@ -209,23 +214,24 @@ object MultimodalOps {
     * out to its frames inside its own partition and downstream ops see
     * a uniform (asset, frame) row shape.
     *
-    * With `decodeVideo = true`, a video asset's payload is parsed as a
-    * REAL uncompressed AVI container ([[MediaCodecs.AviCodec]]): each
-    * sampled timestamp selects the container frame covering it
+    * With `decodeVideo = true` (the DEFAULT — the codecs exist, so real
+    * decode is the production path), a video asset's payload is parsed
+    * as a REAL uncompressed AVI container ([[MediaCodecs.AviCodec]]):
+    * each sampled timestamp selects the container frame covering it
     * (`min(nFrames−1, ts / framePeriod)`) and the emitted bytes are
     * that frame's DECODED top-down RGB pixel stream (w·h·3 bytes).
-    * Default false keeps the byte-window stub for non-container
-    * payloads (e.g. [[mediaFromDocuments]]) — spec-only; every battery
-    * query decodes.
+    * `decodeVideo = false` keeps the byte-window stub for non-container
+    * payloads (e.g. [[mediaFromDocuments]]) — opt-in, spec-only; every
+    * battery query and every default call path decodes.
     *
-    * With `decodeImages = true`, an image asset is treated as a
-    * single-frame video: its BMP payload is DECODED
+    * With `decodeImages = true` (also the default), an image asset is
+    * treated as a single-frame video: its BMP payload is DECODED
     * ([[MediaCodecs.BmpCodec]]) and the one emitted frame's bytes are
     * the top-down RGB pixel stream, same contract as the video path.
     */
   def sampleFrames(media: DataFrame, everyMs: Long,
-      decodeImages: Boolean = false,
-      decodeVideo: Boolean = false): Dataset[FrameRow] = {
+      decodeImages: Boolean = true,
+      decodeVideo: Boolean = true): Dataset[FrameRow] = {
     val spark = media.sparkSession
     import spark.implicits._
     require(everyMs > 0, "everyMs must be positive")
@@ -234,8 +240,17 @@ object MultimodalOps {
         case "video" if decodeVideo && m.content.nonEmpty =>
           val avi = MediaCodecs.AviCodec.decode(m.content)
           val periodMs = math.max(1L, avi.usPerFrame / 1000L)
-          val duration = m.duration_ms
-            .getOrElse(avi.frames.length * periodMs)
+          // the CONTAINER is the authority on duration (frames × period);
+          // caller metadata that disagrees is a malformed row and fails
+          // loudly like every other bad-payload path — silently trusting
+          // it would over-sample (clamped to the last frame) or drop the
+          // tail of the stream
+          val duration = avi.frames.length * periodMs
+          m.duration_ms.foreach { d =>
+            require(d == duration,
+              s"asset ${m.asset_id}: duration_ms metadata $d disagrees " +
+                s"with the container (${avi.frames.length} frames x ${periodMs} ms = $duration)")
+          }
           (0L until duration by everyMs).zipWithIndex.map { case (ts, i) =>
             val fIdx = math.min(avi.frames.length - 1L, ts / periodMs).toInt
             FrameRow(m.asset_id, i, ts, pixelsToRgb(avi.frames(fIdx)))
@@ -286,7 +301,7 @@ object MultimodalOps {
     * collect).
     */
   def extractFeatures(media: DataFrame, shards: Int = 0,
-      decoder: MediaDecoder = FakeDecoder): Dataset[MediaFeatures] = {
+      decoder: MediaDecoder = CodecDecoder): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     val sharded =

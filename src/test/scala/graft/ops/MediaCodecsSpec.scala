@@ -260,6 +260,71 @@ class MediaCodecsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](AviCodec.decode(shortFrame))
   }
 
+  test("AVI: hostile deeply-nested LISTs fail with IllegalArgumentException, " +
+      "not StackOverflowError (iterative walker)") {
+    // 400k minimal nested LISTs: a recursive walker would recurse that
+    // deep and throw java.lang.StackOverflowError — an Error that escapes
+    // the IllegalArgumentException quarantine contract call sites catch
+    val depth = 400000
+    val buf = java.nio.ByteBuffer.allocate(12 + 12 * depth)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(4 + 12 * depth)
+      .put("AVI ".getBytes("US-ASCII"))
+    (0 until depth).foreach { i =>
+      buf.put("LIST".getBytes("US-ASCII")).putInt(4 + 12 * (depth - 1 - i))
+        .put("xxxx".getBytes("US-ASCII"))
+    }
+    val ex = intercept[IllegalArgumentException](AviCodec.decode(buf.array()))
+    assert(ex.getMessage.contains("vids"), ex.getMessage)
+  }
+
+  test("AVI: an audio stream's strf (WAVEFORMATEX) must not clobber the " +
+      "video dims — only the 'vids' stream's strf is honored") {
+    val frames = aviFrames(2, 5, 3, seed = 7)
+    val canonical = AviCodec.encode(frames, 5, 3, usPerFrame = 200000)
+    // splice an auds strl AFTER hdrl: its WAVEFORMATEX strf puts
+    // wBitsPerSample=24 on the bpp offset and cbSize=0 on the compression
+    // offset — a last-writer-wins parse would pass both gates and decode
+    // with width=nSamplesPerSec (garbage)
+    val auds = java.nio.ByteBuffer.allocate(8 + 94)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    auds.put("LIST".getBytes("US-ASCII")).putInt(94).put("strl".getBytes("US-ASCII"))
+    auds.put("strh".getBytes("US-ASCII")).putInt(56)
+      .put("auds".getBytes("US-ASCII")).put(new Array[Byte](52))
+    auds.put("strf".getBytes("US-ASCII")).putInt(18)
+      .putShort(1).putShort(1)       // wFormatTag, nChannels
+      .putInt(8000).putInt(16000)    // nSamplesPerSec, nAvgBytesPerSec
+      .putShort(2).putShort(24)      // nBlockAlign, wBitsPerSample = 24!
+      .putShort(0)                   // cbSize = 0 (lands on 'compression')
+    val headEnd = 12 + 200 // RIFF header + hdrl LIST
+    val spliced = canonical.take(headEnd) ++ auds.array() ++ canonical.drop(headEnd)
+    java.nio.ByteBuffer.wrap(spliced).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, spliced.length - 8)
+    val back = AviCodec.decode(spliced)
+    assert(back.width == 5 && back.height == 3, s"dims clobbered: ${back.width}x${back.height}")
+    (0 until 2).foreach(f => assert(back.frames(f).toSeq == frames(f).toSeq))
+  }
+
+  test("AVI: a second vids stream is rejected (single-video contract)") {
+    val canonical = AviCodec.encode(aviFrames(1, 4, 3, seed = 9), 4, 3,
+      usPerFrame = 200000)
+    // splice a second vids strl (strh 'vids' + a well-formed 40-byte strf)
+    val vids2 = java.nio.ByteBuffer.allocate(8 + 116)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    vids2.put("LIST".getBytes("US-ASCII")).putInt(116).put("strl".getBytes("US-ASCII"))
+    vids2.put("strh".getBytes("US-ASCII")).putInt(56)
+      .put("vids".getBytes("US-ASCII")).put(new Array[Byte](52))
+    vids2.put("strf".getBytes("US-ASCII")).putInt(40)
+      .putInt(40).putInt(4).putInt(3).putShort(1).putShort(24)
+      .putInt(0).putInt(48).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    val headEnd = 12 + 200
+    val spliced = canonical.take(headEnd) ++ vids2.array() ++ canonical.drop(headEnd)
+    java.nio.ByteBuffer.wrap(spliced).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, spliced.length - 8)
+    val ex = intercept[IllegalArgumentException](AviCodec.decode(spliced))
+    assert(ex.getMessage.contains("multiple vids"), ex.getMessage)
+  }
+
   test("AVI: encode sizes computed in Long — byte rate no longer wraps for " +
       "frames over 2147 bytes") {
     val (w, h) = (30, 24) // frameBytes = 92*24 = 2208 > 2147: Int form wrapped

@@ -13,12 +13,16 @@ class MultimodalSpec extends AnyFunSuite {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val media = MultimodalOps.mediaFromDocuments(docs)
     assert(media.schema("content").dataType.typeName == "binary")
-    val feats = MultimodalOps.extractFeatures(media, shards = 4)
+    // text-byte payloads are NOT containers: the fake decoder is the
+    // explicit opt-in here (the default is CodecDecoder)
+    val feats = MultimodalOps.extractFeatures(media, shards = 4,
+      decoder = MultimodalOps.FakeDecoder)
     val rows = feats.collect()
     assert(rows.length == docs.count())
     assert(rows.forall(_.feature.length == 8))
     // deterministic: same input → same features
-    val again = MultimodalOps.extractFeatures(media, shards = 2).collect()
+    val again = MultimodalOps.extractFeatures(media, shards = 2,
+      decoder = MultimodalOps.FakeDecoder).collect()
     val byId = again.map(r => r.asset_id -> r.feature.toSeq).toMap
     assert(rows.forall(r => byId(r.asset_id) == r.feature.toSeq))
     // byte_len matches utf-8 length of the source text
@@ -30,7 +34,10 @@ class MultimodalSpec extends AnyFunSuite {
   test("frame sampling: one frame per interval, videos only, deterministic") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val media = MultimodalOps.mediaFromDocuments(docs)
-    val frames = MultimodalOps.sampleFrames(media, everyMs = 100000).collect()
+    // text-byte payloads are not containers: the byte-window stub is the
+    // explicit opt-in (defaults decode real containers)
+    val frames = MultimodalOps.sampleFrames(media, everyMs = 100000,
+      decodeImages = false, decodeVideo = false).collect()
     assert(frames.nonEmpty)
     // only video assets produce frames; count = ceil(duration/interval)
     val durations = media.where("media_type = 'video' AND duration_ms > 0")
@@ -45,7 +52,8 @@ class MultimodalSpec extends AnyFunSuite {
       assert(fs.forall(_.frame.length <= 16))
     }
     // deterministic across runs
-    val again = MultimodalOps.sampleFrames(media, everyMs = 100000).collect()
+    val again = MultimodalOps.sampleFrames(media, everyMs = 100000,
+      decodeImages = false, decodeVideo = false).collect()
     assert(again.map(f => (f.asset_id, f.frame_idx, f.frame.toSeq)).toSet ==
       frames.map(f => (f.asset_id, f.frame_idx, f.frame.toSeq)).toSet)
   }
@@ -152,8 +160,32 @@ class MultimodalSpec extends AnyFunSuite {
       assert((fr.frame(3 * idx + 1) & 0xff) == ((p >> 8) & 0xff))
       assert((fr.frame(3 * idx + 2) & 0xff) == (p & 0xff))
     }
-    // without the flag, image assets emit nothing (m3's video-only contract)
-    assert(MultimodalOps.sampleFrames(media, everyMs = 5000L).count() == 0L)
+    // with image decode off, image assets emit nothing (m3's video-only
+    // contract — the stub paths are explicit opt-ins now)
+    assert(MultimodalOps.sampleFrames(media, everyMs = 5000L,
+      decodeImages = false, decodeVideo = false).count() == 0L)
+  }
+
+  test("sampleFrames: duration_ms metadata that disagrees with the decoded " +
+      "container fails loudly (the container is the authority)") {
+    import spark.implicits._
+    val id = 5L
+    val nF = 2 + (id % 9).toInt
+    val good = Seq(MultimodalOps.MediaRow(id, "video",
+      MediaCodecs.syntheticAvi(id), None, None, Some(nF * 200L))).toDS().toDF()
+    assert(MultimodalOps.sampleFrames(good, everyMs = 300L).count() > 0)
+    // absent metadata: duration comes from the container alone
+    val absent = Seq(MultimodalOps.MediaRow(id, "video",
+      MediaCodecs.syntheticAvi(id), None, None, None)).toDS().toDF()
+    assert(MultimodalOps.sampleFrames(absent, everyMs = 300L).count() ==
+      MultimodalOps.sampleFrames(good, everyMs = 300L).count())
+    // lying metadata: would silently over-sample the clamped last frame —
+    // must throw instead, like every other malformed-payload path
+    val lying = Seq(MultimodalOps.MediaRow(id, "video",
+      MediaCodecs.syntheticAvi(id), None, None, Some(nF * 200L + 1000L))).toDS().toDF()
+    val ex = intercept[org.apache.spark.SparkException](
+      MultimodalOps.sampleFrames(lying, everyMs = 300L).count())
+    assert(String.valueOf(ex.getCause).contains("disagrees"), String.valueOf(ex.getCause))
   }
 
   test("resize updates image metadata only, payload untouched") {
