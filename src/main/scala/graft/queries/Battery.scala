@@ -1178,6 +1178,33 @@ object Battery {
            |      FROM events)
            |WHERE rnk <= 3""".stripMargin))
 
+  /** `transformWithState` TIMER path
+    * ([[graft.streaming.Stateful.SessionTimeoutProcessor]]): per-user
+    * sessions that emit NOTHING on input — the closed session comes out
+    * of `handleExpiredTimer` when the processing-time flush timer
+    * (re-armed on every input batch, one live timer per key) fires
+    * after `gapMs` of inactivity. With the state primitives
+    * (`st_user_totals_v2` / `st_type_counts` / `st_last_events`) this
+    * completes the Spark 4 stateful API surface. Batch invocation with
+    * `gapMs = 0`: the timer registered at `now + 0` is processed at
+    * end-of-batch against the batch timestamp, so every session closes
+    * THROUGH THE TIMER and the result degenerates to a per-user
+    * aggregate — the oracle; the real inactivity gap + timer-driven
+    * flush across micro-batches is pinned by StatefulSpec.
+    */
+  private val stSessionTimeout = Q(
+    "st_session_timeout",
+    (s, d) => {
+      import s.implicits._
+      graft.streaming.Stateful.userSessions(
+        T.events(s, d).as[graft.streaming.Stateful.Event], gapMs = 0L).toDF()
+    },
+    Some("""SELECT user_id, count(*) AS n_events,
+           |  CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE)
+           |    / 1000000.0 AS total,
+           |  epoch_ms(min(ts)) AS first_ms, epoch_ms(max(ts)) AS last_ms
+           |FROM events GROUP BY user_id""".stripMargin))
+
   // ----------------------------------------- LLM-pipeline ops (north star)
 
   /** Exact deduplication by content hash (hash-groupBy). */
@@ -3349,6 +3376,7 @@ object Battery {
     twDedupWatermark, twDedupLateBoundary, twJoinBound, twJoinBoundLeft,
     twJoinBoundFull,
     stUserTotals, stUserTotalsV2, stTypeCounts, stLastEvents,
+    stSessionTimeout,
     x6SubwordCount,
     d1DedupExact, x1TextStats, n1AnnTopK, m1Multimodal, m2MultimodalDecode,
     m3FrameSample, m3bImageFrames, m4WavDecode, m5BmpDecode,

@@ -1,9 +1,9 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState,
-  MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues,
-  ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor,
+  TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Custom keyed state via `flatMapGroupsWithState` (the engine's
   * stateful-extension point, SURVEY §2.7/§2.8): a per-user running
@@ -205,6 +205,93 @@ object Stateful {
     events.groupByKey(_.user_id)
       .transformWithState(new LastEventsProcessor(n),
         TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Session flush driven by TIMERS — the last piece of the
+    * `transformWithState` API surface (state: `st_user_totals_v2` /
+    * `st_type_counts` / `st_last_events`; timers: here): accumulate a
+    * per-user session (count, exact micros total, first/last event ms)
+    * and emit NOTHING on input — the closed session is emitted only
+    * from [[StatefulProcessor.handleExpiredTimer]] when the
+    * processing-time flush timer fires, `gapMs` after the key's last
+    * activity. Each input batch re-arms the timer (delete stale,
+    * register `now + gapMs`), so exactly one live timer per key — the
+    * production sessionizer shape: state AND timer count are both
+    * O(active keys), and an idle key is flushed and cleared by the
+    * engine without any further input.
+    *
+    * Batch invocation: every key's input arrives in the single batch,
+    * the registered timer (expiry `now + gapMs`) is processed at the
+    * end of that batch against the fixed batch timestamp, so with
+    * `gapMs <= 0` every session closes THROUGH THE TIMER PATH and the
+    * result degenerates to a plain per-user aggregate — the
+    * DuckDB-checkable oracle (`st_session_timeout`). With `gapMs > 0`
+    * a batch run emits nothing (the flush moment is after the batch
+    * ends — exactly the streaming semantics restricted to one batch).
+    */
+  final case class SessSt(n: Long, totalMicros: Long, firstMs: Long, lastMs: Long)
+  final case class UserSession(user_id: Long, n_events: Long, total: Double,
+      first_ms: Long, last_ms: Long)
+
+  class SessionTimeoutProcessor(gapMs: Long, ttl: TTLConfig = TTLConfig.NONE)
+      extends StatefulProcessor[Long, Event, UserSession] {
+    @transient private var sess: ValueState[SessSt] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[SessSt]("session",
+        Encoders.product[SessSt], ttl)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[UserSession] = {
+      val prev = if (sess.exists()) sess.get()
+        else SessSt(0L, 0L, Long.MaxValue, Long.MinValue)
+      var n = prev.n
+      var total = prev.totalMicros
+      var first = prev.firstMs
+      var last = prev.lastMs
+      rows.foreach { e =>
+        n += 1
+        total += math.round(e.value * 1e6)
+        first = math.min(first, e.ts.getTime)
+        last = math.max(last, e.ts.getTime)
+      }
+      sess.update(SessSt(n, total, first, last))
+      // one live flush timer per key: drop the stale one, re-arm at
+      // now + gap (activity extends the session)
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+      getHandle.registerTimer(timers.getCurrentProcessingTimeInMs() + gapMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(userId: Long, timers: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[UserSession] = {
+      // TTL interplay: state may have expired underneath a still-armed
+      // timer (TTL < gap, or a late re-arm) — the timer then fires on
+      // an empty key and must emit nothing, not a zero session
+      if (!sess.exists()) Iterator.empty
+      else {
+        val s = sess.get()
+        sess.clear()
+        Iterator.single(UserSession(userId, s.n, s.totalMicros / 1e6,
+          s.firstMs, s.lastMs))
+      }
+    }
+  }
+
+  /** [[SessionTimeoutProcessor]] wired up: processing-time mode (timers
+    * require it), update output. `gapMs <= 0` is the batch-oracle form;
+    * a streaming run uses a real inactivity gap.
+    */
+  def userSessions(events: Dataset[Event], gapMs: Long,
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[UserSession] = {
+    implicit val outEnc = Encoders.product[UserSession]
+    implicit val keyEnc = Encoders.scalaLong
+    org.apache.spark.sql.execution.streaming.state.StateStoreCoordinatorRef
+      .forDriver(org.apache.spark.SparkEnv.get,
+        events.sparkSession.sessionState.conf)
+    events.groupByKey(_.user_id)
+      .transformWithState(new SessionTimeoutProcessor(gapMs, ttl),
+        TimeMode.ProcessingTime(), OutputMode.Update())
   }
 
   def runningUserTotalsV2(events: Dataset[Event],
