@@ -126,11 +126,16 @@ object CorpusOps {
     * per-document annotations without a second corpus-sized join.
     */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
-      budget: Int, shards: Int, carry: Seq[Column] = Nil): DataFrame = {
+      budget: Int, shards: Int, carry: Seq[Column] = Nil,
+      tokenCount: Option[Column] = None): DataFrame = {
     require(budget > 0 && shards > 0, "budget and shards must be positive")
+    // the budget unit is pluggable: default whitespace tokens; pass
+    // e.g. TextOps.bpeCount(col(textCol)) to pack by REAL tokenizer
+    // counts (what training actually bills by)
+    val nTok = tokenCount.getOrElse(size(TextOps.tokens(col(textCol))).cast("long"))
     val t = docs.select(col(idCol) +:
       pmod(col(idCol), lit(shards.toLong)).as("shard") +:
-      size(TextOps.tokens(col(textCol))).cast("long").as("n_tok") +:
+      nTok.cast("long").as("n_tok") +:
       carry: _*)
     val carryNames = t.columns.drop(3)
     val w = Window.partitionBy("shard").orderBy(idCol)

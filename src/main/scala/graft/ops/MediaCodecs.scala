@@ -407,6 +407,83 @@ object MediaCodecs {
     }
   }
 
+  /** Pixel resampling over decoded [[BmpCodec]]/[[AviCodec]] frames —
+    * both kernels are EXACT integer arithmetic, so any engine (the
+    * DuckDB oracle included) replays them bit-identically and the
+    * resized payload re-encodes deterministically.
+    */
+  object Resample {
+
+    /** Floor-mapping nearest neighbor: dst (x, y) samples
+      * src (⌊x·sw/dw⌋, ⌊y·sh/dh⌋). The simplest deterministic mapping —
+      * every dst pixel is an EXISTING src pixel, and the mapping is one
+      * integer division per axis (SQL-replayable: `(x * sw) // dw`).
+      */
+    def nearest(pixels: Array[Int], sw: Int, sh: Int,
+        dw: Int, dh: Int): Array[Int] = {
+      require(sw > 0 && sh > 0 && dw > 0 && dh > 0, "dims must be positive")
+      require(pixels.length == sw * sh, s"pixel buffer ${pixels.length} != ${sw}x$sh")
+      val out = new Array[Int](dw * dh)
+      var y = 0
+      while (y < dh) {
+        val sy = (y.toLong * sh / dh).toInt
+        var x = 0
+        while (x < dw) {
+          val sx = (x.toLong * sw / dw).toInt
+          out(y * dw + x) = pixels(sy * sw + sx)
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    /** Exact-integer align-corners bilinear: dst x maps to the RATIONAL
+      * source position x·(sw−1)/(dw−1) (corners map to corners); each
+      * channel is the 4-tap weighted average over the common integer
+      * denominator Dx·Dy, rounded half-up — no floating point anywhere,
+      * so the result is bit-reproducible across engines and partitions.
+      * A 1-wide axis (dw = 1 or sw = 1) degenerates to weight 0 on that
+      * axis (denominator 1, frac 0).
+      */
+    def bilinear(pixels: Array[Int], sw: Int, sh: Int,
+        dw: Int, dh: Int): Array[Int] = {
+      require(sw > 0 && sh > 0 && dw > 0 && dh > 0, "dims must be positive")
+      require(pixels.length == sw * sh, s"pixel buffer ${pixels.length} != ${sw}x$sh")
+      val dX = math.max(1L, dw - 1L)
+      val dY = math.max(1L, dh - 1L)
+      val out = new Array[Int](dw * dh)
+      var y = 0
+      while (y < dh) {
+        val numY = y.toLong * (sh - 1)
+        val y0 = (numY / dY).toInt
+        val fy = numY % dY
+        val y1 = math.min(y0 + 1, sh - 1)
+        var x = 0
+        while (x < dw) {
+          val numX = x.toLong * (sw - 1)
+          val x0 = (numX / dX).toInt
+          val fx = numX % dX
+          val x1 = math.min(x0 + 1, sw - 1)
+          val p00 = pixels(y0 * sw + x0); val p10 = pixels(y0 * sw + x1)
+          val p01 = pixels(y1 * sw + x0); val p11 = pixels(y1 * sw + x1)
+          val den = dX * dY
+          def ch(shift: Int): Int = {
+            val c00 = (p00 >> shift) & 0xff; val c10 = (p10 >> shift) & 0xff
+            val c01 = (p01 >> shift) & 0xff; val c11 = (p11 >> shift) & 0xff
+            val v = c00 * (dX - fx) * (dY - fy) + c10 * fx * (dY - fy) +
+              c01 * (dX - fx) * fy + c11 * fx * fy
+            ((2 * v + den) / (2 * den)).toInt // half-up
+          }
+          out(y * dw + x) = (ch(16) << 16) | (ch(8) << 8) | ch(0)
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+  }
+
   // ------------------------------------------------------------------
   // Deterministic synthetic payloads for the oracle battery: REAL
   // container bytes whose decoded statistics have a closed form in

@@ -285,15 +285,34 @@ object MultimodalOps {
     rgb
   }
 
-  /** Resize plumbing: metadata transform + STUB re-encode (production
-    * swaps the identity payload for a libvips/swscale call inside the
-    * same row shape). Non-image rows pass through untouched.
+  /** REAL image resize: decode the BMP payload, resample
+    * ([[MediaCodecs.Resample]] — floor-mapping nearest neighbor by
+    * default, exact-integer align-corners bilinear on request), and
+    * RE-ENCODE the payload; width/height metadata come from the actual
+    * re-encoded container. Non-image rows pass through untouched;
+    * malformed image payloads throw (same quarantine contract as every
+    * decode path). Narrow typed map, no shuffle — a native resampler
+    * (libvips/swscale) slots behind the same row shape per partition.
     */
-  def resize(media: DataFrame, width: Int, height: Int): DataFrame =
-    media.withColumn("width",
-        when(col("media_type") === "image", lit(width)).otherwise(col("width")))
-      .withColumn("height",
-        when(col("media_type") === "image", lit(height)).otherwise(col("height")))
+  def resize(media: DataFrame, width: Int, height: Int,
+      bilinear: Boolean = false): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    require(width > 0 && height > 0, "target dims must be positive")
+    media.as[MediaRow].map { m =>
+      if (m.media_type != "image") m
+      else {
+        val bmp = MediaCodecs.BmpCodec.decode(m.content)
+        val px =
+          if (bilinear) MediaCodecs.Resample.bilinear(
+            bmp.pixels, bmp.width, bmp.height, width, height)
+          else MediaCodecs.Resample.nearest(
+            bmp.pixels, bmp.width, bmp.height, width, height)
+        m.copy(content = MediaCodecs.BmpCodec.encode(px, width, height),
+          width = Some(width), height = Some(height))
+      }
+    }.toDF()
+  }
 
   /** Batch decode: shard by content hash so hot assets spread evenly
     * (no skew from one giant video), then decode per partition with the

@@ -22,6 +22,25 @@ object TextOps {
   def subwordCount(text: Column): Column =
     size(split(trim(text), "\\s+|(?<=[a-z])(?=[0-9])|(?<=[0-9])(?=[a-z])"))
 
+  /** REAL merge-driven BPE token count ([[graft.functions.BpeCountText]],
+    * fixture vocabulary [[graft.functions.BpeVocab.DefaultMerges]]) —
+    * the token-budget unit an LLM pipeline actually bills by, vs the
+    * whitespace approximation of [[tokens]]/[[subwordCount]]. Narrow,
+    * codegen'd, per-word memoized.
+    */
+  def bpeCount(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.BpeCountText(
+      GraftColumnBridge.expression(text)))
+  }
+
+  /** Full BPE token stream (array<string>), word-boundary preserving. */
+  def bpeTokens(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.BpeTokensText(
+      GraftColumnBridge.expression(text)))
+  }
+
   /** Word n-gram shingles; empty array when the doc has fewer than n
     * tokens. Native fused expression ([[graft.functions.ShinglesText]]):
     * tokenize once, one pass — the composed form below re-slices the

@@ -2172,6 +2172,96 @@ object Battery {
            |  CAST(bef // 512 AS BIGINT) AS pack_id
            |FROM c""".stripMargin))
 
+  /** REAL merge-driven BPE encode ([[graft.functions.BpeCountText]] /
+    * [[graft.functions.BpeTokensText]]): per document, the token count
+    * AND an md5 over the space-joined token stream — the md5 pins exact
+    * token identity and order, not just the count. The oracle replays
+    * the IDENTICAL 40-entry learned merge table
+    * ([[graft.functions.BpeVocab]]) as a recursive CTE: per DISTINCT
+    * word, rank-order fixpoint replacement over separator-joined
+    * characters — provably equal to the engine's textbook greedy loop
+    * for learned-shape tables (see BpeModel's scaladoc; BpeTextSpec
+    * holds the two algorithms equal on fixtures). Narrow codegen'd
+    * map on the Spark side; the oracle's recursion is vocabulary-sized
+    * (31 distinct words), not corpus-sized.
+    */
+  private val x22BpeEncode = Q(
+    "x22_bpe_encode",
+    (s, d) => T.documents(s, d).select(
+      col("doc_id"),
+      graft.ops.TextOps.bpeCount(col("text")).as("n_bpe"),
+      md5(concat_ws(" ", graft.ops.TextOps.bpeTokens(col("text")))).as("toks_md5")),
+    Some(s"""WITH RECURSIVE
+           |merges(rank, l, r) AS (VALUES ${graft.functions.BpeVocab.mergesValuesSql}),
+           |words AS (SELECT DISTINCT unnest(string_split_regex(trim(text), '\\s+')) AS w
+           |          FROM documents),
+           |init AS (SELECT w, ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s
+           |         FROM words),
+           |steps(w, rank, s) AS (
+           |  SELECT w, 1, s FROM init
+           |  UNION ALL
+           |  SELECT w,
+           |    CASE WHEN replaced <> s THEN rank ELSE rank + 1 END,
+           |    CASE WHEN replaced <> s THEN replaced ELSE s END
+           |  FROM (SELECT st.w, st.rank, st.s,
+           |          replace(st.s, ' ' || m.l || ' ' || m.r || ' ',
+           |                  ' ' || m.l || m.r || ' ') AS replaced
+           |        FROM steps st JOIN merges m ON m.rank = st.rank)),
+           |wt AS (SELECT w, trim(s) AS toks,
+           |         CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n
+           |       FROM steps WHERE rank = (SELECT max(rank) FROM merges) + 1),
+           |tok AS (SELECT doc_id, i AS pos, tk[i] AS w
+           |        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+           |              FROM documents),
+           |             UNNEST(range(1, len(tk) + 1)) AS t(i))
+           |SELECT doc_id, CAST(sum(wt.n) AS BIGINT) AS n_bpe,
+           |  md5(string_agg(wt.toks, ' ' ORDER BY pos)) AS toks_md5
+           |FROM tok JOIN wt USING (w) GROUP BY doc_id""".stripMargin))
+
+  /** [[x9PackSequences]] with REAL token budgets: the packing unit is
+    * the BPE token count ([[graft.ops.TextOps.bpeCount]]) instead of
+    * the whitespace approximation — what a training pipeline actually
+    * packs by. Same one-shuffle per-shard prefix-sum shape; the oracle
+    * reuses the x22 merge-replay CTE for per-doc counts and the x9
+    * window for pack assignment.
+    */
+  private val x9bPackBpe = Q(
+    "x9b_pack_bpe",
+    (s, d) => graft.ops.CorpusOps.packSequences(
+      T.documents(s, d), "doc_id", "text", budget = 256, shards = 8,
+      tokenCount = Some(graft.ops.TextOps.bpeCount(col("text")))),
+    Some(s"""WITH RECURSIVE
+           |merges(rank, l, r) AS (VALUES ${graft.functions.BpeVocab.mergesValuesSql}),
+           |words AS (SELECT DISTINCT unnest(string_split_regex(trim(text), '\\s+')) AS w
+           |          FROM documents),
+           |init AS (SELECT w, ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s
+           |         FROM words),
+           |steps(w, rank, s) AS (
+           |  SELECT w, 1, s FROM init
+           |  UNION ALL
+           |  SELECT w,
+           |    CASE WHEN replaced <> s THEN rank ELSE rank + 1 END,
+           |    CASE WHEN replaced <> s THEN replaced ELSE s END
+           |  FROM (SELECT st.w, st.rank, st.s,
+           |          replace(st.s, ' ' || m.l || ' ' || m.r || ' ',
+           |                  ' ' || m.l || m.r || ' ') AS replaced
+           |        FROM steps st JOIN merges m ON m.rank = st.rank)),
+           |wt AS (SELECT w, CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n
+           |       FROM steps WHERE rank = (SELECT max(rank) FROM merges) + 1),
+           |tok AS (SELECT doc_id, tk[i] AS w
+           |        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+           |              FROM documents),
+           |             UNNEST(range(1, len(tk) + 1)) AS t(i)),
+           |n AS (SELECT doc_id, CAST(sum(wt.n) AS BIGINT) AS n_tok
+           |      FROM tok JOIN wt USING (w) GROUP BY doc_id),
+           |c AS (SELECT doc_id, doc_id % 8 AS shard, n_tok,
+           |        coalesce(sum(n_tok) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+           |      FROM n)
+           |SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tok,
+           |  CAST(bef // 256 AS BIGINT) AS pack_id
+           |FROM c""".stripMargin))
+
   /** PII redaction: every document is deterministically augmented with
     * a synthetic email / phone / IPv4 (the raw corpus has none — the
     * augmentation makes the replacement path actually fire), then
@@ -2538,6 +2628,58 @@ object Battery {
            |  CAST(3 * any_value(w) * any_value(h) AS BIGINT) AS frame_len,
            |  CAST(sum(r + g + b) AS BIGINT) AS frame_sum,
            |  CAST(sum(3 * idx * r + (3 * idx + 1) * g + (3 * idx + 2) * b) AS BIGINT) AS frame_wsum
+           |FROM v GROUP BY doc_id""".stripMargin))
+
+  /** REAL image resize ([[graft.ops.MultimodalOps.resize]]): each image
+    * asset's BMP payload is DECODED, resampled to 8×5 by floor-mapping
+    * nearest neighbor (`src = (dst·srcDim) // dstDim`,
+    * [[graft.ops.MediaCodecs.Resample.nearest]]), and RE-ENCODED; the
+    * query then decodes the RESIZED container back (pinning the
+    * re-encode round-trip) and emits position-weighted channel sums of
+    * the result. The oracle replays the resample formula in closed form
+    * from the analytic source-pixel channels — a wrong floor mapping,
+    * axis swap, row-order flip, or re-encode slip hash-mismatches
+    * (wsum is position-sensitive; plain sums are not). Narrow typed
+    * maps, no shuffle.
+    */
+  private val m6Resize = Q(
+    "m6_resize",
+    (s, d) => {
+      import s.implicits._
+      val media = graft.ops.MultimodalOps
+        .mediaFromDocumentsReal(
+          T.documents(s, d).where(pmod(col("doc_id"), lit(3)) === 0))
+        .filter(col("media_type") === "image").toDF()
+      graft.ops.MultimodalOps.resize(media, width = 8, height = 5)
+        .as[graft.ops.MultimodalOps.MediaRow]
+        .map { m =>
+          val bmp = graft.ops.MediaCodecs.BmpCodec.decode(m.content)
+          var sum = 0L; var wsum = 0L
+          var i = 0
+          while (i < bmp.pixels.length) {
+            val p = bmp.pixels(i)
+            val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+            sum += r + g + b
+            wsum += 3L * i * r + (3L * i + 1) * g + (3L * i + 2) * b
+            i += 1
+          }
+          (m.asset_id, bmp.width, bmp.height, sum, wsum)
+        }.toDF("asset_id", "width", "height", "sum_rgb", "wsum_rgb")
+    },
+    Some("""WITH a AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+           |           FROM documents WHERE doc_id % 3 = 0),
+           |p AS (SELECT doc_id, w, h, unnest(range(0, 40)) AS idx FROM a),
+           |m AS (SELECT doc_id, idx,
+           |        ((idx % 8) * w) // 8 AS sx, ((idx // 8) * h) // 5 AS sy
+           |      FROM p),
+           |v AS (SELECT doc_id, idx,
+           |        (doc_id + 7 * sx + 13 * sy) % 256 AS r,
+           |        (3 * doc_id + 5 * sx + sy) % 256 AS g,
+           |        (11 * doc_id + sx + 2 * sy) % 256 AS b
+           |      FROM m)
+           |SELECT doc_id AS asset_id, CAST(8 AS INT) AS width, CAST(5 AS INT) AS height,
+           |  CAST(sum(r + g + b) AS BIGINT) AS sum_rgb,
+           |  CAST(sum(3 * idx * r + (3 * idx + 1) * g + (3 * idx + 2) * b) AS BIGINT) AS wsum_rgb
            |FROM v GROUP BY doc_id""".stripMargin))
 
   /** REAL audio decode: each audio asset's payload is an actual PCM16
@@ -3379,11 +3521,12 @@ object Battery {
     stSessionTimeout,
     x6SubwordCount,
     d1DedupExact, x1TextStats, n1AnnTopK, m1Multimodal, m2MultimodalDecode,
-    m3FrameSample, m3bImageFrames, m4WavDecode, m5BmpDecode,
+    m3FrameSample, m3bImageFrames, m4WavDecode, m5BmpDecode, m6Resize,
     d2MinhashBands, d2bNearDupPairs, d3Simhash, d7SimhashPairs, d4NgramJaccard,
     d5DedupClusters, d6DedupCorpus, d8DupSpans, d9DupSpanCut,
     x2LangId, x3Fingerprint, x3bRolling, x4Quality, x5TokenFreq,
-    x7Repetition, x8Decontaminate, x9PackSequences, x10Redact,
+    x7Repetition, x8Decontaminate, x9PackSequences, x9bPackBpe, x10Redact,
+    x22BpeEncode,
     x11StratifiedSample, x12RareTokens, x13HeavyHitters, x14DomainCap,
     x15BigramCounts, x16TopDistinctTerm, x17EpochShuffle, x18LengthBuckets,
     x19TokenChunks, x20TemperatureMixture, x21BloomDecontaminate, c1Curation,

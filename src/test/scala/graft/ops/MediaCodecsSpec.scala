@@ -392,4 +392,50 @@ class MediaCodecsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       MultimodalOps.CodecDecoder.decode(vidRow.copy(media_type = "hologram")))
   }
+
+  // -------------------------------------------------------- Resample
+
+  test("Resample.nearest: identity at same dims; floor mapping hand-checked; " +
+      "round-trips through BMP re-encode") {
+    val src = pattern(4, 3, seed = 5)
+    assert(MediaCodecs.Resample.nearest(src, 4, 3, 4, 3).toSeq == src.toSeq,
+      "same-dims resize is the identity")
+    // upscale 2x2 -> 4x4: dst (x,y) samples src (x*2/4, y*2/4) = (x/2, y/2)
+    val s22 = Array(0xFF0000, 0x00FF00, 0x0000FF, 0xFFFFFF)
+    val up = MediaCodecs.Resample.nearest(s22, 2, 2, 4, 4)
+    val expect = Array(
+      0xFF0000, 0xFF0000, 0x00FF00, 0x00FF00,
+      0xFF0000, 0xFF0000, 0x00FF00, 0x00FF00,
+      0x0000FF, 0x0000FF, 0xFFFFFF, 0xFFFFFF,
+      0x0000FF, 0x0000FF, 0xFFFFFF, 0xFFFFFF)
+    assert(up.toSeq == expect.toSeq)
+    // downscale 4x3 -> 2x1: dst x samples src ((x*4)/2, 0) = (2x, 1)... y: (0*3)/1 = 0
+    val down = MediaCodecs.Resample.nearest(src, 4, 3, 2, 1)
+    assert(down.toSeq == Seq(src(0), src(2)))
+    // resized pixels survive a BMP encode/decode round-trip
+    val bytes = BmpCodec.encode(up, 4, 4)
+    assert(BmpCodec.decode(bytes).pixels.toSeq == up.toSeq)
+  }
+
+  test("Resample.bilinear: identity at same dims; exact-integer midpoint " +
+      "hand-checked; corners map to corners (align-corners)") {
+    val src = pattern(5, 4, seed = 9)
+    assert(MediaCodecs.Resample.bilinear(src, 5, 4, 5, 4).toSeq == src.toSeq,
+      "same-dims bilinear is the identity (align-corners, integer positions)")
+    // 2x1 -> 3x1: middle pixel is the exact half-up average per channel
+    val s = Array(0x00000A, 0x000014) // blue 10 and 20
+    val out = MediaCodecs.Resample.bilinear(s, 2, 1, 3, 1)
+    assert(out(0) == 0x00000A && out(2) == 0x000014, "corners map to corners")
+    assert(out(1) == 0x00000F, s"midpoint must be 15: ${out(1)}")
+    // half-up rounding: average of 10 and 15 is 12.5 -> 13
+    val s2 = Array(0x00000A, 0x00000F)
+    assert(MediaCodecs.Resample.bilinear(s2, 2, 1, 3, 1)(1) == 0x00000D)
+    // 2x2 -> 3x3 center: average of all four corners, per channel
+    val q = Array(0x0A0000, 0x1E0000, 0x280000, 0x500000) // red 10,30,40,80
+    val c = MediaCodecs.Resample.bilinear(q, 2, 2, 3, 3)(4)
+    assert(((c >> 16) & 0xff) == 40, s"center red must be (10+30+40+80)/4: ${(c >> 16) & 0xff}")
+    // degenerate 1-wide axis: no NaN/zero-division, output well-formed
+    val one = MediaCodecs.Resample.bilinear(Array(0x123456), 1, 1, 3, 2)
+    assert(one.toSeq == Seq.fill(6)(0x123456))
+  }
 }

@@ -188,16 +188,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(String.valueOf(ex.getCause).contains("disagrees"), String.valueOf(ex.getCause))
   }
 
-  test("resize updates image metadata only, payload untouched") {
-    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
-    val media = MultimodalOps.mediaFromDocuments(docs)
-    val resized = MultimodalOps.resize(media, 224, 224)
-    val images = resized.where("media_type = 'image'")
-      .selectExpr("width", "height").distinct().collect()
-    assert(images.map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((224, 224)))
-    val others = resized.where("media_type != 'image' AND width IS NOT NULL").count()
-    assert(others == 0, "non-image rows must keep their metadata")
-    assert(resized.selectExpr("sum(octet_length(content))").head().getLong(0) ==
-      media.selectExpr("sum(octet_length(content))").head().getLong(0))
+  test("resize REALLY resamples: payload re-encoded at target dims, pixels " +
+      "follow the floor mapping; non-image rows pass through untouched") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(60)
+    val media = MultimodalOps.mediaFromDocumentsReal(docs).toDF()
+    val resized = MultimodalOps.resize(media, 8, 5)
+      .as[MultimodalOps.MediaRow]
+      .collect().map(m => m.asset_id -> m).toMap
+    val source = media.as[MultimodalOps.MediaRow]
+      .collect().map(m => m.asset_id -> m).toMap
+    assert(resized.size == source.size)
+    source.values.foreach { m =>
+      val r = resized(m.asset_id)
+      if (m.media_type == "image") {
+        assert(r.width.contains(8) && r.height.contains(5))
+        val out = MediaCodecs.BmpCodec.decode(r.content)
+        assert(out.width == 8 && out.height == 5,
+          s"re-encoded container must carry the target dims: ${out.width}x${out.height}")
+        // every output pixel is the floor-mapped source pixel
+        val src = MediaCodecs.BmpCodec.decode(m.content)
+        val expect = MediaCodecs.Resample.nearest(
+          src.pixels, src.width, src.height, 8, 5)
+        assert(out.pixels.toSeq == expect.toSeq, s"asset ${m.asset_id}")
+      } else {
+        assert(r.content.toSeq == m.content.toSeq &&
+          r.width == m.width && r.height == m.height &&
+          r.duration_ms == m.duration_ms,
+          s"non-image row ${m.asset_id} must pass through untouched")
+      }
+    }
   }
 }
