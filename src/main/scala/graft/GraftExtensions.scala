@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{DotProduct, LangIdText, MinhashSlices, MinhashText, SimhashLong, SimhashText}
+import graft.functions.{BpeCountText, BpeTokensText, DotProduct, LangIdText,
+  MinhashSlices, MinhashText, SimhashLong, SimhashText}
 
 /** Engine extension point (SURVEY §7.3): registers the custom Catalyst
   * expressions with the session so plain SQL can call them too. Activate
@@ -64,6 +65,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "simhash_long(text, bits)")
         SimhashLong(children.head, intLit(children(1), "simhash_long bits"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("bpe_count_text"),
+      new ExpressionInfo(classOf[BpeCountText].getName, "bpe_count_text"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "bpe_count_text(text)")
+        BpeCountText(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("bpe_tokens_text"),
+      new ExpressionInfo(classOf[BpeTokensText].getName, "bpe_tokens_text"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "bpe_tokens_text(text)")
+        BpeTokensText(children.head)
       }))
   }
 }

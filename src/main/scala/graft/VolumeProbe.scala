@@ -131,7 +131,17 @@ object VolumeProbe {
     "x17_epoch_shuffle", "x19_token_chunks",
     "m2_multimodal_decode", "m3_frame_sample",
     "x21_bloom_decontaminate", "tw_timebound_full_join", "st_type_counts",
-    "st_last_events")
+    "st_last_events",
+    "st_session_timeout", "x9b_pack_bpe", "m6_resize")
+  // Round-11 rows: st_session_timeout (the TIMER path — batch gap-0
+  // emits exactly one timer-flushed session per user; users disjoint
+  // per replica → exact ×factor), x9b_pack_bpe (packing by REAL BPE
+  // token counts — one output row per document, the merge-table encode
+  // a narrow codegen'd map whose per-word memo is vocabulary-sized →
+  // exact ×factor), and m6_resize (decode+resample+re-encode per image;
+  // the offset preserves the mod-3 media classes, so each replica
+  // contributes exactly the base image set → exact ×factor; 10× the
+  // codec work in the same heap is the claim).
   // x21 probes the Bloom path at volume: the benchmark side inflates
   // ×factor too (doc_id % 97 divides ModLcm), the blob stays one
   // bounded driver object, and the exact-verified output must equal

@@ -158,6 +158,56 @@ class VolumeProbeSpec extends AnyFunSuite {
       "replication must not mint new representatives")
   }
 
+  test("timer-driven sessions at xN: rows scale exactly, replica-0 users " +
+      "keep identical sessions") {
+    // user ids are disjoint across replicas and replica 0 is unshifted,
+    // so the batch gap-0 form (one timer-flushed session per user) adds
+    // exactly one session per clone user and leaves replica-0 sessions
+    // byte-identical
+    val st = SparkEntry.queries("st_session_timeout")
+    val base = st(spark, srcDir).collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    val big = st(spark, outDir).collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(big.size == base.size * factor, "one session per user, xN users")
+    for ((uid, row) <- base)
+      assert(big(uid) == row, s"replica-0 user $uid session changed at xN")
+  }
+
+  test("BPE packing at xN: clones keep their original's token count, " +
+      "replica-0 pack assignment unchanged") {
+    // the key offset is a multiple of 8, so clones land in their
+    // original's shard; clone ids are strictly larger than every
+    // replica-0 id, so replica-0 prefix sums (and pack_ids) are
+    // untouched; clone text is byte-identical, so n_tok is inherited
+    val x9b = SparkEntry.queries("x9b_pack_bpe")
+    val base = x9b(spark, srcDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val big = x9b(spark, outDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(big.size == base.size * factor)
+    val offset = VolumeProbe.keyOffsetFor(spark, srcDir)
+    for ((id, (shard, nTok, packId)) <- base) {
+      assert(big(id) == ((shard, nTok, packId)), s"replica-0 doc $id changed")
+      for (rep <- 1 until factor)
+        assert(big(id + rep * offset)._2 == nTok,
+          s"clone of doc $id must inherit its BPE token count")
+    }
+  }
+
+  test("image resize at xN: rows scale exactly (mod-3 media classes " +
+      "preserved), replica-0 resized stats unchanged") {
+    // m6 selects doc_id % 3 == 0 and the offset preserves mod-3
+    // classes, so each replica contributes exactly the base image set;
+    // replica-0 payloads are identical, so their resized channel sums
+    // are byte-identical (clones differ — their synthetic pixels are
+    // analytic in the remapped id — so only the count law binds them)
+    val m6 = SparkEntry.queries("m6_resize")
+    val base = m6(spark, srcDir).collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    val big = m6(spark, outDir).collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(big.size == base.size * factor, "xN images resized")
+    for ((id, row) <- base)
+      assert(big(id) == row, s"replica-0 image $id resized differently at xN")
+  }
+
   test("duplicate spans at xN cover every window-bearing doc end-to-end") {
     // with N >= 2 byte-identical replicas, EVERY 8-token window repeats
     // corpus-wide, so each doc with >= 8 tokens yields exactly ONE

@@ -105,5 +105,11 @@ class BpeTextSpec extends AnyFunSuite {
       .select(col("doc_id"), graft.ops.TextOps.bpeCount(col("text")).as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     rows.foreach(r => assert(again(r.getLong(0)) == r.getLong(1)))
+    // SQL surface (GraftExtensions registration)
+    val sql = spark.sql(
+      "SELECT bpe_count_text('stream value merger'), " +
+        "bpe_tokens_text('merger')").head
+    assert(sql.getLong(0) == 5L)
+    assert(sql.getSeq[String](1) == Seq("mer", "g", "er"))
   }
 }
