@@ -285,31 +285,39 @@ object MultimodalOps {
     rgb
   }
 
-  /** REAL image resize: decode the BMP payload, resample
+  /** REAL visual-media resize: decode the payload (BMP for images, the
+    * whole AVI for videos), resample every frame
     * ([[MediaCodecs.Resample]] — floor-mapping nearest neighbor by
     * default, exact-integer align-corners bilinear on request), and
-    * RE-ENCODE the payload; width/height metadata come from the actual
-    * re-encoded container. Non-image rows pass through untouched;
-    * malformed image payloads throw (same quarantine contract as every
-    * decode path). Narrow typed map, no shuffle — a native resampler
-    * (libvips/swscale) slots behind the same row shape per partition.
+    * RE-ENCODE the container; width/height metadata come from the
+    * actual re-encoded bytes (video keeps its frame count and period).
+    * Audio rows pass through untouched; malformed payloads throw (same
+    * quarantine contract as every decode path). Narrow typed map, no
+    * shuffle — a native resampler (libvips/swscale) slots behind the
+    * same row shape per partition.
     */
   def resize(media: DataFrame, width: Int, height: Int,
       bilinear: Boolean = false): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     require(width > 0 && height > 0, "target dims must be positive")
+    def resample(px: Array[Int], sw: Int, sh: Int): Array[Int] =
+      if (bilinear) MediaCodecs.Resample.bilinear(px, sw, sh, width, height)
+      else MediaCodecs.Resample.nearest(px, sw, sh, width, height)
     media.as[MediaRow].map { m =>
-      if (m.media_type != "image") m
-      else {
-        val bmp = MediaCodecs.BmpCodec.decode(m.content)
-        val px =
-          if (bilinear) MediaCodecs.Resample.bilinear(
-            bmp.pixels, bmp.width, bmp.height, width, height)
-          else MediaCodecs.Resample.nearest(
-            bmp.pixels, bmp.width, bmp.height, width, height)
-        m.copy(content = MediaCodecs.BmpCodec.encode(px, width, height),
-          width = Some(width), height = Some(height))
+      m.media_type match {
+        case "image" =>
+          val bmp = MediaCodecs.BmpCodec.decode(m.content)
+          m.copy(content = MediaCodecs.BmpCodec.encode(
+              resample(bmp.pixels, bmp.width, bmp.height), width, height),
+            width = Some(width), height = Some(height))
+        case "video" =>
+          val avi = MediaCodecs.AviCodec.decode(m.content)
+          val frames = avi.frames.map(resample(_, avi.width, avi.height))
+          m.copy(content = MediaCodecs.AviCodec.encode(
+              frames, width, height, avi.usPerFrame),
+            width = Some(width), height = Some(height))
+        case _ => m
       }
     }.toDF()
   }

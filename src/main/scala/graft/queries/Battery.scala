@@ -2682,6 +2682,123 @@ object Battery {
            |  CAST(sum(3 * idx * r + (3 * idx + 1) * g + (3 * idx + 2) * b) AS BIGINT) AS wsum_rgb
            |FROM v GROUP BY doc_id""".stripMargin))
 
+  /** Bilinear twin of [[m6Resize]]: the same decode → resample →
+    * re-encode → decode-back path through the EXACT-INTEGER
+    * align-corners bilinear kernel
+    * ([[graft.ops.MediaCodecs.Resample.bilinear]]) — no floating point
+    * anywhere, so the oracle replays the 4-tap weighted average with
+    * half-up integer rounding verbatim in SQL and the hash must match
+    * bit-for-bit. A float-based resampler could never pass this gate.
+    */
+  private val m6bResizeBilinear = Q(
+    "m6b_resize_bilinear",
+    (s, d) => {
+      import s.implicits._
+      val media = graft.ops.MultimodalOps
+        .mediaFromDocumentsReal(
+          T.documents(s, d).where(pmod(col("doc_id"), lit(3)) === 0))
+        .filter(col("media_type") === "image").toDF()
+      graft.ops.MultimodalOps.resize(media, width = 8, height = 5, bilinear = true)
+        .as[graft.ops.MultimodalOps.MediaRow]
+        .map { m =>
+          val bmp = graft.ops.MediaCodecs.BmpCodec.decode(m.content)
+          var sum = 0L; var wsum = 0L
+          var i = 0
+          while (i < bmp.pixels.length) {
+            val p = bmp.pixels(i)
+            val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+            sum += r + g + b
+            wsum += 3L * i * r + (3L * i + 1) * g + (3L * i + 2) * b
+            i += 1
+          }
+          (m.asset_id, sum, wsum)
+        }.toDF("asset_id", "sum_rgb", "wsum_rgb")
+    },
+    Some("""WITH a AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+           |           FROM documents WHERE doc_id % 3 = 0),
+           |p AS (SELECT doc_id, w, h, unnest(range(0, 40)) AS idx FROM a),
+           |-- align-corners rational positions over denominators 7 (x) and 4 (y)
+           |m AS (SELECT doc_id, w, h, idx,
+           |        ((idx % 8) * (w - 1)) // 7 AS x0, ((idx % 8) * (w - 1)) % 7 AS fx,
+           |        ((idx // 8) * (h - 1)) // 4 AS y0, ((idx // 8) * (h - 1)) % 4 AS fy
+           |      FROM p),
+           |n AS (SELECT doc_id, idx, x0, fx, y0, fy,
+           |        least(x0 + 1, w - 1) AS x1, least(y0 + 1, h - 1) AS y1
+           |      FROM m),
+           |-- the analytic source channels at the 4 taps, then the exact
+           |-- half-up weighted average over denominator 28
+           |v AS (SELECT doc_id, idx,
+           |  (2 * ((doc_id + 7*x0 + 13*y0) % 256 * (7-fx) * (4-fy)
+           |      + (doc_id + 7*x1 + 13*y0) % 256 * fx * (4-fy)
+           |      + (doc_id + 7*x0 + 13*y1) % 256 * (7-fx) * fy
+           |      + (doc_id + 7*x1 + 13*y1) % 256 * fx * fy) + 28) // 56 AS r,
+           |  (2 * ((3*doc_id + 5*x0 + y0) % 256 * (7-fx) * (4-fy)
+           |      + (3*doc_id + 5*x1 + y0) % 256 * fx * (4-fy)
+           |      + (3*doc_id + 5*x0 + y1) % 256 * (7-fx) * fy
+           |      + (3*doc_id + 5*x1 + y1) % 256 * fx * fy) + 28) // 56 AS g,
+           |  (2 * ((11*doc_id + x0 + 2*y0) % 256 * (7-fx) * (4-fy)
+           |      + (11*doc_id + x1 + 2*y0) % 256 * fx * (4-fy)
+           |      + (11*doc_id + x0 + 2*y1) % 256 * (7-fx) * fy
+           |      + (11*doc_id + x1 + 2*y1) % 256 * fx * fy) + 28) // 56 AS b
+           |  FROM n)
+           |SELECT doc_id AS asset_id,
+           |  CAST(sum(r + g + b) AS BIGINT) AS sum_rgb,
+           |  CAST(sum(3 * idx * r + (3 * idx + 1) * g + (3 * idx + 2) * b) AS BIGINT) AS wsum_rgb
+           |FROM v GROUP BY doc_id""".stripMargin))
+
+  /** VIDEO resize ([[graft.ops.MultimodalOps.resize]] on AVI payloads):
+    * every frame of the container is decoded, floor-mapped to 6×4, and
+    * the whole stream RE-ENCODED (frame count and period preserved);
+    * the query decodes the resized container back and emits per-frame
+    * position-weighted sums — pinning the per-frame resample AND the
+    * container round-trip at once. The oracle replays the mapping from
+    * the analytic per-frame source channels.
+    */
+  private val m7VideoResize = Q(
+    "m7_video_resize",
+    (s, d) => {
+      import s.implicits._
+      val media = graft.ops.MultimodalOps
+        .mediaFromDocumentsReal(
+          T.documents(s, d).where(pmod(col("doc_id"), lit(3)) === 2))
+        .filter(col("media_type") === "video").toDF()
+      graft.ops.MultimodalOps.resize(media, width = 6, height = 4)
+        .as[graft.ops.MultimodalOps.MediaRow]
+        .flatMap { m =>
+          val avi = graft.ops.MediaCodecs.AviCodec.decode(m.content)
+          avi.frames.iterator.zipWithIndex.map { case (px, f) =>
+            var sum = 0L; var wsum = 0L
+            var i = 0
+            while (i < px.length) {
+              val p = px(i)
+              val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+              sum += r + g + b
+              wsum += 3L * i * r + (3L * i + 1) * g + (3L * i + 2) * b
+              i += 1
+            }
+            (m.asset_id, f, avi.width, avi.height, sum, wsum)
+          }
+        }.toDF("asset_id", "frame_idx", "width", "height", "sum_rgb", "wsum_rgb")
+    },
+    Some("""WITH a AS (SELECT doc_id, 4 + doc_id % 11 AS w, 3 + doc_id % 5 AS h,
+           |                  2 + doc_id % 9 AS nf
+           |           FROM documents WHERE doc_id % 3 = 2),
+           |fr AS (SELECT doc_id, w, h, unnest(range(0, nf)) AS f FROM a),
+           |p AS (SELECT doc_id, w, h, f, unnest(range(0, 24)) AS idx FROM fr),
+           |m AS (SELECT doc_id, f, idx,
+           |        ((idx % 6) * w) // 6 AS sx, ((idx // 6) * h) // 4 AS sy
+           |      FROM p),
+           |v AS (SELECT doc_id, f, idx,
+           |        (doc_id + 7 * sx + 13 * sy + 17 * f) % 256 AS r,
+           |        (3 * doc_id + 5 * sx + sy + 29 * f) % 256 AS g,
+           |        (11 * doc_id + sx + 2 * sy + 23 * f) % 256 AS b
+           |      FROM m)
+           |SELECT doc_id AS asset_id, CAST(f AS INT) AS frame_idx,
+           |  CAST(6 AS INT) AS width, CAST(4 AS INT) AS height,
+           |  CAST(sum(r + g + b) AS BIGINT) AS sum_rgb,
+           |  CAST(sum(3 * idx * r + (3 * idx + 1) * g + (3 * idx + 2) * b) AS BIGINT) AS wsum_rgb
+           |FROM v GROUP BY doc_id, f""".stripMargin))
+
   /** REAL audio decode: each audio asset's payload is an actual PCM16
     * RIFF/WAVE container ([[graft.ops.MediaCodecs.syntheticWav]] —
     * samples analytic in doc_id), parsed back by the pure-JVM
@@ -3522,6 +3639,7 @@ object Battery {
     x6SubwordCount,
     d1DedupExact, x1TextStats, n1AnnTopK, m1Multimodal, m2MultimodalDecode,
     m3FrameSample, m3bImageFrames, m4WavDecode, m5BmpDecode, m6Resize,
+    m6bResizeBilinear, m7VideoResize,
     d2MinhashBands, d2bNearDupPairs, d3Simhash, d7SimhashPairs, d4NgramJaccard,
     d5DedupClusters, d6DedupCorpus, d8DupSpans, d9DupSpanCut,
     x2LangId, x3Fingerprint, x3bRolling, x4Quality, x5TokenFreq,

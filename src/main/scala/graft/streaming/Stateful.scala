@@ -294,6 +294,76 @@ object Stateful {
         TimeMode.ProcessingTime(), OutputMode.Update())
   }
 
+  /** EVENT-TIME twin of [[SessionTimeoutProcessor]]: the flush timer is
+    * registered at `lastEventTs + gapMs` in EVENT time and fires when
+    * the WATERMARK passes it — the replay-safe sessionizer (a backfill
+    * over historical data closes sessions by the data's own clock, not
+    * the wall clock; the processing-time form would hold every session
+    * open until real time moved on). Same state shape, same
+    * one-live-timer-per-key re-arm discipline.
+    *
+    * No batch twin: batch `transformWithState` has no watermark and
+    * rejects `TimeMode.EventTime` outright (INTERNAL_ERROR_TWS "failed
+    * to find time values") — so this surface is pinned by the
+    * deterministic two-batch streaming spec alone
+    * (EventTimeSessionSpec: the watermark advances with DATA, no
+    * wall-clock sleeps anywhere).
+    */
+  class SessionEventTimeProcessor(gapMs: Long, ttl: TTLConfig = TTLConfig.NONE)
+      extends StatefulProcessor[Long, Event, UserSession] {
+    @transient private var sess: ValueState[SessSt] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[SessSt]("session",
+        Encoders.product[SessSt], ttl)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[UserSession] = {
+      val prev = if (sess.exists()) sess.get()
+        else SessSt(0L, 0L, Long.MaxValue, Long.MinValue)
+      var n = prev.n
+      var total = prev.totalMicros
+      var first = prev.firstMs
+      var last = prev.lastMs
+      rows.foreach { e =>
+        n += 1
+        total += math.round(e.value * 1e6)
+        first = math.min(first, e.ts.getTime)
+        last = math.max(last, e.ts.getTime)
+      }
+      sess.update(SessSt(n, total, first, last))
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+      getHandle.registerTimer(last + gapMs) // event-time expiry
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(userId: Long, timers: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[UserSession] = {
+      if (!sess.exists()) Iterator.empty
+      else {
+        val s = sess.get()
+        sess.clear()
+        Iterator.single(UserSession(userId, s.n, s.totalMicros / 1e6,
+          s.firstMs, s.lastMs))
+      }
+    }
+  }
+
+  /** [[SessionEventTimeProcessor]] wired up: watermark on `ts` (the
+    * event-time column), `TimeMode.EventTime`, append output (the
+    * mode event-time transformWithState supports).
+    */
+  def userSessionsEventTime(events: Dataset[Event], gapMs: Long,
+      watermarkDelay: String = "2 seconds",
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[UserSession] = {
+    implicit val outEnc = Encoders.product[UserSession]
+    implicit val keyEnc = Encoders.scalaLong
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionEventTimeProcessor(gapMs, ttl),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   def runningUserTotalsV2(events: Dataset[Event],
       ttl: TTLConfig = TTLConfig.NONE): Dataset[UserRunning] = {
     implicit val outEnc = Encoders.product[UserRunning]

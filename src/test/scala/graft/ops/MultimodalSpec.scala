@@ -188,8 +188,8 @@ class MultimodalSpec extends AnyFunSuite {
     assert(String.valueOf(ex.getCause).contains("disagrees"), String.valueOf(ex.getCause))
   }
 
-  test("resize REALLY resamples: payload re-encoded at target dims, pixels " +
-      "follow the floor mapping; non-image rows pass through untouched") {
+  test("resize REALLY resamples: image AND video payloads re-encoded at " +
+      "target dims with floor-mapped pixels; audio passes through untouched") {
     import spark.implicits._
     val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(60)
     val media = MultimodalOps.mediaFromDocumentsReal(docs).toDF()
@@ -201,21 +201,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(resized.size == source.size)
     source.values.foreach { m =>
       val r = resized(m.asset_id)
-      if (m.media_type == "image") {
-        assert(r.width.contains(8) && r.height.contains(5))
-        val out = MediaCodecs.BmpCodec.decode(r.content)
-        assert(out.width == 8 && out.height == 5,
-          s"re-encoded container must carry the target dims: ${out.width}x${out.height}")
-        // every output pixel is the floor-mapped source pixel
-        val src = MediaCodecs.BmpCodec.decode(m.content)
-        val expect = MediaCodecs.Resample.nearest(
-          src.pixels, src.width, src.height, 8, 5)
-        assert(out.pixels.toSeq == expect.toSeq, s"asset ${m.asset_id}")
-      } else {
-        assert(r.content.toSeq == m.content.toSeq &&
-          r.width == m.width && r.height == m.height &&
-          r.duration_ms == m.duration_ms,
-          s"non-image row ${m.asset_id} must pass through untouched")
+      m.media_type match {
+        case "image" =>
+          assert(r.width.contains(8) && r.height.contains(5))
+          val out = MediaCodecs.BmpCodec.decode(r.content)
+          assert(out.width == 8 && out.height == 5,
+            s"re-encoded container must carry the target dims: ${out.width}x${out.height}")
+          // every output pixel is the floor-mapped source pixel
+          val src = MediaCodecs.BmpCodec.decode(m.content)
+          val expect = MediaCodecs.Resample.nearest(
+            src.pixels, src.width, src.height, 8, 5)
+          assert(out.pixels.toSeq == expect.toSeq, s"asset ${m.asset_id}")
+        case "video" =>
+          assert(r.width.contains(8) && r.height.contains(5))
+          val out = MediaCodecs.AviCodec.decode(r.content)
+          val src = MediaCodecs.AviCodec.decode(m.content)
+          assert(out.width == 8 && out.height == 5)
+          assert(out.frames.length == src.frames.length &&
+            out.usPerFrame == src.usPerFrame,
+            "frame count and period must survive the resize")
+          src.frames.zip(out.frames).zipWithIndex.foreach { case ((s, o), f) =>
+            assert(o.toSeq == MediaCodecs.Resample.nearest(
+              s, src.width, src.height, 8, 5).toSeq,
+              s"asset ${m.asset_id} frame $f")
+          }
+        case _ =>
+          assert(r.content.toSeq == m.content.toSeq &&
+            r.width == m.width && r.height == m.height &&
+            r.duration_ms == m.duration_ms,
+            s"audio row ${m.asset_id} must pass through untouched")
       }
     }
   }
