@@ -1205,6 +1205,40 @@ object Battery {
            |  epoch_ms(min(ts)) AS first_ms, epoch_ms(max(ts)) AS last_ms
            |FROM events GROUP BY user_id""".stripMargin))
 
+  /** `transformWithState` INITIAL-STATE path
+    * ([[graft.streaming.Stateful.RunningTotalsWithInitProcessor]], the
+    * `StatefulProcessorWithInitialState` API): state is warm-started
+    * per key from a prior snapshot Dataset before any input — the
+    * production bootstrap (batch backfill computes history once; the
+    * stream continues from it). Here the snapshot is the
+    * even-event-id half's aggregate and the input is the odd half;
+    * warm-start + increments must equal the FULL per-user aggregate
+    * for every user with stream input — which is exactly what the
+    * oracle computes (HAVING at least one odd event: snapshot-only
+    * keys emit nothing until input arrives).
+    */
+  private val stWarmStart = Q(
+    "st_warm_start",
+    (s, d) => {
+      import s.implicits._
+      val events = T.events(s, d).as[graft.streaming.Stateful.Event]
+      val snapshot = events.filter(col("event_id") % 2 === 0)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          (sum(round(col("value") * 1e6).cast("long")).cast("double") / 1e6)
+            .as("total"),
+          max(unix_millis(col("ts"))).as("last_event_ms"))
+        .as[graft.streaming.Stateful.UserRunning]
+      graft.streaming.Stateful.runningUserTotalsWarmStart(
+        events.filter(col("event_id") % 2 === 1), snapshot).toDF()
+    },
+    Some("""SELECT user_id, count(*) AS n_events,
+           |  CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE)
+           |    / 1000000.0 AS total,
+           |  epoch_ms(max(ts)) AS last_event_ms
+           |FROM events GROUP BY user_id
+           |HAVING count(CASE WHEN event_id % 2 = 1 THEN 1 END) > 0""".stripMargin))
+
   // ----------------------------------------- LLM-pipeline ops (north star)
 
   /** Exact deduplication by content hash (hash-groupBy). */
@@ -2217,6 +2251,47 @@ object Battery {
            |SELECT doc_id, CAST(sum(wt.n) AS BIGINT) AS n_bpe,
            |  md5(string_agg(wt.toks, ' ' ORDER BY pos)) AS toks_md5
            |FROM tok JOIN wt USING (w) GROUP BY doc_id""".stripMargin))
+
+  /** Corpus BPE token histogram: explode the real tokenizer's token
+    * stream and count — the "what does the corpus cost in tokens"
+    * rollup, and a different consumer shape for the BPE path than
+    * x22's per-document map (this one shuffles on the token after a
+    * narrow codegen'd encode; map-side partial aggregation collapses
+    * the stream to the subword vocabulary before the exchange). Oracle
+    * reuses the merge-replay CTE and aggregates over the per-word
+    * token lists.
+    */
+  private val x23BpeTokenFreq = Q(
+    "x23_bpe_token_freq",
+    (s, d) => T.documents(s, d)
+      .select(explode(graft.ops.TextOps.bpeTokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("token")).limit(50),
+    Some(s"""WITH RECURSIVE
+           |merges(rank, l, r) AS (VALUES ${graft.functions.BpeVocab.mergesValuesSql}),
+           |words AS (SELECT DISTINCT unnest(string_split_regex(trim(text), '\\s+')) AS w
+           |          FROM documents),
+           |init AS (SELECT w, ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s
+           |         FROM words),
+           |steps(w, rank, s) AS (
+           |  SELECT w, 1, s FROM init
+           |  UNION ALL
+           |  SELECT w,
+           |    CASE WHEN replaced <> s THEN rank ELSE rank + 1 END,
+           |    CASE WHEN replaced <> s THEN replaced ELSE s END
+           |  FROM (SELECT st.w, st.rank, st.s,
+           |          replace(st.s, ' ' || m.l || ' ' || m.r || ' ',
+           |                  ' ' || m.l || m.r || ' ') AS replaced
+           |        FROM steps st JOIN merges m ON m.rank = st.rank)),
+           |wt AS (SELECT w, string_split(trim(s), ' ') AS toks
+           |       FROM steps WHERE rank = (SELECT max(rank) FROM merges) + 1),
+           |tok AS (SELECT doc_id, tk[i] AS w
+           |        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+           |              FROM documents),
+           |             UNNEST(range(1, len(tk) + 1)) AS t(i)),
+           |bp AS (SELECT unnest(wt.toks) AS token FROM tok JOIN wt USING (w))
+           |SELECT token, count(*) AS n FROM bp
+           |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin))
 
   /** [[x9PackSequences]] with REAL token budgets: the packing unit is
     * the BPE token count ([[graft.ops.TextOps.bpeCount]]) instead of
@@ -3635,7 +3710,8 @@ object Battery {
     twDedupWatermark, twDedupLateBoundary, twJoinBound, twJoinBoundLeft,
     twJoinBoundFull,
     stUserTotals, stUserTotalsV2, stTypeCounts, stLastEvents,
-    stSessionTimeout,
+    stSessionTimeout, stWarmStart,
+    x23BpeTokenFreq,
     x6SubwordCount,
     d1DedupExact, x1TextStats, n1AnnTopK, m1Multimodal, m2MultimodalDecode,
     m3FrameSample, m3bImageFrames, m4WavDecode, m5BmpDecode, m6Resize,

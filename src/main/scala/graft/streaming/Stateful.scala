@@ -364,6 +364,64 @@ object Stateful {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** WARM-START form of [[RunningTotalsProcessor]]
+    * ([[org.apache.spark.sql.streaming.StatefulProcessorWithInitialState]]):
+    * state is seeded per key from a PRIOR SNAPSHOT Dataset before any
+    * input is processed — the production bootstrap shape (a batch
+    * backfill computes the historical aggregate once; the stream
+    * continues from it instead of replaying history through the
+    * stream). `handleInitialState` converts the snapshot row back to
+    * the internal accumulator exactly (micros round-trip), so
+    * warm-start + increments ≡ one cold run over the union — the law
+    * `st_warm_start`'s oracle checks (snapshot = even-event-id half,
+    * input = odd half, output must equal the FULL per-user aggregate
+    * for every user with stream input; snapshot-only keys emit nothing
+    * until new input arrives, as in production).
+    */
+  class RunningTotalsWithInitProcessor(ttl: TTLConfig = TTLConfig.NONE)
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, Event, UserRunning, UserRunning] {
+    @transient private var st: ValueState[St] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[St]("running", Encoders.product[St], ttl)
+
+    override def handleInitialState(userId: Long, snapshot: UserRunning,
+        timers: TimerValues): Unit =
+      st.update(St(snapshot.n_events, math.round(snapshot.total * 1e6),
+        snapshot.last_event_ms))
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[UserRunning] = {
+      val prev = if (st.exists()) st.get() else St(0L, 0L, 0L)
+      var n = prev.n
+      var total = prev.totalMicros
+      var last = prev.lastMs
+      rows.foreach { e =>
+        n += 1
+        total += math.round(e.value * 1e6)
+        last = math.max(last, e.ts.getTime)
+      }
+      val next = St(n, total, last)
+      st.update(next)
+      Iterator.single(UserRunning(userId, n, total / 1e6, last))
+    }
+  }
+
+  def runningUserTotalsWarmStart(events: Dataset[Event],
+      snapshot: Dataset[UserRunning],
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[UserRunning] = {
+    implicit val outEnc = Encoders.product[UserRunning]
+    implicit val keyEnc = Encoders.scalaLong
+    org.apache.spark.sql.execution.streaming.state.StateStoreCoordinatorRef
+      .forDriver(org.apache.spark.SparkEnv.get,
+        events.sparkSession.sessionState.conf)
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsWithInitProcessor(ttl),
+        TimeMode.None(), OutputMode.Update(),
+        snapshot.groupByKey(_.user_id))
+  }
+
   def runningUserTotalsV2(events: Dataset[Event],
       ttl: TTLConfig = TTLConfig.NONE): Dataset[UserRunning] = {
     implicit val outEnc = Encoders.product[UserRunning]

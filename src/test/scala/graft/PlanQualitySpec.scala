@@ -64,6 +64,19 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("codegen id"), s"codegen lost:\n$p")
   }
 
+  test("BPE encode is a pure narrow map (zero exchanges, codegen'd); the " +
+      "token histogram partial-aggregates before its one shuffle") {
+    val p = plan("x22_bpe_encode")
+    val exchanges = p.linesIterator.count(_.matches(".*[+:]- Exchange .*"))
+    assert(exchanges == 0, s"per-doc encode must not shuffle, got $exchanges:\n$p")
+    assert(p.contains("bpe_count_text") && p.contains("bpe_tokens_text"),
+      s"native expressions not in plan:\n$p")
+    assert(p.contains("codegen id"), s"codegen lost:\n$p")
+    val h = plan("x23_bpe_token_freq")
+    assert(h.contains("partial_"),
+      s"token histogram must map-side combine before the exchange:\n$h")
+  }
+
   test("exact jaccard join has no cartesian product (prefix-filtered equi-joins only)") {
     val p = plan("d4_ngram_jaccard")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),

@@ -183,6 +183,47 @@ class StatefulSpec extends AnyFunSuite {
     }
   }
 
+  test("initial-state warm start: snapshot seeds per-key state before any " +
+      "input; snapshot-only keys stay silent until their first event (RocksDB)") {
+    implicit val sq = spark.sqlContext
+    val conf = spark.conf
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = conf.get(key, "")
+    conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val snapshot = Seq(
+      UserRunning(7L, 2L, 3.0, 2000L),
+      UserRunning(9L, 5L, 50.0, 1500L)).toDS()
+    val input = MemoryStream[Event]
+    val q = Stateful.runningUserTotalsWarmStart(input.toDS(), snapshot)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("warm_out").start()
+    try {
+      // batch 1: only user 7 — continues FROM THE SNAPSHOT (2+1 events),
+      // user 9's seeded state exists but emits nothing without input
+      input.addData(ev(10, 7, 5000, 0.5))
+      q.processAllAvailable()
+      val b1 = spark.table("warm_out").as[UserRunning].collect()
+      assert(b1.map(_.user_id).toSeq == Seq(7L), s"got ${b1.toSeq}")
+      assert(b1.head.n_events == 3L && b1.head.total == 3.5 &&
+        b1.head.last_event_ms == 5000L)
+
+      // batch 2: user 9's first event — its SNAPSHOT state (not zero)
+      // must be what the increment lands on, proving seeded state
+      // survived a batch with no input for that key
+      input.addData(ev(11, 9, 6000, 1.0))
+      q.processAllAvailable()
+      val u9 = spark.table("warm_out").as[UserRunning].collect()
+        .filter(_.user_id == 9L)
+      assert(u9.length == 1 && u9.head.n_events == 6L &&
+        u9.head.total == 51.0 && u9.head.last_event_ms == 6000L,
+        s"warm-started user 9: ${u9.toSeq}")
+    } finally {
+      q.stop()
+      if (prev.isEmpty) conf.unset(key) else conf.set(key, prev)
+    }
+  }
+
   test("transformWithState twin: streaming accumulation across micro-batches " +
       "equals v1 (RocksDB state store)") {
     implicit val sq = spark.sqlContext
