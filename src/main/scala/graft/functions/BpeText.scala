@@ -54,9 +54,21 @@ final class BpeModel(val merges: Seq[(String, String)]) extends Serializable {
     new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
   private val MemoCap = 1 << 16
 
-  /** Greedy BPE encode of one word (no whitespace inside). */
+  /** Greedy BPE encode of one word (no whitespace inside).
+    *
+    * Pathological-length guard: the greedy loop is O(L²) in the word
+    * length (each iteration scans all pairs and shortens by ≥1), so a
+    * single multi-hundred-KB "word" — corrupt data, base64 blobs —
+    * would stall an executor core. Words beyond [[BpeModel.MaxWordChars]]
+    * are encoded in independent segments of that size (deterministic,
+    * order-preserving; merges never cross segment boundaries). Real
+    * tokenizers bound single-token-run length the same way via their
+    * pre-tokenizer regex; any linguistic word is far below the cap.
+    */
   def encode(word: String): Array[String] = {
     if (word.isEmpty) return Array.empty
+    if (word.length > BpeModel.MaxWordChars)
+      return word.grouped(BpeModel.MaxWordChars).flatMap(encode).toArray
     val cached = memo.get(word)
     if (cached != null) return cached
     var toks: Array[String] = word.map(_.toString).toArray
@@ -115,6 +127,13 @@ final class BpeModel(val merges: Seq[(String, String)]) extends Serializable {
     }
     n
   }
+}
+
+object BpeModel {
+  /** Per-word greedy-encode length cap (see [[BpeModel.encode]]):
+    * 8 KiB keeps the O(L²) worst case near 10⁷ char ops per segment.
+    */
+  val MaxWordChars: Int = 8192
 }
 
 /** The engine's built-in fixture vocabulary: 40 merges learned by

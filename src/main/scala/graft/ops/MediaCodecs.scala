@@ -438,6 +438,35 @@ object MediaCodecs {
       out
     }
 
+    /** Nearest-sample audio rate conversion: output length
+      * ⌊n·dstRate/srcRate⌋, sample i = src(⌊i·srcRate/dstRate⌋) — the
+      * audio analog of [[nearest]] (one integer division per sample,
+      * SQL-replayable). A production pipeline would band-limit first;
+      * the deterministic integer mapping is the engine contract here,
+      * same as the image kernels.
+      */
+    def nearestAudio(samples: Array[Short], srcRate: Int,
+        dstRate: Int, channels: Int = 1): Array[Short] = {
+      require(srcRate > 0 && dstRate > 0 && channels > 0, "invalid params")
+      require(samples.length % channels == 0, "ragged interleaved stream")
+      // frame-based: interleaved channels move together, so a stereo
+      // stream cannot land mid-frame and swap channels
+      val srcFrames = samples.length / channels
+      val dstFrames = (srcFrames.toLong * dstRate / srcRate).toInt
+      val out = new Array[Short](dstFrames * channels)
+      var i = 0
+      while (i < dstFrames) {
+        val src = (i.toLong * srcRate / dstRate).toInt
+        var c = 0
+        while (c < channels) {
+          out(i * channels + c) = samples(src * channels + c)
+          c += 1
+        }
+        i += 1
+      }
+      out
+    }
+
     /** Exact-integer align-corners bilinear: dst x maps to the RATIONAL
       * source position x·(sw−1)/(dw−1) (corners map to corners); each
       * channel is the 4-tap weighted average over the common integer

@@ -322,6 +322,31 @@ object MultimodalOps {
     }.toDF()
   }
 
+  /** REAL audio resample: decode the WAV payload, nearest-sample rate
+    * conversion ([[MediaCodecs.Resample.nearestAudio]]), re-encode at
+    * the target rate; duration metadata recomputed from the actual
+    * re-encoded stream. Non-audio rows pass through untouched. Narrow
+    * typed map, no shuffle — the audio member of the resize family
+    * ([[resize]] covers image + video).
+    */
+  def resampleAudio(media: DataFrame, dstRate: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    require(dstRate > 0, "target rate must be positive")
+    media.as[MediaRow].map { m =>
+      if (m.media_type != "audio") m
+      else {
+        val wav = MediaCodecs.WavCodec.decode(m.content)
+        val out = MediaCodecs.Resample.nearestAudio(
+          wav.samples, wav.sampleRate, dstRate, wav.channels)
+        m.copy(
+          content = MediaCodecs.WavCodec.encode(out, dstRate, wav.channels),
+          duration_ms = Some(out.length.toLong * 1000L /
+            (dstRate.toLong * wav.channels)))
+      }
+    }.toDF()
+  }
+
   /** Batch decode: shard by content hash so hot assets spread evenly
     * (no skew from one giant video), then decode per partition with the
     * iterator shape a native decoder wants (no per-row init, no

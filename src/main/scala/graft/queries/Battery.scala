@@ -2874,6 +2874,54 @@ object Battery {
            |  CAST(sum(3 * idx * r + (3 * idx + 1) * g + (3 * idx + 2) * b) AS BIGINT) AS wsum_rgb
            |FROM v GROUP BY doc_id, f""".stripMargin))
 
+  /** AUDIO resample ([[graft.ops.MultimodalOps.resampleAudio]]): the
+    * WAV payload is decoded, nearest-sample rate-converted 8 kHz →
+    * 3 kHz (`dst(i) = src(⌊i·8/3⌋)`, frame-based), and RE-ENCODED at
+    * the new rate; the query decodes the resized container back and
+    * emits position-weighted sample sums. The oracle replays the index
+    * mapping from the analytic source samples — completing the
+    * resample family across all three media types (m6/m6b image,
+    * m7 video, m8 audio).
+    */
+  private val m8AudioResample = Q(
+    "m8_audio_resample",
+    (s, d) => {
+      import s.implicits._
+      val media = graft.ops.MultimodalOps
+        .mediaFromDocumentsReal(
+          T.documents(s, d).where(pmod(col("doc_id"), lit(3)) === 1))
+        .filter(col("media_type") === "audio").toDF()
+      graft.ops.MultimodalOps.resampleAudio(media, dstRate = 3000)
+        .as[graft.ops.MultimodalOps.MediaRow]
+        .map { m =>
+          val wav = graft.ops.MediaCodecs.WavCodec.decode(m.content)
+          var sum = 0L; var wsum = 0L
+          var i = 0
+          while (i < wav.samples.length) {
+            val v = wav.samples(i).toLong
+            sum += v; wsum += i.toLong * v
+            i += 1
+          }
+          (m.asset_id, wav.samples.length, wav.sampleRate,
+            m.duration_ms.getOrElse(-1L), sum, wsum)
+        }.toDF("asset_id", "n_samples", "sample_rate", "duration_ms",
+          "sum_sample", "wsum_sample")
+    },
+    Some("""WITH a AS (SELECT doc_id, 64 + doc_id % 191 AS n
+           |           FROM documents WHERE doc_id % 3 = 1),
+           |d AS (SELECT doc_id, n, (n * 3000) // 8000 AS dn FROM a),
+           |p AS (SELECT doc_id, n, dn, unnest(range(0, dn)) AS i FROM d),
+           |v AS (SELECT doc_id, dn, i,
+           |        (doc_id * 2654435761 + ((i * 8000) // 3000) * 40503) % 65536
+           |          - 32768 AS s
+           |      FROM p)
+           |SELECT doc_id AS asset_id, CAST(any_value(dn) AS INT) AS n_samples,
+           |  CAST(3000 AS INT) AS sample_rate,
+           |  CAST(any_value(dn) * 1000 // 3000 AS BIGINT) AS duration_ms,
+           |  CAST(sum(s) AS BIGINT) AS sum_sample,
+           |  CAST(sum(i * s) AS BIGINT) AS wsum_sample
+           |FROM v GROUP BY doc_id""".stripMargin))
+
   /** REAL audio decode: each audio asset's payload is an actual PCM16
     * RIFF/WAVE container ([[graft.ops.MediaCodecs.syntheticWav]] —
     * samples analytic in doc_id), parsed back by the pure-JVM
@@ -3715,7 +3763,7 @@ object Battery {
     x6SubwordCount,
     d1DedupExact, x1TextStats, n1AnnTopK, m1Multimodal, m2MultimodalDecode,
     m3FrameSample, m3bImageFrames, m4WavDecode, m5BmpDecode, m6Resize,
-    m6bResizeBilinear, m7VideoResize,
+    m6bResizeBilinear, m7VideoResize, m8AudioResample,
     d2MinhashBands, d2bNearDupPairs, d3Simhash, d7SimhashPairs, d4NgramJaccard,
     d5DedupClusters, d6DedupCorpus, d8DupSpans, d9DupSpanCut,
     x2LangId, x3Fingerprint, x3bRolling, x4Quality, x5TokenFreq,

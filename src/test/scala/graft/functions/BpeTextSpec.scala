@@ -70,6 +70,25 @@ class BpeTextSpec extends AnyFunSuite {
     }
   }
 
+  test("pathological word length: a multi-hundred-KB 'word' encodes in " +
+      "bounded time via segmentation, deterministically") {
+    // 400k chars of a mergeable pattern: unsegmented greedy would be
+    // ~1.6e11 char ops (minutes); segmented it is linear in segments
+    val huge = "st" * 200000
+    val t0 = System.nanoTime()
+    val toks = model.encode(huge)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < 30.0, s"pathological word took ${sec}s")
+    // semantics: each 8192-char segment is "st"*4096 -> 4096 "st" tokens
+    assert(toks.length == 200000, s"got ${toks.length}")
+    assert(toks.forall(_ == "st"))
+    // deterministic across calls (memo not involved above the cap)
+    assert(model.encode(huge).toSeq == toks.toSeq)
+    // boundary: a word exactly at the cap is NOT segmented
+    val atCap = "ab" * (BpeModel.MaxWordChars / 2)
+    assert(model.encode(atCap).length > 0)
+  }
+
   test("learned-shape validation: a table whose pair component is not a " +
       "prior merge output is rejected") {
     val bad = Seq(("a", "b"), ("xy", "z")) // 'xy' never created

@@ -417,6 +417,24 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(BmpCodec.decode(bytes).pixels.toSeq == up.toSeq)
   }
 
+  test("Resample.nearestAudio: identity at same rate; index mapping " +
+      "hand-checked; stereo frames move together (no channel swap)") {
+    val mono = Array.tabulate(10)(i => (i * 100).toShort)
+    assert(MediaCodecs.Resample.nearestAudio(mono, 8000, 8000).toSeq == mono.toSeq)
+    // 8k -> 3k over 8 samples: dstN = 3, dst(i) = src((i*8000)//3000) = src(0,2,5)
+    val down = MediaCodecs.Resample.nearestAudio(mono.take(8), 8000, 3000)
+    assert(down.toSeq == Seq[Short](0, 200, 500), s"got ${down.toSeq}")
+    // upsample 3k -> 8k over 3 samples: dstN = 8, src idx = (i*3000)//8000
+    val up = MediaCodecs.Resample.nearestAudio(Array[Short](1, 2, 3), 3000, 8000)
+    assert(up.toSeq == Seq[Short](1, 1, 1, 2, 2, 2, 3, 3), s"got ${up.toSeq}")
+    // stereo: interleaved L/R pairs stay paired under the frame mapping
+    val stereo = Array[Short](10, -10, 20, -20, 30, -30, 40, -40) // 4 frames
+    val st = MediaCodecs.Resample.nearestAudio(stereo, 8000, 4000, channels = 2)
+    assert(st.toSeq == Seq[Short](10, -10, 30, -30), s"channel swap: ${st.toSeq}")
+    intercept[IllegalArgumentException](
+      MediaCodecs.Resample.nearestAudio(Array[Short](1, 2, 3), 8000, 4000, 2))
+  }
+
   test("Resample.bilinear: identity at same dims; exact-integer midpoint " +
       "hand-checked; corners map to corners (align-corners)") {
     val src = pattern(5, 4, seed = 9)

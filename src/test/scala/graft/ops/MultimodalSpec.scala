@@ -166,6 +166,31 @@ class MultimodalSpec extends AnyFunSuite {
       decodeImages = false, decodeVideo = false).count() == 0L)
   }
 
+  test("resampleAudio: WAV re-encoded at the target rate with the mapped " +
+      "samples and recomputed duration; non-audio rows untouched") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(30)
+    val media = MultimodalOps.mediaFromDocumentsReal(docs).toDF()
+    val out = MultimodalOps.resampleAudio(media, dstRate = 3000)
+      .as[MultimodalOps.MediaRow].collect().map(m => m.asset_id -> m).toMap
+    val src = media.as[MultimodalOps.MediaRow].collect()
+    src.foreach { m =>
+      val r = out(m.asset_id)
+      if (m.media_type == "audio") {
+        val wavIn = MediaCodecs.WavCodec.decode(m.content)
+        val wavOut = MediaCodecs.WavCodec.decode(r.content)
+        assert(wavOut.sampleRate == 3000)
+        assert(wavOut.samples.toSeq == MediaCodecs.Resample.nearestAudio(
+          wavIn.samples, wavIn.sampleRate, 3000).toSeq)
+        assert(r.duration_ms.contains(wavOut.samples.length * 1000L / 3000L))
+      } else {
+        assert(r.content.toSeq == m.content.toSeq &&
+          r.duration_ms == m.duration_ms,
+          s"non-audio row ${m.asset_id} must pass through untouched")
+      }
+    }
+  }
+
   test("sampleFrames: duration_ms metadata that disagrees with the decoded " +
       "container fails loudly (the container is the authority)") {
     import spark.implicits._
