@@ -132,7 +132,9 @@ object VolumeProbe {
     "m2_multimodal_decode", "m3_frame_sample",
     "x21_bloom_decontaminate", "tw_timebound_full_join", "st_type_counts",
     "st_last_events",
-    "st_session_timeout", "x9b_pack_bpe", "m6_resize")
+    "st_session_timeout", "x9b_pack_bpe", "m6_resize",
+    "st_warm_start", "x23_bpe_token_freq", "m6b_resize_bilinear",
+    "m7_video_resize", "m8_audio_resample")
   // Round-11 rows: st_session_timeout (the TIMER path — batch gap-0
   // emits exactly one timer-flushed session per user; users disjoint
   // per replica → exact ×factor), x9b_pack_bpe (packing by REAL BPE
@@ -141,7 +143,15 @@ object VolumeProbe {
   // exact ×factor), and m6_resize (decode+resample+re-encode per image;
   // the offset preserves the mod-3 media classes, so each replica
   // contributes exactly the base image set → exact ×factor; 10× the
-  // codec work in the same heap is the claim).
+  // codec work in the same heap is the claim). Second wave:
+  // st_warm_start (initial-state bootstrap — snapshot AND stream both
+  // derive from the replicated events, per-replica closed → one row
+  // per user with odd-id events, exact ×factor), x23_bpe_token_freq
+  // (ranked-content law: replica text is byte-identical, so the top-50
+  // subword histogram returns IDENTICAL ranked rows with counts
+  // ×factor), m6b/m7/m8 (the bilinear, video, and audio resample
+  // round-trips at 10× the codec work — counts replica-closed via the
+  // preserved mod-3 media classes).
   // x21 probes the Bloom path at volume: the benchmark side inflates
   // ×factor too (doc_id % 97 divides ModLcm), the blob stays one
   // bounded driver object, and the exact-verified output must equal
@@ -174,7 +184,8 @@ object VolumeProbe {
     * so the EXACT SAME ranked rows must come back with every count
     * ×factor — a content check, since the limit pins the row count.
     */
-  private val rankedContent = Set("x5_token_freq", "x15_bigram_counts")
+  private val rankedContent = Set("x5_token_freq", "x15_bigram_counts",
+    "x23_bpe_token_freq")
 
   // x17/x19 laws (the distributed global-numbering family — range sort +
   // zipWithIndex / prefix sum): the seeded permutation INTERLEAVES
