@@ -41,6 +41,21 @@ object TextOps {
       GraftColumnBridge.expression(text)))
   }
 
+  /** Tokenizer compression ratio in exact half-up millionths:
+    * chars-per-BPE-token × 10⁶ — the standard gibberish/garbage gate
+    * (normal text compresses well under a learned vocabulary; random
+    * characters, base64 blobs, and wrong-script text do not, so a LOW
+    * ratio flags junk). All-integer half-up division, so any engine
+    * reproduces it byte-exactly. Null text → null; empty/whitespace
+    * text → 0 (zero tokens would divide by zero — callers gate on it).
+    */
+  def bpeCompressionMillionths(text: Column): Column = {
+    val chars = length(text).cast("long")
+    val toks = bpeCount(text)
+    when(toks > 0, exactDiv(chars * 2000000L + toks, toks * 2L))
+      .otherwise(lit(0L))
+  }
+
   /** Word n-gram shingles; empty array when the doc has fewer than n
     * tokens. Native fused expression ([[graft.functions.ShinglesText]]):
     * tokenize once, one pass — the composed form below re-slices the
@@ -161,7 +176,7 @@ object TextOps {
     * exact for the full long range (the quotient is an exact integer,
     * so the result scale rounding never fires).
     */
-  private[ops] def exactDiv(x: Column, y: Column): Column =
+  private[graft] def exactDiv(x: Column, y: Column): Column =
     ((x - pmod(x, y)).cast("decimal(38,0)") / y.cast("decimal(38,0)"))
       .cast("long")
 

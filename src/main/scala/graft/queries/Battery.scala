@@ -2293,6 +2293,50 @@ object Battery {
            |SELECT token, count(*) AS n FROM bp
            |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin))
 
+  /** Tokenizer compression ratio
+    * ([[graft.ops.TextOps.bpeCompressionMillionths]]): chars per BPE
+    * token in exact half-up millionths — the gibberish gate an LLM
+    * curation pipeline runs right after language-ID (junk text does
+    * not compress under a learned vocabulary). The oracle reuses the
+    * merge-replay CTE for per-doc counts and replays the half-up
+    * integer division: (2·chars·10⁶ + n) // (2n).
+    */
+  private val x24BpeCompression = Q(
+    "x24_bpe_compression",
+    (s, d) => T.documents(s, d).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("len_chars"),
+      graft.ops.TextOps.bpeCount(col("text")).as("n_bpe"),
+      graft.ops.TextOps.bpeCompressionMillionths(col("text")).as("ratio_e6")),
+    Some(s"""WITH RECURSIVE
+           |merges(rank, l, r) AS (VALUES ${graft.functions.BpeVocab.mergesValuesSql}),
+           |words AS (SELECT DISTINCT unnest(string_split_regex(trim(text), '\\s+')) AS w
+           |          FROM documents),
+           |init AS (SELECT w, ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s
+           |         FROM words),
+           |steps(w, rank, s) AS (
+           |  SELECT w, 1, s FROM init
+           |  UNION ALL
+           |  SELECT w,
+           |    CASE WHEN replaced <> s THEN rank ELSE rank + 1 END,
+           |    CASE WHEN replaced <> s THEN replaced ELSE s END
+           |  FROM (SELECT st.w, st.rank, st.s,
+           |          replace(st.s, ' ' || m.l || ' ' || m.r || ' ',
+           |                  ' ' || m.l || m.r || ' ') AS replaced
+           |        FROM steps st JOIN merges m ON m.rank = st.rank)),
+           |wt AS (SELECT w, CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n
+           |       FROM steps WHERE rank = (SELECT max(rank) FROM merges) + 1),
+           |tok AS (SELECT doc_id, tk[i] AS w
+           |        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+           |              FROM documents),
+           |             UNNEST(range(1, len(tk) + 1)) AS t(i)),
+           |n AS (SELECT doc_id, CAST(sum(wt.n) AS BIGINT) AS n_bpe
+           |      FROM tok JOIN wt USING (w) GROUP BY doc_id)
+           |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS len_chars,
+           |  n.n_bpe,
+           |  CAST((2 * length(d.text) * 1000000 + n.n_bpe) // (2 * n.n_bpe) AS BIGINT) AS ratio_e6
+           |FROM documents d JOIN n USING (doc_id)""".stripMargin))
+
   /** [[x9PackSequences]] with REAL token budgets: the packing unit is
     * the BPE token count ([[graft.ops.TextOps.bpeCount]]) instead of
     * the whitespace approximation — what a training pipeline actually
@@ -3759,7 +3803,7 @@ object Battery {
     twJoinBoundFull,
     stUserTotals, stUserTotalsV2, stTypeCounts, stLastEvents,
     stSessionTimeout, stWarmStart,
-    x23BpeTokenFreq,
+    x23BpeTokenFreq, x24BpeCompression,
     x6SubwordCount,
     d1DedupExact, x1TextStats, n1AnnTopK, m1Multimodal, m2MultimodalDecode,
     m3FrameSample, m3bImageFrames, m4WavDecode, m5BmpDecode, m6Resize,

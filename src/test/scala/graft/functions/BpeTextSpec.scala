@@ -130,5 +130,16 @@ class BpeTextSpec extends AnyFunSuite {
         "bpe_tokens_text('merger')").head
     assert(sql.getLong(0) == 5L)
     assert(sql.getSeq[String](1) == Seq("mer", "g", "er"))
+    // compression ratio: "stream value" = 12 chars / 2 tokens -> 6.0e6;
+    // half-up at a .5 boundary: "abc" = 3 chars / 3 tokens -> 1e6;
+    // 7 chars / 2 tokens -> 3.5e6 exactly
+    val cr = Seq("stream value", "abc", "of gaps").toDF("t")
+      .select(graft.ops.TextOps.bpeCompressionMillionths(col("t")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(cr(0) == 6000000L && cr(1) == 1000000L, s"got $cr")
+    val crEmpty = Seq("", "   ").toDF("t")
+      .select(graft.ops.TextOps.bpeCompressionMillionths(col("t")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(crEmpty == Seq(0L, 0L), s"zero-token texts gate to 0: $crEmpty")
   }
 }
