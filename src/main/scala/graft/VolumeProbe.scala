@@ -134,7 +134,8 @@ object VolumeProbe {
     "st_last_events",
     "st_session_timeout", "x9b_pack_bpe", "m6_resize",
     "st_warm_start", "x23_bpe_token_freq", "m6b_resize_bilinear",
-    "m7_video_resize", "m8_audio_resample")
+    "m7_video_resize", "m8_audio_resample",
+    "x25_lm_score", "x26_dsir_score", "n8_sq_quantize")
   // Round-11 rows: st_session_timeout (the TIMER path — batch gap-0
   // emits exactly one timer-flushed session per user; users disjoint
   // per replica → exact ×factor), x9b_pack_bpe (packing by REAL BPE
@@ -173,6 +174,15 @@ object VolumeProbe {
   // bounded by per-user-per-2h density — cross-replica pairs are
   // impossible with both user ids AND decades disjoint, so pair counts
   // scale exactly ×factor, never quadratically.
+  // Third wave (round 11): x25_lm_score — one row per document → exact
+  // ×factor; stronger, the SCORES are replica-invariant by arithmetic
+  // (every model count and the total inflate ×factor together, and
+  // floor(10a/10b) = floor(a/b)), so the LM itself is provably unchanged
+  // by replication. x26_dsir_score — one row per document → exact
+  // ×factor (the smoothed ratios shift by design: +1 smoothing does not
+  // commute with ×10 counts). n8_sq_quantize — clone vectors are
+  // byte-identical, so per-dimension min/max and therefore every code
+  // array are unchanged; one row per vector → exact ×factor.
   // n6's law is exact ×factor BY CONSTRUCTION, not just by closure:
   // seeds are the k lowest ids — replica 0's originals — and each
   // clone set contributes 10 identical copies to its cell's mean, so

@@ -672,4 +672,128 @@ object CorpusOps {
     }
     spark.createDataFrame(out, schema)
   }
+
+  /** Per-document language-model fluency score under a bigram
+    * Stupid-Backoff model (Brants et al. 2007, "Large Language Models
+    * in Machine Translation") trained on the `trainFilter` slice of the
+    * corpus — the classic CCNet/KenLM-style "does this read like the
+    * reference distribution" curation gate, in a form every engine
+    * reproduces bit-for-bit.
+    *
+    * Scoring is INTEGER-EXACT millionths, no logs: each adjacent token
+    * pair (w1, w2) contributes
+    *  - `C(w1 w2)·10⁶ div C(w1)` when the training slice saw the bigram
+    *    (conditional probability mass, floored),
+    *  - else the backoff `α·10⁶·C(w2) div N` with α = 0.4 (unseen w2
+    *    scores 0 — no smoothing constant to disagree on).
+    * Summing probability mass instead of log-probability keeps every
+    * intermediate an integer floor-division both engines define
+    * identically; the resulting score is monotone in fluency for the
+    * filtering use (higher = more in-distribution) even though it is
+    * not a perplexity.
+    *
+    * Scale shape: the two model tables are VOCABULARY-sized aggregates
+    * (bigram and unigram counts over the training slice — map-side
+    * partials, one shuffle each), pre-joined into a bigram→score table
+    * and a w2→backoff table BEFORE touching the scoring stream, so the
+    * corpus-sized pair stream takes exactly two vocabulary-keyed left
+    * joins (AQE broadcasts them when the vocabulary fits, skew-splits
+    * hot stopword keys when it does not) and one per-doc regroup.
+    * Nothing is ever corpus × corpus; the training total N is a 1-row
+    * broadcast. Documents with < 2 tokens survive via the final left
+    * join with n_bigrams = 0.
+    */
+  def lmBackoffScore(docs: DataFrame, idCol: String, textCol: String,
+      trainFilter: Column, alphaMillionths: Long = 400000L): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val train = docs.filter(trainFilter)
+    val trainToks = train.select(explode(toks).as("token"))
+    val uni = trainToks.groupBy("token").agg(count(lit(1)).as("c1"))
+    val total = trainToks.agg(count(lit(1)).as("n"))
+
+    def pairsOf(df: DataFrame, extra: Seq[Column]): DataFrame = {
+      val a = toks
+      val n1 = greatest(size(a) - 1, lit(0))
+      val pairs = zip_with(
+        slice(a, lit(1), n1), slice(a, lit(2), n1),
+        (x, y) => struct(x.as("w1"), y.as("w2")))
+      df.select(extra :+ explode(pairs).as("p"): _*)
+        .select(extra.map(c => c) :+ col("p.w1") :+ col("p.w2"): _*)
+    }
+
+    // vocabulary-sized model tables, fully pre-joined
+    val big = pairsOf(train, Nil)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val cond = big.join(uni.withColumnRenamed("token", "w1"), "w1")
+      .select(concat_ws(" ", col("w1"), col("w2")).as("bigram"),
+        expr("cb * CAST(1000000 AS BIGINT) div c1").as("sc_cond"))
+    val back = uni.crossJoin(broadcast(total))
+      .select(col("token").as("w2"),
+        expr(s"$alphaMillionths * c1 div n").as("sc_back"))
+
+    val scored = pairsOf(docs, Seq(col(idCol)))
+      .withColumn("bigram", concat_ws(" ", col("w1"), col("w2")))
+      .join(cond, Seq("bigram"), "left")
+      .join(back, Seq("w2"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("nb"),
+        sum(coalesce(col("sc_cond"), col("sc_back"), lit(0L))).as("s"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("nb"), lit(0L)).as("n_bigrams"),
+        coalesce(col("s"), lit(0L)).as("lm_score"),
+        when(col("nb").isNotNull && col("nb") > 0,
+          expr("s div nb")).otherwise(lit(0L)).as("lm_avg"))
+  }
+
+  /** DSIR-style hashed n-gram importance score (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * each document by how much its hashed-unigram feature profile looks
+    * like a TARGET slice of the corpus versus the raw corpus — the
+    * standard "select web data that resembles wikipedia" move.
+    *
+    * Tokens hash into 16^hexChars buckets via an md5 prefix (a string
+    * key both engines compute identically — no hex→int conversion to
+    * disagree on). Each bucket carries an integer-millionths importance
+    * ratio with add-one smoothing,
+    * `r_b = 10⁶·(Ct(b)+1)·(Nr+B) div ((Cr(b)+1)·(Nt+B))`,
+    * and a document's score is the sum of its tokens' bucket ratios —
+    * a LINEAR surrogate of the DSIR log-ratio (sums of per-token
+    * ratios, not log-products) chosen so every intermediate is exact
+    * integer arithmetic; the numerator is routed through decimal(38,0)
+    * because 10⁶·Ct·Nr overflows a long at real corpus sizes.
+    *
+    * Scale shape: the two distribution sweeps are fixed-width B-row
+    * aggregates (map-side partials), the weight table is B rows and is
+    * broadcast into the token stream's only join, and the per-doc
+    * regroup is the single corpus-keyed shuffle. Driver-side state is
+    * the B-row weight table — constant in the corpus size.
+    */
+  def hashedImportanceScore(docs: DataFrame, idCol: String,
+      textCol: String, targetFilter: Column,
+      hexChars: Int = 2): DataFrame = {
+    require(hexChars >= 1 && hexChars <= 7, "hexChars in [1, 7]")
+    val nBuckets = math.pow(16, hexChars).toLong
+    val bucket = substring(md5(col("token")), 1, hexChars)
+    val tokOf = (df: DataFrame) =>
+      df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("token"))
+    val raw = tokOf(docs).select(col(idCol), bucket.as("b"))
+    val tgt = tokOf(docs.filter(targetFilter)).select(bucket.as("b"))
+    val cr = raw.groupBy("b").agg(count(lit(1)).as("cr"))
+    val ct = tgt.groupBy("b").agg(count(lit(1)).as("ct"))
+    val totals = cr.agg(sum("cr").as("nr"))
+      .crossJoin(tgt.agg(count(lit(1)).as("nt")))
+    // raw covers every observed bucket, so a left join is total here
+    val weights = cr.join(ct, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("b"), expr(
+        s"""CAST(CAST(1000000 AS DECIMAL(38,0))
+           |  * (coalesce(ct, CAST(0 AS BIGINT)) + 1L) * (nr + ${nBuckets}L)
+           |  div (CAST(cr + 1L AS DECIMAL(38,0)) * (nt + ${nBuckets}L))
+           |  AS BIGINT)""".stripMargin
+          .replaceAll("\\s+", " ")).as("r"))
+    raw.join(broadcast(weights), "b")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum("r").as("dsir_score"))
+  }
 }

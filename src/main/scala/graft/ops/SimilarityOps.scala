@@ -282,4 +282,58 @@ object SimilarityOps {
       .join(e.select(col("id"), col("cluster")), Seq("id"))
       .select(col("id").as(idCol), col("cluster"), col("rep"))
   }
+
+  /** Per-dimension [min, max] over the corpus — the training stats of
+    * int8 SCALAR quantization (the third codec in the family: LSH signs
+    * → 1 bit/projection, PQ → log₂k bits/block, SQ → 8 bits/dim with no
+    * codebook). One posexplode aggregate, map-side partials; the
+    * collect is bounded by the DIMENSION count (the
+    * [[seedCentroids]]/[[graft.ops.CorpusOps.heavyHitters]] exception
+    * class), never the corpus.
+    */
+  def sqStats(emb: DataFrame, vecCol: String): Seq[(Double, Double)] = {
+    emb.select(posexplode(col(vecCol)).as(Seq("i", "x")))
+      .groupBy("i")
+      .agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+      .orderBy("i").collect()
+      .map(r => (r.getDouble(1), r.getDouble(2))).toSeq
+  }
+
+  /** int8 scalar-quantization encode: per dimension,
+    * `code = clamp₀₋₂₅₅(floor((v−min)·255 / (max−min)))`, degenerate
+    * dimensions (max == min) encode 0. The stats ship as broadcast
+    * array literals, so encoding is a narrow codegen'd map — zero
+    * shuffle, zero join. Every step ((v−min), ·255.0, ÷(max−min),
+    * floor) is a single IEEE-754 double operation in a pinned
+    * association order, so any engine reproduces the codes bit-exactly
+    * — which is what makes the encoder CONTENT-oracle-checkable, unlike
+    * a rounding-mode-dependent `round` form.
+    */
+  def sqEncode(v: Column, stats: Seq[(Double, Double)]): Column = {
+    val mns = array(stats.map(s => lit(s._1)): _*)
+    val mxs = array(stats.map(s => lit(s._2)): _*)
+    transform(v, (x, i) => {
+      val mn = element_at(mns, i + 1)
+      val mx = element_at(mxs, i + 1)
+      when(mx > mn,
+        least(lit(255), greatest(lit(0),
+          floor((x.cast("double") - mn) * lit(255.0) / (mx - mn)).cast("int"))))
+        .otherwise(lit(0))
+    })
+  }
+
+  /** Mid-rise SQ decode (`min + (code + 0.5)·(max−min)/255`) — bounds
+    * the per-dimension reconstruction error at (max−min)/510 + 1 ulp,
+    * the gate [[graft.SimilaritySpec]] pins.
+    */
+  def sqDecode(code: Column, stats: Seq[(Double, Double)]): Column = {
+    val mns = array(stats.map(s => lit(s._1)): _*)
+    val mxs = array(stats.map(s => lit(s._2)): _*)
+    transform(code, (c, i) => {
+      val mn = element_at(mns, i + 1)
+      val mx = element_at(mxs, i + 1)
+      mn + (c.cast("double") + lit(0.5)) * (mx - mn) / lit(255.0)
+    })
+  }
 }

@@ -1872,6 +1872,36 @@ object Battery {
   private def zipDiff(a: Column, b: Column): Column =
     zip_with(a, b, (x, y) => x - y)
 
+  /** int8 scalar quantization ([[graft.ops.SimilarityOps.sqEncode]]):
+    * per-dimension corpus [min, max] stats, then
+    * `floor((v−min)·255/(max−min))` codes — a CONTENT oracle on the
+    * full code arrays (not an error gate like n5): every step is one
+    * IEEE double op in a pinned association order, so DuckDB recomputes
+    * the stats and every code bit-for-bit. The stats pass collects
+    * dimension-count rows (the bounded-driver exception class); the
+    * encode is a narrow zero-shuffle map.
+    */
+  private val n8SqQuantize = Q(
+    "n8_sq_quantize",
+    (s, d) => {
+      val S = graft.ops.SimilarityOps
+      val emb = T.embeddings(s, d)
+      val stats = S.sqStats(emb, "embedding")
+      emb.select(col("vec_id"),
+        S.sqEncode(col("embedding"), stats).as("codes"))
+    },
+    Some("""WITH x AS (SELECT vec_id, embedding AS a FROM embeddings),
+           |v AS (SELECT vec_id, i, CAST(a[i] AS DOUBLE) AS val
+           |      FROM x, unnest(range(1, len(a) + 1)) AS u(i)),
+           |mm AS (SELECT i, min(val) AS mn, max(val) AS mx FROM v GROUP BY 1),
+           |c AS (SELECT vec_id, i,
+           |        CAST(CASE WHEN mx > mn THEN least(255, greatest(0,
+           |          CAST(floor((val - mn) * 255.0 / (mx - mn)) AS INTEGER)))
+           |        ELSE 0 END AS INTEGER) AS code
+           |      FROM v JOIN mm USING (i))
+           |SELECT vec_id, list(code ORDER BY i) AS codes
+           |FROM c GROUP BY vec_id""".stripMargin))
+
   /** Embedding-cosine near-duplicate pairs: LSH-bucket candidates +
     * exact cosine ≥ threshold (the embedding sibling of d2b).
     */
@@ -2185,6 +2215,79 @@ object Battery {
            |  coalesce(h.n_hits, 0) > 0 AS contaminated
            |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
            |LEFT JOIN h ON d.doc_id = h.doc_id""".stripMargin))
+
+  /** Stupid-Backoff bigram LM fluency score
+    * ([[graft.ops.CorpusOps.lmBackoffScore]], trained on the English
+    * slice, scored over every document): integer-millionths probability
+    * mass per adjacent pair — seen bigrams score `cb·10⁶ div c1`,
+    * unseen back off to `0.4·10⁶·c(w2) div N`. The oracle retrains the
+    * model from scratch (unigram/bigram counts over the same slice) and
+    * replays both the conditional and backoff floor-divisions, so the
+    * whole train-then-score path is hash-pinned — not just the
+    * mechanism. Cross-lingual docs score near zero, in-distribution
+    * English scores high: the CCNet-style quality gate, exactly
+    * reproducible.
+    */
+  private val x25LmScore = Q(
+    "x25_lm_score",
+    (s, d) => graft.ops.CorpusOps.lmBackoffScore(
+      T.documents(s, d), "doc_id", "text", trainFilter = col("lang") === "en"),
+    Some("""WITH tr AS (SELECT string_split_regex(trim(text), '\s+') AS a
+           |            FROM documents WHERE lang = 'en'),
+           |tu AS (SELECT unnest(a) AS token FROM tr),
+           |uni AS (SELECT token, count(*) AS c1 FROM tu GROUP BY 1),
+           |tot AS (SELECT count(*) AS n FROM tu),
+           |tb AS (SELECT a[i] AS w1, a[i+1] AS w2
+           |       FROM tr, unnest(range(1, len(a))) AS u(i)),
+           |big AS (SELECT w1, w2, count(*) AS cb FROM tb GROUP BY 1, 2),
+           |cond AS (SELECT w1 || ' ' || w2 AS bigram, cb * 1000000 // c1 AS sc_cond
+           |         FROM big JOIN uni ON uni.token = big.w1),
+           |back AS (SELECT token AS w2, 400000 * c1 // (SELECT n FROM tot) AS sc_back
+           |         FROM uni),
+           |da AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS a
+           |       FROM documents),
+           |pr AS (SELECT doc_id, a[i] || ' ' || a[i+1] AS bigram, a[i+1] AS w2
+           |       FROM da, unnest(range(1, len(a))) AS u(i)),
+           |sc AS (SELECT doc_id, count(*) AS nb,
+           |         CAST(sum(coalesce(sc_cond, sc_back, 0)) AS BIGINT) AS s
+           |       FROM pr LEFT JOIN cond USING (bigram) LEFT JOIN back USING (w2)
+           |       GROUP BY 1)
+           |SELECT d.doc_id, coalesce(nb, 0) AS n_bigrams,
+           |  coalesce(s, 0) AS lm_score,
+           |  CASE WHEN coalesce(nb, 0) > 0 THEN s // nb ELSE 0 END AS lm_avg
+           |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin))
+
+  /** DSIR-style hashed-feature importance score
+    * ([[graft.ops.CorpusOps.hashedImportanceScore]], target = the
+    * English slice, 256 md5-prefix buckets): per-document sum of
+    * add-one-smoothed target/raw bucket ratios in integer millionths —
+    * the "select raw data that resembles the target distribution"
+    * classifier. The oracle rebuilds both distributions, the smoothed
+    * HUGEINT ratio table, and the per-doc rollup; the md5-prefix bucket
+    * key is the engine-portability trick (a string both sides hash
+    * identically — no hex-to-int conversion involved).
+    */
+  private val x26DsirScore = Q(
+    "x26_dsir_score",
+    (s, d) => graft.ops.CorpusOps.hashedImportanceScore(
+      T.documents(s, d), "doc_id", "text", targetFilter = col("lang") === "en"),
+    Some("""WITH tk AS (SELECT doc_id,
+           |    unnest(string_split_regex(trim(text), '\s+')) AS token
+           |  FROM documents),
+           |bk AS (SELECT doc_id, substr(md5(token), 1, 2) AS b FROM tk),
+           |tt AS (SELECT substr(md5(token), 1, 2) AS b
+           |       FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+           |             FROM documents WHERE lang = 'en')),
+           |cr AS (SELECT b, count(*) AS crn FROM bk GROUP BY 1),
+           |ct AS (SELECT b, count(*) AS ctn FROM tt GROUP BY 1),
+           |tot AS (SELECT (SELECT count(*) FROM tt) AS nt,
+           |               (SELECT count(*) FROM bk) AS nr),
+           |w AS (SELECT cr.b,
+           |        CAST(CAST(1000000 AS HUGEINT) * (coalesce(ctn, 0) + 1) * (nr + 256)
+           |          // ((crn + 1) * (nt + 256)) AS BIGINT) AS r
+           |      FROM cr LEFT JOIN ct USING (b), tot)
+           |SELECT doc_id, count(*) AS n_tokens, CAST(sum(r) AS BIGINT) AS dsir_score
+           |FROM bk JOIN w USING (b) GROUP BY 1""".stripMargin))
 
   /** Token-budget sequence packing: contiguous greedy fill into
     * 512-token packs, per shard (`doc_id % 8`) — the window prefix-sum
@@ -3815,8 +3918,10 @@ object Battery {
     x22BpeEncode,
     x11StratifiedSample, x12RareTokens, x13HeavyHitters, x14DomainCap,
     x15BigramCounts, x16TopDistinctTerm, x17EpochShuffle, x18LengthBuckets,
-    x19TokenChunks, x20TemperatureMixture, x21BloomDecontaminate, c1Curation,
+    x19TokenChunks, x20TemperatureMixture, x21BloomDecontaminate,
+    x25LmScore, x26DsirScore, c1Curation,
     n2AnnLsh, n3EmbNearDup, n4AnnIvf, n5PqQuantize, n6KmeansFit, n7SemanticDedup,
+    n8SqQuantize,
     kfPatientSlice, kfRSubjectSlice, kfSpecimenSlice, kfDrsSlice,
     kfDiseaseSlice, kfPhenotypeSlice, kfHistoSlice, kfVitalSlice,
     kfFamilySlice, kfStudySlice, kfProbandSlice, kfFamRelSlice,

@@ -406,4 +406,91 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(scalable == simple, s"scalable form diverged at partitions=$parts")
     }
   }
+
+  test("lmBackoffScore: hand-derived conditional and backoff scores; " +
+      "short and out-of-vocabulary docs handled") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "a b a b", "en"), // train: bigrams ab ab ba
+      (2L, "a c", "en"), // train: bigram ac
+      (3L, "a b x", "fr"), // scored only: ab seen, bx backs off to unseen x
+      (4L, "z", "en")) // train unigram only; no bigrams to score
+      .toDF("doc_id", "text", "lang")
+    val out = CorpusOps.lmBackoffScore(docs, "doc_id", "text",
+        trainFilter = col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // train: uni a=3 b=2 c=1 z=1, N=7; big ab=2 ba=1 ac=1
+    // cond: ab=2e6 div 3=666666, ba=1e6 div 2=500000, ac=1e6 div 3=333333
+    assert(out(1L) == ((3L, 666666L + 500000L + 666666L, 1833332L / 3)))
+    assert(out(2L) == ((1L, 333333L, 333333L)))
+    // doc 3: ab=666666 (seen), bx unseen and x not in train vocab -> 0
+    assert(out(3L) == ((2L, 666666L, 333333L)))
+    assert(out(4L) == ((0L, 0L, 0L)))
+    // plan shape: equi-joins only, nothing corpus-quadratic
+    val p = CorpusOps.lmBackoffScore(docs, "doc_id", "text",
+      trainFilter = col("lang") === "en").queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"cartesian in LM scoring:\n$p")
+  }
+
+  test("lmBackoffScore: backoff fires for unseen bigrams of seen words") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "p q", "en"), (2L, "q p", "fr"))
+      .toDF("doc_id", "text", "lang")
+    // train = doc 1 only: uni p=1 q=1 N=2; big pq=1
+    // doc 2's bigram qp is unseen -> backoff on w2=p: 400000*1 div 2 = 200000
+    val out = CorpusOps.lmBackoffScore(docs, "doc_id", "text",
+        trainFilter = col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(1L) == 1000000L) // pq: 1e6 div 1
+    assert(out(2L) == 200000L)
+  }
+
+  test("hashedImportanceScore: matches a pure-Scala BigInt replay of the " +
+      "formula; target-heavy docs outscore raw-typical docs") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "wiki wiki science wiki", "en"),
+      (2L, "spam spam spam casino", "fr"),
+      (3L, "science wiki spam", "en"),
+      (4L, "casino casino", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val out = CorpusOps.hashedImportanceScore(docs, "doc_id", "text",
+        targetFilter = col("lang") === "en")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+
+    // independent replay: md5-prefix buckets, add-one ratios, BigInt
+    def bucket(tok: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+      d.take(1).map(b => f"$b%02x").mkString
+    }
+    val rows = Seq(
+      (1L, "wiki wiki science wiki", true), (2L, "spam spam spam casino", false),
+      (3L, "science wiki spam", true), (4L, "casino casino", false))
+    val rawToks = rows.flatMap { case (id, t, _) =>
+      t.trim.split("\\s+").toSeq.map(id -> _) }
+    val tgtToks = rows.filter(_._3).flatMap(_._2.trim.split("\\s+").toSeq)
+    val cr = rawToks.groupBy(p => bucket(p._2)).view.mapValues(_.size.toLong).toMap
+    val ct = tgtToks.groupBy(bucket).view.mapValues(_.size.toLong).toMap
+    val (nr, nt) = (rawToks.size.toLong, tgtToks.size.toLong)
+    def ratio(b: String): Long =
+      (BigInt(1000000) * (ct.getOrElse(b, 0L) + 1) * (nr + 256) /
+        (BigInt(cr(b) + 1) * (nt + 256))).toLong
+    val expect = rows.map { case (id, t, _) =>
+      val toks = t.trim.split("\\s+").toSeq
+      (id, toks.size.toLong, toks.map(tok => ratio(bucket(tok))).sum)
+    }
+    assert(out.toSeq == expect)
+    // the target-looking doc must outscore the raw-typical one per token
+    val scoreOf = out.map(r => r._1 -> r._3.toDouble / r._2).toMap
+    assert(scoreOf(1L) > scoreOf(2L), s"importance ordering inverted: $scoreOf")
+    // weight table joins broadcast; nothing corpus-quadratic
+    val p = CorpusOps.hashedImportanceScore(docs, "doc_id", "text",
+      targetFilter = col("lang") === "en").queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"cartesian in DSIR scoring:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"weight join should broadcast:\n$p")
+  }
 }

@@ -151,4 +151,39 @@ class SimilaritySpec extends AnyFunSuite {
       SimilarityOps.kmeansFit(df, "id", "v", k = 2, iters = 1)
     }
   }
+
+  test("sqEncode: hand-pinned codes at range edges, midpoints, and a " +
+      "degenerate dimension; encode is narrow (zero exchanges)") {
+    val df = spark.createDataFrame(Seq(
+      (1L, Seq(0.0, 10.0, 7.0)), (2L, Seq(5.0, 20.0, 7.0)),
+      (3L, Seq(2.5, 15.0, 7.0))))
+      .toDF("id", "v")
+    val stats = SimilarityOps.sqStats(df, "v")
+    assert(stats == Seq((0.0, 5.0), (10.0, 20.0), (7.0, 7.0)))
+    val out = df.select(col("id"), SimilarityOps.sqEncode(col("v"), stats).as("c"))
+    val byId = out.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // min -> 0, max -> 255, exact midpoint -> floor(127.5) = 127,
+    // degenerate dim -> 0
+    assert(byId(1L) == Seq(0, 0, 0))
+    assert(byId(2L) == Seq(255, 255, 0))
+    assert(byId(3L) == Seq(127, 127, 0))
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"sq encode must be a narrow map:\n$p")
+  }
+
+  test("sqDecode bounds per-dimension reconstruction error at half a " +
+      "quantization step over the real embeddings") {
+    val stats = SimilarityOps.sqStats(emb, "v")
+    val recon = SimilarityOps.sqDecode(
+      SimilarityOps.sqEncode(col("v"), stats), stats)
+    val worstRel = emb.select(
+      aggregate(
+        zip_with(SimilarityOps.asDouble(col("v")), recon,
+          (x, y) => abs(x - y)),
+        lit(0.0), (acc, e) => greatest(acc, e)).as("worst"))
+      .agg(max(col("worst"))).head.getDouble(0)
+    val maxStep = stats.map { case (mn, mx) => (mx - mn) / 510.0 }.max
+    assert(worstRel <= maxStep * (1 + 1e-9) + 1e-12,
+      s"reconstruction error $worstRel exceeds half-step bound $maxStep")
+  }
 }
