@@ -796,4 +796,76 @@ object CorpusOps {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"), sum("r").as("dsir_score"))
   }
+
+  /** Overlapping sliding-window chunking — the RAG/retrieval-indexing
+    * twin of [[chunkAssignments]]' GPT-style disjoint packing: each
+    * document yields windows of `window` tokens every `stride` tokens
+    * (the last window may be short but never empty; a doc shorter than
+    * `window` yields exactly one chunk), so consecutive chunks overlap
+    * by `window − stride` tokens of context. Emits (id, chunk_idx,
+    * tok_start, chunk_len, chunk_md5) — the md5 of the space-joined
+    * token slice pins chunk CONTENT, not just its geometry.
+    *
+    * Scale shape: tokenize once, explode `n_chunks` offsets per row,
+    * slice inside the array — a narrow, zero-shuffle map whose output
+    * is ~`1/stride × token-mass` rows; nothing leaves the partition.
+    */
+  def slidingChunks(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      "need 0 < stride <= window (stride > window would drop tokens)")
+    docs.select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .withColumn("chunk_idx", explode(sequence(lit(0L),
+        when(col("__n") <= window, lit(1L))
+          .otherwise(lit(1L) +
+            expr(s"(__n - $window + $stride - 1) div $stride")) - 1)))
+      .withColumn("tok_start", col("chunk_idx") * stride)
+      .withColumn("chunk_len",
+        least(lit(window.toLong), col("__n") - col("tok_start")))
+      .withColumn("chunk_md5", md5(concat_ws(" ",
+        slice(col("__toks"), (col("tok_start") + 1).cast("int"),
+          col("chunk_len").cast("int")))))
+      .drop("__toks", "__n")
+  }
+
+  /** Corpus collocations by pointwise mutual information over bigrams —
+    * the phrase-mining / tokenizer-vocabulary-candidate sweep ("New
+    * York" scores high because its parts co-occur far above chance).
+    * INTEGER-EXACT: score = `10⁶·C(w1w2)·N div (C(w1)·C(w2))` (10⁶·the
+    * likelihood ratio inside the PMI log — same argmax, no float log),
+    * routed through decimal(38,0) because `10⁶·cb·N` overflows a long
+    * at real corpus sizes. `minCount` drops the hapax noise PMI is
+    * notorious for; top-k by (score, w1, w2) is a distributed
+    * TakeOrdered, never a global sort.
+    *
+    * Scale shape: one unigram aggregate, one bigram aggregate (both
+    * map-side partial), two vocabulary-keyed joins onto the
+    * BIGRAM-count table (already aggregated — orders smaller than the
+    * token stream), a 1-row total broadcast, and the top-k. */
+  def pmiCollocations(docs: DataFrame, textCol: String, k: Int,
+      minCount: Long = 5L): DataFrame = {
+    val a = TextOps.tokens(col(textCol))
+    val n1 = greatest(size(a) - 1, lit(0))
+    val pairs = zip_with(
+      slice(a, lit(1), n1), slice(a, lit(2), n1),
+      (x, y) => struct(x.as("w1"), y.as("w2")))
+    val toks = docs.select(explode(a).as("w"))
+    val uni = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    val total = toks.agg(count(lit(1)).as("n"))
+    val big = docs.select(explode(pairs).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      .where(col("cb") >= minCount)
+    big
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("cb"),
+        expr("""CAST(CAST(1000000 AS DECIMAL(38,0)) * cb * n
+               |  div (CAST(c1 AS DECIMAL(38,0)) * c2) AS BIGINT)"""
+          .stripMargin.replaceAll("\\s+", " ")).as("pmi_score"))
+      .orderBy(col("pmi_score").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
 }

@@ -323,6 +323,82 @@ object SimilarityOps {
     })
   }
 
+  /** Per-dimension decimal-exact means — the centering thresholds of
+    * BINARY quantization ([[bqEncode]]). Same determinism discipline as
+    * [[kmeansFit]]: the sum goes through DECIMAL(38,20) (exact,
+    * order-independent), the mean is (exact decimal → nearest double)
+    * / count — two IEEE operations any engine replays. Collect bounded
+    * by dimension count.
+    */
+  def bqThresholds(emb: DataFrame, vecCol: String): Seq[Double] = {
+    emb.select(posexplode(col(vecCol)).as(Seq("i", "x")))
+      .groupBy("i")
+      .agg(sum(col("x").cast("decimal(38,20)")).as("s"),
+        count(lit(1)).as("n"))
+      .orderBy("i").collect()
+      .map(r => r.getDecimal(1).doubleValue / r.getLong(2)).toSeq
+  }
+
+  /** Binary quantization: bit_i = (v_i > threshold_i), packed
+    * big-endian into HALF-WORD (32-bit) longs so the fold `acc·2 + bit`
+    * can never overflow a signed 64-bit accumulator — a d-dim vector
+    * becomes d/32 longs (64 dims → 16 bytes, a 32× compression), and
+    * Hamming distance is a handful of codegen'd `bit_count(xor)` ops
+    * ([[bqHamming]]). Thresholds ship as broadcast literals; encoding
+    * is narrow and zero-shuffle. The modern re-rank retrieval codec:
+    * scan the tiny codes, then exact-score only the shortlist
+    * ([[bqTopK]]).
+    */
+  def bqEncode(v: Column, thr: Seq[Double]): Column = {
+    val d = thr.size
+    require(d % 32 == 0, s"dimension $d must pack whole 32-bit words")
+    val t = array(thr.map(lit): _*)
+    def word(lo: Int): Column =
+      aggregate(sequence(lit(lo), lit(lo + 31)), lit(0L),
+        (acc, i) => acc * 2 + when(
+          element_at(v, i + 1).cast("double") > element_at(t, i + 1),
+          lit(1L)).otherwise(lit(0L)))
+    array((0 until d by 32).map(word): _*)
+  }
+
+  /** Hamming distance between two [[bqEncode]] code arrays. */
+  def bqHamming(a: Column, b: Column, d: Int): Column =
+    (0 until d by 32).map(lo => bit_count(
+        element_at(a, lo / 32 + 1).bitwiseXOR(element_at(b, lo / 32 + 1))))
+      .reduce(_ + _)
+
+  /** Binary-quantized top-k with exact re-rank: Hamming-shortlist
+    * `k·oversample` candidates on the packed codes, then exact cosine
+    * on the shortlist only — at scale the first stage reads d/32 longs
+    * per comparison instead of d doubles (the memory-bandwidth win the
+    * codec exists for), and the expensive scoring touches `k·oversample`
+    * rows per query, not the corpus. Queries are a bounded set
+    * (broadcast side), so the candidate join is linear in the corpus
+    * like [[bruteForceTopK]]; both window ranks are per-query top-k,
+    * deterministic via (distance, id) ordering.
+    */
+  def bqTopK(queries: DataFrame, corpus: DataFrame, thr: Seq[Double],
+      k: Int, oversample: Int): DataFrame = {
+    val d = thr.size
+    val q = queries.select(col("qid"), col("qv"),
+      bqEncode(col("qv"), thr).as("qw"))
+    val c = corpus.select(col("cid"), col("cv"),
+      bqEncode(col("cv"), thr).as("cw"))
+    val ham = q.join(c, col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), col("qv"), col("cv"),
+        bqHamming(col("qw"), col("cw"), d).as("ham"))
+    val w1 = Window.partitionBy(col("qid")).orderBy(col("ham"), col("cid"))
+    val w2 = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    ham.withColumn("hrnk", row_number().over(w1))
+      .where(col("hrnk") <= k * oversample)
+      .select(col("qid"), col("cid"),
+        (dot(col("qv"), col("cv")) /
+          (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("cv"), col("cv")))))
+          .as("cos"))
+      .withColumn("rnk", row_number().over(w2)).where(col("rnk") <= k)
+      .select(col("qid"), col("cid").as("neighbor_id"), col("rnk"))
+  }
+
   /** Mid-rise SQ decode (`min + (code + 0.5)·(max−min)/255`) — bounds
     * the per-dimension reconstruction error at (max−min)/510 + 1 ulp,
     * the gate [[graft.SimilaritySpec]] pins.

@@ -1046,6 +1046,31 @@ object Battery {
            | AND r.ts <= l.ts + INTERVAL '2 hours'
            |WHERE l.event_type = 'view' AND r.event_type = 'click'""".stripMargin))
 
+  /** Stream-stream LEFT SEMI time-bound join, batch form
+    * ([[graft.streaming.Streaming.timeBoundSemiJoin]]): views that
+    * converted — each view at most ONCE regardless of how many clicks
+    * landed in the window (the existence filter; completes the
+    * inner/left/full/semi join family). The oracle is the EXISTS form
+    * the semi join is defined by.
+    */
+  private val twJoinBoundSemi = Q(
+    "tw_timebound_semi_join",
+    (s, d) => {
+      val ev = T.events(s, d)
+      graft.streaming.Streaming.timeBoundSemiJoin(
+        ev.where(col("event_type") === "view")
+          .select(col("user_id").as("k"), col("ts").as("lts")),
+        ev.where(col("event_type") === "click")
+          .select(col("user_id").as("k"), col("ts").as("rts")),
+        "2 HOURS")
+    },
+    Some("""SELECT l.user_id AS k, l.ts AS lts
+           |FROM events l
+           |WHERE l.event_type = 'view' AND EXISTS (
+           |  SELECT 1 FROM events r
+           |  WHERE r.user_id = l.user_id AND r.event_type = 'click'
+           |    AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL '2 hours')""".stripMargin))
+
   /** Stream-stream LEFT OUTER time-bound join, batch form
     * ([[graft.streaming.Streaming.timeBoundLeftJoin]]; null-padded
     * unmatched-left emission after watermark expiry pinned by
@@ -1902,6 +1927,58 @@ object Battery {
            |SELECT vec_id, list(code ORDER BY i) AS codes
            |FROM c GROUP BY vec_id""".stripMargin))
 
+  /** Binary quantization with exact re-rank
+    * ([[graft.ops.SimilarityOps.bqTopK]]): per-dimension decimal-exact
+    * mean thresholds → sign bits packed into 32-bit words → Hamming
+    * shortlist (k·oversample per query on the packed codes) → exact
+    * cosine re-rank of the shortlist only. The oracle replays the
+    * thresholds (same DECIMAL(38,20)-sum-then-double discipline as
+    * n6), the sign disagreement count (provably equal to the packed
+    * `bit_count(xor)`), both window ranks, and the final cosine order —
+    * the full two-stage retrieval is hash-exact.
+    */
+  private val n9BinaryQuantize = Q(
+    "n9_binary_quantize",
+    (s, d) => {
+      val S = graft.ops.SimilarityOps
+      val emb = T.embeddings(s, d).select(
+        col("vec_id"), S.asDouble(col("embedding")).as("v"))
+      val thr = S.bqThresholds(emb, "v")
+      S.bqTopK(
+        emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("v").as("qv")),
+        emb.select(col("vec_id").as("cid"), col("v").as("cv")),
+        thr, k = 10, oversample = 3)
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |dd AS (SELECT vec_id, i, v[i] AS val
+           |       FROM e, unnest(range(1, len(v) + 1)) AS u(i)),
+           |th AS (SELECT i,
+           |         CAST(sum(CAST(val AS DECIMAL(38,20))) AS DOUBLE) / count(*) AS t
+           |       FROM dd GROUP BY 1),
+           |bits AS (SELECT vec_id, i, CASE WHEN val > t THEN 1 ELSE 0 END AS bit
+           |         FROM dd JOIN th USING (i)),
+           |q AS (SELECT vec_id AS qid, i, bit AS qb FROM bits WHERE vec_id < 5),
+           |ham AS (SELECT qid, c.vec_id AS cid,
+           |          sum(CASE WHEN qb != c.bit THEN 1 ELSE 0 END) AS ham
+           |        FROM q JOIN bits c USING (i) WHERE c.vec_id != qid
+           |        GROUP BY 1, 2),
+           |cand AS (SELECT qid, cid,
+           |           row_number() OVER (PARTITION BY qid ORDER BY ham, cid) AS hrnk
+           |         FROM ham),
+           |s AS (SELECT qid, cid,
+           |        list_dot_product(qe.v, ce.v) /
+           |          (sqrt(list_dot_product(qe.v, qe.v)) *
+           |           sqrt(list_dot_product(ce.v, ce.v))) AS cos
+           |      FROM (SELECT qid, cid FROM cand WHERE hrnk <= 30) c
+           |      JOIN e qe ON qe.vec_id = c.qid
+           |      JOIN e ce ON ce.vec_id = c.cid),
+           |r AS (SELECT qid, cid AS neighbor_id,
+           |        CAST(row_number() OVER (PARTITION BY qid
+           |          ORDER BY cos DESC, cid) AS INTEGER) AS rnk
+           |      FROM s)
+           |SELECT * FROM r WHERE rnk <= 10""".stripMargin))
+
   /** Embedding-cosine near-duplicate pairs: LSH-bucket candidates +
     * exact cosine ≥ threshold (the embedding sibling of d2b).
     */
@@ -2288,6 +2365,57 @@ object Battery {
            |      FROM cr LEFT JOIN ct USING (b), tot)
            |SELECT doc_id, count(*) AS n_tokens, CAST(sum(r) AS BIGINT) AS dsir_score
            |FROM bk JOIN w USING (b) GROUP BY 1""".stripMargin))
+
+  /** Overlapping sliding-window chunking
+    * ([[graft.ops.CorpusOps.slidingChunks]], window 32 / stride 24):
+    * the RAG-indexing chunker — every document becomes overlapping
+    * token windows, geometry AND content pinned (the chunk_md5 is the
+    * md5 of the exact token slice, which the oracle re-slices with
+    * DuckDB's inclusive list indexing). A narrow zero-shuffle explode;
+    * x19's disjoint GPT-style packing is the other half of the family.
+    */
+  private val x27SlidingChunks = Q(
+    "x27_sliding_chunks",
+    (s, d) => graft.ops.CorpusOps.slidingChunks(
+      T.documents(s, d), "doc_id", "text", window = 32, stride = 24),
+    Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS a
+           |            FROM documents),
+           |n AS (SELECT doc_id, a, CAST(len(a) AS BIGINT) AS n,
+           |        CASE WHEN len(a) <= 32 THEN 1
+           |             ELSE 1 + (len(a) - 32 + 23) // 24 END AS nc
+           |      FROM t)
+           |SELECT doc_id, i AS chunk_idx, i * 24 AS tok_start,
+           |  least(32, n - i * 24) AS chunk_len,
+           |  md5(array_to_string(a[i * 24 + 1 : i * 24 + least(32, n - i * 24)],
+           |    ' ')) AS chunk_md5
+           |FROM n, unnest(range(0, nc)) AS u(i)""".stripMargin))
+
+  /** PMI collocation mining ([[graft.ops.CorpusOps.pmiCollocations]],
+    * top-30, min bigram count 5): integer-exact 10⁶·C(w1w2)·N div
+    * (C(w1)·C(w2)) — the phrase/vocabulary-candidate sweep. The oracle
+    * recomputes both count tables, the HUGEINT ratio, and the ordered
+    * top-k.
+    */
+  private val x28PmiCollocations = Q(
+    "x28_pmi_collocations",
+    (s, d) => graft.ops.CorpusOps.pmiCollocations(
+      T.documents(s, d), "text", k = 30, minCount = 5L),
+    Some("""WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS a
+           |            FROM documents),
+           |u AS (SELECT unnest(a) AS w FROM t),
+           |uni AS (SELECT w, count(*) AS c FROM u GROUP BY 1),
+           |tot AS (SELECT count(*) AS n FROM u),
+           |b AS (SELECT a[i] AS w1, a[i+1] AS w2
+           |      FROM t, unnest(range(1, len(a))) AS u(i)),
+           |big AS (SELECT w1, w2, count(*) AS cb FROM b GROUP BY 1, 2
+           |        HAVING count(*) >= 5),
+           |s AS (SELECT w1, w2, cb,
+           |        CAST(CAST(1000000 AS HUGEINT) * cb * (SELECT n FROM tot)
+           |          // (CAST(u1.c AS HUGEINT) * u2.c) AS BIGINT) AS pmi_score
+           |      FROM big JOIN uni u1 ON u1.w = big.w1
+           |                JOIN uni u2 ON u2.w = big.w2)
+           |SELECT w1, w2, cb, pmi_score FROM s
+           |ORDER BY pmi_score DESC, w1, w2 LIMIT 30""".stripMargin))
 
   /** Token-budget sequence packing: contiguous greedy fill into
     * 512-token packs, per shard (`doc_id % 8`) — the window prefix-sum
@@ -3903,7 +4031,7 @@ object Battery {
     fScalar, f5Cast, f9MapExplode, f12Json, f13ArrayOps,
     twTumbling, twSliding, twSession,
     twDedupWatermark, twDedupLateBoundary, twJoinBound, twJoinBoundLeft,
-    twJoinBoundFull,
+    twJoinBoundFull, twJoinBoundSemi,
     stUserTotals, stUserTotalsV2, stTypeCounts, stLastEvents,
     stSessionTimeout, stWarmStart,
     x23BpeTokenFreq, x24BpeCompression,
@@ -3919,9 +4047,10 @@ object Battery {
     x11StratifiedSample, x12RareTokens, x13HeavyHitters, x14DomainCap,
     x15BigramCounts, x16TopDistinctTerm, x17EpochShuffle, x18LengthBuckets,
     x19TokenChunks, x20TemperatureMixture, x21BloomDecontaminate,
-    x25LmScore, x26DsirScore, c1Curation,
+    x25LmScore, x26DsirScore, x27SlidingChunks, x28PmiCollocations,
+    c1Curation,
     n2AnnLsh, n3EmbNearDup, n4AnnIvf, n5PqQuantize, n6KmeansFit, n7SemanticDedup,
-    n8SqQuantize,
+    n8SqQuantize, n9BinaryQuantize,
     kfPatientSlice, kfRSubjectSlice, kfSpecimenSlice, kfDrsSlice,
     kfDiseaseSlice, kfPhenotypeSlice, kfHistoSlice, kfVitalSlice,
     kfFamilySlice, kfStudySlice, kfProbandSlice, kfFamRelSlice,

@@ -140,6 +140,32 @@ object Streaming {
       right.withWatermark("rts", lateness),
       maxDelay)
 
+  /** Stream-stream LEFT SEMI time-bound join — the existence filter:
+    * each left event survives AT MOST ONCE, iff some right event landed
+    * within `[lts, lts + maxDelay]` ("views that converted", with no
+    * fan-out on multiple matches — the set-semantics twin of
+    * [[timeBoundJoin]]). Completes the engine's stream-stream join
+    * family (inner / left / full / semi). On streams a left row can be
+    * emitted as soon as ONE match arrives and its state dropped; the
+    * no-match case expires like the left-outer form's, so state is
+    * bounded the same way. Batch form is a plain `left_semi` join.
+    */
+  def timeBoundSemiJoin(left: DataFrame, right: DataFrame,
+      maxDelay: String): DataFrame =
+    left.join(right,
+      left("k") === right("k") &&
+        right("rts") >= left("lts") &&
+        right("rts") <= left("lts") + expr(s"INTERVAL $maxDelay"),
+      "left_semi")
+      .select(left("k").as("k"), col("lts"))
+
+  def streamingTimeBoundSemiJoin(left: DataFrame, right: DataFrame,
+      lateness: String, maxDelay: String): DataFrame =
+    timeBoundSemiJoin(
+      left.withWatermark("lts", lateness),
+      right.withWatermark("rts", lateness),
+      maxDelay)
+
   /** Stream–static dimension enrichment: join a stream against a batch
     * dimension table. The static side is re-planned per micro-batch (so
     * a dimension refresh is picked up without restarting the query) and

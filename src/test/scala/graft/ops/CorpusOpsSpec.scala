@@ -493,4 +493,54 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in DSIR scoring:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"weight join should broadcast:\n$p")
   }
+
+  test("slidingChunks: geometry (starts, lengths, counts), full coverage " +
+      "with exact overlap, content md5s, short docs, zero exchanges") {
+    def md5(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val docs = Seq(
+      (1L, (0 until 10).map(i => s"t$i").mkString(" ")), // 10 toks: 3 chunks
+      (2L, (0 until 11).map(i => s"u$i").mkString(" ")), // 11 toks: 4 chunks
+      (3L, "a b"), // shorter than the window: one short chunk
+      (4L, "solo"))
+      .toDF("doc_id", "text")
+    val outDf = CorpusOps.slidingChunks(docs, "doc_id", "text",
+      window = 4, stride = 3)
+    val out = outDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .sortBy(t => (t._1, t._2))
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc(1L).map(t => (t._3, t._4)).toSeq ==
+      Seq((0L, 4L), (3L, 4L), (6L, 4L)))
+    assert(byDoc(2L).map(t => (t._3, t._4)).toSeq ==
+      Seq((0L, 4L), (3L, 4L), (6L, 4L), (9L, 2L)))
+    assert(byDoc(3L).map(t => (t._3, t._4)).toSeq == Seq((0L, 2L)))
+    assert(byDoc(4L).map(t => (t._3, t._4)).toSeq == Seq((0L, 1L)))
+    // content: the md5 is over the exact token slice
+    assert(byDoc(1L)(1)._5 == md5("t3 t4 t5 t6"))
+    assert(byDoc(2L)(3)._5 == md5("u9 u10"))
+    assert(byDoc(4L).head._5 == md5("solo"))
+    // every token position of doc 2 is covered by some chunk
+    val covered = byDoc(2L).flatMap(t => t._3 until (t._3 + t._4)).toSet
+    assert(covered == (0L until 11L).toSet)
+    val p = outDf.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"chunking must be narrow:\n$p")
+  }
+
+  test("pmiCollocations: hand-derived integer scores, minCount filter, " +
+      "deterministic top-k order") {
+    val docs = Seq(
+      (1L, "new york new york new york"),
+      (2L, "the cat the dog"))
+      .toDF("doc_id", "text")
+    val out = CorpusOps.pmiCollocations(docs, "text", k = 5, minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // N = 10; uni: new 3, york 3, the 2, cat 1, dog 1
+    // bigrams >= 2: (new york) 3, (york new) 2
+    // scores: 1e6*3*10 div 9 = 3333333; 1e6*2*10 div 9 = 2222222
+    assert(out.toSeq == Seq(
+      ("new", "york", 3L, 3333333L),
+      ("york", "new", 2L, 2222222L)))
+  }
 }

@@ -171,6 +171,47 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"sq encode must be a narrow map:\n$p")
   }
 
+  test("bqEncode packs exactly the sign bits (driver-decoded words vs " +
+      "per-dimension threshold comparison)") {
+    val thr = SimilarityOps.bqThresholds(emb, "v")
+    assert(thr.size == 64)
+    val rows = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("v"),
+        SimilarityOps.bqEncode(col("v"), thr).as("w"))
+      .collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Double](1)
+      val words = r.getSeq[Long](2)
+      assert(words.size == 2)
+      for (i <- 0 until 64) {
+        val expected = if (v(i) > thr(i)) 1L else 0L
+        val got = (words(i / 32) >> (31 - i % 32)) & 1L
+        assert(got == expected, s"vec ${r.getLong(0)} dim $i: bit $got, want $expected")
+      }
+    }
+  }
+
+  test("bqTopK with full oversample degenerates to exact brute-force top-k " +
+      "(the re-rank stage is lossless once the shortlist covers the corpus)") {
+    val thr = SimilarityOps.bqThresholds(emb, "v")
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val c = emb.select(col("vec_id").as("cid"), col("v").as("cv"))
+    // 5 * 100 = 500 >= 499 candidates per query: shortlist == corpus
+    val bq = SimilarityOps.bqTopK(q, c, thr, k = 5, oversample = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = SimilarityOps.bruteForceTopK(q, c, k = 5)
+      .select(col("qid"), col("cid"), col("rnk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(bq == brute, "full-oversample BQ must equal brute force")
+    // and at a realistic oversample the result is k rows per query with
+    // contiguous ranks (recall may differ; the SHAPE must not)
+    val tight = SimilarityOps.bqTopK(q, c, thr, k = 5, oversample = 3)
+      .collect().groupBy(_.getLong(0))
+    assert(tight.size == 3 &&
+      tight.values.forall(_.map(_.getInt(2)).sorted.sameElements(1 to 5)))
+  }
+
   test("sqDecode bounds per-dimension reconstruction error at half a " +
       "quantization step over the real embeddings") {
     val stats = SimilarityOps.sqStats(emb, "v")

@@ -508,4 +508,47 @@ class StreamingSpec extends AnyFunSuite {
         s"gate must be stateless, found ${q.lastProgress.stateOperators.length}")
     } finally q.stop()
   }
+
+  test("stream-stream left-semi time-bound join equals the batch semi join: " +
+      "multi-match views emit ONCE, unmatched and out-of-bound views never") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val base = 36000000L
+    val ts = (m: Long) => new java.sql.Timestamp(base + m)
+    val imps = Seq( // (k, lts)
+      (1L, ts(0L)), // TWO clicks inside the bound -> exactly one row
+      (2L, ts(0L)), // click outside the bound -> no row
+      (3L, ts(0L))) // no click at all -> no row
+    val clicks = Seq( // (k, rts)
+      (1L, ts(10000L)), (1L, ts(30000L)),
+      (2L, ts(600000L)))
+    val expected = Streaming.timeBoundSemiJoin(
+        imps.toDF("k", "lts"), clicks.toDF("k", "rts"), "1 MINUTE")
+      .collect().map(_.toString).sorted
+    assert(expected.length == 1, s"semi join must not fan out: ${expected.toSeq}")
+
+    val li = MemoryStream[(Long, java.sql.Timestamp)]
+    val ri = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = Streaming.streamingTimeBoundSemiJoin(
+        li.toDS().toDF("k", "lts"), ri.toDS().toDF("k", "rts"),
+        lateness = "10 minutes", maxDelay = "1 MINUTE")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sssj_out").start()
+    try {
+      // batch 1: both matching clicks arrive with the views — the k=1
+      // view must emit once, not twice
+      li.addData(imps)
+      ri.addData(clicks)
+      q.processAllAvailable()
+      // batch 2: advance both watermarks past every decision point so
+      // any wrongly-buffered unmatched view would be flushed now
+      li.addData(Seq((98L, ts(7200000L))))
+      ri.addData(Seq((99L, ts(7200000L))))
+      q.processAllAvailable()
+      val got = spark.table("sssj_out").where("k < 90")
+        .collect().map(_.toString).sorted
+      assert(got.sameElements(expected), s"stream ${got.toSeq} vs batch ${expected.toSeq}")
+    } finally q.stop()
+  }
 }
