@@ -135,7 +135,8 @@ object VolumeProbe {
     "st_session_timeout", "x9b_pack_bpe", "m6_resize",
     "st_warm_start", "x23_bpe_token_freq", "m6b_resize_bilinear",
     "m7_video_resize", "m8_audio_resample",
-    "x25_lm_score", "x26_dsir_score", "n8_sq_quantize")
+    "x25_lm_score", "x26_dsir_score", "n8_sq_quantize",
+    "x27_sliding_chunks", "tw_timebound_semi_join")
   // Round-11 rows: st_session_timeout (the TIMER path — batch gap-0
   // emits exactly one timer-flushed session per user; users disjoint
   // per replica → exact ×factor), x9b_pack_bpe (packing by REAL BPE
@@ -183,6 +184,12 @@ object VolumeProbe {
   // commute with ×10 counts). n8_sq_quantize — clone vectors are
   // byte-identical, so per-dimension min/max and therefore every code
   // array are unchanged; one row per vector → exact ×factor.
+  // x27_sliding_chunks — chunk count is a pure function of each clone's
+  // byte-identical text → exact ×factor, all narrow.
+  // tw_timebound_semi_join — semi-join hits are per-user and users are
+  // replica-disjoint → exact ×factor, and the at-most-once semantics
+  // mean the count can never exceed the view count no matter how click
+  // volume grows.
   // n6's law is exact ×factor BY CONSTRUCTION, not just by closure:
   // seeds are the k lowest ids — replica 0's originals — and each
   // clone set contributes 10 identical copies to its cell's mean, so
