@@ -179,6 +179,26 @@ object Battery {
     Some("""SELECT c_custkey, c_name FROM customer
            |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin))
 
+  /** Bloom-pruned equi-join ([[graft.relational.RelationalOps
+    * .bloomPrunedJoin]]): the small side's key set collapses to one
+    * BloomFilterAggregate blob, shipped as a literal into a codegen'd
+    * `might_contain` pre-filter on the fact scan; survivors take the
+    * exact join. The oracle is the PLAIN join — the sketch must
+    * reproduce it bit-for-bit (no false negatives; false positives die
+    * in the exact join), the generic form of x21's decontamination
+    * move.
+    */
+  private val j18BloomPruned = Q(
+    "j18_bloom_pruned_join",
+    (s, d) => graft.relational.RelationalOps.bloomPrunedJoin(
+      T.lineitem(s, d).select(col("l_orderkey"), col("l_quantity")),
+      T.orders(s, d).where(col("o_totalprice") > 400000.0)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice")),
+      "l_orderkey"),
+    Some("""SELECT l_orderkey, l_quantity, o_totalprice
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |WHERE o_totalprice > 400000.0""".stripMargin))
+
   /** J13/F7 — broadcast code-system dictionary lookup with and without
     * default (patient.py:12-115, family.py:78).
     */
@@ -820,6 +840,23 @@ object Battery {
            |  count(*) AS n,
            |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
            |FROM events GROUP BY 1, 2""".stripMargin))
+
+  /** Chained stateful aggregations, batch form
+    * ([[graft.streaming.Streaming.chainedWindowCounts]]): a 10-min
+    * per-user tumbling count re-aggregated into hourly totals — the
+    * multiple-stateful-operator chain Spark 3.4+ runs in ONE streaming
+    * query (two-batch stream parity in StreamingSpec). The oracle
+    * re-derives both window levels.
+    */
+  private val twChainedWindows = Q(
+    "tw_chained_windows",
+    (s, d) => graft.streaming.Streaming.chainedWindowCounts(T.events(s, d)),
+    Some("""WITH w AS (SELECT time_bucket(INTERVAL '10 minutes', ts) AS ws,
+           |    user_id, count(*) AS n
+           |  FROM events GROUP BY 1, 2)
+           |SELECT time_bucket(INTERVAL '1 hour', ws) AS hs,
+           |  CAST(sum(n) AS BIGINT) AS events, count(*) AS active_slots
+           |FROM w GROUP BY 1""".stripMargin))
 
   /** Sliding window aggregate (10-min windows every 5 min): each event
     * lands in exactly two windows (Expand — narrow fan-out, then the
@@ -4020,7 +4057,7 @@ object Battery {
   val all: Seq[Q] = Seq(
     s1PointScan, s3Crawl, p2Rename, p6Clean, p8HashSample,
     j1Outer, jChain, j8Composite, jNullKey, j13Codes, j14Asof, j15Range,
-    j16NullSafe, j17Anti,
+    j16NullSafe, j17Anti, j18BloomPruned,
     a1Collect, a2Collect, a5Dedup, a6Rollup, a7Cube, a13GroupingSets,
     a8ApproxDistinct,
     a11Percentile, a12ApproxPercentile, a14WindowedPercentile, a15CorrCovar,
@@ -4029,7 +4066,7 @@ object Battery {
     topK, setOps,
     f6Datetime, g1DateSpine,
     fScalar, f5Cast, f9MapExplode, f12Json, f13ArrayOps,
-    twTumbling, twSliding, twSession,
+    twTumbling, twSliding, twSession, twChainedWindows,
     twDedupWatermark, twDedupLateBoundary, twJoinBound, twJoinBoundLeft,
     twJoinBoundFull, twJoinBoundSemi,
     stUserTotals, stUserTotalsV2, stTypeCounts, stLastEvents,

@@ -217,4 +217,91 @@ object RelationalOps {
       matched.unionByName(unmatched, allowMissingColumns = true)
     }
   }
+
+  /** Bloom-pruned equi-join — the generic form of the x21 sketch move:
+    * when the small side is too big to BROADCAST but far smaller than
+    * the big side, collapse its key set into one fixed-size
+    * `BloomFilterAggregate` blob, ship the blob as a literal into a
+    * codegen'd `might_contain` filter on the big side's SCAN, and only
+    * then shuffle the survivors into the real join. At 100 TB this
+    * turns "shuffle the whole fact table to discover that 99 % of it
+    * joins nothing" into "shuffle the ≤(1+fpp)·hit-rate fraction" —
+    * the result is IDENTICAL to the plain join by construction (the
+    * Bloom filter has no false negatives; false positives are removed
+    * by the exact join), so `fpp` is purely a cost knob. This is what
+    * Spark's own runtime row-group filtering does implicitly; the
+    * explicit operator makes it available across stages AQE cannot see
+    * through (checkpoints, unions, non-equi pre-stages).
+    *
+    * Degenerate small side (zero rows) short-circuits to an empty
+    * result without building a blob.
+    */
+  def bloomPrunedJoin(big: DataFrame, small: DataFrame, key: String,
+      joinType: String = "inner", fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => exprCol}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    require(fpp > 0 && fpp < 1, s"fpp $fpp outside (0, 1)")
+    require(joinType == "inner" || joinType == "left_semi",
+      s"bloom pruning preserves only inner/left_semi semantics, got $joinType")
+    val keys = small.select(col(s"`$key`")).where(col(s"`$key`").isNotNull)
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nKeys = keys.count()
+      if (nKeys == 0L) // schema-preserving empty result, no blob, no scan
+        return if (joinType == "left_semi") big.where(lit(false))
+        else big.where(lit(false)).join(small, Seq(key))
+      val numBits = org.apache.spark.util.sketch.BloomFilter
+        .optimalNumOfBits(nKeys, fpp)
+      val hash = (c: Column) =>
+        new XxHash64(Seq(org.apache.spark.sql.GraftColumnBridge.expression(c)))
+      val blob = keys.select(exprCol(new BloomFilterAggregate(
+          hash(col(s"`$key`")), Literal(nKeys), Literal(numBits))
+            .toAggregateExpression()).as("bf"))
+        .head.getAs[Array[Byte]](0)
+      val pruned = big.where(exprCol(BloomFilterMightContain(
+        Literal(blob, org.apache.spark.sql.types.BinaryType),
+        hash(col(s"`$key`")))))
+      if (joinType == "left_semi") pruned.join(keys, Seq(key), "left_semi")
+      else pruned.join(small, Seq(key))
+    } finally keys.unpersist(blocking = false)
+  }
+
+  /** 32-bit Morton (Z-order) key from two 16-bit bucket ids — the
+    * multi-dimensional DATA-LAYOUT move: sorting a table by the
+    * interleaved bits of two filter columns before writing clusters
+    * rows so each parquet file covers a small RECTANGLE of (a, b) space
+    * instead of a thin slab of `a` alone, which makes file/row-group
+    * min-max statistics selective for filters on EITHER column — the
+    * Delta/Iceberg `ZORDER BY` effect with nothing but a sort key
+    * expression. Bits spread with the classic mask-shift doubling
+    * (codegen'd bitwise ops, no UDF); inputs must already be bucketed
+    * to [0, 65536) — see [[mortonBucket]].
+    */
+  def mortonKey(a: Column, b: Column): Column =
+    spread16(a) + spread16(b) * 2
+
+  /** Quantize a numeric column to [0, nBuckets) by linear min/max
+    * scaling (bounds supplied by the caller — at 100 TB they come from
+    * sketches or partition metadata, not an extra pass).
+    */
+  def mortonBucket(c: Column, lo: Double, hi: Double,
+      nBuckets: Int = 65536): Column = {
+    require(hi > lo, "need hi > lo")
+    least(lit(nBuckets - 1), greatest(lit(0),
+      floor((c.cast("double") - lo) * nBuckets / (hi - lo)).cast("int")))
+  }
+
+  /** Interleave the low 16 bits of `x` with zeros (x -> bits at even
+    * positions): the mask-shift doubling network, 4 codegen'd steps.
+    */
+  private[relational] def spread16(x: Column): Column = {
+    val masks = Seq(
+      (8, 0x00FF00FFL), (4, 0x0F0F0F0FL), (2, 0x33333333L), (1, 0x55555555L))
+    masks.foldLeft(x.cast("long").bitwiseAND(lit(0xFFFFL))) {
+      case (acc, (shift, mask)) =>
+        (acc.bitwiseOR(shiftleft(acc, shift))).bitwiseAND(lit(mask))
+    }
+  }
 }

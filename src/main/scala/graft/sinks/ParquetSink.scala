@@ -55,4 +55,56 @@ object ParquetSink {
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(table)
   }
+
+  /** Small-file compaction — the table-maintenance pass every
+    * continuously-ingested 100 TB dataset needs: streaming/incremental
+    * writers accumulate thousands of KB-sized part files whose open/seek
+    * overhead eventually dominates scans (and whose footers bloat driver
+    * planning). Rewrites the dataset into ~`targetBytes` files (sized
+    * from the LISTING, no data pass), preserving content and the
+    * `partitionCols` directory layout, via write-to-tmp + directory
+    * swap — the source stays intact until the rewrite has fully
+    * committed, so a mid-compaction crash leaves either the old or the
+    * new layout, never a mix. Returns (files before, files after) for
+    * observability.
+    *
+    * For partitioned data the rewrite routes through
+    * [[writePartitioned]]'s repartition-on-partition-columns (one
+    * writer task per partition dir); for flat data a `coalesce` to the
+    * byte-derived file count — coalesce, not repartition: compaction
+    * should not pay a shuffle to merge files.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      partitionCols: Seq[String] = Nil,
+      targetBytes: Long = 128L << 20): (Long, Long) = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val it = fs.listFiles(p, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.startsWith("part-")) buf += f
+      }
+      buf.toSeq
+    }
+    val before = dataFiles()
+    val totalBytes = before.map(_.getLen).sum
+    val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.parquet(path)
+    val tmp = new Path(path + ".compact_tmp")
+    fs.delete(tmp, true)
+    if (partitionCols.nonEmpty)
+      writePartitioned(df, tmp.toString, partitionCols)
+    else
+      df.coalesce(nFiles).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val old = new Path(path + ".compact_old")
+    fs.delete(old, true)
+    require(fs.rename(p, old), s"compact: could not stage $path aside")
+    require(fs.rename(tmp, p), s"compact: could not promote rewrite into $path")
+    fs.delete(old, true)
+    (before.size.toLong, dataFiles().size.toLong)
+  }
 }

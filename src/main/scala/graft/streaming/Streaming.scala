@@ -166,6 +166,28 @@ object Streaming {
       right.withWatermark("rts", lateness),
       maxDelay)
 
+  /** CHAINED stateful aggregations — Spark 3.4+'s multiple-stateful-
+    * operator support, exercised as the classic two-level rollup: a
+    * 10-minute per-user tumbling count feeding an hourly re-aggregation
+    * IN THE SAME streaming query (two state stores, one watermark; the
+    * second `window()` takes the first's window STRUCT so event time
+    * propagates through the chain). Until 3.4 this required two
+    * queries glued by a sink; chained, the intermediate windows never
+    * leave the cluster. Batch form is the same two-level groupBy, so
+    * the oracle can re-derive both bucketings (`tw_chained_windows`).
+    */
+  def chainedWindowCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(window(col("w"), "1 hour").as("h"))
+      .agg(sum(col("n")).as("events"), count(lit(1)).as("active_slots"))
+      .select(col("h.start").as("hs"), col("events"), col("active_slots"))
+
+  def streamingChainedWindowCounts(events: DataFrame,
+      lateness: String): DataFrame =
+    chainedWindowCounts(events.withWatermark("ts", lateness))
+
   /** Stream–static dimension enrichment: join a stream against a batch
     * dimension table. The static side is re-planned per micro-batch (so
     * a dimension refresh is picked up without restarting the query) and

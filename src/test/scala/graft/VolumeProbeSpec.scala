@@ -208,6 +208,25 @@ class VolumeProbeSpec extends AnyFunSuite {
       assert(big(id) == row, s"replica-0 image $id resized differently at xN")
   }
 
+  test("LM score is INVARIANT under replication: every clone scores " +
+      "byte-identically to its original (floor(Na/Nb) = floor(a/b))") {
+    // replication multiplies every unigram count, bigram count, AND the
+    // training total by the same factor, and the integer score is a
+    // floor of count ratios — so the trained model is provably
+    // unchanged and clone documents (byte-identical text) must receive
+    // exactly their original's (n_bigrams, lm_score, lm_avg)
+    val x25 = SparkEntry.queries("x25_lm_score")
+    val base = x25(spark, srcDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val big = x25(spark, outDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(big.size == base.size * factor)
+    val offset = VolumeProbe.keyOffsetFor(spark, srcDir)
+    for ((id, scores) <- base; rep <- 0 until factor)
+      assert(big(id + rep * offset) == scores,
+        s"replica $rep of doc $id scored differently under the xN model")
+  }
+
   test("duplicate spans at xN cover every window-bearing doc end-to-end") {
     // with N >= 2 byte-identical replicas, EVERY 8-token window repeats
     // corpus-wide, so each doc with >= 8 tokens yields exactly ONE

@@ -140,4 +140,66 @@ class RelationalOpsSpec extends AnyFunSuite {
     val (a, e) = (row.getLong(0).toDouble, row.getLong(1).toDouble)
     assert(math.abs(a - e) / e < 0.05, s"approx=$a exact=$e")
   }
+
+  test("bloomPrunedJoin: identical to the plain join (fpp a pure cost " +
+      "knob), semi form, empty-small short-circuit, blob in the plan") {
+    val dir = "/root/testdata/sf0.01"
+    val big = graft.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val small = graft.Tables.orders(spark, dir)
+      .where(col("o_totalprice") > 400000.0)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    def key(r: org.apache.spark.sql.Row) = r.toString
+    val plain = big.join(small, Seq("l_orderkey"))
+      .collect().map(key).sorted
+    assert(plain.nonEmpty, "fixture must select some orders")
+    for (fpp <- Seq(0.01, 0.5)) { // even a sieve-like blob stays exact
+      val pruned = RelationalOps.bloomPrunedJoin(big, small, "l_orderkey",
+          fpp = fpp)
+        .collect().map(key).sorted
+      assert(pruned.sameElements(plain), s"bloom join diverged at fpp=$fpp")
+    }
+    // left_semi: big rows with a match, each exactly once
+    val semi = RelationalOps.bloomPrunedJoin(big, small, "l_orderkey",
+      joinType = "left_semi")
+    val semiExpected = big.join(small.select("l_orderkey"),
+      Seq("l_orderkey"), "left_semi")
+    assert(semi.collect().map(key).sorted
+      .sameElements(semiExpected.collect().map(key).sorted))
+    // the pre-filter is really in the plan, below the join
+    val p = RelationalOps.bloomPrunedJoin(big, small, "l_orderkey")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"), s"no bloom pre-filter in plan:\n$p")
+    // empty small side: no blob, empty result, joined schema preserved
+    val none = RelationalOps.bloomPrunedJoin(big,
+      small.where(lit(false)), "l_orderkey")
+    assert(none.isEmpty &&
+      none.columns.toSeq == Seq("l_orderkey", "l_quantity", "o_totalprice"))
+  }
+
+  test("mortonKey interleaves bits exactly (hand cases + differential vs " +
+      "a reference implementation across the 16-bit corners)") {
+    def ref(a: Int, b: Int): Long = {
+      var out = 0L
+      for (i <- 0 until 16)
+        out |= (((a >> i) & 1).toLong << (2 * i)) |
+          (((b >> i) & 1).toLong << (2 * i + 1))
+      out
+    }
+    // corners, bit boundaries, and a pseudo-random walk
+    val cases = Seq((0, 0), (1, 0), (0, 1), (3, 5), (65535, 0), (0, 65535),
+      (65535, 65535), (256, 255), (32768, 1)) ++
+      (0 until 50).map(i => ((i * 12347) % 65536, (i * 54323) % 65536))
+    val df = cases.toDF("a", "b")
+      .withColumn("m", RelationalOps.mortonKey(col("a"), col("b")))
+    val got = df.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    cases.foreach { case (a, b) =>
+      assert(got((a, b)) == ref(a, b), s"morton($a, $b)")
+    }
+    // mortonBucket clamps and quantizes
+    val bs = Seq(-5.0, 0.0, 50.0, 100.0, 999.0).toDF("x")
+      .select(RelationalOps.mortonBucket(col("x"), 0.0, 100.0, 16).as("b"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(bs == Seq(0, 0, 8, 15, 15))
+  }
 }

@@ -509,6 +509,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("chained stateful aggregations: two window levels in ONE query " +
+      "equal the batch two-level rollup once the watermark closes the hours") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val base = 1704067200000L // 2024-01-01T00:00:00Z
+    val ts = (m: Long) => new java.sql.Timestamp(base + m * 60000L)
+    val batch1 = Seq( // (ts, user_id): hour 0 has 3 slots / 2 users
+      (ts(1), 1L), (ts(2), 1L),   // user 1, slot [0,10)
+      (ts(11), 1L),               // user 1, slot [10,20)
+      (ts(5), 2L),                // user 2, slot [0,10)
+      (ts(65), 2L))               // hour 1, slot [60,70)
+    val sentinel = Seq((ts(600), 99L)) // closes both real hours
+    val expected = Streaming.chainedWindowCounts(
+        batch1.toDF("ts", "user_id"))
+      .collect().map(_.toString).sorted
+    assert(expected.length == 2, s"two hours expected: ${expected.toSeq}")
+
+    val in = MemoryStream[(java.sql.Timestamp, Long)]
+    val q = Streaming.streamingChainedWindowCounts(
+        in.toDS().toDF("ts", "user_id"), lateness = "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("chained_out").start()
+    try {
+      // both chained state stores must be present in the SAME query
+      in.addData(batch1); q.processAllAvailable()
+      in.addData(sentinel); q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.length >= 2,
+        s"expected two stateful operators, got ${q.lastProgress.stateOperators.length}")
+      // the sentinel's own hour is still open and must not emit
+      val got = spark.table("chained_out").collect().map(_.toString).sorted
+      assert(got.sameElements(expected), s"stream ${got.toSeq} vs batch ${expected.toSeq}")
+    } finally q.stop()
+  }
+
   test("stream-stream left-semi time-bound join equals the batch semi join: " +
       "multi-match views emit ONCE, unmatched and out-of-bound views never") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
