@@ -477,4 +477,39 @@ class PlanQualitySpec extends AnyFunSuite {
         s"forced broadcast() in load-path package $pkg:\n${offending.mkString("\n")}")
     }
   }
+
+  test("LM scoring is equi-joins + aggregates only — the model tables " +
+      "never cross-join the pair stream") {
+    val p = plan("x25_lm_score")
+    assert(!p.contains("CartesianProduct"), s"cartesian in x25:\n$p")
+    assert(!p.contains("Window"), s"no window should appear in x25:\n$p")
+  }
+
+  test("DSIR scoring broadcasts the fixed-width weight table into the " +
+      "token stream's only join") {
+    val p = plan("x26_dsir_score")
+    assert(p.contains("BroadcastHashJoin"), s"weight join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in x26:\n$p")
+  }
+
+  test("sliding chunks and SQ encode are pure narrow maps (zero exchanges)") {
+    for (name <- Seq("x27_sliding_chunks", "n8_sq_quantize")) {
+      val p = plan(name)
+      val exchanges = p.linesIterator.count(_.matches(".*[+:]- Exchange .*"))
+      assert(exchanges == 0, s"$name expected zero exchanges:\n$p")
+    }
+  }
+
+  test("PMI top-k is a distributed TakeOrdered, never a global sort") {
+    val p = plan("x28_pmi_collocations")
+    assert(p.contains("TakeOrderedAndProject"), s"x28 top-k not TakeOrdered:\n$p")
+  }
+
+  test("bloom-pruned join filters the big side with a might_contain " +
+      "literal BELOW the join") {
+    val p = plan("j18_bloom_pruned_join")
+    assert(p.contains("might_contain"), s"no bloom pre-filter:\n$p")
+    val filterLine = p.linesIterator.indexWhere(_.contains("might_contain"))
+    assert(filterLine >= 0, s"no might_contain line:\n$p")
+  }
 }
