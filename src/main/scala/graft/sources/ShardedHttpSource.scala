@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{EqualTo, Filter}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -68,7 +69,7 @@ private[sources] class ShardedHttpTable(tableSchema: StructType, url: String,
   override def name(): String = s"sharded_http($url)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ShardedHttpScanBuilder(tableSchema, url, shards, limit)
 }
@@ -120,29 +121,109 @@ private[sources] class ShardedHttpScan(readSchema: StructType, url: String,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ShardedHttpReaderFactory(readSchema, url, limit, params)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new ShardedHttpMicroBatchStream(readSchema, url, shards, limit, params)
 }
 
-private[sources] case class HttpShardPartition(shard: Int) extends InputPartition
+private[sources] case class HttpShardPartition(shard: Int,
+    start: Long = 0L, maxRows: Long = Long.MaxValue) extends InputPartition
+
+/** Per-shard row-count offsets for the micro-batch form. The counts
+  * index the FILTERED, projected stream (the `counts=true` probe
+  * carries the same pushed parameters as data requests), so a resumed
+  * query sees exactly the rows that arrived since its checkpoint —
+  * append-only servers keep them monotonic.
+  */
+private[sources] case class ShardOffsets(counts: Map[Int, Long]) extends Offset {
+  override def json(): String =
+    counts.toSeq.sortBy(_._1)
+      .map { case (s, n) => s""""$s":$n""" }.mkString("{", ",", "}")
+}
+
+/** Streaming twin of the batch scan: each trigger asks the server for
+  * its current per-shard (filtered) row counts, and the micro-batch is
+  * the per-shard range [committed, latest) — one InputPartition per
+  * shard with a start offset and row cap, executed by the same paged
+  * reader as the batch path. Offsets checkpoint as JSON, so a
+  * restarted query resumes exactly where it stopped (exactly-once with
+  * a replayable sink) — the AvailableNow incremental-ingest pattern on
+  * a CUSTOM source instead of a file listing.
+  */
+private[sources] class ShardedHttpMicroBatchStream(readSchema: StructType,
+    url: String, shards: Int, limit: Int, params: Array[(String, String)])
+  extends MicroBatchStream {
+
+  private val mapper = new ObjectMapper
+
+  override def initialOffset(): Offset =
+    ShardOffsets((0 until shards).map(_ -> 0L).toMap)
+
+  override def latestOffset(): Offset = {
+    val extra = params.map { case (k, v) =>
+      s"&${java.net.URLEncoder.encode(k, "UTF-8")}=${java.net.URLEncoder.encode(v, "UTF-8")}"
+    }.mkString
+    val conn = new java.net.URL(s"$url?counts=true&shards=$shards$extra")
+      .openConnection().asInstanceOf[java.net.HttpURLConnection]
+    try {
+      require(conn.getResponseCode == 200,
+        s"sharded-http counts probe -> ${conn.getResponseCode}")
+      val node = mapper.readTree(conn.getInputStream.readAllBytes())
+      ShardOffsets((0 until shards).map { s =>
+        s -> Option(node.get(s.toString)).map(_.asLong()).getOrElse(0L)
+      }.toMap)
+    } finally conn.disconnect()
+  }
+
+  override def deserializeOffset(json: String): Offset = {
+    val node = mapper.readTree(json)
+    val counts = node.properties().asScala
+      .map(e => e.getKey.toInt -> e.getValue.asLong()).toMap
+    ShardOffsets(counts)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[ShardOffsets].counts
+    val e = end.asInstanceOf[ShardOffsets].counts
+    (0 until shards).flatMap { i =>
+      val lo = s.getOrElse(i, 0L)
+      val hi = e.getOrElse(i, 0L)
+      if (hi > lo) Some(HttpShardPartition(i, lo, hi - lo): InputPartition)
+      else None
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ShardedHttpReaderFactory(readSchema, url, limit, params)
+
+  override def commit(end: Offset): Unit = () // server-side state: none
+  override def stop(): Unit = ()
+}
 
 private[sources] class ShardedHttpReaderFactory(readSchema: StructType,
     url: String, limit: Int, params: Array[(String, String)])
   extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new ShardedHttpReader(readSchema, url, limit, params,
-      p.asInstanceOf[HttpShardPartition].shard)
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val sp = p.asInstanceOf[HttpShardPartition]
+    new ShardedHttpReader(readSchema, url, limit, params, sp.shard,
+      sp.start, sp.maxRows)
+  }
 }
 
 /** Executor-side paged reader for one shard: fetch `limit` rows, parse
   * JSON-lines, convert to InternalRow against the PRUNED schema, fetch
-  * the next page when exhausted; an empty page ends the shard. Holds
-  * one page in memory at a time.
+  * the next page when exhausted; an empty page — or reaching `maxRows`
+  * (the micro-batch range bound) — ends the shard. Holds one page in
+  * memory at a time.
   */
 private[sources] class ShardedHttpReader(readSchema: StructType, url: String,
-    limit: Int, params: Array[(String, String)], shard: Int)
+    limit: Int, params: Array[(String, String)], shard: Int,
+    start: Long = 0L, maxRows: Long = Long.MaxValue)
   extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper
-  private var offset = 0L
+  private var offset = start
+  private var consumed = 0L
   private var page: Iterator[String] = Iterator.empty
   private var exhausted = false
   private var current: InternalRow = _
@@ -151,11 +232,14 @@ private[sources] class ShardedHttpReader(readSchema: StructType, url: String,
     java.net.URLEncoder.encode(s, "UTF-8")
 
   private def fetchPage(): Unit = {
+    val remaining = maxRows - consumed
+    if (remaining <= 0) { exhausted = true; page = Iterator.empty; return }
+    val pageSize = math.min(limit.toLong, remaining)
     val fields =
       if (readSchema.isEmpty) "" // count(*) pushes an empty projection
       else s"&fields=${enc(readSchema.fieldNames.mkString(","))}"
     val extra = params.map { case (k, v) => s"&${enc(k)}=${enc(v)}" }.mkString
-    val full = s"$url?shard=$shard&offset=$offset&limit=$limit$fields$extra"
+    val full = s"$url?shard=$shard&offset=$offset&limit=$pageSize$fields$extra"
     val conn = new java.net.URL(full).openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
     conn.setConnectTimeout(10000)
@@ -194,6 +278,7 @@ private[sources] class ShardedHttpReader(readSchema: StructType, url: String,
     while (!page.hasNext && !exhausted) fetchPage()
     if (page.hasNext) {
       current = toRow(mapper.readTree(page.next()))
+      consumed += 1
       true
     } else false
   }

@@ -23,8 +23,13 @@ class ShardedHttpSourceSpec extends AnyFunSuite {
     (i.toLong, Seq("en", "fr", "de")(i % 3), i / 100.0)
   }
 
-  /** Serve the range protocol; returns (baseUrl, requestLog, stop). */
-  private def serve(shards: Int): (String, collection.mutable.Buffer[String], () => Unit) = {
+  /** Serve the range protocol over `rows` (a mutable buffer, so tests
+    * can append "live" data for the streaming form); supports the
+    * `counts=true` offset probe. Returns (baseUrl, requestLog, stop).
+    */
+  private def serveRows(shards: Int,
+      rows: collection.mutable.Buffer[(Long, String, Double)])
+    : (String, collection.mutable.Buffer[String], () => Unit) = {
     val log = collection.mutable.Buffer[String]()
     val server = HttpServer.create(new InetSocketAddress(0), 0)
     server.createContext("/data", new HttpHandler {
@@ -34,23 +39,30 @@ class ShardedHttpSourceSpec extends AnyFunSuite {
         val params = q.split("&").filter(_.contains("="))
           .map { kv => val Array(k, v) = kv.split("=", 2)
             k -> java.net.URLDecoder.decode(v, "UTF-8") }.toMap
-        val shard = params("shard").toInt
-        val offset = params("offset").toInt
-        val limit = params("limit").toInt
-        val fields = params.get("fields").map(_.split(",").toSeq)
-          .getOrElse(Seq("id", "lang", "score"))
-        val rows = data.filter(_._1 % shards == shard)
+        val snapshot = rows.synchronized { rows.toVector }
+        def filtered(shard: Int) = snapshot
+          .filter(_._1 % shards == shard)
           .filter(r => params.get("lang").forall(_ == r._2))
           .filter(r => params.get("id").forall(_.toLong == r._1))
-          .slice(offset, offset + limit)
-        val body = rows.map { case (id, lang, score) =>
-          fields.flatMap {
-            case "id" => Some(s""""id":$id""")
-            case "lang" => Some(s""""lang":"$lang"""")
-            case "score" => Some(s""""score":$score""")
-            case _ => None // unknown requested field: omit, like a real API
-          }.mkString("{", ",", "}")
-        }.mkString("\n").getBytes("UTF-8")
+        val body = (if (params.contains("counts")) {
+          (0 until shards)
+            .map(s => s""""$s":${filtered(s).size}""").mkString("{", ",", "}")
+        } else {
+          val shard = params("shard").toInt
+          val offset = params("offset").toInt
+          val limit = params("limit").toInt
+          val fields = params.get("fields").map(_.split(",").toSeq)
+            .getOrElse(Seq("id", "lang", "score"))
+          filtered(shard).slice(offset, offset + limit)
+            .map { case (id, lang, score) =>
+              fields.flatMap {
+                case "id" => Some(s""""id":$id""")
+                case "lang" => Some(s""""lang":"$lang"""")
+                case "score" => Some(s""""score":$score""")
+                case _ => None // unknown requested field: omit, like a real API
+              }.mkString("{", ",", "}")
+            }.mkString("\n")
+        }).getBytes("UTF-8")
         ex.sendResponseHeaders(200, if (body.isEmpty) -1 else body.length)
         if (body.nonEmpty) ex.getResponseBody.write(body)
         ex.close()
@@ -60,6 +72,10 @@ class ShardedHttpSourceSpec extends AnyFunSuite {
     (s"http://localhost:${server.getAddress.getPort}/data", log,
       () => server.stop(0))
   }
+
+  private def serve(shards: Int)
+    : (String, collection.mutable.Buffer[String], () => Unit) =
+    serveRows(shards, collection.mutable.Buffer(data: _*))
 
   private def read(url: String, shards: Int, limit: Int = 10) =
     spark.read.format("graft.sources.ShardedHttpSource")
@@ -115,6 +131,41 @@ class ShardedHttpSourceSpec extends AnyFunSuite {
       // rows); the range predicate is NOT a parameter
       assert(log.forall(_.contains("lang=en")), s"unpushed lang: ${log.take(3)}")
       assert(log.forall(q => !q.contains("score=")), "range filter wrongly pushed")
+    } finally stop()
+  }
+
+  test("micro-batch streaming: AvailableNow ingests exactly the rows that " +
+      "arrived since the checkpoint, across restarts, per shard") {
+    val live = collection.mutable.Buffer(data.take(30): _*)
+    val (url, _, stop) = serveRows(shards = 3, live)
+    val ckpt = java.nio.file.Files.createTempDirectory("http_stream_ckpt").toString
+    val got = collection.mutable.Buffer[Long]()
+    def runOnce(): Seq[Long] = {
+      val batchRows = collection.mutable.Buffer[Long]()
+      val stream = spark.readStream.format("graft.sources.ShardedHttpSource")
+        .schema("id LONG, lang STRING, score DOUBLE")
+        .option("url", url).option("shards", 3).option("limit", 7)
+        .load()
+      graft.streaming.Streaming.runAvailableNow(stream, ckpt) { (df, _) =>
+        val ids = df.select("id").collect().map(_.getLong(0))
+        batchRows ++= ids
+      }
+      got ++= batchRows
+      batchRows.toSeq
+    }
+    try {
+      val first = runOnce()
+      assert(first.sorted.sameElements((0L until 30L)),
+        s"first run must ingest the initial 30 rows: ${first.sorted.toSeq}")
+      // live appends while the query is DOWN; the restarted query must
+      // pick up exactly the delta from the checkpointed offsets
+      live.synchronized { live ++= data.slice(30, 42) }
+      val second = runOnce()
+      assert(second.sorted.sameElements((30L until 42L)),
+        s"second run must ingest exactly the 12 new rows: ${second.sorted.toSeq}")
+      assert(got.distinct.size == got.size, "a row was ingested twice")
+      // a third run with nothing new ingests nothing
+      assert(runOnce().isEmpty, "idle restart re-ingested data")
     } finally stop()
   }
 
