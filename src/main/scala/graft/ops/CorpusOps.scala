@@ -829,6 +829,42 @@ object CorpusOps {
       .drop("__toks", "__n")
   }
 
+  /** Train/val/test assignment with NO near-duplicate leakage — the
+    * split a model evaluation can actually trust: a near-dup of a
+    * training document in the test set inflates eval scores, so splits
+    * are assigned per CONNECTED COMPONENT of the near-dup graph
+    * ([[DedupOps.ngramJaccardPairs]] candidates →
+    * [[DedupOps.connectedComponents]]), keyed by the component
+    * REPRESENTATIVE's hash — two documents that are near-dups of each
+    * other (even transitively) land in the same split by construction.
+    * Thresholding is the x11 keyed-md5-prefix rule (deterministic,
+    * engine-portable, 4-hex granularity ≈ 1/65536).
+    *
+    * Scale shape: inherits the dedup pipeline's (prefix-filtered
+    * inverted-index candidates, alternating-star components); the split
+    * itself is one narrow hash expression over the component table.
+    * Returns (id, cluster, split).
+    */
+  def leakageFreeSplits(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, threshold: Double,
+      testFrac: Double, valFrac: Double): DataFrame = {
+    require(testFrac >= 0 && valFrac >= 0 && testFrac + valFrac < 1,
+      "need testFrac, valFrac >= 0 with testFrac + valFrac < 1")
+    def thr(f: Double): String = {
+      val t = math.round(f * 65536)
+      if (t >= 65536) "g" else f"$t%04x"
+    }
+    val pairs = DedupOps.ngramJaccardPairs(
+      docs, idCol, textCol, shingleN, threshold)
+    val comps = DedupOps.connectedComponents(
+      docs.select(col(idCol)), idCol, pairs, "doc_a", "doc_b")
+    val h = substring(md5(col("cluster").cast("string")), 1, 4)
+    comps.select(col(idCol), col("cluster"),
+      when(h < thr(testFrac), lit("test"))
+        .when(h < thr(testFrac + valFrac), lit("val"))
+        .otherwise(lit("train")).as("split"))
+  }
+
   /** Corpus collocations by pointwise mutual information over bigrams —
     * the phrase-mining / tokenizer-vocabulary-candidate sweep ("New
     * York" scores high because its parts co-occur far above chance).

@@ -2239,6 +2239,49 @@ object Battery {
            |GROUP BY d.doc_id, d.text
            |HAVING least(d.doc_id, coalesce(min(r.bb), d.doc_id)) = d.doc_id""".stripMargin))
 
+  /** Leakage-free train/val/test splits
+    * ([[graft.ops.CorpusOps.leakageFreeSplits]], 10% test / 10% val,
+    * same near-dup graph as d6): split assignment keyed by the
+    * connected COMPONENT representative's md5 — a near-dup pair can
+    * never straddle splits. The oracle replays the full closure (the
+    * d6 recursive CTE) and the same threshold arithmetic
+    * (round(f·65536) → 4-hex compare).
+    */
+  private val x29LeakageSplits = Q(
+    "x29_leakage_free_splits",
+    (s, d) => graft.ops.CorpusOps.leakageFreeSplits(
+      T.documents(s, d), "doc_id", "text", shingleN = 3, threshold = 0.5,
+      testFrac = 0.1, valFrac = 0.1),
+    Some("""WITH RECURSIVE
+           |t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+           |g AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh FROM t),
+           |ds AS (SELECT doc_id, unnest(sh) AS s FROM g),
+           |sz AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
+           |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM ds a JOIN ds b USING (s)
+           |  JOIN sz sa ON sa.doc_id = a.doc_id
+           |  JOIN sz sb ON sb.doc_id = b.doc_id
+           |  WHERE a.doc_id < b.doc_id
+           |  GROUP BY 1, 2, sa.n, sb.n
+           |  HAVING CAST(count(*) AS DOUBLE)/(sa.n + sb.n - count(*)) >= 0.5),
+           |e AS (SELECT doc_a AS a, doc_b AS bb FROM p
+           |      UNION SELECT doc_b, doc_a FROM p),
+           |reach(a, bb) AS (
+           |  SELECT a, bb FROM e
+           |  UNION
+           |  SELECT r.a, e.bb FROM reach r JOIN e ON r.bb = e.a),
+           |c AS (SELECT d.doc_id,
+           |        least(d.doc_id, coalesce(min(r.bb), d.doc_id)) AS cluster
+           |      FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+           |      GROUP BY d.doc_id)
+           |SELECT doc_id, cluster,
+           |  CASE WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 4) <
+           |         printf('%04x', CAST(round(0.1 * 65536) AS BIGINT)) THEN 'test'
+           |       WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 4) <
+           |         printf('%04x', CAST(round(0.2 * 65536) AS BIGINT)) THEN 'val'
+           |       ELSE 'train' END AS split
+           |FROM c""".stripMargin))
+
   /** In-document n-gram repetition ratio (1 − distinct/total 3-grams) —
     * the boilerplate/template filter signal. Narrow, zero shuffle.
     */
@@ -4085,7 +4128,7 @@ object Battery {
     x15BigramCounts, x16TopDistinctTerm, x17EpochShuffle, x18LengthBuckets,
     x19TokenChunks, x20TemperatureMixture, x21BloomDecontaminate,
     x25LmScore, x26DsirScore, x27SlidingChunks, x28PmiCollocations,
-    c1Curation,
+    x29LeakageSplits, c1Curation,
     n2AnnLsh, n3EmbNearDup, n4AnnIvf, n5PqQuantize, n6KmeansFit, n7SemanticDedup,
     n8SqQuantize, n9BinaryQuantize,
     kfPatientSlice, kfRSubjectSlice, kfSpecimenSlice, kfDrsSlice,

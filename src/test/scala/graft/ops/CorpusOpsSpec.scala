@@ -528,6 +528,45 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"chunking must be narrow:\n$p")
   }
 
+  test("leakageFreeSplits: near-dup components land whole in one split; " +
+      "singletons spread; ZERO pairs straddle splits on real data") {
+    import org.apache.spark.sql.functions.col
+    // family A: three mutual near-dups; family B: two; plus singletons
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "alpha beta gamma delta zeta"),
+      (10L, "one two three four five"),
+      (11L, "one two three four six"),
+      (20L, "totally different content here now"),
+      (21L, "unrelated words in this document"))
+      .toDF("doc_id", "text")
+    val out = CorpusOps.leakageFreeSplits(docs, "doc_id", "text",
+        shingleN = 3, threshold = 0.4, testFrac = 0.3, valFrac = 0.3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out.size == 7)
+    // families share a cluster AND a split
+    assert(Set(1L, 2L, 3L).map(out(_)).size == 1, s"family A split: $out")
+    assert(Set(10L, 11L).map(out(_)).size == 1, s"family B split: $out")
+    assert(out.values.map(_._2).forall(Set("train", "val", "test")))
+
+    // the real-data law: no near-dup pair may straddle splits
+    val real = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val splits = CorpusOps.leakageFreeSplits(real, "doc_id", "text",
+      shingleN = 3, threshold = 0.5, testFrac = 0.1, valFrac = 0.1)
+    val pairs = DedupOps.ngramJaccardPairs(real, "doc_id", "text", 3, 0.5)
+    val straddling = pairs
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+      .where(col("sa") =!= col("sb")).count()
+    assert(straddling == 0L, s"$straddling near-dup pairs straddle splits")
+    // and all three splits are actually populated at sf0.001
+    val bySplit = splits.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"), s"splits: $bySplit")
+    assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
+  }
+
   test("pmiCollocations: hand-derived integer scores, minCount filter, " +
       "deterministic top-k order") {
     val docs = Seq(
