@@ -97,6 +97,37 @@ object Cli {
     }
   }
 
+  /** A3's count assertions collected IN-FLIGHT by the `Observation`
+    * API: the metrics ride the write action itself, where a `.count()`
+    * before the write would re-run the whole 16-builder cascade a
+    * second time (the pipeline deliberately persists nothing — see
+    * Pipeline's do-not-redo notes). Fails fast on an empty load or a
+    * null natural key; returns the observed metrics for logging.
+    */
+  def writeObserved(resources: DataFrame, outDir: String): Map[String, Long] = {
+    import org.apache.spark.sql.functions.{count, lit, sum, when}
+    val obs = org.apache.spark.sql.Observation()
+    val observed = resources.observe(obs,
+      count(lit(1)).as("n_resources"),
+      sum(when(col("key").isNull, 1L).otherwise(0L)).as("null_keys"))
+    ParquetSink.writePartitioned(observed, outDir, Seq("resource_type"))
+    // a provably-empty plan folds the CollectMetrics node away and the
+    // observation row comes back empty — read defensively, so that case
+    // lands in the zero-resources failure below instead of a lookup error
+    val m = obs.get
+    def metric(name: String): Long = m.get(name) match {
+      case Some(x: Long) => x
+      case _ => 0L
+    }
+    val metrics = Map(
+      "n_resources" -> metric("n_resources"),
+      "null_keys" -> metric("null_keys"))
+    require(metrics("n_resources") > 0, "load produced zero resources")
+    require(metrics("null_keys") == 0,
+      s"${metrics("null_keys")} resources with a null natural key")
+    metrics
+  }
+
   def run(spark: SparkSession, endpointsDir: String, outDir: String,
       studyIds: Seq[String],
       indexd: Option[DataFrame] = None,
@@ -104,7 +135,7 @@ object Cli {
     val endpoints = extract(spark, endpointsDir, studyIds)
     val result = Transform(endpoints)
     val resources = Pipeline.buildAllUnion(result, indexd, centerNames)
-    ParquetSink.writePartitioned(resources, outDir, Seq("resource_type"))
+    writeObserved(resources, outDir)
   }
 
   def main(args: Array[String]): Unit = {

@@ -90,4 +90,29 @@ class CliSpec extends AnyFunSuite {
     // the happy path on the same fixture still extracts
     assert(Cli.extract(spark, in, Seq("SD_1"))("studies").count() == 1)
   }
+
+  test("writeObserved: metrics ride the write action (Observation API), " +
+      "empty and null-key loads fail fast") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("obsw").toString + "/t"
+    val ok = Seq(
+      ("K1", "Patient", "{}"), ("K2", "Patient", "{}"), ("K3", "Group", "{}"))
+      .toDF("key", "resource_type", "resource_json")
+    val m = Cli.writeObserved(ok, out)
+    assert(m == Map("n_resources" -> 3L, "null_keys" -> 0L))
+    assert(spark.read.parquet(out).count() == 3)
+
+    val empty = ok.where(org.apache.spark.sql.functions.lit(false))
+    val e1 = intercept[IllegalArgumentException] {
+      Cli.writeObserved(empty, out + "2")
+    }
+    assert(e1.getMessage.contains("zero resources"))
+
+    val nullKey = Seq((null: String, "Patient", "{}"), ("K9", "Group", "{}"))
+      .toDF("key", "resource_type", "resource_json")
+    val e2 = intercept[IllegalArgumentException] {
+      Cli.writeObserved(nullKey, out + "3")
+    }
+    assert(e2.getMessage.contains("null natural key"))
+  }
 }
