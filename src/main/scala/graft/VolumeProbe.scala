@@ -136,7 +136,8 @@ object VolumeProbe {
     "st_warm_start", "x23_bpe_token_freq", "m6b_resize_bilinear",
     "m7_video_resize", "m8_audio_resample",
     "x25_lm_score", "x26_dsir_score", "n8_sq_quantize",
-    "x27_sliding_chunks", "tw_timebound_semi_join")
+    "x27_sliding_chunks", "tw_timebound_semi_join",
+    "x29_leakage_free_splits")
   // Round-11 rows: st_session_timeout (the TIMER path — batch gap-0
   // emits exactly one timer-flushed session per user; users disjoint
   // per replica → exact ×factor), x9b_pack_bpe (packing by REAL BPE
@@ -190,6 +191,11 @@ object VolumeProbe {
   // replica-disjoint → exact ×factor, and the at-most-once semantics
   // mean the count can never exceed the view count no matter how click
   // volume grows.
+  // x29_leakage_free_splits — one row per document → exact ×factor even
+  // though the near-dup graph genuinely MERGES across replicas (every
+  // clone family becomes one component): the output is per-doc, and
+  // merged components just mean whole clone families land in one split
+  // — which is exactly the leakage guarantee, stress-tested at volume.
   // n6's law is exact ×factor BY CONSTRUCTION, not just by closure:
   // seeds are the k lowest ids — replica 0's originals — and each
   // clone set contributes 10 identical copies to its cell's mean, so
