@@ -101,8 +101,11 @@ object Cli {
     * API: the metrics ride the write action itself, where a `.count()`
     * before the write would re-run the whole 16-builder cascade a
     * second time (the pipeline deliberately persists nothing — see
-    * Pipeline's do-not-redo notes). Fails fast on an empty load or a
-    * null natural key; returns the observed metrics for logging.
+    * Pipeline's do-not-redo notes). The write goes to a STAGING
+    * directory and is promoted to `outDir` only after the metrics
+    * validate — a failed load never publishes a dataset a
+    * presence-of-output consumer could mistake for success. Fails fast
+    * on an empty load or a null natural key; returns the metrics.
     */
   def writeObserved(resources: DataFrame, outDir: String): Map[String, Long] = {
     import org.apache.spark.sql.functions.{count, lit, sum, when}
@@ -110,22 +113,31 @@ object Cli {
     val observed = resources.observe(obs,
       count(lit(1)).as("n_resources"),
       sum(when(col("key").isNull, 1L).otherwise(0L)).as("null_keys"))
-    ParquetSink.writePartitioned(observed, outDir, Seq("resource_type"))
-    // a provably-empty plan folds the CollectMetrics node away and the
-    // observation row comes back empty — read defensively, so that case
-    // lands in the zero-resources failure below instead of a lookup error
-    val m = obs.get
-    def metric(name: String): Long = m.get(name) match {
-      case Some(x: Long) => x
-      case _ => 0L
-    }
-    val metrics = Map(
-      "n_resources" -> metric("n_resources"),
-      "null_keys" -> metric("null_keys"))
-    require(metrics("n_resources") > 0, "load produced zero resources")
-    require(metrics("null_keys") == 0,
-      s"${metrics("null_keys")} resources with a null natural key")
-    metrics
+    val out = new org.apache.hadoop.fs.Path(outDir)
+    val fs = out.getFileSystem(resources.sparkSession.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(outDir + ".staging")
+    fs.delete(staging, true)
+    try {
+      ParquetSink.writePartitioned(observed, staging.toString, Seq("resource_type"))
+      // a provably-empty plan folds the CollectMetrics node away and the
+      // observation row comes back empty — read defensively, so that case
+      // lands in the zero-resources failure below instead of a lookup error
+      val m = obs.get
+      def metric(name: String): Long = m.get(name) match {
+        case Some(x: Long) => x
+        case _ => 0L
+      }
+      val metrics = Map(
+        "n_resources" -> metric("n_resources"),
+        "null_keys" -> metric("null_keys"))
+      require(metrics("n_resources") > 0, "load produced zero resources")
+      require(metrics("null_keys") == 0,
+        s"${metrics("null_keys")} resources with a null natural key")
+      fs.delete(out, true)
+      require(fs.rename(staging, out),
+        s"could not promote validated load into $outDir")
+      metrics
+    } finally fs.delete(staging, true) // no-op after a successful promote
   }
 
   def run(spark: SparkSession, endpointsDir: String, outDir: String,

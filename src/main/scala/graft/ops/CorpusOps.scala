@@ -711,15 +711,9 @@ object CorpusOps {
     val uni = trainToks.groupBy("token").agg(count(lit(1)).as("c1"))
     val total = trainToks.agg(count(lit(1)).as("n"))
 
-    def pairsOf(df: DataFrame, extra: Seq[Column]): DataFrame = {
-      val a = toks
-      val n1 = greatest(size(a) - 1, lit(0))
-      val pairs = zip_with(
-        slice(a, lit(1), n1), slice(a, lit(2), n1),
-        (x, y) => struct(x.as("w1"), y.as("w2")))
-      df.select(extra :+ explode(pairs).as("p"): _*)
+    def pairsOf(df: DataFrame, extra: Seq[Column]): DataFrame =
+      df.select(extra :+ explode(TextOps.adjacentPairs(col(textCol))).as("p"): _*)
         .select(extra.map(c => c) :+ col("p.w1") :+ col("p.w2"): _*)
-    }
 
     // vocabulary-sized model tables, fully pre-joined
     val big = pairsOf(train, Nil)
@@ -882,14 +876,10 @@ object CorpusOps {
   def pmiCollocations(docs: DataFrame, textCol: String, k: Int,
       minCount: Long = 5L): DataFrame = {
     val a = TextOps.tokens(col(textCol))
-    val n1 = greatest(size(a) - 1, lit(0))
-    val pairs = zip_with(
-      slice(a, lit(1), n1), slice(a, lit(2), n1),
-      (x, y) => struct(x.as("w1"), y.as("w2")))
     val toks = docs.select(explode(a).as("w"))
     val uni = toks.groupBy("w").agg(count(lit(1)).as("c"))
     val total = toks.agg(count(lit(1)).as("n"))
-    val big = docs.select(explode(pairs).as("p"))
+    val big = docs.select(explode(TextOps.adjacentPairs(col(textCol))).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
       .where(col("cb") >= minCount)

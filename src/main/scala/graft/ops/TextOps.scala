@@ -56,6 +56,19 @@ object TextOps {
       .otherwise(lit(0L))
   }
 
+  /** Adjacent token pairs as array<struct<w1, w2>> built NARROWLY
+    * inside the token array (`zip_with` over two shifted slices) — the
+    * shared bigram idiom of the LM-scoring / PMI / bigram-count family
+    * (one definition, so the Spark sides of those oracles can never
+    * drift apart). Empty array for docs with < 2 tokens.
+    */
+  def adjacentPairs(text: Column): Column = {
+    val a = tokens(text)
+    val n1 = greatest(size(a) - 1, lit(0))
+    zip_with(slice(a, lit(1), n1), slice(a, lit(2), n1),
+      (x, y) => struct(x.as("w1"), y.as("w2")))
+  }
+
   /** Word n-gram shingles; empty array when the doc has fewer than n
     * tokens. Native fused expression ([[graft.functions.ShinglesText]]):
     * tokenize once, one pass — the composed form below re-slices the

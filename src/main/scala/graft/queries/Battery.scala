@@ -2833,6 +2833,8 @@ object Battery {
   private val x15BigramCounts = Q(
     "x15_bigram_counts",
     (s, d) => {
+      // inline twin of TextOps.adjacentPairs (concat form, kept next to
+      // its oracle); the LM/PMI family shares the struct-form helper
       val a = graft.ops.TextOps.tokens(col("text"))
       val n1 = greatest(size(a) - 1, lit(0))
       val pairs = zip_with(

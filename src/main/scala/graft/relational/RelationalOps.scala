@@ -263,6 +263,12 @@ object RelationalOps {
       val pruned = big.where(exprCol(BloomFilterMightContain(
         Literal(blob, org.apache.spark.sql.types.BinaryType),
         hash(col(s"`$key`")))))
+      // the x21 trade (see contaminationHitsBloom): unpersist EAGERLY
+      // once the two driver consumers (count + blob) are done — the
+      // lazy join re-derives the small side's keys when the caller
+      // materializes the result (one extra scan of the SMALL side),
+      // which beats cached blocks accumulating across invocations in a
+      // long-lived session
       if (joinType == "left_semi") pruned.join(keys, Seq(key), "left_semi")
       else pruned.join(small, Seq(key))
     } finally keys.unpersist(blocking = false)

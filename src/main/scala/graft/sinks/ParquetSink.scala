@@ -60,19 +60,25 @@ object ParquetSink {
     * continuously-ingested 100 TB dataset needs: streaming/incremental
     * writers accumulate thousands of KB-sized part files whose open/seek
     * overhead eventually dominates scans (and whose footers bloat driver
-    * planning). Rewrites the dataset into ~`targetBytes` files (sized
-    * from the LISTING, no data pass), preserving content and the
-    * `partitionCols` directory layout, via write-to-tmp + directory
-    * swap — the source stays intact until the rewrite has fully
-    * committed, so a mid-compaction crash leaves either the old or the
-    * new layout, never a mix. Returns (files before, files after) for
-    * observability.
+    * planning). Rewrites the dataset into ~`targetBytes` files,
+    * preserving content and the `partitionCols` directory layout, via
+    * write-to-tmp + a two-rename directory swap: the source stays
+    * intact until the rewrite has fully committed. A crash BETWEEN the
+    * two renames leaves the data staged at `path + ".compact_old"` —
+    * never deleted until the promote succeeds, so it is recoverable by
+    * a single rename — and this method attempts that rollback itself if
+    * the promote fails. (A filesystem with atomic directory rename has
+    * no stronger primitive for an in-place swap; readers racing the
+    * swap window should read through a catalog or retry.)
     *
-    * For partitioned data the rewrite routes through
-    * [[writePartitioned]]'s repartition-on-partition-columns (one
-    * writer task per partition dir); for flat data a `coalesce` to the
-    * byte-derived file count — coalesce, not repartition: compaction
-    * should not pay a shuffle to merge files.
+    * Sizing uses the LISTING for bytes and the parquet FOOTERS for the
+    * row count (a `count()` over parquet is metadata-only — no data
+    * pass): flat data `coalesce`s to the byte-derived file count
+    * (coalesce, not repartition — compaction should not pay a shuffle
+    * to merge files); partitioned data routes through
+    * [[writePartitioned]] with `maxRecordsPerFile` derived from the
+    * observed bytes/row, so `targetBytes` bounds file size in BOTH
+    * layouts. Returns (files before, files after).
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
       partitionCols: Seq[String] = Nil,
@@ -96,14 +102,27 @@ object ParquetSink {
     val df = spark.read.parquet(path)
     val tmp = new Path(path + ".compact_tmp")
     fs.delete(tmp, true)
-    if (partitionCols.nonEmpty)
-      writePartitioned(df, tmp.toString, partitionCols)
-    else
+    if (partitionCols.nonEmpty) {
+      // footer-only count -> average row width -> records per file that
+      // approximates targetBytes within each partition directory
+      val totalRows = df.count()
+      val recordsPerFile =
+        if (totalRows == 0L || totalBytes == 0L) 5000000L
+        else math.max(1L, targetBytes / math.max(1L, totalBytes / totalRows))
+      writePartitioned(df, tmp.toString, partitionCols, recordsPerFile)
+    } else
       df.coalesce(nFiles).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val old = new Path(path + ".compact_old")
     fs.delete(old, true)
     require(fs.rename(p, old), s"compact: could not stage $path aside")
-    require(fs.rename(tmp, p), s"compact: could not promote rewrite into $path")
+    if (!fs.rename(tmp, p)) {
+      // promote failed: put the original back before failing loudly
+      val rolledBack = fs.rename(old, p)
+      throw new IllegalStateException(
+        s"compact: could not promote rewrite into $path" +
+          (if (rolledBack) " (original restored)"
+           else s" AND rollback failed — data is staged at $old"))
+    }
     fs.delete(old, true)
     (before.size.toLong, dataFiles().size.toLong)
   }

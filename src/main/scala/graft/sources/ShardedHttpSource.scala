@@ -165,6 +165,10 @@ private[sources] class ShardedHttpMicroBatchStream(readSchema: StructType,
     }.mkString
     val conn = new java.net.URL(s"$url?counts=true&shards=$shards$extra")
       .openConnection().asInstanceOf[java.net.HttpURLConnection]
+    // same timeouts as the data reader: a stalled server must error the
+    // trigger thread, not hang the streaming driver forever
+    conn.setConnectTimeout(10000)
+    conn.setReadTimeout(60000)
     try {
       require(conn.getResponseCode == 200,
         s"sharded-http counts probe -> ${conn.getResponseCode}")
@@ -275,8 +279,10 @@ private[sources] class ShardedHttpReader(readSchema: StructType, url: String,
   }
 
   override def next(): Boolean = {
+    // the consumed check also guards against a server that ignores the
+    // limit parameter: a micro-batch must never overrun its row cap
     while (!page.hasNext && !exhausted) fetchPage()
-    if (page.hasNext) {
+    if (page.hasNext && consumed < maxRows) {
       current = toRow(mapper.readTree(page.next()))
       consumed += 1
       true

@@ -507,9 +507,16 @@ class PlanQualitySpec extends AnyFunSuite {
 
   test("bloom-pruned join filters the big side with a might_contain " +
       "literal BELOW the join") {
-    val p = plan("j18_bloom_pruned_join")
-    assert(p.contains("might_contain"), s"no bloom pre-filter:\n$p")
-    val filterLine = p.linesIterator.indexWhere(_.contains("might_contain"))
-    assert(filterLine >= 0, s"no might_contain line:\n$p")
+    // simpleString tree: children print below their parent, conditions
+    // inline — so the pre-filter's line must come AFTER the join's
+    val p = SparkEntry.queries("j18_bloom_pruned_join")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val lines = p.linesIterator.toVector
+    val joinLine = lines.indexWhere(_.contains("Join"))
+    val filterLine = lines.indexWhere(l =>
+      l.contains("might_contain") && l.contains("Filter"))
+    assert(joinLine >= 0, s"no join in plan:\n$p")
+    assert(filterLine > joinLine,
+      s"bloom pre-filter not below the join (filter@$filterLine, join@$joinLine):\n$p")
   }
 }
