@@ -251,8 +251,16 @@ object VolumeProbe {
         .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
     }
 
+    // SPARK_GRAFT_PROBE_ONLY=a,b,c restricts the sweep — the isolation
+    // knob for adjudicating whether a slow row is the plan or the
+    // 37-queries-in-one-6GB-JVM cache/GC pressure it ran under.
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY").map(_.split(",").toSet)
+    only.foreach { names =>
+      val unknown = names -- headline.toSet
+      require(unknown.isEmpty, s"unknown probe name(s): ${unknown.toSeq.sorted}")
+    }
     var failed = 0
-    for (name <- headline) {
+    for (name <- headline if only.forall(_.contains(name))) {
       val fn = SparkEntry.queries(name)
       // the base (1×) pass runs OUTSIDE the timer: `sec` is the
       // inflated run alone

@@ -841,15 +841,34 @@ object CorpusOps {
     */
   def leakageFreeSplits(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, threshold: Double,
-      testFrac: Double, valFrac: Double): DataFrame = {
+      testFrac: Double, valFrac: Double,
+      pairGen: String = "ppjoin"): DataFrame = {
     require(testFrac >= 0 && valFrac >= 0 && testFrac + valFrac < 1,
       "need testFrac, valFrac >= 0 with testFrac + valFrac < 1")
+    require(Set("ppjoin", "minhash")(pairGen),
+      s"pairGen must be 'ppjoin' or 'minhash', got '$pairGen'")
     def thr(f: Double): String = {
       val t = math.round(f * 65536)
       if (t >= 65536) "g" else f"$t%04x"
     }
-    val pairs = DedupOps.ngramJaccardPairs(
-      docs, idCol, textCol, shingleN, threshold)
+    // Both generators emit exact-Jaccard-verified (doc_a, doc_b) pairs;
+    // they differ only in CANDIDATE generation. 'ppjoin' (default, the
+    // oracle-pinned form) verifies every prefix-bucket candidate —
+    // exhaustive, but clone-quadratic on heavily duplicated corpora.
+    // 'minhash' verifies only banded-LSH collisions — the 100 TB
+    // posture: recall < 1 on pairs barely above threshold, but the
+    // clusters that MATTER for leakage (high-overlap families) collide
+    // in some band with overwhelming probability, at a fraction of the
+    // candidate volume (see SCALE_PROBE.md, x29 note).
+    val pairs =
+      if (pairGen == "minhash")
+        DedupOps.nearDupPairs(
+          DedupOps.minhashBands(docs, idCol, textCol, shingleN,
+            k = 8, rowsPerBand = 2),
+          nBands = 4, threshold = threshold)
+        .select(col("doc_a"), col("doc_b"))
+      else DedupOps.ngramJaccardPairs(
+        docs, idCol, textCol, shingleN, threshold)
     val comps = DedupOps.connectedComponents(
       docs.select(col(idCol)), idCol, pairs, "doc_a", "doc_b")
     val h = substring(md5(col("cluster").cast("string")), 1, 4)

@@ -182,6 +182,69 @@ object DedupOps {
       .where(col("jaccard") >= threshold)
   }
 
+  /** All strings reachable from `p` by deleting UP TO `k` characters
+    * (including `p` itself), distinct. Pure nested array expressions —
+    * narrow, codegen-eligible, no shuffle. Neighborhood size is
+    * O(len^k) per row, which is why [[editDistanceJoin]] caps k at 2
+    * and callers key on a bounded-length prefix, not whole documents.
+    */
+  private[graft] def deletionNeighborhood(p: Column, k: Int): Column = {
+    require(k >= 1 && k <= 2, s"deletion neighborhood only for k in 1..2, got $k")
+    // delete the character at 0-based index i; the `when` guard keeps
+    // sequence() from producing a descending [0, -1] range on ''.
+    def del1(x: Column): Column = when(length(x) > 0,
+      transform(sequence(lit(0), length(x) - 1),
+        i => concat(x.substr(lit(1), i), x.substr(i + lit(2), length(x)))))
+      .otherwise(array().cast("array<string>"))
+    val d1 = del1(p)
+    val tiers =
+      if (k == 1) array(p) +: Seq(d1)
+      else array(p) +: Seq(d1, flatten(transform(d1, v => del1(v))))
+    array_distinct(concat(tiers: _*))
+  }
+
+  /** Edit-distance similarity self-join: all pairs with
+    * levenshtein(a, b) <= maxDist, via SymSpell deletion-neighborhood
+    * candidates. If ed(a, b) = d <= k then an optimal alignment has
+    * s substitutions + da deletions-from-a + db deletions-from-b with
+    * s+da+db = d; deleting the substituted+deleted positions from each
+    * side reaches the SAME copied subsequence with s+da <= k and
+    * s+db <= k deletions respectively — so every qualifying pair shares
+    * at least one exact variant and candidate generation NEVER misses
+    * (the converse over-generates, which the exact verify then rejects).
+    *
+    * Scale: signatures are a narrow per-row explode (O(len^k) rows,
+    * each reduced to a 64-bit xxhash so the shuffle carries 8-byte
+    * keys, not substrings); candidates come from ONE equi-join on the
+    * variant hash with a |len| <= k band prune, distinct'd BEFORE the
+    * two id-equi-joins that fetch strings, so the exact verify
+    * (threshold-bounded levenshtein, O(k * min-len) per pair) runs once
+    * per candidate pair — never corpus-quadratic, bucket-quadratic only
+    * where near-clones cluster (the d2b property). A 64-bit hash
+    * collision can only ADD a candidate, which verify rejects.
+    */
+  def editDistanceJoin(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2, s"maxDist in 1..2, got $maxDist")
+    val base = df.select(col(idCol).as("id"), col(textCol).as("p"))
+      .where(col("p").isNotNull)
+    val sigs = base.select(col("id"), length(col("p")).as("plen"),
+      explode(deletionNeighborhood(col("p"), maxDist)).as("v"))
+      .select(col("id"), col("plen"), xxhash64(col("v")).as("h"))
+    val cand = sigs.select(col("h"), col("id").as("doc_a"), col("plen").as("la"))
+      .join(sigs.select(col("h"), col("id").as("doc_b"), col("plen").as("lb")),
+        Seq("h"))
+      .where(col("doc_a") < col("doc_b") &&
+        abs(col("la") - col("lb")) <= maxDist)
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(base.select(col("id").as("doc_a"), col("p").as("pa")), Seq("doc_a"))
+      .join(base.select(col("id").as("doc_b"), col("p").as("pb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("pa"), col("pb"), maxDist).as("dist"))
+      .where(col("dist") >= 0 && col("dist") <= maxDist)
+  }
+
   /** 16-bit SimHash over token md5s: per bit b, majority vote of
     * (hash bit ? +1 : -1) across all token occurrences; bit set iff the
     * sum is positive. Native fused expression (one codegen'd pass, one

@@ -199,6 +199,51 @@ object Battery {
            |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
            |WHERE o_totalprice > 400000.0""".stripMargin))
 
+  /** SCD Type-2 merge ([[graft.relational.RelationalOps.scd2Merge]]):
+    * orders as the current-version history, a deterministic delta
+    * (every 7th key re-stated 30 days later, half of them no-op
+    * restatements of the same status) applied as close-and-append.
+    * Exercises all three legs — kept-open (unchanged + no-op delta),
+    * closed prior versions, and newly opened versions. The oracle
+    * replays the same change detection with a left join (delta ⊆ base
+    * here; the Spark op joins full-outer for the general insert case).
+    */
+  private val j19Scd2Merge = Q(
+    "j19_scd2_merge",
+    (s, d) => {
+      val o = T.orders(s, d)
+      val base = o.select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate").as("valid_from"),
+        lit(null).cast("timestamp").as("valid_to"))
+      val delta = o.where(col("o_orderkey") % 7 === 0).select(
+        col("o_orderkey"),
+        when(col("o_orderkey") % 14 === 0, col("o_orderstatus"))
+          .otherwise(lit("X")).as("o_orderstatus"),
+        col("o_totalprice"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAY")).as("eff"))
+      graft.relational.RelationalOps.scd2Merge(
+        base, delta, Seq("o_orderkey"), "eff")
+    },
+    Some("""WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice,
+           |    o_orderdate AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to FROM orders),
+           |delta AS (SELECT o_orderkey,
+           |    CASE WHEN o_orderkey % 14 = 0 THEN o_orderstatus ELSE 'X' END AS d_status,
+           |    o_totalprice AS d_price, o_orderdate + INTERVAL 30 DAY AS eff
+           |  FROM orders WHERE o_orderkey % 7 = 0),
+           |j AS (SELECT b.*, d.d_status, d.d_price, d.eff,
+           |    d.eff IS NOT NULL AND (b.o_orderstatus IS DISTINCT FROM d.d_status
+           |      OR b.o_totalprice IS DISTINCT FROM d.d_price) AS changed
+           |  FROM base b LEFT JOIN delta d ON b.o_orderkey = d.o_orderkey)
+           |SELECT o_orderkey, o_orderstatus, o_totalprice, valid_from, valid_to
+           |  FROM j WHERE NOT changed
+           |UNION ALL
+           |SELECT o_orderkey, o_orderstatus, o_totalprice, valid_from, eff AS valid_to
+           |  FROM j WHERE changed
+           |UNION ALL
+           |SELECT o_orderkey, d_status AS o_orderstatus, d_price AS o_totalprice,
+           |    eff AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to
+           |  FROM j WHERE changed""".stripMargin))
+
   /** J13/F7 — broadcast code-system dictionary lookup with and without
     * default (patient.py:12-115, family.py:78).
     */
@@ -582,6 +627,36 @@ object Battery {
            |  FROM orders GROUP BY 1)
            |SELECT day, COALESCE(n_orders, 0) AS n_orders
            |FROM spine LEFT JOIN daily USING (day)""".stripMargin))
+
+  /** Batch gap-sessionization of the event stream
+    * ([[graft.relational.RelationalOps.sessionize]], 30-minute gap) +
+    * per-session rollup — the batch twin of `tw_session_window`'s
+    * streaming `session_window` path. One shuffle on user_id; the
+    * boundary flag and the running session counter share one sort.
+    */
+  private val g2Sessionize = Q(
+    "g2_sessionize",
+    (s, d) => {
+      val sess = sessionize(T.events(s, d), Seq("user_id"), "ts",
+        gapSeconds = 1800L, orderCols = Seq("ts", "event_id"))
+      sess.groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          decSum(col("value")).as("total_value"))
+    },
+    Some("""WITH o AS (SELECT user_id, ts, event_id, value,
+           |    CASE WHEN lag(ts) OVER w IS NULL
+           |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+           |         THEN 1 ELSE 0 END AS is_new
+           |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |s AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
+           |        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+           |      FROM o)
+           |SELECT user_id, session_seq, count(*) AS n_events,
+           |  min(ts) AS session_start, max(ts) AS session_end,
+           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           |FROM s GROUP BY user_id, session_seq""".stripMargin))
 
   /** Date/time scalar functions over the event stream: truncation,
     * field extraction, interval arithmetic, epoch (engine surface —
@@ -1591,6 +1666,27 @@ object Battery {
            |  CAST(count(*) FILTER (NOT is_cut) AS BIGINT) AS n_kept,
            |  CAST(count(*) FILTER (is_cut) AS BIGINT) AS n_cut
            |FROM k GROUP BY doc_id""".stripMargin))
+
+  /** Edit-distance similarity join over 40-char document prefixes
+    * ([[graft.ops.DedupOps.editDistanceJoin]], SymSpell
+    * deletion-neighborhood candidates + threshold-bounded levenshtein
+    * verify). The oracle brute-forces the same predicate — safe at
+    * sf0.01 (500 docs), which is exactly why the Spark side must NOT:
+    * its candidates come from an equi-join on variant hashes.
+    */
+  private val d10EditDistance = Q(
+    "d10_edit_distance_join",
+    (s, d) => graft.ops.DedupOps.editDistanceJoin(
+      T.documents(s, d).select(col("doc_id"),
+        substring(col("text"), 1, 40).as("prefix")),
+      "doc_id", "prefix", maxDist = 2)
+      .select(col("doc_a"), col("doc_b"), col("dist").cast("long").as("dist")),
+    Some("""WITH p AS (SELECT doc_id, substr(text, 1, 40) AS pf FROM documents)
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  CAST(levenshtein(a.pf, b.pf) AS BIGINT) AS dist
+           |FROM p a JOIN p b ON a.doc_id < b.doc_id
+           |WHERE abs(length(a.pf) - length(b.pf)) <= 2
+           |  AND levenshtein(a.pf, b.pf) <= 2""".stripMargin))
 
   /** The curation pipeline end-to-end
     * ([[graft.ops.CorpusOps.curate]]) — the LLM-data twin of
@@ -4102,14 +4198,14 @@ object Battery {
   val all: Seq[Q] = Seq(
     s1PointScan, s3Crawl, p2Rename, p6Clean, p8HashSample,
     j1Outer, jChain, j8Composite, jNullKey, j13Codes, j14Asof, j15Range,
-    j16NullSafe, j17Anti, j18BloomPruned,
+    j16NullSafe, j17Anti, j18BloomPruned, j19Scd2Merge,
     a1Collect, a2Collect, a5Dedup, a6Rollup, a7Cube, a13GroupingSets,
     a8ApproxDistinct,
     a11Percentile, a12ApproxPercentile, a14WindowedPercentile, a15CorrCovar,
     q1Agg, q3Sql,
     w1Window, w2Analytic, w3TopKPerGroup, w4RangeFrame, a9Pivot, a10Unpivot,
     topK, setOps,
-    f6Datetime, g1DateSpine,
+    f6Datetime, g1DateSpine, g2Sessionize,
     fScalar, f5Cast, f9MapExplode, f12Json, f13ArrayOps,
     twTumbling, twSliding, twSession, twChainedWindows,
     twDedupWatermark, twDedupLateBoundary, twJoinBound, twJoinBoundLeft,
@@ -4123,6 +4219,7 @@ object Battery {
     m6bResizeBilinear, m7VideoResize, m8AudioResample,
     d2MinhashBands, d2bNearDupPairs, d3Simhash, d7SimhashPairs, d4NgramJaccard,
     d5DedupClusters, d6DedupCorpus, d8DupSpans, d9DupSpanCut,
+    d10EditDistance,
     x2LangId, x3Fingerprint, x3bRolling, x4Quality, x5TokenFreq,
     x7Repetition, x8Decontaminate, x9PackSequences, x9bPackBpe, x10Redact,
     x22BpeEncode,

@@ -310,4 +310,93 @@ object RelationalOps {
         (acc.bitwiseOR(shiftleft(acc, shift))).bitwiseAND(lit(mask))
     }
   }
+
+  /** Batch gap-sessionization: assign every row a per-key `session_seq`
+    * (1-based) where a new session starts whenever the gap to the
+    * previous row of the same key exceeds `gapSeconds` (strict `>`,
+    * micros precision — the batch twin of the streaming
+    * `session_window(gap)` path in [[graft.streaming.Streaming]]).
+    *
+    * Scale: exactly ONE shuffle on `keyCols`, then two window passes
+    * over the same (key, order) sort — Catalyst collapses them into a
+    * single sort + two running computations, no second exchange. No
+    * global window, no driver state; a key's history must fit one
+    * executor's spill budget (the same contract every per-key window in
+    * this engine carries). `orderCols` MUST end in a unique tiebreak
+    * column: boundaries only depend on `tsCol`, but downstream per-row
+    * consumers (and the oracle) need a deterministic total order.
+    */
+  def sessionize(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      gapSeconds: Long, orderCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(gapSeconds > 0, s"gapSeconds must be positive: $gapSeconds")
+    require(orderCols.nonEmpty, "sessionize needs an explicit order")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val prevTs = lag(unix_micros(col(tsCol)), 1).over(w)
+    val isNew = when(
+      prevTs.isNull ||
+        unix_micros(col(tsCol)) - prevTs > gapSeconds * 1000000L,
+      1L).otherwise(0L)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("session_seq", sum(isNew).over(wRun))
+  }
+
+  /** SCD Type-2 merge: apply a `delta` of new facts to a slowly-changing
+    * history table. `base` rows with `valid_to IS NULL` are the current
+    * versions; a delta row whose payload DIFFERS from the current
+    * version closes it (`valid_to` := the delta's `effectiveCol`) and
+    * appends a new open version; an identical payload is a no-op; a key
+    * with no current version inserts a fresh open row. Closed history
+    * rows pass through untouched.
+    *
+    * Columns: `base` = keys ++ payload ++ (valid_from, valid_to);
+    * `delta` = keys ++ payload ++ effectiveCol. `delta` must be unique
+    * per key (pre-aggregate a multi-version delta to its latest first).
+    *
+    * Scale: every comparison is an equi-join on `keys` — current-vs-delta
+    * change detection is ONE full-outer join, and the three output
+    * legs (kept-open, closed, new-version) are projections of that same
+    * join, so the whole merge is one shuffle of each input plus the
+    * closed-history pass-through (a filter, no shuffle). At 100 TB the
+    * delta is typically orders of magnitude smaller than the base and
+    * AQE broadcasts it; payload equality uses null-safe `<=>` so a null
+    * attribute never reads as a perpetual change.
+    */
+  def scd2Merge(base: DataFrame, delta: DataFrame, keys: Seq[String],
+      effectiveCol: String): DataFrame = {
+    val payload = base.columns.toSeq
+      .filterNot(keys.contains).filterNot(Seq("valid_from", "valid_to").contains)
+    require(delta.columns.toSeq.sorted == (keys ++ payload :+ effectiveCol).sorted,
+      s"delta columns ${delta.columns.toSeq.sorted} != keys+payload+$effectiveCol")
+    val history = base.filter(col("valid_to").isNotNull)
+    val current = base.filter(col("valid_to").isNull)
+    val d = delta.select(
+      keys.map(col) ++ payload.map(c => col(c).as(s"__d_$c")) :+
+        col(effectiveCol).as("__d_eff"): _*)
+    // One full-outer join carries all three legs; AQE broadcasts a
+    // small delta. __in_delta/__in_base flags survive the outer join
+    // where key columns alone could not distinguish legs under nulls.
+    val j = current.withColumn("__in_base", lit(true))
+      .join(d.withColumn("__in_delta", lit(true)), keys, "full_outer")
+    // the flags are NULL (not false) on the outer join's missing side
+    val inBase = coalesce(col("__in_base"), lit(false))
+    val inDelta = coalesce(col("__in_delta"), lit(false))
+    val changed = inDelta && (!inBase ||
+      payload.map(c => !(col(c) <=> col(s"__d_$c"))).reduce(_ || _))
+    val baseCols = base.columns.toSeq
+    val keptOpen = j.filter(inBase && !changed)
+      .select(baseCols.map(col): _*)
+    val closed = j.filter(inBase && changed)
+      .select(baseCols.filterNot(_ == "valid_to").map(col) :+
+        col("__d_eff").cast(base.schema("valid_to").dataType).as("valid_to"): _*)
+      .select(baseCols.map(col): _*)
+    val opened = j.filter(changed)
+      .select(keys.map(col) ++ payload.map(c => col(s"__d_$c").as(c)) ++ Seq(
+        col("__d_eff").cast(base.schema("valid_from").dataType).as("valid_from"),
+        lit(null).cast(base.schema("valid_to").dataType).as("valid_to")): _*)
+      .select(baseCols.map(col): _*)
+    history.select(baseCols.map(col): _*)
+      .unionByName(keptOpen).unionByName(closed).unionByName(opened)
+  }
 }

@@ -567,6 +567,36 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
   }
 
+  test("leakageFreeSplits(minhash): leakage-free against its OWN pair graph, " +
+      "and identical to the ppjoin splits on the real corpus") {
+    import org.apache.spark.sql.functions.col
+    val real = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val mh = CorpusOps.leakageFreeSplits(real, "doc_id", "text",
+      shingleN = 3, threshold = 0.5, testFrac = 0.1, valFrac = 0.1,
+      pairGen = "minhash")
+    // the law the generator must uphold regardless of recall: no pair
+    // IT found may straddle splits
+    val mhPairs = DedupOps.nearDupPairs(
+      DedupOps.minhashBands(real, "doc_id", "text", 3, k = 8, rowsPerBand = 2),
+      nBands = 4, threshold = 0.5)
+    val straddling = mhPairs
+      .join(mh.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+      .join(mh.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+      .where(col("sa") =!= col("sb")).count()
+    assert(straddling == 0L, s"$straddling minhash pairs straddle splits")
+    // on this corpus the banded-LSH graph recovers the same components,
+    // so the split assignment is byte-identical to the exact generator
+    val pp = CorpusOps.leakageFreeSplits(real, "doc_id", "text",
+      shingleN = 3, threshold = 0.5, testFrac = 0.1, valFrac = 0.1)
+    val diff = mh.select(col("doc_id"), col("cluster"), col("split"))
+      .exceptAll(pp.select(col("doc_id"), col("cluster"), col("split"))).count()
+    assert(diff == 0L, s"$diff rows differ between minhash and ppjoin splits")
+    intercept[IllegalArgumentException] {
+      CorpusOps.leakageFreeSplits(real, "doc_id", "text", 3, 0.5, 0.1, 0.1,
+        pairGen = "simhash")
+    }
+  }
+
   test("pmiCollocations: hand-derived integer scores, minCount filter, " +
       "deterministic top-k order") {
     val docs = Seq(

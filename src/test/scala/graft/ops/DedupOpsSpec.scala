@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.etl.SparkTestSession
@@ -215,5 +216,64 @@ class DedupOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       DedupOps.connectedComponents(nodes, "id", pairs, "a", "b", maxIter = 2)
     }
+  }
+
+  test("deletionNeighborhood enumerates exactly the <=k-deletion variants") {
+    val got1 = Seq(Tuple1("abc")).toDF("p")
+      .select(DedupOps.deletionNeighborhood(col("p"), 1).as("n"))
+      .collect().head.getSeq[String](0).toSet
+    assert(got1 == Set("abc", "bc", "ac", "ab"))
+    val got2 = Seq(Tuple1("abc")).toDF("p")
+      .select(DedupOps.deletionNeighborhood(col("p"), 2).as("n"))
+      .collect().head.getSeq[String](0).toSet
+    assert(got2 == Set("abc", "bc", "ac", "ab", "a", "b", "c"))
+    // empty string: neighborhood is just itself (no descending-range trap)
+    val gotE = Seq(Tuple1("")).toDF("p")
+      .select(DedupOps.deletionNeighborhood(col("p"), 2).as("n"))
+      .collect().head.getSeq[String](0).toSet
+    assert(gotE == Set(""))
+  }
+
+  test("editDistanceJoin finds exactly the brute-force levenshtein pairs") {
+    // seed strings + controlled mutations: substitution, deletion,
+    // insertion, double edits, and an ed-3 decoy that must NOT appear
+    val strs = Seq(
+      1L -> "the quick brown fox jumps",
+      2L -> "the quick brown fox jumps",   // ed 0 to 1
+      3L -> "the quick brawn fox jumps",   // ed 1 (sub)
+      4L -> "the quick brown fox jump",    // ed 1 (del)
+      5L -> "the quick browwn fox jumps",  // ed 1 (ins)
+      6L -> "the quack brawn fox jumps",   // ed 2 from 1
+      7L -> "the quack brawn fox jump",    // ed 3 from 1 (excluded vs 1)
+      8L -> "completely different string",
+      9L -> "xyz",
+      10L -> "xy")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expected = (for {
+      (ia, sa) <- strs; (ib, sb) <- strs if ia < ib
+      dd = lev(sa, sb) if dd <= 2
+    } yield (ia, ib, dd)).toSet
+    assert(expected.nonEmpty && expected.exists(_._3 == 2),
+      "fixture must exercise dist 0, 1 and 2")
+    val got = DedupOps.editDistanceJoin(
+        strs.toDF("doc_id", "p"), "doc_id", "p", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected)
+    assert(!got.exists(p => p._1 == 1L && p._2 == 7L), "ed-3 decoy leaked in")
+  }
+
+  test("editDistanceJoin k=1 is the k<=1 subset") {
+    val strs = Seq(1L -> "abcd", 2L -> "abed", 3L -> "abef", 4L -> "abcd")
+    val got = DedupOps.editDistanceJoin(
+        strs.toDF("doc_id", "p"), "doc_id", "p", maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 2L, 1), (2L, 3L, 1), (1L, 4L, 0), (2L, 4L, 1)))
   }
 }

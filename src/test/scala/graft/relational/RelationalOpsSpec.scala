@@ -202,4 +202,83 @@ class RelationalOpsSpec extends AnyFunSuite {
       .collect().map(_.getInt(0)).toSeq
     assert(bs == Seq(0, 0, 8, 15, 15))
   }
+
+  test("sessionize splits on strict gap > gapSeconds, per key") {
+    // user 10: 0s, 600s (same session), 2401s (gap 1801 > 1800 -> new),
+    //          4201s (gap exactly 1800 -> SAME session, strict >)
+    // user 20: one event
+    val ev = Seq(
+      (1L, 10L, 0L), (2L, 10L, 600L), (3L, 10L, 2401L), (4L, 10L, 4201L),
+      (5L, 20L, 50L)
+    ).toDF("event_id", "user_id", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    val got = RelationalOps
+      .sessionize(ev, Seq("user_id"), "ts", 1800L, Seq("ts", "event_id"))
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("session_seq"))
+      .toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
+  }
+
+  test("sessionize matches a sequential reference on random data") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 400).map(i =>
+      (i.toLong, (rnd.nextInt(6) + 1).toLong, rnd.nextInt(20000).toLong))
+    val ev = rows.toDF("event_id", "user_id", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    val expected = rows.groupBy(_._2).flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (e._3, e._1))
+      var seq = 0L; var prev = Long.MinValue
+      sorted.map { case (id, _, sec) =>
+        if (prev == Long.MinValue || sec - prev > 1800L) seq += 1
+        prev = sec
+        id -> seq
+      }
+    }.toMap
+    val got = RelationalOps
+      .sessionize(ev, Seq("user_id"), "ts", 1800L, Seq("ts", "event_id"))
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("session_seq"))
+      .toMap
+    assert(got == expected)
+  }
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("scd2Merge: change closes + opens, no-op keeps, insert opens, history passes through") {
+    val base = Seq(
+      // key 1: one closed version + a current one (history must pass through)
+      (1L, "A", ts("2020-01-01 00:00:00"), Option(ts("2020-06-01 00:00:00"))),
+      (1L, "B", ts("2020-06-01 00:00:00"), None),
+      // key 2: current only, delta restates identical payload -> no-op
+      (2L, "C", ts("2020-01-01 00:00:00"), None),
+      // key 4: current only, no delta -> untouched
+      (4L, "D", ts("2020-01-01 00:00:00"), None)
+    ).toDF("k", "v", "valid_from", "valid_to")
+    val delta = Seq(
+      (1L, "B2", ts("2021-01-01 00:00:00")), // change
+      (2L, "C", ts("2021-01-01 00:00:00")),  // no-op restatement
+      (3L, "N", ts("2021-01-01 00:00:00"))   // brand-new key
+    ).toDF("k", "v", "eff")
+    val got = RelationalOps.scd2Merge(base, delta, Seq("k"), "eff")
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v"),
+        r.getAs[java.sql.Timestamp]("valid_from"),
+        Option(r.getAs[java.sql.Timestamp]("valid_to")))).toSet
+    val e = ts("2021-01-01 00:00:00")
+    assert(got == Set(
+      (1L, "A", ts("2020-01-01 00:00:00"), Some(ts("2020-06-01 00:00:00"))),
+      (1L, "B", ts("2020-06-01 00:00:00"), Some(e)), // closed
+      (1L, "B2", e, None),                           // new version
+      (2L, "C", ts("2020-01-01 00:00:00"), None),    // no-op kept open
+      (4L, "D", ts("2020-01-01 00:00:00"), None),    // untouched
+      (3L, "N", e, None)))                           // inserted
+  }
+
+  test("scd2Merge: null payload vs null payload is a no-op (null-safe compare)") {
+    val base = Seq((1L, Option.empty[String], ts("2020-01-01 00:00:00"),
+      Option.empty[java.sql.Timestamp])).toDF("k", "v", "valid_from", "valid_to")
+    val delta = Seq((1L, Option.empty[String], ts("2021-01-01 00:00:00")))
+      .toDF("k", "v", "eff")
+    val got = RelationalOps.scd2Merge(base, delta, Seq("k"), "eff").collect()
+    assert(got.length == 1 && got.head.getAs[java.sql.Timestamp]("valid_to") == null,
+      "identical null payload must not open a new version")
+  }
 }
