@@ -137,7 +137,21 @@ object VolumeProbe {
     "m7_video_resize", "m8_audio_resample",
     "x25_lm_score", "x26_dsir_score", "n8_sq_quantize",
     "x27_sliding_chunks", "tw_timebound_semi_join",
-    "x29_leakage_free_splits")
+    "x29_leakage_free_splits",
+    "g2_sessionize", "j19_scd2_merge", "d10_edit_distance_join")
+  // Fourth wave (round 11): g2_sessionize — user ids AND decades are
+  // replica-disjoint, so every session is replica-local and the
+  // per-session rollup scales exactly ×factor. j19_scd2_merge — the
+  // delta membership (%7) and the no-op split (%14) both divide
+  // ModLcm, so each replica re-derives the same changed/kept/opened
+  // legs from its remapped keys → exact ×factor. d10_edit_distance_join
+  // gets a CLOSED-FORM law (the d7 pattern, but exact): clone text is
+  // byte-identical, so the inflated pair set is precisely every
+  // original pair across all replica combinations (factor² × base)
+  // plus every clone family's internal dist-0 pairs (C(factor,2) per
+  // document) — candidates stay bucket-quadratic where clones cluster,
+  // never corpus-quadratic, and the count must land EXACTLY on the
+  // formula.
   // Round-11 rows: st_session_timeout (the TIMER path — batch gap-0
   // emits exactly one timer-flushed session per user; users disjoint
   // per replica → exact ×factor), x9b_pack_bpe (packing by REAL BPE
@@ -316,6 +330,15 @@ object VolumeProbe {
                 a.getLong(2) == 0L && a.getLong(3) == tok &&
                 a.getLong(4) == 0L && mismatched == 0L
               Right((n, bRows, "prefix-sum-contiguity x" + factor, ok))
+            } else if (name == "d10_edit_distance_join") {
+              val n = fn(spark, outDir).count()
+              val b = base.head._2
+              val nDocs = spark.read.parquet(s"$srcDir/documents.parquet")
+                .where(col("text").isNotNull).count()
+              val expect = factor.toLong * factor * b +
+                factor.toLong * (factor - 1) / 2 * nDocs
+              Right((n, b, s"pair-closed-form f2*base+C(f,2)*N=$expect",
+                n == expect))
             } else {
               val n = fn(spark, outDir).count()
               val b = base.head._2

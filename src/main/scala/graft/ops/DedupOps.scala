@@ -231,7 +231,14 @@ object DedupOps {
     val sigs = base.select(col("id"), length(col("p")).as("plen"),
       explode(deletionNeighborhood(col("p"), maxDist)).as("v"))
       .select(col("id"), col("plen"), xxhash64(col("v")).as("h"))
+    // Pin the signature self-join to sort-merge: Catalyst estimates an
+    // explode's output at its CHILD's size, so both O(len^k)-inflated
+    // sides look broadcastable and the planner tries to build a
+    // hash relation len^k times larger than its estimate — the classic
+    // explode-statistics OOM (hit at the 10x volume probe). Sort-merge
+    // shuffles on the 8-byte hash and spills gracefully at any scale.
     val cand = sigs.select(col("h"), col("id").as("doc_a"), col("plen").as("la"))
+      .hint("merge")
       .join(sigs.select(col("h"), col("id").as("doc_b"), col("plen").as("lb")),
         Seq("h"))
       .where(col("doc_a") < col("doc_b") &&

@@ -519,4 +519,46 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(filterLine > joinLine,
       s"bloom pre-filter not below the join (filter@$filterLine, join@$joinLine):\n$p")
   }
+
+  test("sessionization shuffles ONCE on the key — the boundary flag and " +
+      "the running counter share a single sort") {
+    val p = plan("g2_sessionize")
+    // one exchange for the window partitioning, one for the rollup's
+    // hash aggregate — anything more means the two windows diverged
+    val exchanges = p.linesIterator.count(_.matches(".*[+:]- Exchange .*"))
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n$p")
+    val sorts = p.linesIterator.count(_.matches(".*[+:]- Sort .*"))
+    assert(sorts <= 1, s"the two window passes must share one sort ($sorts):\n$p")
+  }
+
+  test("SCD2 merge: Catalyst specializes the three legs to pushed-filter " +
+      "equi-joins with the delta broadcast — no cartesian") {
+    // simple mode: each node prints once (FormattedMode lists nodes twice)
+    val p = SparkEntry.queries("j19_scd2_merge")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"merge must stay an equi-join:\n$p")
+    // the written full-outer join is rewritten per union leg (the leg
+    // filters imply which side exists): at most one join per leg
+    val joins = p.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin"))
+    assert(joins <= 3, s"merge re-joins more than its three legs ($joins):\n$p")
+    // the small delta side broadcasts at this scale (AQE-estimated)
+    assert(p.contains("BroadcastHashJoin"), s"delta not broadcast:\n$p")
+  }
+
+  test("edit-distance join NEVER broadcasts the exploded signature side " +
+      "(explode defeats size estimation) and carries hashed 8-byte keys") {
+    val p = SparkEntry.queries("d10_edit_distance_join")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val lines = p.linesIterator.toVector
+    // the self-join on the variant hash must be sort-merge, pinned by
+    // hint — a broadcast build here is len^k larger than its estimate
+    val selfJoin = lines.filter(l => l.contains("Join") && l.contains("[h#"))
+    assert(selfJoin.nonEmpty, s"no hash-keyed self-join found:\n$p")
+    assert(selfJoin.forall(_.contains("SortMergeJoin")),
+      s"signature self-join not pinned to sort-merge:\n${selfJoin.mkString("\n")}")
+    assert(p.contains("xxhash64"), s"signatures not hashed before the shuffle:\n$p")
+  }
 }

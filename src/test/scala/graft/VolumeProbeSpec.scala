@@ -239,4 +239,25 @@ class VolumeProbeSpec extends AnyFunSuite {
     assert(big.length == factor * docsWith8)
     assert(big.forall(_.getLong(1) == 0L), "whole-doc spans start at 0")
   }
+
+  test("fourth wave at xN: sessionization and SCD2 merge scale exactly; " +
+      "edit-distance pairs land on the closed form") {
+    // g2: user ids AND decades replica-disjoint -> sessions replica-local
+    val g2 = SparkEntry.queries("g2_sessionize")
+    assert(g2(spark, outDir).count() == g2(spark, srcDir).count() * factor)
+    // j19: delta membership (%7) and the no-op split (%14) divide the
+    // key offset, so each replica re-derives identical merge legs
+    val j19 = SparkEntry.queries("j19_scd2_merge")
+    assert(j19(spark, outDir).count() == j19(spark, srcDir).count() * factor)
+    // d10: clone prefixes byte-identical -> EXACTLY factor^2 x base
+    // cross-replica pairs plus C(factor,2) dist-0 pairs per document
+    val d10 = SparkEntry.queries("d10_edit_distance_join")
+    val basePairs = d10(spark, srcDir).count()
+    val nDocs = spark.read.parquet(s"$srcDir/documents.parquet")
+      .where(col("text").isNotNull).count()
+    val expect = factor.toLong * factor * basePairs +
+      factor.toLong * (factor - 1) / 2 * nDocs
+    assert(d10(spark, outDir).count() == expect,
+      s"closed form: $factor^2*$basePairs + C($factor,2)*$nDocs = $expect")
+  }
 }
