@@ -231,15 +231,28 @@ object DedupOps {
     val sigs = base.select(col("id"), length(col("p")).as("plen"),
       explode(deletionNeighborhood(col("p"), maxDist)).as("v"))
       .select(col("id"), col("plen"), xxhash64(col("v")).as("h"))
+    // A variant seen by ONE document can never produce a pair — and in
+    // a real corpus that is the overwhelming majority of the O(len^k)
+    // neighborhood — so drop single-occupant buckets BEFORE the
+    // self-join (the df>1 pruning ngramJaccardPairs applies to its
+    // inverted index). A count WINDOW over the hash (not a groupBy +
+    // semi-join: a join against the derived bucket list would hit the
+    // same size-misestimation broadcast trap the hint below guards)
+    // shuffles once on h — the very partitioning the self-join needs,
+    // so the exchange is shared, and the filter runs where the data
+    // already sits.
+    val hot = sigs.withColumn("__c", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+      .where(col("__c") > 1).drop("__c")
     // Pin the signature self-join to sort-merge: Catalyst estimates an
     // explode's output at its CHILD's size, so both O(len^k)-inflated
     // sides look broadcastable and the planner tries to build a
     // hash relation len^k times larger than its estimate — the classic
     // explode-statistics OOM (hit at the 10x volume probe). Sort-merge
     // shuffles on the 8-byte hash and spills gracefully at any scale.
-    val cand = sigs.select(col("h"), col("id").as("doc_a"), col("plen").as("la"))
+    val cand = hot.select(col("h"), col("id").as("doc_a"), col("plen").as("la"))
       .hint("merge")
-      .join(sigs.select(col("h"), col("id").as("doc_b"), col("plen").as("lb")),
+      .join(hot.select(col("h"), col("id").as("doc_b"), col("plen").as("lb")),
         Seq("h"))
       .where(col("doc_a") < col("doc_b") &&
         abs(col("la") - col("lb")) <= maxDist)

@@ -658,6 +658,91 @@ object Battery {
            |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
            |FROM s GROUP BY user_id, session_seq""".stripMargin))
 
+  /** Daily gap-fill + last-observation-carried-forward per user
+    * ([[graft.relational.RelationalOps.gapFillLocf]]): densify each
+    * user's per-day value sums onto their own min..max day spine and
+    * carry the last observed sum across silent days — the time-series
+    * twin of g1's calendar densify, but per-key and value-filling.
+    */
+  private val g3LocfFill = Q(
+    "g3_locf_fill",
+    (s, d) => {
+      val daily = T.events(s, d)
+        .groupBy(col("user_id"),
+          to_date(date_trunc("DAY", col("ts"))).as("day"))
+        .agg(decSum(col("value")).as("day_value"))
+      gapFillLocf(daily, Seq("user_id"), "day", Seq("day_value"))
+    },
+    Some("""WITH daily AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+           |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+           |  FROM events GROUP BY 1, 2),
+           |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+           |spine AS (SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+           |  FROM span),
+           |j AS (SELECT s.user_id, s.day, d.day_value
+           |  FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day)
+           |SELECT user_id, day,
+           |  last_value(day_value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS day_value
+           |FROM j""".stripMargin))
+
+  /** Robust (median/MAD) outlier screen over order totals per priority
+    * class ([[graft.relational.RelationalOps.robustOutliers]]) — exact
+    * interpolated medians (the a11 parity form) so the flags are
+    * engine-reproducible.
+    */
+  private val a16MadOutliers = Q(
+    "a16_mad_outliers",
+    (s, d) => graft.relational.RelationalOps.robustOutliers(
+      T.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice")),
+      Seq("o_orderpriority"), "o_totalprice", k = 3.0),
+    Some("""WITH med AS (SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
+           |  FROM orders GROUP BY 1),
+           |dev AS (SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice, m.med,
+           |    abs(o.o_totalprice - m.med) AS adev
+           |  FROM orders o JOIN med m USING (o_orderpriority)),
+           |mad AS (SELECT o_orderpriority, quantile_cont(adev, 0.5) AS mad
+           |  FROM dev GROUP BY 1)
+           |SELECT d.o_orderkey, d.o_orderpriority, d.o_totalprice, d.med, a.mad,
+           |  d.adev > 3 * a.mad AS is_outlier
+           |FROM dev d JOIN mad a USING (o_orderpriority)""".stripMargin))
+
+  /** Fixed-iteration integer-exact PageRank over the order→part
+    * bipartite graph ([[graft.ops.GraphOps.pagerankMicro]], 3 rounds,
+    * micro-unit scores) — the iterative join+aggregate family's
+    * score-propagation member (CC and k-means are the other two). Node
+    * ids disambiguate the two key spaces by parity (2k vs 2k+1); the
+    * oracle unrolls the same three integer rounds as CTEs. Top-100 by
+    * (pr, node) — a distributed TakeOrdered, never a global sort.
+    */
+  private val g4Pagerank = Q(
+    "g4_pagerank",
+    (s, d) => {
+      val edges = T.lineitem(s, d).select(
+        (col("l_orderkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst"))
+      graft.ops.GraphOps.pagerankMicro(edges, "src", "dst", iters = 3)
+        .orderBy(col("pr").desc, col("node")).limit(100)
+    },
+    Some("""WITH e AS (SELECT l_orderkey*2 AS src, l_partkey*2+1 AS dst FROM lineitem),
+           |n AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e),
+           |od AS (SELECT src, count(*) AS od FROM e GROUP BY 1),
+           |p0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM n),
+           |c1 AS (SELECT e.dst AS node, SUM(p.pr // o.od) AS m
+           |  FROM e JOIN p0 p ON e.src = p.node JOIN od o ON e.src = o.src GROUP BY 1),
+           |p1 AS (SELECT n.node, CAST(150000 + (850000 * COALESCE(c.m, 0)) // 1000000 AS BIGINT) AS pr
+           |  FROM n LEFT JOIN c1 c USING (node)),
+           |c2 AS (SELECT e.dst AS node, SUM(p.pr // o.od) AS m
+           |  FROM e JOIN p1 p ON e.src = p.node JOIN od o ON e.src = o.src GROUP BY 1),
+           |p2 AS (SELECT n.node, CAST(150000 + (850000 * COALESCE(c.m, 0)) // 1000000 AS BIGINT) AS pr
+           |  FROM n LEFT JOIN c2 c USING (node)),
+           |c3 AS (SELECT e.dst AS node, SUM(p.pr // o.od) AS m
+           |  FROM e JOIN p2 p ON e.src = p.node JOIN od o ON e.src = o.src GROUP BY 1),
+           |p3 AS (SELECT n.node, CAST(150000 + (850000 * COALESCE(c.m, 0)) // 1000000 AS BIGINT) AS pr
+           |  FROM n LEFT JOIN c3 c USING (node))
+           |SELECT node, pr FROM p3 ORDER BY pr DESC, node LIMIT 100""".stripMargin))
+
   /** Date/time scalar functions over the event stream: truncation,
     * field extraction, interval arithmetic, epoch (engine surface —
     * the reference keeps ages as day counts, SURVEY §2.6 note).
@@ -4205,7 +4290,8 @@ object Battery {
     q1Agg, q3Sql,
     w1Window, w2Analytic, w3TopKPerGroup, w4RangeFrame, a9Pivot, a10Unpivot,
     topK, setOps,
-    f6Datetime, g1DateSpine, g2Sessionize,
+    f6Datetime, g1DateSpine, g2Sessionize, g3LocfFill, g4Pagerank,
+    a16MadOutliers,
     fScalar, f5Cast, f9MapExplode, f12Json, f13ArrayOps,
     twTumbling, twSliding, twSession, twChainedWindows,
     twDedupWatermark, twDedupLateBoundary, twJoinBound, twJoinBoundLeft,

@@ -342,6 +342,64 @@ object RelationalOps {
     df.withColumn("session_seq", sum(isNew).over(wRun))
   }
 
+  /** Gap-fill a per-(key, day) series to a dense daily spine and carry
+    * the last observation forward (LOCF) across the gaps — the
+    * time-series densify+fill step (sensor readings, account balances,
+    * inventory levels). `daily` must be unique per (keys, dayCol);
+    * pre-aggregate otherwise. Days before a key's first observation
+    * stay null (nothing to carry).
+    *
+    * Scale: the spine is explode(sequence(min, max)) per key — narrow
+    * after one per-key min/max aggregate, rows bounded by key-count ×
+    * span-days, never a global calendar cross join. The fill is one
+    * per-key window (`last(ignoreNulls)`) sharing the join's
+    * partitioning — Catalyst plans agg + join + window on one key
+    * exchange chain. A key's span must fit an executor (same per-key
+    * contract as every window here).
+    */
+  def gapFillLocf(daily: DataFrame, keys: Seq[String], dayCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(valueCols.nonEmpty, "gapFillLocf needs value columns to fill")
+    val span = daily.groupBy(keys.map(col): _*)
+      .agg(min(col(dayCol)).as("__d0"), max(col(dayCol)).as("__d1"))
+    val spine = span.select(keys.map(col) :+
+      explode(sequence(col("__d0"), col("__d1"))).as(dayCol): _*)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(dayCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, keys :+ dayCol, "left")
+      .select(keys.map(col) ++ Seq(col(dayCol)) ++
+        valueCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+  }
+
+  /** Robust outlier detection by median absolute deviation: flag rows
+    * whose |value − group median| exceeds `k` × the group's MAD — the
+    * data-quality screen that, unlike z-scores, is not itself dragged
+    * by the outliers it hunts. Exact medians (interpolated, the a11
+    * parity form), so the result is engine-reproducible; at 100 TB
+    * swap `percentile` for `percentile_approx` — the flow is identical
+    * and the two tiny per-group tables still broadcast.
+    *
+    * Scale: two grouped percentile passes over the input and two
+    * equi-joins against group-count-sized tables (AQE broadcasts
+    * them). Exact percentile collects each GROUP's values on one
+    * executor — fine for bounded groups; the sketch form lifts that
+    * too.
+    */
+  def robustOutliers(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, k: Double = 3.0): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val med = df.groupBy(groupCols.map(col): _*)
+      .agg(percentile(col(valueCol), lit(0.5)).as("med"))
+    val dev = df.join(med, groupCols)
+      .withColumn("__adev", abs(col(valueCol) - col("med")))
+    val mad = dev.groupBy(groupCols.map(col): _*)
+      .agg(percentile(col("__adev"), lit(0.5)).as("mad"))
+    dev.join(mad, groupCols)
+      .select(df.columns.map(col) ++ Seq(col("med"), col("mad"),
+        (col("__adev") > lit(k) * col("mad")).as("is_outlier")): _*)
+  }
+
   /** SCD Type-2 merge: apply a `delta` of new facts to a slowly-changing
     * history table. `base` rows with `valid_to IS NULL` are the current
     * versions; a delta row whose payload DIFFERS from the current

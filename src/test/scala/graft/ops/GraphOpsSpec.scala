@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.SparkTestSession
+
+class GraphOpsSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("pagerankMicro matches hand-derived integer rounds on a cycle graph") {
+    // 1 -> {2,3}, 2 -> 3, 3 -> 1; outdeg 1:2, 2:1, 3:1; pr0 = 10^6 each.
+    // round 1: m = (1e6, 5e5, 1.5e6) -> pr = (1000000, 575000, 1425000)
+    // round 2: m = (1425000, 500000, 1075000)
+    //          -> pr = (1361250, 575000, 1063750)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L)).toDF("s", "d")
+    val got1 = GraphOps.pagerankMicro(edges, "s", "d", iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got1 == Map(1L -> 1000000L, 2L -> 575000L, 3L -> 1425000L))
+    val got2 = GraphOps.pagerankMicro(edges, "s", "d", iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == Map(1L -> 1361250L, 2L -> 575000L, 3L -> 1063750L))
+  }
+
+  test("dangling nodes keep only the teleport share") {
+    val edges = Seq((1L, 2L)).toDF("s", "d")
+    val got = GraphOps.pagerankMicro(edges, "s", "d", iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // node 1 receives nothing (150000); node 2 receives 1's full rank
+    assert(got == Map(1L -> 150000L, 2L -> 1000000L))
+  }
+
+  test("the localCheckpoint path (iters > 3) is deterministic and " +
+      "node-preserving") {
+    val rnd = new scala.util.Random(5)
+    val edges = (1 to 200).map(_ =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong)).toDF("s", "d")
+    val a = GraphOps.pagerankMicro(edges, "s", "d", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = GraphOps.pagerankMicro(edges, "s", "d", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b, "checkpointed iteration must be run-to-run identical")
+    val nodes = edges.select("s").union(edges.select("d")).distinct().count()
+    assert(a.size == nodes)
+    assert(a.values.forall(_ >= 150000L), "every node keeps the teleport floor")
+    intercept[IllegalArgumentException] {
+      GraphOps.pagerankMicro(edges, "s", "d", iters = 0)
+    }
+  }
+}

@@ -272,6 +272,38 @@ class RelationalOpsSpec extends AnyFunSuite {
       (3L, "N", e, None)))                           // inserted
   }
 
+  test("gapFillLocf densifies each key's own span and carries values forward") {
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val daily = Seq(
+      (1L, d("2020-01-01"), 10.0), (1L, d("2020-01-03"), 30.0),
+      (2L, d("2020-02-05"), 5.0)
+    ).toDF("user_id", "day", "v")
+    val got = RelationalOps.gapFillLocf(daily, Seq("user_id"), "day", Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString, r.getDouble(2)))
+      .toSet
+    assert(got == Set(
+      (1L, "2020-01-01", 10.0),
+      (1L, "2020-01-02", 10.0), // gap filled with the last observation
+      (1L, "2020-01-03", 30.0),
+      (2L, "2020-02-05", 5.0))) // other keys' spans don't leak in
+  }
+
+  test("robustOutliers flags by k x MAD per group; MAD=0 degenerates to " +
+      "any-deviation") {
+    val df = Seq(
+      // group a: [1,1,1,100] -> med 1, MAD 0 -> only the 100 deviates
+      ("a", 1L, 1.0), ("a", 2L, 1.0), ("a", 3L, 1.0), ("a", 4L, 100.0),
+      // group b: [10,20,30,40,1000] -> med 30, MAD 10, fence 30
+      ("b", 5L, 10.0), ("b", 6L, 20.0), ("b", 7L, 30.0),
+      ("b", 8L, 40.0), ("b", 9L, 1000.0)
+    ).toDF("g", "id", "x")
+    val got = RelationalOps.robustOutliers(df, Seq("g"), "x", k = 3.0)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("is_outlier"))
+      .toMap
+    assert(got == Map(1L -> false, 2L -> false, 3L -> false, 4L -> true,
+      5L -> false, 6L -> false, 7L -> false, 8L -> false, 9L -> true))
+  }
+
   test("scd2Merge: null payload vs null payload is a no-op (null-safe compare)") {
     val base = Seq((1L, Option.empty[String], ts("2020-01-01 00:00:00"),
       Option.empty[java.sql.Timestamp])).toDF("k", "v", "valid_from", "valid_to")
