@@ -138,7 +138,17 @@ object VolumeProbe {
     "x25_lm_score", "x26_dsir_score", "n8_sq_quantize",
     "x27_sliding_chunks", "tw_timebound_semi_join",
     "x29_leakage_free_splits",
-    "g2_sessionize", "j19_scd2_merge", "d10_edit_distance_join")
+    "g2_sessionize", "j19_scd2_merge", "d10_edit_distance_join",
+    "g3_locf_fill", "a16_mad_outliers")
+  // Fifth wave: g3_locf_fill — each replica's per-user day spans are
+  // the base spans shifted by whole days (users disjoint, ts shifted
+  // 3650·rep days), so spine+fill rows scale exactly ×factor.
+  // a16_mad_outliers — one output row per order (×factor trivially);
+  // the sharper invariance (the grouping key o_orderpriority is SHARED
+  // across replicas, so each group sees the same value multiset
+  // ×factor and its median/MAD/flags are IDENTICAL) is pinned in
+  // VolumeProbeSpec, as is g4_pagerank's clone-score equality (top-k
+  // output makes its probe row count meaningless here).
   // Fourth wave (round 11): g2_sessionize — user ids AND decades are
   // replica-disjoint, so every session is replica-local and the
   // per-session rollup scales exactly ×factor. j19_scd2_merge — the

@@ -241,9 +241,17 @@ object DedupOps {
     // shuffles once on h — the very partitioning the self-join needs,
     // so the exchange is shared, and the filter runs where the data
     // already sits.
+    // Persist the pruned set: it feeds BOTH self-join sides, and
+    // without the pin each side re-runs the explode + window pass
+    // (Catalyst does not share subtrees across self-join inputs).
+    // After the >1 filter this is only the documents that collide
+    // somewhere — tiny on real corpora, clone-family-sized at worst
+    // (MEMORY_AND_DISK spills if an adversarial corpus makes it big);
+    // same in-path persist discipline as ngramJaccardPairs' sets.
     val hot = sigs.withColumn("__c", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
       .where(col("__c") > 1).drop("__c")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Pin the signature self-join to sort-merge: Catalyst estimates an
     // explode's output at its CHILD's size, so both O(len^k)-inflated
     // sides look broadcastable and the planner tries to build a

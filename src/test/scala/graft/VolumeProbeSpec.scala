@@ -260,4 +260,50 @@ class VolumeProbeSpec extends AnyFunSuite {
     assert(d10(spark, outDir).count() == expect,
       s"closed form: $factor^2*$basePairs + C($factor,2)*$nDocs = $expect")
   }
+
+  test("fifth wave at xN: LOCF fill scales exactly; MAD stats are " +
+      "replication-INVARIANT; PageRank clones inherit their base score") {
+    // g3: per-user spans are base spans shifted by whole days
+    val g3 = SparkEntry.queries("g3_locf_fill")
+    assert(g3(spark, outDir).count() == g3(spark, srcDir).count() * factor)
+    // a16: the group key is SHARED across replicas — each group sees
+    // the same value multiset xN, so median, MAD, and every clone's
+    // flag must be IDENTICAL to the base row's
+    val a16 = SparkEntry.queries("a16_mad_outliers")
+    val base16 = a16(spark, srcDir).collect()
+      .map(r => r.getAs[Long]("o_orderkey") ->
+        ((r.getAs[Double]("med"), r.getAs[Double]("mad"),
+          r.getAs[Boolean]("is_outlier")))).toMap
+    val offset = VolumeProbe.keyOffsetFor(spark, srcDir)
+    val big16 = a16(spark, outDir).collect()
+    assert(big16.length == base16.size * factor)
+    big16.foreach { r =>
+      val baseKey = r.getAs[Long]("o_orderkey") % offset
+      assert(base16(baseKey) == ((r.getAs[Double]("med"),
+        r.getAs[Double]("mad"), r.getAs[Boolean]("is_outlier"))),
+        s"clone of order $baseKey drifted from its base stats")
+    }
+    // g4: each replica's subgraph is the base graph under an id remap,
+    // so every clone node's integer PR equals its base node's exactly
+    import org.apache.spark.sql.functions._
+    def edges(dir: String) = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select((col("l_orderkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+    val basePr = graft.ops.GraphOps.pagerankMicro(edges(srcDir), "src", "dst", 2)
+      .select(col("node").as("bnode"), col("pr").as("bpr"))
+    val bigPr = graft.ops.GraphOps.pagerankMicro(
+      spark.read.parquet(s"$outDir/lineitem.parquet")
+        .select((col("l_orderkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst")),
+      "src", "dst", 2)
+    // node = key*2 (+1 for parts); base key = key mod offset
+    // `/` on longs is double division in Spark — keep the id arithmetic
+    // integral with `div`
+    val mapped = bigPr.withColumn("bnode",
+      when(col("node") % 2 === 0, pmod(expr("node div 2"), lit(offset)) * 2)
+        .otherwise(pmod(expr("(node - 1) div 2"), lit(offset)) * 2 + 1)
+        .cast("long"))
+    val drift = mapped.join(basePr, "bnode")
+      .where(col("pr") =!= col("bpr")).count()
+    assert(drift == 0L, s"$drift clone nodes drifted from their base PageRank")
+    assert(bigPr.count() == basePr.count() * factor)
+  }
 }
