@@ -36,6 +36,66 @@ object GraphOps {
     *
     * Returns (node, pr) for every node in the edge set.
     */
+  /** Per-node triangle counts over an undirected simple graph —
+    * degree-ordered orientation (the node-iterator / compact-forward
+    * algorithm): orient every edge from its (degree, id)-smaller
+    * endpoint to the larger, generate wedges only from each node's
+    * OUT-neighbourhood, and close them with one equi-join back against
+    * the oriented edge set. Because orientation respects a total order,
+    * every triangle is generated exactly once (at its smallest vertex)
+    * and the closing edge is always oriented low→high, so the closing
+    * probe is a plain two-column equi-join — no `least/greatest`
+    * re-canonicalization on the hot path and no double counting.
+    *
+    * Scale design: wedge fan-out is Σ_u C(outdeg(u), 2), and the
+    * degree orientation bounds outdeg by O(√m) on any graph (the
+    * arboricity argument behind the classic O(m^{3/2}) bound) — a
+    * hub's quadratic neighbourhood never materializes because hubs
+    * sit on the RECEIVING end of their edges. Every step is an
+    * equi-join or hash aggregate on a long key; nothing touches the
+    * driver. The oriented edge set is persisted: it feeds both wedge
+    * sides and the closing probe, and Catalyst does not share
+    * subtrees across self-join inputs (the d10 discipline).
+    * Integer-exact by construction, so any engine replays the counts
+    * bit-for-bit.
+    *
+    * Returns (node, tri) for every node on ≥1 triangle.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e0 = edges.select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val deg = e0.select(col("a").as("n"))
+      .unionAll(e0.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val withDeg = e0
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    // carry the dst endpoint's (deg, id) so wedge pairs can be ordered
+    // without a third join
+    val oriented = withDeg.select(
+        when(aFirst, col("a")).otherwise(col("b")).as("u"),
+        when(aFirst, col("b")).otherwise(col("a")).as("v"),
+        when(aFirst, col("db")).otherwise(col("da")).as("dv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val o1 = oriented.select(col("u"), col("v").as("x"), col("dv").as("dx"))
+    val o2 = oriented.select(col("u"), col("v").as("y"), col("dv").as("dy"))
+    val wedges = o1.join(o2, Seq("u"))
+      .where(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y")))
+    val tris = wedges.join(
+      oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+    tris.select(col("u").as("node"))
+      .unionAll(tris.select(col("x").as("node")))
+      .unionAll(tris.select(col("y").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("tri"))
+  }
+
   def pagerankMicro(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 10, s"iters in 1..10, got $iters")

@@ -743,6 +743,88 @@ object Battery {
            |  FROM n LEFT JOIN c3 c USING (node))
            |SELECT node, pr FROM p3 ORDER BY pr DESC, node LIMIT 100""".stripMargin))
 
+  /** Per-node triangle counts over the 1995 part co-purchase graph
+    * ([[graft.ops.GraphOps.triangleCounts]]): parts are adjacent when
+    * some 1995 order contains both, and the degree-ordered orientation
+    * bounds wedge fan-out by O(√m) per node — the O(m^{3/2})
+    * node-iterator algorithm as three equi-joins. The year scopes the
+    * graph the way a real co-purchase analysis would (the unfiltered
+    * co-occurrence graph at this SF is near-complete over only 20k
+    * parts — degree ~90 — which measures wedge explosion, not the
+    * operator; the 1995 slice keeps 181k edges / 241k triangles at
+    * sf0.1). The o_orderdate predicate pushes to the orders scan and
+    * the orderkey semi-join broadcasts. Integer-exact, so the oracle
+    * replays the identical orientation and wedge-close steps. Top-100
+    * by (tri, node) — a distributed TakeOrdered.
+    */
+  private val g5TriangleCount = Q(
+    "g5_triangle_count",
+    (s, d) => {
+      val ok95 = T.orders(s, d)
+        .where(col("o_orderdate").between("1995-01-01", "1995-12-31"))
+        .select(col("o_orderkey").as("l_orderkey"))
+      val li = T.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+        .join(ok95, Seq("l_orderkey"), "left_semi")
+      val edges = li.join(
+          li.select(col("l_orderkey"), col("l_partkey").as("l_partkey2")),
+          Seq("l_orderkey"))
+        .where(col("l_partkey") < col("l_partkey2"))
+      graft.ops.GraphOps.triangleCounts(edges, "l_partkey", "l_partkey2")
+        .orderBy(col("tri").desc, col("node")).limit(100)
+    },
+    Some("""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+           |  WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+           |    WHERE o_orderdate BETWEEN '1995-01-01' AND '1995-12-31')),
+           |e0 AS (SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+           |  FROM li l1 JOIN li l2 ON l1.l_orderkey = l2.l_orderkey
+           |  WHERE l1.l_partkey < l2.l_partkey),
+           |deg AS (SELECT n, count(*) AS deg FROM
+           |  (SELECT a AS n FROM e0 UNION ALL SELECT b AS n FROM e0) GROUP BY 1),
+           |o AS (SELECT
+           |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e0.a < e0.b)
+           |         THEN e0.a ELSE e0.b END AS u,
+           |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e0.a < e0.b)
+           |         THEN e0.b ELSE e0.a END AS v,
+           |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e0.a < e0.b)
+           |         THEN db.deg ELSE da.deg END AS dv
+           |  FROM e0 JOIN deg da ON e0.a = da.n JOIN deg db ON e0.b = db.n),
+           |w AS (SELECT o1.u, o1.v AS x, o2.v AS y FROM o o1 JOIN o o2 ON o1.u = o2.u
+           |  WHERE o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v)),
+           |t AS (SELECT w.u, w.x, w.y FROM w JOIN o ON w.x = o.u AND w.y = o.v),
+           |pn AS (SELECT u AS node FROM t UNION ALL SELECT x FROM t
+           |       UNION ALL SELECT y FROM t)
+           |SELECT node, count(*) AS tri FROM pn GROUP BY 1
+           |ORDER BY tri DESC, node LIMIT 100""".stripMargin))
+
+  /** Ordered view→click→purchase funnel per user
+    * ([[graft.relational.RelationalOps.funnel]]): earliest view, then
+    * earliest click strictly after it, then earliest purchase strictly
+    * after that — chained running-min windows and the final per-user
+    * aggregate all on ONE user_id shuffle. The oracle replays the
+    * same running-min cascade.
+    */
+  private val g6Funnel = Q(
+    "g6_funnel",
+    (s, d) => graft.relational.RelationalOps.funnel(
+      T.events(s, d), Seq("user_id"), "ts", Seq("event_id"),
+      Seq(col("event_type") === "view", col("event_type") === "click",
+        col("event_type") === "purchase")),
+    Some("""WITH s1 AS (SELECT user_id, ts, event_id, event_type,
+           |    CASE WHEN event_type = 'view' THEN ts END AS t1c FROM events),
+           |r1 AS (SELECT *, min(t1c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |    ROWS UNBOUNDED PRECEDING) AS rr1 FROM s1),
+           |s2 AS (SELECT *, CASE WHEN event_type = 'click' AND rr1 IS NOT NULL
+           |    AND ts > rr1 THEN ts END AS t2c FROM r1),
+           |r2 AS (SELECT *, min(t2c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |    ROWS UNBOUNDED PRECEDING) AS rr2 FROM s2),
+           |s3 AS (SELECT *, CASE WHEN event_type = 'purchase' AND rr2 IS NOT NULL
+           |    AND ts > rr2 THEN ts END AS t3c FROM r2)
+           |SELECT user_id, min(t1c) AS t1, min(t2c) AS t2, min(t3c) AS t3,
+           |  CAST(CASE WHEN min(t3c) IS NOT NULL THEN 3
+           |            WHEN min(t2c) IS NOT NULL THEN 2
+           |            WHEN min(t1c) IS NOT NULL THEN 1 ELSE 0 END AS INT) AS depth
+           |FROM s3 GROUP BY user_id""".stripMargin))
+
   /** Date/time scalar functions over the event stream: truncation,
     * field extraction, interval arithmetic, epoch (engine surface —
     * the reference keeps ages as day counts, SURVEY §2.6 note).
@@ -4291,6 +4373,7 @@ object Battery {
     w1Window, w2Analytic, w3TopKPerGroup, w4RangeFrame, a9Pivot, a10Unpivot,
     topK, setOps,
     f6Datetime, g1DateSpine, g2Sessionize, g3LocfFill, g4Pagerank,
+    g5TriangleCount, g6Funnel,
     a16MadOutliers,
     fScalar, f5Cast, f9MapExplode, f12Json, f13ArrayOps,
     twTumbling, twSliding, twSession, twChainedWindows,

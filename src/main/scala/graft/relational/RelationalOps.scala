@@ -457,4 +457,51 @@ object RelationalOps {
     history.select(baseCols.map(col): _*)
       .unionByName(keptOpen).unionByName(closed).unionByName(opened)
   }
+
+  /** Ordered funnel analysis: per key, the earliest time each stage of
+    * an ordered predicate sequence is completed, where stage k+1 only
+    * counts STRICTLY AFTER stage k's completion (earliest-first
+    * semantics: first stage-1 event, then first stage-2 event after
+    * that, …). The product-analytics "view → cart → purchase"
+    * operator. Returns one row per key: `t1..tn` completion times
+    * (null once the funnel stalls) and `depth`, the deepest stage
+    * reached.
+    *
+    * Single-pass plan: one window partition per key ordered by
+    * (tsCol, orderCols): stage k's RUNNING completion time is a
+    * running `min` over its candidate column, and stage k+1's
+    * candidates test the running value — correct because a running
+    * min over a (ts, …)-ordered frame equals the final completion
+    * time at every row at or past it. The chained windows share one
+    * partitioning and the final per-key aggregate reuses that same
+    * exchange, so the whole funnel — any number of stages — is ONE
+    * shuffle on the key. A key's events must fit an executor (the
+    * standard per-key window contract).
+    */
+  def funnel(events: DataFrame, keyCols: Seq[String], tsCol: String,
+      orderCols: Seq[String], stages: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(stages.nonEmpty, "funnel needs at least one stage predicate")
+    require(orderCols.nonEmpty, "funnel needs an explicit tiebreak order")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((tsCol +: orderCols).map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    var df = events
+    stages.zipWithIndex.foreach { case (pred, i) =>
+      val cand = if (i == 0) when(pred, col(tsCol))
+        else when(pred && col(s"__r$i").isNotNull &&
+          col(tsCol) > col(s"__r$i"), col(tsCol))
+      df = df.withColumn(s"__t${i + 1}", cand)
+        .withColumn(s"__r${i + 1}", min(col(s"__t${i + 1}")).over(w))
+    }
+    val agged = df.groupBy(keyCols.map(col): _*)
+      .agg(min(col("__t1")).as("t1"),
+        (2 to stages.size).map(i => min(col(s"__t$i")).as(s"t$i")): _*)
+    // fold ascending so the OUTERMOST when tests the deepest stage
+    // (t_k non-null implies every earlier t non-null)
+    val depth = (1 to stages.size).foldLeft(lit(0)) { (acc, i) =>
+      when(col(s"t$i").isNotNull, lit(i)).otherwise(acc)
+    }
+    agged.withColumn("depth", depth.cast("int"))
+  }
 }

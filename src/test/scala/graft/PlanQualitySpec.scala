@@ -561,4 +561,19 @@ class PlanQualitySpec extends AnyFunSuite {
       s"signature self-join not pinned to sort-merge:\n${selfJoin.mkString("\n")}")
     assert(p.contains("xxhash64"), s"signatures not hashed before the shuffle:\n$p")
   }
+
+  test("funnel runs the window cascade AND the final aggregate on ONE " +
+      "user_id shuffle") {
+    val p = plan("g6_funnel")
+    val exchanges = nodeCount(p, "Exchange")
+    assert(exchanges == 1, s"funnel must shuffle exactly once ($exchanges):\n$p")
+    assert(!p.contains("Join"), s"funnel must not join:\n$p")
+  }
+
+  test("triangle counting stays equi-joins — no cartesian product, no " +
+      "nested loop, wedges closed by hash/merge join") {
+    val p = plan("g5_triangle_count")
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+      s"triangle counting must never form a product:\n$p")
+  }
 }

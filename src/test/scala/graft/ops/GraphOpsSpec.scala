@@ -48,4 +48,46 @@ class GraphOpsSpec extends AnyFunSuite {
       GraphOps.pagerankMicro(edges, "s", "d", iters = 0)
     }
   }
+
+  test("triangleCounts: K4 has 4 triangles, 3 per node; an added " +
+      "pendant edge changes nothing") {
+    val k4 = (for (a <- 1 to 4; b <- 1 to 4 if a < b)
+      yield (a.toLong, b.toLong)) :+ (4L, 5L)
+    val got = GraphOps.triangleCounts(k4.toDF("s", "d"), "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // C(4,3) = 4 triangles; each K4 node sits on C(3,2) = 3 of them;
+    // the pendant node 5 is on none and must be absent
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangleCounts normalizes direction, duplicates, and self-loops") {
+    // same triangle {1,2,3} given as mixed directions with a repeat
+    // and a self-loop
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 2L), (1L, 3L), (3L, 3L))
+      .toDF("s", "d")
+    val got = GraphOps.triangleCounts(edges, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangleCounts matches brute-force triple enumeration on a " +
+      "random graph") {
+    val rnd = new scala.util.Random(11)
+    val edges = (1 to 300).map(_ =>
+      (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+    val got = GraphOps.triangleCounts(edges.toDF("s", "d"), "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver-side brute force over all C(n,3) vertex triples
+    val adj = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+    val nodes = adj.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val expect = scala.collection.mutable.Map[Long, Long]()
+    for {
+      i <- nodes.indices; j <- (i + 1) until nodes.size
+      k <- (j + 1) until nodes.size
+      (a, b, c) = (nodes(i), nodes(j), nodes(k))
+      if adj((a, b)) && adj((a, c)) && adj((b, c))
+    } Seq(a, b, c).foreach(n => expect(n) = expect.getOrElse(n, 0L) + 1L)
+    assert(got == expect.toMap)
+  }
 }

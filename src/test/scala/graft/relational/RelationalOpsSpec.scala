@@ -313,4 +313,59 @@ class RelationalOpsSpec extends AnyFunSuite {
     assert(got.length == 1 && got.head.getAs[java.sql.Timestamp]("valid_to") == null,
       "identical null payload must not open a new version")
   }
+
+  test("funnel: strictly-after semantics, stalls, ties, and depth") {
+    // user 1: B@5 (before any A — ignored), A@10, B@10 (tie, NOT
+    //   strictly after — ignored), B@20, C@15 (before t2 — ignored),
+    //   C@25 -> t=(10,20,25) depth 3
+    // user 2: A@10, C@20 (no B yet — ignored) -> (10,null,null) depth 1
+    // user 3: only C events -> depth 0 (all null)
+    // user 4: A@10, B@11, B@9?, no C -> depth 2, t2 = 11
+    val ev = Seq(
+      (1L, 1L, 5L, "B"), (2L, 1L, 10L, "A"), (3L, 1L, 10L, "B"),
+      (4L, 1L, 20L, "B"), (5L, 1L, 15L, "C"), (6L, 1L, 25L, "C"),
+      (7L, 2L, 10L, "A"), (8L, 2L, 20L, "C"),
+      (9L, 3L, 10L, "C"), (10L, 3L, 20L, "C"),
+      (11L, 4L, 10L, "A"), (12L, 4L, 9L, "B"), (13L, 4L, 11L, "B")
+    ).toDF("event_id", "user_id", "sec", "etype")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    val got = RelationalOps.funnel(ev, Seq("user_id"), "ts", Seq("event_id"),
+        Seq(col("etype") === "A", col("etype") === "B", col("etype") === "C"))
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((Option(r.getAs[java.sql.Timestamp]("t1")).map(_.getTime / 1000),
+          Option(r.getAs[java.sql.Timestamp]("t2")).map(_.getTime / 1000),
+          Option(r.getAs[java.sql.Timestamp]("t3")).map(_.getTime / 1000),
+          r.getAs[Int]("depth")))).toMap
+    assert(got == Map(
+      1L -> ((Some(10L), Some(20L), Some(25L), 3)),
+      2L -> ((Some(10L), None, None, 1)),
+      3L -> ((None, None, None, 0)),
+      4L -> ((Some(10L), Some(11L), None, 2))))
+  }
+
+  test("funnel matches a sequential per-user reference on random data") {
+    val rnd = new scala.util.Random(17)
+    val types = Array("A", "B", "C", "Z")
+    val rows = (1 to 600).map(i => (i.toLong, (rnd.nextInt(8) + 1).toLong,
+      rnd.nextInt(1000).toLong, types(rnd.nextInt(4))))
+    val ev = rows.toDF("event_id", "user_id", "sec", "etype")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    val expected = rows.groupBy(_._2).map { case (u, es) =>
+      val sorted = es.sortBy(e => (e._3, e._1))
+      def first(t: String, after: Option[Long]): Option[Long] =
+        after.flatMap(a => sorted.find(e => e._4 == t && e._3 > a).map(_._3))
+      val t1 = sorted.find(_._4 == "A").map(_._3)
+      val t2 = first("B", t1)
+      val t3 = first("C", t2)
+      u -> ((t1, t2, t3, Seq(t1, t2, t3).count(_.isDefined)))
+    }
+    val got = RelationalOps.funnel(ev, Seq("user_id"), "ts", Seq("event_id"),
+        Seq(col("etype") === "A", col("etype") === "B", col("etype") === "C"))
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((Option(r.getAs[java.sql.Timestamp]("t1")).map(_.getTime / 1000),
+          Option(r.getAs[java.sql.Timestamp]("t2")).map(_.getTime / 1000),
+          Option(r.getAs[java.sql.Timestamp]("t3")).map(_.getTime / 1000),
+          r.getAs[Int]("depth")))).toMap
+    assert(got == expected)
+  }
 }
