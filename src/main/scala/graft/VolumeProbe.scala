@@ -139,7 +139,19 @@ object VolumeProbe {
     "x27_sliding_chunks", "tw_timebound_semi_join",
     "x29_leakage_free_splits",
     "g2_sessionize", "j19_scd2_merge", "d10_edit_distance_join",
-    "g3_locf_fill", "a16_mad_outliers")
+    "g3_locf_fill", "a16_mad_outliers",
+    "g5_triangle_count", "g6_funnel")
+  // Sixth wave: g6_funnel — one row per user and users AND decades are
+  // replica-disjoint, so funnels are replica-local → exact ×factor
+  // (depths identical per clone user, pinned in VolumeProbeSpec).
+  // g5_triangle_count probes the UNLIMITED operator (the battery row's
+  // top-100 pins its row count at 100, which measures nothing): the
+  // co-purchase graph inflates to `factor` disjoint isomorphic copies
+  // (l_orderkey and l_partkey shift together; o_orderdate is a non-key
+  // attribute, so 1995 membership is preserved), so node rows and
+  // total triangle incidences both scale exactly ×factor AND every
+  // inflated node's count equals its original's (node % offset) —
+  // wedge fan-out is stressed at 10× the edges in the same heap.
   // Fifth wave: g3_locf_fill — each replica's per-user day spans are
   // the base spans shifted by whole days (users disjoint, ts shifted
   // 3650·rep days), so spine+fill rows scale exactly ×factor.
@@ -298,6 +310,15 @@ object VolumeProbe {
               .agg(count(lit(1)), sum(col("n_tokens"))).head
             Seq(("rows", a.getLong(0)), ("tok", a.getLong(1)))
           }
+          else if (name == "g5_triangle_count") Right {
+            // the UNLIMITED operator (see headline note): base node
+            // rows + total triangle incidences, untimed
+            val a = graft.ops.GraphOps.triangleCounts(
+                graft.queries.Battery.coPurchaseEdges1995(spark, srcDir),
+                "l_partkey", "l_partkey2")
+              .agg(count(lit(1)), sum(col("tri"))).head
+            Seq(("rows", a.getLong(0)), ("tri", a.getLong(1)))
+          }
           else Right(Seq(("", fn(spark, srcDir).count())))
         } catch { case e: Throwable => Left(e.toString.take(200)) }
       val t0 = System.nanoTime()
@@ -340,6 +361,27 @@ object VolumeProbe {
                 a.getLong(2) == 0L && a.getLong(3) == tok &&
                 a.getLong(4) == 0L && mismatched == 0L
               Right((n, bRows, "prefix-sum-contiguity x" + factor, ok))
+            } else if (name == "g5_triangle_count") {
+              val bigFull = graft.ops.GraphOps.triangleCounts(
+                graft.queries.Battery.coPurchaseEdges1995(spark, outDir),
+                "l_partkey", "l_partkey2")
+              val a = bigFull.agg(count(lit(1)), sum(col("tri"))).head
+              val (n, tri) = (a.getLong(0), a.getLong(1))
+              val (bRows, bTri) = (base.head._2, base(1)._2)
+              // replica invariance: every inflated node's triangle count
+              // equals its original's (base ids < offset, so node %
+              // offset recovers the clone's source node)
+              val baseFull = graft.ops.GraphOps.triangleCounts(
+                graft.queries.Battery.coPurchaseEdges1995(spark, srcDir),
+                "l_partkey", "l_partkey2")
+              val mismatched = bigFull
+                .select(pmod(col("node"), lit(offset)).as("bnode"), col("tri"))
+                .join(baseFull.select(col("node").as("bnode"),
+                  col("tri").as("btri")), "bnode")
+                .where(col("tri") =!= col("btri")).count()
+              val ok = n == bRows * factor && tri == bTri * factor &&
+                mismatched == 0L
+              Right((n, bRows, "triangle-incidence x" + factor, ok))
             } else if (name == "d10_edit_distance_join") {
               val n = fn(spark, outDir).count()
               val b = base.head._2

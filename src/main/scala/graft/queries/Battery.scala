@@ -757,21 +757,27 @@ object Battery {
     * replays the identical orientation and wedge-close steps. Top-100
     * by (tri, node) — a distributed TakeOrdered.
     */
+  /** 1995 part co-purchase edges (parts sharing a 1995 order) — shared
+    * by the g5 battery query and the volume probe, whose laws need the
+    * UNLIMITED per-node counts the top-100 battery row truncates.
+    */
+  private[graft] def coPurchaseEdges1995(s: SparkSession, d: String): DataFrame = {
+    val ok95 = T.orders(s, d)
+      .where(col("o_orderdate").between("1995-01-01", "1995-12-31"))
+      .select(col("o_orderkey").as("l_orderkey"))
+    val li = T.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      .join(ok95, Seq("l_orderkey"), "left_semi")
+    li.join(
+        li.select(col("l_orderkey"), col("l_partkey").as("l_partkey2")),
+        Seq("l_orderkey"))
+      .where(col("l_partkey") < col("l_partkey2"))
+  }
+
   private val g5TriangleCount = Q(
     "g5_triangle_count",
-    (s, d) => {
-      val ok95 = T.orders(s, d)
-        .where(col("o_orderdate").between("1995-01-01", "1995-12-31"))
-        .select(col("o_orderkey").as("l_orderkey"))
-      val li = T.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-        .join(ok95, Seq("l_orderkey"), "left_semi")
-      val edges = li.join(
-          li.select(col("l_orderkey"), col("l_partkey").as("l_partkey2")),
-          Seq("l_orderkey"))
-        .where(col("l_partkey") < col("l_partkey2"))
-      graft.ops.GraphOps.triangleCounts(edges, "l_partkey", "l_partkey2")
-        .orderBy(col("tri").desc, col("node")).limit(100)
-    },
+    (s, d) => graft.ops.GraphOps
+      .triangleCounts(coPurchaseEdges1995(s, d), "l_partkey", "l_partkey2")
+      .orderBy(col("tri").desc, col("node")).limit(100),
     Some("""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
            |  WHERE l_orderkey IN (SELECT o_orderkey FROM orders
            |    WHERE o_orderdate BETWEEN '1995-01-01' AND '1995-12-31')),

@@ -261,6 +261,44 @@ class VolumeProbeSpec extends AnyFunSuite {
       s"closed form: $factor^2*$basePairs + C($factor,2)*$nDocs = $expect")
   }
 
+  test("sixth wave at xN: funnel depths are replica-invariant per clone " +
+      "user; triangle counts inflate to N disjoint isomorphic graphs") {
+    // g6: one row per user; users AND decades are replica-disjoint, so
+    // each clone user replays its original's event sequence shifted by
+    // whole decades — depth (and replica-0's full row) must be inherited
+    val g6 = SparkEntry.queries("g6_funnel")
+    val base6 = g6(spark, srcDir).collect()
+      .map(r => r.getLong(0) -> ((r.toSeq, r.getInt(4)))).toMap
+    val big6 = g6(spark, outDir).collect()
+      .map(r => r.getLong(0) -> ((r.toSeq, r.getInt(4)))).toMap
+    assert(big6.size == base6.size * factor, "one funnel row per user, xN users")
+    val offset = VolumeProbe.keyOffsetFor(spark, srcDir)
+    for ((uid, (row, depth)) <- base6) {
+      assert(big6(uid)._1 == row, s"replica-0 user $uid funnel changed at xN")
+      for (rep <- 1 until factor)
+        assert(big6(uid + rep * offset)._2 == depth,
+          s"clone of user $uid must inherit funnel depth $depth")
+    }
+    // g5 (the UNLIMITED operator — the battery row's top-100 truncates):
+    // l_orderkey and l_partkey shift together and o_orderdate is a
+    // non-key attribute, so the 1995 co-purchase graph inflates to N
+    // disjoint isomorphic copies — node rows and triangle incidences
+    // scale exactly xN and every clone node inherits its base count
+    import graft.queries.Battery.coPurchaseEdges1995
+    val baseTri = graft.ops.GraphOps
+      .triangleCounts(coPurchaseEdges1995(spark, srcDir), "l_partkey", "l_partkey2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bigTri = graft.ops.GraphOps
+      .triangleCounts(coPurchaseEdges1995(spark, outDir), "l_partkey", "l_partkey2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bigTri.size == baseTri.size * factor)
+    assert(bigTri.values.sum == baseTri.values.sum * factor,
+      "total triangle incidences must scale exactly xN")
+    for ((node, tri) <- bigTri)
+      assert(baseTri(node % offset) == tri,
+        s"clone node $node drifted from its base triangle count")
+  }
+
   test("fifth wave at xN: LOCF fill scales exactly; MAD stats are " +
       "replication-INVARIANT; PageRank clones inherit their base score") {
     // g3: per-user spans are base spans shifted by whole days
