@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Full-text retrieval over the document corpus — the operator behind
+  * retrieval-based decontamination and RAG-curation sweeps ("for each
+  * benchmark question, which training documents would a BM25 searcher
+  * surface?"), which score documents against a QUERY SET rather than
+  * joining document-to-document like the dedup family.
+  *
+  * Scale shape: classic distributed inverted-index retrieval. The
+  * corpus is tokenized once into a postings table (one shuffle keyed
+  * by doc); document frequency and the (N, total-length) pair are
+  * vocabulary-sized / 1-row aggregates; query terms equi-join the
+  * postings ON TOKEN, so candidates are bounded by the postings lists
+  * of the query's terms — never corpus × queries. The per-(query, doc)
+  * regroup and the per-query top-k window are the only corpus-scale
+  * shuffles. Driver-side state: none (the two global scalars ride a
+  * 1-row broadcast crossJoin, the lmBackoffScore pattern).
+  */
+object RetrievalOps {
+
+  /** BM25 top-k retrieval with EXACT integer-rational scoring.
+    *
+    * Classic BM25 (Robertson–Spärck Jones) is log- and float-valued,
+    * which cannot hash-match a cross-engine oracle under reordered
+    * partial aggregation. This variant keeps BM25's two saturation
+    * ideas — term-frequency damping and length normalization — but
+    * replaces the log-idf with the raw rarity ratio N/df and evaluates
+    * the whole per-term contribution as ONE long floor-division, so
+    * every intermediate is exact integer arithmetic (the x16/x25/g4
+    * integer-parity pattern):
+    *
+    *   contrib(q,d,t) = ⌊ SCALE · (N/df(t)) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) ⌋
+    *
+    * with k1 = 1.2, b = 0.75, SCALE = 1000 (milli-points). Multiplying
+    * through by 40·totlen (avgdl = totlen/N) clears every fraction:
+    *
+    *   contrib = (N · 88 · tf · totlen · 1000)
+    *             div (df · (40·tf·totlen + 12·totlen + 36·dl·N))
+    *
+    * A document's score is the Long SUM of its matched terms'
+    * contributions — a sum of integers, bit-exact under any partial-agg
+    * order. Under uniform corpus replication every factor pair (N,df),
+    * (totlen, dl·N) inflates together, so scores are provably
+    * replication-invariant — the volume-probe law.
+    *
+    * Overflow: the numerator is bounded by N·88000·tf·totlen; ANSI mode
+    * turns an overflow into a loud error rather than a wrong score. At
+    * 10⁸ docs × 10⁴ avg tokens, switch SCALE to 1 or route the product
+    * through decimal(38,0) (the x26 move) — documented, not silent.
+    *
+    * Output: one row per (query, rank ≤ k): qid, rank, doc id, integer
+    * score, n_match (terms matched). Ties break on ascending doc id —
+    * deterministic, and under replication the clone ids are strictly
+    * larger, so base queries return their base top-k verbatim at any
+    * replication factor.
+    */
+  def bm25TopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, textCol: String,
+      qidCol: String, qtextCol: String, k: Int = 10): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k in 1..1000, got $k")
+    val postings = corpus
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    // dl = Σ tf per doc; the join back rides the postings' existing
+    // doc-key partitioning (no second tokenize pass, no extra shuffle)
+    val docLen = postings.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    val withDl = postings.join(docLen, Seq(idCol))
+    val dfTab = postings.groupBy("token").agg(count(lit(1)).as("df"))
+    // N counts docs with ≥1 token (the only docs an inverted index
+    // can ever surface); totlen is the matching token mass
+    val globals = docLen.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("totlen"))
+    val qTerms = queries
+      .select(col(qidCol), explode(TextOps.tokens(col(qtextCol))).as("token"))
+      .distinct()
+    val cand = qTerms
+      .join(withDl, Seq("token"))
+      .join(dfTab, Seq("token"))
+      .crossJoin(broadcast(globals))
+      .withColumn("contrib",
+        expr("(n_docs * 88L * tf * totlen * 1000L) div " +
+          "(df * (40L*tf*totlen + 12L*totlen + 36L*dl*n_docs))"))
+    val scored = cand.groupBy(col(qidCol), col(idCol))
+      .agg(sum(col("contrib")).as("score"), count(lit(1)).as("n_match"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol)).orderBy(col("score").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .select(col(qidCol), col("rank"), col(idCol), col("score"), col("n_match"))
+  }
+}

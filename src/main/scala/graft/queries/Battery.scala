@@ -831,6 +831,54 @@ object Battery {
            |            WHEN min(t1c) IS NOT NULL THEN 1 ELSE 0 END AS INT) AS depth
            |FROM s3 GROUP BY user_id""".stripMargin))
 
+  /** Cohort retention matrix ([[graft.relational.RelationalOps.retentionMatrix]]):
+    * ISO-week cohorts by first event, alignment-free week offsets
+    * (⌊Δdays/7⌋ — a pure difference, so a cohort's offsets never
+    * depend on where its first events fall inside a calendar week),
+    * integer-millionths retained share. Two event-scale shuffles
+    * (first-event agg + (user, week) distinct); cohort sizes ride a
+    * window over the cohorts × horizon result, never a second pass.
+    */
+  private val g7Retention = Q(
+    "g7_retention",
+    (s, d) => graft.relational.RelationalOps.retentionMatrix(
+      T.events(s, d), Seq("user_id"), "ts"),
+    Some("""WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+           |           FROM events GROUP BY 1),
+           |a AS (SELECT DISTINCT e.user_id, f.first_day,
+           |    CAST(date_diff('day', f.first_day, CAST(e.ts AS DATE)) // 7 AS INT) AS week_k
+           |  FROM events e JOIN f USING (user_id)),
+           |c AS (SELECT CAST(date_trunc('week', first_day) AS DATE) AS cohort_week,
+           |    week_k, count(*) AS n_active FROM a GROUP BY 1, 2)
+           |SELECT cohort_week, week_k, n_active,
+           |  max(CASE WHEN week_k = 0 THEN n_active END)
+           |    OVER (PARTITION BY cohort_week) AS cohort_size,
+           |  n_active * 1000000 // (max(CASE WHEN week_k = 0 THEN n_active END)
+           |    OVER (PARTITION BY cohort_week)) AS ret_ppm
+           |FROM c""".stripMargin))
+
+  /** First-order event-type transition matrix
+    * ([[graft.relational.RelationalOps.transitionMatrix]]): adjacent
+    * (from → to) pairs per user under a deterministic (ts, event_id)
+    * order, counts plus integer-millionths row-normalized transition
+    * probabilities. One window partitioning (`lead`), one |states|²-
+    * bounded groupBy; the normalizing totals ride a window over that
+    * tiny result.
+    */
+  private val g8Transitions = Q(
+    "g8_transitions",
+    (s, d) => graft.relational.RelationalOps.transitionMatrix(
+      T.events(s, d), Seq("user_id"), "ts", Seq("event_id"), "event_type"),
+    Some("""WITH s AS (SELECT user_id, event_type,
+           |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_state
+           |  FROM events),
+           |c AS (SELECT event_type AS from_state, to_state, count(*) AS n
+           |  FROM s WHERE to_state IS NOT NULL GROUP BY 1, 2)
+           |SELECT from_state, to_state, n,
+           |  CAST(sum(n) OVER (PARTITION BY from_state) AS BIGINT) AS from_total,
+           |  CAST(n * 1000000 // sum(n) OVER (PARTITION BY from_state) AS BIGINT) AS p_ppm
+           |FROM c""".stripMargin))
+
   /** Date/time scalar functions over the event stream: truncation,
     * field extraction, interval arithmetic, epoch (engine surface —
     * the reference keeps ages as day counts, SURVEY §2.6 note).
@@ -2550,6 +2598,47 @@ object Battery {
            |         printf('%04x', CAST(round(0.2 * 65536) AS BIGINT)) THEN 'val'
            |       ELSE 'train' END AS split
            |FROM c""".stripMargin))
+
+  /** BM25 top-k retrieval ([[graft.ops.RetrievalOps.bm25TopK]]): every
+    * benchmark document (the x8 `% 97` split) retrieves its 10 best
+    * corpus documents through the inverted-index join, scored by the
+    * integer-rational BM25 variant (one long floor-division per
+    * matched term — see the op's scaladoc for the cleared-fraction
+    * derivation), ties broken on ascending doc id. The oracle replays
+    * the identical postings/df/global tables and the same single
+    * floor-division.
+    */
+  private val x30Bm25 = Q(
+    "x30_bm25_retrieval",
+    (s, d) => {
+      val docs = T.documents(s, d)
+      graft.ops.RetrievalOps.bm25TopK(
+        corpus = docs.where(pmod(col("doc_id"), lit(97)) =!= 0),
+        queries = docs.where(pmod(col("doc_id"), lit(97)) === 0)
+          .select(col("doc_id").as("qid"), col("text")),
+        idCol = "doc_id", textCol = "text",
+        qidCol = "qid", qtextCol = "text", k = 10)
+    },
+    Some("""WITH ct AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+           |  FROM documents WHERE doc_id % 97 <> 0),
+           |p AS (SELECT doc_id, token, count(*) AS tf FROM ct GROUP BY 1, 2),
+           |dlen AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM p GROUP BY 1),
+           |dfq AS (SELECT token, count(*) AS df FROM p GROUP BY 1),
+           |g AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS totlen FROM dlen),
+           |qt AS (SELECT DISTINCT qid, token FROM
+           |  (SELECT doc_id AS qid, unnest(string_split_regex(trim(text), '\s+')) AS token
+           |   FROM documents WHERE doc_id % 97 = 0)),
+           |cand AS (SELECT qt.qid, p.doc_id,
+           |    (g.n_docs * 88 * p.tf * g.totlen * 1000) //
+           |      (dfq.df * (40*p.tf*g.totlen + 12*g.totlen + 36*dlen.dl*g.n_docs)) AS contrib
+           |  FROM qt JOIN p USING (token) JOIN dfq USING (token)
+           |  JOIN dlen ON dlen.doc_id = p.doc_id CROSS JOIN g),
+           |sc AS (SELECT qid, doc_id, CAST(sum(contrib) AS BIGINT) AS score,
+           |    count(*) AS n_match FROM cand GROUP BY 1, 2),
+           |r AS (SELECT qid, doc_id, score, n_match,
+           |    CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS INT) AS rank
+           |  FROM sc)
+           |SELECT qid, rank, doc_id, score, n_match FROM r WHERE rank <= 10""".stripMargin))
 
   /** In-document n-gram repetition ratio (1 − distinct/total 3-grams) —
     * the boilerplate/template filter signal. Narrow, zero shuffle.
@@ -4379,7 +4468,7 @@ object Battery {
     w1Window, w2Analytic, w3TopKPerGroup, w4RangeFrame, a9Pivot, a10Unpivot,
     topK, setOps,
     f6Datetime, g1DateSpine, g2Sessionize, g3LocfFill, g4Pagerank,
-    g5TriangleCount, g6Funnel,
+    g5TriangleCount, g6Funnel, g7Retention, g8Transitions,
     a16MadOutliers,
     fScalar, f5Cast, f9MapExplode, f12Json, f13ArrayOps,
     twTumbling, twSliding, twSession, twChainedWindows,
@@ -4402,7 +4491,7 @@ object Battery {
     x15BigramCounts, x16TopDistinctTerm, x17EpochShuffle, x18LengthBuckets,
     x19TokenChunks, x20TemperatureMixture, x21BloomDecontaminate,
     x25LmScore, x26DsirScore, x27SlidingChunks, x28PmiCollocations,
-    x29LeakageSplits, c1Curation,
+    x29LeakageSplits, x30Bm25, c1Curation,
     n2AnnLsh, n3EmbNearDup, n4AnnIvf, n5PqQuantize, n6KmeansFit, n7SemanticDedup,
     n8SqQuantize, n9BinaryQuantize,
     kfPatientSlice, kfRSubjectSlice, kfSpecimenSlice, kfDrsSlice,

@@ -504,4 +504,76 @@ object RelationalOps {
     }
     agged.withColumn("depth", depth.cast("int"))
   }
+
+  /** Cohort retention matrix: bucket every key (user) into the ISO week
+    * of its FIRST event, then count how many of each cohort's keys are
+    * still active k whole weeks after their own first event — the
+    * product-analytics retention triangle. `week_k` is the pure
+    * difference ⌊(active_day − first_day)/7⌋ (alignment-free, so it
+    * never depends on where the first event falls inside a calendar
+    * week); `ret_ppm` is the integer-millionths retained share,
+    * ⌊10⁶·n_active div cohort_size⌋ — exact integer arithmetic
+    * throughout (the x16/x25 parity pattern).
+    *
+    * Scale shape: one aggregate keyed by user (first-event lookup),
+    * one equi-join back to the events on user (rides the same key),
+    * a distinct on (user, week_k) — the second shuffle — and a
+    * cohort-keyed count whose output is bounded by cohorts × horizon
+    * weeks, never by events. Cohort sizes ride a window over that
+    * small result, not a second pass over the data.
+    */
+  def retentionMatrix(events: DataFrame, keyCols: Seq[String],
+      tsCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "retention needs at least one key column")
+    val firsts = events.groupBy(keyCols.map(col): _*)
+      .agg(min(to_date(col(tsCol))).as("__first_day"))
+    val active = events.join(firsts, keyCols)
+      .select(keyCols.map(col) :+ col("__first_day") :+
+        expr(s"datediff(to_date($tsCol), __first_day) div 7")
+          .cast("int").as("week_k"): _*)
+      .distinct()
+    val cells = active
+      .withColumn("cohort_week",
+        date_trunc("week", col("__first_day")).cast("date"))
+      .groupBy(col("cohort_week"), col("week_k"))
+      .agg(count(lit(1)).as("n_active"))
+    // week 0 is the cohort by definition (every key is active in its
+    // own first week), so cohort_size is week 0's count — a window
+    // over the cohorts × weeks result, not a rescan of the events
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cohort_week"))
+    cells
+      .withColumn("cohort_size",
+        max(when(col("week_k") === 0, col("n_active"))).over(w))
+      .withColumn("ret_ppm",
+        expr("n_active * CAST(1000000 AS BIGINT) div cohort_size"))
+  }
+
+  /** First-order event-type transition matrix: for each key's event
+    * sequence ordered by (tsCol, orderCols), count every adjacent
+    * (from → to) state pair and derive the transition probability in
+    * integer millionths, ⌊10⁶·n div from_total⌋ — the Markov-chain
+    * summary behind "what do users do after an error?". One window
+    * partitioning per key (`lead` one step), one groupBy on the state
+    * pair (output bounded by |states|², never by events), and the
+    * row-normalizing totals ride a window over that tiny result.
+    */
+  def transitionMatrix(events: DataFrame, keyCols: Seq[String],
+      tsCol: String, orderCols: Seq[String], stateCol: String): DataFrame = {
+    require(keyCols.nonEmpty && orderCols.nonEmpty,
+      "transitions need key columns and a deterministic tiebreak order")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy((tsCol +: orderCols).map(col): _*)
+    val pairs = events
+      .withColumn("__to", lead(col(stateCol), 1).over(w))
+      .where(col("__to").isNotNull)
+      .select(col(stateCol).as("from_state"), col("__to").as("to_state"))
+    val counts = pairs.groupBy("from_state", "to_state")
+      .agg(count(lit(1)).as("n"))
+    val rowW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("from_state"))
+    counts
+      .withColumn("from_total", sum(col("n")).over(rowW))
+      .withColumn("p_ppm", expr("n * CAST(1000000 AS BIGINT) div from_total"))
+  }
 }

@@ -368,4 +368,93 @@ class RelationalOpsSpec extends AnyFunSuite {
           r.getAs[Int]("depth")))).toMap
     assert(got == expected)
   }
+
+  test("retentionMatrix: alignment-free week offsets, per-cohort sizes, " +
+      "exact millionth shares") {
+    // users 1-3 start Mon 2024-01-01 (cohort week 2024-01-01):
+    //   1 returns day 8 (wk1) and day 15 (wk2); 2 never returns;
+    //   3 returns day 7 (wk1)
+    // user 4 starts WED 2024-01-10 (cohort week 2024-01-08) and returns
+    //   day +6 (Tue of the NEXT calendar week — still week_k 0, the
+    //   alignment-free property) and day +7 (week_k 1)
+    def ev(id: Long, u: Long, day: String) = (id, u, s"$day 12:00:00")
+    val events = Seq(
+      ev(1, 1, "2024-01-01"), ev(2, 1, "2024-01-09"), ev(3, 1, "2024-01-16"),
+      ev(4, 2, "2024-01-01"),
+      ev(5, 3, "2024-01-01"), ev(6, 3, "2024-01-08"),
+      ev(7, 4, "2024-01-10"), ev(8, 4, "2024-01-16"), ev(9, 4, "2024-01-17")
+    ).toDF("event_id", "user_id", "s")
+      .withColumn("ts", to_timestamp(col("s"))).drop("s")
+    val got = RelationalOps.retentionMatrix(events, Seq("user_id"), "ts")
+      .collect().map(r => (r.getAs[java.sql.Date]("cohort_week").toString,
+        r.getAs[Int]("week_k")) ->
+        ((r.getAs[Long]("n_active"), r.getAs[Long]("cohort_size"),
+          r.getAs[Long]("ret_ppm")))).toMap
+    assert(got == Map(
+      ("2024-01-01", 0) -> ((3L, 3L, 1000000L)),
+      ("2024-01-01", 1) -> ((2L, 3L, 666666L)),
+      ("2024-01-01", 2) -> ((1L, 3L, 333333L)),
+      ("2024-01-08", 0) -> ((1L, 1L, 1000000L)),
+      ("2024-01-08", 1) -> ((1L, 1L, 1000000L))))
+  }
+
+  test("retentionMatrix counts a user once per week no matter how often " +
+      "it fires") {
+    val events = Seq(
+      (1L, 1L, "2024-01-01 08:00:00"), (2L, 1L, "2024-01-01 09:00:00"),
+      (3L, 1L, "2024-01-02 10:00:00"), (4L, 1L, "2024-01-03 11:00:00"))
+      .toDF("event_id", "user_id", "s")
+      .withColumn("ts", to_timestamp(col("s"))).drop("s")
+    val got = RelationalOps.retentionMatrix(events, Seq("user_id"), "ts")
+      .collect()
+    assert(got.length == 1)
+    assert(got.head.getAs[Long]("n_active") == 1L,
+      "four events in one week are one active user")
+  }
+
+  test("transitionMatrix: adjacent pairs per key in (ts, tiebreak) order, " +
+      "row-normalized millionths") {
+    // user 1: A→B→A→C (ties at t=20 broken by event_id: B(id2) then A(id3))
+    // user 2: B→B
+    val events = Seq(
+      (1L, 1L, 10L, "A"), (2L, 1L, 20L, "B"), (3L, 1L, 20L, "A"),
+      (4L, 1L, 30L, "C"),
+      (5L, 2L, 10L, "B"), (6L, 2L, 20L, "B"))
+      .toDF("event_id", "user_id", "sec", "etype")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    val got = RelationalOps.transitionMatrix(events, Seq("user_id"), "ts",
+        Seq("event_id"), "etype")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("from_total"),
+          r.getAs[Long]("p_ppm")))).toMap
+    assert(got == Map(
+      ("A", "B") -> ((1L, 2L, 500000L)),
+      ("A", "C") -> ((1L, 2L, 500000L)),
+      ("B", "A") -> ((1L, 2L, 500000L)),
+      ("B", "B") -> ((1L, 2L, 500000L))))
+  }
+
+  test("transitionMatrix never pairs across keys and matches a sequential " +
+      "reference on random data") {
+    val rnd = new scala.util.Random(23)
+    val types = Array("A", "B", "C", "D")
+    val rows = (1 to 500).map(i => (i.toLong, (rnd.nextInt(7) + 1).toLong,
+      rnd.nextInt(300).toLong, types(rnd.nextInt(4))))
+    val ev = rows.toDF("event_id", "user_id", "sec", "etype")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    val pairs = rows.groupBy(_._2).toSeq.flatMap { case (_, es) =>
+      val s = es.sortBy(e => (e._3, e._1)).map(_._4)
+      s.zip(s.drop(1))
+    }
+    val counts = pairs.groupBy(identity).map { case (p, v) => p -> v.size.toLong }
+    val totals = counts.groupBy(_._1._1).map { case (f, m) => f -> m.values.sum }
+    val expected = counts.map { case ((f, t), n) =>
+      (f, t) -> ((n, totals(f), n * 1000000L / totals(f))) }
+    val got = RelationalOps.transitionMatrix(ev, Seq("user_id"), "ts",
+        Seq("event_id"), "etype")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("from_total"),
+          r.getAs[Long]("p_ppm")))).toMap
+    assert(got == expected)
+  }
 }
