@@ -140,7 +140,22 @@ object VolumeProbe {
     "x29_leakage_free_splits",
     "g2_sessionize", "j19_scd2_merge", "d10_edit_distance_join",
     "g3_locf_fill", "a16_mad_outliers",
-    "g5_triangle_count", "g6_funnel")
+    "g5_triangle_count", "g6_funnel",
+    "g7_retention", "g8_transitions", "x30_bm25_retrieval")
+  // Seventh wave: g7_retention's OUTPUT rows are NOT ×factor — the
+  // 3650-day ts shift is not a whole number of weeks, so a base cohort
+  // can straddle two clone cohort weeks — but week_k is a pure
+  // difference (⌊Δdays/7⌋), so every clone user replays its original's
+  // week_k multiset exactly: the law is the retention CURVE,
+  // Σ n_active per week_k ≡ base ×factor. g8_transitions is
+  // |states|²-bounded (row count can't scale): the law is CONTENT —
+  // the identical (from, to) matrix with n ×factor and p_ppm
+  // byte-identical (floor(f·n·10⁶ div f·T) = floor(n·10⁶ div T)).
+  // x30_bm25_retrieval: queries inflate ×factor too (97 divides
+  // ModLcm) and every query still matches ≥ k docs, so rows = queries
+  // × k scale exactly ×factor; the sharper laws (per-clone score
+  // inheritance, base top-score identity — the scoring fractions
+  // inflate uniformly) are pinned in VolumeProbeSpec/RetrievalOpsSpec.
   // Sixth wave: g6_funnel — one row per user and users AND decades are
   // replica-disjoint, so funnels are replica-local → exact ×factor
   // (depths identical per clone user, pinned in VolumeProbeSpec).
@@ -319,6 +334,21 @@ object VolumeProbe {
               .agg(count(lit(1)), sum(col("tri"))).head
             Seq(("rows", a.getLong(0)), ("tri", a.getLong(1)))
           }
+          else if (name == "g7_retention") Right {
+            // the retention CURVE (see headline note): Σ n_active per
+            // week_k — cohort labels shift across replicas, offsets don't
+            fn(spark, srcDir).groupBy("week_k")
+              .agg(sum(col("n_active")).as("s"))
+              .collect().map(r => (r.getInt(0).toString, r.getLong(1)))
+              .sortBy(_._1).toSeq
+          }
+          else if (name == "g8_transitions") Right {
+            // the whole matrix is |states|²-bounded: carry every row,
+            // keyed by (from, to, p_ppm) — p_ppm must be IDENTICAL at xN
+            fn(spark, srcDir).collect()
+              .map(r => (s"${r.getString(0)}>${r.getString(1)}|${r.getLong(4)}",
+                r.getLong(2))).sortBy(_._1).toSeq
+          }
           else Right(Seq(("", fn(spark, srcDir).count())))
         } catch { case e: Throwable => Left(e.toString.take(200)) }
       val t0 = System.nanoTime()
@@ -382,6 +412,21 @@ object VolumeProbe {
               val ok = n == bRows * factor && tri == bTri * factor &&
                 mismatched == 0L
               Right((n, bRows, "triangle-incidence x" + factor, ok))
+            } else if (name == "g7_retention") {
+              val big = fn(spark, outDir).groupBy("week_k")
+                .agg(sum(col("n_active")).as("s"))
+                .collect().map(r => (r.getInt(0).toString, r.getLong(1)))
+                .sortBy(_._1).toSeq
+              val ok = big == base.map { case (k, n) => (k, n * factor) }
+              Right((big.length.toLong, base.length.toLong,
+                "retention-curve x" + factor, ok))
+            } else if (name == "g8_transitions") {
+              val big = fn(spark, outDir).collect()
+                .map(r => (s"${r.getString(0)}>${r.getString(1)}|${r.getLong(4)}",
+                  r.getLong(2))).sortBy(_._1).toSeq
+              val ok = big == base.map { case (k, n) => (k, n * factor) }
+              Right((big.length.toLong, base.length.toLong,
+                "ppm-invariant-content x" + factor, ok))
             } else if (name == "d10_edit_distance_join") {
               val n = fn(spark, outDir).count()
               val b = base.head._2

@@ -261,6 +261,47 @@ class VolumeProbeSpec extends AnyFunSuite {
       s"closed form: $factor^2*$basePairs + C($factor,2)*$nDocs = $expect")
   }
 
+  test("seventh wave at xN: retention curve scales exactly; transition " +
+      "ppm is invariant; BM25 clones inherit their original's score") {
+    // g7: cohort labels shift across replicas (3650 days is not a whole
+    // number of weeks) but week_k is a pure difference, so the CURVE
+    // (Σ n_active per week_k) scales exactly ×N
+    val g7 = SparkEntry.queries("g7_retention")
+    def curve(dir: String) = g7(spark, dir).groupBy("week_k")
+      .agg(sum(col("n_active")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(curve(outDir) == curve(srcDir).map { case (k, n) => k -> n * factor })
+    // g8: the matrix is |states|²-bounded — identical (from, to) rows
+    // with n ×N and p_ppm byte-identical (floor(Nn·10⁶ div NT) = floor)
+    val g8 = SparkEntry.queries("g8_transitions")
+    def matrix(dir: String) = g8(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(4)))).toMap
+    val baseM = matrix(srcDir)
+    assert(matrix(outDir) == baseM.map { case (k, (n, ppm)) => k -> ((n * factor, ppm)) })
+    // x30: scoring fractions inflate uniformly, so every clone doc's
+    // score equals its original's against the clone query set; rows =
+    // queries × k scale exactly ×N
+    val x30 = SparkEntry.queries("x30_bm25_retrieval")
+    val offset = VolumeProbe.keyOffsetFor(spark, srcDir)
+    val baseDocs = spark.read.parquet(s"$srcDir/documents.parquet")
+    val baseFull = graft.ops.RetrievalOps.bm25TopK(
+        baseDocs.where(pmod(col("doc_id"), lit(97)) =!= 0),
+        baseDocs.where(pmod(col("doc_id"), lit(97)) === 0)
+          .select(col("doc_id").as("qid"), col("text")),
+        "doc_id", "text", "qid", "text", k = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    val big = x30(spark, outDir).collect()
+    assert(big.length == x30(spark, srcDir).count() * factor,
+      "queries x k rows must scale exactly xN")
+    for (r <- big) {
+      val key = (r.getLong(0) % offset, r.getLong(2) % offset)
+      assert(baseFull(key) == ((r.getLong(3), r.getLong(4))),
+        s"clone pair $key drifted from its original's BM25 score at xN")
+    }
+  }
+
   test("sixth wave at xN: funnel depths are replica-invariant per clone " +
       "user; triangle counts inflate to N disjoint isomorphic graphs") {
     // g6: one row per user; users AND decades are replica-disjoint, so
