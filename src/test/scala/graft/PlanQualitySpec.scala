@@ -576,4 +576,36 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
       s"triangle counting must never form a product:\n$p")
   }
+
+  test("BM25 retrieval: candidates come from token equi-joins; the only " +
+      "nested-loop is the 1-row globals broadcast") {
+    val p = plan("x30_bm25_retrieval")
+    assert(!p.contains("CartesianProduct"),
+      s"BM25 must never form an unbroadcast product:\n$p")
+    val bnl = nodeCount(p, "BroadcastNestedLoopJoin")
+    assert(bnl <= 1,
+      s"only the 1-row (N, totlen) broadcast may nested-loop ($bnl):\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"the postings join must be an equi-join:\n$p")
+  }
+
+  test("retention matrix never rescans the events for cohort sizes (no " +
+      "product; sizes ride a window)") {
+    val p = plan("g7_retention")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"retention must never form a product:\n$p")
+    assert(p.contains("Window"),
+      s"cohort sizes must ride a window over the small result:\n$p")
+  }
+
+  test("transition matrix is join-free: one lead window, one pair groupBy, " +
+      "one normalizing window") {
+    val p = plan("g8_transitions")
+    assert(!p.contains("Join"), s"transitions must not join:\n$p")
+    val exchanges = nodeCount(p, "Exchange")
+    assert(exchanges <= 3,
+      s"transitions shuffle at most 3x — user window, pair count, " +
+        s"row totals ($exchanges):\n$p")
+  }
 }
