@@ -141,7 +141,14 @@ object VolumeProbe {
     "g2_sessionize", "j19_scd2_merge", "d10_edit_distance_join",
     "g3_locf_fill", "a16_mad_outliers",
     "g5_triangle_count", "g6_funnel",
-    "g7_retention", "g8_transitions", "x30_bm25_retrieval")
+    "g7_retention", "g8_transitions", "x30_bm25_retrieval",
+    "g9_session_paths", "g10_streaks")
+  // Eighth wave: g9_session_paths is a ranked-content law — sessions
+  // are replica-local (users + decades disjoint) and clone users replay
+  // identical event-type sequences, so the top-20 path histogram must
+  // return the IDENTICAL ranked rows with counts ×factor. g10_streaks:
+  // runs are replica-local under the same argument → exact ×factor
+  // rows (replica-0 rows byte-identical, pinned in VolumeProbeSpec).
   // Seventh wave: g7_retention's OUTPUT rows are NOT ×factor — the
   // 3650-day ts shift is not a whole number of weeks, so a base cohort
   // can straddle two clone cohort weeks — but week_k is a pure
@@ -259,7 +266,7 @@ object VolumeProbe {
     * ×factor — a content check, since the limit pins the row count.
     */
   private val rankedContent = Set("x5_token_freq", "x15_bigram_counts",
-    "x23_bpe_token_freq")
+    "x23_bpe_token_freq", "g9_session_paths")
 
   // x17/x19 laws (the distributed global-numbering family — range sort +
   // zipWithIndex / prefix sum): the seeded permutation INTERLEAVES

@@ -879,6 +879,53 @@ object Battery {
            |  CAST(n * 1000000 // sum(n) OVER (PARTITION BY from_state) AS BIGINT) AS p_ppm
            |FROM c""".stripMargin))
 
+  /** Top-k session journeys ([[graft.relational.RelationalOps.sessionPaths]]):
+    * gap-sessionized (30 min) event-type paths ranked by frequency —
+    * deterministic path strings via struct-sorted collect, top-20 as
+    * a distributed TakeOrdered.
+    */
+  private val g9SessionPaths = Q(
+    "g9_session_paths",
+    (s, d) => graft.relational.RelationalOps.sessionPaths(
+      T.events(s, d), Seq("user_id"), "ts", gapSeconds = 1800L,
+      orderCols = Seq("ts", "event_id"), stateCol = "event_type", k = 20),
+    Some("""WITH o AS (SELECT user_id, ts, event_id, event_type,
+           |    CASE WHEN lag(ts) OVER w IS NULL
+           |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+           |         THEN 1 ELSE 0 END AS is_new
+           |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id
+           |        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+           |      FROM o),
+           |p AS (SELECT user_id, session_seq,
+           |        string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+           |      FROM s GROUP BY 1, 2)
+           |SELECT path, count(*) AS n FROM p GROUP BY 1
+           |ORDER BY n DESC, path LIMIT 20""".stripMargin))
+
+  /** Consecutive-state runs ([[graft.relational.RelationalOps.streaks]]):
+    * maximal same-event-type runs of length ≥ 3 per user — the
+    * gaps-and-islands streak detector, one key shuffle.
+    */
+  private val g10Streaks = Q(
+    "g10_streaks",
+    (s, d) => graft.relational.RelationalOps.streaks(
+      T.events(s, d), Seq("user_id"), "ts",
+      orderCols = Seq("event_id"), stateCol = "event_type", minLen = 3L)
+      .select(col("user_id"), col("event_type"), col("streak_seq"),
+        col("streak_len"), col("streak_start"), col("streak_end")),
+    Some("""WITH o AS (SELECT user_id, ts, event_id, event_type,
+           |    CASE WHEN row_number() OVER w = 1
+           |           OR event_type IS DISTINCT FROM lag(event_type) OVER w
+           |         THEN 1 ELSE 0 END AS chg
+           |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |r AS (SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id
+           |        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS streak_seq
+           |      FROM o)
+           |SELECT user_id, event_type, streak_seq, count(*) AS streak_len,
+           |  min(ts) AS streak_start, max(ts) AS streak_end
+           |FROM r GROUP BY 1, 2, 3 HAVING count(*) >= 3""".stripMargin))
+
   /** Date/time scalar functions over the event stream: truncation,
     * field extraction, interval arithmetic, epoch (engine surface —
     * the reference keeps ages as day counts, SURVEY §2.6 note).
@@ -4469,6 +4516,7 @@ object Battery {
     topK, setOps,
     f6Datetime, g1DateSpine, g2Sessionize, g3LocfFill, g4Pagerank,
     g5TriangleCount, g6Funnel, g7Retention, g8Transitions,
+    g9SessionPaths, g10Streaks,
     a16MadOutliers,
     fScalar, f5Cast, f9MapExplode, f12Json, f13ArrayOps,
     twTumbling, twSliding, twSession, twChainedWindows,

@@ -548,6 +548,64 @@ object RelationalOps {
         expr("n_active * CAST(1000000 AS BIGINT) div cohort_size"))
   }
 
+  /** Top-k session journeys: gap-sessionize each key's events
+    * ([[sessionize]]), concatenate every session's ordered state
+    * sequence into a path string, and rank paths by frequency — the
+    * product-analytics "most common user journeys" rollup.
+    *
+    * Determinism: the per-session sequence is a `collect_list` of
+    * (orderCols..., state) structs sorted by `array_sort` (struct
+    * comparison is field-left-to-right, and orderCols must end in a
+    * unique tiebreak), so the path is a pure function of the data, not
+    * of partial-aggregation order. Scale: sessionize's one key shuffle,
+    * one (key, session) regroup, one path-count shuffle whose
+    * cardinality is the distinct-path vocabulary, and a distributed
+    * TakeOrdered for the top-k — a session's events must fit an
+    * executor (the per-key window contract), and k bounds the driver.
+    */
+  def sessionPaths(events: DataFrame, keyCols: Seq[String], tsCol: String,
+      gapSeconds: Long, orderCols: Seq[String], stateCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 10000, s"k in 1..10000, got $k")
+    val sess = sessionize(events, keyCols, tsCol, gapSeconds, orderCols)
+    val ordered = array_sort(collect_list(
+      struct(orderCols.map(col) :+ col(stateCol).as("__s"): _*)))
+    sess.groupBy(keyCols.map(col) :+ col("session_seq"): _*)
+      .agg(array_join(transform(ordered, x => x.getField("__s")), ">").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path")).limit(k)
+  }
+
+  /** Consecutive-state runs (gaps-and-islands): per key, maximal runs
+    * of identical `stateCol` under the (tsCol, orderCols) order, kept
+    * when at least `minLen` long — the "alert after N consecutive
+    * failures" / streak-detection operator. `streak_seq` numbers ALL
+    * of a key's runs (including short ones) so surviving rows keep a
+    * deterministic identity.
+    *
+    * One shuffle on the key: the change flag (row 1 or a null-safe
+    * state change), the running run-id sum, and the final per-run
+    * aggregate all share the sessionize-style single sort, and the
+    * run regroup reuses the key partitioning.
+    */
+  def streaks(events: DataFrame, keyCols: Seq[String], tsCol: String,
+      orderCols: Seq[String], stateCol: String, minLen: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minLen >= 1, s"minLen must be positive: $minLen")
+    require(orderCols.nonEmpty, "streaks need a deterministic tiebreak order")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((tsCol +: orderCols).map(col): _*)
+    val changed = when(row_number().over(w) === 1 ||
+      !(col(stateCol) <=> lag(col(stateCol), 1).over(w)), 1L).otherwise(0L)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events.withColumn("streak_seq", sum(changed).over(wRun))
+      .groupBy(keyCols.map(col) ++ Seq(col(stateCol), col("streak_seq")): _*)
+      .agg(count(lit(1)).as("streak_len"),
+        min(col(tsCol)).as("streak_start"),
+        max(col(tsCol)).as("streak_end"))
+      .where(col("streak_len") >= minLen)
+  }
+
   /** First-order event-type transition matrix: for each key's event
     * sequence ordered by (tsCol, orderCols), count every adjacent
     * (from → to) state pair and derive the transition probability in

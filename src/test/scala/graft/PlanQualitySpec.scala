@@ -599,6 +599,25 @@ class PlanQualitySpec extends AnyFunSuite {
       s"cohort sizes must ride a window over the small result:\n$p")
   }
 
+  test("session paths: the session regroup reuses the sessionize key " +
+      "shuffle; top-k is a distributed TakeOrdered") {
+    val p = plan("g9_session_paths")
+    assert(!p.contains("Join"), s"session paths must not join:\n$p")
+    val exchanges = nodeCount(p, "Exchange")
+    assert(exchanges <= 2,
+      s"user window + path count only ($exchanges):\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be a distributed TakeOrdered, not a global sort:\n$p")
+  }
+
+  test("streaks run the change flag, run numbering, and the per-run " +
+      "aggregate on ONE key shuffle") {
+    val p = plan("g10_streaks")
+    assert(!p.contains("Join"), s"streaks must not join:\n$p")
+    val exchanges = nodeCount(p, "Exchange")
+    assert(exchanges == 1, s"streaks must shuffle exactly once ($exchanges):\n$p")
+  }
+
   test("transition matrix is join-free: one lead window, one pair groupBy, " +
       "one normalizing window") {
     val p = plan("g8_transitions")

@@ -261,6 +261,25 @@ class VolumeProbeSpec extends AnyFunSuite {
       s"closed form: $factor^2*$basePairs + C($factor,2)*$nDocs = $expect")
   }
 
+  test("eighth wave at xN: the journey histogram returns identical ranked " +
+      "paths with counts xN; streaks are replica-local") {
+    // sessions and runs are replica-local (users + decades disjoint) and
+    // clone users replay identical event-type sequences
+    val g9 = SparkEntry.queries("g9_session_paths")
+    val base9 = g9(spark, srcDir).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val big9 = g9(spark, outDir).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(big9 == base9.map { case (p, n) => (p, n * factor) },
+      "identical ranked paths with counts xN")
+    val g10 = SparkEntry.queries("g10_streaks")
+    val base10 = g10(spark, srcDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.toSeq).toMap
+    val big10 = g10(spark, outDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.toSeq).toMap
+    assert(big10.size == base10.size * factor, "runs must scale exactly xN")
+    for ((k, row) <- base10)
+      assert(big10(k) == row, s"replica-0 streak $k changed at xN")
+  }
+
   test("seventh wave at xN: retention curve scales exactly; transition " +
       "ppm is invariant; BM25 clones inherit their original's score") {
     // g7: cohort labels shift across replicas (3650 days is not a whole

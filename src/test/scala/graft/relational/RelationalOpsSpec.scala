@@ -434,6 +434,68 @@ class RelationalOpsSpec extends AnyFunSuite {
       ("B", "B") -> ((1L, 2L, 500000L))))
   }
 
+  test("sessionPaths: gap-split journeys, deterministic tie order, " +
+      "frequency-then-path ranking") {
+    // user 1: A@0 B@10 | gap | C@5000        -> paths "A>B", "C"
+    // user 2: A@0 B@5                        -> path  "A>B"
+    // user 3: ties at t=7 broken by event_id -> path  "A>X>Y"
+    val ev = Seq(
+      (1L, 1L, 0L, "A"), (2L, 1L, 10L, "B"), (3L, 1L, 5000L, "C"),
+      (4L, 2L, 0L, "A"), (5L, 2L, 5L, "B"),
+      (6L, 3L, 0L, "A"), (7L, 3L, 7L, "X"), (8L, 3L, 7L, "Y"))
+      .toDF("event_id", "user_id", "sec", "event_type")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    val got = RelationalOps.sessionPaths(ev, Seq("user_id"), "ts", 1800L,
+        Seq("ts", "event_id"), "event_type", k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("A>B", 2L), ("A>X>Y", 1L), ("C", 1L)),
+      s"ranked (n desc, path asc): $got")
+  }
+
+  test("streaks: maximal same-state runs per key, minLen filter, " +
+      "deterministic run numbering") {
+    // user 1: E E E V E E  -> runs E(3) V(1) E(2); only E(3) survives minLen=3
+    // user 2: V V V V      -> V(4) survives
+    val ev = Seq(
+      (1L, 1L, "E"), (2L, 1L, "E"), (3L, 1L, "E"), (4L, 1L, "V"),
+      (5L, 1L, "E"), (6L, 1L, "E"),
+      (7L, 2L, "V"), (8L, 2L, "V"), (9L, 2L, "V"), (10L, 2L, "V"))
+      .toDF("event_id", "user_id", "event_type")
+      .withColumn("ts", timestamp_seconds(col("event_id")))
+    val got = RelationalOps.streaks(ev, Seq("user_id"), "ts",
+        Seq("event_id"), "event_type", minLen = 3L)
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[String]("event_type"), r.getAs[Long]("streak_seq"),
+        r.getAs[Long]("streak_len"))).toSet
+    assert(got == Set((1L, "E", 1L, 3L), (2L, "V", 1L, 4L)))
+  }
+
+  test("streaks match a sequential runs reference on random data " +
+      "(minLen = 1 emits every maximal run)") {
+    val rnd = new scala.util.Random(41)
+    val types = Array("A", "B")
+    val rows = (1 to 400).map(i => (i.toLong, (rnd.nextInt(6) + 1).toLong,
+      rnd.nextInt(200).toLong, types(rnd.nextInt(2))))
+    val ev = rows.toDF("event_id", "user_id", "sec", "event_type")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    val expected = rows.groupBy(_._2).toSeq.flatMap { case (u, es) =>
+      val s = es.sortBy(e => (e._3, e._1)).map(_._4)
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      for (t <- s)
+        if (runs.nonEmpty && runs.last._1 == t)
+          runs(runs.length - 1) = (t, runs.last._2 + 1)
+        else runs += ((t, 1L))
+      runs.zipWithIndex.map { case ((t, len), i) =>
+        (u, t, (i + 1).toLong, len) }
+    }.toSet
+    val got = RelationalOps.streaks(ev, Seq("user_id"), "ts",
+        Seq("event_id"), "event_type", minLen = 1L)
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[String]("event_type"), r.getAs[Long]("streak_seq"),
+        r.getAs[Long]("streak_len"))).toSet
+    assert(got == expected)
+  }
+
   test("transitionMatrix never pairs across keys and matches a sequential " +
       "reference on random data") {
     val rnd = new scala.util.Random(23)
