@@ -142,8 +142,12 @@ object VolumeProbe {
     "g3_locf_fill", "a16_mad_outliers",
     "g5_triangle_count", "g6_funnel",
     "g7_retention", "g8_transitions", "x30_bm25_retrieval",
-    "g9_session_paths", "g10_streaks")
-  // Eighth wave: g9_session_paths is a ranked-content law — sessions
+    "g9_session_paths", "g10_streaks", "g11_ewma")
+  // Eighth wave: g11_ewma — one row per user (exact ×factor); the
+  // sharper law (the value column is untouched by replication, so
+  // every clone user folds the identical cent sequence and inherits
+  // its original's smoothed state) is pinned in VolumeProbeSpec.
+  // g9_session_paths is a ranked-content law — sessions
   // are replica-local (users + decades disjoint) and clone users replay
   // identical event-type sequences, so the top-20 path histogram must
   // return the IDENTICAL ranked rows with counts ×factor. g10_streaks:

@@ -926,6 +926,26 @@ object Battery {
            |  min(ts) AS streak_start, max(ts) AS streak_end
            |FROM r GROUP BY 1, 2, 3 HAVING count(*) >= 3""".stripMargin))
 
+  /** Per-user exponentially-smoothed value state
+    * ([[graft.relational.RelationalOps.ewmaState]]): the α = ½
+    * integer-floor recurrence as a higher-order `aggregate` fold over
+    * the struct-sorted sequence; the oracle replays it with DuckDB's
+    * `list_reduce` — identical s₁ = v₁ seed semantics.
+    */
+  private val g11Ewma = Q(
+    "g11_ewma",
+    (s, d) => graft.relational.RelationalOps.ewmaState(
+      T.events(s, d), Seq("user_id"), "ts", Seq("event_id"),
+      (col("value").cast("decimal(18,2)") * 100).cast("long")),
+    Some("""WITH o AS (SELECT user_id, ts, event_id,
+           |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           |  FROM events WHERE value IS NOT NULL),
+           |s AS (SELECT user_id, list(cents ORDER BY ts, event_id) AS vs,
+           |    count(*) AS n_events FROM o GROUP BY 1)
+           |SELECT user_id, n_events,
+           |  list_reduce(vs, (a, b) -> (a + b) // 2) AS ewma_units
+           |FROM s""".stripMargin))
+
   /** Date/time scalar functions over the event stream: truncation,
     * field extraction, interval arithmetic, epoch (engine surface —
     * the reference keeps ages as day counts, SURVEY §2.6 note).
@@ -4516,7 +4536,7 @@ object Battery {
     topK, setOps,
     f6Datetime, g1DateSpine, g2Sessionize, g3LocfFill, g4Pagerank,
     g5TriangleCount, g6Funnel, g7Retention, g8Transitions,
-    g9SessionPaths, g10Streaks,
+    g9SessionPaths, g10Streaks, g11Ewma,
     a16MadOutliers,
     fScalar, f5Cast, f9MapExplode, f12Json, f13ArrayOps,
     twTumbling, twSliding, twSession, twChainedWindows,

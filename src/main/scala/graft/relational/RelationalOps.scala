@@ -606,6 +606,38 @@ object RelationalOps {
       .where(col("streak_len") >= minLen)
   }
 
+  /** Per-key exponentially-smoothed state (EWMA, α = ½) over each
+    * key's time-ordered value sequence — the "current smoothed reading"
+    * a feature store keeps per sensor/account. Exact integer
+    * semantics: values arrive as non-negative integer units (cents),
+    * s₁ = v₁ and sₜ = ⌊(sₜ₋₁ + vₜ)/2⌋, a stateful recurrence that no
+    * window builtin expresses — it runs as a higher-order `aggregate`
+    * fold over the struct-sorted per-key sequence, so the result is a
+    * pure function of the data (never of partial-agg order) and
+    * replays bit-identically in any engine with a list fold.
+    *
+    * Scale: ONE shuffle (the per-key regroup); the fold is a narrow
+    * in-memory scan of each key's array. A key's history must fit an
+    * executor — the same contract as every per-key window here. Null
+    * values are dropped before the fold (a null would poison the
+    * recurrence); negative units are the caller's responsibility (the
+    * floor-division halving assumes non-negatives).
+    */
+  def ewmaState(events: DataFrame, keyCols: Seq[String], tsCol: String,
+      orderCols: Seq[String], valueUnits: Column): DataFrame = {
+    require(orderCols.nonEmpty, "ewmaState needs a deterministic tiebreak order")
+    val item = struct((tsCol +: orderCols).map(col) :+ valueUnits.as("__v"): _*)
+    events.where(valueUnits.isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(array_sort(collect_list(item)).as("__seq"),
+        count(lit(1)).as("n_events"))
+      .withColumn("__vs", expr("transform(__seq, x -> x.__v)"))
+      .withColumn("ewma_units",
+        expr("aggregate(slice(__vs, 2, size(__vs) - 1), __vs[0], " +
+          "(acc, v) -> (acc + v) div 2)"))
+      .drop("__seq", "__vs")
+  }
+
   /** First-order event-type transition matrix: for each key's event
     * sequence ordered by (tsCol, orderCols), count every adjacent
     * (from → to) state pair and derive the transition probability in

@@ -618,6 +618,15 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(exchanges == 1, s"streaks must shuffle exactly once ($exchanges):\n$p")
   }
 
+  test("EWMA state is one regroup shuffle; the fold is a narrow " +
+      "higher-order aggregate, never a window or join") {
+    val p = plan("g11_ewma")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"the recurrence must fold in-array, not join or window:\n$p")
+    val exchanges = nodeCount(p, "Exchange")
+    assert(exchanges == 1, s"one per-key regroup only ($exchanges):\n$p")
+  }
+
   test("transition matrix is join-free: one lead window, one pair groupBy, " +
       "one normalizing window") {
     val p = plan("g8_transitions")

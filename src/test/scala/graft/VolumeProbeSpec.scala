@@ -278,6 +278,19 @@ class VolumeProbeSpec extends AnyFunSuite {
     assert(big10.size == base10.size * factor, "runs must scale exactly xN")
     for ((k, row) <- base10)
       assert(big10(k) == row, s"replica-0 streak $k changed at xN")
+    // g11: the value column is untouched by replication, so every clone
+    // user folds the identical cent sequence — one row per user, xN
+    // rows, and every clone inherits its original's smoothed state
+    val g11 = SparkEntry.queries("g11_ewma")
+    val base11 = g11(spark, srcDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val big11 = g11(spark, outDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(big11.size == base11.size * factor)
+    val off = VolumeProbe.keyOffsetFor(spark, srcDir)
+    for ((uid, st) <- base11; rep <- 0 until factor)
+      assert(big11(uid + rep * off) == st,
+        s"replica $rep of user $uid drifted from its smoothed state")
   }
 
   test("seventh wave at xN: retention curve scales exactly; transition " +

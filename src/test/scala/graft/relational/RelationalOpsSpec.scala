@@ -496,6 +496,44 @@ class RelationalOpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("ewmaState: seed-first fold semantics, null values dropped, " +
+      "singleton keys keep their value") {
+    // user 1: 100, 50, 30 -> s = 100, (100+50)/2=75, (75+30)/2=52
+    // user 2: only 40     -> 40 (the seed IS the state)
+    // user 3: null then 60 -> null dropped, state 60, n_events 1
+    val ev = Seq(
+      (1L, 1L, 10L, Some(100L)), (2L, 1L, 20L, Some(50L)), (3L, 1L, 30L, Some(30L)),
+      (4L, 2L, 10L, Some(40L)),
+      (5L, 3L, 10L, None), (6L, 3L, 20L, Some(60L)))
+      .toDF("event_id", "user_id", "sec", "units")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    val got = RelationalOps.ewmaState(ev, Seq("user_id"), "ts",
+        Seq("event_id"), col("units"))
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("ewma_units")))).toMap
+    assert(got == Map(1L -> ((3L, 52L)), 2L -> ((1L, 40L)), 3L -> ((1L, 60L))))
+  }
+
+  test("ewmaState matches a sequential fold on random data regardless of " +
+      "input row order") {
+    val rnd = new scala.util.Random(29)
+    val rows = (1 to 500).map(i => (i.toLong, (rnd.nextInt(9) + 1).toLong,
+      rnd.nextInt(400).toLong, rnd.nextInt(10000).toLong))
+    val expected = rows.groupBy(_._2).map { case (u, es) =>
+      val vs = es.sortBy(e => (e._3, e._1)).map(_._4)
+      u -> ((vs.size.toLong, vs.tail.foldLeft(vs.head)((a, v) => (a + v) / 2)))
+    }
+    // shuffle input rows: the struct-sorted fold must not care
+    val ev = rnd.shuffle(rows).toDF("event_id", "user_id", "sec", "units")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+      .repartition(7)
+    val got = RelationalOps.ewmaState(ev, Seq("user_id"), "ts",
+        Seq("event_id"), col("units"))
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("ewma_units")))).toMap
+    assert(got == expected)
+  }
+
   test("transitionMatrix never pairs across keys and matches a sequential " +
       "reference on random data") {
     val rnd = new scala.util.Random(23)
