@@ -946,6 +946,131 @@ object Battery {
            |  list_reduce(vs, (a, b) -> (a + b) // 2) AS ewma_units
            |FROM s""".stripMargin))
 
+  /** Linear interpolation onto the daily spine
+    * ([[graft.relational.RelationalOps.interpolateGaps]]): each user's
+    * silent days get the integer-floor linear blend of the bracketing
+    * observations — the smooth-fill twin of g3's LOCF. Integer cents
+    * keep the ⌊(vp·(n−d)+vn·(d−p))/(n−p)⌋ formula engine-exact (both
+    * sides floor-divide non-negative numerators).
+    */
+  private val g12Interpolate = Q(
+    "g12_interpolate",
+    (s, d) => {
+      val daily = T.events(s, d).where(col("value").isNotNull)
+        .groupBy(col("user_id"),
+          to_date(date_trunc("DAY", col("ts"))).as("day"))
+        .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .as("day_units"))
+      graft.relational.RelationalOps.interpolateGaps(
+        daily, Seq("user_id"), "day", "day_units")
+    },
+    Some("""WITH daily AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+           |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS day_units
+           |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+           |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+           |spine AS (SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+           |  FROM span),
+           |j AS (SELECT s.user_id, s.day, d.day_units
+           |  FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day),
+           |c AS (SELECT *,
+           |    last_value(day_units IGNORE NULLS) OVER wb AS pv,
+           |    last_value(CASE WHEN day_units IS NOT NULL THEN day END IGNORE NULLS) OVER wb AS pd,
+           |    first_value(day_units IGNORE NULLS) OVER wf AS nv,
+           |    first_value(CASE WHEN day_units IS NOT NULL THEN day END IGNORE NULLS) OVER wf AS nd
+           |  FROM j WINDOW
+           |    wb AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           |    wf AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+           |SELECT user_id, day, day_units,
+           |  CASE WHEN day_units IS NOT NULL THEN day_units
+           |       ELSE (pv * (nd - day) + nv * (day - pd)) // (nd - pd)
+           |  END AS units_interp
+           |FROM c""".stripMargin))
+
+  /** Within-basket co-occurrence with per-item top-k neighbors
+    * ([[graft.relational.RelationalOps.coOccurrenceTopK]]): parts that
+    * ship together on the same order, ranked per part — basket-
+    * quadratic (TPC-H baskets ≤ 7 lines), never corpus-quadratic.
+    */
+  private val g13Cooccurrence = Q(
+    "g13_cooccurrence",
+    (s, d) => graft.relational.RelationalOps.coOccurrenceTopK(
+      T.lineitem(s, d), "l_orderkey", "l_partkey", k = 5)
+      .select(col("item"), col("other"), col("n_co"),
+        col("rnk").cast("int").as("rnk")),
+    Some("""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+           |pairs AS (SELECT a.l_partkey AS x, b.l_partkey AS y, count(*) AS n_co
+           |  FROM items a JOIN items b
+           |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           |  GROUP BY 1, 2),
+           |sym AS (SELECT x AS item, y AS other, n_co FROM pairs
+           |  UNION ALL SELECT y, x, n_co FROM pairs)
+           |SELECT item, other, n_co, CAST(rnk AS INT) AS rnk
+           |FROM (SELECT *, row_number() OVER (PARTITION BY item
+           |        ORDER BY n_co DESC, other) AS rnk FROM sym)
+           |WHERE rnk <= 5""".stripMargin))
+
+  /** Time-weighted average value per user
+    * ([[graft.relational.RelationalOps.timeWeightedAvg]]): each
+    * reading's cents held until the next reading, ⌊Σ v·dt / Σ dt⌋ in
+    * exact integer arithmetic; single-instant users fall back to their
+    * first reading.
+    */
+  private val g14Twap = Q(
+    "g14_twap",
+    (s, d) => graft.relational.RelationalOps.timeWeightedAvg(
+      T.events(s, d), Seq("user_id"), "ts", Seq("event_id"),
+      (col("value").cast("decimal(18,2)") * 100).cast("long")),
+    Some("""WITH o AS (SELECT user_id, ts, event_id,
+           |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+           |  FROM events WHERE value IS NOT NULL),
+           |w AS (SELECT user_id, v,
+           |    lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER win
+           |      - CAST(floor(epoch(ts)) AS BIGINT) AS dt
+           |  FROM o WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |f AS (SELECT user_id, list(v ORDER BY ts, event_id)[1] AS f0
+           |  FROM o GROUP BY 1)
+           |SELECT w.user_id,
+           |  CAST(count(*) AS BIGINT) AS n_readings,
+           |  CASE WHEN COALESCE(CAST(SUM(dt) AS BIGINT), 0) > 0
+           |       THEN CAST(SUM(v * dt) AS BIGINT) // CAST(SUM(dt) AS BIGINT)
+           |       ELSE any_value(f.f0) END AS twap_units
+           |FROM w JOIN f ON w.user_id = f.user_id
+           |GROUP BY 1""".stripMargin))
+
+  /** Peak concurrency by sweep line
+    * ([[graft.relational.RelationalOps.peakConcurrency]]): maximum
+    * simultaneously-open shipment windows [ship, ship+quantity days)
+    * per supplier, and the earliest instant the peak is reached — the
+    * classic interval-overlap operator, one key shuffle end-to-end.
+    */
+  private val g15PeakConcurrency = Q(
+    "g15_peak_concurrency",
+    (s, d) => {
+      val iv = T.lineitem(s, d).select(
+        col("l_suppkey"),
+        to_date(col("l_shipdate")).as("s_day"),
+        date_add(to_date(col("l_shipdate")),
+          col("l_quantity").cast("int")).as("e_day"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("iid"))
+      graft.relational.RelationalOps.peakConcurrency(
+        iv, Seq("l_suppkey"), "s_day", "e_day", "iid")
+    },
+    Some("""WITH base AS (SELECT l_suppkey,
+           |    CAST(l_shipdate AS DATE) AS s_day,
+           |    CAST(l_shipdate AS DATE) + CAST(l_quantity AS INT) AS e_day,
+           |    l_orderkey * 10 + l_linenumber AS iid
+           |  FROM lineitem
+           |  WHERE CAST(l_shipdate AS DATE) < CAST(l_shipdate AS DATE) + CAST(l_quantity AS INT)),
+           |d AS (SELECT l_suppkey, s_day AS t, CAST(1 AS BIGINT) AS dd, iid FROM base
+           |  UNION ALL SELECT l_suppkey, e_day, CAST(-1 AS BIGINT), iid FROM base),
+           |r AS (SELECT l_suppkey, t,
+           |    CAST(sum(dd) OVER (PARTITION BY l_suppkey ORDER BY t, dd, iid
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+           |  FROM d),
+           |p AS (SELECT *, max(run) OVER (PARTITION BY l_suppkey) AS peak FROM r)
+           |SELECT l_suppkey, CAST(max(run) AS BIGINT) AS peak, min(t) AS peak_at
+           |FROM p WHERE run = peak GROUP BY 1""".stripMargin))
+
   /** Date/time scalar functions over the event stream: truncation,
     * field extraction, interval arithmetic, epoch (engine surface —
     * the reference keeps ages as day counts, SURVEY §2.6 note).
@@ -4537,6 +4662,7 @@ object Battery {
     f6Datetime, g1DateSpine, g2Sessionize, g3LocfFill, g4Pagerank,
     g5TriangleCount, g6Funnel, g7Retention, g8Transitions,
     g9SessionPaths, g10Streaks, g11Ewma,
+    g12Interpolate, g13Cooccurrence, g14Twap, g15PeakConcurrency,
     a16MadOutliers,
     fScalar, f5Cast, f9MapExplode, f12Json, f13ArrayOps,
     twTumbling, twSliding, twSession, twChainedWindows,

@@ -666,4 +666,152 @@ object RelationalOps {
       .withColumn("from_total", sum(col("n")).over(rowW))
       .withColumn("p_ppm", expr("n * CAST(1000000 AS BIGINT) div from_total"))
   }
+
+  /** Linear interpolation onto a dense daily spine — the smooth-fill
+    * twin of [[gapFillLocf]]: a gap day `d` between the previous
+    * observation (day p, value vp) and the next (day n, vn) gets
+    * ⌊(vp·(n−d) + vn·(d−p)) div (n−p)⌋, exact integer arithmetic over
+    * non-negative `unitsCol` (the weighted-sum numerator is then
+    * non-negative, so truncating division IS floor division in every
+    * engine). Observed days keep their exact value; days outside the
+    * key's observed span do not exist (the spine runs first..last
+    * observation), so every interior null is bracketed and
+    * `units_interp` is total. `daily` must be unique per (keys, day) —
+    * pre-aggregate otherwise.
+    *
+    * Scale: one per-key min/max aggregate, a narrow spine explode
+    * (rows ≤ keys × span-days), one equi-join back to the facts, and
+    * two window passes (backward carry, forward carry) that share the
+    * join's key partitioning and differ only in frame direction —
+    * Catalyst plans both on one sort, no extra exchange. A key's span
+    * must fit an executor (the per-key window contract).
+    */
+  def interpolateGaps(daily: DataFrame, keys: Seq[String], dayCol: String,
+      unitsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keys.nonEmpty, "interpolateGaps needs key columns")
+    val span = daily.groupBy(keys.map(col): _*)
+      .agg(min(col(dayCol)).as("__d0"), max(col(dayCol)).as("__d1"))
+    val spine = span.select(keys.map(col) :+
+      explode(sequence(col("__d0"), col("__d1"))).as(dayCol): _*)
+    val wb = Window.partitionBy(keys.map(col): _*).orderBy(col(dayCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(keys.map(col): _*).orderBy(col(dayCol))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val u = col(unitsCol)
+    val obsDay = when(u.isNotNull, col(dayCol))
+    spine.join(daily, keys :+ dayCol, "left")
+      .withColumn("__pv", last(u, ignoreNulls = true).over(wb))
+      .withColumn("__pd", last(obsDay, ignoreNulls = true).over(wb))
+      .withColumn("__nv", first(u, ignoreNulls = true).over(wf))
+      .withColumn("__nd", first(obsDay, ignoreNulls = true).over(wf))
+      .withColumn("units_interp", when(u.isNotNull, u).otherwise(
+        expr("(__pv * datediff(__nd, " + dayCol + ") + " +
+          "__nv * datediff(" + dayCol + ", __pd)) div datediff(__nd, __pd)")))
+      .drop("__pv", "__pd", "__nv", "__nd")
+  }
+
+  /** Within-group co-occurrence with per-item top-k neighbors — the
+    * market-basket "customers who bought X also bought Y" operator.
+    * Pairs are generated INSIDE each group (a self equi-join on
+    * `groupCol` over the deduped (group, item) set), so the explosion
+    * is quadratic in basket size, never in corpus size; the pair count
+    * shuffle is bounded by the co-occurrence vocabulary; the final
+    * ranking is one window per item with a deterministic (count desc,
+    * neighbor asc) order. Output is symmetric: each surviving pair
+    * appears under both endpoints with `rnk` ≤ k.
+    */
+  def coOccurrenceTopK(facts: DataFrame, groupCol: String, itemCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && k <= 1000, s"k in 1..1000, got $k")
+    val items = facts.select(col(groupCol), col(itemCol)).distinct()
+    val a = items.as("a"); val b = items.as("b")
+    // Both directions straight off ONE self-join (a ≠ b, not a < b +
+    // re-union): Catalyst does not share the join subtree across a
+    // union's branches, so the halved-then-mirrored form runs the
+    // distinct + join + count twice end-to-end. The ordered-pair group
+    // count IS the symmetric co-occurrence count.
+    val pairs = a.join(b,
+        col(s"a.$groupCol") === col(s"b.$groupCol") &&
+          col(s"a.$itemCol") =!= col(s"b.$itemCol"))
+      .select(col(s"a.$itemCol").as("item"), col(s"b.$itemCol").as("other"))
+      .groupBy("item", "other").agg(count(lit(1)).as("n_co"))
+    val w = Window.partitionBy(col("item"))
+      .orderBy(col("n_co").desc, col("other"))
+    pairs.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+  }
+
+  /** Per-key time-weighted average of a step function (TWAP): each
+    * reading's value holds from its timestamp until the next reading;
+    * the average weights each value by its holding duration in whole
+    * seconds — ⌊Σ vᵢ·dtᵢ div Σ dtᵢ⌋, exact integer arithmetic over
+    * non-negative `unitsCol` (truncation = floor). The last reading
+    * contributes no duration (nothing is held after it); keys whose
+    * span is zero seconds (a single reading, or all readings within
+    * one second) fall back to the FIRST reading's value — the state
+    * that held for the whole (degenerate) span.
+    *
+    * Scale: one key shuffle; the one-step `lead` window and the final
+    * per-key aggregate share that partitioning (no second exchange).
+    * Second (not micro) resolution keeps Σ v·dt far inside Long for
+    * realistic cents × year-long spans.
+    */
+  def timeWeightedAvg(readings: DataFrame, keyCols: Seq[String],
+      tsCol: String, orderCols: Seq[String], unitsCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(orderCols.nonEmpty, "timeWeightedAvg needs a deterministic tiebreak order")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((tsCol +: orderCols).map(col): _*)
+    val sec = unix_seconds(col(tsCol))
+    val withDt = readings.where(unitsCol.isNotNull)
+      .withColumn("__v", unitsCol)
+      .withColumn("__dt", lead(sec, 1).over(w) - sec)
+    withDt.groupBy(keyCols.map(col): _*)
+      .agg(sum(expr("__v * __dt")).as("__num"),
+        sum(col("__dt")).as("__den"),
+        min(struct((tsCol +: orderCols).map(col) :+ col("__v").as("f"): _*))
+          .getField("f").as("__f0"),
+        count(lit(1)).as("n_readings"))
+      .withColumn("twap_units",
+        when(col("__den") > 0, expr("__num div __den")).otherwise(col("__f0")))
+      .drop("__num", "__den", "__f0")
+  }
+
+  /** Peak concurrency by sweep line: given per-key intervals
+    * [startCol, endCol) — end EXCLUSIVE, so an interval ending exactly
+    * when another starts does not overlap it — report each key's
+    * maximum number of simultaneously-open intervals and the earliest
+    * instant that peak is reached. The classic "max concurrent
+    * sessions / active shipments" operator.
+    *
+    * Sweep: union of (+1 at start) and (−1 at end) deltas, a running
+    * sum ordered by (t, delta, id) — the −1 sorts first at equal
+    * timestamps, enforcing the exclusive end — then a per-key max with
+    * an argmin-timestamp tiebreak. One shuffle on the key: the union
+    * is narrow, and the running-sum window, the peak window, and the
+    * final aggregate all reuse the key partitioning. `idCol` must be
+    * unique per interval (it makes the sweep order — and therefore
+    * every prefix sum — deterministic).
+    */
+  def peakConcurrency(intervals: DataFrame, keyCols: Seq[String],
+      startCol: String, endCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keyCols.nonEmpty, "peakConcurrency needs key columns")
+    val base = intervals.where(col(startCol) < col(endCol))
+    val deltas = base.select(keyCols.map(col) ++ Seq(
+        col(startCol).as("__t"), lit(1L).as("__d"), col(idCol).as("__id")): _*)
+      .unionAll(base.select(keyCols.map(col) ++ Seq(
+        col(endCol).as("__t"), lit(-1L).as("__d"), col(idCol).as("__id")): _*))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__t"), col("__d"), col("__id"))
+    val run = deltas.withColumn("__run",
+      sum(col("__d")).over(w.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)))
+    val wk = Window.partitionBy(keyCols.map(col): _*)
+    run.withColumn("__peak", max(col("__run")).over(wk))
+      .where(col("__run") === col("__peak"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(col("__run")).as("peak"), min(col("__t")).as("peak_at"))
+  }
 }

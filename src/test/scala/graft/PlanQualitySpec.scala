@@ -627,6 +627,44 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(exchanges == 1, s"one per-key regroup only ($exchanges):\n$p")
   }
 
+  test("interpolation's backward and forward carry windows share ONE sort " +
+      "on the join's output — three Window nodes, one Sort above the join") {
+    val p = plan("g12_interpolate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"interpolation must never form a product:\n$p")
+    assert(nodeCount(p, "Window") == 3,
+      s"prev-value, prev-day+next-value, next-day carries = 3 windows:\n$p")
+    assert(nodeCount(p, "Sort") == 1,
+      s"the carry windows must share one (user, day) sort:\n$p")
+  }
+
+  test("co-occurrence generates both pair directions off ONE basket " +
+      "self-join — no union re-running the distinct+join, rank limit pushed") {
+    val p = plan("g13_cooccurrence")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"basket pairing must be an equi-join on the basket key:\n$p")
+    assert(nodeCount(p, "Union") == 0,
+      s"one a≠b join, not a halved join mirrored by union:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"the per-item top-k must push into a group-limit before the shuffle:\n$p")
+  }
+
+  test("TWAP runs the hold-duration window and the per-key aggregate on " +
+      "ONE key shuffle") {
+    val p = plan("g14_twap")
+    assert(!p.contains("Join"), s"TWAP must not join:\n$p")
+    val exchanges = nodeCount(p, "Exchange")
+    assert(exchanges == 1, s"TWAP must shuffle exactly once ($exchanges):\n$p")
+  }
+
+  test("peak concurrency sweeps on ONE key shuffle: the union is narrow; " +
+      "running sum, peak window, and final aggregate reuse it") {
+    val p = plan("g15_peak_concurrency")
+    assert(!p.contains("Join"), s"the sweep must not join:\n$p")
+    val exchanges = nodeCount(p, "Exchange")
+    assert(exchanges == 1, s"one sweep shuffle only ($exchanges):\n$p")
+  }
+
   test("transition matrix is join-free: one lead window, one pair groupBy, " +
       "one normalizing window") {
     val p = plan("g8_transitions")

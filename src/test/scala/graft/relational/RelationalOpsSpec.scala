@@ -557,4 +557,172 @@ class RelationalOpsSpec extends AnyFunSuite {
           r.getAs[Long]("p_ppm")))).toMap
     assert(got == expected)
   }
+
+  test("interpolateGaps: gap days get the integer-floor linear blend, " +
+      "observed days keep their exact value, singletons span one day") {
+    // user 1 observes day 1 -> 30 and day 4 -> 60:
+    //   day 2 = (30*2 + 60*1) div 3 = 40, day 3 = (30*1 + 60*2) div 3 = 50
+    // user 2 observes only day 7 -> one-day spine, no gaps
+    val daily = Seq((1L, 1, 30L), (1L, 4, 60L), (2L, 7, 5L))
+      .toDF("user_id", "d", "units")
+      .withColumn("day", date_add(lit("2024-01-01").cast("date"), col("d")))
+      .drop("d")
+    val got = RelationalOps.interpolateGaps(daily, Seq("user_id"), "day", "units")
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Date]("day").toString,
+        Option(r.getAs[Any]("units")), r.getAs[Long]("units_interp"))).toSet
+    assert(got == Set(
+      (1L, "2024-01-02", Some(30L), 30L),
+      (1L, "2024-01-03", None, 40L),
+      (1L, "2024-01-04", None, 50L),
+      (1L, "2024-01-05", Some(60L), 60L),
+      (2L, "2024-01-08", Some(5L), 5L)))
+  }
+
+  test("interpolateGaps matches a sequential reference on random sparse data") {
+    val rnd = new scala.util.Random(47)
+    // unique (user, dayNum) observations, ~40% density over a 30-day span
+    val rows = (for (u <- 1L to 8L; d <- 0 to 29 if rnd.nextInt(10) < 4)
+      yield (u, d, rnd.nextInt(100000).toLong)).toSeq
+    val daily = rnd.shuffle(rows).toDF("user_id", "d", "units")
+      .withColumn("day", date_add(lit("2024-03-01").cast("date"), col("d")))
+      .drop("d").repartition(5)
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (u, os) =>
+      val obs = os.map(o => o._2 -> o._3).toMap
+      val days = os.map(_._2)
+      (days.min to days.max).map { d =>
+        val v = obs.get(d) match {
+          case Some(x) => x
+          case None =>
+            val p = obs.keys.filter(_ < d).max; val n = obs.keys.filter(_ > d).min
+            Math.floorDiv(obs(p) * (n - d) + obs(n) * (d - p), (n - p).toLong)
+        }
+        (u, d, v)
+      }
+    }.toSet
+    val base = java.time.LocalDate.parse("2024-03-01")
+    val got = RelationalOps.interpolateGaps(daily, Seq("user_id"), "day", "units")
+      .collect().map { r =>
+        val d = java.time.temporal.ChronoUnit.DAYS.between(
+          base, r.getAs[java.sql.Date]("day").toLocalDate).toInt
+        (r.getAs[Long]("user_id"), d, r.getAs[Long]("units_interp"))
+      }.toSet
+    assert(got == expected)
+  }
+
+  test("coOccurrenceTopK: symmetric pairs, duplicate basket rows ignored, " +
+      "row_number tiebreak by (count desc, neighbor asc)") {
+    // baskets: {a,b,c}, {a,b}, {a,c} (with a duplicate 'a' row), {b,d}
+    val facts = Seq(
+      (1L, "a"), (1L, "b"), (1L, "c"),
+      (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "a"), (3L, "c"),
+      (4L, "b"), (4L, "d")).toDF("basket", "item")
+    val got = RelationalOps.coOccurrenceTopK(facts, "basket", "item", k = 1)
+      .collect().map(r => (r.getAs[String]("item"), r.getAs[String]("other"),
+        r.getAs[Long]("n_co"), r.getAs[Int]("rnk"))).toSet
+    // a: ab=2 ac=2 -> top1 is b (tie, asc); b: ab=2; c: ac=2; d: bd=1
+    assert(got == Set(("a", "b", 2L, 1), ("b", "a", 2L, 1),
+      ("c", "a", 2L, 1), ("d", "b", 1L, 1)))
+  }
+
+  test("coOccurrenceTopK matches a sequential reference on random baskets") {
+    val rnd = new scala.util.Random(31)
+    val items = ('a' to 'j').map(_.toString)
+    val rows = (1L to 60L).flatMap { g =>
+      rnd.shuffle(items).take(rnd.nextInt(5) + 2).map(g -> _) }
+    val k = 3
+    val counts = rows.distinct.groupBy(_._1).toSeq.flatMap { case (_, is) =>
+      val s = is.map(_._2).sorted
+      for (i <- s.indices; j <- i + 1 until s.size) yield (s(i), s(j))
+    }.groupBy(identity).map { case (p, v) => p -> v.size.toLong }
+    val sym = counts.toSeq.flatMap { case ((x, y), n) =>
+      Seq((x, y, n), (y, x, n)) }
+    val expected = sym.groupBy(_._1).flatMap { case (item, ns) =>
+      ns.sortBy(t => (-t._3, t._2)).take(k).zipWithIndex
+        .map { case ((_, o, n), i) => (item, o, n, i + 1) }
+    }.toSet
+    val got = RelationalOps.coOccurrenceTopK(
+        rnd.shuffle(rows).toDF("basket", "item").repartition(7),
+        "basket", "item", k)
+      .collect().map(r => (r.getAs[String]("item"), r.getAs[String]("other"),
+        r.getAs[Long]("n_co"), r.getAs[Int]("rnk"))).toSet
+    assert(got == expected)
+  }
+
+  test("timeWeightedAvg: holds each reading until the next, " +
+      "singleton and zero-span keys fall back to the first reading") {
+    // user 1: t=0 v=100 (10s), t=10 v=200 (20s), t=30 v=50 (no duration)
+    //   twap = (100*10 + 200*20) div 30 = 166
+    // user 2: one reading -> its own value
+    // user 3: two readings in the same second -> zero span -> first by id
+    val ev = Seq(
+      (1L, 1L, 0L, 100L), (2L, 1L, 10L, 200L), (3L, 1L, 30L, 50L),
+      (4L, 2L, 5L, 77L),
+      (5L, 3L, 9L, 40L), (6L, 3L, 9L, 90L))
+      .toDF("event_id", "user_id", "sec", "units")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    val got = RelationalOps.timeWeightedAvg(ev, Seq("user_id"), "ts",
+        Seq("event_id"), col("units"))
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_readings"), r.getAs[Long]("twap_units")))).toMap
+    assert(got == Map(1L -> ((3L, 166L)), 2L -> ((1L, 77L)), 3L -> ((2L, 40L))))
+  }
+
+  test("timeWeightedAvg matches a sequential reference on random data") {
+    val rnd = new scala.util.Random(53)
+    val rows = (1 to 400).map(i => (i.toLong, (rnd.nextInt(8) + 1).toLong,
+      rnd.nextInt(500).toLong, rnd.nextInt(10000).toLong))
+    val expected = rows.groupBy(_._2).map { case (u, es) =>
+      val s = es.sortBy(e => (e._3, e._1))
+      val dts = s.zip(s.drop(1)).map { case (a, b) => (a._4, b._3 - a._3) }
+      val den = dts.map(_._2).sum
+      val tw = if (den > 0) dts.map(t => t._1 * t._2).sum / den else s.head._4
+      u -> ((s.size.toLong, tw))
+    }
+    val ev = rnd.shuffle(rows).toDF("event_id", "user_id", "sec", "units")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+      .repartition(6)
+    val got = RelationalOps.timeWeightedAvg(ev, Seq("user_id"), "ts",
+        Seq("event_id"), col("units"))
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_readings"), r.getAs[Long]("twap_units")))).toMap
+    assert(got == expected)
+  }
+
+  test("peakConcurrency: exclusive ends do not overlap a same-instant " +
+      "start; earliest peak instant reported; empty intervals dropped") {
+    // key 1: [0,10) [5,15) [10,20) -> peak 2, first reached at t=5
+    //   (at t=10 the first interval's -1 sorts before the third's +1)
+    // key 2: [3,3) is empty -> dropped; [1,4) alone -> peak 1 at t=1
+    val iv = Seq(
+      (1L, 0L, 10L, 101L), (1L, 5L, 15L, 102L), (1L, 10L, 20L, 103L),
+      (2L, 3L, 3L, 201L), (2L, 1L, 4L, 202L))
+      .toDF("k", "s", "e", "iid")
+    val got = RelationalOps.peakConcurrency(iv, Seq("k"), "s", "e", "iid")
+      .collect().map(r => r.getAs[Long]("k") ->
+        ((r.getAs[Long]("peak"), r.getAs[Long]("peak_at")))).toMap
+    assert(got == Map(1L -> ((2L, 5L)), 2L -> ((1L, 1L))))
+  }
+
+  test("peakConcurrency matches a brute-force sweep on random intervals") {
+    val rnd = new scala.util.Random(61)
+    val rows = (1 to 300).map { i =>
+      val s = rnd.nextInt(100).toLong
+      ((rnd.nextInt(5) + 1).toLong, s, s + rnd.nextInt(20) + 1, i.toLong)
+    }
+    // conc(t) = #intervals with s <= t < e; peaks occur at start instants
+    val expected = rows.groupBy(_._1).map { case (k, is) =>
+      val conc = is.map(_._2).distinct.map(t =>
+        t -> is.count(iv => iv._2 <= t && t < iv._3).toLong)
+      val peak = conc.map(_._2).max
+      k -> ((peak, conc.filter(_._2 == peak).map(_._1).min))
+    }
+    val got = RelationalOps.peakConcurrency(
+        rnd.shuffle(rows).toDF("k", "s", "e", "iid").repartition(8),
+        Seq("k"), "s", "e", "iid")
+      .collect().map(r => r.getAs[Long]("k") ->
+        ((r.getAs[Long]("peak"), r.getAs[Long]("peak_at")))).toMap
+    assert(got == expected)
+  }
 }
