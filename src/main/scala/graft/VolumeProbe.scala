@@ -48,7 +48,7 @@ object VolumeProbe {
     * days keeps day-truncations and window-bucket alignment identical
     * within every replica.
     */
-  private val TsShiftDays = 3650L
+  val TsShiftDays = 3650L
 
   /** lcm of every `% m` a probed query derives membership from: the
     * KfShaped fixture's entity moduli
@@ -142,7 +142,24 @@ object VolumeProbe {
     "g3_locf_fill", "a16_mad_outliers",
     "g5_triangle_count", "g6_funnel",
     "g7_retention", "g8_transitions", "x30_bm25_retrieval",
-    "g9_session_paths", "g10_streaks", "g11_ewma")
+    "g9_session_paths", "g10_streaks", "g11_ewma",
+    "g12_interpolate", "g13_cooccurrence", "g14_twap",
+    "g15_peak_concurrency")
+  // Ninth wave — all four are per-replica-closed, so the default exact
+  // ×factor law applies; the sharper content laws live in
+  // VolumeProbeSpec. g12_interpolate: clone users replay identical
+  // (day, cents) sequences shifted by rep·3650 days, so each clone's
+  // spine has the base span length (rows ×factor) and every clone day
+  // inherits its original's interpolated value (datediff is
+  // shift-invariant). g13_cooccurrence: baskets are replica-local
+  // (orderkeys AND partkeys disjoint), the key remap ADDS a constant —
+  // monotonic — so clone neighbor order under the (n_co desc, other
+  // asc) tiebreak is preserved and every clone pair inherits (n_co,
+  // rnk). g14_twap: hold durations are shift-invariant and the cent
+  // sequence is untouched → one row per user, twap inherited.
+  // g15_peak_concurrency: lineitem DATES are not ts-shifted, so clone
+  // suppliers sweep the identical interval multiset → peak AND peak_at
+  // inherited verbatim.
   // Eighth wave: g11_ewma — one row per user (exact ×factor); the
   // sharper law (the value column is untouched by replication, so
   // every clone user folds the identical cent sequence and inherits

@@ -293,6 +293,63 @@ class VolumeProbeSpec extends AnyFunSuite {
         s"replica $rep of user $uid drifted from its smoothed state")
   }
 
+  test("ninth wave at xN: interpolation, co-occurrence ranks, TWAP, and " +
+      "peak concurrency are all clone-inherited") {
+    val off = VolumeProbe.keyOffsetFor(spark, srcDir)
+    val shift = VolumeProbe.TsShiftDays
+    // g12: clone users replay identical (day, cents) sequences shifted
+    // by rep·3650 days — normalize each clone day back to its replica-0
+    // date and every interpolated value must match the original's
+    val g12 = SparkEntry.queries("g12_interpolate")
+    val base12 = g12(spark, srcDir).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString) -> r.get(3)).toMap
+    val big12 = g12(spark, outDir)
+      .select(pmod(col("user_id"), lit(off)).as("bid"),
+        expr(s"date_sub(day, CAST((user_id div $off) * $shift AS INT))").as("bday"),
+        col("units_interp"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString) -> r.get(2))
+    assert(big12.length == base12.size * factor, "spine rows must scale exactly xN")
+    for ((k, v) <- big12)
+      assert(base12(k) == v, s"interpolated value at $k drifted at xN")
+    // g13: pairs are replica-local and the additive key remap preserves
+    // the (n_co desc, other asc) neighbor order — every clone pair
+    // inherits its original's (n_co, rnk)
+    val g13 = SparkEntry.queries("g13_cooccurrence")
+    val base13hist = g13(spark, srcDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val big13 = g13(spark, outDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(big13.forall(t => t._1 / off == t._2 / off),
+      "co-occurrence pairs must never cross replicas")
+    val big13hist = big13.map(t => (t._1 % off, t._2 % off, t._3, t._4))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(big13hist == base13hist.map { case (k, n) => k -> n * factor },
+      "every clone pair must inherit its original's (n_co, rnk)")
+    // g14: hold durations are shift-invariant, cents untouched — one
+    // row per user, twap inherited verbatim
+    val g14 = SparkEntry.queries("g14_twap")
+    val base14 = g14(spark, srcDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val big14 = g14(spark, outDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(big14.size == base14.size * factor)
+    for ((uid, st) <- base14; rep <- 0 until factor)
+      assert(big14(uid + rep * off) == st,
+        s"replica $rep of user $uid drifted from its TWAP")
+    // g15: lineitem dates are NOT ts-shifted, so clone suppliers sweep
+    // the identical interval multiset — peak AND peak_at inherited
+    val g15 = SparkEntry.queries("g15_peak_concurrency")
+    val base15 = g15(spark, srcDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDate(2).toString))).toMap
+    val big15 = g15(spark, outDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDate(2).toString))).toMap
+    assert(big15.size == base15.size * factor)
+    for ((sk, st) <- base15; rep <- 0 until factor)
+      assert(big15(sk + rep * off) == st,
+        s"replica $rep of supplier $sk drifted from its peak")
+  }
+
   test("seventh wave at xN: retention curve scales exactly; transition " +
       "ppm is invariant; BM25 clones inherit their original's score") {
     // g7: cohort labels shift across replicas (3650 days is not a whole
