@@ -133,11 +133,37 @@ object Cli {
       require(metrics("n_resources") > 0, "load produced zero resources")
       require(metrics("null_keys") == 0,
         s"${metrics("null_keys")} resources with a null natural key")
-      fs.delete(out, true)
-      require(fs.rename(staging, out),
-        s"could not promote validated load into $outDir")
+      // Same atomic-swap discipline as ParquetSink.compact: stage the
+      // previously-published output ASIDE (never delete it before the
+      // promote lands), and on a failed promote restore it — a failed
+      // rename must lose neither the old dataset nor the validated
+      // staged copy.
+      val old = new org.apache.hadoop.fs.Path(outDir + ".old")
+      fs.delete(old, true)
+      if (fs.exists(out))
+        require(fs.rename(out, old), s"could not stage $outDir aside")
+      if (!fs.rename(staging, out)) {
+        val rolledBack = !fs.exists(old) || fs.rename(old, out)
+        throw new IllegalStateException(
+          s"could not promote validated load into $outDir" +
+            (if (rolledBack) " (previous output restored; staging kept at " +
+              s"$staging)"
+             else s" AND rollback failed — previous output is at $old, " +
+               s"validated load at $staging"))
+      }
+      fs.delete(old, true)
+      fs.delete(staging, true) // no-op after the successful promote
       metrics
-    } finally fs.delete(staging, true) // no-op after a successful promote
+    } catch {
+      // a failed PROMOTE deliberately keeps the validated staged copy
+      // (the IllegalStateException above says where everything is)
+      case e: IllegalStateException => throw e
+      // anything earlier (write error, zero rows, null keys) never
+      // touched the old output and the staged copy is invalid — drop it
+      case e: Throwable =>
+        fs.delete(staging, true)
+        throw e
+    }
   }
 
   def run(spark: SparkSession, endpointsDir: String, outDir: String,

@@ -228,6 +228,28 @@ object DedupOps {
     require(maxDist >= 1 && maxDist <= 2, s"maxDist in 1..2, got $maxDist")
     val base = df.select(col(idCol).as("id"), col(textCol).as("p"))
       .where(col("p").isNotNull)
+    val (hot, candPlan) = editDistanceCandidates(base, maxDist)
+    // materialize the (small) candidate pair set so `hot` can be
+    // released NOW — without this the cached signature blocks would
+    // outlive the call and accumulate across invocations in a long
+    // session (the same eager-release discipline as bloomPrunedJoin)
+    val cand = candPlan.localCheckpoint()
+    hot.unpersist(blocking = false)
+    cand
+      .join(base.select(col("id").as("doc_a"), col("p").as("pa")), Seq("doc_a"))
+      .join(base.select(col("id").as("doc_b"), col("p").as("pb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("pa"), col("pb"), maxDist).as("dist"))
+      .where(col("dist") >= 0 && col("dist") <= maxDist)
+  }
+
+  /** The signature + candidate stage of [[editDistanceJoin]], returned
+    * LAZY (pre-checkpoint) so PlanQualitySpec can pin the sort-merge
+    * self-join shape; returns (persisted hot set — caller must
+    * unpersist, candidate pair plan).
+    */
+  private[graft] def editDistanceCandidates(base: DataFrame,
+      maxDist: Int): (DataFrame, DataFrame) = {
     val sigs = base.select(col("id"), length(col("p")).as("plen"),
       explode(deletionNeighborhood(col("p"), maxDist)).as("v"))
       .select(col("id"), col("plen"), xxhash64(col("v")).as("h"))
@@ -265,12 +287,7 @@ object DedupOps {
       .where(col("doc_a") < col("doc_b") &&
         abs(col("la") - col("lb")) <= maxDist)
       .select("doc_a", "doc_b").distinct()
-    cand
-      .join(base.select(col("id").as("doc_a"), col("p").as("pa")), Seq("doc_a"))
-      .join(base.select(col("id").as("doc_b"), col("p").as("pb")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        levenshtein(col("pa"), col("pb"), maxDist).as("dist"))
-      .where(col("dist") >= 0 && col("dist") <= maxDist)
+    (hot, cand)
   }
 
   /** 16-bit SimHash over token md5s: per bit b, majority vote of

@@ -90,10 +90,15 @@ object GraphOps {
         (col("dx") === col("dy") && col("x") < col("y")))
     val tris = wedges.join(
       oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
-    tris.select(col("u").as("node"))
+    // node-bounded output: materialize it so `oriented` can be released
+    // before returning (cached blocks must not outlive the call)
+    val out = tris.select(col("u").as("node"))
       .unionAll(tris.select(col("x").as("node")))
       .unionAll(tris.select(col("y").as("node")))
       .groupBy("node").agg(count(lit(1)).as("tri"))
+      .localCheckpoint()
+    oriented.unpersist(blocking = false)
+    out
   }
 
   def pagerankMicro(edges: DataFrame, srcCol: String, dstCol: String,
@@ -101,24 +106,55 @@ object GraphOps {
     require(iters >= 1 && iters <= 10, s"iters in 1..10, got $iters")
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
+    // The working set is referenced INSIDE the loop: without a pin,
+    // every one of the k iterations re-scans the edge source and
+    // re-runs the degree aggregate (k extra scans + k degree shuffles
+    // at 100 TB). Persist once, iterate against the cache, release
+    // after the final rank table is materialized.
+    val (nodes, eWithOd) = pagerankWorking(e)
+    var pr = nodes.withColumn("pr", lit(1000000L))
+    for (i <- 1 to iters) {
+      pr = pagerankStep(nodes, eWithOd, pr)
+      if (iters > 3) pr = pr.localCheckpoint()
+    }
+    // node-bounded output: force it so the cached working set can be
+    // dropped before returning
+    val out = pr.localCheckpoint()
+    eWithOd.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    out
+  }
+
+  /** The persisted iteration working set: the distinct node table and
+    * the edge table carrying its source's out-degree. Both are read by
+    * EVERY iteration — the persist is what keeps iteration k from
+    * re-scanning the edge source and re-running the degree shuffle
+    * (plan-gated in PlanQualitySpec).
+    */
+  private[graft] def pagerankWorking(e: DataFrame): (DataFrame, DataFrame) = {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // pre-divide nothing: (pr div od) must happen per-iteration, but
     // the out-degree rides the edge table ONCE so each round is a
     // single join against the rank table
     val eWithOd = e.join(
-      e.groupBy("src").agg(count(lit(1)).as("od")), "src")
-    var pr = nodes.withColumn("pr", lit(1000000L))
-    for (i <- 1 to iters) {
-      val contrib = eWithOd.join(pr.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), expr("pr div od").as("c"))
-        .groupBy("node").agg(sum(col("c")).as("m"))
-      pr = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (lit(150000L) + expr("(850000 * coalesce(m, 0L)) div 1000000"))
-            .as("pr"))
-      if (iters > 3) pr = pr.localCheckpoint()
-    }
-    pr
+        e.groupBy("src").agg(count(lit(1)).as("od")), "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (nodes, eWithOd)
+  }
+
+  /** One damped integer-micro-unit rank update against the cached
+    * working set: a single join + aggregate per round.
+    */
+  private[graft] def pagerankStep(nodes: DataFrame, eWithOd: DataFrame,
+      pr: DataFrame): DataFrame = {
+    val contrib = eWithOd.join(pr.withColumnRenamed("node", "src"), "src")
+      .select(col("dst").as("node"), expr("pr div od").as("c"))
+      .groupBy("node").agg(sum(col("c")).as("m"))
+    nodes.join(contrib, Seq("node"), "left")
+      .select(col("node"),
+        (lit(150000L) + expr("(850000 * coalesce(m, 0L)) div 1000000"))
+          .as("pr"))
   }
 }

@@ -2458,8 +2458,12 @@ object Battery {
       val S = graft.ops.SimilarityOps
       val emb = T.embeddings(s, d)
       val stats = S.sqStats(emb, "embedding")
+      // Codes are serialized (like every other collection-valued battery
+      // query, e.g. a1/a2) so the driver comparator can sort + hash them —
+      // a raw array<int> column is unsortable on the driver side.
       emb.select(col("vec_id"),
-        S.sqEncode(col("embedding"), stats).as("codes"))
+        array_join(transform(S.sqEncode(col("embedding"), stats),
+          c => c.cast("string")), ",").as("codes"))
     },
     Some("""WITH x AS (SELECT vec_id, embedding AS a FROM embeddings),
            |v AS (SELECT vec_id, i, CAST(a[i] AS DOUBLE) AS val
@@ -2470,7 +2474,8 @@ object Battery {
            |          CAST(floor((val - mn) * 255.0 / (mx - mn)) AS INTEGER)))
            |        ELSE 0 END AS INTEGER) AS code
            |      FROM v JOIN mm USING (i))
-           |SELECT vec_id, list(code ORDER BY i) AS codes
+           |SELECT vec_id,
+           |  array_to_string(list(CAST(code AS VARCHAR) ORDER BY i), ',') AS codes
            |FROM c GROUP BY vec_id""".stripMargin))
 
   /** Binary quantization with exact re-rank

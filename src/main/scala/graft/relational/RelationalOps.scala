@@ -244,6 +244,13 @@ object RelationalOps {
     require(fpp > 0 && fpp < 1, s"fpp $fpp outside (0, 1)")
     require(joinType == "inner" || joinType == "left_semi",
       s"bloom pruning preserves only inner/left_semi semantics, got $joinType")
+    // XxHash64 hashes INT and LONG of the same value to DIFFERENT words,
+    // so coercible-but-mismatched key types would make the bloom filter
+    // silently drop true matches that the plain join (which casts) keeps.
+    require(big.schema(key).dataType == small.schema(key).dataType,
+      s"bloomPrunedJoin key '$key' type mismatch: big=" +
+        s"${big.schema(key).dataType.simpleString} vs small=" +
+        s"${small.schema(key).dataType.simpleString} — cast both sides first")
     val keys = small.select(col(s"`$key`")).where(col(s"`$key`").isNotNull)
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -550,8 +550,16 @@ class PlanQualitySpec extends AnyFunSuite {
 
   test("edit-distance join NEVER broadcasts the exploded signature side " +
       "(explode defeats size estimation) and carries hashed 8-byte keys") {
-    val p = SparkEntry.queries("d10_edit_distance_join")(spark, dir)
-      .queryExecution.executedPlan.toString
+    // inspect the candidate stage PRE-checkpoint (editDistanceJoin
+    // materializes candidates eagerly so the hot set can be released)
+    import org.apache.spark.sql.functions.{col, substring}
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").as("id"),
+        substring(col("text"), 1, 40).as("p"))
+      .where(col("p").isNotNull)
+    val (hot, cand) = graft.ops.DedupOps.editDistanceCandidates(base, 2)
+    val p = try cand.queryExecution.executedPlan.toString
+      finally hot.unpersist(blocking = false)
     val lines = p.linesIterator.toVector
     // the self-join on the variant hash must be sort-merge, pinned by
     // hint — a broadcast build here is len^k larger than its estimate
@@ -663,6 +671,31 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"the sweep must not join:\n$p")
     val exchanges = nodeCount(p, "Exchange")
     assert(exchanges == 1, s"one sweep shuffle only ($exchanges):\n$p")
+  }
+
+  test("pagerank iterations read the persisted working set — no re-run " +
+      "degree aggregate or edge re-scan inside the loop") {
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+      .toDF("src", "dst")
+    val (nodes, eWithOd) = graft.ops.GraphOps.pagerankWorking(e)
+    try {
+      eWithOd.count(); nodes.count() // materialize the cache
+      val step = graft.ops.GraphOps.pagerankStep(
+        nodes, eWithOd, nodes.withColumn("pr", lit(1000000L)))
+      val p = step.queryExecution.explainString(FormattedMode)
+      assert(nodeCount(p, "InMemoryTableScan") >= 2,
+        s"iteration must read BOTH cached tables (nodes + edges⋈degree):\n$p")
+      // the only aggregate in a step is the contrib sum — the degree
+      // count must live inside the cache, never re-run per iteration
+      val aggLines = p.linesIterator.filter(_.contains("HashAggregate")).toSeq
+      assert(!aggLines.exists(_.contains("count(")),
+        s"degree aggregate re-ran inside the iteration:\n$p")
+    } finally {
+      eWithOd.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
+    }
   }
 
   test("transition matrix is join-free: one lead window, one pair groupBy, " +

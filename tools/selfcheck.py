@@ -87,6 +87,21 @@ for name, sql in sorted(oracle.items()):
     if len(exp) != len(got):
         fails.append((name, f"rows: oracle={len(exp)} spark={len(got)}"))
         continue
+    # The driver's comparator sorts raw values and cannot handle
+    # list/array-typed cells (pandas "unhashable type" crash). Reject them
+    # here so the local gate is at least as strict as the driver: every
+    # collection column must be serialized (array_join) in the query.
+    list_cols = [
+        c for df in (exp, got) for c in df.columns
+        if df[c].dtype == object and df[c].map(
+            lambda v: isinstance(v, (list, tuple, dict, set))
+            or type(v).__name__ == "ndarray").any()
+    ]
+    if list_cols:
+        fails.append((name, "raw collection-typed output column(s) "
+                      f"{sorted(set(list_cols))} — driver cannot sort/hash; "
+                      "serialize with array_join"))
+        continue
     # normalize for sort/compare
     def norm(df):
         df = df.copy()
