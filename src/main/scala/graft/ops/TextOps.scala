@@ -41,6 +41,27 @@ object TextOps {
       GraftColumnBridge.expression(text)))
   }
 
+  /** BYTE-level BPE token count (GPT-2-style regex pre-tokenization,
+    * bytes as the merge alphabet — [[graft.functions.ByteBpeCountText]],
+    * fixture vocabulary [[graft.functions.ByteBpeVocab]]): what
+    * production token counts look like — punctuation never glues to
+    * words and any UTF-8 survives. Narrow, codegen'd, memoized.
+    */
+  def byteBpeCount(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.ByteBpeCountText(
+      GraftColumnBridge.expression(text)))
+  }
+
+  /** Full byte-BPE token stream (array<string>, latin-1 byte strings),
+    * pre-token-boundary preserving.
+    */
+  def byteBpeTokens(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.ByteBpeTokensText(
+      GraftColumnBridge.expression(text)))
+  }
+
   /** Tokenizer compression ratio in exact half-up millionths:
     * chars-per-BPE-token × 10⁶ — the standard gibberish/garbage gate
     * (normal text compresses well under a learned vocabulary; random

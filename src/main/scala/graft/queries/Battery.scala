@@ -2837,6 +2837,105 @@ object Battery {
            |  FROM sc)
            |SELECT qid, rank, doc_id, score, n_match FROM r WHERE rank <= 10""".stripMargin))
 
+  /** Distributed BPE vocabulary TRAINING
+    * ([[graft.ops.BpeTrainOps.bpeTrain]]): 24 merge rounds learned from
+    * the documents corpus — per round, the max-frequency adjacent token
+    * pair (weighted by word frequency, overlap counting, lexicographic
+    * tie-break). The oracle verifies the trajectory INDUCTIVELY: the
+    * learned table is inlined as tokenization STATE only, and each
+    * round i's winning pair + count is recomputed FROM THE DATA given
+    * the state after merges 1..i−1 — if the trainer ever picked a
+    * different pair than the true argmax, the first divergent round
+    * hash-mismatches. State uses the own-spaces rendering (" t1  t2 ",
+    * double space between tokens) so one left-to-right `replace` pass
+    * per round equals BpeModel's greedy merge exactly — a SHARED
+    * single-space delimiter would skip the middle pair of runs like
+    * "aaaaa" (the matched trailing space consumes the next pair's
+    * leading space).
+    */
+  private val x31BpeTrain = Q(
+    "x31_bpe_train",
+    (s, d) => graft.ops.BpeTrainOps.bpeTrainDF(T.documents(s, d), "text", 24),
+    Some("""WITH RECURSIVE
+           |m(rank, l, r) AS (VALUES
+           |  (1,'e','r'), (2,'i','n'), (3,'o','w'), (4,'o','r'), (5,'s','t'),
+           |  (6,'m','er'), (7,'a','t'), (8,'l','u'), (9,'a','r'), (10,'p','ar'),
+           |  (11,'j','o'), (12,'jo','in'), (13,'a','s'), (14,'as','h'),
+           |  (15,'h','ash'), (16,'r','ow'), (17,'at','c'), (18,'atc','h'),
+           |  (19,'b','atch'), (20,'a','n'), (21,'c','an'), (22,'s','can'),
+           |  (23,'c','o'), (24,'c','u')),
+           |wf AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM
+           |         (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+           |          FROM documents)
+           |       WHERE w <> '' GROUP BY w),
+           |steps(j, w, s) AS (
+           |  SELECT 0, w,
+           |    ' ' || array_to_string(string_split(w, ''), '  ') || ' '
+           |  FROM wf
+           |  UNION ALL
+           |  SELECT st.j + 1, st.w,
+           |    replace(st.s, ' ' || m.l || '  ' || m.r || ' ',
+           |            ' ' || m.l || m.r || ' ')
+           |  FROM steps st JOIN m ON m.rank = st.j + 1),
+           |pr AS (SELECT st.j + 1 AS round, tk[i] AS l, tk[i+1] AS r,
+           |         CAST(sum(f) AS BIGINT) AS cnt
+           |       FROM (SELECT j, w, string_split(trim(s), '  ') AS tk
+           |             FROM steps WHERE j < 24) st
+           |       JOIN wf USING (w), UNNEST(range(1, len(tk))) AS u(i)
+           |       GROUP BY 1, 2, 3),
+           |best AS (SELECT round, l, r, cnt,
+           |           row_number() OVER (PARTITION BY round
+           |             ORDER BY cnt DESC, l, r) AS rn
+           |         FROM pr)
+           |SELECT CAST(round AS BIGINT) AS rank, l, r, cnt
+           |FROM best WHERE rn = 1""".stripMargin))
+
+  /** BYTE-level BPE token count + stream digest
+    * ([[graft.functions.ByteBpeModel]], GPT-2-style regex
+    * pre-tokenization, bytes as the merge alphabet, fixture vocabulary
+    * [[graft.functions.ByteBpeVocab]]). The oracle replays the
+    * rank-order fixpoint per DISTINCT pre-token (equal to the greedy
+    * encoder by the learned-shape theorem — see BpeModel's scaladoc)
+    * using '|' own-delimiters ('|' never occurs in the corpus, and
+    * pre-tokens CONTAIN spaces, so the x22 space rendering would be
+    * ambiguous here); pre-tokens on this single-spaced lowercase corpus
+    * are exactly "first word bare, every later word with its leading
+    * space", which the oracle derives positionally. Narrow codegen'd
+    * map per row; the oracle join is pre-token-vocabulary-sized.
+    */
+  private val x32ByteBpeCount = Q(
+    "x32_bytebpe_count",
+    (s, d) => T.documents(s, d).select(
+      col("doc_id"),
+      graft.ops.TextOps.byteBpeCount(col("text")).as("n_bytebpe"),
+      md5(concat_ws("|", graft.ops.TextOps.byteBpeTokens(col("text"))))
+        .as("toks_md5")),
+    Some(s"""WITH RECURSIVE
+           |m(rank, l, r) AS (VALUES ${graft.functions.ByteBpeVocab.mergesValuesSql}),
+           |tok AS (SELECT doc_id, i AS pos,
+           |          CASE WHEN i = 1 THEN tk[i] ELSE ' ' || tk[i] END AS w
+           |        FROM (SELECT doc_id, string_split(text, ' ') AS tk
+           |              FROM documents),
+           |             UNNEST(range(1, len(tk) + 1)) AS t(i)),
+           |pts AS (SELECT DISTINCT w FROM tok),
+           |init AS (SELECT w,
+           |           '|' || array_to_string(string_split(w, ''), '||') || '|' AS s
+           |         FROM pts),
+           |steps(w, rank, s) AS (
+           |  SELECT w, 1, s FROM init
+           |  UNION ALL
+           |  SELECT st.w, st.rank + 1,
+           |    replace(st.s, '|' || m.l || '||' || m.r || '|',
+           |            '|' || m.l || m.r || '|')
+           |  FROM steps st JOIN m ON m.rank = st.rank),
+           |wt AS (SELECT w,
+           |         CAST(len(string_split(trim(s, '|'), '||')) AS BIGINT) AS n,
+           |         array_to_string(string_split(trim(s, '|'), '||'), '|') AS toks
+           |       FROM steps WHERE rank = (SELECT max(rank) FROM m) + 1)
+           |SELECT doc_id, CAST(sum(wt.n) AS BIGINT) AS n_bytebpe,
+           |  md5(string_agg(wt.toks, '|' ORDER BY pos)) AS toks_md5
+           |FROM tok JOIN wt USING (w) GROUP BY doc_id""".stripMargin))
+
   /** In-document n-gram repetition ratio (1 − distinct/total 3-grams) —
     * the boilerplate/template filter signal. Narrow, zero shuffle.
     */
@@ -4690,7 +4789,7 @@ object Battery {
     x15BigramCounts, x16TopDistinctTerm, x17EpochShuffle, x18LengthBuckets,
     x19TokenChunks, x20TemperatureMixture, x21BloomDecontaminate,
     x25LmScore, x26DsirScore, x27SlidingChunks, x28PmiCollocations,
-    x29LeakageSplits, x30Bm25, c1Curation,
+    x29LeakageSplits, x30Bm25, x31BpeTrain, x32ByteBpeCount, c1Curation,
     n2AnnLsh, n3EmbNearDup, n4AnnIvf, n5PqQuantize, n6KmeansFit, n7SemanticDedup,
     n8SqQuantize, n9BinaryQuantize,
     kfPatientSlice, kfRSubjectSlice, kfSpecimenSlice, kfDrsSlice,
