@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * round-trip (PCM16 WAV, 24-bpp BMP — see [[MediaCodecs]], pinned by
   * a JDK-differential spec and the m4/m5 analytic oracles);
   * [[FakeDecoder]] remains the clearly-marked deterministic stand-in
-  * for formats that need a native library (JPEG/MP4/FLAC — swap in a
+  * for formats that need a native library (MP4/FLAC — swap in a
   * JNI/FFmpeg/libvips call per partition in production). The iterator
   * shape (init-once-per-partition, stream rows through) already
   * matches what a native decoder needs.
@@ -53,7 +53,8 @@ object MultimodalOps {
     * defaults to [[CodecDecoder]], [[sampleFrames]] defaults to real
     * container decode); it stands in only for payloads that are not
     * real containers (e.g. [[mediaFromDocuments]]'s UTF-8 text bytes)
-    * or formats that need a native library (JPEG/MP4/FLAC).
+    * or formats that need a native library (MP4/FLAC); JPEG/PNG decode
+    * is REAL via [[graft.ops.ImageIoCodecs]].
     */
   object FakeDecoder extends MediaDecoder {
     def decode(row: MediaRow): MediaFeatures = {
@@ -89,7 +90,8 @@ object MultimodalOps {
   }
 
   /** REAL-codec decoder: parses the payload as an actual media
-    * container — PCM16 WAV for `audio`, 24-bpp BMP for `image`,
+    * container — PCM16 WAV for `audio`, sniffed BMP/PNG/JPEG for
+    * `image` ([[graft.ops.ImageIoCodecs.decodeAny]]),
     * uncompressed 24-bpp AVI for `video` ([[MediaCodecs]], pure JVM) —
     * and derives the 8-dim feature from the DECODED
     * samples/pixels/frames, not the raw bytes. Malformed payloads and
@@ -116,7 +118,9 @@ object MultimodalOps {
           peak.toFloat, 0f, 0f)
         MediaFeatures(row.asset_id, row.media_type, row.content.length.toLong, feature)
       case "image" =>
-        val bmp = MediaCodecs.BmpCodec.decode(row.content)
+        // sniff-and-route (BMP/PNG/JPEG): the BMP path is byte-law
+        // identical to the original BmpCodec-only decode
+        val bmp = ImageIoCodecs.decodeAny(row.content)
         val np = bmp.pixels.length
         var sr = 0L; var sg = 0L; var sb = 0L
         var i = 0
@@ -264,8 +268,8 @@ object MultimodalOps {
             case _ => Iterator.empty
           }
         case "image" if decodeImages && m.content.nonEmpty =>
-          val bmp = MediaCodecs.BmpCodec.decode(m.content)
-          Iterator.single(FrameRow(m.asset_id, 0, 0L, pixelsToRgb(bmp.pixels)))
+          val img = ImageIoCodecs.decodeAny(m.content)
+          Iterator.single(FrameRow(m.asset_id, 0, 0L, pixelsToRgb(img.pixels)))
         case _ => Iterator.empty
       }
     }
@@ -307,9 +311,11 @@ object MultimodalOps {
     media.as[MediaRow].map { m =>
       m.media_type match {
         case "image" =>
-          val bmp = MediaCodecs.BmpCodec.decode(m.content)
-          m.copy(content = MediaCodecs.BmpCodec.encode(
-              resample(bmp.pixels, bmp.width, bmp.height), width, height),
+          // sniffed decode, re-encoded in the SOURCE container (a PNG
+          // asset stays PNG; JPEG re-encode is lossy by its nature)
+          val img = ImageIoCodecs.decodeAny(m.content)
+          m.copy(content = ImageIoCodecs.encodeAs(img.format,
+              resample(img.pixels, img.width, img.height), width, height),
             width = Some(width), height = Some(height))
         case "video" =>
           val avi = MediaCodecs.AviCodec.decode(m.content)

@@ -4032,6 +4032,110 @@ object Battery {
            |  CAST(54 + any_value(h) * ((3 * any_value(w) + 3) // 4 * 4) AS BIGINT) AS byte_len
            |FROM v GROUP BY doc_id""".stripMargin))
 
+  /** m9 — REAL PNG decode through `javax.imageio`
+    * ([[graft.ops.ImageIoCodecs]]): payload = an ACTUAL PNG container
+    * whose decoded raster follows the same analytic law as the m5 BMPs,
+    * routed through the sniff-and-dispatch seam ([[graft.ops
+    * .ImageIoCodecs.decodeAny]]). PNG is lossless, so channel sums are
+    * closed-form for the oracle exactly like m5 — this hash-pins the
+    * ImageIO decode path end-to-end (compressed container in, exact
+    * integer statistics out). Narrow mapPartitions, no shuffle.
+    */
+  private val m9PngDecode = Q(
+    "m9_png_decode",
+    (s, d) => {
+      import s.implicits._
+      T.documents(s, d).where(pmod(col("doc_id"), lit(3)) === 1)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val bytes = graft.ops.ImageIoCodecs.syntheticPng(id)
+            val img = graft.ops.ImageIoCodecs.decodeAny(bytes)
+            var sr = 0L; var sg = 0L; var sb = 0L; var wr = 0L
+            var i = 0
+            while (i < img.pixels.length) {
+              val p = img.pixels(i)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              wr += i.toLong * ((p >> 16) & 0xff)
+              i += 1
+            }
+            (id, img.width, img.height, img.format, sr, sg, sb, wr)
+          }
+        }.toDF("asset_id", "width", "height", "fmt", "sum_r", "sum_g",
+          "sum_b", "wsum_r")
+    },
+    Some("""WITH a AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+           |           FROM documents WHERE doc_id % 3 = 1),
+           |p AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS idx FROM a),
+           |c AS (SELECT doc_id, w, h, idx, idx % w AS x, idx // w AS y FROM p),
+           |v AS (SELECT doc_id, w, h, idx,
+           |        (doc_id + 7 * x + 13 * y) % 256 AS r,
+           |        (3 * doc_id + 5 * x + y) % 256 AS g,
+           |        (11 * doc_id + x + 2 * y) % 256 AS b
+           |      FROM c)
+           |SELECT doc_id AS asset_id,
+           |  CAST(any_value(w) AS INT) AS width,
+           |  CAST(any_value(h) AS INT) AS height,
+           |  'png' AS fmt,
+           |  CAST(sum(r) AS BIGINT) AS sum_r,
+           |  CAST(sum(g) AS BIGINT) AS sum_g,
+           |  CAST(sum(b) AS BIGINT) AS sum_b,
+           |  CAST(sum(idx * r) AS BIGINT) AS wsum_r
+           |FROM v GROUP BY doc_id""".stripMargin))
+
+  /** m10 — resize over PNG assets: sniffed ImageIO decode → exact
+    * nearest-neighbor resample → re-encode IN THE SOURCE CONTAINER
+    * (the output stays PNG — `fmt` is part of the hashed result), then
+    * decode back for closed-form channel sums. Proves the full
+    * compressed-image resize round trip is lossless and the format
+    * survives the [[graft.ops.MultimodalOps.resize]] path.
+    */
+  private val m10PngResize = Q(
+    "m10_png_resize",
+    (s, d) => {
+      import s.implicits._
+      val media = T.documents(s, d)
+        .where(pmod(col("doc_id"), lit(3)) === 1)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = 4 + (id % 13).toInt; val h = 3 + (id % 7).toInt
+          graft.ops.MultimodalOps.MediaRow(
+            id, "image", graft.ops.ImageIoCodecs.syntheticPng(id),
+            Some(w), Some(h), None)
+        }.toDF()
+      graft.ops.MultimodalOps.resize(media, width = 8, height = 5)
+        .as[graft.ops.MultimodalOps.MediaRow]
+        .map { m =>
+          val img = graft.ops.ImageIoCodecs.decodeAny(m.content)
+          var sum = 0L; var wsum = 0L
+          var i = 0
+          while (i < img.pixels.length) {
+            val p = img.pixels(i)
+            val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+            sum += r + g + b
+            wsum += 3L * i * r + (3L * i + 1) * g + (3L * i + 2) * b
+            i += 1
+          }
+          (m.asset_id, img.width, img.height, img.format, sum, wsum)
+        }.toDF("asset_id", "width", "height", "fmt", "sum_rgb", "wsum_rgb")
+    },
+    Some("""WITH a AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+           |           FROM documents WHERE doc_id % 3 = 1),
+           |p AS (SELECT doc_id, w, h, unnest(range(0, 40)) AS idx FROM a),
+           |m AS (SELECT doc_id, idx,
+           |        ((idx % 8) * w) // 8 AS sx, ((idx // 8) * h) // 5 AS sy
+           |      FROM p),
+           |v AS (SELECT doc_id, idx,
+           |        (doc_id + 7 * sx + 13 * sy) % 256 AS r,
+           |        (3 * doc_id + 5 * sx + sy) % 256 AS g,
+           |        (11 * doc_id + sx + 2 * sy) % 256 AS b
+           |      FROM m)
+           |SELECT doc_id AS asset_id, CAST(8 AS INT) AS width,
+           |  CAST(5 AS INT) AS height, 'png' AS fmt,
+           |  CAST(sum(r + g + b) AS BIGINT) AS sum_rgb,
+           |  CAST(sum(3 * idx * r + (3 * idx + 1) * g + (3 * idx + 2) * b) AS BIGINT) AS wsum_rgb
+           |FROM v GROUP BY doc_id""".stripMargin))
+
   // ------------------------------------------ KF ETL end-to-end slice (§7.2)
 
   /** KF-shaped slice inputs (studies/participants/families) derived from
@@ -4779,6 +4883,7 @@ object Battery {
     d1DedupExact, x1TextStats, n1AnnTopK, m1Multimodal, m2MultimodalDecode,
     m3FrameSample, m3bImageFrames, m4WavDecode, m5BmpDecode, m6Resize,
     m6bResizeBilinear, m7VideoResize, m8AudioResample,
+    m9PngDecode, m10PngResize,
     d2MinhashBands, d2bNearDupPairs, d3Simhash, d7SimhashPairs, d4NgramJaccard,
     d5DedupClusters, d6DedupCorpus, d8DupSpans, d9DupSpanCut,
     d10EditDistance,
