@@ -1619,6 +1619,30 @@ object Battery {
            |  ON l.user_id = r.user_id AND r.ts >= l.ts
            | AND r.ts <= l.ts + INTERVAL '2 hours'""".stripMargin))
 
+  /** Stream-stream RIGHT OUTER time-bound join, batch form
+    * ([[graft.streaming.Streaming.timeBoundRightJoin]]): every click
+    * survives, padded when no view preceded it within 2 hours — the
+    * mirror of `tw_timebound_left_join`, completing the
+    * inner/left/right/full/semi stream-join family (unmatched-right
+    * streaming emission pinned by StreamingSpec).
+    */
+  private val twJoinBoundRight = Q(
+    "tw_timebound_right_join",
+    (s, d) => {
+      val ev = T.events(s, d)
+      graft.streaming.Streaming.timeBoundRightJoin(
+        ev.where(col("event_type") === "view")
+          .select(col("user_id").as("k"), col("ts").as("lts")),
+        ev.where(col("event_type") === "click")
+          .select(col("user_id").as("k"), col("ts").as("rts")),
+        "2 HOURS")
+    },
+    Some("""SELECT r.user_id AS k, l.ts AS lts, r.ts AS rts
+           |FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') l
+           |RIGHT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') r
+           |  ON l.user_id = r.user_id AND r.ts >= l.ts
+           | AND r.ts <= l.ts + INTERVAL '2 hours'""".stripMargin))
+
   /** Stream-stream FULL OUTER time-bound join, batch form
     * ([[graft.streaming.Streaming.timeBoundFullJoin]]): the
     * reconciliation shape — every view AND every click survives,
@@ -4875,7 +4899,7 @@ object Battery {
     fScalar, f5Cast, f9MapExplode, f12Json, f13ArrayOps,
     twTumbling, twSliding, twSession, twChainedWindows,
     twDedupWatermark, twDedupLateBoundary, twJoinBound, twJoinBoundLeft,
-    twJoinBoundFull, twJoinBoundSemi,
+    twJoinBoundFull, twJoinBoundSemi, twJoinBoundRight,
     stUserTotals, stUserTotalsV2, stTypeCounts, stLastEvents,
     stSessionTimeout, stWarmStart,
     x23BpeTokenFreq, x24BpeCompression,

@@ -140,6 +140,34 @@ object Streaming {
       right.withWatermark("rts", lateness),
       maxDelay)
 
+  /** Stream-stream RIGHT OUTER time-bound join — the mirror of
+    * [[timeBoundLeftJoin]], the attribution shape from the other side:
+    * EVERY right event survives, null-padded when no left event
+    * PRECEDED it within `maxDelay` ("clicks without an impression").
+    * On streams a right row's "no match" is decidable once the
+    * watermark passes `rts` — no left event in `[rts − maxDelay, rts]`
+    * can still arrive — so unmatched-right emission trails by
+    * (lateness) only, tighter than the left form's
+    * (lateness + maxDelay), and state stays bounded identically. The
+    * key projects from the RIGHT side (the left's is null on
+    * unmatched rows). Batch form is the same plain right join.
+    */
+  def timeBoundRightJoin(left: DataFrame, right: DataFrame,
+      maxDelay: String): DataFrame =
+    left.join(right,
+      left("k") === right("k") &&
+        right("rts") >= left("lts") &&
+        right("rts") <= left("lts") + expr(s"INTERVAL $maxDelay"),
+      "right_outer")
+      .select(right("k").as("k"), col("lts"), col("rts"))
+
+  def streamingTimeBoundRightJoin(left: DataFrame, right: DataFrame,
+      lateness: String, maxDelay: String): DataFrame =
+    timeBoundRightJoin(
+      left.withWatermark("lts", lateness),
+      right.withWatermark("rts", lateness),
+      maxDelay)
+
   /** Stream-stream LEFT SEMI time-bound join — the existence filter:
     * each left event survives AT MOST ONCE, iff some right event landed
     * within `[lts, lts + maxDelay]` ("views that converted", with no

@@ -586,4 +586,48 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.sameElements(expected), s"stream ${got.toSeq} vs batch ${expected.toSeq}")
     } finally q.stop()
   }
+
+  test("stream-stream right-outer time-bound join equals the batch right join, " +
+      "incl. null-padded unmatched-right rows after watermark expiry") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val base = 36000000L
+    val ts = (m: Long) => new java.sql.Timestamp(base + m)
+    val imps = Seq( // (k, lts)
+      (1L, ts(0L)),      // matches the k=1 click at +30s
+      (2L, ts(600000L)), // AFTER the k=2 click -> that click unmatched
+      (3L, ts(0L)))      // impression with no click: dropped by right join
+    val clicks = Seq( // (k, rts)
+      (1L, ts(30000L)),  // matched
+      (2L, ts(0L)),      // no preceding imp within bound -> null-padded
+      (4L, ts(1000L)))   // no imp at all -> null-padded
+    val expected = Streaming.timeBoundRightJoin(
+        imps.toDF("k", "lts"), clicks.toDF("k", "rts"), "1 MINUTE")
+      .collect().map(_.toString).sorted
+    // 1 match + 2 null-padded unmatched clicks
+    assert(expected.length == 3)
+    assert(expected.count(_.contains("null")) == 2)
+
+    val li = MemoryStream[(Long, java.sql.Timestamp)]
+    val ri = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = Streaming.streamingTimeBoundRightJoin(
+        li.toDS().toDF("k", "lts"), ri.toDS().toDF("k", "rts"),
+        lateness = "10 minutes", maxDelay = "1 MINUTE")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssrj_out").start()
+    try {
+      li.addData(imps)
+      ri.addData(clicks)
+      q.processAllAvailable()
+      // advance both watermarks past every decision point so the
+      // unmatched-right rows emit; sentinels filtered below
+      li.addData(Seq((98L, ts(7200000L))))
+      ri.addData(Seq((99L, ts(7200000L))))
+      q.processAllAvailable()
+      val got = spark.table("ssrj_out").where("k < 90")
+        .collect().map(_.toString).sorted
+      assert(got.sameElements(expected), s"stream ${got.toSeq} vs batch ${expected.toSeq}")
+    } finally q.stop()
+  }
 }
