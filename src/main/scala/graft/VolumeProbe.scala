@@ -144,7 +144,26 @@ object VolumeProbe {
     "g7_retention", "g8_transitions", "x30_bm25_retrieval",
     "g9_session_paths", "g10_streaks", "g11_ewma",
     "g12_interpolate", "g13_cooccurrence", "g14_twap",
-    "g15_peak_concurrency")
+    "g15_peak_concurrency",
+    "j18_bloom_pruned_join", "n9_binary_quantize", "x28_pmi_collocations")
+  // Tenth wave (round 12). j18: per-replica-closed equi-join (keys
+  // shift together, o_totalprice untouched) → default exact ×factor;
+  // the bloom pre-filter may only change WORK, never rows. x28: the
+  // raw battery row's law would break at volume (minCount=5 admits
+  // base-count-1 bigrams once counts inflate ×10), so the probe scales
+  // minCount WITH the corpus (5·factor): cb≥5 ⟺ 10cb≥50 keeps the
+  // candidate set exactly the base's, every PMI score is
+  // scale-invariant (10⁶·10cb·10N div (10c1·10c2) = the base ratio),
+  // and the ranked top-30 must be IDENTICAL with cb ×factor.
+  // n9: the output is query-bounded (5 queries × k rows at ANY
+  // volume — the scale contract itself), ranks are a permutation of
+  // 1..k per query, every neighbor's clone-class (id mod offset) must
+  // come from the BASE Hamming shortlist (provable: a clone entering
+  // the ×N top-30 implies its base member's (ham, cid) rank ≤ 30 —
+  // all rep-0 members with lower (ham, cid) precede it in the
+  // (ham, cid) order), and clones of the SAME base vector must rank
+  // in replica order (cosine ties break by cid asc — determinism
+  // under clone inflation).
   // Ninth wave — all four are per-replica-closed, so the default exact
   // ×factor law applies; the sharper content laws live in
   // VolumeProbeSpec. g12_interpolate: clone users replay identical
@@ -377,6 +396,28 @@ object VolumeProbe {
               .map(r => (s"${r.getString(0)}>${r.getString(1)}|${r.getLong(4)}",
                 r.getLong(2))).sortBy(_._1).toSeq
           }
+          else if (name == "x28_pmi_collocations") Right {
+            // full ranked content: (w1, w2, pmi_score) keyed, cb carried
+            fn(spark, srcDir).collect()
+              .map(r => (s"${r.getString(0)}${r.getString(1)}|${r.getLong(3)}",
+                r.getLong(2))).toSeq
+          }
+          else if (name == "n9_binary_quantize") Right {
+            // the BASE Hamming shortlist per query: bqTopK with k=30,
+            // oversample=1 re-ranks (and returns) exactly the 30
+            // shortlisted candidates — the admissible clone-classes
+            val S = graft.ops.SimilarityOps
+            val emb = Tables.embeddings(spark, srcDir).select(
+              col("vec_id"), S.asDouble(col("embedding")).as("v"))
+            val thr = S.bqThresholds(emb, "v")
+            S.bqTopK(
+              emb.filter(col("vec_id") < 5)
+                .select(col("vec_id").as("qid"), col("v").as("qv")),
+              emb.select(col("vec_id").as("cid"), col("v").as("cv")),
+              thr, k = 30, oversample = 1)
+              .collect()
+              .map(r => (s"${r.getLong(0)}|${r.getLong(1)}", r.getLong(0))).toSeq
+          }
           else Right(Seq(("", fn(spark, srcDir).count())))
         } catch { case e: Throwable => Left(e.toString.take(200)) }
       val t0 = System.nanoTime()
@@ -455,6 +496,44 @@ object VolumeProbe {
               val ok = big == base.map { case (k, n) => (k, n * factor) }
               Right((big.length.toLong, base.length.toLong,
                 "ppm-invariant-content x" + factor, ok))
+            } else if (name == "x28_pmi_collocations") {
+              // minCount scaled with the corpus (headline note): the
+              // ranked top-30 must be IDENTICAL — same (w1, w2), same
+              // scale-invariant pmi_score, counts ×factor, same order
+              val big = graft.ops.CorpusOps.pmiCollocations(
+                  Tables.documents(spark, outDir), "text",
+                  k = 30, minCount = 5L * factor)
+                .collect()
+                .map(r => (s"${r.getString(0)}${r.getString(1)}|${r.getLong(3)}",
+                  r.getLong(2))).toSeq
+              val ok = big == base.map { case (t, n) => (t, n * factor) }
+              Right((big.length.toLong, base.length.toLong,
+                "minCount-scaled-content x" + factor, ok))
+            } else if (name == "n9_binary_quantize") {
+              val rows = fn(spark, outDir).collect()
+                .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+              val admissible = base.map(_._1).toSet // "qid|base_cid"
+              val qids = base.map(_._2).distinct // qid carried as value
+              val byQ = rows.groupBy(_._1)
+              val shapeOk = byQ.size == qids.size &&
+                byQ.values.forall(rs =>
+                  rs.map(_._3).sorted.toSeq == (1 to rs.length) && rs.length == 10)
+              // a clone of the QUERY ITSELF (ham 0, cos 1) is legal at
+              // ×N though absent at 1× (base excludes only cid == qid);
+              // any other neighbor must be a clone of a base-shortlist
+              // member
+              val classOk = rows.forall { case (q, nb, _) =>
+                nb % offset == q || admissible.contains(s"$q|${nb % offset}")
+              }
+              // clones of one base vector rank in replica (cid) order
+              val cloneOrderOk = byQ.values.forall { rs =>
+                rs.groupBy { case (_, nb, _) => nb % offset }.values.forall { g =>
+                  g.sortBy(_._3).map(_._2).toSeq == g.map(_._2).sorted.toSeq
+                }
+              }
+              Right((rows.length.toLong, base.length.toLong,
+                "query-bounded-shortlist-closed",
+                shapeOk && classOk && cloneOrderOk))
             } else if (name == "d10_edit_distance_join") {
               val n = fn(spark, outDir).count()
               val b = base.head._2
