@@ -157,4 +157,53 @@ object GraphOps {
         (lit(150000L) + expr("(850000 * coalesce(m, 0L)) div 1000000"))
           .as("pr"))
   }
+
+  /** Multi-source BFS: minimum hop distance from ANY source node,
+    * capped at `maxHops` — the reachability/blast-radius operator
+    * (descendantCrawl's general-graph sibling: that one walks a known
+    * fixed-depth DAG of typed tables; this one walks an arbitrary —
+    * possibly cyclic — homogeneous edge set and RETURNS the
+    * distances). Returns (node, dist) for every node within reach;
+    * unreachable nodes are absent.
+    *
+    * Frontier iteration: round h joins the hop-(h−1) frontier against
+    * the edge table and anti-joins the visited set, so each edge is
+    * expanded at most once per incident frontier appearance and a
+    * cyclic graph terminates because the frontier can only shrink to
+    * empty or the cap is hit. The edge table is persisted across
+    * rounds (the [[pagerankMicro]] working-set discipline); frontier
+    * and visited are `localCheckpoint`ed per round so lineage — and
+    * task-retry recompute — stays O(1) per round. The per-round empty
+    * check reads the checkpointed frontier's cached `isEmpty`, not a
+    * recompute.
+    *
+    * Scale: each round is one equi-join (frontier ⋈ edges — AQE
+    * broadcasts a narrow frontier) + one distinct + one anti-join,
+    * all on the long node key. Visited grows monotonically but stays
+    * (node, dist)-narrow; 100 TB graphs bound rounds by the cap, and
+    * real blast-radius queries use small caps.
+    */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+      sources: DataFrame, sourceCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 20, s"maxHops in 1..20, got $maxHops")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var visited = sources.select(col(sourceCol).cast("long").as("node"))
+      .distinct().withColumn("dist", lit(0))
+      .localCheckpoint()
+    var frontier = visited
+    var h = 1
+    while (h <= maxHops && !frontier.isEmpty) {
+      frontier = frontier.select(col("node").as("src"))
+        .join(e, "src").select(col("dst").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .withColumn("dist", lit(h))
+        .localCheckpoint()
+      visited = visited.unionAll(frontier).localCheckpoint()
+      h += 1
+    }
+    e.unpersist(blocking = false)
+    visited
+  }
 }

@@ -90,4 +90,44 @@ object RetrievalOps {
       .where(col("rank") <= k)
       .select(col(qidCol), col("rank"), col(idCol), col("score"), col("n_match"))
   }
+
+  /** Reciprocal-rank fusion (RRF): merge N per-query rank lists —
+    * typically a lexical (BM25) and a dense (embedding-cosine) ranking
+    * — into one hybrid list, the standard ensemble for retrieval
+    * curation. Each list contributes ⌊10⁶ / (k0 + rank)⌋ per (query,
+    * doc) it ranks; the fused score is the Long sum of those integer
+    * contributions (Cormack et al.'s 1/(k0+r) in fixed-point, so the
+    * fusion is bit-exact under any partial-agg order — the x16/g4
+    * integer-parity pattern). Ties break on ascending doc id.
+    *
+    * Input lists carry (qidCol, idCol, rankCol); ranks beyond `depth`
+    * are ignored so one over-deep list cannot drown the others.
+    * Output: (qid, rank ≤ k, id, rrf_score, n_lists).
+    *
+    * Scale: the union of rank lists is tiny — Q queries × depth × N
+    * lists, NOT corpus-sized (each upstream ranker already reduced
+    * corpus → top-depth). One hash aggregate on (qid, id) and one
+    * per-qid top-k window; both exchanges move only the fused
+    * candidate set. The expensive work stays in the upstream rankers,
+    * which this op never re-runs.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], qidCol: String, idCol: String,
+      rankCol: String, k0: Int = 60, k: Int = 10,
+      depth: Int = 1000): DataFrame = {
+    require(rankings.size >= 2, "rrfFuse wants at least two rank lists")
+    require(k0 >= 1 && k >= 1 && depth >= k,
+      s"need k0>=1, k>=1, depth>=k; got k0=$k0 k=$k depth=$depth")
+    val slim = rankings.map(_.select(col(qidCol), col(idCol),
+      col(rankCol).cast("long").as("__r")).where(col("__r") <= depth))
+    val contribs = slim.reduce(_ unionAll _)
+      .withColumn("__c", expr(s"1000000L div (${k0}L + __r)"))
+    val fused = contribs.groupBy(col(qidCol), col(idCol))
+      .agg(sum(col("__c")).as("rrf_score"), count(lit(1)).as("n_lists"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol)).orderBy(col("rrf_score").desc, col(idCol))
+    fused.withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .select(col(qidCol), col("rank"), col(idCol), col("rrf_score"),
+        col("n_lists"))
+  }
 }

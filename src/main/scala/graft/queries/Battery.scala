@@ -244,6 +244,52 @@ object Battery {
            |    eff AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to
            |  FROM j WHERE changed""".stripMargin))
 
+  /** CDC apply-changes ([[graft.relational.RelationalOps.cdcApply]]):
+    * a synthetic Debezium-style change log over orders — initial load
+    * at seq 1, a restatement wave at seq 2, a SECOND same-sequence
+    * restatement for every 11th key (the duplicate-LSN redelivery the
+    * change_id tiebreak exists for), and a delete wave at seq 3 —
+    * collapsed to the latest snapshot. The oracle replays the same
+    * row_number pick.
+    */
+  private val j20CdcApply = Q(
+    "j20_cdc_apply",
+    (s, d) => {
+      val o = T.orders(s, d)
+      val k = col("o_orderkey")
+      val l1 = o.select(k, col("o_orderstatus"), col("o_totalprice"),
+        lit(1L).as("seq"), lit("U").as("op"), (k * 10 + 1).as("change_id"))
+      val l2 = o.where(k % 3 === 0).select(k, lit("X").as("o_orderstatus"),
+        (col("o_totalprice") + 1.0).as("o_totalprice"),
+        lit(2L).as("seq"), lit("U").as("op"), (k * 10 + 2).as("change_id"))
+      val l2b = o.where(k % 11 === 0).select(k, lit("Y").as("o_orderstatus"),
+        (col("o_totalprice") + 2.0).as("o_totalprice"),
+        lit(2L).as("seq"), lit("U").as("op"), (k * 10 + 3).as("change_id"))
+      val l3 = o.where(k % 5 === 0).select(k, col("o_orderstatus"),
+        col("o_totalprice"),
+        lit(3L).as("seq"), lit("D").as("op"), (k * 10 + 4).as("change_id"))
+      graft.relational.RelationalOps.cdcApply(
+        l1.unionAll(l2).unionAll(l2b).unionAll(l3),
+        Seq("o_orderkey"), "seq", "op", Seq("change_id"))
+    },
+    Some("""WITH log AS (
+           |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+           |      CAST(1 AS BIGINT) AS seq, 'U' AS op, o_orderkey*10+1 AS change_id
+           |    FROM orders
+           |  UNION ALL
+           |  SELECT o_orderkey, 'X', o_totalprice + 1.0, 2, 'U', o_orderkey*10+2
+           |    FROM orders WHERE o_orderkey % 3 = 0
+           |  UNION ALL
+           |  SELECT o_orderkey, 'Y', o_totalprice + 2.0, 2, 'U', o_orderkey*10+3
+           |    FROM orders WHERE o_orderkey % 11 = 0
+           |  UNION ALL
+           |  SELECT o_orderkey, o_orderstatus, o_totalprice, 3, 'D', o_orderkey*10+4
+           |    FROM orders WHERE o_orderkey % 5 = 0),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+           |    ORDER BY seq DESC, change_id DESC) AS rn FROM log)
+           |SELECT o_orderkey, o_orderstatus, o_totalprice, change_id
+           |FROM r WHERE rn = 1 AND op <> 'D'""".stripMargin))
+
   /** J13/F7 — broadcast code-system dictionary lookup with and without
     * default (patient.py:12-115, family.py:78).
     */
@@ -708,6 +754,30 @@ object Battery {
            |  d.adev > 3 * a.mad AS is_outlier
            |FROM dev d JOIN mad a USING (o_orderpriority)""".stripMargin))
 
+  /** Re-aggregatable HLL distinct-count cube
+    * ([[graft.ops.SketchOps.hllRollupLaw]]): per-month customer
+    * sketches per order status, rolled up by MERGING — the pattern
+    * that answers arbitrary-range distinct counts at 100 TB without
+    * re-scanning the fact table. DataSketches registers can't be
+    * replayed cross-engine, so the row carries the LAW instead: from
+    * BOTH cell granularities (month, and month × priority) the merged
+    * rollup lands within 5 % of the true distinct count (lgK 12 ⇒
+    * σ ≈ 1.6 %). The oracle pins the exact count and both verdicts.
+    */
+  private val a17HllRollup = Q(
+    "a17_hll_rollup",
+    (s, d) => graft.ops.SketchOps.hllRollupLaw(
+      T.orders(s, d).withColumn("omonth",
+        date_trunc("month", col("o_orderdate"))),
+      rollupKeys = Seq("o_orderstatus"),
+      cellKeys = Seq("o_orderstatus", "omonth"),
+      fineKeys = Seq("o_orderstatus", "omonth", "o_orderpriority"),
+      valueCol = "o_custkey", lgK = 12, relTol = 0.05),
+    Some("""SELECT o_orderstatus,
+           |  count(DISTINCT o_custkey) AS exact_distinct,
+           |  TRUE AS coarse_ok, TRUE AS fine_ok
+           |FROM orders GROUP BY 1""".stripMargin))
+
   /** Fixed-iteration integer-exact PageRank over the order→part
     * bipartite graph ([[graft.ops.GraphOps.pagerankMicro]], 3 rounds,
     * micro-unit scores) — the iterative join+aggregate family's
@@ -801,6 +871,41 @@ object Battery {
            |       UNION ALL SELECT y FROM t)
            |SELECT node, count(*) AS tri FROM pn GROUP BY 1
            |ORDER BY tri DESC, node LIMIT 100""".stripMargin))
+
+  /** Multi-source BFS hop distances
+    * ([[graft.ops.GraphOps.bfsHops]], ≤4 hops) over the UNDIRECTED
+    * order↔part graph (g4's parity-encoded node space, both edge
+    * directions): the blast-radius/reachability operator, iterated
+    * frontier-join-anti-join with the edge set persisted across
+    * rounds. The oracle is an independent formulation — DuckDB's
+    * recursive CTE with UNION dedup — so any frontier/visited
+    * bookkeeping slip (a node re-labeled at a longer distance, a
+    * missed anti-join) hash-mismatches on `min(dist)`.
+    */
+  private val g17BfsHops = Q(
+    "g17_bfs_hops",
+    (s, d) => {
+      val li = T.lineitem(s, d)
+      val fwd = li.select((col("l_orderkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst"))
+      val edges = fwd.unionAll(fwd.select(col("dst").as("src"),
+        col("src").as("dst")))
+      val sources = T.orders(s, d).where(col("o_orderkey") % 500 === 0)
+        .select((col("o_orderkey") * 2).as("node"))
+      graft.ops.GraphOps.bfsHops(edges, "src", "dst", sources, "node",
+        maxHops = 4)
+    },
+    Some("""WITH RECURSIVE
+           |e AS (SELECT l_orderkey*2 AS src, l_partkey*2+1 AS dst FROM lineitem
+           |  UNION ALL SELECT l_partkey*2+1, l_orderkey*2 FROM lineitem),
+           |s AS (SELECT DISTINCT o_orderkey*2 AS node FROM orders
+           |  WHERE o_orderkey % 500 = 0),
+           |r(node, dist) AS (
+           |  SELECT node, 0 FROM s
+           |  UNION
+           |  SELECT e.dst, r.dist + 1 FROM r JOIN e ON e.src = r.node
+           |  WHERE r.dist < 4)
+           |SELECT node, CAST(min(dist) AS INT) AS dist FROM r GROUP BY 1""".stripMargin))
 
   /** Ordered view→click→purchase funnel per user
     * ([[graft.relational.RelationalOps.funnel]]): earliest view, then
@@ -1070,6 +1175,47 @@ object Battery {
            |p AS (SELECT *, max(run) OVER (PARTITION BY l_suppkey) AS peak FROM r)
            |SELECT l_suppkey, CAST(max(run) AS BIGINT) AS peak, min(t) AS peak_at
            |FROM p WHERE run = peak GROUP BY 1""".stripMargin))
+
+  /** Interval union / coverage
+    * ([[graft.relational.RelationalOps.intervalUnion]]): merge each
+    * supplier's overlapping-or-touching shipment windows (g15's
+    * interval set — the dual question: not how DEEP the overlap gets
+    * but how WIDE the union is) into disjoint spans; report span
+    * count, covered days, and the hull. The oracle replays the
+    * prior-max sweep with the same (start, end, id) order.
+    */
+  private val g16IntervalUnion = Q(
+    "g16_interval_union",
+    (s, d) => {
+      val iv = T.lineitem(s, d).select(
+        col("l_suppkey"),
+        to_date(col("l_shipdate")).as("s_day"),
+        date_add(to_date(col("l_shipdate")),
+          col("l_quantity").cast("int")).as("e_day"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("iid"))
+      graft.relational.RelationalOps.intervalUnion(
+        iv, Seq("l_suppkey"), "s_day", "e_day", "iid",
+        (lo, hi) => datediff(hi, lo).cast("long"))
+    },
+    Some("""WITH base AS (SELECT l_suppkey,
+           |    CAST(l_shipdate AS DATE) AS s_day,
+           |    CAST(l_shipdate AS DATE) + CAST(l_quantity AS INT) AS e_day,
+           |    l_orderkey * 10 + l_linenumber AS iid
+           |  FROM lineitem
+           |  WHERE CAST(l_shipdate AS DATE) < CAST(l_shipdate AS DATE) + CAST(l_quantity AS INT)),
+           |f AS (SELECT *, max(e_day) OVER (PARTITION BY l_suppkey
+           |    ORDER BY s_day, e_day, iid
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM base),
+           |g AS (SELECT *, CASE WHEN pmax IS NULL OR pmax < s_day
+           |    THEN 1 ELSE 0 END AS newg FROM f),
+           |gg AS (SELECT *, sum(newg) OVER (PARTITION BY l_suppkey
+           |    ORDER BY s_day, e_day, iid ROWS UNBOUNDED PRECEDING) AS grp FROM g),
+           |m AS (SELECT l_suppkey, grp, min(s_day) AS lo, max(e_day) AS hi
+           |  FROM gg GROUP BY 1, 2)
+           |SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_spans,
+           |  CAST(sum(hi - lo) AS BIGINT) AS covered,
+           |  min(lo) AS hull_start, max(hi) AS hull_end
+           |FROM m GROUP BY 1""".stripMargin))
 
   /** Date/time scalar functions over the event stream: truncation,
     * field extraction, interval arithmetic, epoch (engine surface —
@@ -2860,6 +3006,85 @@ object Battery {
            |    CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS INT) AS rank
            |  FROM sc)
            |SELECT qid, rank, doc_id, score, n_match FROM r WHERE rank <= 10""".stripMargin))
+
+  /** Hybrid retrieval by reciprocal-rank fusion
+    * ([[graft.ops.RetrievalOps.rrfFuse]]): the x30 BM25 lexical
+    * ranking and an embedding-cosine dense ranking (n1's brute-force
+    * baseline over the SAME corpus/query split — doc_id ≡ vec_id in
+    * the testdata), each to depth 20, fused with integer-rational
+    * ⌊10⁶/(60+rank)⌋ contributions — bit-exact under any agg order.
+    * The oracle recomputes both rankers and the fusion independently.
+    */
+  private val x33RrfFusion = Q(
+    "x33_rrf_fusion",
+    (s, d) => {
+      val docs = T.documents(s, d)
+      val lex = graft.ops.RetrievalOps.bm25TopK(
+        corpus = docs.where(pmod(col("doc_id"), lit(97)) =!= 0),
+        queries = docs.where(pmod(col("doc_id"), lit(97)) === 0)
+          .select(col("doc_id").as("qid"), col("text")),
+        idCol = "doc_id", textCol = "text",
+        qidCol = "qid", qtextCol = "text", k = 20)
+        .select(col("qid"), col("doc_id"), col("rank"))
+      val emb = T.embeddings(s, d).select(
+        col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val q = emb.filter(pmod(col("vec_id"), lit(97)) === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val c = emb.filter(pmod(col("vec_id"), lit(97)) =!= 0)
+        .select(col("vec_id").as("doc_id"), col("v").as("cv"))
+      def dot(a: Column, b: Column): Column = graft.ops.SimilarityOps.dot(a, b)
+      val scored = q.join(c)
+        .select(col("qid"), col("doc_id"),
+          (dot(col("qv"), col("cv")) /
+            (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("cv"), col("cv")))))
+            .as("cos"))
+      val wd = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("doc_id"))
+      val dense = scored.withColumn("rank", row_number().over(wd))
+        .where(col("rank") <= 20)
+        .select(col("qid"), col("doc_id"), col("rank"))
+      graft.ops.RetrievalOps.rrfFuse(Seq(lex, dense),
+        "qid", "doc_id", "rank", k0 = 60, k = 10, depth = 20)
+    },
+    Some("""WITH ct AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+           |  FROM documents WHERE doc_id % 97 <> 0),
+           |p AS (SELECT doc_id, token, count(*) AS tf FROM ct GROUP BY 1, 2),
+           |dlen AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM p GROUP BY 1),
+           |dfq AS (SELECT token, count(*) AS df FROM p GROUP BY 1),
+           |g AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS totlen FROM dlen),
+           |qt AS (SELECT DISTINCT qid, token FROM
+           |  (SELECT doc_id AS qid, unnest(string_split_regex(trim(text), '\s+')) AS token
+           |   FROM documents WHERE doc_id % 97 = 0)),
+           |cand AS (SELECT qt.qid, p.doc_id,
+           |    (g.n_docs * 88 * p.tf * g.totlen * 1000) //
+           |      (dfq.df * (40*p.tf*g.totlen + 12*g.totlen + 36*dlen.dl*g.n_docs)) AS contrib
+           |  FROM qt JOIN p USING (token) JOIN dfq USING (token)
+           |  JOIN dlen ON dlen.doc_id = p.doc_id CROSS JOIN g),
+           |sc AS (SELECT qid, doc_id, CAST(sum(contrib) AS BIGINT) AS score
+           |  FROM cand GROUP BY 1, 2),
+           |lexr AS (SELECT qid, doc_id,
+           |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+           |  FROM sc QUALIFY rank <= 20),
+           |qv AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS v
+           |  FROM embeddings WHERE vec_id % 97 = 0),
+           |cv AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v
+           |  FROM embeddings WHERE vec_id % 97 <> 0),
+           |cs AS (SELECT qid, doc_id,
+           |    list_dot_product(qv.v, cv.v) /
+           |      (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(cv.v, cv.v))) AS cos
+           |  FROM qv, cv),
+           |denr AS (SELECT qid, doc_id,
+           |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, doc_id) AS rank
+           |  FROM cs QUALIFY rank <= 20),
+           |u AS (SELECT qid, doc_id, 1000000 // (60 + rank) AS c FROM lexr
+           |  UNION ALL SELECT qid, doc_id, 1000000 // (60 + rank) FROM denr),
+           |f AS (SELECT qid, doc_id, CAST(sum(c) AS BIGINT) AS rrf_score,
+           |    count(*) AS n_lists FROM u GROUP BY 1, 2)
+           |SELECT qid, CAST(row_number() OVER (PARTITION BY qid
+           |    ORDER BY rrf_score DESC, doc_id) AS INT) AS rank,
+           |  doc_id, rrf_score, n_lists
+           |FROM f QUALIFY rank <= 10""".stripMargin))
 
   /** Distributed BPE vocabulary TRAINING
     * ([[graft.ops.BpeTrainOps.bpeTrain]]): 24 merge rounds learned from
@@ -4884,7 +5109,7 @@ object Battery {
   val all: Seq[Q] = Seq(
     s1PointScan, s3Crawl, p2Rename, p6Clean, p8HashSample,
     j1Outer, jChain, j8Composite, jNullKey, j13Codes, j14Asof, j15Range,
-    j16NullSafe, j17Anti, j18BloomPruned, j19Scd2Merge,
+    j16NullSafe, j17Anti, j18BloomPruned, j19Scd2Merge, j20CdcApply,
     a1Collect, a2Collect, a5Dedup, a6Rollup, a7Cube, a13GroupingSets,
     a8ApproxDistinct,
     a11Percentile, a12ApproxPercentile, a14WindowedPercentile, a15CorrCovar,
@@ -4895,7 +5120,8 @@ object Battery {
     g5TriangleCount, g6Funnel, g7Retention, g8Transitions,
     g9SessionPaths, g10Streaks, g11Ewma,
     g12Interpolate, g13Cooccurrence, g14Twap, g15PeakConcurrency,
-    a16MadOutliers,
+    g16IntervalUnion, g17BfsHops,
+    a16MadOutliers, a17HllRollup,
     fScalar, f5Cast, f9MapExplode, f12Json, f13ArrayOps,
     twTumbling, twSliding, twSession, twChainedWindows,
     twDedupWatermark, twDedupLateBoundary, twJoinBound, twJoinBoundLeft,
@@ -4918,7 +5144,8 @@ object Battery {
     x15BigramCounts, x16TopDistinctTerm, x17EpochShuffle, x18LengthBuckets,
     x19TokenChunks, x20TemperatureMixture, x21BloomDecontaminate,
     x25LmScore, x26DsirScore, x27SlidingChunks, x28PmiCollocations,
-    x29LeakageSplits, x30Bm25, x31BpeTrain, x32ByteBpeCount, c1Curation,
+    x29LeakageSplits, x30Bm25, x31BpeTrain, x32ByteBpeCount, x33RrfFusion,
+    c1Curation,
     n2AnnLsh, n3EmbNearDup, n4AnnIvf, n5PqQuantize, n6KmeansFit, n7SemanticDedup,
     n8SqQuantize, n9BinaryQuantize,
     kfPatientSlice, kfRSubjectSlice, kfSpecimenSlice, kfDrsSlice,

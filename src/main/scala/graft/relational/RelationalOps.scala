@@ -821,4 +821,77 @@ object RelationalOps {
       .groupBy(keyCols.map(col): _*)
       .agg(max(col("__run")).as("peak"), min(col("__t")).as("peak_at"))
   }
+
+  /** CDC apply-changes: collapse an ordered change log (upserts +
+    * deletes) to the latest snapshot — the Debezium/Delta
+    * `APPLY CHANGES INTO` semantics. Per key, the row with the highest
+    * (`seqCol`, `orderCols`) wins; if that winner's `opCol` equals
+    * `deleteOp` the key is absent from the snapshot, otherwise its
+    * payload is emitted (without the bookkeeping columns). `orderCols`
+    * breaks sequence-number ties deterministically — required, because
+    * a CDC feed that re-delivers at the same LSN is exactly where
+    * nondeterminism would corrupt the table.
+    *
+    * Scale: ONE shuffle on the key — a row_number window picks the
+    * winner and the delete filter is a narrow projection on top; no
+    * join, no second exchange. At 100 TB the log is typically
+    * log-structured by ingest day: the window's key partitioning is
+    * also the natural bucketing for the downstream merge target.
+    */
+  def cdcApply(log: DataFrame, keys: Seq[String], seqCol: String,
+      opCol: String, orderCols: Seq[String],
+      deleteOp: String = "D"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keys.nonEmpty, "cdcApply needs key columns")
+    require(orderCols.nonEmpty, "cdcApply needs a deterministic tiebreak order")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(seqCol).desc +: orderCols.map(col(_).desc): _*)
+    log.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1 && col(opCol) =!= lit(deleteOp))
+      .drop("__rn", seqCol, opCol)
+  }
+
+  /** Interval union (coverage): per key, merge overlapping/touching
+    * half-open intervals [startCol, endCol) and report the merged
+    * interval count, total covered length, and the coverage hull —
+    * the "distinct time under load / sensor uptime / disjoint spans"
+    * operator, dual of [[peakConcurrency]] (that one asks how DEEP the
+    * overlap gets; this one asks how WIDE the union is).
+    *
+    * Sweep: order intervals by (start, end, id); a new merged group
+    * starts exactly where the running max of PRIOR ends is ≤ the
+    * current start (touching intervals chain — half-open semantics);
+    * the group id is the running sum of those flags. Lengths come from
+    * `lengthOf(lo, hi)` so the same op covers timestamps (seconds),
+    * dates (days), or plain numerics.
+    *
+    * Scale: ONE shuffle on the key — the group-flag window, the
+    * group-id prefix sum, the per-group merge aggregate, and the final
+    * per-key rollup all reuse the key partitioning (the group id only
+    * APPENDS to the partition key, so Catalyst keeps the exchange).
+    * Degenerate/inverted intervals are dropped up front.
+    */
+  def intervalUnion(intervals: DataFrame, keyCols: Seq[String],
+      startCol: String, endCol: String, idCol: String,
+      lengthOf: (Column, Column) => Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keyCols.nonEmpty, "intervalUnion needs key columns")
+    val base = intervals.where(col(startCol) < col(endCol))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(startCol), col(endCol), col(idCol))
+    val prior = w.rowsBetween(Window.unboundedPreceding, -1)
+    val flagged = base
+      .withColumn("__pmax", max(col(endCol)).over(prior))
+      .withColumn("__new",
+        when(col("__pmax").isNull || col("__pmax") < col(startCol), 1L)
+          .otherwise(0L))
+      .withColumn("__grp", sum(col("__new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val merged = flagged.groupBy((keyCols :+ "__grp").map(col): _*)
+      .agg(min(col(startCol)).as("__lo"), max(col(endCol)).as("__hi"))
+    merged.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_spans"),
+        sum(lengthOf(col("__lo"), col("__hi"))).as("covered"),
+        min(col("__lo")).as("hull_start"), max(col("__hi")).as("hull_end"))
+  }
 }

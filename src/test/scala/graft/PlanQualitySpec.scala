@@ -707,4 +707,44 @@ class PlanQualitySpec extends AnyFunSuite {
       s"transitions shuffle at most 3x — user window, pair count, " +
         s"row totals ($exchanges):\n$p")
   }
+
+  test("CDC apply is join-free and collapses the log on ONE key shuffle") {
+    val p = plan("j20_cdc_apply")
+    assert(!p.contains("Join"), s"cdcApply must not join:\n$p")
+    val exchanges = nodeCount(p, "Exchange")
+    assert(exchanges == 1,
+      s"one winner-pick shuffle only ($exchanges):\n$p")
+  }
+
+  test("interval union sweeps on ONE key shuffle: the prior-max window, " +
+      "group-id prefix sum, per-span merge, and per-key rollup all reuse " +
+      "the key partitioning") {
+    val p = plan("g16_interval_union")
+    assert(!p.contains("Join"), s"the sweep must not join:\n$p")
+    val exchanges = nodeCount(p, "Exchange")
+    assert(exchanges == 1, s"one sweep shuffle only ($exchanges):\n$p")
+  }
+
+  test("RRF fusion never re-runs the upstream rankers into a product — " +
+      "equi-joins only, and the fused candidate set aggregates once") {
+    val p = plan("x33_rrf_fusion")
+    assert(!p.contains("CartesianProduct"),
+      s"fusion must stay equi-joined:\n$p")
+    assert(nodeCount(p, "Union") == 1,
+      s"the two rank lists meet in ONE union:\n$p")
+  }
+
+  test("HLL cube sketches aggregate partially map-side (no raw-row " +
+      "shuffle) and never form a product") {
+    val p = plan("a17_hll_rollup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"the law join is a key equi-join:\n$p")
+    // DataSketches aggs lower to ObjectHashAggregate; partial_ phases
+    // mean raw rows collapse to sketches BEFORE the exchange
+    assert(p.contains("ObjectHashAggregate"),
+      s"sketch agg must be ObjectHashAggregate:\n$p")
+    assert(p.linesIterator.exists(l =>
+        l.contains("partial_hllsketchagg") || l.contains("partial_hll_sketch_agg")),
+      s"sketches must partial-aggregate map-side:\n$p")
+  }
 }

@@ -90,4 +90,38 @@ class GraphOpsSpec extends AnyFunSuite {
     } Seq(a, b, c).foreach(n => expect(n) = expect.getOrElse(n, 0L) + 1L)
     assert(got == expect.toMap)
   }
+
+  test("bfsHops labels min hop distance from any source, caps at maxHops") {
+    // path 1-2-3-4-5-6 plus a cycle 2-7-8-2 and an unreachable 99-100;
+    // undirected via both directions
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (2L, 7L), (7L, 8L), (8L, 2L), (99L, 100L))
+    val edges = (und ++ und.map(_.swap)).toDF("s", "d")
+    val sources = Seq(1L).toDF("n")
+    val got = GraphOps.bfsHops(edges, "s", "d", sources, "n", maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // 8 is 2 hops away (1-2-8 via the undirected 8→2 edge), not 3 via 7
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2, 7L -> 2, 8L -> 2, 4L -> 3))
+  }
+
+  test("bfsHops multi-source takes the nearer source; isolated source " +
+      "appears at dist 0") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 4L)).toDF("s", "d")
+    val sources = Seq(1L, 10L, 42L).toDF("n") // 42 has no edges at all
+    val got = GraphOps.bfsHops(edges, "s", "d", sources, "n", maxHops = 5)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // directed here: 4 is 1 hop from source 10, not 3 hops from source 1
+    assert(got == Map(1L -> 0, 10L -> 0, 42L -> 0,
+      2L -> 1, 4L -> 1, 3L -> 2))
+  }
+
+  test("bfsHops terminates on a pure cycle and rejects bad caps") {
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "d")
+    val got = GraphOps.bfsHops(cyc, "s", "d", Seq(1L).toDF("n"), "n", 20)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2))
+    intercept[IllegalArgumentException] {
+      GraphOps.bfsHops(cyc, "s", "d", Seq(1L).toDF("n"), "n", 0)
+    }
+  }
 }

@@ -116,4 +116,34 @@ class RetrievalOpsSpec extends AnyFunSuite {
         Seq((2L, "x")).toDF("qid", "text"), "doc_id", "text", "qid", "text", 0)
     }
   }
+
+  test("rrfFuse sums integer reciprocal-rank contributions per (q, doc)") {
+    val lex = Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L))
+      .toDF("qid", "doc_id", "rank")
+    val den = Seq((1L, 20L, 1L), (1L, 10L, 2L), (1L, 40L, 3L))
+      .toDF("qid", "doc_id", "rank")
+    val got = RetrievalOps.rrfFuse(Seq(lex, den), "qid", "doc_id", "rank",
+        k0 = 60, k = 10, depth = 10)
+      .collect()
+      .map(r => (r.getLong(2), r.getInt(1), r.getLong(3), r.getLong(4)))
+      .toSet
+    def c(rank: Long) = 1000000L / (60L + rank)
+    // 10: lex r1 + den r2; 20: lex r2 + den r1 (same sum, id tiebreak);
+    // 30: lex only; 40: den only
+    assert(got == Set(
+      (10L, 1, c(1) + c(2), 2L), (20L, 2, c(1) + c(2), 2L),
+      (30L, 3, c(3), 1L), (40L, 4, c(3), 1L)))
+  }
+
+  test("rrfFuse ignores ranks past depth and rejects a single list") {
+    val a = Seq((1L, 10L, 1L), (1L, 20L, 5L)).toDF("qid", "doc_id", "rank")
+    val b = Seq((1L, 30L, 2L)).toDF("qid", "doc_id", "rank")
+    val got = RetrievalOps.rrfFuse(Seq(a, b), "qid", "doc_id", "rank",
+        k0 = 60, k = 3, depth = 3)
+      .collect().map(_.getLong(2)).toSet // doc ids kept
+    assert(got == Set(10L, 30L), "rank 5 > depth 3 must be dropped")
+    intercept[IllegalArgumentException] {
+      RetrievalOps.rrfFuse(Seq(a), "qid", "doc_id", "rank")
+    }
+  }
 }

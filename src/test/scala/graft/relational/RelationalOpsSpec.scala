@@ -725,4 +725,66 @@ class RelationalOpsSpec extends AnyFunSuite {
         ((r.getAs[Long]("peak"), r.getAs[Long]("peak_at")))).toMap
     assert(got == expected)
   }
+
+  test("cdcApply keeps the highest-seq upsert, drops deleted keys, " +
+      "breaks seq ties by the order column") {
+    val log = Seq(
+      (1L, "a1", 1L, "U", 101L), (1L, "a2", 2L, "U", 102L), // latest wins
+      (2L, "b1", 1L, "U", 201L), (2L, "b2", 2L, "D", 202L), // deleted
+      (3L, "c1", 2L, "U", 301L), (3L, "c2", 2L, "U", 302L), // tie: 302 wins
+      (4L, "d1", 3L, "D", 401L), (4L, "d2", 4L, "U", 402L), // re-inserted
+      (5L, "e1", 1L, "U", 501L)
+    ).toDF("k", "payload", "seq", "op", "change_id")
+    val got = RelationalOps.cdcApply(log, Seq("k"), "seq", "op",
+        Seq("change_id"))
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("payload"))
+      .toMap
+    assert(got == Map(1L -> "a2", 3L -> "c2", 4L -> "d2", 5L -> "e1"))
+  }
+
+  test("cdcApply drops bookkeeping columns but keeps order columns") {
+    val log = Seq((1L, "a", 1L, "U", 11L)).toDF("k", "v", "seq", "op", "cid")
+    val out = RelationalOps.cdcApply(log, Seq("k"), "seq", "op", Seq("cid"))
+    assert(out.columns.toSeq == Seq("k", "v", "cid"))
+    intercept[IllegalArgumentException] {
+      RelationalOps.cdcApply(log, Seq("k"), "seq", "op", Seq.empty)
+    }
+  }
+
+  test("intervalUnion merges overlapping and touching spans, drops " +
+      "degenerate ones, and matches a brute-force coverage count") {
+    // key 1: [0,5) + [3,8) overlap -> [0,8); [8,10) touches -> chains to
+    // [0,10); [12,13) disjoint. key 2: inverted [5,2) dropped, [1,1)
+    // empty dropped, [0,4) survives alone.
+    val iv = Seq(
+      (1L, 0L, 5L, 1L), (1L, 3L, 8L, 2L), (1L, 8L, 10L, 3L),
+      (1L, 12L, 13L, 4L),
+      (2L, 5L, 2L, 5L), (2L, 1L, 1L, 6L), (2L, 0L, 4L, 7L)
+    ).toDF("k", "s", "e", "iid")
+    val got = RelationalOps.intervalUnion(iv, Seq("k"), "s", "e", "iid",
+        (lo, hi) => hi - lo)
+      .collect().map(r => r.getAs[Long]("k") ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("covered"),
+          r.getAs[Long]("hull_start"), r.getAs[Long]("hull_end")))).toMap
+    assert(got == Map(1L -> ((2L, 11L, 0L, 13L)), 2L -> ((1L, 4L, 0L, 4L))))
+  }
+
+  test("intervalUnion coverage equals brute-force point counting on " +
+      "random intervals") {
+    val rnd = new scala.util.Random(73)
+    val rows = (1 to 400).map { i =>
+      val s = rnd.nextInt(100).toLong
+      ((rnd.nextInt(6) + 1).toLong, s, s + rnd.nextInt(15) + 1, i.toLong)
+    }
+    val expected = rows.groupBy(_._1).map { case (k, is) =>
+      val pts = (0L until 120L).count(t => is.exists(iv => iv._2 <= t && t < iv._3))
+      k -> pts.toLong
+    }
+    val got = RelationalOps.intervalUnion(
+        rnd.shuffle(rows).toDF("k", "s", "e", "iid").repartition(8),
+        Seq("k"), "s", "e", "iid", (lo, hi) => hi - lo)
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("covered"))
+      .toMap
+    assert(got == expected)
+  }
 }
