@@ -145,7 +145,46 @@ object VolumeProbe {
     "g9_session_paths", "g10_streaks", "g11_ewma",
     "g12_interpolate", "g13_cooccurrence", "g14_twap",
     "g15_peak_concurrency",
-    "j18_bloom_pruned_join", "n9_binary_quantize", "x28_pmi_collocations")
+    "j18_bloom_pruned_join", "n9_binary_quantize", "x28_pmi_collocations",
+    "j20_cdc_apply", "g16_interval_union", "g17_bfs_hops",
+    "a17_hll_rollup", "x33_rrf_fusion",
+    "g18_attribution", "a18_equidepth_bins", "n10_mmr_rerank")
+  // Wave-2 (round 12). g18: users AND decades replica-disjoint, so the
+  // carry window never crosses replicas and every clone purchase
+  // inherits its original's (channel, Δt) → one row per purchase,
+  // exact ×factor. n10: queries inflate ×factor (97 | ModLcm) and
+  // every query still has ≥ 20 candidates, so rows = queries × k →
+  // exact ×factor (NOT pick-identity: clone candidates tie originals
+  // on cosine, so a ×N shortlist legitimately contains exact-duplicate
+  // clones — which the diversity term then has to fight; surviving
+  // THAT at volume is the interesting part). a18 (custom): output is
+  // the same groups × nBins cells at ANY volume — the binning scale
+  // contract — with per-status Σn exactly ×factor and the ntile
+  // equal-population guarantee (max−min ≤ 1 per status) still holding;
+  // per-bin counts are NOT exactly ×factor when a status's row count
+  // isn't bin-divisible, so that stronger form is deliberately not
+  // asserted.
+  // Eleventh wave (round 12). j20: the change-log waves derive from
+  // %3/%5/%7 — all divide ModLcm — so each replica re-derives the same
+  // upsert/delete/tie membership from its remapped keys → exact
+  // ×factor (the battery row was moved OFF %11 for exactly this
+  // closure). g16: lineitem DATES are not shifted, so clone suppliers
+  // merge the identical interval multiset → rows ×factor (per-clone
+  // n_spans/covered/hull inherited — the g15 argument, union side).
+  // g17: node ids shift by 2·rep·offset (parity preserved), replicas
+  // are disjoint components, and %500 divides ModLcm so each replica
+  // derives the same sources → every clone node inherits its
+  // original's hop distance and rows scale exactly ×factor — an
+  // ITERATIVE frontier loop that scales exactly is the working-set
+  // claim made good at volume. x33: 97 divides ModLcm so queries
+  // inflate ×factor, every query still fuses ≥ k candidates → rows =
+  // queries × k scale exactly ×factor (the fused ranking itself
+  // reshuffles under clone ties — only the shape law holds; the
+  // score-inheritance laws live with the upstream rankers).
+  // a17 (custom handler): output is |status| rows at ANY volume — the
+  // sketch-cube scale contract itself — with exact_distinct ×factor
+  // (custkeys shift per replica) and both tolerance verdicts still
+  // true at 10× the cardinality.
   // Tenth wave (round 12). j18: per-replica-closed equi-join (keys
   // shift together, o_totalprice untouched) → default exact ×factor;
   // the bloom pre-filter may only change WORK, never rows. x28: the
@@ -418,6 +457,19 @@ object VolumeProbe {
               .collect()
               .map(r => (s"${r.getLong(0)}|${r.getLong(1)}", r.getLong(0))).toSeq
           }
+          else if (name == "a18_equidepth_bins") Right {
+            // per-status total population (bin populations are only
+            // ×factor when divisible — see headline note)
+            fn(spark, srcDir).groupBy("o_orderstatus")
+              .agg(sum(col("n")).as("t")).collect()
+              .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+          }
+          else if (name == "a17_hll_rollup") Right {
+            // per-status exact counts; verdict booleans asserted on the
+            // big side only (they must hold at EVERY volume)
+            fn(spark, srcDir).collect()
+              .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+          }
           else Right(Seq(("", fn(spark, srcDir).count())))
         } catch { case e: Throwable => Left(e.toString.take(200)) }
       val t0 = System.nanoTime()
@@ -534,6 +586,30 @@ object VolumeProbe {
               Right((rows.length.toLong, base.length.toLong,
                 "query-bounded-shortlist-closed",
                 shapeOk && classOk && cloneOrderOk))
+            } else if (name == "a18_equidepth_bins") {
+              val rows = fn(spark, outDir).collect()
+                .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+              val byStatus = rows.groupBy(_._1)
+              val cellsOk = rows.length == base.length * 10 &&
+                byStatus.values.forall(_.map(_._2).sorted.toSeq == (1 to 10))
+              val totsOk = byStatus.map { case (s0, rs) =>
+                (s0, rs.map(_._3).sum) }.toSeq.sortBy(_._1) ==
+                base.map { case (s0, t) => (s0, t * factor) }
+              val evenOk = byStatus.values.forall(rs =>
+                rs.map(_._3).max - rs.map(_._3).min <= 1)
+              Right((rows.length.toLong, base.length.toLong,
+                "ntile-contract x" + factor, cellsOk && totsOk && evenOk))
+            } else if (name == "a17_hll_rollup") {
+              val rows = fn(spark, outDir).collect()
+                .map(r => (r.getString(0), r.getLong(1),
+                  r.getBoolean(2), r.getBoolean(3))).sortBy(_._1).toSeq
+              // same statuses, exact_distinct ×factor (custkeys shift
+              // per replica), both tolerance verdicts still true
+              val ok = rows.map(t => (t._1, t._2)) ==
+                base.map { case (s0, n0) => (s0, n0 * factor) } &&
+                rows.forall(t => t._3 && t._4)
+              Right((rows.length.toLong, base.length.toLong,
+                "sketch-envelope x" + factor, ok))
             } else if (name == "d10_edit_distance_join") {
               val n = fn(spark, outDir).count()
               val b = base.head._2

@@ -399,6 +399,74 @@ object SimilarityOps {
       .select(col("qid"), col("cid").as("neighbor_id"), col("rnk"))
   }
 
+  /** MMR (maximal marginal relevance) diversified re-rank: from each
+    * query's relevance-ranked SHORTLIST, greedily pick k results that
+    * balance relevance against redundancy —
+    * score(c) = λ·rel(c) − (1−λ)·max_{s∈picked} sim(c, s) — the
+    * standard diversity re-ranker for RAG context assembly (don't
+    * retrieve five near-copies of the same paragraph).
+    *
+    * Integer-exact: `relCol` is micro-scaled (the caller's floor of
+    * 10⁶·cosine or any integer relevance), pairwise sim is
+    * ⌊10⁶·cosine⌋, λ is micro-scaled, and the score is the Long
+    * λμ·rel − (10⁶−λμ)·maxSim — bit-stable under any agg order, so a
+    * SQL oracle can replay the greedy exactly. Ties break on
+    * ascending id; pick 1 is pure argmax-relevance (no penalty term).
+    *
+    * Scale: the greedy unrolls into k−1 Catalyst rounds over the
+    * SHORTLIST table (queries × depth rows — the upstream ranker
+    * already reduced the corpus), each round one anti-join + one
+    * qid equi-join + one per-qid argmax window, all on the qid key.
+    * Work is O(k · Q · depth), never corpus-scale, and distributes
+    * across queries; k is bounded ≤ 20 (a context window, not a
+    * result page).
+    */
+  def mmrRerank(shortlist: DataFrame, qidCol: String, idCol: String,
+      relCol: String, vecCol: String, k: Int,
+      lambdaMicro: Long = 700000L): DataFrame = {
+    require(k >= 1 && k <= 20, s"k in 1..20, got $k")
+    require(lambdaMicro >= 0 && lambdaMicro <= 1000000L,
+      s"lambdaMicro in 0..10^6, got $lambdaMicro")
+    val base = shortlist.select(col(qidCol).as("qid"), col(idCol).as("id"),
+      col(relCol).cast("long").as("rel"), col(vecCol).as("vec"))
+    val wRel = Window.partitionBy(col("qid"))
+      .orderBy(col("rel").desc, col("id"))
+    var picked = base.withColumn("__rn", row_number().over(wRel))
+      .where(col("__rn") === 1).drop("__rn")
+      .withColumn("rank", lit(1))
+      .withColumn("mmr_score", lit(lambdaMicro) * col("rel"))
+    for (i <- 2 to k) {
+      val sel = picked.select(col("qid"), col("id").as("__sid"),
+        col("vec").as("__svec"))
+      val remaining = base.join(
+        picked.select(col("qid"), col("id")), Seq("qid", "id"), "left_anti")
+      // association pinned as 10⁶ · (dot/denominator): floating-point
+      // multiplication is not associative, and the oracle must replay
+      // the identical double before the floor
+      val simMicro = floor(lit(1e6) * (dot(col("vec"), col("__svec")) /
+        (sqrt(dot(col("vec"), col("vec"))) *
+          sqrt(dot(col("__svec"), col("__svec")))))).cast("long")
+      val msim = remaining.join(sel, "qid")
+        .select(col("qid"), col("id"), simMicro.as("__sim"))
+        .groupBy(col("qid"), col("id")).agg(max(col("__sim")).as("__msim"))
+      val scored = remaining.join(msim, Seq("qid", "id"))
+        .withColumn("mmr_score", lit(lambdaMicro) * col("rel") -
+          lit(1000000L - lambdaMicro) * col("__msim"))
+      val wPick = Window.partitionBy(col("qid"))
+        .orderBy(col("mmr_score").desc, col("id"))
+      val pick = scored.withColumn("__rn", row_number().over(wPick))
+        .where(col("__rn") === 1)
+        .select(col("qid"), col("id"), col("rel"), col("vec"),
+          lit(i).as("rank"), col("mmr_score"))
+      picked = picked.unionByName(pick)
+      // k-1 unrolled rounds each append a join+window to the plan;
+      // checkpoint the small picked set so round i's plan doesn't
+      // re-run rounds 1..i-1 (the g4/bfs lineage-cap discipline)
+      if (i < k) picked = picked.localCheckpoint()
+    }
+    picked.select(col("qid"), col("rank"), col("id"), col("mmr_score"))
+  }
+
   /** Mid-rise SQ decode (`min + (code + 0.5)·(max−min)/255`) — bounds
     * the per-dimension reconstruction error at (max−min)/510 + 1 ulp,
     * the gate [[graft.SimilaritySpec]] pins.

@@ -247,8 +247,9 @@ object Battery {
   /** CDC apply-changes ([[graft.relational.RelationalOps.cdcApply]]):
     * a synthetic Debezium-style change log over orders — initial load
     * at seq 1, a restatement wave at seq 2, a SECOND same-sequence
-    * restatement for every 11th key (the duplicate-LSN redelivery the
-    * change_id tiebreak exists for), and a delete wave at seq 3 —
+    * restatement for every 7th key (the duplicate-LSN redelivery the
+    * change_id tiebreak exists for; 7 — not 11 — so the modulus
+    * divides the volume probe's ModLcm and replicas stay closed), and a delete wave at seq 3 —
     * collapsed to the latest snapshot. The oracle replays the same
     * row_number pick.
     */
@@ -262,7 +263,7 @@ object Battery {
       val l2 = o.where(k % 3 === 0).select(k, lit("X").as("o_orderstatus"),
         (col("o_totalprice") + 1.0).as("o_totalprice"),
         lit(2L).as("seq"), lit("U").as("op"), (k * 10 + 2).as("change_id"))
-      val l2b = o.where(k % 11 === 0).select(k, lit("Y").as("o_orderstatus"),
+      val l2b = o.where(k % 7 === 0).select(k, lit("Y").as("o_orderstatus"),
         (col("o_totalprice") + 2.0).as("o_totalprice"),
         lit(2L).as("seq"), lit("U").as("op"), (k * 10 + 3).as("change_id"))
       val l3 = o.where(k % 5 === 0).select(k, col("o_orderstatus"),
@@ -281,7 +282,7 @@ object Battery {
            |    FROM orders WHERE o_orderkey % 3 = 0
            |  UNION ALL
            |  SELECT o_orderkey, 'Y', o_totalprice + 2.0, 2, 'U', o_orderkey*10+3
-           |    FROM orders WHERE o_orderkey % 11 = 0
+           |    FROM orders WHERE o_orderkey % 7 = 0
            |  UNION ALL
            |  SELECT o_orderkey, o_orderstatus, o_totalprice, 3, 'D', o_orderkey*10+4
            |    FROM orders WHERE o_orderkey % 5 = 0),
@@ -778,6 +779,25 @@ object Battery {
            |  TRUE AS coarse_ok, TRUE AS fine_ok
            |FROM orders GROUP BY 1""".stripMargin))
 
+  /** Equi-depth binning ([[graft.relational.RelationalOps.equiDepthBins]],
+    * 10 bins): per order status, decile bins of o_totalprice with
+    * population and [lo, hi] boundaries — ntile semantics with a
+    * unique (value, key) tiebreak so assignment is deterministic.
+    */
+  private val a18EquiDepthBins = Q(
+    "a18_equidepth_bins",
+    (s, d) => graft.relational.RelationalOps.equiDepthBins(
+      T.orders(s, d), Seq("o_orderstatus"), "o_totalprice",
+      Seq("o_orderkey"), nBins = 10),
+    Some("""WITH b AS (SELECT o_orderstatus, o_totalprice,
+           |    ntile(10) OVER (PARTITION BY o_orderstatus
+           |      ORDER BY o_totalprice, o_orderkey) AS bin
+           |  FROM orders)
+           |SELECT o_orderstatus, CAST(bin AS INT) AS bin,
+           |  CAST(count(*) AS BIGINT) AS n,
+           |  min(o_totalprice) AS lo, max(o_totalprice) AS hi
+           |FROM b GROUP BY 1, 2""".stripMargin))
+
   /** Fixed-iteration integer-exact PageRank over the order→part
     * bipartite graph ([[graft.ops.GraphOps.pagerankMicro]], 3 rounds,
     * micro-unit scores) — the iterative join+aggregate family's
@@ -906,6 +926,38 @@ object Battery {
            |  SELECT e.dst, r.dist + 1 FROM r JOIN e ON e.src = r.node
            |  WHERE r.dist < 4)
            |SELECT node, CAST(min(dist) AS INT) AS dist FROM r GROUP BY 1""".stripMargin))
+
+  /** Last-touch attribution with a 7-day TTL
+    * ([[graft.relational.RelationalOps.lastTouchAttribution]]): each
+    * purchase attributes to the user's most recent view/click strictly
+    * before it; stale touches (> 7 days) and untouched purchases land
+    * in the organic (null-channel) bucket. ONE carry window — the
+    * oracle replays the same `last_value IGNORE NULLS` carry and TTL
+    * arithmetic (unix-seconds floors on both sides).
+    */
+  private val g18Attribution = Q(
+    "g18_attribution",
+    (s, d) => graft.relational.RelationalOps.lastTouchAttribution(
+      T.events(s, d), Seq("user_id"), "ts", Seq("event_id"),
+      isTouch = col("event_type").isin("view", "click"),
+      isConversion = col("event_type") === "purchase",
+      channelCol = col("event_type"), ttlSeconds = 604800L),
+    Some("""WITH e AS (SELECT user_id, ts, event_id, event_type,
+           |    CASE WHEN event_type IN ('view', 'click')
+           |         THEN struct_pack(t := ts, ch := event_type) END AS tch
+           |  FROM events),
+           |cw AS (SELECT *, last_value(tch IGNORE NULLS) OVER (
+           |    PARTITION BY user_id ORDER BY ts, event_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+           |  FROM e)
+           |SELECT user_id, ts, event_id,
+           |  CASE WHEN lt IS NOT NULL AND
+           |    CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lt.t)) AS BIGINT) <= 604800
+           |    THEN lt.ch END AS channel,
+           |  CASE WHEN lt IS NOT NULL AND
+           |    CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lt.t)) AS BIGINT) <= 604800
+           |    THEN lt.t END AS touch_ts
+           |FROM cw WHERE event_type = 'purchase'""".stripMargin))
 
   /** Ordered view→click→purchase funnel per user
     * ([[graft.relational.RelationalOps.funnel]]): earliest view, then
@@ -2699,6 +2751,105 @@ object Battery {
            |          ORDER BY cos DESC, cid) AS INTEGER) AS rnk
            |      FROM s)
            |SELECT * FROM r WHERE rnk <= 10""".stripMargin))
+
+  /** MMR diversified re-rank
+    * ([[graft.ops.SimilarityOps.mmrRerank]], λ = 0.7, k = 5 from a
+    * cosine top-20 shortlist): the RAG context-assembly re-ranker —
+    * greedy integer-exact λμ·rel − (1−λμ)·maxSim selection, ties on
+    * ascending id. The oracle UNROLLS the greedy (the g4/x31
+    * iterative-oracle pattern): each pick is recomputed as the true
+    * argmax given the previous picks, so one wrong selection
+    * hash-mismatches at the first divergent round. Float association
+    * is pinned on both sides as 10⁶·(dot/denominator) before the
+    * floor.
+    */
+  private val n10MmrRerank = Q(
+    "n10_mmr_rerank",
+    (s, d) => {
+      val S = graft.ops.SimilarityOps
+      val emb = T.embeddings(s, d).select(
+        col("vec_id"), S.asDouble(col("embedding")).as("v"))
+      val q = emb.filter(pmod(col("vec_id"), lit(97)) === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val c = emb.filter(pmod(col("vec_id"), lit(97)) =!= 0)
+        .select(col("vec_id").as("id"), col("v").as("vec"))
+      val cos = S.dot(col("qv"), col("vec")) /
+        (sqrt(S.dot(col("qv"), col("qv"))) *
+          sqrt(S.dot(col("vec"), col("vec"))))
+      val wq = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id"))
+      val shortlist = q.join(c)
+        .select(col("qid"), col("id"), col("vec"), cos.as("cos"))
+        .withColumn("rr", row_number().over(wq)).where(col("rr") <= 20)
+        .select(col("qid"), col("id"), col("vec"),
+          floor(lit(1e6) * col("cos")).cast("long").as("rel"))
+      S.mmrRerank(shortlist, "qid", "id", "rel", "vec",
+        k = 5, lambdaMicro = 700000L)
+    },
+    Some("""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS v
+           |  FROM embeddings WHERE vec_id % 97 = 0),
+           |c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+           |  FROM embeddings WHERE vec_id % 97 <> 0),
+           |sc AS (SELECT q.qid, c.id, c.v,
+           |    list_dot_product(q.v, c.v) /
+           |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+           |  FROM q, c),
+           |sl AS (SELECT qid, id, v, CAST(floor(1000000 * cos) AS BIGINT) AS rel,
+           |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rr
+           |  FROM sc QUALIFY rr <= 20),
+           |p1 AS (SELECT qid, id, v, rel, 1 AS rank, 700000 * rel AS score
+           |  FROM sl QUALIFY row_number() OVER (PARTITION BY qid ORDER BY rel DESC, id) = 1),
+           |s1 AS (SELECT qid, id, v FROM p1),
+           |m2 AS (SELECT sl.qid, sl.id,
+           |    max(CAST(floor(1000000 * (list_dot_product(sl.v, s.v) /
+           |      (sqrt(list_dot_product(sl.v, sl.v)) * sqrt(list_dot_product(s.v, s.v))))) AS BIGINT)) AS msim
+           |  FROM sl JOIN s1 s ON sl.qid = s.qid
+           |  WHERE NOT EXISTS (SELECT 1 FROM s1 x WHERE x.qid = sl.qid AND x.id = sl.id)
+           |  GROUP BY 1, 2),
+           |p2 AS (SELECT sl.qid, sl.id, sl.v, sl.rel, 2 AS rank,
+           |    700000 * sl.rel - 300000 * m.msim AS score
+           |  FROM sl JOIN m2 m ON sl.qid = m.qid AND sl.id = m.id
+           |  QUALIFY row_number() OVER (PARTITION BY sl.qid ORDER BY score DESC, sl.id) = 1),
+           |s2 AS (SELECT qid, id, v FROM s1 UNION ALL SELECT qid, id, v FROM p2),
+           |m3 AS (SELECT sl.qid, sl.id,
+           |    max(CAST(floor(1000000 * (list_dot_product(sl.v, s.v) /
+           |      (sqrt(list_dot_product(sl.v, sl.v)) * sqrt(list_dot_product(s.v, s.v))))) AS BIGINT)) AS msim
+           |  FROM sl JOIN s2 s ON sl.qid = s.qid
+           |  WHERE NOT EXISTS (SELECT 1 FROM s2 x WHERE x.qid = sl.qid AND x.id = sl.id)
+           |  GROUP BY 1, 2),
+           |p3 AS (SELECT sl.qid, sl.id, sl.v, sl.rel, 3 AS rank,
+           |    700000 * sl.rel - 300000 * m.msim AS score
+           |  FROM sl JOIN m3 m ON sl.qid = m.qid AND sl.id = m.id
+           |  QUALIFY row_number() OVER (PARTITION BY sl.qid ORDER BY score DESC, sl.id) = 1),
+           |s3 AS (SELECT qid, id, v FROM s2 UNION ALL SELECT qid, id, v FROM p3),
+           |m4 AS (SELECT sl.qid, sl.id,
+           |    max(CAST(floor(1000000 * (list_dot_product(sl.v, s.v) /
+           |      (sqrt(list_dot_product(sl.v, sl.v)) * sqrt(list_dot_product(s.v, s.v))))) AS BIGINT)) AS msim
+           |  FROM sl JOIN s3 s ON sl.qid = s.qid
+           |  WHERE NOT EXISTS (SELECT 1 FROM s3 x WHERE x.qid = sl.qid AND x.id = sl.id)
+           |  GROUP BY 1, 2),
+           |p4 AS (SELECT sl.qid, sl.id, sl.v, sl.rel, 4 AS rank,
+           |    700000 * sl.rel - 300000 * m.msim AS score
+           |  FROM sl JOIN m4 m ON sl.qid = m.qid AND sl.id = m.id
+           |  QUALIFY row_number() OVER (PARTITION BY sl.qid ORDER BY score DESC, sl.id) = 1),
+           |s4 AS (SELECT qid, id, v FROM s3 UNION ALL SELECT qid, id, v FROM p4),
+           |m5 AS (SELECT sl.qid, sl.id,
+           |    max(CAST(floor(1000000 * (list_dot_product(sl.v, s.v) /
+           |      (sqrt(list_dot_product(sl.v, sl.v)) * sqrt(list_dot_product(s.v, s.v))))) AS BIGINT)) AS msim
+           |  FROM sl JOIN s4 s ON sl.qid = s.qid
+           |  WHERE NOT EXISTS (SELECT 1 FROM s4 x WHERE x.qid = sl.qid AND x.id = sl.id)
+           |  GROUP BY 1, 2),
+           |p5 AS (SELECT sl.qid, sl.id, sl.v, sl.rel, 5 AS rank,
+           |    700000 * sl.rel - 300000 * m.msim AS score
+           |  FROM sl JOIN m5 m ON sl.qid = m.qid AND sl.id = m.id
+           |  QUALIFY row_number() OVER (PARTITION BY sl.qid ORDER BY score DESC, sl.id) = 1),
+           |u AS (SELECT qid, id, rank, score FROM p1
+           |  UNION ALL SELECT qid, id, rank, score FROM p2
+           |  UNION ALL SELECT qid, id, rank, score FROM p3
+           |  UNION ALL SELECT qid, id, rank, score FROM p4
+           |  UNION ALL SELECT qid, id, rank, score FROM p5)
+           |SELECT qid, CAST(rank AS INT) AS rank, id,
+           |  CAST(score AS BIGINT) AS mmr_score
+           |FROM u""".stripMargin))
 
   /** Embedding-cosine near-duplicate pairs: LSH-bucket candidates +
     * exact cosine ≥ threshold (the embedding sibling of d2b).
@@ -5120,8 +5271,8 @@ object Battery {
     g5TriangleCount, g6Funnel, g7Retention, g8Transitions,
     g9SessionPaths, g10Streaks, g11Ewma,
     g12Interpolate, g13Cooccurrence, g14Twap, g15PeakConcurrency,
-    g16IntervalUnion, g17BfsHops,
-    a16MadOutliers, a17HllRollup,
+    g16IntervalUnion, g17BfsHops, g18Attribution,
+    a16MadOutliers, a17HllRollup, a18EquiDepthBins,
     fScalar, f5Cast, f9MapExplode, f12Json, f13ArrayOps,
     twTumbling, twSliding, twSession, twChainedWindows,
     twDedupWatermark, twDedupLateBoundary, twJoinBound, twJoinBoundLeft,
@@ -5147,7 +5298,7 @@ object Battery {
     x29LeakageSplits, x30Bm25, x31BpeTrain, x32ByteBpeCount, x33RrfFusion,
     c1Curation,
     n2AnnLsh, n3EmbNearDup, n4AnnIvf, n5PqQuantize, n6KmeansFit, n7SemanticDedup,
-    n8SqQuantize, n9BinaryQuantize,
+    n8SqQuantize, n9BinaryQuantize, n10MmrRerank,
     kfPatientSlice, kfRSubjectSlice, kfSpecimenSlice, kfDrsSlice,
     kfDiseaseSlice, kfPhenotypeSlice, kfHistoSlice, kfVitalSlice,
     kfFamilySlice, kfStudySlice, kfProbandSlice, kfFamRelSlice,

@@ -894,4 +894,76 @@ object RelationalOps {
         sum(lengthOf(col("__lo"), col("__hi"))).as("covered"),
         min(col("__lo")).as("hull_start"), max(col("__hi")).as("hull_end"))
   }
+
+  /** Last-touch attribution with a TTL: attribute each conversion to
+    * the most recent touch event by the same key STRICTLY BEFORE it in
+    * (tsCol, orderCols) order and no older than `ttl` — the marketing /
+    * growth-analytics operator (which campaign gets credit for this
+    * purchase?). Conversions with no in-window touch come back with a
+    * null channel — the "organic" bucket, reported rather than
+    * dropped.
+    *
+    * Mechanics: union-free — touches and conversions are the same
+    * event stream; a running `last(_, ignoreNulls)` window over the
+    * touch-only struct carries (touch ts, channel) forward to each
+    * conversion row, then the TTL check nulls out stale carries.
+    * "Strictly before" = the window ends at 1 PRECEDING, so a touch
+    * and a conversion at the same instant attribute only if the touch
+    * sorts first by the tiebreak.
+    *
+    * Scale: ONE key shuffle — the carry window is the only exchange;
+    * the filter and TTL arithmetic are narrow. The classic
+    * alternative (conversions ⋈ touches range join) shuffles twice
+    * and fans out per pair; the carry window is linear.
+    */
+  def lastTouchAttribution(events: DataFrame, keyCols: Seq[String],
+      tsCol: String, orderCols: Seq[String], isTouch: Column,
+      isConversion: Column, channelCol: Column,
+      ttlSeconds: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keyCols.nonEmpty, "attribution needs key columns")
+    require(orderCols.nonEmpty, "attribution needs a deterministic tiebreak")
+    require(ttlSeconds > 0, s"ttlSeconds must be positive: $ttlSeconds")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((tsCol +: orderCols).map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touchStruct = when(isTouch,
+      struct(col(tsCol).as("t"), channelCol.as("ch")))
+    val carried = events
+      .withColumn("__last_touch", last(touchStruct, ignoreNulls = true).over(w))
+    val fresh = col("__last_touch").isNotNull &&
+      unix_seconds(col(tsCol)) -
+        unix_seconds(col("__last_touch.t")) <= lit(ttlSeconds)
+    carried.where(isConversion)
+      .select(keyCols.map(col) ++ (tsCol +: orderCols).map(col) ++ Seq(
+        when(fresh, col("__last_touch.ch")).as("channel"),
+        when(fresh, col("__last_touch.t")).as("touch_ts")): _*)
+  }
+
+  /** Equi-depth binning: assign each row to one of `nBins`
+    * equal-population bins of `valueCol` within its group, and report
+    * each bin's population and [lo, hi] boundaries — the
+    * feature-binning / histogram-equalization operator. `ntile`
+    * semantics (the SQL-standard equal-count split); `orderCols` must
+    * end in a unique tiebreak so bin assignment is deterministic at
+    * duplicated values.
+    *
+    * Scale: one key shuffle shared by the ntile window and the
+    * (group, bin) aggregate (bin only APPENDS to the partition key).
+    * Exact equi-depth needs the per-group sort; for a sketch-based
+    * 100 TB variant compute approx-percentile boundaries instead and
+    * bin by comparison — documented trade, not a silent cap.
+    */
+  def equiDepthBins(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, orderCols: Seq[String], nBins: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBins >= 2 && nBins <= 10000, s"nBins in 2..10000, got $nBins")
+    require(orderCols.nonEmpty, "equiDepthBins needs a unique tiebreak")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy((valueCol +: orderCols).map(col): _*)
+    df.withColumn("bin", ntile(nBins).over(w))
+      .groupBy((groupCols :+ "bin").map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
+  }
 }

@@ -734,6 +734,23 @@ class PlanQualitySpec extends AnyFunSuite {
       s"the two rank lists meet in ONE union:\n$p")
   }
 
+  test("last-touch attribution is join-free: ONE carry window, narrow " +
+      "TTL arithmetic on top") {
+    val p = plan("g18_attribution")
+    assert(!p.contains("Join"),
+      s"attribution must carry, not range-join:\n$p")
+    val exchanges = nodeCount(p, "Exchange")
+    assert(exchanges == 1, s"one carry shuffle only ($exchanges):\n$p")
+  }
+
+  test("equi-depth binning shares ONE key shuffle between the ntile " +
+      "window and the (group, bin) aggregate") {
+    val p = plan("a18_equidepth_bins")
+    assert(!p.contains("Join"), s"binning must not join:\n$p")
+    val exchanges = nodeCount(p, "Exchange")
+    assert(exchanges == 1, s"one binning shuffle only ($exchanges):\n$p")
+  }
+
   test("HLL cube sketches aggregate partially map-side (no raw-row " +
       "shuffle) and never form a product") {
     val p = plan("a17_hll_rollup")

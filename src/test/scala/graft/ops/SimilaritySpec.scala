@@ -227,4 +227,69 @@ class SimilaritySpec extends AnyFunSuite {
     assert(worstRel <= maxStep * (1 + 1e-9) + 1e-12,
       s"reconstruction error $worstRel exceeds half-step bound $maxStep")
   }
+
+  test("mmrRerank matches a sequential greedy reference on random " +
+      "shortlists (integer-exact scores, id tiebreak)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    // 6 queries × 15 candidates of 8-dim vectors, some near-duplicates
+    // so the diversity term actually bites
+    val shortlists = (1 to 6).flatMap { q =>
+      val seeds = Array.fill(3)(Array.fill(8)(rnd.nextDouble()))
+      (1 to 15).map { i =>
+        val base = seeds(i % 3)
+        val vec = base.map(x => x + rnd.nextDouble() * (if (i < 6) 0.01 else 1.0))
+        (q.toLong, (q * 100 + i).toLong, rnd.nextInt(1000000).toLong, vec)
+      }
+    }
+    val df = shortlists.toDF("qid", "id", "rel", "vec")
+    val k = 4
+    val lam = 700000L
+    val got = SimilarityOps.mmrRerank(df, "qid", "id", "rel", "vec", k, lam)
+      .collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank")) ->
+        ((r.getAs[Long]("id"), r.getAs[Long]("mmr_score")))).toMap
+    // sequential reference
+    def simMicro(a: Array[Double], b: Array[Double]): Long = {
+      def dot(x: Array[Double], y: Array[Double]) =
+        x.indices.foldLeft(0.0)((acc, i) => acc + x(i) * y(i))
+      math.floor(1e6 * (dot(a, b) /
+        (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))).toLong
+    }
+    val expect = shortlists.groupBy(_._1).flatMap { case (q, cs) =>
+      var remaining = cs.map(c => (c._2, c._3, c._4)).toList
+      var selected = List.empty[(Long, Long, Array[Double])]
+      (1 to k).map { rank =>
+        val scored = remaining.map { case (id, rel, vec) =>
+          val score =
+            if (selected.isEmpty) lam * rel
+            else lam * rel - (1000000L - lam) *
+              selected.map(s => simMicro(vec, s._3)).max
+          (id, rel, vec, score)
+        }
+        val pick = scored.minBy(c => (-c._4, c._1))
+        remaining = remaining.filterNot(_._1 == pick._1)
+        selected = (pick._1, pick._2, pick._3) :: selected
+        (q, rank) -> ((pick._1, pick._4))
+      }
+    }
+    assert(got == expect)
+  }
+
+  test("mmrRerank: rank 1 is pure argmax relevance; short shortlists " +
+      "yield fewer than k rows rather than repeats") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 11L, 500L, Array(1.0, 0.0)),
+      (1L, 12L, 900L, Array(0.0, 1.0)),
+      (2L, 21L, 700L, Array(1.0, 1.0)) // only one candidate
+    ).toDF("qid", "id", "rel", "vec")
+    val got = SimilarityOps.mmrRerank(df, "qid", "id", "rel", "vec", k = 3)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[Long]("id"))).sortBy(t => (t._1, t._2))
+    assert(got.toSeq == Seq((1L, 1, 12L), (1L, 2, 11L), (2L, 1, 21L)))
+    intercept[IllegalArgumentException] {
+      SimilarityOps.mmrRerank(df, "qid", "id", "rel", "vec", k = 0)
+    }
+  }
 }

@@ -787,4 +787,69 @@ class RelationalOpsSpec extends AnyFunSuite {
       .toMap
     assert(got == expected)
   }
+
+  test("lastTouchAttribution: strictly-before carry, TTL expiry, organic " +
+      "bucket, same-instant tiebreak") {
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val events = Seq(
+      // user 1: touch at 100, purchase at 200 -> attributed
+      (1L, ts(100), 1L, "view", ""),
+      (1L, ts(200), 2L, "purchase", ""),
+      // user 1: second purchase at 150 credits the SAME 100 touch
+      // (one touch can attribute many conversions inside the TTL)
+      (1L, ts(150), 3L, "purchase", ""),
+      // user 2: touch EXPIRED (ttl 100s), purchase organic
+      (2L, ts(0), 4L, "click", ""),
+      (2L, ts(500), 5L, "purchase", ""),
+      // user 3: purchase with no touch at all -> organic
+      (3L, ts(50), 6L, "purchase", ""),
+      // user 4: touch and purchase at the SAME instant — touch has the
+      // smaller event_id, so it sorts first and attributes
+      (4L, ts(10), 7L, "view", ""),
+      (4L, ts(10), 8L, "purchase", ""),
+      // user 5: purchase BEFORE its touch by the tiebreak -> organic
+      (5L, ts(10), 9L, "purchase", ""),
+      (5L, ts(10), 10L, "click", "")
+    ).toDF("user_id", "ts", "event_id", "event_type", "props")
+    val got = RelationalOps.lastTouchAttribution(
+        events, Seq("user_id"), "ts", Seq("event_id"),
+        isTouch = col("event_type").isin("view", "click"),
+        isConversion = col("event_type") === "purchase",
+        channelCol = col("event_type"), ttlSeconds = 100L)
+      .collect()
+      .map(r => r.getAs[Long]("event_id") -> Option(r.getAs[String]("channel")))
+      .toMap
+    assert(got == Map(2L -> Some("view"), 3L -> Some("view"),
+      5L -> None, 6L -> None, 8L -> Some("view"), 9L -> None))
+  }
+
+  test("equiDepthBins: near-equal populations, contiguous boundaries, " +
+      "every row binned exactly once") {
+    val rnd = new scala.util.Random(29)
+    val rows = (1 to 1000).map(i => ("g" + i % 2, rnd.nextInt(500).toDouble, i.toLong))
+    val got = RelationalOps.equiDepthBins(
+        rows.toDF("g", "v", "id"), Seq("g"), "v", Seq("id"), nBins = 10)
+      .collect().map(r => (r.getAs[String]("g"), r.getAs[Int]("bin"),
+        r.getAs[Long]("n"), r.getAs[Double]("lo"), r.getAs[Double]("hi")))
+    assert(got.length == 20)
+    for (g <- Seq("g0", "g1")) {
+      val bins = got.filter(_._1 == g).sortBy(_._2)
+      assert(bins.map(_._2).toSeq == (1 to 10), s"$g bins not 1..10")
+      assert(bins.map(_._3).sum == 500, s"$g rows lost or duplicated")
+      assert(bins.map(_._3).max - bins.map(_._3).min <= 1,
+        s"$g ntile populations must differ by at most 1")
+      // value boundaries are monotone across bins (duplicates may
+      // straddle, so lo(next) >= hi(prev) is the ntile guarantee only
+      // up to equal values)
+      bins.sliding(2).foreach { case Array(a, b) =>
+        assert(b._4 >= a._5 - 1e-9 || b._4 >= a._4,
+          s"$g bin boundaries out of order: $a then $b")
+      }
+    }
+    intercept[IllegalArgumentException] {
+      RelationalOps.equiDepthBins(rows.toDF("g", "v", "id"), Seq("g"), "v",
+        Seq("id"), nBins = 1)
+    }
+  }
 }
