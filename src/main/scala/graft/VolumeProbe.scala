@@ -148,7 +148,21 @@ object VolumeProbe {
     "j18_bloom_pruned_join", "n9_binary_quantize", "x28_pmi_collocations",
     "j20_cdc_apply", "g16_interval_union", "g17_bfs_hops",
     "a17_hll_rollup", "x33_rrf_fusion",
-    "g18_attribution", "a18_equidepth_bins", "n10_mmr_rerank")
+    "g18_attribution", "a18_equidepth_bins", "n10_mmr_rerank",
+    "st_cdc_latest", "x34_k_anonymity", "p9_column_profile")
+  // Wave-3 (round 12). st_cdc_latest: j20's log closure (%3/%5/%7 all
+  // divide ModLcm) with tombstones kept → one current row per key,
+  // exact ×factor — the transformWithState batch path at 10× the
+  // state keys. x34 (custom): c_nationkey is a *key column*, so the
+  // remap makes each replica's classes DISJOINT clones (not shared
+  // cells — segment/balance are untouched but the nation leg shifts):
+  // rows scale exactly ×factor and every clone class must inherit its
+  // base class's (class_size, violates_k) verbatim via
+  // nationkey % offset.
+  // p9 (custom): 4 profile rows at ANY volume; n_nulls ×factor, key
+  // columns' n_distinct ×factor with min unchanged (replica 0 keeps
+  // the base keys) and max shifted by (factor−1)·offset, categorical
+  // columns' distinct/min/max byte-identical.
   // Wave-2 (round 12). g18: users AND decades replica-disjoint, so the
   // carry window never crosses replicas and every clone purchase
   // inherits its original's (channel, Δt) → one row per purchase,
@@ -457,6 +471,17 @@ object VolumeProbe {
               .collect()
               .map(r => (s"${r.getLong(0)}|${r.getLong(1)}", r.getLong(0))).toSeq
           }
+          else if (name == "x34_k_anonymity") Right {
+            fn(spark, srcDir).collect().map(r =>
+              (s"${r.getAs[Number](0).longValue}|${r.getString(1)}|" +
+                s"${r.getLong(2)}|${r.getLong(3)}|${r.getBoolean(4)}", 0L))
+              .toSeq
+          }
+          else if (name == "p9_column_profile") Right {
+            fn(spark, srcDir).collect().map(r =>
+              (s"${r.getString(0)}|${r.getLong(1)}|${r.getLong(2)}|" +
+                s"${r.getString(3)}|${r.getString(4)}", 0L)).toSeq
+          }
           else if (name == "a18_equidepth_bins") Right {
             // per-status total population (bin populations are only
             // ×factor when divisible — see headline note)
@@ -586,6 +611,40 @@ object VolumeProbe {
               Right((rows.length.toLong, base.length.toLong,
                 "query-bounded-shortlist-closed",
                 shapeOk && classOk && cloneOrderOk))
+            } else if (name == "x34_k_anonymity") {
+              // every clone class inherits its base class's
+              // (class_size, violates_k) via nationkey % offset, and
+              // each base class appears exactly `factor` times
+              val rows = fn(spark, outDir).collect().map(r =>
+                s"${r.getAs[Number](0).longValue % offset}|${r.getString(1)}|" +
+                  s"${r.getLong(2)}|${r.getLong(3)}|${r.getBoolean(4)}").toSeq
+              val baseCells = base.map(_._1)
+              val counts = rows.groupBy(identity).view.mapValues(_.size).toMap
+              val ok = rows.length == baseCells.length * factor &&
+                baseCells.forall(c => counts.getOrElse(c, 0) == factor) &&
+                counts.size == baseCells.size
+              Right((rows.length.toLong, baseCells.length.toLong,
+                "clone-class-inheritance x" + factor, ok))
+            } else if (name == "p9_column_profile") {
+              val got = fn(spark, outDir).collect().map(r =>
+                r.getString(0) -> ((r.getLong(1), r.getLong(2),
+                  r.getString(3), r.getString(4)))).toMap
+              val b = base.map(_._1.split("\\|")).map(a =>
+                a(0) -> ((a(1).toLong, a(2).toLong, a(3), a(4)))).toMap
+              def keyLaw(c: String) = {
+                val (nn, nd, mn, mx) = b(c); val g = got(c)
+                g == ((nn * factor, nd * factor, mn,
+                  (mx.toLong + (factor - 1) * offset).toString))
+              }
+              def catLaw(c: String) = {
+                val (nn, nd, mn, mx) = b(c)
+                got(c) == ((nn * factor, nd, mn, mx))
+              }
+              val ok = got.size == b.size &&
+                keyLaw("o_orderkey") && keyLaw("o_custkey") &&
+                catLaw("o_orderstatus") && catLaw("o_orderpriority")
+              Right((got.size.toLong, b.size.toLong,
+                "profile-laws x" + factor, ok))
             } else if (name == "a18_equidepth_bins") {
               val rows = fn(spark, outDir).collect()
                 .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))

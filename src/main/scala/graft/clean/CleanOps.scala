@@ -86,4 +86,59 @@ object CleanOps {
       .agg(min(struct(others.map(n => col(s"`$n`")): _*)).as("__min"))
       .select(col(s"`$key`") +: others.map(n => col(s"__min.`$n`").as(n)): _*)
   }
+
+  /** k-anonymity audit: for each quasi-identifier equivalence class,
+    * its population and whether it violates k — the privacy screen a
+    * training-data release runs before publishing (a class smaller
+    * than k re-identifies its members by the quasi-identifiers alone).
+    * Returns one row per class: the quasi-identifier values,
+    * `class_size`, and `violates_k`; feed the violating classes back
+    * through a semi-join to suppress or generalize the rows.
+    *
+    * Scale: one hash aggregate on the quasi-identifier key (map-side
+    * partial) — class count is bounded by the quasi-id domain, not the
+    * row count. Null quasi-identifier values form their own class
+    * (SQL GROUP BY semantics) — deliberate: "unknown" is itself a
+    * quasi-identifier value.
+    */
+  def kAnonymityAudit(df: DataFrame, quasiIdCols: Seq[String],
+      k: Long): DataFrame = {
+    require(quasiIdCols.nonEmpty, "kAnonymityAudit needs quasi-id columns")
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.groupBy(quasiIdCols.map(c => col(s"`$c`")): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .withColumn("violates_k", col("class_size") < k)
+  }
+
+  /** One-pass column profile: per profiled column its null count,
+    * exact distinct count, and min/max (as strings, so one schema
+    * covers every input type) — the data-quality expectation report a
+    * pipeline lands next to each batch. One aggregate row per column,
+    * unpivoted to (column, n_nulls, n_distinct, min_s, max_s) rows.
+    *
+    * Scale: a SINGLE aggregation pass over the input computes every
+    * column's stats at once (no per-column scans); the unpivot is a
+    * narrow expand of the 1-row result. Exact distinct per column adds
+    * a count_distinct expand (one shuffle); at 100 TB swap
+    * `approx_count_distinct` in via `exactDistinct = false` — same
+    * flow, sketch-sized state, documented trade.
+    */
+  def columnProfile(df: DataFrame, cols: Seq[String],
+      exactDistinct: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "columnProfile needs columns to profile")
+    val aggs = cols.flatMap { c =>
+      val cc = col(s"`$c`")
+      Seq(
+        sum(when(cc.isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
+        (if (exactDistinct) count_distinct(cc)
+         else approx_count_distinct(cc)).as(s"__nd_$c"),
+        min(cc).cast("string").as(s"__mn_$c"),
+        max(cc).cast("string").as(s"__mx_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map(c => struct(lit(c).as("column"),
+      col(s"`__nn_$c`").as("n_nulls"), col(s"`__nd_$c`").as("n_distinct"),
+      col(s"`__mn_$c`").as("min_s"), col(s"`__mx_$c`").as("max_s")))
+    one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+  }
 }

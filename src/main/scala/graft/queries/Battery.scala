@@ -779,6 +779,62 @@ object Battery {
            |  TRUE AS coarse_ok, TRUE AS fine_ok
            |FROM orders GROUP BY 1""".stripMargin))
 
+  /** k-anonymity audit ([[graft.clean.CleanOps.kAnonymityAudit]],
+    * k = 10): equivalence classes over (nation, market segment,
+    * account-balance band) — the privacy screen before a data release;
+    * classes smaller than k re-identify their members. One map-side
+    * partial hash aggregate; output bounded by the quasi-id domain.
+    */
+  private val x34KAnonymity = Q(
+    "x34_k_anonymity",
+    (s, d) => graft.clean.CleanOps.kAnonymityAudit(
+      T.customer(s, d).withColumn("bal_band",
+        floor(col("c_acctbal") / 1000).cast("long")),
+      Seq("c_nationkey", "c_mktsegment", "bal_band"), k = 10L),
+    Some("""SELECT c_nationkey, c_mktsegment,
+           |  CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+           |  CAST(count(*) AS BIGINT) AS class_size,
+           |  count(*) < 10 AS violates_k
+           |FROM customer GROUP BY 1, 2, 3""".stripMargin))
+
+  /** One-pass column profile ([[graft.clean.CleanOps.columnProfile]]):
+    * null/distinct/min/max per profiled column from a SINGLE aggregate
+    * pass, unpivoted to one row per column — the per-batch data-quality
+    * expectation report. The battery row profiles long + string columns
+    * (numeric-to-string rendering is engine-specific for doubles and
+    * timestamps; the op handles them — the cross-engine PIN sticks to
+    * types whose string forms agree).
+    */
+  private val p9ColumnProfile = Q(
+    "p9_column_profile",
+    (s, d) => graft.clean.CleanOps.columnProfile(
+      T.orders(s, d),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")),
+    Some("""SELECT 'o_orderkey' AS "column",
+           |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           |  CAST(min(o_orderkey) AS VARCHAR) AS min_s,
+           |  CAST(max(o_orderkey) AS VARCHAR) AS max_s
+           |FROM orders
+           |UNION ALL
+           |SELECT 'o_custkey',
+           |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           |  CAST(count(DISTINCT o_custkey) AS BIGINT),
+           |  CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+           |FROM orders
+           |UNION ALL
+           |SELECT 'o_orderstatus',
+           |  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           |  CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+           |  min(o_orderstatus), max(o_orderstatus)
+           |FROM orders
+           |UNION ALL
+           |SELECT 'o_orderpriority',
+           |  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           |  CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+           |  min(o_orderpriority), max(o_orderpriority)
+           |FROM orders""".stripMargin))
+
   /** Equi-depth binning ([[graft.relational.RelationalOps.equiDepthBins]],
     * 10 bins): per order status, decile bins of o_totalprice with
     * population and [lo, hi] boundaries — ntile semantics with a
@@ -2010,6 +2066,57 @@ object Battery {
            |  epoch_ms(max(ts)) AS last_event_ms
            |FROM events GROUP BY user_id
            |HAVING count(CASE WHEN event_id % 2 = 1 THEN 1 END) > 0""".stripMargin))
+
+  /** Streaming CDC latest-wins snapshot maintenance
+    * ([[graft.streaming.Stateful.CdcLatestProcessor]], typed ValueState
+    * on `transformWithState`): j20's change log held as per-key state —
+    * deletes become TOMBSTONES (emitted with `deleted = true`, retained
+    * so a late lower-sequence upsert can never resurrect a deleted
+    * key). Batch twin of the streaming path; the cross-micro-batch
+    * out-of-order/no-resurrection laws are pinned by `StatefulSpec` on
+    * RocksDB. The oracle replays the winner pick WITHOUT the delete
+    * filter (tombstones surface, unlike j20's compacted snapshot).
+    */
+  private val stCdcLatest = Q(
+    "st_cdc_latest",
+    (s, d) => {
+      import s.implicits._
+      val o = T.orders(s, d)
+      val k = col("o_orderkey")
+      val l1 = o.select(k.as("key"), lit(1L).as("seq"),
+        (k * 10 + 1).as("change_id"), lit("U").as("op"),
+        col("o_orderstatus").as("status"), col("o_totalprice").as("price"))
+      val l2 = o.where(k % 3 === 0).select(k.as("key"), lit(2L).as("seq"),
+        (k * 10 + 2).as("change_id"), lit("U").as("op"),
+        lit("X").as("status"), (col("o_totalprice") + 1.0).as("price"))
+      val l2b = o.where(k % 7 === 0).select(k.as("key"), lit(2L).as("seq"),
+        (k * 10 + 3).as("change_id"), lit("U").as("op"),
+        lit("Y").as("status"), (col("o_totalprice") + 2.0).as("price"))
+      val l3 = o.where(k % 5 === 0).select(k.as("key"), lit(3L).as("seq"),
+        (k * 10 + 4).as("change_id"), lit("D").as("op"),
+        col("o_orderstatus").as("status"), col("o_totalprice").as("price"))
+      graft.streaming.Stateful.cdcLatest(
+        l1.unionAll(l2).unionAll(l2b).unionAll(l3)
+          .as[graft.streaming.Stateful.CdcChange]).toDF()
+    },
+    Some("""WITH log AS (
+           |  SELECT o_orderkey AS key, CAST(1 AS BIGINT) AS seq,
+           |      o_orderkey*10+1 AS change_id, 'U' AS op,
+           |      o_orderstatus AS status, o_totalprice AS price
+           |    FROM orders
+           |  UNION ALL
+           |  SELECT o_orderkey, 2, o_orderkey*10+2, 'U', 'X', o_totalprice + 1.0
+           |    FROM orders WHERE o_orderkey % 3 = 0
+           |  UNION ALL
+           |  SELECT o_orderkey, 2, o_orderkey*10+3, 'U', 'Y', o_totalprice + 2.0
+           |    FROM orders WHERE o_orderkey % 7 = 0
+           |  UNION ALL
+           |  SELECT o_orderkey, 3, o_orderkey*10+4, 'D', o_orderstatus, o_totalprice
+           |    FROM orders WHERE o_orderkey % 5 = 0),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY key
+           |    ORDER BY seq DESC, change_id DESC) AS rn FROM log)
+           |SELECT key, seq, change_id, op = 'D' AS deleted, status, price
+           |FROM r WHERE rn = 1""".stripMargin))
 
   // ----------------------------------------- LLM-pipeline ops (north star)
 
@@ -5258,7 +5365,7 @@ object Battery {
   // ---------------------------------------------------------------- export
 
   val all: Seq[Q] = Seq(
-    s1PointScan, s3Crawl, p2Rename, p6Clean, p8HashSample,
+    s1PointScan, s3Crawl, p2Rename, p6Clean, p8HashSample, p9ColumnProfile,
     j1Outer, jChain, j8Composite, jNullKey, j13Codes, j14Asof, j15Range,
     j16NullSafe, j17Anti, j18BloomPruned, j19Scd2Merge, j20CdcApply,
     a1Collect, a2Collect, a5Dedup, a6Rollup, a7Cube, a13GroupingSets,
@@ -5278,7 +5385,7 @@ object Battery {
     twDedupWatermark, twDedupLateBoundary, twJoinBound, twJoinBoundLeft,
     twJoinBoundFull, twJoinBoundSemi, twJoinBoundRight,
     stUserTotals, stUserTotalsV2, stTypeCounts, stLastEvents,
-    stSessionTimeout, stWarmStart,
+    stSessionTimeout, stWarmStart, stCdcLatest,
     x23BpeTokenFreq, x24BpeCompression,
     x6SubwordCount,
     d1DedupExact, x1TextStats, n1AnnTopK, m1Multimodal, m2MultimodalDecode,
@@ -5296,7 +5403,7 @@ object Battery {
     x19TokenChunks, x20TemperatureMixture, x21BloomDecontaminate,
     x25LmScore, x26DsirScore, x27SlidingChunks, x28PmiCollocations,
     x29LeakageSplits, x30Bm25, x31BpeTrain, x32ByteBpeCount, x33RrfFusion,
-    c1Curation,
+    x34KAnonymity, c1Curation,
     n2AnnLsh, n3EmbNearDup, n4AnnIvf, n5PqQuantize, n6KmeansFit, n7SemanticDedup,
     n8SqQuantize, n9BinaryQuantize, n10MmrRerank,
     kfPatientSlice, kfRSubjectSlice, kfSpecimenSlice, kfDrsSlice,

@@ -422,6 +422,69 @@ object Stateful {
         snapshot.groupByKey(_.user_id))
   }
 
+  /** One CDC change-log row (the streaming sibling of
+    * [[graft.relational.RelationalOps.cdcApply]]'s input).
+    */
+  final case class CdcChange(key: Long, seq: Long, change_id: Long,
+      op: String, status: String, price: Double)
+
+  /** The maintained current version of a key. Deletes surface as
+    * `deleted = true` rows — TOMBSTONES, not absences: downstream
+    * sinks need the delete event to remove the row, and the state
+    * keeps the tombstone so a LATE lower-sequence upsert can never
+    * resurrect a deleted key (the CDC correctness trap).
+    */
+  final case class CdcCurrent(key: Long, seq: Long, change_id: Long,
+      deleted: Boolean, status: String, price: Double)
+
+  /** Latest-wins CDC snapshot maintenance: per key, keep the row with
+    * the highest (seq, change_id) across ALL micro-batches and emit the
+    * new current version whenever it changes (update mode). Out-of-order
+    * delivery is the point: a batch-2 row older than the held state is
+    * ignored, a delete is held as a tombstone, and re-delivered rows
+    * (same seq+change_id) are idempotent. TTL bounds tombstone
+    * retention at 100 TB (after the CDC source's max replay lag, a
+    * tombstone can expire — the standard compaction contract).
+    */
+  class CdcLatestProcessor(ttl: TTLConfig = TTLConfig.NONE)
+      extends StatefulProcessor[Long, CdcChange, CdcCurrent] {
+    @transient private var cur: ValueState[CdcCurrent] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cur = getHandle.getValueState[CdcCurrent]("current",
+        Encoders.product[CdcCurrent], ttl)
+
+    override def handleInputRows(key: Long, rows: Iterator[CdcChange],
+        timers: TimerValues): Iterator[CdcCurrent] = {
+      val prev = if (cur.exists()) Some(cur.get()) else None
+      var best = prev
+      rows.foreach { c =>
+        val win = best.forall(b =>
+          c.seq > b.seq || (c.seq == b.seq && c.change_id > b.change_id))
+        if (win) best = Some(CdcCurrent(key, c.seq, c.change_id,
+          c.op == "D", c.status, c.price))
+      }
+      best match {
+        case Some(b) if !prev.contains(b) =>
+          cur.update(b)
+          Iterator.single(b)
+        case _ => Iterator.empty // batch only carried stale/duplicate rows
+      }
+    }
+  }
+
+  def cdcLatest(changes: Dataset[CdcChange],
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[CdcCurrent] = {
+    implicit val outEnc = Encoders.product[CdcCurrent]
+    implicit val keyEnc = Encoders.scalaLong
+    org.apache.spark.sql.execution.streaming.state.StateStoreCoordinatorRef
+      .forDriver(org.apache.spark.SparkEnv.get,
+        changes.sparkSession.sessionState.conf)
+    changes.groupByKey(_.key)
+      .transformWithState(new CdcLatestProcessor(ttl),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   def runningUserTotalsV2(events: Dataset[Event],
       ttl: TTLConfig = TTLConfig.NONE): Dataset[UserRunning] = {
     implicit val outEnc = Encoders.product[UserRunning]

@@ -751,6 +751,22 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(exchanges == 1, s"one binning shuffle only ($exchanges):\n$p")
   }
 
+  test("k-anonymity audit is ONE map-side-partial hash aggregate") {
+    val p = plan("x34_k_anonymity")
+    assert(!p.contains("Join"), s"the audit must not join:\n$p")
+    assert(p.contains("partial_"), s"no map-side partial:\n$p")
+    val exchanges = nodeCount(p, "Exchange")
+    assert(exchanges == 1, s"one class-key shuffle only ($exchanges):\n$p")
+  }
+
+  test("column profile reads the input ONCE — a single aggregate pass " +
+      "for every profiled column, then a narrow unpivot") {
+    val p = plan("p9_column_profile")
+    assert(!p.contains("Join"), s"profiling must not join:\n$p")
+    val scans = nodeCount(p, "Scan parquet")
+    assert(scans == 1, s"one scan for all columns ($scans):\n$p")
+  }
+
   test("HLL cube sketches aggregate partially map-side (no raw-row " +
       "shuffle) and never form a product") {
     val p = plan("a17_hll_rollup")

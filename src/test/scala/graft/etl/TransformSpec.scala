@@ -108,4 +108,40 @@ class TransformSpec extends AnyFunSuite {
     val aRow = once.filter(once("c1") === "a").collect()(0)
     assert(aRow.isNullAt(1))
   }
+
+  test("kAnonymityAudit: class sizes, violations under k, nulls form " +
+      "their own class") {
+    val df = Seq(
+      ("US", "a"), ("US", "a"), ("US", "a"),
+      ("DE", "b"),
+      (null, "c"), (null, "c")
+    ).toDF("country", "seg")
+    val got = CleanOps.kAnonymityAudit(df, Seq("country", "seg"), k = 3)
+      .collect().map(r => (Option(r.getString(0)), r.getString(1)) ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got == Map(
+      (Some("US"), "a") -> ((3L, false)),
+      (Some("DE"), "b") -> ((1L, true)),
+      (None, "c") -> ((2L, true))))
+    intercept[IllegalArgumentException] {
+      CleanOps.kAnonymityAudit(df, Seq("country"), k = 1)
+    }
+  }
+
+  test("columnProfile: one row per column with null/distinct/min/max; " +
+      "approx mode stays near exact") {
+    val df = Seq(
+      (1L, Some("b"), 2.5), (2L, None, 1.5), (3L, Some("a"), 2.5),
+      (3L, Some("a"), 9.0)
+    ).toDF("id", "s", "v")
+    val got = CleanOps.columnProfile(df, Seq("id", "s", "v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))).toMap
+    assert(got("id") == ((0L, 3L, "1", "3")))
+    assert(got("s") == ((1L, 2L, "a", "b")))
+    assert(got("v") == ((0L, 3L, "1.5", "9.0")))
+    val approx = CleanOps.columnProfile(df, Seq("id"), exactDistinct = false)
+      .collect().head
+    assert(math.abs(approx.getLong(2) - 3L) <= 1)
+  }
 }

@@ -251,4 +251,54 @@ class StatefulSpec extends AnyFunSuite {
       if (prev.isEmpty) conf.unset(key) else conf.set(key, prev)
     }
   }
+
+  test("CDC latest-wins: out-of-order delivery ignored, tombstones " +
+      "block resurrection, idempotent re-delivery emits nothing") {
+    import Stateful.{CdcChange, CdcCurrent}
+    def ch(k: Long, seq: Long, cid: Long, op: String, st: String) =
+      CdcChange(k, seq, cid, op, st, seq * 1.0)
+    // batch parity: one invocation per key = the winner pick
+    val batch = Stateful.cdcLatest(Seq(
+        ch(1, 1, 11, "U", "a"), ch(1, 2, 12, "U", "b"),
+        ch(2, 1, 21, "U", "c"), ch(2, 2, 22, "D", "c"),
+        ch(3, 2, 31, "U", "x"), ch(3, 2, 32, "U", "y") // same-seq tie
+      ).toDS()).collect().map(c => c.key -> ((c.status, c.deleted))).toMap
+    assert(batch == Map(1L -> (("b", false)), 2L -> (("c", true)),
+      3L -> (("y", false))))
+
+    implicit val sq = spark.sqlContext
+    val conf = spark.conf
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = conf.get(key, "")
+    conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[CdcChange]
+    val q = Stateful.cdcLatest(input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("cdc_latest_out").start()
+    try {
+      input.addData(ch(1, 3, 13, "U", "v3"), ch(2, 5, 25, "D", "gone"))
+      q.processAllAvailable()
+      // batch 2: stale update for key 1 (seq 2 < held 3) must be
+      // IGNORED; late lower-seq upsert for key 2 must NOT resurrect
+      // the tombstone; exact re-delivery of key 1's winner emits
+      // nothing new
+      input.addData(ch(1, 2, 12, "U", "stale"), ch(2, 4, 24, "U", "zombie"),
+        ch(1, 3, 13, "U", "v3"))
+      q.processAllAvailable()
+      // batch 3: a genuinely newer version for key 1 does update
+      input.addData(ch(1, 4, 14, "U", "v4"))
+      q.processAllAvailable()
+      val rows = spark.table("cdc_latest_out").as[CdcCurrent].collect()
+      val k1 = rows.filter(_.key == 1).sortBy(_.seq).map(_.status).toSeq
+      assert(k1 == Seq("v3", "v4"),
+        s"key 1 must emit v3 then v4, nothing from the stale batch: $rows")
+      val k2 = rows.filter(_.key == 2)
+      assert(k2.length == 1 && k2.head.deleted && k2.head.seq == 5,
+        s"key 2's tombstone must stand — no zombie emission: $rows")
+    } finally {
+      q.stop()
+      if (prev.isEmpty) conf.unset(key) else conf.set(key, prev)
+    }
+  }
 }
