@@ -52,6 +52,27 @@ object ProfileQuery {
         println("[debug] " + agg.collect().mkString)
         agg
       }),
+      "d10_sigs_only" -> ((s, d) => {
+        import org.apache.spark.sql.functions._
+        val base = Tables.documents(s, d).select(col("doc_id").as("id"),
+          substring(col("text"), 1, 40).as("p")).where(col("p").isNotNull)
+        base.select(col("id"), length(col("p")).as("plen"),
+            explode(graft.ops.DedupOps.deletionNeighborhood(col("p"), 2)).as("v"))
+          .select(col("id"), col("plen"), xxhash64(col("v")).as("h"))
+      }),
+      "d10_explode_only" -> ((s, d) => {
+        import org.apache.spark.sql.functions._
+        val base = Tables.documents(s, d).select(col("doc_id").as("id"),
+          substring(col("text"), 1, 40).as("p")).where(col("p").isNotNull)
+        base.select(col("id"),
+          explode(graft.ops.DedupOps.deletionNeighborhood(col("p"), 2)).as("v"))
+      }),
+      "d10_buckets_only" -> ((s, d) => {
+        import org.apache.spark.sql.functions._
+        val base = Tables.documents(s, d).select(col("doc_id").as("id"),
+          substring(col("text"), 1, 40).as("p")).where(col("p").isNotNull)
+        graft.ops.DedupOps.editDistanceCandidates(base, 2)
+      }),
       "kf_bcast_indexd" -> ((s, d) => {
         val result = graft.etl.Transform(graft.queries.KfShaped.endpoints(s, d))
         graft.etl.Pipeline.buildAllUnion(result,

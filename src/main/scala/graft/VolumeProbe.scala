@@ -149,7 +149,18 @@ object VolumeProbe {
     "j20_cdc_apply", "g16_interval_union", "g17_bfs_hops",
     "a17_hll_rollup", "x33_rrf_fusion",
     "g18_attribution", "a18_equidepth_bins", "n10_mmr_rerank",
-    "st_cdc_latest", "x34_k_anonymity", "p9_column_profile")
+    "st_cdc_latest", "x34_k_anonymity", "p9_column_profile",
+    "j21_table_diff", "j22_incremental_agg")
+  // Wave-4 (round 12). j21: the mutation waves derive from %9/%4/%6/
+  // %25 — all divide ModLcm — so each replica re-derives the identical
+  // removed/changed/added membership from its remapped keys (negated
+  // added keys stay replica-disjoint: −(k + r·offset)); the diff is
+  // per-replica-closed → exact ×factor. j22 (custom): o_orderdate is a
+  // non-key attribute, so every replica derives the same 1994/1995
+  // split; states merge per status (SHARED across replicas — status is
+  // non-key) → 3 rows at ANY volume with n ×factor, sum ×factor
+  // (decimal-exact: Σ of f copies = f·Σ), min/max byte-identical
+  // (value multisets replicate).
   // Wave-3 (round 12). st_cdc_latest: j20's log closure (%3/%5/%7 all
   // divide ModLcm) with tombstones kept → one current row per key,
   // exact ×factor — the transformWithState batch path at 10× the
@@ -471,6 +482,11 @@ object VolumeProbe {
               .collect()
               .map(r => (s"${r.getLong(0)}|${r.getLong(1)}", r.getLong(0))).toSeq
           }
+          else if (name == "j22_incremental_agg") Right {
+            fn(spark, srcDir).collect().map(r =>
+              (s"${r.getString(0)}|${r.getLong(1)}|${r.getDouble(2)}|" +
+                s"${r.getDouble(3)}|${r.getDouble(4)}", 0L)).sortBy(_._1).toSeq
+          }
           else if (name == "x34_k_anonymity") Right {
             fn(spark, srcDir).collect().map(r =>
               (s"${r.getAs[Number](0).longValue}|${r.getString(1)}|" +
@@ -611,6 +627,25 @@ object VolumeProbe {
               Right((rows.length.toLong, base.length.toLong,
                 "query-bounded-shortlist-closed",
                 shapeOk && classOk && cloneOrderOk))
+            } else if (name == "j22_incremental_agg") {
+              val got = fn(spark, outDir).collect().map(r =>
+                r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+                  r.getDouble(3), r.getDouble(4)))).toMap
+              val b = base.map(_._1.split("\\|")).map(a => a(0) ->
+                ((a(1).toLong, a(2).toDouble, a(3).toDouble, a(4).toDouble)))
+                .toMap
+              // n ×factor, min/max byte-identical; the sum is ×factor in
+              // DECIMAL (Σ of f copies = f·Σ) but surfaces as double, and
+              // double(f·S) vs f·double(S) can differ in the last ulp —
+              // compare within a few ulps, not bitwise
+              val ok = got.size == b.size && b.forall { case (k0, (n, sm, mn, mx)) =>
+                got.get(k0).exists { case (gn, gs, gmn, gmx) =>
+                  gn == n * factor && gmn == mn && gmx == mx &&
+                    math.abs(gs - sm * factor) <= math.ulp(sm * factor) * 16
+                }
+              }
+              Right((got.size.toLong, b.size.toLong,
+                "shared-state-merge x" + factor, ok))
             } else if (name == "x34_k_anonymity") {
               // every clone class inherits its base class's
               // (class_size, violates_k) via nationkey % offset, and

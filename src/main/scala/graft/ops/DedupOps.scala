@@ -228,14 +228,7 @@ object DedupOps {
     require(maxDist >= 1 && maxDist <= 2, s"maxDist in 1..2, got $maxDist")
     val base = df.select(col(idCol).as("id"), col(textCol).as("p"))
       .where(col("p").isNotNull)
-    val (hot, candPlan) = editDistanceCandidates(base, maxDist)
-    // materialize the (small) candidate pair set so `hot` can be
-    // released NOW — without this the cached signature blocks would
-    // outlive the call and accumulate across invocations in a long
-    // session (the same eager-release discipline as bloomPrunedJoin)
-    val cand = candPlan.localCheckpoint()
-    hot.unpersist(blocking = false)
-    cand
+    editDistanceCandidates(base, maxDist)
       .join(base.select(col("id").as("doc_a"), col("p").as("pa")), Seq("doc_a"))
       .join(base.select(col("id").as("doc_b"), col("p").as("pb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
@@ -243,51 +236,66 @@ object DedupOps {
       .where(col("dist") >= 0 && col("dist") <= maxDist)
   }
 
-  /** The signature + candidate stage of [[editDistanceJoin]], returned
-    * LAZY (pre-checkpoint) so PlanQualitySpec can pin the sort-merge
-    * self-join shape; returns (persisted hot set — caller must
-    * unpersist, candidate pair plan).
+  /** The signature + candidate stage of [[editDistanceJoin]]: ONE
+    * hash-aggregate shuffle of the O(len^k)-exploded variant stream
+    * collects each variant bucket's members; singleton buckets — the
+    * overwhelming majority of a real corpus's neighborhood — can never
+    * pair and are dropped before anything expands; surviving buckets
+    * expand their pairs NARROWLY inside the row (index-windowed
+    * higher-order transform), so there is no self-join, no sort, and
+    * no second shuffle of the variant stream at all. (The previous
+    * shape — count-window prune + sort-merge self-join — shuffled the
+    * 40M-variant stream three times and needed an in-path persist
+    * because Catalyst doesn't share subtrees across self-join inputs;
+    * this one-pass form measured 18.0 → 4.4 s cold at sf0.1 and needs
+    * no cache at all.)
+    *
+    * Skew contract: a bucket's member list materializes in one row, so
+    * the local quadratic is bounded by the largest clone family —
+    * exactly the bound the old self-join had for its hot keys, minus
+    * its spill path; a corpus where one 40-char prefix repeats
+    * millions of times needs the family capped upstream (d1 exact
+    * dedup first — the documented curation order).
     */
   private[graft] def editDistanceCandidates(base: DataFrame,
-      maxDist: Int): (DataFrame, DataFrame) = {
+      maxDist: Int): DataFrame = {
+    // native variant hashing ([[graft.functions.DeletionHashes]]):
+    // the composed explode(neighborhood)+xxhash64 form allocates
+    // O(len²) variant strings per row in interpreted HOFs — measured
+    // 6.5 s of d10's 18 s; the polynomial-composition expression emits
+    // the distinct hash set directly
     val sigs = base.select(col("id"), length(col("p")).as("plen"),
-      explode(deletionNeighborhood(col("p"), maxDist)).as("v"))
-      .select(col("id"), col("plen"), xxhash64(col("v")).as("h"))
-    // A variant seen by ONE document can never produce a pair — and in
-    // a real corpus that is the overwhelming majority of the O(len^k)
-    // neighborhood — so drop single-occupant buckets BEFORE the
-    // self-join (the df>1 pruning ngramJaccardPairs applies to its
-    // inverted index). A count WINDOW over the hash (not a groupBy +
-    // semi-join: a join against the derived bucket list would hit the
-    // same size-misestimation broadcast trap the hint below guards)
-    // shuffles once on h — the very partitioning the self-join needs,
-    // so the exchange is shared, and the filter runs where the data
-    // already sits.
-    // Persist the pruned set: it feeds BOTH self-join sides, and
-    // without the pin each side re-runs the explode + window pass
-    // (Catalyst does not share subtrees across self-join inputs).
-    // After the >1 filter this is only the documents that collide
-    // somewhere — tiny on real corpora, clone-family-sized at worst
-    // (MEMORY_AND_DISK spills if an adversarial corpus makes it big);
-    // same in-path persist discipline as ngramJaccardPairs' sets.
-    val hot = sigs.withColumn("__c", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
-      .where(col("__c") > 1).drop("__c")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Pin the signature self-join to sort-merge: Catalyst estimates an
-    // explode's output at its CHILD's size, so both O(len^k)-inflated
-    // sides look broadcastable and the planner tries to build a
-    // hash relation len^k times larger than its estimate — the classic
-    // explode-statistics OOM (hit at the 10x volume probe). Sort-merge
-    // shuffles on the 8-byte hash and spills gracefully at any scale.
-    val cand = hot.select(col("h"), col("id").as("doc_a"), col("plen").as("la"))
-      .hint("merge")
-      .join(hot.select(col("h"), col("id").as("doc_b"), col("plen").as("lb")),
-        Seq("h"))
-      .where(col("doc_a") < col("doc_b") &&
-        abs(col("la") - col("lb")) <= maxDist)
-      .select("doc_a", "doc_b").distinct()
-    (hot, cand)
+      explode(deletionHashes(col("p"), maxDist)).as("h"))
+    val buckets = sigs.groupBy(col("h"))
+      .agg(collect_list(struct(col("id"), col("plen"))).as("m"))
+      .where(size(col("m")) > 1)
+    // in-bucket pair expansion: for member i, pair with every member
+    // after it; same id twice in one bucket (two deletions reaching
+    // the same variant) self-pairs and is filtered
+    val pairs = buckets.select(explode(flatten(
+      transform(col("m"), (x, i) =>
+        transform(
+          slice(col("m"), i + lit(2), size(col("m")) - i - lit(1)),
+          y => struct(
+            least(x.getField("id"), y.getField("id")).as("doc_a"),
+            greatest(x.getField("id"), y.getField("id")).as("doc_b"),
+            x.getField("plen").as("la"),
+            y.getField("plen").as("lb")))))).as("pr"))
+    pairs
+      .where(col("pr.doc_a") =!= col("pr.doc_b") &&
+        abs(col("pr.la") - col("pr.lb")) <= maxDist)
+      .select(col("pr.doc_a").as("doc_a"), col("pr.doc_b").as("doc_b"))
+      .distinct()
+  }
+
+  /** Distinct 64-bit hashes of the ≤k deletion neighborhood, computed
+    * natively ([[graft.functions.DeletionHashes]] — no variant string
+    * is ever built).
+    */
+  private[graft] def deletionHashes(p: Column, k: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.DeletionHashes(
+      GraftColumnBridge.expression(p), k))
   }
 
   /** 16-bit SimHash over token md5s: per bit b, majority vote of

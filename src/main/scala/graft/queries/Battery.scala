@@ -291,6 +291,97 @@ object Battery {
            |SELECT o_orderkey, o_orderstatus, o_totalprice, change_id
            |FROM r WHERE rn = 1 AND op <> 'D'""".stripMargin))
 
+  /** Snapshot diff ([[graft.relational.RelationalOps.tableDiff]]):
+    * reconcile orders against a mutated copy — every 9th key removed,
+    * every 4th restated status, every 6th bumped price, every 25th
+    * re-added under a fresh (negated) key (moduli all divide the
+    * volume probe's ModLcm, keeping replicas closed) — into
+    * added/removed/changed
+    * rows with the changed-column list. Unchanged rows are absent by
+    * contract. The oracle replays the same null-safe full-outer
+    * compare.
+    */
+  private val j21TableDiff = Q(
+    "j21_table_diff",
+    (s, d) => {
+      val o = T.orders(s, d).select(col("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+      val k = col("o_orderkey")
+      val mutated = o.where(k % 9 =!= 0).select(k,
+        when(k % 4 === 0, lit("Z")).otherwise(col("o_orderstatus"))
+          .as("o_orderstatus"),
+        when(k % 6 === 0, col("o_totalprice") + 10.0)
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+      // the k≠0 guard excludes the whole mod-1260000 class (not just 0)
+      // so the volume probe's replicas stay closed: clones of key 0 are
+      // r·offset, which ≡ 0 (mod 1260000) for every replica
+      val added = o.where(k % 25 === 0 && k % 1260000 =!= 0)
+        .select((-k).as("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+      graft.relational.RelationalOps.tableDiff(
+        o, mutated.unionAll(added), Seq("o_orderkey"))
+    },
+    Some("""WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+           |m AS (SELECT o_orderkey,
+           |    CASE WHEN o_orderkey % 4 = 0 THEN 'Z' ELSE o_orderstatus END AS o_orderstatus,
+           |    CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice + 10.0
+           |         ELSE o_totalprice END AS o_totalprice
+           |  FROM orders WHERE o_orderkey % 9 <> 0
+           |  UNION ALL
+           |  SELECT -o_orderkey, o_orderstatus, o_totalprice FROM orders
+           |  WHERE o_orderkey % 25 = 0 AND o_orderkey % 1260000 <> 0),
+           |j AS (SELECT coalesce(o.o_orderkey, m.o_orderkey) AS o_orderkey,
+           |    o.o_orderkey IS NOT NULL AS in_old, m.o_orderkey IS NOT NULL AS in_new,
+           |    o.o_orderstatus AS os, m.o_orderstatus AS ns,
+           |    o.o_totalprice AS op, m.o_totalprice AS np
+           |  FROM o FULL JOIN m ON o.o_orderkey = m.o_orderkey),
+           |f AS (SELECT *,
+           |    CASE WHEN in_old AND NOT in_new THEN 'removed'
+           |         WHEN in_new AND NOT in_old THEN 'added'
+           |         WHEN os IS DISTINCT FROM ns OR op IS DISTINCT FROM np
+           |           THEN 'changed' END AS status,
+           |    concat(CASE WHEN os IS DISTINCT FROM ns THEN 'o_orderstatus' ELSE '' END,
+           |      CASE WHEN os IS DISTINCT FROM ns AND op IS DISTINCT FROM np THEN ',' ELSE '' END,
+           |      CASE WHEN op IS DISTINCT FROM np THEN 'o_totalprice' ELSE '' END) AS cc
+           |  FROM j)
+           |SELECT o_orderkey, status,
+           |  CASE WHEN status = 'changed' THEN cc ELSE '' END AS changed_cols,
+           |  os AS old_o_orderstatus, ns AS new_o_orderstatus,
+           |  op AS old_o_totalprice, np AS new_o_totalprice
+           |FROM f WHERE status IS NOT NULL""".stripMargin))
+
+  /** Incremental aggregate maintenance
+    * ([[graft.relational.RelationalOps.mergeAggStates]]): the 1994-
+    * and-earlier aggregate state merged with the 1995+ delta state
+    * must equal the full recompute BIT-FOR-BIT (decimal sum states, so
+    * merge order can't drift) — the materialized-view refresh law; the
+    * oracle IS the full recompute.
+    */
+  private val j22IncrementalAgg = Q(
+    "j22_incremental_agg",
+    (s, d) => {
+      val o = T.orders(s, d)
+      def state(df: DataFrame): DataFrame = df.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_price"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+      val cut = "1995-01-01"
+      val base = state(o.where(col("o_orderdate") < cut))
+      val delta = state(o.where(col("o_orderdate") >= cut))
+      graft.relational.RelationalOps.mergeAggStates(
+          base, delta, Seq("o_orderstatus"),
+          countCols = Seq("n"), sumCols = Seq("sum_price"),
+          minCols = Seq("min_price"), maxCols = Seq("max_price"))
+        .select(col("o_orderstatus"), col("n"),
+          col("sum_price").cast("double").as("sum_price"),
+          col("min_price"), col("max_price"))
+    },
+    Some("""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+           |FROM orders GROUP BY 1""".stripMargin))
+
   /** J13/F7 — broadcast code-system dictionary lookup with and without
     * default (patient.py:12-115, family.py:78).
     */
@@ -5368,6 +5459,7 @@ object Battery {
     s1PointScan, s3Crawl, p2Rename, p6Clean, p8HashSample, p9ColumnProfile,
     j1Outer, jChain, j8Composite, jNullKey, j13Codes, j14Asof, j15Range,
     j16NullSafe, j17Anti, j18BloomPruned, j19Scd2Merge, j20CdcApply,
+    j21TableDiff, j22IncrementalAgg,
     a1Collect, a2Collect, a5Dedup, a6Rollup, a7Cube, a13GroupingSets,
     a8ApproxDistinct,
     a11Percentile, a12ApproxPercentile, a14WindowedPercentile, a15CorrCovar,

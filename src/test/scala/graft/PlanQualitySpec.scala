@@ -548,26 +548,28 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"delta not broadcast:\n$p")
   }
 
-  test("edit-distance join NEVER broadcasts the exploded signature side " +
-      "(explode defeats size estimation) and carries hashed 8-byte keys") {
-    // inspect the candidate stage PRE-checkpoint (editDistanceJoin
-    // materializes candidates eagerly so the hot set can be released)
+  test("edit-distance candidates shuffle the exploded variant stream " +
+      "ONCE (bucket hash-agg + in-row pair expansion — no self-join, no " +
+      "sort, no persist) and carry hashed 8-byte keys") {
     import org.apache.spark.sql.functions.{col, substring}
     val base = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id").as("id"),
         substring(col("text"), 1, 40).as("p"))
       .where(col("p").isNotNull)
-    val (hot, cand) = graft.ops.DedupOps.editDistanceCandidates(base, 2)
-    val p = try cand.queryExecution.executedPlan.toString
-      finally hot.unpersist(blocking = false)
-    val lines = p.linesIterator.toVector
-    // the self-join on the variant hash must be sort-merge, pinned by
-    // hint — a broadcast build here is len^k larger than its estimate
-    val selfJoin = lines.filter(l => l.contains("Join") && l.contains("[h#"))
-    assert(selfJoin.nonEmpty, s"no hash-keyed self-join found:\n$p")
-    assert(selfJoin.forall(_.contains("SortMergeJoin")),
-      s"signature self-join not pinned to sort-merge:\n${selfJoin.mkString("\n")}")
-    assert(p.contains("xxhash64"), s"signatures not hashed before the shuffle:\n$p")
+    val cand = graft.ops.DedupOps.editDistanceCandidates(base, 2)
+    val p = cand.queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Join"),
+      s"candidates must come from in-bucket expansion, not a self-join:\n$p")
+    assert(p.contains("deletion_hashes"),
+      s"signatures must come from the native no-string hash expression:\n$p")
+    // exactly two exchanges: the bucket groupBy on h, and the final
+    // pair distinct (pairs-sized, tiny) — the 40M-variant stream
+    // crosses the wire once
+    val exchanges = nodeCount(p, "Exchange")
+    assert(exchanges == 2,
+      s"variant stream must shuffle once + pair distinct ($exchanges):\n$p")
+    assert(nodeCount(p, "Sort") == 0,
+      s"no sort anywhere in the candidate stage:\n$p")
   }
 
   test("funnel runs the window cascade AND the final aggregate on ONE " +
@@ -749,6 +751,24 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"binning must not join:\n$p")
     val exchanges = nodeCount(p, "Exchange")
     assert(exchanges == 1, s"one binning shuffle only ($exchanges):\n$p")
+  }
+
+  test("table diff is ONE full-outer equi-join carrying all three legs") {
+    val p = plan("j21_table_diff")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"diff must stay an equi-join:\n$p")
+    assert(nodeCount(p, "SortMergeJoin") + nodeCount(p, "ShuffledHashJoin") +
+      nodeCount(p, "BroadcastHashJoin") == 1,
+      s"exactly one join carries added/removed/changed:\n$p")
+  }
+
+  test("incremental aggregate merge joins two aggregate-sized states — " +
+      "no rescan of the base rows on the merge side") {
+    val p = plan("j22_incremental_agg")
+    assert(nodeCount(p, "SortMergeJoin") + nodeCount(p, "ShuffledHashJoin") +
+      nodeCount(p, "BroadcastHashJoin") == 1,
+      s"one state-merge join only:\n$p")
+    assert(p.contains("partial_"), s"states must partial-aggregate:\n$p")
   }
 
   test("k-anonymity audit is ONE map-side-partial hash aggregate") {

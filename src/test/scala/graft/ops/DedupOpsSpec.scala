@@ -276,4 +276,38 @@ class DedupOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(got == Set((1L, 2L, 1), (2L, 3L, 1), (1L, 4L, 0), (2L, 4L, 1)))
   }
+
+  test("DeletionHashes is the string neighborhood's homomorphic image: " +
+      "same distinct count per string, shared-variant iff shared-hash") {
+    import graft.functions.DeletionHashes
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(53)
+    // short alphabet so different strings genuinely share variants
+    def str() = (1 to (rnd.nextInt(8) + 1))
+      .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    def variants(s: String, k: Int): Set[String] = {
+      def d1(x: String) = x.indices.map(i =>
+        x.substring(0, i) + x.substring(i + 1)).toSet
+      val t1 = d1(s)
+      if (k == 1) t1 + s else t1 ++ t1.flatMap(d1) + s
+    }
+    for (k <- Seq(1, 2)) {
+      val strs = (1 to 60).map(_ => str())
+      val hashes = strs.map(s => s -> DeletionHashes
+        .compute(UTF8String.fromString(s), k).toLongArray().toSet).toMap
+      val vars = strs.map(s => s -> variants(s, k)).toMap
+      for (s <- strs)
+        assert(hashes(s).size == vars(s).size,
+          s"'$s' k=$k: ${hashes(s).size} hashes vs ${vars(s).size} variants")
+      for (a <- strs; b <- strs) {
+        val shareV = (vars(a) & vars(b)).nonEmpty
+        val shareH = (hashes(a) & hashes(b)).nonEmpty
+        assert(shareV == shareH,
+          s"'$a'/'$b' k=$k: variant-share $shareV but hash-share $shareH")
+      }
+    }
+    // empty string: just itself
+    assert(DeletionHashes.compute(UTF8String.fromString(""), 2)
+      .toLongArray().length == 1)
+  }
 }

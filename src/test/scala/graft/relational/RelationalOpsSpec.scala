@@ -788,6 +788,50 @@ class RelationalOpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("tableDiff: added/removed/changed legs, null-safe compare, " +
+      "unchanged rows absent, changed_cols sorted") {
+    val old = Seq(
+      (1L, Some("a"), 1.0), (2L, Some("b"), 2.0), (3L, None: Option[String], 3.0),
+      (4L, Some("d"), 4.0)).toDF("k", "s", "v")
+    val nw = Seq(
+      (1L, Some("a"), 1.0),                       // unchanged -> absent
+      (2L, Some("B"), 20.0),                      // both columns changed
+      (3L, None: Option[String], 3.0),            // null==null -> unchanged
+      (5L, Some("e"), 5.0)).toDF("k", "s", "v")   // added; 4 removed
+    val got = RelationalOps.tableDiff(old, nw, Seq("k"))
+      .collect().map(r => r.getAs[Long]("k") ->
+        ((r.getAs[String]("status"), r.getAs[String]("changed_cols")))).toMap
+    assert(got == Map(2L -> (("changed", "s,v")), 4L -> (("removed", "")),
+      5L -> (("added", ""))))
+    intercept[IllegalArgumentException] {
+      RelationalOps.tableDiff(old, nw.drop("v"), Seq("k"))
+    }
+  }
+
+  test("mergeAggStates equals the full recompute on every split point " +
+      "(counts/sums add, min/max take extrema, absent keys pass through)") {
+    val rnd = new scala.util.Random(37)
+    val rows = (1 to 300).map(i =>
+      ("g" + rnd.nextInt(6), BigDecimal(rnd.nextInt(10000)).setScale(2) / 100))
+    val df = rows.toDF("g", "v")
+    def state(d: org.apache.spark.sql.DataFrame) = d.groupBy("g").agg(
+      count(lit(1)).as("n"), sum(col("v")).as("s"),
+      min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val full = state(df).collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getDecimal(2), r.getDecimal(3), r.getDecimal(4)))).toMap
+    for (cutMod <- Seq(2, 7)) {
+      // split so some keys live entirely on one side (absent-key leg)
+      val left = df.where(abs(hash(col("g"), col("v"))) % cutMod === 0)
+      val right = df.where(abs(hash(col("g"), col("v"))) % cutMod =!= 0)
+      val merged = RelationalOps.mergeAggStates(state(left), state(right),
+          Seq("g"), Seq("n"), Seq("s"), Seq("mn"), Seq("mx"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getDecimal(2), r.getDecimal(3), r.getDecimal(4))))
+        .toMap
+      assert(merged == full, s"cutMod $cutMod: merged state != recompute")
+    }
+  }
+
   test("lastTouchAttribution: strictly-before carry, TTL expiry, organic " +
       "bucket, same-instant tiebreak") {
     import java.sql.Timestamp
