@@ -150,7 +150,16 @@ object VolumeProbe {
     "a17_hll_rollup", "x33_rrf_fusion",
     "g18_attribution", "a18_equidepth_bins", "n10_mmr_rerank",
     "st_cdc_latest", "x34_k_anonymity", "p9_column_profile",
-    "j21_table_diff", "j22_incremental_agg")
+    "j21_table_diff", "j22_incremental_agg",
+    "a19_auc", "a20_pr_thresholds")
+  // Eval wave (round 12). a19 (custom): groups/scores/labels are all
+  // non-key attributes, so every (group, score) cell's pos/neg inflate
+  // ×f together — U2 scales ×f², the denominator 2·n₊·n₋ scales ×f²,
+  // and auc_ppm is PROVABLY INVARIANT under replication (the
+  // Mann–Whitney ratio law); n_pos/n_neg scale ×f, 5 rows at any
+  // volume. a20 (custom): tp/fp/fn ×f and every ppm ratio invariant
+  // (⌊f·a·10⁶ div f·b⌋ = ⌊a·10⁶ div b⌋ — the common factor cancels in
+  // integer division); groups × thresholds rows at any volume.
   // Wave-4 (round 12). j21: the mutation waves derive from %9/%4/%6/
   // %25 — all divide ModLcm — so each replica re-derives the identical
   // removed/changed/added membership from its remapped keys (negated
@@ -482,6 +491,20 @@ object VolumeProbe {
               .collect()
               .map(r => (s"${r.getLong(0)}|${r.getLong(1)}", r.getLong(0))).toSeq
           }
+          else if (name == "a19_auc") Right {
+            fn(spark, srcDir).collect().map(r =>
+              (s"${r.getString(0)}|${if (r.isNullAt(3)) "null"
+                else r.getLong(3).toString}",
+                r.getLong(1) + r.getLong(2))).sortBy(_._1).toSeq
+          }
+          else if (name == "a20_pr_thresholds") Right {
+            fn(spark, srcDir).collect().map(r =>
+              (s"${r.getString(0)}|${r.getDouble(1)}|" +
+                Seq(5, 6, 7).map(i => if (r.isNullAt(i)) "null"
+                  else r.getLong(i).toString).mkString("|"),
+                r.getLong(2) + r.getLong(3) + r.getLong(4)))
+              .sortBy(_._1).toSeq
+          }
           else if (name == "j22_incremental_agg") Right {
             fn(spark, srcDir).collect().map(r =>
               (s"${r.getString(0)}|${r.getLong(1)}|${r.getDouble(2)}|" +
@@ -627,6 +650,26 @@ object VolumeProbe {
               Right((rows.length.toLong, base.length.toLong,
                 "query-bounded-shortlist-closed",
                 shapeOk && classOk && cloneOrderOk))
+            } else if (name == "a19_auc") {
+              // auc_ppm INVARIANT per group (ratio law), n_pos+n_neg ×f
+              val rows = fn(spark, outDir).collect().map(r =>
+                (s"${r.getString(0)}|${if (r.isNullAt(3)) "null"
+                  else r.getLong(3).toString}",
+                  r.getLong(1) + r.getLong(2))).sortBy(_._1).toSeq
+              val ok = rows == base.map { case (c0, n0) => (c0, n0 * factor) }
+              Right((rows.length.toLong, base.length.toLong,
+                "mann-whitney-invariant x" + factor, ok))
+            } else if (name == "a20_pr_thresholds") {
+              // ppm ratios invariant, confusion mass ×f
+              val rows = fn(spark, outDir).collect().map(r =>
+                (s"${r.getString(0)}|${r.getDouble(1)}|" +
+                  Seq(5, 6, 7).map(i => if (r.isNullAt(i)) "null"
+                    else r.getLong(i).toString).mkString("|"),
+                  r.getLong(2) + r.getLong(3) + r.getLong(4)))
+                .sortBy(_._1).toSeq
+              val ok = rows == base.map { case (c0, n0) => (c0, n0 * factor) }
+              Right((rows.length.toLong, base.length.toLong,
+                "ppm-invariant x" + factor, ok))
             } else if (name == "j22_incremental_agg") {
               val got = fn(spark, outDir).collect().map(r =>
                 r.getString(0) -> ((r.getLong(1), r.getDouble(2),

@@ -945,6 +945,60 @@ object Battery {
            |  min(o_totalprice) AS lo, max(o_totalprice) AS hi
            |FROM b GROUP BY 1, 2""".stripMargin))
 
+  /** Tie-aware ROC-AUC per order priority
+    * ([[graft.ops.EvalOps.aucByGroup]]): does total price separate
+    * F-status orders? — the Mann–Whitney U in doubled integer counts,
+    * floored to millionths, so the oracle replays the exact number.
+    * The eval set collapses to (group, distinct score) map-side.
+    */
+  private val a19Auc = Q(
+    "a19_auc",
+    (s, d) => graft.ops.EvalOps.aucByGroup(
+      T.orders(s, d), Seq("o_orderpriority"), "o_totalprice",
+      col("o_orderstatus") === "F"),
+    Some("""WITH s AS (SELECT o_orderpriority AS g, o_totalprice AS sc,
+           |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+           |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END) AS BIGINT) AS neg
+           |  FROM orders GROUP BY 1, 2),
+           |r AS (SELECT *, coalesce(CAST(sum(neg) OVER (PARTITION BY g ORDER BY sc
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS nb
+           |  FROM s),
+           |a AS (SELECT g, CAST(sum(pos) AS BIGINT) AS n_pos,
+           |    CAST(sum(neg) AS BIGINT) AS n_neg,
+           |    CAST(sum(pos * (2*nb + neg)) AS BIGINT) AS u2
+           |  FROM r GROUP BY 1)
+           |SELECT g AS o_orderpriority, n_pos, n_neg,
+           |  CASE WHEN n_pos > 0 AND n_neg > 0
+           |       THEN (u2 * 1000000) // (2 * n_pos * n_neg) END AS auc_ppm
+           |FROM a""".stripMargin))
+
+  /** Precision/recall/F1 at four price thresholds per priority
+    * ([[graft.ops.EvalOps.prAtThresholds]]): one read of the eval set
+    * serves every threshold (literal-array explode); all ratios in
+    * exact millionths.
+    */
+  private val a20PrThresholds = Q(
+    "a20_pr_thresholds",
+    (s, d) => graft.ops.EvalOps.prAtThresholds(
+      T.orders(s, d), Seq("o_orderpriority"), "o_totalprice",
+      col("o_orderstatus") === "F",
+      Seq(100000.0, 200000.0, 300000.0, 400000.0)),
+    Some("""WITH t AS (SELECT unnest([100000.0, 200000.0, 300000.0, 400000.0]::DOUBLE[]) AS threshold),
+           |a AS (SELECT o_orderpriority, threshold,
+           |    CAST(sum(CASE WHEN o_orderstatus = 'F' AND o_totalprice >= threshold
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           |    CAST(sum(CASE WHEN o_orderstatus <> 'F' AND o_totalprice >= threshold
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           |    CAST(sum(CASE WHEN o_orderstatus = 'F' AND o_totalprice < threshold
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS fn
+           |  FROM orders, t GROUP BY 1, 2)
+           |SELECT o_orderpriority, threshold, tp, fp, fn,
+           |  CASE WHEN tp + fp > 0 THEN (tp * 1000000) // (tp + fp) END AS precision_ppm,
+           |  CASE WHEN tp + fn > 0 THEN (tp * 1000000) // (tp + fn) END AS recall_ppm,
+           |  CASE WHEN 2*tp + fp + fn > 0
+           |       THEN (2 * tp * 1000000) // (2*tp + fp + fn) END AS f1_ppm
+           |FROM a""".stripMargin))
+
   /** Fixed-iteration integer-exact PageRank over the order→part
     * bipartite graph ([[graft.ops.GraphOps.pagerankMicro]], 3 rounds,
     * micro-unit scores) — the iterative join+aggregate family's
@@ -5471,7 +5525,7 @@ object Battery {
     g9SessionPaths, g10Streaks, g11Ewma,
     g12Interpolate, g13Cooccurrence, g14Twap, g15PeakConcurrency,
     g16IntervalUnion, g17BfsHops, g18Attribution,
-    a16MadOutliers, a17HllRollup, a18EquiDepthBins,
+    a16MadOutliers, a17HllRollup, a18EquiDepthBins, a19Auc, a20PrThresholds,
     fScalar, f5Cast, f9MapExplode, f12Json, f13ArrayOps,
     twTumbling, twSliding, twSession, twChainedWindows,
     twDedupWatermark, twDedupLateBoundary, twJoinBound, twJoinBoundLeft,

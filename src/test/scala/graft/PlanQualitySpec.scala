@@ -771,6 +771,26 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("partial_"), s"states must partial-aggregate:\n$p")
   }
 
+  test("AUC collapses the eval set to distinct scores map-side; the " +
+      "window + final fold run on the distinct-score table") {
+    val p = plan("a19_auc")
+    assert(!p.contains("Join"), s"AUC must not join:\n$p")
+    assert(p.contains("partial_"),
+      s"the (group, score) collapse must partial-aggregate:\n$p")
+    val exchanges = nodeCount(p, "Exchange")
+    assert(exchanges <= 2,
+      s"one (group,score) collapse + one group regroup ($exchanges):\n$p")
+  }
+
+  test("PR-at-thresholds reads the eval set once for ALL thresholds") {
+    val p = plan("a20_pr_thresholds")
+    assert(!p.contains("Join"), s"thresholds ride an explode, not a join:\n$p")
+    val scans = nodeCount(p, "Scan parquet")
+    assert(scans == 1, s"one scan for every threshold ($scans):\n$p")
+    val exchanges = nodeCount(p, "Exchange")
+    assert(exchanges == 1, s"one aggregate shuffle only ($exchanges):\n$p")
+  }
+
   test("k-anonymity audit is ONE map-side-partial hash aggregate") {
     val p = plan("x34_k_anonymity")
     assert(!p.contains("Join"), s"the audit must not join:\n$p")

@@ -474,4 +474,59 @@ class VolumeProbeSpec extends AnyFunSuite {
     assert(drift == 0L, s"$drift clone nodes drifted from their base PageRank")
     assert(bigPr.count() == basePr.count() * factor)
   }
+
+  test("round-12 waves at xN: CDC snapshot and attribution replica-0 rows " +
+      "are byte-identical; interval unions and BFS distances inherit " +
+      "per clone; AUC is replication-invariant") {
+    import org.apache.spark.sql.functions._
+    val offset = VolumeProbe.keyOffsetFor(spark, srcDir)
+    // j20: replica-0 rows (|key| < offset) == the base run verbatim
+    val j20 = SparkEntry.queries("j20_cdc_apply")
+    val j20base = j20(spark, srcDir).collect().map(_.toSeq).toSet
+    val j20big = j20(spark, outDir)
+      .where(abs(col("o_orderkey")) < offset).collect().map(_.toSeq).toSet
+    assert(j20big == j20base, "CDC replica-0 snapshot drifted")
+    assert(j20(spark, outDir).count() == j20base.size.toLong * factor)
+    // g18: replica-0 purchases attribute identically
+    val g18 = SparkEntry.queries("g18_attribution")
+    val g18base = g18(spark, srcDir)
+      .select("event_id", "channel").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    val g18big = g18(spark, outDir).where(col("user_id") < offset)
+      .select("event_id", "channel").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(g18big == g18base, "replica-0 attribution drifted")
+    // g16: every clone supplier inherits (n_spans, covered, hull) —
+    // lineitem dates are not shifted, so the interval multiset is
+    // identical per clone
+    val g16 = SparkEntry.queries("g16_interval_union")
+    val g16base = g16(spark, srcDir).collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val g16bigRows = g16(spark, outDir).collect()
+    assert(g16bigRows.length == g16base.size * factor)
+    g16bigRows.foreach { r =>
+      assert(g16base(r.getLong(0) % offset) == r.toSeq.tail,
+        s"clone supplier ${r.getLong(0)} drifted")
+    }
+    // g17: every clone node inherits its base hop distance (replicas
+    // are disjoint isomorphic components with the same %500 sources)
+    val g17 = SparkEntry.queries("g17_bfs_hops")
+    val g17base = g17(spark, srcDir).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val g17big = g17(spark, outDir).collect()
+    assert(g17big.length == g17base.size * factor)
+    g17big.foreach { r =>
+      val node = r.getLong(0)
+      val bnode = if (node % 2 == 0) (node / 2) % offset * 2
+                  else ((node - 1) / 2) % offset * 2 + 1
+      assert(g17base(bnode) == r.getInt(1),
+        s"clone node $node drifted from base dist")
+    }
+    // a19: the Mann-Whitney ratio is provably replication-invariant
+    val a19 = SparkEntry.queries("a19_auc")
+    def aucMap(d: String) = a19(spark, d).collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(aucMap(outDir) == aucMap(srcDir), "AUC drifted under replication")
+  }
 }
