@@ -151,7 +151,15 @@ object VolumeProbe {
     "g18_attribution", "a18_equidepth_bins", "n10_mmr_rerank",
     "st_cdc_latest", "x34_k_anonymity", "p9_column_profile",
     "j21_table_diff", "j22_incremental_agg",
-    "a19_auc", "a20_pr_thresholds")
+    "a19_auc", "a20_pr_thresholds",
+    "g19_personalized_pagerank", "a21_hll_intersect")
+  // g19 (custom): replicas are disjoint isomorphic graphs with the
+  // same %500 seed derivation (500 | ModLcm), so every clone node's
+  // integer PPR equals its base node's — checked on the UNLIMITED
+  // score table via node % offset (the top-100 battery row truncates).
+  // a21 (custom): statuses are shared non-key attributes and custkeys
+  // shift per replica, so each pair's exact intersection scales ×f
+  // with both verdicts still true at 10× the cardinality.
   // Eval wave (round 12). a19 (custom): groups/scores/labels are all
   // non-key attributes, so every (group, score) cell's pos/neg inflate
   // ×f together — U2 scales ×f², the denominator 2·n₊·n₋ scales ×f²,
@@ -396,6 +404,19 @@ object VolumeProbe {
   //        ids satisfy first = tok_start div C, last = (end − 1) div C
   //        row-by-row (integer div, engine-exact).
 
+  /** g19's UNLIMITED personalized-PageRank table (the battery row's
+    * top-100 truncates, which measures nothing at volume).
+    */
+  private def pprFull(spark: SparkSession, dir: String): DataFrame = {
+    val edges = spark.read.parquet(s"$dir/lineitem.parquet").select(
+      (col("l_orderkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+    val seeds = spark.read.parquet(s"$dir/orders.parquet")
+      .where(col("o_orderkey") % 500 === 0)
+      .select((col("o_orderkey") * 2).as("node"))
+    graft.ops.GraphOps.personalizedPagerankMicro(
+      edges, "src", "dst", seeds, "node", iters = 3)
+  }
+
   def main(args: Array[String]): Unit = {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outDir = args.lift(1).getOrElse("/tmp/graft_volume_probe")
@@ -490,6 +511,14 @@ object VolumeProbe {
               thr, k = 30, oversample = 1)
               .collect()
               .map(r => (s"${r.getLong(0)}|${r.getLong(1)}", r.getLong(0))).toSeq
+          }
+          else if (name == "g19_personalized_pagerank") Right {
+            pprFull(spark, srcDir).collect()
+              .map(r => (r.getLong(0).toString, r.getLong(1))).toSeq
+          }
+          else if (name == "a21_hll_intersect") Right {
+            fn(spark, srcDir).collect().map(r =>
+              (s"${r.getString(0)}|${r.getString(1)}", r.getLong(2))).sortBy(_._1).toSeq
           }
           else if (name == "a19_auc") Right {
             fn(spark, srcDir).collect().map(r =>
@@ -650,6 +679,28 @@ object VolumeProbe {
               Right((rows.length.toLong, base.length.toLong,
                 "query-bounded-shortlist-closed",
                 shapeOk && classOk && cloneOrderOk))
+            } else if (name == "g19_personalized_pagerank") {
+              val baseM = base.map { case (n, p0) => n.toLong -> p0 }.toMap
+              val big = pprFull(spark, outDir).collect()
+                .map(r => (r.getLong(0), r.getLong(1)))
+              // clone inheritance via the g4 node remap
+              val mism = big.count { case (node, p0) =>
+                val bnode = if (node % 2 == 0) node / 2 % offset * 2
+                            else (node - 1) / 2 % offset * 2 + 1
+                baseM.get(bnode) != Some(p0)
+              }
+              Right((big.length.toLong, baseM.size.toLong,
+                "clone-ppr-inheritance x" + factor,
+                big.length == baseM.size * factor && mism == 0))
+            } else if (name == "a21_hll_intersect") {
+              val rows = fn(spark, outDir).collect().map(r =>
+                (s"${r.getString(0)}|${r.getString(1)}",
+                  (r.getLong(2), r.getBoolean(3)))).sortBy(_._1).toSeq
+              val ok = rows.map(t => (t._1, t._2._1)) ==
+                base.map { case (k0, n0) => (k0, n0 * factor) } &&
+                rows.forall(_._2._2)
+              Right((rows.length.toLong, base.length.toLong,
+                "intersect-envelope x" + factor, ok))
             } else if (name == "a19_auc") {
               // auc_ppm INVARIANT per group (ratio law), n_pos+n_neg ×f
               val rows = fn(spark, outDir).collect().map(r =>

@@ -158,6 +158,57 @@ object GraphOps {
           .as("pr"))
   }
 
+  /** Personalized PageRank (integer micro-units, damping 0.85): the
+    * teleport mass lands ONLY on the `sources` set, so scores measure
+    * proximity to the seeds rather than global centrality — the
+    * "related items / local influence" ranker. Same integer-exact
+    * arithmetic as [[pagerankMicro]] (seed base 150000, contributions
+    * `pr div outdeg`, damped update by floor division), same persisted
+    * working set, same per-round `localCheckpoint` lineage cap; seeds
+    * start at 10⁶, everything else at 0, so round k's mass is exactly
+    * the ≤k-hop neighbourhood. Non-seed nodes unreachable from the
+    * seeds stay at 0 and ARE returned (callers filter).
+    *
+    * Scale: identical to pagerankMicro plus one broadcastable
+    * seed-membership left join folded into the working set (seeds are
+    * query-sized, never corpus-sized).
+    */
+  def personalizedPagerankMicro(edges: DataFrame, srcCol: String,
+      dstCol: String, sources: DataFrame, sourceCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 10, s"iters in 1..10, got $iters")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val seeds = sources.select(col(sourceCol).cast("long").as("node"))
+      .distinct()
+    val (nodes0, eWithOd) = pagerankWorking(e)
+    // fold seed membership into the cached node table (one broadcast
+    // join, paid once — every iteration reads it from the cache)
+    val nodes = nodes0.join(broadcast(seeds.withColumn("__seed", lit(true))),
+        Seq("node"), "left")
+      .withColumn("__base", when(col("__seed"), lit(150000L)).otherwise(lit(0L)))
+      .select("node", "__base")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    nodes.count()
+    var pr = nodes.select(col("node"),
+      when(col("__base") > 0, lit(1000000L)).otherwise(lit(0L)).as("pr"))
+    for (i <- 1 to iters) {
+      val contrib = eWithOd.join(pr.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), expr("pr div od").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("m"))
+      pr = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (col("__base") + expr("(850000 * coalesce(m, 0L)) div 1000000"))
+            .as("pr"))
+      if (iters > 3) pr = pr.localCheckpoint()
+    }
+    val out = pr.localCheckpoint()
+    eWithOd.unpersist(blocking = false)
+    nodes0.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    out
+  }
+
   /** Multi-source BFS: minimum hop distance from ANY source node,
     * capped at `maxHops` — the reachability/blast-radius operator
     * (descendantCrawl's general-graph sibling: that one walks a known

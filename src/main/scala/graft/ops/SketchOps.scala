@@ -52,6 +52,55 @@ object SketchOps {
         .as("approx_distinct"))
   }
 
+  /** HLL set algebra by inclusion–exclusion: |A ∩ B| ≈
+    * est(A) + est(B) − est(A ∪ B), the standard (and only) HLL
+    * intersection — unions merge losslessly in register space, so the
+    * sketch table answers ANY pairwise overlap question ("how many
+    * customers do segments A and B share?") without re-scanning raw
+    * data. Error grows as the intersection shrinks relative to the
+    * sets (three ±σ estimates stack), so `relTol` here is looser than
+    * the rollup law's; for tiny intersections use the exact path (or
+    * theta sketches, which Spark does not ship).
+    *
+    * Returns one row per unordered key pair: both keys, the exact
+    * intersection size, and the tolerance verdict — the cross-engine
+    * law shape (an oracle can't replay registers but CAN verify the
+    * exact count and the envelope).
+    *
+    * Scale: sketches aggregate once (map-side partial); the pairwise
+    * stage self-joins the KEY-count-sized sketch table (segments, not
+    * rows); the exact check distincts (key, value) once and equi-joins
+    * on value — corpus-scale data crosses the wire twice total, never
+    * pairwise.
+    */
+  def hllIntersectLaw(df: DataFrame, keyCol: String, valueCol: String,
+      lgK: Int = 12, relTol: Double = 0.1): DataFrame = {
+    require(relTol > 0 && relTol < 1, s"relTol in (0,1), got $relTol")
+    val sk = df.groupBy(col(s"`$keyCol`"))
+      .agg(hll_sketch_agg(col(s"`$valueCol`"), lit(lgK)).as("sk"))
+    val pairsEst = sk.select(col(s"`$keyCol`").as("key_a"), col("sk").as("ska"))
+      .join(sk.select(col(s"`$keyCol`").as("key_b"), col("sk").as("skb")),
+        col("key_a") < col("key_b"))
+      .select(col("key_a"), col("key_b"),
+        (hll_sketch_estimate(col("ska")) + hll_sketch_estimate(col("skb")) -
+          hll_sketch_estimate(hll_union(col("ska"), col("skb"))))
+          .as("__est"))
+    val kv = df.select(col(s"`$keyCol`").as("k"), col(s"`$valueCol`").as("v"))
+      .distinct()
+    val exact = kv.select(col("k").as("key_a"), col("v"))
+      .join(kv.select(col("k").as("key_b"), col("v")), Seq("v"))
+      .where(col("key_a") < col("key_b"))
+      .groupBy(col("key_a"), col("key_b"))
+      .agg(count(lit(1)).as("exact_intersect"))
+    pairsEst.join(exact, Seq("key_a", "key_b"), "left")
+      .withColumn("exact_intersect",
+        coalesce(col("exact_intersect"), lit(0L)))
+      .select(col("key_a"), col("key_b"), col("exact_intersect"),
+        (abs(col("__est") - col("exact_intersect")) <=
+          greatest(lit(relTol) * col("exact_intersect"), lit(8.0)))
+          .as("within_tol"))
+  }
+
   /** The rollup accuracy law as data: per rollup key, the exact
     * distinct count and two verdicts — `coarse_ok` (the rollup merged
     * from the COARSE `cellKeys` cube lands within `relTol` of exact)

@@ -926,6 +926,25 @@ object Battery {
            |  min(o_orderpriority), max(o_orderpriority)
            |FROM orders""".stripMargin))
 
+  /** HLL set algebra by inclusion–exclusion
+    * ([[graft.ops.SketchOps.hllIntersectLaw]]): how many customers do
+    * each pair of order statuses share? — est(A) + est(B) − est(A∪B)
+    * from the persisted sketch table, verified against the exact
+    * intersection within the stacked-error envelope. The oracle pins
+    * the exact counts and the verdicts.
+    */
+  private val a21HllIntersect = Q(
+    "a21_hll_intersect",
+    (s, d) => graft.ops.SketchOps.hllIntersectLaw(
+      T.orders(s, d), "o_orderstatus", "o_custkey", lgK = 12, relTol = 0.1),
+    Some("""WITH kv AS (SELECT DISTINCT o_orderstatus AS k, o_custkey AS v
+           |  FROM orders)
+           |SELECT a.k AS key_a, b.k AS key_b,
+           |  CAST(count(*) AS BIGINT) AS exact_intersect,
+           |  TRUE AS within_tol
+           |FROM kv a JOIN kv b ON a.v = b.v AND a.k < b.k
+           |GROUP BY 1, 2""".stripMargin))
+
   /** Equi-depth binning ([[graft.relational.RelationalOps.equiDepthBins]],
     * 10 bins): per order status, decile bins of o_totalprice with
     * population and [lo, hi] boundaries — ntile semantics with a
@@ -1092,6 +1111,48 @@ object Battery {
            |       UNION ALL SELECT y FROM t)
            |SELECT node, count(*) AS tri FROM pn GROUP BY 1
            |ORDER BY tri DESC, node LIMIT 100""".stripMargin))
+
+  /** Personalized PageRank
+    * ([[graft.ops.GraphOps.personalizedPagerankMicro]], 3 rounds):
+    * teleport mass pinned to the %500 seed orders on g4's bipartite
+    * graph — proximity-to-seeds ranking, integer-exact like g4, so the
+    * oracle unrolls the same three rounds with the seed-only base.
+    */
+  private val g19PersonalizedPagerank = Q(
+    "g19_personalized_pagerank",
+    (s, d) => {
+      val edges = T.lineitem(s, d).select(
+        (col("l_orderkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst"))
+      val seeds = T.orders(s, d).where(col("o_orderkey") % 500 === 0)
+        .select((col("o_orderkey") * 2).as("node"))
+      graft.ops.GraphOps.personalizedPagerankMicro(
+          edges, "src", "dst", seeds, "node", iters = 3)
+        .orderBy(col("pr").desc, col("node")).limit(100)
+    },
+    Some("""WITH e AS (SELECT l_orderkey*2 AS src, l_partkey*2+1 AS dst FROM lineitem),
+           |n AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e),
+           |sds AS (SELECT DISTINCT o_orderkey*2 AS node FROM orders
+           |  WHERE o_orderkey % 500 = 0),
+           |od AS (SELECT src, count(*) AS od FROM e GROUP BY 1),
+           |nb AS (SELECT n.node,
+           |    CASE WHEN s.node IS NOT NULL THEN 150000 ELSE 0 END AS base,
+           |    CASE WHEN s.node IS NOT NULL THEN CAST(1000000 AS BIGINT)
+           |         ELSE CAST(0 AS BIGINT) END AS pr0
+           |  FROM n LEFT JOIN sds s USING (node)),
+           |c1 AS (SELECT e.dst AS node, SUM(p.pr0 // o.od) AS m
+           |  FROM e JOIN nb p ON e.src = p.node JOIN od o ON e.src = o.src GROUP BY 1),
+           |p1 AS (SELECT nb.node, nb.base, CAST(nb.base + (850000 * COALESCE(c.m, 0)) // 1000000 AS BIGINT) AS pr
+           |  FROM nb LEFT JOIN c1 c USING (node)),
+           |c2 AS (SELECT e.dst AS node, SUM(p.pr // o.od) AS m
+           |  FROM e JOIN p1 p ON e.src = p.node JOIN od o ON e.src = o.src GROUP BY 1),
+           |p2 AS (SELECT p1.node, p1.base, CAST(p1.base + (850000 * COALESCE(c.m, 0)) // 1000000 AS BIGINT) AS pr
+           |  FROM p1 LEFT JOIN c2 c USING (node)),
+           |c3 AS (SELECT e.dst AS node, SUM(p.pr // o.od) AS m
+           |  FROM e JOIN p2 p ON e.src = p.node JOIN od o ON e.src = o.src GROUP BY 1),
+           |p3 AS (SELECT p2.node, CAST(p2.base + (850000 * COALESCE(c.m, 0)) // 1000000 AS BIGINT) AS pr
+           |  FROM p2 LEFT JOIN c3 c USING (node))
+           |SELECT node, pr FROM p3 ORDER BY pr DESC, node LIMIT 100""".stripMargin))
 
   /** Multi-source BFS hop distances
     * ([[graft.ops.GraphOps.bfsHops]], ≤4 hops) over the UNDIRECTED
@@ -5526,6 +5587,7 @@ object Battery {
     g12Interpolate, g13Cooccurrence, g14Twap, g15PeakConcurrency,
     g16IntervalUnion, g17BfsHops, g18Attribution,
     a16MadOutliers, a17HllRollup, a18EquiDepthBins, a19Auc, a20PrThresholds,
+    a21HllIntersect, g19PersonalizedPagerank,
     fScalar, f5Cast, f9MapExplode, f12Json, f13ArrayOps,
     twTumbling, twSliding, twSession, twChainedWindows,
     twDedupWatermark, twDedupLateBoundary, twJoinBound, twJoinBoundLeft,

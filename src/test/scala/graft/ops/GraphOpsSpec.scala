@@ -91,6 +91,32 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got == expect.toMap)
   }
 
+  test("personalizedPagerankMicro matches a sequential integer replay; " +
+      "teleport mass stays on the seed side") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 1L),
+      (5L, 6L)).toDF("s", "d") // 5-6 disconnected from the seed
+    val seeds = Seq(1L).toDF("n")
+    val iters = 3
+    val got = GraphOps.personalizedPagerankMicro(edges, "s", "d",
+        seeds, "n", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // sequential replay of the same integer arithmetic
+    val e = Seq(1L -> 2L, 1L -> 3L, 2L -> 3L, 3L -> 4L, 4L -> 1L, 5L -> 6L)
+    val nodes = e.flatMap(t => Seq(t._1, t._2)).distinct
+    val od = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    def base(n: Long) = if (n == 1L) 150000L else 0L
+    var pr = nodes.map(n => n -> (if (n == 1L) 1000000L else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val m = e.groupBy(_._2).view.mapValues(_.map(t =>
+        pr(t._1) / od(t._1)).sum).toMap
+      pr = nodes.map(n => n -> (base(n) + 850000L * m.getOrElse(n, 0L) / 1000000L)).toMap
+    }
+    assert(got == pr)
+    assert(got(5L) == 0L && got(6L) == 0L,
+      "nodes unreachable from the seeds must hold zero mass")
+    assert(got(1L) >= 150000L, "the seed keeps its teleport share")
+  }
+
   test("bfsHops labels min hop distance from any source, caps at maxHops") {
     // path 1-2-3-4-5-6 plus a cycle 2-7-8-2 and an unreachable 99-100;
     // undirected via both directions

@@ -44,6 +44,23 @@ class SketchOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("hllIntersectLaw: inclusion-exclusion lands inside the envelope " +
+      "on known overlaps, including a near-disjoint pair") {
+    // A: 0..3999, B: 2000..5999 (overlap 2000), C: 100000..100049
+    // (tiny, disjoint from A except nothing — truly disjoint)
+    val rows = (0 until 4000).map(v => ("A", v.toLong)) ++
+      (2000 until 6000).map(v => ("B", v.toLong)) ++
+      (100000 until 100050).map(v => ("C", v.toLong))
+    val got = SketchOps.hllIntersectLaw(rows.toDF("k", "v"), "k", "v",
+        relTol = 0.1)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got(("A", "B"))._1 == 2000L && got(("A", "B"))._2,
+      s"A-B overlap: ${got(("A", "B"))}")
+    // disjoint pairs: exact 0, verdict via the absolute-floor arm
+    assert(got(("A", "C")) == ((0L, true)) && got(("B", "C")) == ((0L, true)))
+  }
+
   test("parameter validation") {
     val df = fixture
     intercept[IllegalArgumentException] {
