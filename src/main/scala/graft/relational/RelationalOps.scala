@@ -952,9 +952,8 @@ object RelationalOps {
     *
     * Scale: one key shuffle shared by the ntile window and the
     * (group, bin) aggregate (bin only APPENDS to the partition key).
-    * Exact equi-depth needs the per-group sort; for a sketch-based
-    * 100 TB variant compute approx-percentile boundaries instead and
-    * bin by comparison — documented trade, not a silent cap.
+    * Exact equi-depth needs the per-group sort; the sketch-based
+    * 100 TB variant is [[equiDepthBinsApprox]].
     */
   def equiDepthBins(df: DataFrame, groupCols: Seq[String],
       valueCol: String, orderCols: Seq[String], nBins: Int): DataFrame = {
@@ -967,6 +966,37 @@ object RelationalOps {
       .groupBy((groupCols :+ "bin").map(col): _*)
       .agg(count(lit(1)).as("n"),
         min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
+  }
+
+  /** The 100 TB form of [[equiDepthBins]]: approx-percentile BOUNDARIES
+    * (one sketch aggregate — no per-group sort of the raw data) and
+    * comparison binning against the broadcast boundary table. Bin
+    * populations are near-equal within the sketch's rank error rather
+    * than exactly equal — the documented trade; `accuracy` is Spark's
+    * `percentile_approx` knob (error ≤ 1/accuracy of the rank).
+    *
+    * Scale: TWO passes, both cheap — a map-side-partial sketch
+    * aggregate to groups×sketch, then a narrow comparison bin + one
+    * (group, bin) count aggregate. Nothing sorts, nothing windows;
+    * the boundary table is groups × nBins and broadcasts.
+    */
+  def equiDepthBinsApprox(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, nBins: Int, accuracy: Int = 10000): DataFrame = {
+    require(nBins >= 2 && nBins <= 10000, s"nBins in 2..10000, got $nBins")
+    require(accuracy >= 100, s"accuracy >= 100, got $accuracy")
+    // interior boundaries at ranks k/nBins, k = 1..nBins-1
+    val qs = array((1 until nBins).map(k => lit(k.toDouble / nBins)): _*)
+    val bounds = df.groupBy(groupCols.map(col): _*)
+      .agg(percentile_approx(col(s"`$valueCol`"), qs, lit(accuracy))
+        .as("__bounds"))
+    // bin = 1 + #(boundaries < v) — upper-inclusive like ntile's split
+    val binned = df.join(broadcast(bounds), groupCols)
+      .withColumn("bin", (lit(1) + aggregate(col("__bounds"), lit(0),
+        (acc, b) => acc + when(col(s"`$valueCol`") > b, 1).otherwise(0)))
+        .cast("int"))
+    binned.groupBy((groupCols :+ "bin").map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        min(col(s"`$valueCol`")).as("lo"), max(col(s"`$valueCol`")).as("hi"))
   }
 
   /** Snapshot diff: reconcile two versions of a keyed table into

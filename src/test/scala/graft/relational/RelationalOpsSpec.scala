@@ -896,4 +896,22 @@ class RelationalOpsSpec extends AnyFunSuite {
         Seq("id"), nBins = 1)
     }
   }
+
+  test("equiDepthBinsApprox: all rows binned once into 1..nBins, " +
+      "populations near the exact split within the sketch error") {
+    val rnd = new scala.util.Random(31)
+    val rows = (1 to 4000).map(i => ("g" + i % 2, rnd.nextDouble() * 1000))
+    val got = RelationalOps.equiDepthBinsApprox(
+        rows.toDF("g", "v"), Seq("g"), "v", nBins = 10)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    for (g <- Seq("g0", "g1")) {
+      val bins = got.filter(_._1 == g)
+      assert(bins.map(_._2).forall(b => b >= 1 && b <= 10))
+      assert(bins.map(_._3).sum == 2000, s"$g rows lost or duplicated")
+      // rank error at accuracy 10000 on 2000 rows is << one row, but
+      // duplicate doubles are absent here so each bin ~200 ± slack
+      assert(bins.map(_._3).forall(n => n > 120 && n < 280),
+        s"$g populations far from equi-depth: ${bins.sortBy(_._2).toSeq}")
+    }
+  }
 }
