@@ -1789,6 +1789,27 @@ object Battery {
            |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
            |FROM events GROUP BY 1, 2""".stripMargin))
 
+  /** Per-window top-k event types
+    * ([[graft.streaming.Streaming.windowedTopK]], 15-min windows,
+    * k = 3): rank over the windowed aggregate with a deterministic
+    * (count desc, type asc) order — the trending-now leaderboard; the
+    * streaming deployment applies the same ranking per micro-batch in
+    * foreachBatch (StreamingSpec).
+    */
+  private val twWindowedTopK = Q(
+    "tw_windowed_topk",
+    (s, d) => graft.streaming.Streaming.windowedTopK(
+      T.events(s, d), "15 minutes", k = 3),
+    Some("""WITH c AS (SELECT time_bucket(INTERVAL '15 minutes', ts) AS ws,
+           |    time_bucket(INTERVAL '15 minutes', ts) + INTERVAL '15 minutes' AS we,
+           |    event_type, count(*) AS n,
+           |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |  FROM events GROUP BY 1, 2, 3)
+           |SELECT ws, we,
+           |  CAST(row_number() OVER (PARTITION BY ws ORDER BY n DESC, event_type) AS INT) AS rnk,
+           |  event_type, n
+           |FROM c QUALIFY rnk <= 3""".stripMargin))
+
   /** Chained stateful aggregations, batch form
     * ([[graft.streaming.Streaming.chainedWindowCounts]]): a 10-min
     * per-user tumbling count re-aggregated into hourly totals — the
@@ -5589,7 +5610,7 @@ object Battery {
     a16MadOutliers, a17HllRollup, a18EquiDepthBins, a19Auc, a20PrThresholds,
     a21HllIntersect, g19PersonalizedPagerank,
     fScalar, f5Cast, f9MapExplode, f12Json, f13ArrayOps,
-    twTumbling, twSliding, twSession, twChainedWindows,
+    twTumbling, twWindowedTopK, twSliding, twSession, twChainedWindows,
     twDedupWatermark, twDedupLateBoundary, twJoinBound, twJoinBoundLeft,
     twJoinBoundFull, twJoinBoundSemi, twJoinBoundRight,
     stUserTotals, stUserTotalsV2, stTypeCounts, stLastEvents,

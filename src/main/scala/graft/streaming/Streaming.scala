@@ -43,6 +43,30 @@ object Streaming {
   def streamingSessionStats(events: DataFrame, gap: String, lateness: String): DataFrame =
     sessionStats(events.withWatermark("ts", lateness), gap)
 
+  /** Per-window top-k event types by count, ranked deterministically
+    * (count desc, type asc) — the trending-now / leaderboard query.
+    * One definition serves batch and the streaming foreachBatch form:
+    * rank-over-aggregate isn't incrementally maintainable (a late row
+    * can reorder a whole window), so the streaming deployment runs
+    * [[streamingWindowedCounts]] (watermark-bounded state) and applies
+    * THIS ranking per micro-batch in foreachBatch over the closed
+    * windows — the standard pattern, exercised in `StreamingSpec`.
+    *
+    * Scale: the rank window runs on the AGGREGATED (windows × types)
+    * table, never on raw events; WindowGroupLimit pushes the top-k
+    * below its shuffle.
+    */
+  def windowedTopK(events: DataFrame, windowLen: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && k <= 1000, s"k in 1..1000, got $k")
+    val counts = windowedCounts(events, windowLen)
+    val w = Window.partitionBy(col("ws"))
+      .orderBy(col("n").desc, col("event_type"))
+    counts.withColumn("rnk", row_number().over(w).cast("int"))
+      .where(col("rnk") <= k)
+      .select(col("ws"), col("we"), col("rnk"), col("event_type"), col("n"))
+  }
+
   /** Watermarked exact dedup on a key set — the streaming analog of the
     * batch `dropDuplicates` (A5): state for a key is dropped once the
     * watermark passes, so state is bounded at any scale.

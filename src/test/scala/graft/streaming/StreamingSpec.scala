@@ -46,6 +46,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed top-k: the foreachBatch ranking over the streaming " +
+      "aggregate equals the batch leaderboard") {
+    val (batch, stream) = eventStream()
+    val expected = Streaming.windowedTopK(batch, "15 minutes", k = 3)
+      .collect().map(_.toString).sorted
+    // the deployment pattern: stream the watermark-bounded aggregate,
+    // apply the (non-incremental) rank per micro-batch in foreachBatch
+    val sink = scala.collection.mutable.ArrayBuffer.empty[String]
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val q = Streaming.streamingWindowedCounts(stream, "15 minutes", "10 minutes")
+      .writeStream.outputMode("complete")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val w = Window.partitionBy(col("ws"))
+          .orderBy(col("n").desc, col("event_type"))
+        val ranked = df.withColumn("rnk", row_number().over(w).cast("int"))
+          .where(col("rnk") <= 3)
+          .select(col("ws"), col("we"), col("rnk"), col("event_type"), col("n"))
+          .collect().map(_.toString)
+        sink.synchronized { sink.clear(); sink ++= ranked } // complete mode: latest wins
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = sink.synchronized(sink.toArray.sorted)
+      assert(got.sameElements(expected),
+        s"streaming leaderboard diverged: ${got.length} vs ${expected.length}")
+    } finally q.stop()
+  }
+
   test("sliding windowed counts: streaming result equals batch result") {
     val (batch, stream) = eventStream()
     val expected = Streaming.windowedCounts(batch, "10 minutes", Some("5 minutes"))
