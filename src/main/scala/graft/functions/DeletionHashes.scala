@@ -7,8 +7,11 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** 64-bit hashes of a string's SymSpell deletion neighborhood (the
-  * string itself, every single-char deletion, and for k = 2 every
-  * two-char deletion) WITHOUT materializing a single variant string.
+  * string itself, every single-code-point deletion, and for k = 2 every
+  * two-code-point deletion) WITHOUT materializing a single variant
+  * string. Deletions are counted in Unicode code points — matching
+  * Spark's substring/length/levenshtein semantics — so supplementary
+  * (non-BMP) characters cost one deletion, not two.
   *
   * The composed form — `explode(array_distinct(concat(transform(
   * sequence(...), substr+concat))))` then `xxhash64` — is interpreted
@@ -55,9 +58,24 @@ object DeletionHashes {
 
   def compute(text: UTF8String, k: Int): ArrayData = {
     val s = text.toString
-    val n = s.length
-    // prefix hashes over UTF-16 units (+1 so NUL chars still advance the
-    // state): P(0) = Seed, P(i+1) = P(i)·B + (c_i + 1); hash of the
+    // Deletion unit is the Unicode CODE POINT, not the UTF-16 unit:
+    // Spark's substring/length/levenshtein (the string-form
+    // deletionNeighborhood and editDistanceJoin's verify + band prune)
+    // all count code points, so a supplementary character (2 UTF-16
+    // units) must cost exactly ONE deletion here too or candidate
+    // generation would silently miss astral-text pairs.
+    val n = s.codePointCount(0, s.length)
+    val cp = new Array[Int](n)
+    var ci = 0
+    var off = 0
+    while (off < s.length) {
+      val c = s.codePointAt(off)
+      cp(ci) = c
+      ci += 1
+      off += Character.charCount(c)
+    }
+    // prefix hashes over code points (+1 so NUL still advances the
+    // state): P(0) = Seed, P(i+1) = P(i)·B + (cp_i + 1); hash of the
     // segment [a, b) continued from state h is
     // h·B^(b−a) + (P(b) − P(a)·B^(b−a)) — a homomorphism, so any
     // concatenation of segments hashes as if the variant string had
@@ -68,7 +86,7 @@ object DeletionHashes {
     pw(0) = 1L
     var i = 0
     while (i < n) {
-      p(i + 1) = p(i) * B + (s.charAt(i).toLong + 1L)
+      p(i + 1) = p(i) * B + (cp(i).toLong + 1L)
       pw(i + 1) = pw(i) * B
       i += 1
     }

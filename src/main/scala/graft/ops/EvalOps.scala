@@ -37,16 +37,23 @@ object EvalOps {
     val w = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(col(s"`$scoreCol`"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // U2 is quadratic in row counts (u2s <= 2*n_pos*n_neg), so every
+    // step that multiplies it runs in decimal(38,0): a Long multiply
+    // would silently wrap once n_pos*n_neg passes ~4.6e12 (a few
+    // million positives x negatives in one group — realistic at 100 TB).
+    // decimal(38,0) is exact to n_pos*n_neg ~ 1e31 — beyond any corpus.
     val stepped = byScore
       .withColumn("__negBelow", coalesce(sum(col("__neg")).over(w), lit(0L)))
       .withColumn("__u2",
-        col("__pos") * (lit(2L) * col("__negBelow") + col("__neg")))
+        col("__pos").cast("decimal(19,0)") *
+          (lit(2L) * col("__negBelow") + col("__neg")).cast("decimal(19,0)"))
     stepped.groupBy(groupCols.map(col): _*)
       .agg(sum(col("__pos")).as("n_pos"), sum(col("__neg")).as("n_neg"),
         sum(col("__u2")).as("__u2s"))
       .withColumn("auc_ppm",
         when(col("n_pos") > 0 && col("n_neg") > 0,
-          expr("(__u2s * 1000000L) div (2L * n_pos * n_neg)")))
+          expr("""(cast(__u2s as decimal(38,0)) * 500000) div
+                  (cast(n_pos as decimal(38,0)) * n_neg)""")))
       .drop("__u2s")
   }
 

@@ -310,4 +310,56 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(DeletionHashes.compute(UTF8String.fromString(""), 2)
       .toLongArray().length == 1)
   }
+
+  test("DeletionHashes deletes CODE POINTS: astral chars cost one " +
+      "deletion, matching Spark levenshtein/substring semantics") {
+    import graft.functions.DeletionHashes
+    import org.apache.spark.unsafe.types.UTF8String
+    // code-point deletion model (the semantics Spark's string fns use)
+    def cps(s: String): Vector[Int] = {
+      val b = Vector.newBuilder[Int]
+      var off = 0
+      while (off < s.length) {
+        val c = s.codePointAt(off); b += c; off += Character.charCount(c)
+      }
+      b.result()
+    }
+    def variants(s: String, k: Int): Set[String] = {
+      def d1(x: Vector[Int]) =
+        x.indices.map(i => x.take(i) ++ x.drop(i + 1)).toSet
+      val v = cps(s)
+      val t1 = d1(v)
+      val all = if (k == 1) t1 + v else t1 ++ t1.flatMap(d1) + v
+      all.map(c => new String(c.toArray, 0, c.length))
+    }
+    // emoji (U+1F600, 2 UTF-16 units) and astral CJK mixed with BMP
+    val astral = Seq("a😀b", "😀😁",
+      "x😀", "café😀", "😀")
+    for (k <- Seq(1, 2); s <- astral) {
+      val hashes = DeletionHashes
+        .compute(UTF8String.fromString(s), k).toLongArray().toSet
+      val vars = variants(s, k)
+      assert(hashes.size == vars.size,
+        s"'$s' k=$k: ${hashes.size} hashes vs ${vars.size} code-point variants")
+    }
+    // shared-variant iff shared-hash across the astral fixture, so the
+    // candidate-completeness contract holds for non-BMP text
+    for (k <- Seq(1, 2); a <- astral; b <- astral) {
+      val ha = DeletionHashes.compute(UTF8String.fromString(a), k)
+        .toLongArray().toSet
+      val hb = DeletionHashes.compute(UTF8String.fromString(b), k)
+        .toLongArray().toSet
+      val shareV = (variants(a, k) & variants(b, k)).nonEmpty
+      assert(((ha & hb).nonEmpty) == shareV,
+        s"'$a'/'$b' k=$k: variant-share $shareV but hash-share ${(ha & hb).nonEmpty}")
+    }
+    // end-to-end: a pair differing by ONE astral char must be found
+    // (Spark levenshtein counts it as distance 1; pre-fix candidate
+    // generation priced it at 2 deletions and dropped the pair at k=1)
+    val docs = Seq(1L -> "hello😀world", 2L -> "helloworld",
+      3L -> "hello😁world").toDF("doc_id", "p")
+    val got = DedupOps.editDistanceJoin(docs, "doc_id", "p", maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 2L, 1), (2L, 3L, 1), (1L, 3L, 1)))
+  }
 }
