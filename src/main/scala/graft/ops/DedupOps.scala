@@ -74,25 +74,46 @@ object DedupOps {
   }
 
   /** Candidate pairs from any shared band bucket, verified with exact
-    * shingle-set Jaccard; keeps pairs ≥ threshold. One shuffle on the
-    * bucket key + one distinct on pairs; the verify join ships only
-    * candidate rows.
+    * shingle-set Jaccard; keeps pairs ≥ threshold.
+    *
+    * One-pass candidate stage (the d10 editDistanceCandidates shape):
+    * ONE hash-aggregate shuffle of the exploded band stream collects
+    * each (band, bucket)'s members; singleton buckets drop before
+    * anything expands; surviving buckets expand their pairs inside the
+    * row — no self-join, no second shuffle, and NO in-path persist
+    * (the previous band-stream self-join needed one because Catalyst
+    * doesn't share subtrees across self-join inputs, and it had no
+    * release path — each call in a long-lived session leaked a cached
+    * copy). The verify fetch joins recompute only the column-pruned
+    * shingle arrays (narrow codegen'd work, no minhash): Catalyst
+    * prunes `sig`/band columns out of the `sets` subtree entirely.
+    *
+    * Skew contract: a bucket's member list materializes in one row, so
+    * the local quadratic is bounded by the largest clone family — the
+    * same bound the self-join had for its hot keys; cap giant families
+    * upstream with exact dedup first (the documented curation order).
     */
   def nearDupPairs(bandsIn: DataFrame, nBands: Int, threshold: Double): DataFrame = {
-    // The signature scan feeds three consumers (both join sides and the
-    // verify stage) — persist so the shingle/md5 work runs once.
-    val bands = bandsIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val exploded = bands.select(col("id"),
+    val exploded = bandsIn.select(col("id"),
       explode(array((0 until nBands).map(i =>
         struct(lit(i).as("bi"), col(s"band_$i").as("bucket"))): _*)).as("b"))
       .select(col("id"), col("b.bi").as("bi"), col("b.bucket").as("bucket"))
       .where(col("bucket").isNotNull)
-    val l = exploded.select(col("bi"), col("bucket"), col("id").as("doc_a"))
-    val r = exploded.select(col("bi"), col("bucket"), col("id").as("doc_b"))
-    val cand = l.join(r, Seq("bi", "bucket"))
-      .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    val sets = bands.select(col("id"), col("shingle_set"))
+    val buckets = exploded.groupBy(col("bi"), col("bucket"))
+      .agg(collect_list(col("id")).as("m"))
+      .where(size(col("m")) > 1)
+    // in-bucket pair expansion; a doc appears at most once per
+    // (band, bucket), so least/greatest only canonicalizes pair order
+    // (collect_list order is nondeterministic under task retries)
+    val cand = buckets.select(explode(flatten(
+        transform(col("m"), (x, i) =>
+          transform(
+            slice(col("m"), i + lit(2), size(col("m")) - i - lit(1)),
+            y => struct(least(x, y).as("doc_a"),
+              greatest(x, y).as("doc_b")))))).as("pr"))
+      .select(col("pr.doc_a").as("doc_a"), col("pr.doc_b").as("doc_b"))
+      .distinct()
+    val sets = bandsIn.select(col("id"), col("shingle_set"))
     cand
       .join(sets.select(col("id").as("doc_a"), col("shingle_set").as("sa")), Seq("doc_a"))
       .join(sets.select(col("id").as("doc_b"), col("shingle_set").as("sb")), Seq("doc_b"))
@@ -128,6 +149,15 @@ object DedupOps {
     *    per-row, fully narrow (no dfreq aggregate, no window). Cheaper
     *    on corpora without hot shingles; degrades toward all-pairs on
     *    skewed ones.
+    *
+    * Candidates come from ONE hash-aggregate over the prefix index
+    * (collect each prefix shingle's posting list, expand pairs in-row —
+    * the d10 one-pass shape) instead of a posting-list self-join, so
+    * the shingle stage has no self-join consumers and needs NO in-path
+    * persist (the previous form leaked one cached copy per call in a
+    * long-lived session — no release path existed). The three remaining
+    * reads of `sh` (the inverted index and the two column-pruned verify
+    * fetches) recompute the narrow codegen'd shingle expression.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5,
@@ -137,7 +167,6 @@ object DedupOps {
     val sh = df.select(col(idCol).as("id"),
         array_distinct(TextOps.shingles(col(textCol), shingleN)).as("sh"))
       .where(size(col("sh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prefLen = col("n") - ceil(lit(threshold) * col("n")).cast("int") + 1
     val prefix =
       if (orderByDocFreq) {
@@ -164,10 +193,23 @@ object DedupOps {
                 ceil(lit(threshold) * size(col("sh"))).cast("int") + 1))).as("e"))
           .select(col("id"), col("e.s").as("s"))
       }
-    val cand = prefix.select(col("s"), col("id").as("doc_a"))
-      .join(prefix.select(col("s"), col("id").as("doc_b")), Seq("s"))
-      .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    // one-pass posting-list pair expansion: a shingle appears at most
+    // once per doc's prefix, so each (s, id) is unique and least/
+    // greatest only canonicalizes pair order. Local quadratic bounded
+    // by the hottest surviving prefix shingle's posting list — the same
+    // bound the self-join had for its hot keys (df-ordering is what
+    // keeps that list short).
+    val cand = prefix.select(col("s"), col("id"))
+      .groupBy(col("s")).agg(collect_list(col("id")).as("m"))
+      .where(size(col("m")) > 1)
+      .select(explode(flatten(
+        transform(col("m"), (x, i) =>
+          transform(
+            slice(col("m"), i + lit(2), size(col("m")) - i - lit(1)),
+            y => struct(least(x, y).as("doc_a"),
+              greatest(x, y).as("doc_b")))))).as("pr"))
+      .select(col("pr.doc_a").as("doc_a"), col("pr.doc_b").as("doc_b"))
+      .distinct()
     cand
       .join(sh.select(col("id").as("doc_a"), col("sh").as("sa")), Seq("doc_a"))
       .join(sh.select(col("id").as("doc_b"), col("sh").as("sb")), Seq("doc_b"))

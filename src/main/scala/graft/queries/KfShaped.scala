@@ -120,16 +120,19 @@ object KfShaped {
       (col("o_orderkey") % 7000).cast("string").as("age_at_event_days"),
       lit("True").as("visible"))
 
-    // The five biospecimen-chain endpoints all derive from this join —
-    // persist it once (the "extract stage materialization": the
-    // reference extracts each endpoint separately anyway). Spark's cache
-    // manager matches by canonicalized plan, so repeated endpoints()
-    // calls share one entry instead of five sort-merge joins each.
+    // The five biospecimen-chain endpoints all derive from this join.
+    // Deliberately NOT persisted: endpoints() hands lazy plans to
+    // callers, so a persist here has no owner that could ever release
+    // it — each call in a long-lived session leaked one cached copy of
+    // the full-width join (the d10 warm-cache defect class). Unpersisted,
+    // each endpoint re-plans the join COLUMN-PRUNED to just the columns
+    // it projects (e.g. biospecimenDiagnoses reads only the two keys),
+    // which at 100 TB moves far fewer bytes than one materialized
+    // all-columns cache ever would.
     val li = lineitem
       .join(orders.select(col("o_orderkey").as("l_orderkey"), col("o_custkey")),
         Seq("l_orderkey"))
       .withColumn("bs_key", concat(col("l_orderkey"), lit("_"), col("l_linenumber")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val biospecimens = li.select(
       concat(lit("BS_"), col("bs_key")).as("kf_id"),

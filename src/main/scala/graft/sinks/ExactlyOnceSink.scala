@@ -169,9 +169,13 @@ object ExactlyOnceSink {
     df.select(cols.map(col): _*)
       // deterministic pid->rows: hash the row content into a FIXED
       // partition count, so a replayed batch reproduces every
-      // partition byte-for-byte and the per-partition ledger is sound
+      // partition byte-for-byte and the per-partition ledger is sound.
+      // Columns hash as SEPARATE xxhash64 args - a separator-joined
+      // concat collides rows whose values contain the separator and
+      // funnels low-entropy columns into few partitions; multi-arg
+      // hashing is boundary-aware, uniform, and replay-deterministic
       .repartition(partitions, org.apache.spark.sql.functions.xxhash64(
-        org.apache.spark.sql.functions.concat_ws("", cols.map(col): _*)))
+        cols.map(col): _*))
       .rdd.mapPartitionsWithIndex { (pid, rows) =>
         val conn = connect(led)
         try {

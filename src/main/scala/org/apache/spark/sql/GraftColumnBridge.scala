@@ -10,4 +10,25 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** True iff the session's CacheManager has no registered plans. A
+    * `DataFrame.persist` that never materialized leaves no blocks in
+    * `getPersistentRDDs` but still registers here (and silently
+    * rewrites every later overlapping plan to read the stale cache) —
+    * the persist-lifecycle guard checks both.
+    */
+  def cacheManagerEmpty(spark: SparkSession): Boolean =
+    spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager.isEmpty
+
+  /** Whether the RDD was marked for LOCAL checkpointing (private[rdd]
+    * on RDD — bytecode-public, read via reflection). Locally-
+    * checkpointed entries in `getPersistentRDDs` are cleaner-managed —
+    * the ContextCleaner releases their blocks when the RDD is
+    * garbage-collected — so the persist-lifecycle guard exempts them.
+    */
+  def isLocallyCheckpointed(r: org.apache.spark.rdd.RDD[_]): Boolean =
+    localCkptMethod.invoke(r).asInstanceOf[Boolean]
+
+  private lazy val localCkptMethod =
+    classOf[org.apache.spark.rdd.RDD[_]].getMethod("isLocallyCheckpointed")
 }

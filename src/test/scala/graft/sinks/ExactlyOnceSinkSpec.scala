@@ -80,6 +80,41 @@ class ExactlyOnceSinkSpec extends AnyFunSuite {
     assert(count(url, "plaidger") == 16)
   }
 
+  test("appendOnce spreads low-entropy columns across partitions " +
+      "(multi-arg hash, no separator-collision funneling)") {
+    import spark.implicits._
+    // values drawn from a tiny alphabet whose concatenations collide
+    // under any separator-joined scheme: ("ab","c") vs ("a","bc") etc.
+    val rows = for { i <- 1 to 512 } yield {
+      val a = Seq("a", "ab", "abc")(i % 3)
+      val b = Seq("b", "bc", "c")(i % 3) + (i / 3).toString
+      (a, b)
+    }
+    val pidSizes = rows.toDF("k", "v")
+      .repartition(8, org.apache.spark.sql.functions.xxhash64(
+        org.apache.spark.sql.functions.col("k"),
+        org.apache.spark.sql.functions.col("v")))
+      .rdd.mapPartitions(it => Iterator.single(it.size)).collect()
+    assert(pidSizes.count(_ > 0) >= 7,
+      s"512 distinct rows must spread over nearly all 8 partitions, " +
+        s"got sizes ${pidSizes.mkString(",")}")
+    assert(pidSizes.max <= 512 / 8 * 3,
+      s"no partition may absorb a funneled share: ${pidSizes.mkString(",")}")
+    // and the landing path itself stays exactly-once with these columns
+    val url = "jdbc:derby:memory:eo4;create=true"
+    val setup = conn(url)
+    setup.createStatement().execute(
+      """CREATE TABLE skewland ("k" VARCHAR(64), "v" VARCHAR(64))""")
+    setup.close()
+    val ledger = ExactlyOnceSink.Ledger(url = url, table = "skewledger")
+    val df = rows.toDF("k", "v")
+    ExactlyOnceSink.appendOnce(df, 1L, "s", "skewland", Seq("k", "v"), ledger,
+      batchSize = 64, partitions = 8)
+    ExactlyOnceSink.appendOnce(df, 1L, "s", "skewland", Seq("k", "v"), ledger,
+      batchSize = 64, partitions = 8)
+    assert(count(url, "skewland") == 512, "exactly-once under replay holds")
+  }
+
   test("checkpointed stream restart lands the one-shot batch table") {
     val url = "jdbc:derby:memory:eo3;create=true"
     val setup = conn(url)
