@@ -186,12 +186,8 @@ object DedupOps {
       } else {
         // hash-ordered prefix: sorted per-row, then sliced — no shuffle
         // before the candidate join
-        sh.select(col("id"), size(col("sh")).as("n"),
-            explode(slice(
-              array_sort(transform(col("sh"), s => struct(md5(s).as("h"), s.as("s")))),
-              lit(1), greatest(lit(0), size(col("sh")) -
-                ceil(lit(threshold) * size(col("sh"))).cast("int") + 1))).as("e"))
-          .select(col("id"), col("e.s").as("s"))
+        sh.select(col("id"),
+            explode(hashPrefixArray(col("sh"), threshold)).as("s"))
       }
     // one-pass posting-list pair expansion: a shingle appears at most
     // once per doc's prefix, so each (s, id) is unique and least/
@@ -223,6 +219,23 @@ object DedupOps {
         (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
+
+  /** The PPJoin prefix of a distinct shingle-set column under the
+    * md5 global order: the first `|sh| − ceil(t·|sh|) + 1` shingles.
+    * Any two sets with Jaccard ≥ t share an element of BOTH prefixes
+    * under any one fixed order, so indexing only prefixes is lossless
+    * for candidate generation. The md5 order is CONTENT-determined —
+    * independent of corpus composition — which is what lets an
+    * incremental pipeline persist the prefix index once and join new
+    * shards against it forever (a doc-frequency order would change as
+    * the corpus grows, invalidating stored prefixes).
+    */
+  private[graft] def hashPrefixArray(sh: Column, threshold: Double): Column =
+    transform(
+      slice(array_sort(transform(sh, s => struct(md5(s).as("h"), s.as("s")))),
+        lit(1), greatest(lit(0), size(sh) -
+          ceil(lit(threshold) * size(sh)).cast("int") + 1)),
+      e => e.getField("s"))
 
   /** All strings reachable from `p` by deleting UP TO `k` characters
     * (including `p` itself), distinct. Pure nested array expressions —

@@ -2673,7 +2673,36 @@ object Battery {
     "c1_corpus_curation",
     (s, d) => graft.ops.CorpusOps.curate(
       T.documents(s, d), "doc_id", "text"),
-    Some {
+    Some(curationOracle))
+
+  /** Incremental (cross-batch) curation
+    * ([[graft.ops.IncrementalCurateOps]]): the corpus is ingested as
+    * two ascending-id shards, each curated against the persisted state
+    * of everything before it — old text is never re-scanned — and the
+    * curated view after shard 2 must hash-equal the ONE-SHOT c1 run on
+    * the union, which is why this row shares c1's oracle verbatim.
+    */
+  private val c2Incremental = Q(
+    "c2_incremental_curation",
+    (s, d) => {
+      import graft.ops.IncrementalCurateOps
+      val docs = T.documents(s, d)
+      val stateDir = java.nio.file.Files
+        .createTempDirectory("graft_c2_state").toString
+      val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head
+      val mid = (r.getLong(0) + r.getLong(1)) / 2
+      IncrementalCurateOps.ingestShard(s, docs.where(col("doc_id") <= mid),
+        "doc_id", "text", stateDir, batchId = 0L)
+      IncrementalCurateOps.ingestShard(s, docs.where(col("doc_id") > mid),
+        "doc_id", "text", stateDir, batchId = 1L)
+      IncrementalCurateOps.curated(s, stateDir)
+    },
+    Some(curationOracle))
+
+  /** The shared one-shot curation oracle (c1 AND c2 — incremental
+    * processing must be indistinguishable from a union recompute).
+    */
+  private def curationOracle: String = {
       s"""WITH RECURSIVE
          |${langIdOracleCtes("cl")},
          |${qualityOracleCtes("cq")},
@@ -2719,7 +2748,7 @@ object Battery {
          |  CAST(pc.shard AS BIGINT) AS shard, pc.n_tok,
          |  CAST(pc.bef // 512 AS BIGINT) AS pack_id
          |FROM s2 JOIN pc USING (doc_id)""".stripMargin
-    })
+  }
 
   /** Generated DuckDB CTE chain for the language-ID kernel, shared
     * verbatim by the standalone query (x2) and the composed curation
@@ -5632,7 +5661,7 @@ object Battery {
     x19TokenChunks, x20TemperatureMixture, x21BloomDecontaminate,
     x25LmScore, x26DsirScore, x27SlidingChunks, x28PmiCollocations,
     x29LeakageSplits, x30Bm25, x31BpeTrain, x32ByteBpeCount, x33RrfFusion,
-    x34KAnonymity, c1Curation,
+    x34KAnonymity, c1Curation, c2Incremental,
     n2AnnLsh, n3EmbNearDup, n4AnnIvf, n5PqQuantize, n6KmeansFit, n7SemanticDedup,
     n8SqQuantize, n9BinaryQuantize, n10MmrRerank,
     kfPatientSlice, kfRSubjectSlice, kfSpecimenSlice, kfDrsSlice,

@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.etl.SparkTestSession
+
+/** Incremental curation contract: shard-by-shard processing is
+  * indistinguishable from a one-shot [[CorpusOps.curate]] over the
+  * union — including under batch replay and a crash-mid-shard restart —
+  * and corpus stats folded with mergeAggStates equal a union recompute.
+  */
+class IncrementalCurateSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val srcDir = "/root/testdata/sf0.001"
+
+  private def docs: DataFrame = graft.Tables.documents(spark, srcDir)
+
+  private def freshState(): String =
+    java.nio.file.Files.createTempDirectory("graft_incr_state").toString
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.orderBy("doc_id").collect().map(_.mkString("|")).toSeq
+
+  private def splitAt(mid: Long): (DataFrame, DataFrame) =
+    (docs.where(col("doc_id") <= mid), docs.where(col("doc_id") > mid))
+
+  private def midId: Long = {
+    val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head
+    (r.getLong(0) + r.getLong(1)) / 2
+  }
+
+  test("two-shard incremental curation row-equals one-shot curate on the union") {
+    val state = freshState()
+    val (a, b) = splitAt(midId)
+    IncrementalCurateOps.ingestShard(spark, a, "doc_id", "text", state, 0L)
+    IncrementalCurateOps.ingestShard(spark, b, "doc_id", "text", state, 1L)
+    val incr = IncrementalCurateOps.curated(spark, state)
+    val oneShot = CorpusOps.curate(docs, "doc_id", "text")
+    assert(incr.columns.sorted.sameElements(oneShot.columns.sorted))
+    assert(sortedRows(incr.select(oneShot.columns.map(col): _*)) ==
+      sortedRows(oneShot))
+  }
+
+  test("three ascending shards still equal the union one-shot " +
+      "(cross-shard merges of earlier clusters handled)") {
+    val state = freshState()
+    val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val cut1 = lo + (hi - lo) / 3
+    val cut2 = lo + 2 * (hi - lo) / 3
+    IncrementalCurateOps.ingestShard(spark,
+      docs.where(col("doc_id") <= cut1), "doc_id", "text", state, 0L)
+    IncrementalCurateOps.ingestShard(spark,
+      docs.where(col("doc_id") > cut1 && col("doc_id") <= cut2),
+      "doc_id", "text", state, 1L)
+    IncrementalCurateOps.ingestShard(spark,
+      docs.where(col("doc_id") > cut2), "doc_id", "text", state, 2L)
+    val incr = IncrementalCurateOps.curated(spark, state)
+    val oneShot = CorpusOps.curate(docs, "doc_id", "text")
+    assert(sortedRows(incr.select(oneShot.columns.map(col): _*)) ==
+      sortedRows(oneShot))
+  }
+
+  test("replaying a landed batch is a no-op (exactly-once by directory ledger)") {
+    val state = freshState()
+    val (a, b) = splitAt(midId)
+    IncrementalCurateOps.ingestShard(spark, a, "doc_id", "text", state, 0L)
+    IncrementalCurateOps.ingestShard(spark, b, "doc_id", "text", state, 1L)
+    val before = sortedRows(IncrementalCurateOps.curated(spark, state))
+    // replay batch 1 with DIFFERENT content — the gate is the ledger
+    // (the landed directory), not the data, same contract as
+    // ExactlyOnceSink.ledgered
+    IncrementalCurateOps.ingestShard(spark, a.limit(3), "doc_id", "text",
+      state, 1L)
+    assert(sortedRows(IncrementalCurateOps.curated(spark, state)) == before)
+  }
+
+  test("crash mid-shard: restart recomputes the batch and lands the " +
+      "same state as an uninterrupted run") {
+    val state = freshState()
+    val (a, b) = splitAt(midId)
+    IncrementalCurateOps.ingestShard(spark, a, "doc_id", "text", state, 0L)
+    IncrementalCurateOps.ingestShard(spark, b, "doc_id", "text", state, 1L)
+    // simulate the crash: batch 1 died after landing docs+prefix but
+    // before edges/stats — strip their _SUCCESS markers and corrupt the
+    // edges dir the way a killed task run leaves it
+    val fs = new Path(state).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new Path(s"$state/edges/batch=1/_SUCCESS"), false))
+    assert(fs.delete(new Path(s"$state/stats/batch=1"), true))
+    assert(!IncrementalCurateOps.batchLanded(spark, state, 1L))
+    // curated() must ignore the half-landed batch entirely
+    val partial = IncrementalCurateOps.curated(spark, state)
+    val batch0Only = {
+      val s2 = freshState()
+      IncrementalCurateOps.ingestShard(spark, a, "doc_id", "text", s2, 0L)
+      IncrementalCurateOps.curated(spark, s2)
+    }
+    assert(sortedRows(partial) == sortedRows(batch0Only),
+      "uncommitted batches must be invisible")
+    // restart the shard: recompute + overwrite, then full parity again
+    IncrementalCurateOps.ingestShard(spark, b, "doc_id", "text", state, 1L)
+    assert(IncrementalCurateOps.batchLanded(spark, state, 1L))
+    val incr = IncrementalCurateOps.curated(spark, state)
+    val oneShot = CorpusOps.curate(docs, "doc_id", "text")
+    assert(sortedRows(incr.select(oneShot.columns.map(col): _*)) ==
+      sortedRows(oneShot))
+  }
+
+  test("corpusStats folds per-batch agg states into the union recompute") {
+    val state = freshState()
+    val (a, b) = splitAt(midId)
+    IncrementalCurateOps.ingestShard(spark, a, "doc_id", "text", state, 0L)
+    IncrementalCurateOps.ingestShard(spark, b, "doc_id", "text", state, 1L)
+    val merged = IncrementalCurateOps.corpusStats(spark, state)
+      .orderBy("pred_lang").collect().map(_.mkString("|")).toSeq
+    // the direct recompute over the union's stage-1 survivors
+    val cfg = IncrementalCurateOps.CurateConfig()
+    val scored = docs.select(col("doc_id"), col("text"),
+        TextOps.langId(col("text")).as("pred_lang"),
+        TextOps.qualityScoreMillionths(col("text")).as("quality_e6"))
+      .where(col("pred_lang") === cfg.lang &&
+        col("quality_e6") >= cfg.minQualityE6)
+    val s1 = scored.join(
+      scored.groupBy(TextOps.fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val direct = s1.groupBy(col("pred_lang")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(TextOps.tokens(col("text"))).cast("long")).as("sum_tok"),
+        min(col("quality_e6")).as("min_quality_e6"),
+        max(col("quality_e6")).as("max_quality_e6"))
+      .orderBy("pred_lang").collect().map(_.mkString("|")).toSeq
+    assert(merged == direct)
+  }
+}
