@@ -392,15 +392,56 @@ object DedupOps {
     * `maxDist + 1` ∈ {1, 2, 4, 8, 16, 32, 64}.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3): DataFrame =
+    hamming64Pairs(
+      df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh")),
+      maxDist)
+
+  /** Perceptual dHash of an encoded image column
+    * ([[graft.functions.ImageDHash]]): sniff-decode (BMP/PNG/JPEG) →
+    * integer gray → 9×8 nearest resample → 64 horizontal-gradient bits.
+    * Null for undecodable bytes.
+    */
+  def imageDHash(bytes: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.ImageDHash(
+      GraftColumnBridge.expression(bytes)))
+  }
+
+  /** Image near-duplicate pairs: all pairs whose perceptual dHash
+    * fingerprints are within Hamming distance `maxDist` — byte-exact
+    * clones land at distance 0, re-encodes (PNG→JPEG) and light edits
+    * land within a small radius. Candidates come from the SAME Manku
+    * block banding as text SimHash ([[hamming64Pairs]]) — one equi-join
+    * shuffle on (block index, block value), never all-pairs — after one
+    * decode+hash pass per image (the narrow, dominant cost).
+    * Undecodable images hash to null and are excluded (they can only be
+    * deduped byte-exactly — d1).
+    */
+  def imageNearDupPairs(df: DataFrame, idCol: String, bytesCol: String,
+      maxDist: Int = 3): DataFrame =
+    hamming64Pairs(
+      df.select(col(idCol).as("id"), imageDHash(col(bytesCol)).as("sh"))
+        .where(col("sh").isNotNull),
+      maxDist)
+
+  /** Hamming-radius pair search over any 64-bit fingerprint table
+    * (id, sh) — the shared engine of [[simhashPairs]] and
+    * [[imageNearDupPairs]]. Manku block banding: `maxDist + 1`
+    * contiguous blocks; by pigeonhole two fingerprints within `maxDist`
+    * differing bits agree exactly on a whole block, so candidates are a
+    * (block_idx, block_value) equi-join and `bit_count(xor)` verifies
+    * only candidates. The fingerprint rides through the explode, so the
+    * verify needs no join back to the signature table.
+    */
+  private[graft] def hamming64Pairs(sig: DataFrame, maxDist: Int): DataFrame = {
     val nBlocks = maxDist + 1
     require(64 % nBlocks == 0, s"maxDist+1 must divide 64, got $nBlocks")
     val blockBits = 64 / nBlocks
     val mask = if (blockBits == 64) -1L else (1L << blockBits) - 1
-    val sh = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
     // A pair agreeing on several blocks surfaces once per agreement —
     // dedup AFTER the cheap Hamming filter (fewer rows to distinct).
-    val tagged = sh.select(col("id"), col("sh"),
+    val tagged = sig.select(col("id"), col("sh"),
       posexplode(array((0 until nBlocks).map(i =>
         shiftright(col("sh"), i * blockBits).bitwiseAND(lit(mask))): _*))
         .as(Seq("bi", "block")))

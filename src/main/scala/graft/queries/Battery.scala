@@ -4899,6 +4899,55 @@ object Battery {
            |  CAST(sum(3 * idx * r + (3 * idx + 1) * g + (3 * idx + 2) * b) AS BIGINT) AS wsum_rgb
            |FROM v GROUP BY doc_id""".stripMargin))
 
+  /** m11 — image near-duplicate dedup
+    * ([[graft.ops.DedupOps.imageNearDupPairs]]): perceptual dHash
+    * (decode → integer gray → 9×8 nearest resample → 64 gradient bits,
+    * [[graft.functions.ImageDHash]]) + the Manku Hamming block banding
+    * text SimHash uses. Fixture: every decade of doc ids shares ONE
+    * synthetic PNG (the 10-way clone law), so within-decade pairs land
+    * at Hamming 0 and cross-decade pairs land wherever the pixel law
+    * puts them. Every stage is integer-exact, so the oracle recomputes
+    * the dHash analytically (sample positions = the m10 resample law,
+    * grayscale = fixed-point BT.601) and takes ALL pairs within the
+    * radius — banding completeness is part of what's being checked.
+    */
+  private val m11ImageNearDup = Q(
+    "m11_image_neardup",
+    (s, d) => {
+      import s.implicits._
+      val media = T.documents(s, d)
+        .where(pmod(col("doc_id"), lit(3)) === 1)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(ids => ids.map { id =>
+          (id, graft.ops.ImageIoCodecs.syntheticPng(id - id % 10))
+        }).toDF("doc_id", "img")
+      graft.ops.DedupOps.imageNearDupPairs(media, "doc_id", "img",
+        maxDist = 3)
+    },
+    Some("""WITH a AS (SELECT doc_id, doc_id - doc_id % 10 AS base
+           |           FROM documents WHERE doc_id % 3 = 1),
+           |dims AS (SELECT doc_id, base, 4 + base % 13 AS w, 3 + base % 7 AS h FROM a),
+           |px AS (SELECT doc_id, base, w, h, unnest(range(0, 72)) AS i FROM dims),
+           |sm AS (SELECT doc_id, base, i % 9 AS x, i // 9 AS y,
+           |         ((i % 9) * w) // 9 AS sx, ((i // 9) * h) // 8 AS sy
+           |       FROM px),
+           |gr AS (SELECT doc_id, x, y,
+           |        (299 * ((base + 7 * sx + 13 * sy) % 256)
+           |       + 587 * ((3 * base + 5 * sx + sy) % 256)
+           |       + 114 * ((11 * base + sx + 2 * sy) % 256)) // 1000 AS g
+           |       FROM sm),
+           |bits AS (SELECT l.doc_id, l.x, l.y, (r.g > l.g) AS bit
+           |         FROM gr l JOIN gr r ON r.doc_id = l.doc_id
+           |           AND r.y = l.y AND r.x = l.x + 1
+           |         WHERE l.x < 8),
+           |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |        sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS hamming
+           |      FROM bits a JOIN bits b ON a.x = b.x AND a.y = b.y
+           |        AND a.doc_id < b.doc_id
+           |      GROUP BY 1, 2)
+           |SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
+           |FROM p WHERE hamming <= 3""".stripMargin))
+
   // ------------------------------------------ KF ETL end-to-end slice (§7.2)
 
   /** KF-shaped slice inputs (studies/participants/families) derived from
@@ -5649,7 +5698,7 @@ object Battery {
     d1DedupExact, x1TextStats, n1AnnTopK, m1Multimodal, m2MultimodalDecode,
     m3FrameSample, m3bImageFrames, m4WavDecode, m5BmpDecode, m6Resize,
     m6bResizeBilinear, m7VideoResize, m8AudioResample,
-    m9PngDecode, m10PngResize,
+    m9PngDecode, m10PngResize, m11ImageNearDup,
     d2MinhashBands, d2bNearDupPairs, d3Simhash, d7SimhashPairs, d4NgramJaccard,
     d5DedupClusters, d6DedupCorpus, d8DupSpans, d9DupSpanCut,
     d10EditDistance,
