@@ -16,6 +16,28 @@ object TextOps {
   /** Whitespace tokenization (token = maximal non-space run). */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** HTML → plain text ([[graft.functions.HtmlText]]): strip
+    * comments/script/style/tags, decode the named entities (`&amp;`
+    * last), collapse whitespace. The extraction front door that makes
+    * the x1–x29 text ops and [[CorpusOps.curate]] runnable on raw
+    * crawl. Narrow, codegen'd, precompiled patterns.
+    */
+  def htmlToText(html: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.HtmlText(
+      GraftColumnBridge.expression(html)))
+  }
+
+  /** Composed Catalyst twin of [[htmlToText]] — the identical
+    * replace chain as built-in `regexp_replace` steps, kept for the
+    * differential spec that pins the native kernel to public-operator
+    * semantics.
+    */
+  private[graft] def htmlToTextComposed(html: Column): Column =
+    trim(graft.functions.HtmlText.Steps.foldLeft(html) {
+      case (c, (pat, rep)) => regexp_replace(c, pat, rep)
+    })
+
   /** BPE-ish subword count: word-piece regex splits on letter/digit/other
     * boundaries — a cheap stand-in for tokenizer-aware counting.
     */

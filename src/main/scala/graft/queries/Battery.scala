@@ -888,6 +888,53 @@ object Battery {
            |  count(*) < 10 AS violates_k
            |FROM customer GROUP BY 1, 2, 3""".stripMargin))
 
+  /** x35 — HTML → text extraction ([[graft.ops.TextOps.htmlToText]],
+    * native [[graft.functions.HtmlText]]): deterministic HTML is built
+    * AROUND each document's text (comment + style + script blocks, a
+    * tag soup, and an entity gauntlet that pins the decode ORDER —
+    * `&amp;lt;` must come out as the literal text "&lt;", and entity-
+    * encoded tags must survive as text because tags strip before
+    * entities decode). The oracle builds the same markup and replays
+    * the identical regex chain, step for step. Narrow and shuffle-free:
+    * the whole query is one codegen'd projection.
+    */
+  private val x35HtmlExtract = Q(
+    "x35_html_extract",
+    (s, d) => T.documents(s, d).select(
+      col("doc_id"),
+      graft.ops.TextOps.htmlToText(concat(
+        lit("<html><!-- doc "), col("doc_id"),
+        lit(" --><head><style type=\"text/css\">p { color: red; }</style>" +
+          "<script>var x = 1 < 2 && \"</div>\";</script></head><body><h1>Doc "),
+        col("doc_id"), lit("</h1><p>"), col("text"),
+        lit("</p><div>tail &amp;lt; &lt;b&gt;bold&lt;/b&gt; &quot;q&quot;" +
+          "&nbsp;end</div></body></html>"))).as("extracted")),
+    Some("""WITH h AS (SELECT doc_id,
+           |  '<html><!-- doc ' || doc_id ||
+           |  ' --><head><style type="text/css">p { color: red; }</style>' ||
+           |  '<script>var x = 1 < 2 && "</div>";</script></head><body><h1>Doc ' ||
+           |  doc_id || '</h1><p>' || text ||
+           |  '</p><div>tail &amp;lt; &lt;b&gt;bold&lt;/b&gt; &quot;q&quot;' ||
+           |  '&nbsp;end</div></body></html>' AS html FROM documents)
+           |SELECT doc_id, trim(
+           |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           |  html,
+           |  '(?is)<!--.*?-->', ' ', 'g'),
+           |  '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+           |  '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+           |  '(?s)<[^>]*>', ' ', 'g'),
+           |  '&lt;', '<', 'g'),
+           |  '&gt;', '>', 'g'),
+           |  '&quot;', '"', 'g'),
+           |  '&apos;', '''', 'g'),
+           |  '&#39;', '''', 'g'),
+           |  '&nbsp;', ' ', 'g'),
+           |  '&amp;', '&', 'g'),
+           |  '\s+', ' ', 'g')) AS extracted
+           |FROM h""".stripMargin))
+
   /** One-pass column profile ([[graft.clean.CleanOps.columnProfile]]):
     * null/distinct/min/max per profiled column from a SINGLE aggregate
     * pass, unpivoted to one row per column — the per-batch data-quality
@@ -5710,7 +5757,7 @@ object Battery {
     x19TokenChunks, x20TemperatureMixture, x21BloomDecontaminate,
     x25LmScore, x26DsirScore, x27SlidingChunks, x28PmiCollocations,
     x29LeakageSplits, x30Bm25, x31BpeTrain, x32ByteBpeCount, x33RrfFusion,
-    x34KAnonymity, c1Curation, c2Incremental,
+    x34KAnonymity, x35HtmlExtract, c1Curation, c2Incremental,
     n2AnnLsh, n3EmbNearDup, n4AnnIvf, n5PqQuantize, n6KmeansFit, n7SemanticDedup,
     n8SqQuantize, n9BinaryQuantize, n10MmrRerank,
     kfPatientSlice, kfRSubjectSlice, kfSpecimenSlice, kfDrsSlice,
