@@ -2351,6 +2351,31 @@ object Battery {
     * RocksDB. The oracle replays the winner pick WITHOUT the delete
     * filter (tombstones surface, unlike j20's compacted snapshot).
     */
+  /** Incrementally-maintained per-window top-k on `transformWithState`
+    * ([[graft.streaming.Stateful.WindowedTopKProcessor]]): MapState
+    * holds each window's per-type counts, every micro-batch re-emits
+    * the refreshed leaderboard with a bumped version (latest-wins
+    * consumer contract) — the in-place successor to tw_windowed_topk's
+    * foreachBatch re-rank. Batch invocation emits version-1 rows equal
+    * to the batch windowedTopK — the oracle; StatefulSpec pins the
+    * cross-micro-batch refresh on RocksDB.
+    */
+  private val stWindowedTopK = Q(
+    "st_windowed_topk",
+    (s, d) => {
+      import s.implicits._
+      graft.streaming.Stateful.windowedTopKState(
+        T.events(s, d).as[graft.streaming.Stateful.Event],
+        windowMs = 15L * 60L * 1000L, k = 3).toDF()
+    },
+    Some("""WITH c AS (SELECT epoch_ms(time_bucket(INTERVAL '15 minutes', ts)) AS ws_ms,
+           |    event_type, count(*) AS n
+           |  FROM events GROUP BY 1, 2)
+           |SELECT ws_ms, ws_ms + 900000 AS we_ms,
+           |  CAST(row_number() OVER (PARTITION BY ws_ms ORDER BY n DESC, event_type) AS INT) AS rnk,
+           |  event_type, n, CAST(1 AS BIGINT) AS version
+           |FROM c QUALIFY rnk <= 3""".stripMargin))
+
   private val stCdcLatest = Q(
     "st_cdc_latest",
     (s, d) => {
@@ -5739,7 +5764,7 @@ object Battery {
     twDedupWatermark, twDedupLateBoundary, twJoinBound, twJoinBoundLeft,
     twJoinBoundFull, twJoinBoundSemi, twJoinBoundRight,
     stUserTotals, stUserTotalsV2, stTypeCounts, stLastEvents,
-    stSessionTimeout, stWarmStart, stCdcLatest,
+    stSessionTimeout, stWarmStart, stCdcLatest, stWindowedTopK,
     x23BpeTokenFreq, x24BpeCompression,
     x6SubwordCount,
     d1DedupExact, x1TextStats, n1AnnTopK, m1Multimodal, m2MultimodalDecode,

@@ -207,6 +207,80 @@ object Stateful {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** Incrementally-maintained per-window top-k leaderboard on
+    * `transformWithState` — the in-place successor to the foreachBatch
+    * re-rank of `tw_windowed_topk` (documented there as not
+    * incrementally maintainable): state is keyed by WINDOW START, a
+    * `MapState` holds that window's per-type running counts (RocksDB
+    * stores each type as its own key — an update touches one entry,
+    * never a monolithic blob), and each micro-batch emits the window's
+    * REFRESHED top-k with a bumped `version`, so a latest-wins consumer
+    * (max version per window) always holds the current leaderboard.
+    *
+    * Bounded state: per window, the map is bounded by the event-TYPE
+    * vocabulary (constant-ish), not the event count — exact top-k
+    * genuinely requires all type counts (a type outside today's top-k
+    * can climb in tomorrow), so "MapState of the full type histogram,
+    * emit k" is the smallest exact design. Window keys are bounded by
+    * retention (pair with a TTL at 100 TB).
+    *
+    * Order is total (count desc, type asc), so batch invocation — one
+    * call per window over all its rows — emits version-1 rows equal to
+    * the batch `windowedTopK`, the oracle.
+    */
+  final case class WinTypeEvent(ws_ms: Long, event_type: String)
+  final case class WindowTopK(ws_ms: Long, we_ms: Long, rnk: Int,
+      event_type: String, n: Long, version: Long)
+
+  class WindowedTopKProcessor(windowMs: Long, k: Int,
+      ttl: TTLConfig = TTLConfig.NONE)
+      extends StatefulProcessor[Long, WinTypeEvent, WindowTopK] {
+    require(k >= 1 && k <= 1000, s"k in 1..1000, got $k")
+    require(windowMs > 0, "windowMs must be positive")
+    @transient private var counts: MapState[String, Long] = _
+    @transient private var version: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      counts = getHandle.getMapState[String, Long]("type_counts",
+        Encoders.STRING, Encoders.scalaLong, ttl)
+      version = getHandle.getValueState[Long]("version",
+        Encoders.scalaLong, ttl)
+    }
+
+    override def handleInputRows(wsMs: Long, rows: Iterator[WinTypeEvent],
+        timers: TimerValues): Iterator[WindowTopK] = {
+      rows.foreach { e =>
+        val prev = if (counts.containsKey(e.event_type))
+          counts.getValue(e.event_type) else 0L
+        counts.updateValue(e.event_type, prev + 1L)
+      }
+      val v = (if (version.exists()) version.get() else 0L) + 1L
+      version.update(v)
+      val top = counts.iterator().toArray
+        .sortBy { case (t, n) => (-n, t) }
+        .take(k)
+      top.iterator.zipWithIndex.map { case ((t, n), i) =>
+        WindowTopK(wsMs, wsMs + windowMs, i + 1, t, n, v)
+      }
+    }
+  }
+
+  def windowedTopKState(events: Dataset[Event], windowMs: Long,
+      k: Int, ttl: TTLConfig = TTLConfig.NONE): Dataset[WindowTopK] = {
+    implicit val inEnc = Encoders.product[WinTypeEvent]
+    implicit val outEnc = Encoders.product[WindowTopK]
+    implicit val keyEnc = Encoders.scalaLong
+    org.apache.spark.sql.execution.streaming.state.StateStoreCoordinatorRef
+      .forDriver(org.apache.spark.SparkEnv.get,
+        events.sparkSession.sessionState.conf)
+    events
+      .map(e => WinTypeEvent(
+        Math.floorDiv(e.ts.getTime, windowMs) * windowMs, e.event_type))
+      .groupByKey(_.ws_ms)
+      .transformWithState(new WindowedTopKProcessor(windowMs, k, ttl),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Session flush driven by TIMERS — the last piece of the
     * `transformWithState` API surface (state: `st_user_totals_v2` /
     * `st_type_counts` / `st_last_events`; timers: here): accumulate a

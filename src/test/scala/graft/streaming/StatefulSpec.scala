@@ -105,6 +105,64 @@ class StatefulSpec extends AnyFunSuite {
     }
   }
 
+  test("windowed top-k: incremental MapState leaderboard across THREE " +
+      "RocksDB micro-batches; latest-wins equals batch on the union") {
+    val winMs = 15L * 60L * 1000L
+    def evW(id: Long, tsMs: Long, typ: String) =
+      Event(id, 1L, new java.sql.Timestamp(tsMs), typ, 1.0)
+    // two windows; type ranks CHANGE across batches (view leads, then
+    // click overtakes, then scroll enters) — the case a per-batch
+    // re-rank gets for free and incremental state must earn
+    val b1 = Seq(evW(1, 0, "view"), evW(2, 10, "view"), evW(3, 20, "click"),
+      evW(4, winMs + 1, "view"))
+    val b2 = Seq(evW(5, 30, "click"), evW(6, 40, "click"),
+      evW(7, winMs + 2, "scroll"), evW(8, winMs + 3, "scroll"))
+    val b3 = Seq(evW(9, 50, "scroll"), evW(10, 60, "scroll"),
+      evW(11, 70, "scroll"), evW(12, winMs + 4, "view"))
+    val all = b1 ++ b2 ++ b3
+
+    // batch invocation on the union (the oracle's shape)
+    val batch = Stateful.windowedTopKState(all.toDS(), winMs, k = 2)
+      .collect().map(r => (r.ws_ms, r.rnk) -> (r.event_type, r.n)).toMap
+
+    implicit val sq = spark.sqlContext
+    val conf = spark.conf
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = conf.get(key, "")
+    conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Event]
+    val q = Stateful.windowedTopKState(input.toDS(), winMs, k = 2)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("win_topk_out").start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      input.addData(b3: _*); q.processAllAvailable()
+      val rows = spark.table("win_topk_out")
+        .as[Stateful.WindowTopK].collect()
+      // every touched window re-emits with a bumped version: window 0
+      // was touched in all three batches
+      assert(rows.filter(_.ws_ms == 0L).map(_.version).max == 3L)
+      // latest-wins view: max version per window, then its rows
+      val latestVersion = rows.groupBy(_.ws_ms)
+        .map { case (ws, rs) => ws -> rs.map(_.version).max }
+      val latest = rows
+        .filter(r => r.version == latestVersion(r.ws_ms))
+        .map(r => (r.ws_ms, r.rnk) -> (r.event_type, r.n)).toMap
+      assert(latest == batch,
+        s"incremental leaderboard must equal the batch one:\n$latest\nvs\n$batch")
+      // and the final window-0 leaderboard reflects the overtakes:
+      // scroll 3 > click 3? counts: view 2, click 3, scroll 3 ->
+      // (click, 3) rank 1 by type tie-break, (scroll, 3) rank 2
+      assert(latest((0L, 1)) == ("click", 3L) &&
+        latest((0L, 2)) == ("scroll", 3L))
+    } finally {
+      q.stop()
+      if (prev.isEmpty) conf.unset(key) else conf.set(key, prev)
+    }
+  }
+
   test("state accumulates across micro-batches, update-mode emits per batch") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[Event]
