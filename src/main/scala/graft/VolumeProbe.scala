@@ -152,7 +152,28 @@ object VolumeProbe {
     "st_cdc_latest", "x34_k_anonymity", "p9_column_profile",
     "j21_table_diff", "j22_incremental_agg",
     "a19_auc", "a20_pr_thresholds",
-    "g19_personalized_pagerank", "a21_hll_intersect")
+    "g19_personalized_pagerank", "a21_hll_intersect",
+    "x31_bpe_train", "tw_windowed_topk", "st_windowed_topk",
+    "m9_png_decode", "m10_png_resize", "x35_html_extract")
+  // Round-13 wave. x31 (custom): replication multiplies every word
+  // frequency — hence every pair count — by exactly `factor`, so the
+  // argmax + deterministic tie-break picks the SAME merge each round:
+  // the whole learned merge TABLE must be identical with cnt ×factor
+  // (the trajectory-invariance law). tw/st_windowed_topk (custom): the
+  // ts-offset rule shifts replicas by whole multiples of the window
+  // length, so every clone window reproduces its base window's
+  // leaderboard VERBATIM — each base (window-mod-shift, rank, type,
+  // count) row appears exactly `factor` times with the IDENTICAL
+  // count (per-window counts are replica-closed, NOT ×factor) — and
+  // the st twin additionally runs the MapState processor at 10× the
+  // window keys. m9/m10 (custom): the channel-sum law — expected
+  // width/height/channel statistics recomputed INDEPENDENTLY in
+  // Catalyst from the analytic pixel law (sequence + integer
+  // arithmetic — no codec code path), joined per asset; zero
+  // mismatches proves the ImageIO decode (and the resize round trip)
+  // exact at 10× the images. x35 (custom): clone markup differs only
+  // in the embedded doc id, so stripping the 'Doc N' token must make
+  // every clone's extraction byte-equal its base's via id % offset.
   // g19 (custom): replicas are disjoint isomorphic graphs with the
   // same %500 seed derivation (500 | ModLcm), so every clone node's
   // integer PPR equals its base node's — checked on the UNLIMITED
@@ -417,6 +438,52 @@ object VolumeProbe {
       edges, "src", "dst", seeds, "node", iters = 3)
   }
 
+  private val TsShiftMs: Long = TsShiftDays * 86400000L
+
+  /** Independent Catalyst recomputation of m9's closed-form channel
+    * statistics (the analytic pixel law over a sequence explode — no
+    * codec code path touches this), for the volume-probe join.
+    */
+  private def m9ExpectedStats(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .where(expr("doc_id % 3 = 1"))
+      .select(col("doc_id").as("asset_id"),
+        expr("int(4 + doc_id % 13)").as("e_w"),
+        expr("int(3 + doc_id % 7)").as("e_h"))
+      .select(col("asset_id"), col("e_w"), col("e_h"),
+        explode(expr("sequence(0L, cast(e_w * e_h - 1 as long))")).as("i"))
+      .select(col("asset_id"), col("e_w"), col("e_h"), col("i"),
+        expr("i % e_w").as("x"), expr("i div e_w").as("y"))
+      .select(col("asset_id"), col("e_w"), col("e_h"), col("i"),
+        expr("(asset_id + 7 * x + 13 * y) % 256").as("r"),
+        expr("(3 * asset_id + 5 * x + y) % 256").as("g"),
+        expr("(11 * asset_id + x + 2 * y) % 256").as("b"))
+      .groupBy("asset_id", "e_w", "e_h")
+      .agg(sum("r").as("e_sr"), sum("g").as("e_sg"), sum("b").as("e_sb"),
+        sum(expr("i * r")).as("e_wr"))
+
+  /** m10's twin: the 8×5 nearest-resample sampling law composed with
+    * the pixel law, recomputed independently in Catalyst.
+    */
+  private def m10ExpectedStats(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .where(expr("doc_id % 3 = 1"))
+      .select(col("doc_id").as("asset_id"),
+        expr("int(4 + doc_id % 13)").as("w0"),
+        expr("int(3 + doc_id % 7)").as("h0"))
+      .select(col("asset_id"), col("w0"), col("h0"),
+        explode(expr("sequence(0L, 39L)")).as("i"))
+      .select(col("asset_id"), col("i"),
+        expr("((i % 8) * w0) div 8").as("sx"),
+        expr("((i div 8) * h0) div 5").as("sy"))
+      .select(col("asset_id"), col("i"),
+        expr("(asset_id + 7 * sx + 13 * sy) % 256").as("r"),
+        expr("(3 * asset_id + 5 * sx + sy) % 256").as("g"),
+        expr("(11 * asset_id + sx + 2 * sy) % 256").as("b"))
+      .groupBy("asset_id")
+      .agg(sum(expr("r + g + b")).as("e_sum"),
+        sum(expr("3 * i * r + (3 * i + 1) * g + (3 * i + 2) * b")).as("e_wsum"))
+
   def main(args: Array[String]): Unit = {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outDir = args.lift(1).getOrElse("/tmp/graft_volume_probe")
@@ -562,6 +629,21 @@ object VolumeProbe {
             // big side only (they must hold at EVERY volume)
             fn(spark, srcDir).collect()
               .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+          }
+          else if (name == "x31_bpe_train") Right {
+            fn(spark, srcDir).collect().map(r =>
+              (s"${r.getLong(0)}|${r.getString(1)}|${r.getString(2)}",
+                r.getLong(3))).toSeq
+          }
+          else if (name == "tw_windowed_topk") Right {
+            fn(spark, srcDir).collect().map(r =>
+              (s"${Math.floorMod(r.getTimestamp(0).getTime, TsShiftMs)}|" +
+                s"${r.getInt(2)}|${r.getString(3)}", r.getLong(4))).toSeq
+          }
+          else if (name == "st_windowed_topk") Right {
+            fn(spark, srcDir).collect().map(r =>
+              (s"${Math.floorMod(r.getLong(0), TsShiftMs)}|" +
+                s"${r.getInt(2)}|${r.getString(3)}", r.getLong(4))).toSeq
           }
           else Right(Seq(("", fn(spark, srcDir).count())))
         } catch { case e: Throwable => Left(e.toString.take(200)) }
@@ -807,6 +889,66 @@ object VolumeProbe {
                 factor.toLong * (factor - 1) / 2 * nDocs
               Right((n, b, s"pair-closed-form f2*base+C(f,2)*N=$expect",
                 n == expect))
+            } else if (name == "x31_bpe_train") {
+              val big = fn(spark, outDir).collect().map(r =>
+                (s"${r.getLong(0)}|${r.getString(1)}|${r.getString(2)}",
+                  r.getLong(3))).toSeq
+              val ok = big == base.map { case (k0, n0) => (k0, n0 * factor) }
+              Right((big.length.toLong, base.length.toLong,
+                "merge-trajectory-invariant x" + factor, ok))
+            } else if (name == "tw_windowed_topk" || name == "st_windowed_topk") {
+              val big = (if (name == "tw_windowed_topk")
+                  fn(spark, outDir).collect().map(r =>
+                    (s"${Math.floorMod(r.getTimestamp(0).getTime, TsShiftMs)}|" +
+                      s"${r.getInt(2)}|${r.getString(3)}", r.getLong(4)))
+                else
+                  fn(spark, outDir).collect().map(r =>
+                    (s"${Math.floorMod(r.getLong(0), TsShiftMs)}|" +
+                      s"${r.getInt(2)}|${r.getString(3)}", r.getLong(4)))).toSeq
+              // clone windows are replica-CLOSED: each base (window,
+              // rank, type) row recurs exactly `factor` times with the
+              // IDENTICAL count (not ×factor)
+              val counts = big.groupBy(identity).view.mapValues(_.size).toMap
+              val ok = big.length == base.length * factor &&
+                counts.size == base.length &&
+                base.forall(kv => counts.getOrElse(kv, 0) == factor)
+              Right((big.length.toLong, base.length.toLong,
+                "replica-closed-leaderboard x" + factor, ok))
+            } else if (name == "m9_png_decode") {
+              val df = fn(spark, outDir)
+              val bad = df.join(m9ExpectedStats(spark, outDir), "asset_id")
+                .where(col("width") =!= col("e_w") ||
+                  col("height") =!= col("e_h") ||
+                  col("sum_r") =!= col("e_sr") ||
+                  col("sum_g") =!= col("e_sg") ||
+                  col("sum_b") =!= col("e_sb") ||
+                  col("wsum_r") =!= col("e_wr")).count()
+              val n = df.count()
+              Right((n, base.head._2, "closed-form-channel-sums x" + factor,
+                n == base.head._2 * factor && bad == 0L))
+            } else if (name == "m10_png_resize") {
+              val df = fn(spark, outDir)
+              val bad = df.join(m10ExpectedStats(spark, outDir), "asset_id")
+                .where(col("width") =!= 8 || col("height") =!= 5 ||
+                  col("fmt") =!= "png" ||
+                  col("sum_rgb") =!= col("e_sum") ||
+                  col("wsum_rgb") =!= col("e_wsum")).count()
+              val n = df.count()
+              Right((n, base.head._2, "closed-form-resample-sums x" + factor,
+                n == base.head._2 * factor && bad == 0L))
+            } else if (name == "x35_html_extract") {
+              def strip(c: org.apache.spark.sql.Column) =
+                regexp_replace(c, "^Doc [0-9]+ ", "")
+              val big = fn(spark, outDir).select(
+                pmod(col("doc_id"), lit(offset)).as("bid"),
+                strip(col("extracted")).as("body"))
+              val bse = fn(spark, srcDir).select(col("doc_id").as("bid"),
+                strip(col("extracted")).as("bbody"))
+              val n = big.count()
+              val bad = big.join(bse, "bid")
+                .where(col("body") =!= col("bbody")).count()
+              Right((n, base.head._2, "clone-extraction-identity x" + factor,
+                n == base.head._2 * factor && bad == 0L))
             } else {
               val n = fn(spark, outDir).count()
               val b = base.head._2
