@@ -8,7 +8,93 @@ import org.apache.spark.sql.SparkSession
   * the work for map-only queries).
   */
 object Bench {
+
+  /** Query-family key: the leading letters of the first name segment
+    * ("d10_edit…" → "d", "kf_full…" → "kf", "a18b_…" → "a").
+    */
+  private def family(name: String): String = {
+    val head = name.split("_").head
+    val letters = head.takeWhile(!_.isDigit)
+    if (letters.isEmpty) head else letters
+  }
+
+  /** SPARK_GRAFT_BENCH_FORK=1: run every query family in its OWN fresh
+    * JVM (a child Bench with SPARK_GRAFT_BENCH_ONLY set), then merge
+    * the children's records into one line of the normal shape. One
+    * shared JVM accumulates JIT/GC/codegen-cache state across ~180
+    * queries, so late families inherit whatever the early ones left
+    * behind; forking makes every family's measurement start from the
+    * same cold-ish JVM at the cost of one Spark session startup per
+    * family. Use it to CALIBRATE the shared-JVM record, not replace it
+    * (the shared record is the cheaper per-round signal once the fork
+    * mode has shown how much cross-family state moves it).
+    */
+  private def runForked(): Unit = {
+    import scala.jdk.CollectionConverters._
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val families = SparkEntry.queries.keys.toSeq
+      .filter(n => only.forall(_.contains(n)))
+      .groupBy(family).toSeq.sortBy(_._1)
+    val javaBin = new java.io.File(
+      new java.io.File(sys.props("java.home"), "bin"), "java").getAbsolutePath
+    // the parent's own JVM args (sbt's add-opens + heap) are valid for
+    // the children verbatim
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala.toSeq
+    val cp = sys.props("java.class.path")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val merged = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val spreads = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var total = 0.0
+    var totalNorm = 0.0
+    for ((fam, names) <- families) {
+      val out = java.nio.file.Files.createTempFile(s"bench_fork_$fam", ".json")
+      val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")).asJava
+      val pb = new ProcessBuilder(cmd)
+      pb.environment().remove("SPARK_GRAFT_BENCH_FORK")
+      pb.environment().put("SPARK_GRAFT_BENCH_ONLY", names.sorted.mkString(","))
+      pb.environment().put("SPARK_GRAFT_BENCH_OUT", out.toString)
+      pb.redirectOutput(ProcessBuilder.Redirect.INHERIT)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val exit = pb.start().waitFor()
+      if (exit != 0 || !java.nio.file.Files.exists(out) ||
+          java.nio.file.Files.size(out) == 0) {
+        errors(s"family:$fam") = s"fork exited $exit"
+      } else {
+        val rec = mapper.readTree(java.nio.file.Files.readString(out))
+        rec.get("queries").properties().asScala
+          .foreach(e => merged(e.getKey) = e.getValue.toString)
+        rec.get("spreads").properties().asScala
+          .foreach(e => spreads(e.getKey) = e.getValue.toString)
+        rec.get("errors").properties().asScala
+          .foreach(e => errors(e.getKey) = e.getValue.asText())
+        total += rec.get("total_s").asDouble()
+        totalNorm += rec.get("total_normalized_s").asDouble()
+      }
+    }
+    def num(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
+    def obj(m: scala.collection.Map[String, String], quoted: Boolean): String =
+      m.map { case (k, v) =>
+        "\"" + k + "\":" + (if (quoted) "\"" + v + "\"" else v)
+      }.mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","mode":"forked","forked_families":${families.size},"queries":${obj(merged, quoted = false)},"spreads":${obj(spreads, quoted = false)},"errors":${obj(errors, quoted = true)},"sf":"$sfDir","total_s":${num(total)},"total_normalized_s":${num(totalNorm)},"n_errors":${errors.size}}"""
+    println(line)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_FORKED_OUT", "bench_forked_last.json")),
+      (line + "\n").getBytes("UTF-8"))
+    catch {
+      case e: Exception => System.err.println(s"[bench] could not write forked record: $e")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (sys.env.get("SPARK_GRAFT_BENCH_FORK").contains("1")) { runForked(); return }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

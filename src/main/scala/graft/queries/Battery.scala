@@ -1011,6 +1011,24 @@ object Battery {
            |  min(o_totalprice) AS lo, max(o_totalprice) AS hi
            |FROM b GROUP BY 1, 2""".stripMargin))
 
+  /** a18b — the 100 TB equi-depth form, driver-checked
+    * ([[graft.relational.RelationalOps.equiDepthBinsApproxLaw]]): the
+    * sketch-boundary binning's rank-error envelope as a hashable
+    * verdict (the a17 pattern) — exact per-group totals, the bin
+    * count, and a boolean that every bin population sits within
+    * 2·N/accuracy + rounding of the ideal N/nBins split. The oracle
+    * pins the exact totals and expects the verdicts true; a broken
+    * sketch (wrong ε, bad merge) flips a boolean and fails loudly.
+    */
+  private val a18bEquiDepthApprox = Q(
+    "a18b_equidepth_approx",
+    (s, d) => graft.relational.RelationalOps.equiDepthBinsApproxLaw(
+      T.orders(s, d), Seq("o_orderstatus"), "o_totalprice",
+      nBins = 10, accuracy = 10000),
+    Some("""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS total,
+           |  CAST(10 AS BIGINT) AS n_bins, TRUE AS within_envelope
+           |FROM orders GROUP BY 1""".stripMargin))
+
   /** Tie-aware ROC-AUC per order priority
     * ([[graft.ops.EvalOps.aucByGroup]]): does total price separate
     * F-status orders? — the Mann–Whitney U in doubled integer counts,
@@ -5757,7 +5775,8 @@ object Battery {
     g9SessionPaths, g10Streaks, g11Ewma,
     g12Interpolate, g13Cooccurrence, g14Twap, g15PeakConcurrency,
     g16IntervalUnion, g17BfsHops, g18Attribution,
-    a16MadOutliers, a17HllRollup, a18EquiDepthBins, a19Auc, a20PrThresholds,
+    a16MadOutliers, a17HllRollup, a18EquiDepthBins, a18bEquiDepthApprox,
+    a19Auc, a20PrThresholds,
     a21HllIntersect, g19PersonalizedPagerank,
     fScalar, f5Cast, f9MapExplode, f12Json, f13ArrayOps,
     twTumbling, twWindowedTopK, twSliding, twSession, twChainedWindows,

@@ -999,6 +999,32 @@ object RelationalOps {
         min(col(s"`$valueCol`")).as("lo"), max(col(s"`$valueCol`")).as("hi"))
   }
 
+  /** Driver-checkable LAW wrapper for [[equiDepthBinsApprox]] — the
+    * a17 verdict-boolean pattern: raw approx-bin populations are
+    * sketch-content-dependent (partial-merge order can perturb a
+    * boundary by a hair), so the oracle-hashable output is the exact
+    * per-group total, the bin count, and a boolean asserting every bin
+    * population sits inside the RANK-ERROR ENVELOPE: each interior
+    * boundary carries rank error ≤ N/accuracy, so a bin's population
+    * can deviate from N/nBins by at most its two boundaries' errors —
+    * 2·N/accuracy — plus the rounding of the ideal split. A sketch
+    * regression (wrong ε, broken merge) flips the boolean and fails
+    * the hash compare loudly. Meaningful only for low-tie value
+    * columns (ties at a boundary legitimately skew populations).
+    */
+  def equiDepthBinsApproxLaw(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, nBins: Int, accuracy: Int = 10000): DataFrame = {
+    val bins = equiDepthBinsApprox(df, groupCols, valueCol, nBins, accuracy)
+    val g = bins.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("n")).as("total"), count(lit(1)).as("n_bins"),
+        max(col("n")).as("__maxn"), min(col("n")).as("__minn"))
+    val ideal = col("total").cast("double") / nBins
+    val slack = lit(2.0) * col("total").cast("double") / accuracy + lit(2.0)
+    g.select(groupCols.map(col) :+ col("total") :+ col("n_bins") :+
+      (greatest(col("__maxn") - ideal, ideal - col("__minn")) <= slack)
+        .as("within_envelope"): _*)
+  }
+
   /** Snapshot diff: reconcile two versions of a keyed table into
     * `added` / `removed` / `changed` rows, with the list of changed
     * columns — the data-ops reconciliation operator (did the backfill
