@@ -154,7 +154,20 @@ object VolumeProbe {
     "a19_auc", "a20_pr_thresholds",
     "g19_personalized_pagerank", "a21_hll_intersect",
     "x31_bpe_train", "tw_windowed_topk", "st_windowed_topk",
-    "m9_png_decode", "m10_png_resize", "x35_html_extract")
+    "m9_png_decode", "m10_png_resize", "x35_html_extract",
+    "c2_incremental_curation", "m11_image_neardup")
+  // c2 (default dedup-invariant law, with c1): replicas are
+  // byte-identical text, so the exact-dedup stage of the INCREMENTAL
+  // path also collapses every clone set to its replica-0 member and
+  // two-shard incremental curation of N copies returns exactly the 1×
+  // curation — while exercising the shard-ingest state machinery
+  // (prefix-index join, cross-shard edges, batch directories) at 10×
+  // the corpus. m11 (custom): each replica derives DIFFERENT images
+  // (the pixel law reads the shifted id), so only replica 0 is
+  // comparable: pairs entirely inside replica 0 must equal the base
+  // pair set exactly (same images ⇒ same dHashes ⇒ same banding),
+  // cross-replica pairs are legitimate extra near-dups the 1× run
+  // cannot see.
   // Round-13 wave. x31 (custom): replication multiplies every word
   // frequency — hence every pair count — by exactly `factor`, so the
   // argmax + deterministic tie-break picks the SAME merge each round:
@@ -949,6 +962,17 @@ object VolumeProbe {
                 .where(col("body") =!= col("bbody")).count()
               Right((n, base.head._2, "clone-extraction-identity x" + factor,
                 n == base.head._2 * factor && bad == 0L))
+            } else if (name == "m11_image_neardup") {
+              val big = fn(spark, outDir)
+              val n = big.count()
+              val basePairs = fn(spark, srcDir).select("doc_a", "doc_b")
+                .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+              val rep0 = big
+                .where(col("doc_a") < offset && col("doc_b") < offset)
+                .select("doc_a", "doc_b")
+                .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+              Right((n, basePairs.size.toLong, "replica0-pair-identity",
+                rep0 == basePairs && n >= basePairs.size))
             } else {
               val n = fn(spark, outDir).count()
               val b = base.head._2
@@ -965,13 +989,15 @@ object VolumeProbe {
               // min-id (replica-0) member and curating N copies of a
               // corpus must return exactly the 1× curation
               val ok = name match {
-                case "x14_domain_cap" | "c1_corpus_curation" => n == b
+                case "x14_domain_cap" | "c1_corpus_curation"
+                   | "c2_incremental_curation" => n == b
                 case d if d.startsWith("d") => n >= b
                 case _ => n == b * factor
               }
               val mode = name match {
                 case "x14_domain_cap" => "cap-invariant"
-                case "c1_corpus_curation" => "dedup-invariant"
+                case "c1_corpus_curation"
+                   | "c2_incremental_curation" => "dedup-invariant"
                 case d if d.startsWith("d") => "lower-bound"
                 case _ => "exact x" + factor
               }
