@@ -423,10 +423,14 @@ object CorpusOps {
     * stages 5–6 ride ONE shard shuffle (redaction is narrow and the
     * packing window carries its hash via `carry`, so no corpus-sized
     * post-join). Nothing is quadratic in the corpus and every join is
-    * an equi-join. The survivor frame is recomputed per consumer
-    * rather than cached — the same measured trade as the KF pipeline
-    * (Pipeline.scala:73-81): the kernels are narrow and pipelined,
-    * while caching would materialize a corpus-sized intermediate.
+    * an equi-join. The stage-3 survivor frame feeds THREE consumers
+    * whose lineage includes the gate kernels and the fingerprint
+    * semi-join (the pair generator, the CC node set, and the packing
+    * input), so it is pinned once with a LAZY `RDD.localCheckpoint`
+    * (cleaner-managed — no unreleased cache; the x17/x19 shape) rather
+    * than recomputed per consumer: one materialization of the
+    * gate-survivor rows beats re-running the fingerprint shuffle three
+    * times at any scale.
     */
   def curate(docs: DataFrame, idCol: String, textCol: String,
       lang: String = "en", minQualityE6: Long = 550000L,
@@ -441,7 +445,9 @@ object CorpusOps {
       .groupBy(TextOps.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as(idCol))
       .select(idCol)
-    val s1 = scored.join(exactKeep, Seq(idCol), "left_semi")
+    val s1Plan = scored.join(exactKeep, Seq(idCol), "left_semi")
+    val s1 = docs.sparkSession.createDataFrame(
+      s1Plan.rdd.localCheckpoint(), s1Plan.schema)
     val pairs = DedupOps.ngramJaccardPairs(
       s1, idCol, textCol, shingleN, jaccardThreshold)
     val reps = DedupOps.connectedComponents(

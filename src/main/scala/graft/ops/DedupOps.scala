@@ -155,18 +155,26 @@ object DedupOps {
     * the d10 one-pass shape) instead of a posting-list self-join, so
     * the shingle stage has no self-join consumers and needs NO in-path
     * persist (the previous form leaked one cached copy per call in a
-    * long-lived session — no release path existed). The three remaining
-    * reads of `sh` (the inverted index and the two column-pruned verify
-    * fetches) recompute the narrow codegen'd shingle expression.
+    * long-lived session — no release path existed). The shingle-set
+    * frame still feeds FOUR plan subtrees (the inverted index twice —
+    * dfreq + prefix — and the two verify fetches), and `df` may carry
+    * arbitrary upstream lineage (curate's gate kernels + dedup
+    * semi-join), so it is pinned with a LAZY `RDD.localCheckpoint` —
+    * one materialization instead of four recomputes of the upstream
+    * shuffles, with the ContextCleaner releasing the blocks when the
+    * RDD is collected (the x17/x19 lineage-pin shape; the standing
+    * PersistGuardSpec exempts cleaner-managed checkpoints).
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5,
       orderByDocFreq: Boolean = true): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
     import org.apache.spark.sql.expressions.Window
-    val sh = df.select(col(idCol).as("id"),
+    val shPlan = df.select(col(idCol).as("id"),
         array_distinct(TextOps.shingles(col(textCol), shingleN)).as("sh"))
       .where(size(col("sh")) > 0)
+    val sh = df.sparkSession.createDataFrame(
+      shPlan.rdd.localCheckpoint(), shPlan.schema)
     val prefLen = col("n") - ceil(lit(threshold) * col("n")).cast("int") + 1
     val prefix =
       if (orderByDocFreq) {
