@@ -168,13 +168,24 @@ object DedupOps {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5,
       orderByDocFreq: Boolean = true): DataFrame = {
-    require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
-    import org.apache.spark.sql.expressions.Window
     val shPlan = df.select(col(idCol).as("id"),
         array_distinct(TextOps.shingles(col(textCol), shingleN)).as("sh"))
       .where(size(col("sh")) > 0)
-    val sh = df.sparkSession.createDataFrame(
-      shPlan.rdd.localCheckpoint(), shPlan.schema)
+    ngramJaccardPairsFromSets(df.sparkSession.createDataFrame(
+      shPlan.rdd.localCheckpoint(), shPlan.schema), threshold, orderByDocFreq)
+  }
+
+  /** [[ngramJaccardPairs]] over an ALREADY-materialized distinct
+    * shingle-set table (id, sh) — for callers that hold the sets in a
+    * persisted/landed frame (the incremental curation path) and must
+    * not pay a second pin of the same data. The caller owns the input's
+    * lifecycle; rows with empty sets are ignored.
+    */
+  private[graft] def ngramJaccardPairsFromSets(sets: DataFrame,
+      threshold: Double, orderByDocFreq: Boolean = true): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val sh = sets.where(size(col("sh")) > 0)
     val prefLen = col("n") - ceil(lit(threshold) * col("n")).cast("int") + 1
     val prefix =
       if (orderByDocFreq) {

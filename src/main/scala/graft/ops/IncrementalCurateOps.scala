@@ -147,57 +147,66 @@ object IncrementalCurateOps {
       case None => withinNew
     }
 
+    // Every downstream consumer (four landed tables + both edge legs)
+    // derives from this one frame, whose lineage includes the gate
+    // kernels and the fingerprint semi-join — persist it for the
+    // duration of the shard's EAGER writes and release before
+    // returning (the contaminationHitsBloom owner-release shape: this
+    // method has a real owner scope, unlike the lazy query paths).
     val docsNew = s1New.select(col("doc_id"), col("pred_lang"),
       col("quality_e6"),
       size(TextOps.tokens(col("text"))).cast("long").as("n_tok"),
       md5(CorpusOps.redactPii(col("text"))).as("red_md5"),
       col("fp"),
       array_distinct(TextOps.shingles(col("text"), cfg.shingleN)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // near-dup edges gained by this shard: new/new over the persisted
+      // sets, new/old via the persisted prefix index — old text is
+      // never re-shingled; only the stored sets of candidate ids ship
+      val newNew = DedupOps.ngramJaccardPairsFromSets(
+          docsNew.select(col("doc_id").as("id"), col("sh")),
+          cfg.jaccardThreshold)
+        .select(col("doc_a"), col("doc_b"))
+      val newOld = readState(spark, stateDir, "docs", Some(batchId)) match {
+        case Some(old) =>
+          val oldPrefix = readState(spark, stateDir, "prefix", Some(batchId)).get
+          val newPrefix = docsNew.select(col("doc_id"),
+            explode(DedupOps.hashPrefixArray(col("sh"), cfg.jaccardThreshold)).as("s"))
+          val cand = newPrefix
+            .join(oldPrefix.select(col("s"), col("doc_id").as("old_id")), Seq("s"))
+            .select(col("doc_id").as("new_id"), col("old_id")).distinct()
+          cand
+            .join(docsNew.select(col("doc_id").as("new_id"), col("sh").as("sa")),
+              Seq("new_id"))
+            .join(old.select(col("doc_id").as("old_id"), col("sh").as("sb")),
+              Seq("old_id"))
+            .select(col("new_id"), col("old_id"),
+              size(array_intersect(col("sa"), col("sb"))).as("c"),
+              size(col("sa")).as("na"), size(col("sb")).as("nb"))
+            .where(col("c").cast("double") / (col("na") + col("nb") - col("c"))
+              >= cfg.jaccardThreshold)
+            .select(least(col("new_id"), col("old_id")).as("doc_a"),
+              greatest(col("new_id"), col("old_id")).as("doc_b"))
+        case None => newNew.limit(0)
+      }
 
-    // near-dup edges gained by this shard: new/new via the standalone
-    // self-join op, new/old via the persisted prefix index — old text
-    // is never re-shingled; only the stored sets of candidate ids ship
-    val newNew = DedupOps.ngramJaccardPairs(
-        s1New, "doc_id", "text", cfg.shingleN, cfg.jaccardThreshold)
-      .select(col("doc_a"), col("doc_b"))
-    val newOld = readState(spark, stateDir, "docs", Some(batchId)) match {
-      case Some(old) =>
-        val oldPrefix = readState(spark, stateDir, "prefix", Some(batchId)).get
-        val newPrefix = docsNew.select(col("doc_id"),
-          explode(DedupOps.hashPrefixArray(col("sh"), cfg.jaccardThreshold)).as("s"))
-        val cand = newPrefix
-          .join(oldPrefix.select(col("s"), col("doc_id").as("old_id")), Seq("s"))
-          .select(col("doc_id").as("new_id"), col("old_id")).distinct()
-        cand
-          .join(docsNew.select(col("doc_id").as("new_id"), col("sh").as("sa")),
-            Seq("new_id"))
-          .join(old.select(col("doc_id").as("old_id"), col("sh").as("sb")),
-            Seq("old_id"))
-          .select(col("new_id"), col("old_id"),
-            size(array_intersect(col("sa"), col("sb"))).as("c"),
-            size(col("sa")).as("na"), size(col("sb")).as("nb"))
-          .where(col("c").cast("double") / (col("na") + col("nb") - col("c"))
-            >= cfg.jaccardThreshold)
-          .select(least(col("new_id"), col("old_id")).as("doc_a"),
-            greatest(col("new_id"), col("old_id")).as("doc_b"))
-      case None => newNew.limit(0)
-    }
+      val statsNew = docsNew.groupBy(col("pred_lang")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("sum_tok"),
+        min(col("quality_e6")).as("min_quality_e6"),
+        max(col("quality_e6")).as("max_quality_e6"))
 
-    val statsNew = docsNew.groupBy(col("pred_lang")).agg(
-      count(lit(1)).as("n_docs"),
-      sum(col("n_tok")).as("sum_tok"),
-      min(col("quality_e6")).as("min_quality_e6"),
-      max(col("quality_e6")).as("max_quality_e6"))
-
-    def land(df: DataFrame, table: String): Unit =
-      df.write.mode(SaveMode.Overwrite)
-        .parquet(s"$stateDir/$table/batch=$batchId")
-    land(docsNew, "docs")
-    land(docsNew.select(col("doc_id"),
-      explode(DedupOps.hashPrefixArray(col("sh"), cfg.jaccardThreshold)).as("s"))
-      .select(col("s"), col("doc_id")), "prefix")
-    land(newNew.unionAll(newOld), "edges")
-    land(statsNew, "stats")
+      def land(df: DataFrame, table: String): Unit =
+        df.write.mode(SaveMode.Overwrite)
+          .parquet(s"$stateDir/$table/batch=$batchId")
+      land(docsNew, "docs")
+      land(docsNew.select(col("doc_id"),
+        explode(DedupOps.hashPrefixArray(col("sh"), cfg.jaccardThreshold)).as("s"))
+        .select(col("s"), col("doc_id")), "prefix")
+      land(newNew.unionAll(newOld), "edges")
+      land(statsNew, "stats")
+    } finally docsNew.unpersist(blocking = false)
   }
 
   /** The curated corpus after every landed batch: near-dup
