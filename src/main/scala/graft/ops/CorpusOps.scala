@@ -445,9 +445,10 @@ object CorpusOps {
       .groupBy(TextOps.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as(idCol))
       .select(idCol)
-    val s1Plan = scored.join(exactKeep, Seq(idCol), "left_semi")
-    val s1 = docs.sparkSession.createDataFrame(
-      s1Plan.rdd.localCheckpoint(), s1Plan.schema)
+    // lazy Dataset-level checkpoint: cleaner-managed, no Row-encoder
+    // boundary (see ngramJaccardPairs)
+    val s1 = scored.join(exactKeep, Seq(idCol), "left_semi")
+      .localCheckpoint(false)
     val pairs = DedupOps.ngramJaccardPairs(
       s1, idCol, textCol, shingleN, jaccardThreshold)
     val reps = DedupOps.connectedComponents(

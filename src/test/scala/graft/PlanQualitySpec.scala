@@ -820,4 +820,41 @@ class PlanQualitySpec extends AnyFunSuite {
         l.contains("partial_hllsketchagg") || l.contains("partial_hll_sketch_agg")),
       s"sketches must partial-aggregate map-side:\n$p")
   }
+
+  test("image near-dup is a banded HashAggregate pipeline — no pair " +
+      "self-join, never a product") {
+    val p = plan("m11_image_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"Hamming banding must stay an equi-shaped pipeline:\n$p")
+    // the one-pass bucket-collect shape: candidates come from a
+    // (block, value) hash aggregate, not a join of the signature table
+    // with itself
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      s"bucket collect must be a hash aggregate:\n$p")
+  }
+
+  test("HTML extraction is a pure narrow map (zero exchanges, codegen'd)") {
+    val p = plan("x35_html_extract")
+    val exchanges = p.linesIterator.count(_.matches(".*[+:]- Exchange .*"))
+    assert(exchanges == 0, s"expected a shuffle-free projection:\n$p")
+    assert(p.contains("codegen id"), s"codegen lost:\n$p")
+  }
+
+  test("near-dup pair search (minhash bands) has no signature self-join " +
+      "and never a product") {
+    val p = plan("d2b_neardup_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"banded candidates + verify fetches are equi-joins only:\n$p")
+  }
+
+  test("approx equi-depth law: boundaries from ONE partial-aggregated " +
+      "pass, bins via broadcast of the nBins-sized boundary table") {
+    val p = plan("a18b_equidepth_approx")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"no product:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the groups-sized boundary table must broadcast:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("partial_percentile_approx")),
+      s"the sketch must partial-aggregate map-side:\n$p")
+  }
 }
