@@ -14,6 +14,53 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
+  /** Per-row ceiling for in-row bucket pair expansion
+    * ([[bucketPairs]]): buckets up to this size expand their pairs
+    * inside one row (fastest — zero extra operators); larger buckets
+    * switch to a streamed two-stage explode whose per-row memory is
+    * O(bucket), not O(bucket²). 4096 members ≈ 8.4M pair structs ≈
+    * low hundreds of MB in one row — the practical task ceiling; a
+    * corpus following the documented curation order (exact dedup
+    * first) stays orders of magnitude below it.
+    */
+  private[graft] val InRowPairCap = 4096
+
+  /** All unordered member pairs of every bucket row — the shared pair
+    * expansion of [[nearDupPairs]], [[ngramJaccardPairsFromSets]] and
+    * [[editDistanceCandidates]]. Input: a frame with an array column
+    * `m` (each row one bucket's collected members, size ≥ 2); output:
+    * columns (x, y), one row per index pair i < j.
+    *
+    * The enforcement the one-pass bucket-collect shape needs: buckets
+    * ≤ `cap` expand in-row (one nested transform, no extra shuffle);
+    * buckets > `cap` — a hot band bucket or prefix shingle in
+    * clone-heavy input that skipped the upstream exact-dedup pass —
+    * take a two-stage explode (posexplode the member index, then
+    * explode that member's tail slice), whose peak per-row footprint
+    * is ONE member list, so a million-member bucket streams through
+    * the generators instead of materializing O(m²) structs in a single
+    * row and killing the executor. Both shapes emit the identical pair
+    * set; the union's big branch is empty (and its subtree filtered
+    * out at runtime) on every sane corpus.
+    */
+  private[graft] def bucketPairs(buckets: DataFrame,
+      cap: Int = InRowPairCap): DataFrame = {
+    require(cap >= 2, s"cap must be >= 2, got $cap")
+    val small = buckets.where(size(col("m")) <= cap)
+      .select(explode(flatten(
+        transform(col("m"), (x, i) =>
+          transform(
+            slice(col("m"), i + lit(2), size(col("m")) - i - lit(1)),
+            y => struct(x.as("x"), y.as("y")))))).as("pr"))
+    val big = buckets.where(size(col("m")) > cap)
+      .select(col("m"), posexplode(col("m")).as(Seq("i", "x")))
+      .select(col("x"), explode(
+        slice(col("m"), col("i") + lit(2), size(col("m")) - col("i") - lit(1)))
+        .as("y"))
+      .select(struct(col("x"), col("y")).as("pr"))
+    small.unionAll(big).select(col("pr.x").as("x"), col("pr.y").as("y"))
+  }
+
   /** Exact dedup key (see also [[TextOps.fingerprint]]). */
   def contentHash(text: Column): Column = md5(text)
 
@@ -88,10 +135,11 @@ object DedupOps {
     * shingle arrays (narrow codegen'd work, no minhash): Catalyst
     * prunes `sig`/band columns out of the `sets` subtree entirely.
     *
-    * Skew contract: a bucket's member list materializes in one row, so
-    * the local quadratic is bounded by the largest clone family — the
-    * same bound the self-join had for its hot keys; cap giant families
-    * upstream with exact dedup first (the documented curation order).
+    * Skew contract: a bucket's member list materializes in one row;
+    * buckets up to [[InRowPairCap]] expand their pairs in-row, larger
+    * ones stream through [[bucketPairs]]' two-stage explode with O(m)
+    * per-row memory — so a pathological clone family degrades to a
+    * slower streamed expansion instead of an executor OOM.
     */
   def nearDupPairs(bandsIn: DataFrame, nBands: Int, threshold: Double): DataFrame = {
     val exploded = bandsIn.select(col("id"),
@@ -102,16 +150,13 @@ object DedupOps {
     val buckets = exploded.groupBy(col("bi"), col("bucket"))
       .agg(collect_list(col("id")).as("m"))
       .where(size(col("m")) > 1)
-    // in-bucket pair expansion; a doc appears at most once per
-    // (band, bucket), so least/greatest only canonicalizes pair order
+    // in-bucket pair expansion ([[bucketPairs]] — in-row up to the cap,
+    // streamed beyond it); a doc appears at most once per (band,
+    // bucket), so least/greatest only canonicalizes pair order
     // (collect_list order is nondeterministic under task retries)
-    val cand = buckets.select(explode(flatten(
-        transform(col("m"), (x, i) =>
-          transform(
-            slice(col("m"), i + lit(2), size(col("m")) - i - lit(1)),
-            y => struct(least(x, y).as("doc_a"),
-              greatest(x, y).as("doc_b")))))).as("pr"))
-      .select(col("pr.doc_a").as("doc_a"), col("pr.doc_b").as("doc_b"))
+    val cand = bucketPairs(buckets.select(col("m")))
+      .select(least(col("x"), col("y")).as("doc_a"),
+        greatest(col("x"), col("y")).as("doc_b"))
       .distinct()
     val sets = bandsIn.select(col("id"), col("shingle_set"))
     cand
@@ -219,21 +264,18 @@ object DedupOps {
     // at the 10× clone-corpus probe (d6 188 s vs 1 944 s, x29 261 s vs
     // 1 242 s): the self-join shuffles the index twice and re-sorts
     // both sides per key, while this shape pays ONE hash aggregate and
-    // expands in place. The trade is peak row size O(m²) on the
-    // hottest list — acceptable because df-ordering keeps surviving
-    // posting lists short on natural corpora, and clone-heavy corpora
-    // are capped upstream by exact dedup first (the documented
-    // curation order, which c1/c2 follow).
-    val cand = prefix.select(col("s"), col("id"))
-      .groupBy(col("s")).agg(collect_list(col("id")).as("m"))
-      .where(size(col("m")) > 1)
-      .select(explode(flatten(
-        transform(col("m"), (x, i) =>
-          transform(
-            slice(col("m"), i + lit(2), size(col("m")) - i - lit(1)),
-            y => struct(least(x, y).as("doc_a"),
-              greatest(x, y).as("doc_b")))))).as("pr"))
-      .select(col("pr.doc_a").as("doc_a"), col("pr.doc_b").as("doc_b"))
+    // expands in place. In-row expansion is bounded at
+    // [[InRowPairCap]] members; a hotter posting list (clone-heavy
+    // input that skipped the upstream exact-dedup pass) streams
+    // through [[bucketPairs]]' two-stage explode with O(m) per-row
+    // memory instead of relying on callers following the documented
+    // curation order.
+    val cand = bucketPairs(prefix.select(col("s"), col("id"))
+        .groupBy(col("s")).agg(collect_list(col("id")).as("m"))
+        .where(size(col("m")) > 1)
+        .select(col("m")))
+      .select(least(col("x"), col("y")).as("doc_a"),
+        greatest(col("x"), col("y")).as("doc_b"))
       .distinct()
     cand
       .join(sh.select(col("id").as("doc_a"), col("sh").as("sa")), Seq("doc_a"))
@@ -334,12 +376,12 @@ object DedupOps {
     * this one-pass form measured 18.0 → 4.4 s cold at sf0.1 and needs
     * no cache at all.)
     *
-    * Skew contract: a bucket's member list materializes in one row, so
-    * the local quadratic is bounded by the largest clone family —
-    * exactly the bound the old self-join had for its hot keys, minus
-    * its spill path; a corpus where one 40-char prefix repeats
-    * millions of times needs the family capped upstream (d1 exact
-    * dedup first — the documented curation order).
+    * Skew contract: a bucket's member list materializes in one row;
+    * buckets up to [[InRowPairCap]] expand in-row, larger ones (a
+    * 40-char prefix repeated millions of times) stream through
+    * [[bucketPairs]]' two-stage explode with O(m) per-row memory —
+    * still locally quadratic in work (that is the math of the input),
+    * but never quadratic in a single row's footprint.
     */
   private[graft] def editDistanceCandidates(base: DataFrame,
       maxDist: Int): DataFrame = {
@@ -353,22 +395,14 @@ object DedupOps {
     val buckets = sigs.groupBy(col("h"))
       .agg(collect_list(struct(col("id"), col("plen"))).as("m"))
       .where(size(col("m")) > 1)
-    // in-bucket pair expansion: for member i, pair with every member
-    // after it; same id twice in one bucket (two deletions reaching
-    // the same variant) self-pairs and is filtered
-    val pairs = buckets.select(explode(flatten(
-      transform(col("m"), (x, i) =>
-        transform(
-          slice(col("m"), i + lit(2), size(col("m")) - i - lit(1)),
-          y => struct(
-            least(x.getField("id"), y.getField("id")).as("doc_a"),
-            greatest(x.getField("id"), y.getField("id")).as("doc_b"),
-            x.getField("plen").as("la"),
-            y.getField("plen").as("lb")))))).as("pr"))
-    pairs
-      .where(col("pr.doc_a") =!= col("pr.doc_b") &&
-        abs(col("pr.la") - col("pr.lb")) <= maxDist)
-      .select(col("pr.doc_a").as("doc_a"), col("pr.doc_b").as("doc_b"))
+    // in-bucket pair expansion ([[bucketPairs]]): for member i, pair
+    // with every member after it; same id twice in one bucket (two
+    // deletions reaching the same variant) self-pairs and is filtered
+    bucketPairs(buckets.select(col("m")))
+      .where(col("x.id") =!= col("y.id") &&
+        abs(col("x.plen") - col("y.plen")) <= maxDist)
+      .select(least(col("x.id"), col("y.id")).as("doc_a"),
+        greatest(col("x.id"), col("y.id")).as("doc_b"))
       .distinct()
   }
 

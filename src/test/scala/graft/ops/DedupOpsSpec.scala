@@ -48,6 +48,32 @@ class DedupOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketPairs: streamed big-bucket path emits the identical pair " +
+      "set as the in-row path (the oversized-bucket enforcement)") {
+    // buckets straddling any cap: sizes 2, 3, 5, 50
+    val buckets = Seq(
+      Seq("a", "b"),
+      Seq("c", "d", "e"),
+      Seq("p1", "p2", "p3", "p4", "p5"),
+      (1 to 50).map(i => f"z$i%02d"))
+    val df = buckets.toDF("m")
+    def pairs(cap: Int): Set[(String, String)] =
+      DedupOps.bucketPairs(df, cap).collect()
+        .map(r => (r.getString(0), r.getString(1)))
+        .map { case (x, y) => if (x < y) (x, y) else (y, x) }.toSet
+    val expected = buckets.flatMap(m =>
+      for (i <- m.indices; j <- i + 1 until m.size)
+        yield (m(i), m(j))).map { case (x, y) =>
+      if (x < y) (x, y) else (y, x) }.toSet
+    // cap=2 forces every bucket but the first through the streamed
+    // shape; a huge cap keeps everything in-row; both equal brute force
+    assert(pairs(2) == expected)
+    assert(pairs(1000000) == expected)
+    // pair COUNT is exact too (no dup/loss across the union branches)
+    assert(DedupOps.bucketPairs(df, 2).count() ==
+      buckets.map(m => m.size.toLong * (m.size - 1) / 2).sum)
+  }
+
   test("simhashPairs banding loses no pair vs brute force, for several maxDist") {
     // 1/4 exact dups (Hamming 0, must always surface); 2 a one-token
     // variant of 1 (small but fingerprint-dependent distance); 3
