@@ -52,6 +52,25 @@ object ExactlyOnceSink {
 
   private def q(c: String) = "\"" + c + "\""
 
+  /** Version of the deterministic row→partition assignment
+    * [[appendOnce]] uses. Partition-level skip is only sound when a
+    * replayed batch reproduces every partition byte-for-byte, so the
+    * assignment function is part of the ledger's correctness contract:
+    * a batch partially committed under one scheme and resumed under
+    * another would double-write some rows and drop others. Every
+    * per-partition ledger row records the scheme it was written under,
+    * and [[appendOnce]] REFUSES to resume a batch whose existing rows
+    * carry a different version — resolve by draining/rolling back the
+    * partial batch under the old build, never by mixing schemes.
+    *
+    * History: 1 = separator-joined `concat_ws` hash (collision- and
+    * skew-prone); 2 = multi-arg `xxhash64` over the columns
+    * (boundary-aware, uniform). Ledgers created before versioning
+    * migrate with scheme 0 ("unknown"), which conservatively conflicts
+    * with everything.
+    */
+  private[sinks] val PartitionSchemeVersion = 2
+
   def defaultConnect(l: Ledger): Connection = {
     l.driverClass.foreach(Class.forName)
     DriverManager.getConnection(l.url, l.user, l.password)
@@ -62,7 +81,8 @@ object ExactlyOnceSink {
     * adds the partition_id PK component used by [[appendOnce]].
     */
   def ensureLedger(conn: Connection, table: String, perPartition: Boolean): Unit = {
-    val pidCol = if (perPartition) s"${q("partition_id")} INT NOT NULL, " else ""
+    val pidCol = if (perPartition)
+      s"${q("partition_id")} INT NOT NULL, ${q("scheme")} INT NOT NULL, " else ""
     val pidPk = if (perPartition) s", ${q("partition_id")}" else ""
     val ddl =
       s"CREATE TABLE $table (${q("sink_id")} VARCHAR(128) NOT NULL, " +
@@ -81,6 +101,24 @@ object ExactlyOnceSink {
           try st.executeQuery(s"SELECT count(*) FROM $table WHERE 1=0").close()
           finally st.close()
         } catch { case _: SQLException => throw e }
+        // pre-versioning per-partition ledgers lack the scheme column:
+        // migrate with DEFAULT 0 ("unknown scheme"), which conflicts
+        // with every current scheme — a partial batch written by an
+        // old build is refused, not silently mixed
+        if (perPartition) {
+          try {
+            val st = conn.createStatement()
+            try st.executeQuery(
+              s"SELECT ${q("scheme")} FROM $table WHERE 1=0").close()
+            finally st.close()
+          } catch {
+            case _: SQLException =>
+              val st = conn.createStatement()
+              try st.execute(s"ALTER TABLE $table ADD COLUMN " +
+                s"${q("scheme")} INT NOT NULL DEFAULT 0")
+              finally st.close()
+          }
+        }
     }
   }
 
@@ -100,16 +138,43 @@ object ExactlyOnceSink {
   private def ledgerInsert(conn: Connection, table: String, sinkId: String,
       batchId: Long, pid: Option[Int]): Unit = {
     val (cols, binds) = pid match {
-      case Some(_) => (s"${q("sink_id")}, ${q("batch_id")}, ${q("partition_id")}, ${q("applied_at")}",
-        "?, ?, ?, CURRENT_TIMESTAMP")
+      case Some(_) => (s"${q("sink_id")}, ${q("batch_id")}, ${q("partition_id")}, " +
+        s"${q("scheme")}, ${q("applied_at")}",
+        "?, ?, ?, ?, CURRENT_TIMESTAMP")
       case None => (s"${q("sink_id")}, ${q("batch_id")}, ${q("applied_at")}",
         "?, ?, CURRENT_TIMESTAMP")
     }
     val ps = conn.prepareStatement(s"INSERT INTO $table ($cols) VALUES ($binds)")
     try {
       ps.setString(1, sinkId); ps.setLong(2, batchId)
-      pid.foreach(p => ps.setInt(3, p))
+      pid.foreach { p => ps.setInt(3, p); ps.setInt(4, PartitionSchemeVersion) }
       ps.executeUpdate()
+    } finally ps.close()
+  }
+
+  /** Refuse to resume a batch whose committed partitions were written
+    * under a DIFFERENT partitioning scheme — their pid→rows assignment
+    * no longer matches this build's, so skipping them would drop rows
+    * and re-writing them would duplicate (the upgrade-across-a-partial-
+    * commit hazard [[PartitionSchemeVersion]] documents).
+    */
+  private def requireSchemeCompatible(conn: Connection, table: String,
+      sinkId: String, batchId: Long): Unit = {
+    val ps = conn.prepareStatement(
+      s"SELECT ${q("scheme")} FROM $table WHERE ${q("sink_id")} = ? AND " +
+        s"${q("batch_id")} = ? AND ${q("scheme")} <> ?")
+    try {
+      ps.setString(1, sinkId); ps.setLong(2, batchId)
+      ps.setInt(3, PartitionSchemeVersion)
+      val rs = ps.executeQuery()
+      try {
+        if (rs.next()) throw new IllegalStateException(
+          s"batch $batchId of sink '$sinkId' is partially committed under " +
+            s"partitioning scheme ${rs.getInt(1)}, but this build writes " +
+            s"scheme $PartitionSchemeVersion; resuming would double-write " +
+            "or drop rows. Finish or roll back the batch with the build " +
+            "that started it.")
+      } finally rs.close()
     } finally ps.close()
   }
 
@@ -165,6 +230,7 @@ object ExactlyOnceSink {
     try {
       c0.setAutoCommit(true)
       ensureLedger(c0, ledgerTable, perPartition = true)
+      requireSchemeCompatible(c0, ledgerTable, sinkId, batchId)
     } finally c0.close()
     df.select(cols.map(col): _*)
       // deterministic pid->rows: hash the row content into a FIXED

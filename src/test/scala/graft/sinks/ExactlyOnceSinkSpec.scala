@@ -115,6 +115,41 @@ class ExactlyOnceSinkSpec extends AnyFunSuite {
     assert(count(url, "skewland") == 512, "exactly-once under replay holds")
   }
 
+  test("appendOnce refuses to resume a batch partially committed under " +
+      "a different partitioning scheme") {
+    import spark.implicits._
+    val url = "jdbc:derby:memory:eo5;create=true"
+    val setup = conn(url)
+    setup.createStatement().execute(
+      """CREATE TABLE schland ("k" VARCHAR(64), "v" VARCHAR(64))""")
+    setup.close()
+    val ledger = ExactlyOnceSink.Ledger(url = url, table = "schledger")
+    val df = Seq(("a", "1"), ("b", "2"), ("c", "3")).toDF("k", "v")
+    // land batch 0 normally — creates the ledger under the current scheme
+    ExactlyOnceSink.appendOnce(df, 0L, "s", "schland", Seq("k", "v"), ledger,
+      partitions = 4)
+    assert(count(url, "schland") == 3)
+    // simulate a partial commit of batch 1 by an OLDER build: one
+    // partition-ledger row under a foreign scheme version
+    val c = conn(url)
+    try c.createStatement().execute(
+      """INSERT INTO schledger ("sink_id", "batch_id", "partition_id", """ +
+        """"scheme", "applied_at") VALUES ('s', 1, 0, 1, CURRENT_TIMESTAMP)""")
+    finally c.close()
+    val e = intercept[IllegalStateException] {
+      ExactlyOnceSink.appendOnce(df, 1L, "s", "schland", Seq("k", "v"),
+        ledger, partitions = 4)
+    }
+    assert(e.getMessage.contains("partitioning scheme"))
+    assert(count(url, "schland") == 3, "the refused batch wrote nothing")
+    // an untouched NEW batch id still lands, and replay skips it
+    ExactlyOnceSink.appendOnce(df, 2L, "s", "schland", Seq("k", "v"), ledger,
+      partitions = 4)
+    ExactlyOnceSink.appendOnce(df, 2L, "s", "schland", Seq("k", "v"), ledger,
+      partitions = 4)
+    assert(count(url, "schland") == 6)
+  }
+
   test("checkpointed stream restart lands the one-shot batch table") {
     val url = "jdbc:derby:memory:eo3;create=true"
     val setup = conn(url)
