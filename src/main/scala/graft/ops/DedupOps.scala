@@ -39,26 +39,39 @@ object DedupOps {
     * explode that member's tail slice), whose peak per-row footprint
     * is ONE member list, so a million-member bucket streams through
     * the generators instead of materializing O(m²) structs in a single
-    * row and killing the executor. Both shapes emit the identical pair
-    * set; the union's big branch is empty (and its subtree filtered
-    * out at runtime) on every sane corpus.
+    * row and killing the executor.
+    *
+    * Both shapes live in ONE Generate chain over a single consumption
+    * of `buckets`: stage 1 explodes a per-bucket index list — the
+    * sentinel `[-1]` for in-row buckets, `[0 .. m-2]` for streamed
+    * ones — and stage 2 expands either ALL pairs (sentinel) or member
+    * i's tail. The earlier small/big `unionAll` consumed the frame
+    * twice, duplicating the caller's expensive bucket-aggregate
+    * subtree (groupBy + collect_list + its Exchange) in the physical
+    * plan; AQE exchange reuse hid the cost at sf0.1 but the second
+    * final aggregate still re-read the full shuffle output for a
+    * branch that is empty on every sane corpus.
     */
   private[graft] def bucketPairs(buckets: DataFrame,
       cap: Int = InRowPairCap): DataFrame = {
     require(cap >= 2, s"cap must be >= 2, got $cap")
-    val small = buckets.where(size(col("m")) <= cap)
-      .select(explode(flatten(
-        transform(col("m"), (x, i) =>
+    // stage 1: one sentinel row per in-row bucket, one row per
+    // non-final member of a streamed bucket (size > cap >= 2 there, so
+    // sequence() never runs start > stop and flips descending)
+    val staged = buckets.select(col("m"), explode(
+      when(size(col("m")) <= cap, array(lit(-1)))
+        .otherwise(sequence(lit(0), size(col("m")) - 2))).as("i"))
+    staged.select(explode(
+      when(col("i") === -1,
+        flatten(transform(col("m"), (x, i) =>
           transform(
             slice(col("m"), i + lit(2), size(col("m")) - i - lit(1)),
-            y => struct(x.as("x"), y.as("y")))))).as("pr"))
-    val big = buckets.where(size(col("m")) > cap)
-      .select(col("m"), posexplode(col("m")).as(Seq("i", "x")))
-      .select(col("x"), explode(
-        slice(col("m"), col("i") + lit(2), size(col("m")) - col("i") - lit(1)))
-        .as("y"))
-      .select(struct(col("x"), col("y")).as("pr"))
-    small.unionAll(big).select(col("pr.x").as("x"), col("pr.y").as("y"))
+            y => struct(x.as("x"), y.as("y"))))))
+        .otherwise(transform(
+          slice(col("m"), col("i") + lit(2), size(col("m")) - col("i") - lit(1)),
+          y => struct(element_at(col("m"), col("i") + 1).as("x"),
+            y.as("y"))))).as("pr"))
+      .select(col("pr.x").as("x"), col("pr.y").as("y"))
   }
 
   /** Exact dedup key (see also [[TextOps.fingerprint]]). */
