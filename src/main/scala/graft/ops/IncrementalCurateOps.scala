@@ -4,8 +4,6 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.relational.RelationalOps
-
 /** Incremental (cross-batch) corpus curation — the production shape of
   * [[CorpusOps.curate]]: a corpus that grows by shards, where each new
   * shard is curated against everything ingested so far WITHOUT
@@ -31,9 +29,21 @@ import graft.relational.RelationalOps
   *  - `edges`  — verified near-dup pairs (Jaccard ≥ t). Old∕old edges
   *               never change (Jaccard is a function of the two docs
   *               alone), so each batch appends only new∕new + new∕old.
+  *  - `clusters` — the NON-TRIVIAL rows of the corpus-wide cluster map
+  *               after this batch (doc_id → component-min cluster,
+  *               rows where cluster ≠ doc_id only — singletons, the
+  *               overwhelming majority, are implicit). Maintained
+  *               incrementally: each batch runs connected components
+  *               over the CONDENSED graph (this batch's edges with
+  *               endpoints remapped through the previous snapshot's
+  *               reps) — O(new edges), never O(corpus edge history) —
+  *               then composes the result onto the previous snapshot
+  *               with one broadcast join. [[curated]] reads the latest
+  *               snapshot instead of re-running CC over the full
+  *               accumulated edge set.
   *  - `stats`  — per-batch aggregate STATE (count/sum/min/max by
-  *               pred_lang), folded with [[RelationalOps.mergeAggStates]]
-  *               so corpus totals never rescan anything.
+  *               pred_lang), re-aggregated in one pass so corpus totals
+  *               never rescan anything.
   *
   * == Exactly-once ==
   *
@@ -76,7 +86,7 @@ object IncrementalCurateOps {
       minQualityE6: Long = 550000L, shingleN: Int = 3,
       jaccardThreshold: Double = 0.5, budget: Int = 512, shards: Int = 8)
 
-  private val Tables = Seq("docs", "prefix", "edges", "stats")
+  private val Tables = Seq("docs", "prefix", "edges", "clusters", "stats")
 
   /** True iff every state table has a committed `batch=k` directory. */
   def batchLanded(spark: SparkSession, stateDir: String, batchId: Long): Boolean = {
@@ -90,22 +100,26 @@ object IncrementalCurateOps {
     * crash between two table writes expose docs without their edges
     * (silently un-deduplicated survivors). The all-or-nothing check is
     * what makes the per-table overwrites compose into an atomic batch.
+    *
+    * ONE `globStatus` round-trip per table (constant in batch count) —
+    * the earlier per-batch `fs.exists` probe was O(batches × tables)
+    * driver-side RPCs, which on an object store dominates a
+    * many-thousand-batch corpus's planning time.
     */
   private def landedBatchIds(spark: SparkSession, stateDir: String,
       below: Option[Long]): Seq[Long] = {
-    val dir = new Path(s"$stateDir/${Tables.head}")
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir)) return Nil
-    fs.listStatus(dir).toSeq
-      .filter(_.isDirectory)
-      .flatMap { st =>
-        val name = st.getPath.getName
-        if (!name.startsWith("batch=")) None
-        else scala.util.Try(name.stripPrefix("batch=").toLong).toOption
-      }
-      .filter(k => below.forall(k < _))
-      .filter(k => batchLanded(spark, stateDir, k))
-      .sorted
+    val conf = spark.sparkContext.hadoopConfiguration
+    val perTable = Tables.map { t =>
+      val glob = new Path(s"$stateDir/$t/batch=*/_SUCCESS")
+      val found = glob.getFileSystem(conf).globStatus(glob)
+      if (found == null) Set.empty[Long]
+      else found.toSeq.flatMap { st =>
+        scala.util.Try(
+          st.getPath.getParent.getName.stripPrefix("batch=").toLong).toOption
+      }.toSet
+    }
+    perTable.reduce(_ intersect _).toSeq
+      .filter(k => below.forall(k < _)).sorted
   }
 
   private def readState(spark: SparkSession, stateDir: String,
@@ -125,6 +139,17 @@ object IncrementalCurateOps {
       textCol: String, stateDir: String, batchId: Long,
       cfg: CurateConfig = CurateConfig()): Unit = {
     if (batchLanded(spark, stateDir, batchId)) return
+    // enforce the documented in-order ingestion precondition LOUDLY: a
+    // replay that arrives after a later batch already landed would
+    // silently miss the cross-batch near-dup edges between this batch
+    // and the later one (the later batch's new/old pass ran against a
+    // state that did not contain these docs), so curated() would
+    // diverge from the one-shot union without ever erroring
+    val landedSoFar = landedBatchIds(spark, stateDir, None)
+    require(landedSoFar.forall(_ < batchId),
+      s"out-of-order ingest: batch $batchId arrived after batch(es) " +
+        s"${landedSoFar.filter(_ > batchId).mkString(",")} already " +
+        "landed; batches must be ingested in ascending id order")
 
     val scored = newDocs.select(col(idCol).as("doc_id"),
         col(textCol).as("text"),
@@ -205,46 +230,107 @@ object IncrementalCurateOps {
         explode(DedupOps.hashPrefixArray(col("sh"), cfg.jaccardThreshold)).as("s"))
         .select(col("s"), col("doc_id")), "prefix")
       land(newNew.unionAll(newOld), "edges")
+
+      // incrementally-maintained cluster map: fold THIS batch's edges
+      // (read back from the just-landed parquet — the cheapest
+      // materialization of the two-legged edge lineage) into the
+      // previous snapshot. CC runs over the CONDENSED graph — edge
+      // endpoints remapped through the previous snapshot's reps — so
+      // its input is O(this batch's edges), never the accumulated edge
+      // history; the compose step is one broadcast join of the
+      // shard-sized condensed labels against the (non-singleton-only)
+      // previous map. Remap correctness: prev reps are their clusters'
+      // global min ids, so the condensed component's min IS the merged
+      // component's min, and labels stay canonical by induction.
+      val edgesK = spark.read.parquet(s"$stateDir/edges/batch=$batchId")
+      val newIds = docsNew.select(col("doc_id"))
+      val prevSnap = landedBatchIds(spark, stateDir, Some(batchId)).lastOption
+        .map(k => spark.read.parquet(s"$stateDir/clusters/batch=$k"))
+      val snapshot = prevSnap match {
+        case None =>
+          DedupOps.connectedComponents(newIds, "doc_id", edgesK, "doc_a", "doc_b")
+            .where(col("cluster") =!= col("doc_id"))
+        case Some(prev) =>
+          // non-trivial rows only: an id absent from the map is its own
+          // rep, which coalesce() supplies on both remap legs
+          val condensed = edgesK
+            .join(prev.select(col("doc_id").as("doc_a"), col("cluster").as("ca")),
+              Seq("doc_a"), "left")
+            .join(prev.select(col("doc_id").as("doc_b"), col("cluster").as("cb")),
+              Seq("doc_b"), "left")
+            .select(coalesce(col("ca"), col("doc_a")).as("doc_a"),
+              coalesce(col("cb"), col("doc_b")).as("doc_b"))
+            .where(col("doc_a") =!= col("doc_b"))
+          val condNodes = newIds
+            .unionAll(condensed.select(col("doc_a").as("doc_id")))
+            .unionAll(condensed.select(col("doc_b").as("doc_id")))
+            .distinct()
+          val cond = DedupOps.connectedComponents(
+              condNodes, "doc_id", condensed, "doc_a", "doc_b")
+            .select(col("doc_id").as("rep"), col("cluster").as("new_cluster"))
+          // prev members follow their rep's move; touched reps (old or
+          // new ids — disjoint from prev's member ids) gain a row iff
+          // they stopped being their own min
+          val remapped = prev
+            .join(cond, prev("cluster") === cond("rep"), "left")
+            .select(prev("doc_id"),
+              coalesce(col("new_cluster"), prev("cluster")).as("cluster"))
+          remapped.unionAll(cond.where(col("new_cluster") =!= col("rep"))
+            .select(col("rep").as("doc_id"), col("new_cluster").as("cluster")))
+      }
+      land(snapshot, "clusters")
       land(statsNew, "stats")
     } finally docsNew.unpersist(blocking = false)
   }
 
-  /** The curated corpus after every landed batch: near-dup
-    * connected-components representatives with their token-budget pack
-    * assignment — the same output shape (and bytes) as one-shot
-    * [[CorpusOps.curate]] over the union. Reads state METADATA only:
-    * parquet column pruning drops `sh`, edges are pair-sized, and the
-    * pack window runs per shard key, never globally.
+  /** The curated corpus after every landed batch: near-dup cluster
+    * representatives with their token-budget pack assignment — the same
+    * output shape (and bytes) as one-shot [[CorpusOps.curate]] over the
+    * union. Reads state METADATA only: parquet column pruning drops
+    * `sh`, the cluster map holds non-singleton rows only, and the pack
+    * window runs per shard key, never globally. No connected-components
+    * run happens here at all — the map was folded incrementally at each
+    * [[ingestShard]], so this is O(docs metadata) regardless of how
+    * many batches of edge history have accumulated (the pre-r15 shape
+    * re-ran CC over the FULL edge set per call, the one recompute that
+    * grew with corpus history).
     */
   def curated(spark: SparkSession, stateDir: String,
       cfg: CurateConfig = CurateConfig()): DataFrame = {
-    val docs = readState(spark, stateDir, "docs").getOrElse(
-      throw new IllegalStateException(s"no landed batches under $stateDir"))
+    val landed = landedBatchIds(spark, stateDir, None)
+    if (landed.isEmpty)
+      throw new IllegalStateException(s"no landed batches under $stateDir")
+    val docs = spark.read
+      .parquet(landed.map(k => s"$stateDir/docs/batch=$k"): _*)
       .select("doc_id", "pred_lang", "quality_e6", "n_tok", "red_md5")
-    val edges = readState(spark, stateDir, "edges").get
-    val reps = DedupOps.connectedComponents(
-        docs.select(col("doc_id")), "doc_id", edges, "doc_a", "doc_b")
-      .where(col("doc_id") === col("cluster"))
+    // reps = docs minus the snapshot's non-trivial assignments (a doc
+    // absent from the map is its own cluster min)
+    val nonReps = spark.read
+      .parquet(s"$stateDir/clusters/batch=${landed.max}")
       .select("doc_id")
-    val s2 = docs.join(reps, Seq("doc_id"), "left_semi")
+    val s2 = docs.join(nonReps, Seq("doc_id"), "left_anti")
     CorpusOps.packSequences(s2, "doc_id", "__unused_text",
       cfg.budget, cfg.shards,
       carry = Seq(col("pred_lang"), col("quality_e6"), col("red_md5")),
       tokenCount = Some(col("n_tok")))
   }
 
-  /** Corpus-level aggregate stats by language, folded across batches
-    * with [[RelationalOps.mergeAggStates]] — bit-equal to a recompute
-    * over the union (counts/sums add, extrema combine; batches are
-    * disjoint doc sets).
+  /** Corpus-level aggregate stats by language — ONE union read of every
+    * batch's agg state and ONE re-aggregate (counts/sums add, extrema
+    * combine; batches are disjoint doc sets), equal to a recompute over
+    * the union. The earlier pairwise
+    * [[graft.relational.RelationalOps.mergeAggStates]] reduce chain computed the same values but built an O(batches)-deep
+    * plan of full-outer joins — at thousands of batches that is an
+    * analyzer/optimizer blowup, not a data cost.
     */
   def corpusStats(spark: SparkSession, stateDir: String): DataFrame = {
-    val parts = landedBatchIds(spark, stateDir, None)
-      .map(k => spark.read.parquet(s"$stateDir/stats/batch=$k"))
-    require(parts.nonEmpty, s"no landed batches under $stateDir")
-    parts.reduce((base, delta) => RelationalOps.mergeAggStates(
-      base, delta, keys = Seq("pred_lang"),
-      countCols = Seq("n_docs"), sumCols = Seq("sum_tok"),
-      minCols = Seq("min_quality_e6"), maxCols = Seq("max_quality_e6")))
+    val landed = landedBatchIds(spark, stateDir, None)
+    require(landed.nonEmpty, s"no landed batches under $stateDir")
+    spark.read.parquet(landed.map(k => s"$stateDir/stats/batch=$k"): _*)
+      .groupBy(col("pred_lang")).agg(
+        sum(col("n_docs")).cast("long").as("n_docs"),
+        sum(col("sum_tok")).cast("long").as("sum_tok"),
+        min(col("min_quality_e6")).as("min_quality_e6"),
+        max(col("max_quality_e6")).as("max_quality_e6"))
   }
 }

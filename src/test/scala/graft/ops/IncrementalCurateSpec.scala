@@ -111,6 +111,79 @@ class IncrementalCurateSpec extends AnyFunSuite {
       sortedRows(oneShot))
   }
 
+  test("out-of-order ingest fails loudly instead of silently losing " +
+      "cross-batch edges") {
+    val state = freshState()
+    val (a, b) = splitAt(midId)
+    IncrementalCurateOps.ingestShard(spark, a, "doc_id", "text", state, 0L)
+    IncrementalCurateOps.ingestShard(spark, b, "doc_id", "text", state, 2L)
+    // batch 1 arriving after batch 2 landed: its docs were never seen
+    // by batch 2's new/old pass, so edges between them would be missing
+    val e = intercept[IllegalArgumentException] {
+      IncrementalCurateOps.ingestShard(spark, a.limit(3), "doc_id", "text",
+        state, 1L)
+    }
+    assert(e.getMessage.contains("out-of-order"))
+    // replaying an already-LANDED batch is still the idempotent no-op,
+    // not an ordering error
+    IncrementalCurateOps.ingestShard(spark, b.limit(3), "doc_id", "text",
+      state, 2L)
+  }
+
+  test("incremental cluster map equals a full CC recompute across 3 " +
+      "batches, including a new doc merging two clusters from DIFFERENT " +
+      "earlier batches") {
+    import spark.implicits._
+    // two shingle-disjoint families: A-docs interleave the en-unique
+    // stopword "the", B-docs interleave "and" — every 3-shingle contains
+    // a family-unique token, so J(A,B)=0; the bridge doc is A's tokens
+    // followed by B's, sharing ~half its shingles with each side
+    // (>= 0.4, < 0.5 — hence the lowered threshold)
+    def weave(prefix: String, stop: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i $stop").mkString(" ")
+    val aText = weave("qa", "the", 24)
+    val bText = weave("qb", "and", 24)
+    val docs = Seq(
+      (1L, aText),
+      (2L, weave("qa", "the", 23) + " qx the"),
+      (3L, bText),
+      (4L, weave("qb", "and", 23) + " qy and"),
+      (5L, s"$aText $bText"))
+    val cfg = IncrementalCurateOps.CurateConfig(jaccardThreshold = 0.4)
+    val state = freshState()
+    def shard(ids: Long*): org.apache.spark.sql.DataFrame =
+      docs.filter(d => ids.contains(d._1)).toDF("doc_id", "text")
+    IncrementalCurateOps.ingestShard(spark, shard(1L, 2L), "doc_id", "text",
+      state, 0L, cfg)
+    IncrementalCurateOps.ingestShard(spark, shard(3L, 4L), "doc_id", "text",
+      state, 1L, cfg)
+    // the first four docs must survive the lang/quality/exact-dedup
+    // gates, or the scenario tests nothing
+    assert(spark.read.parquet(s"$state/docs/batch=0", s"$state/docs/batch=1")
+      .count() == 4)
+    // before the bridge: two separate two-doc clusters from different batches
+    def snapshot(batch: Long): Map[Long, Long] =
+      spark.read.parquet(s"$state/clusters/batch=$batch")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(snapshot(1L) == Map(2L -> 1L, 4L -> 3L))
+    // the bridge doc merges cluster{1,2} (batch 0) with cluster{3,4}
+    // (batch 1) — the old-old merge the condensed CC must propagate
+    IncrementalCurateOps.ingestShard(spark, shard(5L), "doc_id", "text",
+      state, 2L, cfg)
+    assert(snapshot(2L) == Map(2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+    // and the incremental map equals a from-scratch CC over the full
+    // accumulated edge set
+    val allDocs = spark.read.parquet(
+      (0L to 2L).map(k => s"$state/docs/batch=$k"): _*).select("doc_id")
+    val allEdges = spark.read.parquet(
+      (0L to 2L).map(k => s"$state/edges/batch=$k"): _*)
+    val full = DedupOps.connectedComponents(
+        allDocs, "doc_id", allEdges, "doc_a", "doc_b")
+      .where(col("cluster") =!= col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(snapshot(2L) == full)
+  }
+
   test("corpusStats folds per-batch agg states into the union recompute") {
     val state = freshState()
     val (a, b) = splitAt(midId)
