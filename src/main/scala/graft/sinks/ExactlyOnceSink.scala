@@ -68,6 +68,22 @@ object ExactlyOnceSink {
     * (boundary-aware, uniform). Ledgers created before versioning
     * migrate with scheme 0 ("unknown"), which conservatively conflicts
     * with everything.
+    *
+    * Upgrade recovery: Structured Streaming replays the LAST batch on
+    * restart even when it fully landed (the crash window between sink
+    * success and the engine's commit log), so the first restart after
+    * an upgrade can replay a batch whose ledger rows all carry the old
+    * scheme. The refusal is still the right default — the sink cannot
+    * distinguish "fully committed under the old scheme" from "old
+    * build crashed mid-batch" without the old build's partition count.
+    * The OPERATOR can: if every partition of the batch verifiably
+    * landed (row counts match the upstream, or the old build's logs
+    * show the batch completing), mark it current with
+    * {{{UPDATE <ledger> SET "scheme" = <current>
+    *    WHERE "sink_id" = ? AND "batch_id" = ?}}}
+    * and restart — the replay then skips every partition. If it did
+    * NOT fully land, drain or roll back with the old build, never by
+    * mixing schemes.
     */
   private[sinks] val PartitionSchemeVersion = 2
 
@@ -169,11 +185,16 @@ object ExactlyOnceSink {
       val rs = ps.executeQuery()
       try {
         if (rs.next()) throw new IllegalStateException(
-          s"batch $batchId of sink '$sinkId' is partially committed under " +
-            s"partitioning scheme ${rs.getInt(1)}, but this build writes " +
-            s"scheme $PartitionSchemeVersion; resuming would double-write " +
-            "or drop rows. Finish or roll back the batch with the build " +
-            "that started it.")
+          s"batch $batchId of sink '$sinkId' has committed partitions " +
+            s"under partitioning scheme ${rs.getInt(1)}, but this build " +
+            s"writes scheme $PartitionSchemeVersion; resuming would " +
+            "double-write or drop rows. If the old build crashed " +
+            "MID-BATCH, finish or roll back the batch with that build. " +
+            "If the batch FULLY landed (a replay after an upgrade — " +
+            "verify row counts first), mark it current with: UPDATE " +
+            s"$table SET ${q("scheme")} = $PartitionSchemeVersion WHERE " +
+            s"${q("sink_id")} = '$sinkId' AND ${q("batch_id")} = $batchId " +
+            "— the replay will then skip every partition.")
       } finally rs.close()
     } finally ps.close()
   }

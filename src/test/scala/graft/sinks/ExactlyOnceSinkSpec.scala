@@ -150,6 +150,58 @@ class ExactlyOnceSinkSpec extends AnyFunSuite {
     assert(count(url, "schland") == 6)
   }
 
+  test("pre-versioning ledger migrates in place (ALTER adds scheme 0), " +
+      "conflicts conservatively, and the documented UPDATE unblocks a " +
+      "verified fully-landed batch") {
+    import spark.implicits._
+    val url = "jdbc:derby:memory:eo6;create=true"
+    val setup = conn(url)
+    setup.createStatement().execute(
+      """CREATE TABLE migland ("k" VARCHAR(64), "v" VARCHAR(64))""")
+    // the EXACT pre-versioning DDL: no scheme column
+    setup.createStatement().execute(
+      """CREATE TABLE migledger ("sink_id" VARCHAR(128) NOT NULL, """ +
+        """"batch_id" BIGINT NOT NULL, "partition_id" INT NOT NULL, """ +
+        """"applied_at" TIMESTAMP, """ +
+        """PRIMARY KEY ("sink_id", "batch_id", "partition_id"))""")
+    // an old build committed batch 0's partitions 0..3 (all of them)
+    (0 until 4).foreach(p => setup.createStatement().execute(
+      """INSERT INTO migledger ("sink_id", "batch_id", "partition_id", """ +
+        s""""applied_at") VALUES ('s', 0, $p, CURRENT_TIMESTAMP)"""))
+    setup.close()
+    val ledger = ExactlyOnceSink.Ledger(url = url, table = "migledger")
+    val df = Seq(("a", "1"), ("b", "2"), ("c", "3")).toDF("k", "v")
+    // replaying batch 0 through the NEW build: ensureLedger must ALTER
+    // the live ledger (scheme INT NOT NULL DEFAULT 0) and the scheme-0
+    // rows must then conflict instead of being silently trusted
+    val e = intercept[IllegalStateException] {
+      ExactlyOnceSink.appendOnce(df, 0L, "s", "migland", Seq("k", "v"),
+        ledger, partitions = 4)
+    }
+    assert(e.getMessage.contains("scheme 0"))
+    val c = conn(url)
+    val rs = c.createStatement().executeQuery(
+      """SELECT count(*) FROM migledger WHERE "scheme" = 0""")
+    rs.next()
+    assert(rs.getInt(1) == 4, "migrated rows default to scheme 0")
+    rs.close()
+    // the operator verified batch 0 fully landed under the old build
+    // and applies the escape hatch the error message prescribes
+    c.createStatement().execute(
+      s"""UPDATE migledger SET "scheme" = """ +
+        s"""${ExactlyOnceSink.PartitionSchemeVersion} WHERE """ +
+        """"sink_id" = 's' AND "batch_id" = 0""")
+    c.close()
+    ExactlyOnceSink.appendOnce(df, 0L, "s", "migland", Seq("k", "v"),
+      ledger, partitions = 4)
+    assert(count(url, "migland") == 0,
+      "unblocked replay of the fully-landed batch skips every partition")
+    // and NEW batches land normally on the migrated ledger
+    ExactlyOnceSink.appendOnce(df, 1L, "s", "migland", Seq("k", "v"),
+      ledger, partitions = 4)
+    assert(count(url, "migland") == 3)
+  }
+
   test("checkpointed stream restart lands the one-shot batch table") {
     val url = "jdbc:derby:memory:eo3;create=true"
     val setup = conn(url)
