@@ -22,8 +22,15 @@ object DedupOps {
     * low hundreds of MB in one row — the practical task ceiling; a
     * corpus following the documented curation order (exact dedup
     * first) stays orders of magnitude below it.
+    *
+    * `GRAFT_INROW_PAIR_CAP` overrides the default — the scale-probe
+    * knob that forces the streamed branch to actually execute at
+    * volume (with the default, the 10× probe corpus's buckets stay
+    * under the cap and the branch is dead code); results are
+    * cap-invariant by construction (spec-pinned).
     */
-  private[graft] val InRowPairCap = 4096
+  private[graft] val InRowPairCap: Int =
+    sys.env.get("GRAFT_INROW_PAIR_CAP").map(_.toInt).getOrElse(4096)
 
   /** All unordered member pairs of every bucket row — the shared pair
     * expansion of [[nearDupPairs]], [[ngramJaccardPairsFromSets]] and
@@ -666,6 +673,61 @@ object DedupOps {
       pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25): DataFrame =
     connectedComponentsWithStats(nodes, idCol, pairs, aCol, bCol, maxIter)._1
+
+  /** Fold one batch's new edges into an incrementally-maintained
+    * cluster-map SNAPSHOT — the shared engine of
+    * [[IncrementalCurateOps.ingestShard]] and
+    * [[IncrementalDedupOps.ingestEmbeddingShard]]. The snapshot holds
+    * only NON-TRIVIAL rows (doc_id → component-min cluster where
+    * cluster ≠ doc_id); an id absent from the map is its own
+    * representative.
+    *
+    * [[connectedComponents]] runs over the CONDENSED graph — the new
+    * edges with endpoints remapped through the previous snapshot's reps
+    * — so its input is O(this batch's edges), never the accumulated
+    * edge history; composing the condensed labels back onto the
+    * previous map is one join against the (non-singleton-only) prior
+    * snapshot. Remap correctness: prev reps are their clusters' global
+    * min ids, so the condensed component's min IS the merged
+    * component's min, and labels stay canonical by induction.
+    *
+    * `newIds` = ids introduced this batch (so new singletons that later
+    * edges touch are known nodes); `edges` = (doc_a, doc_b) pairs
+    * gained this batch (new∕new + new∕old).
+    */
+  private[graft] def foldClusterSnapshot(prevSnap: Option[DataFrame],
+      newIds: DataFrame, edges: DataFrame): DataFrame = prevSnap match {
+    case None =>
+      connectedComponents(newIds, "doc_id", edges, "doc_a", "doc_b")
+        .where(col("cluster") =!= col("doc_id"))
+    case Some(prev) =>
+      // non-trivial rows only: an id absent from the map is its own
+      // rep, which coalesce() supplies on both remap legs
+      val condensed = edges
+        .join(prev.select(col("doc_id").as("doc_a"), col("cluster").as("ca")),
+          Seq("doc_a"), "left")
+        .join(prev.select(col("doc_id").as("doc_b"), col("cluster").as("cb")),
+          Seq("doc_b"), "left")
+        .select(coalesce(col("ca"), col("doc_a")).as("doc_a"),
+          coalesce(col("cb"), col("doc_b")).as("doc_b"))
+        .where(col("doc_a") =!= col("doc_b"))
+      val condNodes = newIds
+        .unionAll(condensed.select(col("doc_a").as("doc_id")))
+        .unionAll(condensed.select(col("doc_b").as("doc_id")))
+        .distinct()
+      val cond = connectedComponents(
+          condNodes, "doc_id", condensed, "doc_a", "doc_b")
+        .select(col("doc_id").as("rep"), col("cluster").as("new_cluster"))
+      // prev members follow their rep's move; touched reps (old or
+      // new ids — disjoint from prev's member ids) gain a row iff
+      // they stopped being their own min
+      val remapped = prev
+        .join(cond, prev("cluster") === cond("rep"), "left")
+        .select(prev("doc_id"),
+          coalesce(col("new_cluster"), prev("cluster")).as("cluster"))
+      remapped.unionAll(cond.where(col("new_cluster") =!= col("rep"))
+        .select(col("rep").as("doc_id"), col("new_cluster").as("cluster")))
+  }
 
   /** [[connectedComponents]] plus the number of alternating-star rounds
     * it took — the observable for convergence-bound tests (the

@@ -1,0 +1,639 @@
+package graft.ops
+
+/** Pure-JVM FLAC codec (RFC 9639 / the published FLAC format): byte-level
+  * encode + decode with no library dependency — the compressed-audio
+  * member of the [[MediaCodecs]] family (WAV/BMP/AVI are already
+  * containers the JVM round-trips; real crawled audio is FLAC, which
+  * until now sat behind the "needs a native library" fence).
+  *
+  * Scope — the integer-exact subset every FLAC stream must support:
+  *
+  *  - STREAMINFO metadata block (the mandatory first block; others are
+  *    skipped on decode per their length fields);
+  *  - fixed-blocking frames, all published block-size / sample-rate /
+  *    sample-size codes on decode;
+  *  - CONSTANT, VERBATIM and FIXED (orders 0–4) subframes with
+  *    Rice-coded residuals (4- and 5-bit parameter variants, raw-bits
+  *    escape, any partition order) and wasted-bits shifts on decode;
+  *    LPC subframes are rejected loudly (they need windowed
+  *    floating-point analysis on encode; decode support would be
+  *    untestable here without a reference stream);
+  *  - independent channel assignments (mono/stereo/...); the
+  *    stereo-decorrelation assignments (left/side, right/side,
+  *    mid/side) are rejected loudly;
+  *  - every integrity field the format carries: frame-header CRC-8,
+  *    whole-frame CRC-16, and the STREAMINFO MD5 of the decoded PCM
+  *    stream — a single flipped bit anywhere fails the decode.
+  *
+  * The encoder is a real (small) FLAC encoder, not a fixture writer: per
+  * block it tries CONSTANT (all-equal), FIXED orders 0–4 (exact Rice
+  * cost under the best 4-bit parameter, raw-bits escape included) and
+  * VERBATIM, and emits the cheapest — so crafted inputs exercise every
+  * subframe shape and pseudo-random input still compresses when a fixed
+  * predictor wins. Correctness is pinned by round-trip identity +
+  * subframe-shape assertions in `FlacCodecSpec` and by the m13 battery
+  * row, whose DuckDB oracle recomputes the decoded sample statistics of
+  * a closed-form corpus (constant run → ramp → hash noise per asset, so
+  * all three subframe families appear in every asset).
+  *
+  * Like the other codecs this backs the engine-side contract the
+  * reference draws at its file-blob boundary
+  * (drs_document_reference.py:224-243 — opaque bytes in, typed
+  * rows/metadata out); decode is integer byte/bit walking, safe and
+  * allocation-light inside an executor task.
+  */
+object FlacCodec {
+
+  /** Decoded PCM16 audio (interleaved when multi-channel) plus the
+    * subframe-type census the spec asserts coverage with:
+    * (constant, verbatim, fixedByOrder(0..4)) counts.
+    */
+  final case class FlacData(sampleRate: Int, channels: Int,
+      samples: Array[Short], nConstant: Int, nVerbatim: Int,
+      nFixed: Array[Int])
+
+  // ------------------------------------------------------------ bit io
+
+  private final class BitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var acc = 0L
+    private var n = 0
+    def write(v: Long, bits: Int): Unit = {
+      require(bits >= 0 && bits <= 56, s"bits out of range: $bits")
+      if (bits == 0) return
+      acc = (acc << bits) | (v & ((1L << bits) - 1))
+      n += bits
+      while (n >= 8) {
+        out.write(((acc >>> (n - 8)) & 0xff).toInt)
+        n -= 8
+      }
+    }
+    def writeUnary(q: Int): Unit = {
+      var i = 0
+      while (i < q) { write(0, 1); i += 1 }
+      write(1, 1)
+    }
+    def align(): Unit = if (n != 0) write(0, 8 - n)
+    def toBytes: Array[Byte] = { align(); out.toByteArray }
+  }
+
+  private final class BitReader(bytes: Array[Byte]) {
+    var bitPos: Int = 0
+    def remainingBits: Int = bytes.length * 8 - bitPos
+    def readBits(bits: Int): Long = {
+      require(bits >= 0 && bits <= 56, s"bits out of range: $bits")
+      require(remainingBits >= bits, "FLAC bitstream truncated")
+      var v = 0L
+      var left = bits
+      while (left > 0) {
+        val byteIdx = bitPos >>> 3
+        val bitOff = bitPos & 7
+        val take = math.min(8 - bitOff, left)
+        val chunk = (bytes(byteIdx) >> (8 - bitOff - take)) &
+          ((1 << take) - 1)
+        v = (v << take) | (chunk & 0xff)
+        bitPos += take
+        left -= take
+      }
+      v
+    }
+    def readSigned(bits: Int): Int = {
+      val u = readBits(bits)
+      ((u << (64 - bits)).toLong >> (64 - bits)).toInt
+    }
+    def readUnary(): Int = {
+      var q = 0
+      while (readBits(1) == 0L) {
+        q += 1
+        require(q <= remainingBits + 1, "unary run overruns the stream")
+      }
+      q
+    }
+    def align(): Unit = if ((bitPos & 7) != 0) bitPos += 8 - (bitPos & 7)
+    def bytePos: Int = { require((bitPos & 7) == 0); bitPos >>> 3 }
+  }
+
+  // -------------------------------------------------------------- crcs
+
+  /** CRC-8, polynomial x⁸+x²+x+1 (0x07), init 0 — the frame-header crc. */
+  private def crc8(bytes: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= bytes(i) & 0xff
+      var b = 0
+      while (b < 8) {
+        crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xff else (crc << 1) & 0xff
+        b += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  /** CRC-16, polynomial x¹⁶+x¹⁵+x²+1 (0x8005), init 0 — the frame crc. */
+  private def crc16(bytes: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= (bytes(i) & 0xff) << 8
+      var b = 0
+      while (b < 8) {
+        crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xffff
+          else (crc << 1) & 0xffff
+        b += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  // --------------------------------------------------- fixed predictors
+
+  /** residual(n) = s(n) − fixedPredict(order, history) — the five
+    * published fixed polynomial predictors.
+    */
+  private def fixedPredict(order: Int, s: Array[Int], n: Int): Int =
+    order match {
+      case 0 => 0
+      case 1 => s(n - 1)
+      case 2 => 2 * s(n - 1) - s(n - 2)
+      case 3 => 3 * s(n - 1) - 3 * s(n - 2) + s(n - 3)
+      case 4 => 4 * s(n - 1) - 6 * s(n - 2) + 4 * s(n - 3) - s(n - 4)
+    }
+
+  private def zigzag(e: Int): Long = ((e.toLong << 1) ^ (e.toLong >> 63))
+
+  private def unzigzag(u: Long): Int = ((u >>> 1) ^ -(u & 1L)).toInt
+
+  /** Exact bit cost of one Rice partition at parameter p. */
+  private def riceCost(res: Array[Int], p: Int): Long = {
+    var bits = 0L
+    var i = 0
+    while (i < res.length) {
+      bits += (zigzag(res(i)) >>> p) + 1 + p
+      i += 1
+    }
+    bits
+  }
+
+  /** Best 4-bit Rice parameter (0–14) and its cost; 15 is the escape. */
+  private def bestRice(res: Array[Int]): (Int, Long) = {
+    var bestP = 0
+    var bestBits = Long.MaxValue
+    var p = 0
+    while (p <= 14) {
+      val c = riceCost(res, p)
+      if (c < bestBits) { bestBits = c; bestP = p }
+      p += 1
+    }
+    (bestP, bestBits)
+  }
+
+  // ------------------------------------------------------------ encode
+
+  private def writeUtf8Number(w: BitWriter, n: Long): Unit = {
+    if (n < 0x80) w.write(n, 8)
+    else {
+      // count of payload bytes after the lead byte
+      val extra =
+        if (n < 0x800) 1 else if (n < 0x10000) 2 else if (n < 0x200000) 3
+        else if (n < 0x4000000) 4 else 5
+      val lead = (0xfe << (6 - extra)) & 0xff
+      w.write(lead | (n >>> (6 * extra)).toInt, 8)
+      var i = extra - 1
+      while (i >= 0) {
+        w.write(0x80L | ((n >>> (6 * i)) & 0x3f), 8)
+        i -= 1
+      }
+    }
+  }
+
+  /** Encode mono PCM16 as a FLAC stream: STREAMINFO + fixed-blocking
+    * frames of `blockSize` samples (the last may be shorter), each
+    * subframe the cheapest of CONSTANT / FIXED 0–4 / VERBATIM.
+    */
+  def encode(samples: Array[Short], sampleRate: Int,
+      blockSize: Int = 4096): Array[Byte] = {
+    require(sampleRate > 0 && sampleRate < (1 << 20), "invalid sample rate")
+    require(blockSize >= 16 && blockSize <= 65535, "blockSize out of range")
+    require(samples.nonEmpty, "empty sample stream")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('f'); out.write('L'); out.write('a'); out.write('C')
+
+    val nFrames = (samples.length + blockSize - 1) / blockSize
+    val lastLen = samples.length - (nFrames - 1) * blockSize
+    val minBlock = math.min(blockSize, lastLen)
+
+    // MD5 of the unencoded stream: 16-bit little-endian, interleaved
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val md5 = md.digest(pcm)
+
+    val si = new BitWriter
+    si.write(1, 1) // last metadata block
+    si.write(0, 7) // STREAMINFO
+    si.write(34, 24) // length
+    si.write(minBlock, 16)
+    si.write(blockSize, 16)
+    si.write(0, 24) // min frame size unknown
+    si.write(0, 24) // max frame size unknown
+    si.write(sampleRate, 20)
+    si.write(0, 3) // channels - 1
+    si.write(15, 5) // bits per sample - 1
+    si.write(samples.length.toLong, 36)
+    md5.foreach(b => si.write(b & 0xffL, 8))
+    out.write(si.toBytes)
+
+    var frame = 0
+    while (frame < nFrames) {
+      val off = frame * blockSize
+      val len = math.min(blockSize, samples.length - off)
+      val block = new Array[Int](len)
+      var j = 0
+      while (j < len) { block(j) = samples(off + j).toInt; j += 1 }
+      out.write(encodeFrame(block, frame))
+      frame += 1
+    }
+    out.toByteArray
+  }
+
+  private def encodeFrame(block: Array[Int], frameNo: Int): Array[Byte] = {
+    val header = new BitWriter
+    header.write(0x3ffe, 14) // sync
+    header.write(0, 1) // reserved
+    header.write(0, 1) // fixed blocking
+    header.write(7, 4) // block size: 16 bits at end of header
+    header.write(0, 4) // sample rate: from STREAMINFO
+    header.write(0, 4) // channel assignment: 1 channel, independent
+    header.write(4, 3) // sample size: 16 bits
+    header.write(0, 1) // reserved
+    writeUtf8Number(header, frameNo.toLong)
+    header.write(block.length - 1, 16)
+    val headerBytes = header.toBytes
+
+    val w = new BitWriter
+    headerBytes.foreach(b => w.write(b & 0xffL, 8))
+    w.write(crc8(headerBytes, 0, headerBytes.length), 8)
+    writeSubframe(w, block)
+    // the frame writer is byte-built so the CRC-16 can cover it
+    val body = w.toBytes
+    val full = new BitWriter
+    body.foreach(b => full.write(b & 0xffL, 8))
+    full.write(crc16(body, 0, body.length), 16)
+    full.toBytes
+  }
+
+  /** One subframe: min-cost choice among CONSTANT / FIXED 0–4 /
+    * VERBATIM; FIXED residuals Rice-coded at partition order 0 with the
+    * exact best parameter (raw-bits escape when cheaper).
+    */
+  private def writeSubframe(w: BitWriter, block: Array[Int]): Unit = {
+    val n = block.length
+    val verbatimBits = 16L * n
+
+    if (block.forall(_ == block(0))) {
+      w.write(0, 1); w.write(0, 6); w.write(0, 1) // CONSTANT, no wasted bits
+      w.write(block(0).toLong, 16)
+      return
+    }
+
+    // best fixed order by exact coded size
+    var bestOrder = -1
+    var bestBits = verbatimBits
+    var bestP = 0
+    var bestRes: Array[Int] = null
+    var order = 0
+    while (order <= 4 && order < n) {
+      val res = new Array[Int](n - order)
+      var k = order
+      while (k < n) { res(k - order) = block(k) - fixedPredict(order, block, k); k += 1 }
+      val (p, riceBits) = bestRice(res)
+      // escape: raw two's complement at the widest residual
+      var maxBits = 1
+      var k2 = 0
+      while (k2 < res.length) {
+        val need = 64 - java.lang.Long.numberOfLeadingZeros(
+          math.abs(res(k2).toLong).max(1)) + 1
+        if (need > maxBits) maxBits = need.toInt
+        k2 += 1
+      }
+      val escBits = maxBits.toLong * res.length + 5
+      val useEscape = escBits < riceBits
+      val codedBits = math.min(riceBits, escBits)
+      val total = 16L * order + 2 + 4 + 4 + codedBits
+      if (total < bestBits) {
+        bestBits = total
+        bestOrder = order
+        bestP = if (useEscape) 15 else p
+        bestRes = res
+      }
+      order += 1
+    }
+
+    if (bestOrder < 0) {
+      w.write(0, 1); w.write(1, 6); w.write(0, 1) // VERBATIM
+      var k = 0
+      while (k < n) { w.write(block(k).toLong, 16); k += 1 }
+      return
+    }
+
+    w.write(0, 1); w.write(8 + bestOrder, 6); w.write(0, 1) // FIXED
+    var k = 0
+    while (k < bestOrder) { w.write(block(k).toLong, 16); k += 1 }
+    w.write(0, 2) // residual method: RICE (4-bit params)
+    w.write(0, 4) // partition order 0
+    if (bestP == 15) {
+      var maxBits = 1
+      var k2 = 0
+      while (k2 < bestRes.length) {
+        val need = (64 - java.lang.Long.numberOfLeadingZeros(
+          math.abs(bestRes(k2).toLong).max(1)) + 1).toInt
+        if (need > maxBits) maxBits = need
+        k2 += 1
+      }
+      w.write(15, 4)
+      w.write(maxBits, 5)
+      var k3 = 0
+      while (k3 < bestRes.length) { w.write(bestRes(k3).toLong, maxBits); k3 += 1 }
+    } else {
+      w.write(bestP, 4)
+      var k3 = 0
+      while (k3 < bestRes.length) {
+        val u = zigzag(bestRes(k3))
+        w.writeUnary((u >>> bestP).toInt)
+        w.write(u, bestP)
+        k3 += 1
+      }
+    }
+  }
+
+  // ------------------------------------------------------------ decode
+
+  private def readUtf8Number(r: BitReader): Long = {
+    val lead = r.readBits(8).toInt
+    if ((lead & 0x80) == 0) lead.toLong
+    else {
+      var extra = 0
+      var mask = 0x40
+      while ((lead & mask) != 0) { extra += 1; mask >>= 1 }
+      require(extra >= 1 && extra <= 6, s"bad coded-number lead byte: $lead")
+      var v = (lead & (0x3f >> extra)).toLong
+      var i = 0
+      while (i < extra) {
+        val c = r.readBits(8).toInt
+        require((c & 0xc0) == 0x80, "bad coded-number continuation byte")
+        v = (v << 6) | (c & 0x3f)
+        i += 1
+      }
+      v
+    }
+  }
+
+  /** Parse a FLAC stream (see object doc for the supported subset).
+    * Every integrity field is enforced: header CRC-8, frame CRC-16,
+    * stream MD5 (when STREAMINFO carries one).
+    */
+  def decode(bytes: Array[Byte]): FlacData = {
+    require(bytes.length > 42, s"FLAC too short: ${bytes.length} bytes")
+    require(bytes(0) == 'f' && bytes(1) == 'L' && bytes(2) == 'a' &&
+      bytes(3) == 'C', "not a FLAC stream (bad magic)")
+    val r = new BitReader(bytes)
+    r.bitPos = 32
+
+    // metadata blocks: STREAMINFO must come first; skip the rest
+    var last = false
+    var first = true
+    var streamSampleRate = -1
+    var channels = -1
+    var bps = -1
+    var totalSamples = -1L
+    var md5: Array[Byte] = null
+    while (!last) {
+      last = r.readBits(1) == 1
+      val btype = r.readBits(7).toInt
+      val blen = r.readBits(24).toInt
+      if (first) {
+        require(btype == 0, s"first metadata block must be STREAMINFO, got $btype")
+        r.readBits(16); r.readBits(16) // min/max block size
+        r.readBits(24); r.readBits(24) // min/max frame size
+        streamSampleRate = r.readBits(20).toInt
+        channels = r.readBits(3).toInt + 1
+        bps = r.readBits(5).toInt + 1
+        totalSamples = r.readBits(36)
+        md5 = Array.fill(16)(0.toByte)
+        var i = 0
+        while (i < 16) { md5(i) = r.readBits(8).toByte; i += 1 }
+        require(bps <= 16, s"only <=16-bit streams decode to Short, got $bps")
+        first = false
+      } else {
+        require(btype != 0 && btype <= 126, s"invalid metadata block type $btype")
+        r.bitPos += blen * 8
+      }
+    }
+    require(!first, "no STREAMINFO block")
+
+    val out = new java.io.ByteArrayOutputStream() // PCM16 LE for the md5
+    val samples = scala.collection.mutable.ArrayBuilder.make[Short]
+    var nConstant = 0
+    var nVerbatim = 0
+    val nFixed = new Array[Int](5)
+    var decoded = 0L
+
+    while (decoded < totalSamples) {
+      val frameStart = r.bytePos
+      require(r.readBits(14) == 0x3ffe, s"lost frame sync at byte $frameStart")
+      require(r.readBits(1) == 0, "reserved frame-header bit set")
+      r.readBits(1) // blocking strategy (the coded number disambiguates)
+      val bsCode = r.readBits(4).toInt
+      val srCode = r.readBits(4).toInt
+      val chanCode = r.readBits(4).toInt
+      val ssCode = r.readBits(3).toInt
+      require(r.readBits(1) == 0, "reserved frame-header bit set")
+      readUtf8Number(r)
+      val blockLen = bsCode match {
+        case 0 => throw new IllegalArgumentException("reserved block-size code 0")
+        case 1 => 192
+        case c if c >= 2 && c <= 5 => 576 << (c - 2)
+        case 6 => r.readBits(8).toInt + 1
+        case 7 => r.readBits(16).toInt + 1
+        case c => 256 << (c - 8)
+      }
+      srCode match {
+        case 0 => ()
+        case 12 => r.readBits(8)
+        case 13 | 14 => r.readBits(16)
+        case 15 => throw new IllegalArgumentException("invalid sample-rate code 15")
+        case _ => () // a table rate; STREAMINFO stays authoritative
+      }
+      require(chanCode <= 7,
+        s"stereo-decorrelation channel assignment $chanCode not supported " +
+          "(independent channels only)")
+      val frameChannels = chanCode + 1
+      require(frameChannels == channels,
+        s"frame channel count $frameChannels != STREAMINFO $channels")
+      val frameBps = ssCode match {
+        case 0 => bps
+        case 1 => 8
+        case 2 => 12
+        case 4 => 16
+        case 5 => 20
+        case 6 => 24
+        case 7 => 32
+        case c => throw new IllegalArgumentException(s"reserved sample-size code $c")
+      }
+      require(frameBps == bps, s"frame bps $frameBps != STREAMINFO $bps")
+      val headerEnd = r.bytePos
+      val expectedCrc8 = r.readBits(8).toInt
+      require(crc8(bytes, frameStart, headerEnd) == expectedCrc8,
+        s"frame header CRC-8 mismatch at byte $frameStart")
+
+      val chans = Array.ofDim[Int](frameChannels, blockLen)
+      var ch = 0
+      while (ch < frameChannels) {
+        readSubframe(r, chans(ch), bps) match {
+          case 0 => nConstant += 1
+          case 1 => nVerbatim += 1
+          case o => nFixed(o - 8) += 1
+        }
+        ch += 1
+      }
+      r.align()
+      val frameEnd = r.bytePos
+      val expectedCrc16 = r.readBits(16).toInt
+      require(crc16(bytes, frameStart, frameEnd) == expectedCrc16,
+        s"frame CRC-16 mismatch at byte $frameStart")
+
+      var j = 0
+      while (j < blockLen && decoded < totalSamples) {
+        var c = 0
+        while (c < frameChannels) {
+          val v = chans(c)(j)
+          require(v >= Short.MinValue && v <= Short.MaxValue,
+            s"decoded sample $v overflows 16 bits")
+          samples += v.toShort
+          out.write(v & 0xff)
+          out.write((v >> 8) & 0xff)
+          c += 1
+        }
+        decoded += 1
+        j += 1
+      }
+    }
+
+    if (md5.exists(_ != 0)) {
+      val got = java.security.MessageDigest.getInstance("MD5")
+        .digest(out.toByteArray)
+      require(java.util.Arrays.equals(got, md5),
+        "decoded stream MD5 does not match STREAMINFO")
+    }
+    FlacData(streamSampleRate, channels, samples.result(),
+      nConstant, nVerbatim, nFixed)
+  }
+
+  /** Decode one subframe into `dest`; returns the 6-bit subframe type
+    * code (0 constant, 1 verbatim, 8+order fixed).
+    */
+  private def readSubframe(r: BitReader, dest: Array[Int], bps: Int): Int = {
+    require(r.readBits(1) == 0, "subframe padding bit set")
+    val t = r.readBits(6).toInt
+    val wastedFlag = r.readBits(1)
+    val wasted = if (wastedFlag == 1) r.readUnary() + 1 else 0
+    val eff = bps - wasted
+    require(eff > 0, s"wasted bits $wasted exhaust the sample size")
+    val n = dest.length
+    t match {
+      case 0 =>
+        val v = r.readSigned(eff) << wasted
+        java.util.Arrays.fill(dest, v)
+      case 1 =>
+        var i = 0
+        while (i < n) { dest(i) = r.readSigned(eff) << wasted; i += 1 }
+      case ft if ft >= 8 && ft <= 12 =>
+        val order = ft - 8
+        require(order <= n, s"fixed order $order exceeds block of $n")
+        var i = 0
+        while (i < order) { dest(i) = r.readSigned(eff); i += 1 }
+        readResiduals(r, dest, order)
+        i = order
+        while (i < n) { dest(i) += fixedPredict(order, dest, i); i += 1 }
+        if (wasted > 0) { i = 0; while (i < n) { dest(i) <<= wasted; i += 1 } }
+      case lpc if lpc >= 32 =>
+        throw new IllegalArgumentException(
+          s"LPC subframe (order ${lpc - 31}) not supported by this decoder")
+      case other =>
+        throw new IllegalArgumentException(s"reserved subframe type $other")
+    }
+    t
+  }
+
+  /** Rice-coded residuals into dest(order until n) — both parameter
+    * widths, any partition order, raw-bits escape.
+    */
+  private def readResiduals(r: BitReader, dest: Array[Int], order: Int): Unit = {
+    val n = dest.length
+    val method = r.readBits(2).toInt
+    require(method <= 1, s"reserved residual coding method $method")
+    val paramBits = if (method == 0) 4 else 5
+    val escape = (1 << paramBits) - 1
+    val partOrder = r.readBits(4).toInt
+    val parts = 1 << partOrder
+    require(n % parts == 0, s"block $n not divisible into $parts partitions")
+    val perPart = n / parts
+    require(perPart > order || partOrder == 0,
+      "first partition under-runs the predictor order")
+    var idx = order
+    var part = 0
+    while (part < parts) {
+      val count = if (part == 0) perPart - order else perPart
+      val p = r.readBits(paramBits).toInt
+      if (p == escape) {
+        val raw = r.readBits(5).toInt
+        var i = 0
+        while (i < count) {
+          dest(idx) = if (raw == 0) 0 else r.readSigned(raw)
+          idx += 1; i += 1
+        }
+      } else {
+        var i = 0
+        while (i < count) {
+          val q = r.readUnary()
+          val u = (q.toLong << p) | r.readBits(p)
+          dest(idx) = unzigzag(u)
+          idx += 1; i += 1
+        }
+      }
+      part += 1
+    }
+  }
+
+  /** Synthetic FLAC asset for the m13 battery row — the closed-form
+    * corpus law: per asset, 16 constant samples (a CONSTANT subframe at
+    * blockSize 16), then 16 linear-ramp samples with a NEVER-ZERO slope
+    * (zero order-2 residuals → a FIXED subframe; a zero slope would
+    * collapse the block to CONSTANT), then multiplicative-hash noise
+    * (FIXED/VERBATIM,
+    * whatever costs less) — `64 + id % 191` samples total at 8 kHz mono,
+    * every term integer-exact for the DuckDB oracle.
+    */
+  def syntheticFlac(id: Long): Array[Byte] = {
+    val n = (64 + id % 191).toInt
+    val samples = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      val v =
+        if (i < 16) (id * 31 % 65536 - 32768).toInt
+        else if (i < 32) ((1 + id % 96) * (i - 16) + id % 1003 - 500).toInt
+        else ((id * 2654435761L + i * 40503L) % 65536 - 32768).toInt
+      samples(i) = v.toShort
+      i += 1
+    }
+    encode(samples, 8000, blockSize = 16)
+  }
+}

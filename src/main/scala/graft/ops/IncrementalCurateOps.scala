@@ -234,51 +234,14 @@ object IncrementalCurateOps {
       // incrementally-maintained cluster map: fold THIS batch's edges
       // (read back from the just-landed parquet — the cheapest
       // materialization of the two-legged edge lineage) into the
-      // previous snapshot. CC runs over the CONDENSED graph — edge
-      // endpoints remapped through the previous snapshot's reps — so
-      // its input is O(this batch's edges), never the accumulated edge
-      // history; the compose step is one broadcast join of the
-      // shard-sized condensed labels against the (non-singleton-only)
-      // previous map. Remap correctness: prev reps are their clusters'
-      // global min ids, so the condensed component's min IS the merged
-      // component's min, and labels stay canonical by induction.
+      // previous snapshot via [[DedupOps.foldClusterSnapshot]] — CC
+      // input is O(this batch's edges), never the accumulated edge
+      // history.
       val edgesK = spark.read.parquet(s"$stateDir/edges/batch=$batchId")
       val newIds = docsNew.select(col("doc_id"))
       val prevSnap = landedBatchIds(spark, stateDir, Some(batchId)).lastOption
         .map(k => spark.read.parquet(s"$stateDir/clusters/batch=$k"))
-      val snapshot = prevSnap match {
-        case None =>
-          DedupOps.connectedComponents(newIds, "doc_id", edgesK, "doc_a", "doc_b")
-            .where(col("cluster") =!= col("doc_id"))
-        case Some(prev) =>
-          // non-trivial rows only: an id absent from the map is its own
-          // rep, which coalesce() supplies on both remap legs
-          val condensed = edgesK
-            .join(prev.select(col("doc_id").as("doc_a"), col("cluster").as("ca")),
-              Seq("doc_a"), "left")
-            .join(prev.select(col("doc_id").as("doc_b"), col("cluster").as("cb")),
-              Seq("doc_b"), "left")
-            .select(coalesce(col("ca"), col("doc_a")).as("doc_a"),
-              coalesce(col("cb"), col("doc_b")).as("doc_b"))
-            .where(col("doc_a") =!= col("doc_b"))
-          val condNodes = newIds
-            .unionAll(condensed.select(col("doc_a").as("doc_id")))
-            .unionAll(condensed.select(col("doc_b").as("doc_id")))
-            .distinct()
-          val cond = DedupOps.connectedComponents(
-              condNodes, "doc_id", condensed, "doc_a", "doc_b")
-            .select(col("doc_id").as("rep"), col("cluster").as("new_cluster"))
-          // prev members follow their rep's move; touched reps (old or
-          // new ids — disjoint from prev's member ids) gain a row iff
-          // they stopped being their own min
-          val remapped = prev
-            .join(cond, prev("cluster") === cond("rep"), "left")
-            .select(prev("doc_id"),
-              coalesce(col("new_cluster"), prev("cluster")).as("cluster"))
-          remapped.unionAll(cond.where(col("new_cluster") =!= col("rep"))
-            .select(col("rep").as("doc_id"), col("new_cluster").as("cluster")))
-      }
-      land(snapshot, "clusters")
+      land(DedupOps.foldClusterSnapshot(prevSnap, newIds, edgesK), "clusters")
       land(statsNew, "stats")
     } finally docsNew.unpersist(blocking = false)
   }

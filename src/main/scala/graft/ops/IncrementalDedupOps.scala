@@ -1,0 +1,321 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental (cross-batch) NEAR-DUP state for the two non-lexical
+  * modalities — images (perceptual dHash) and embeddings (SemDeDup) —
+  * completing the family [[IncrementalCurateOps]] started for text: a
+  * corpus that grows by shards, where each new shard is deduplicated
+  * against everything ingested so far WITHOUT re-hashing any old
+  * shard's bytes or re-assigning any old shard's vectors. The one-shot
+  * forms ([[DedupOps.imageNearDupPairs]],
+  * [[SimilarityOps.semanticDedup]]) re-decode/re-fit the whole corpus
+  * per run — the quadratic-in-history cost this module removes.
+  *
+  * == Image state (parquet, batch-partitioned: `<table>/batch=<k>/`) ==
+  *
+  *  - `sig`   — (id, sh): the 64-bit dHash of every decodable image in
+  *              the shard. Decode+hash (the dominant cost) runs exactly
+  *              once per image, at its own shard's ingest.
+  *  - `bands` — (bi, block, id, sh): the Manku block-banding index of
+  *              `sig` ([[DedupOps.hamming64Pairs]]' candidate key). The
+  *              fingerprint rides along so cross-batch verification is
+  *              a `bit_count(xor)` on the joined row — no join back to
+  *              `sig`. Banding is content-determined, so stored bands
+  *              stay valid as the corpus grows.
+  *  - `edges` — (doc_a, doc_b, hamming): verified pairs within the
+  *              radius. Old∕old edges never change (Hamming distance is
+  *              a function of the two images alone), so each batch
+  *              appends only new∕new + new∕old.
+  *
+  * == Embedding state ==
+  *
+  *  - `centroids` — (ci, cv): the k-means codebook, fit ONCE on the
+  *              first batch and frozen — the published SemDeDup shape
+  *              (the codebook comes from a bounded sample; clustering
+  *              new data never refits). Landed only under the fit
+  *              batch's directory.
+  *  - `assign` — (id, cluster, v): each shard's vectors with their
+  *              frozen-codebook cell. `v` is retained for cross-batch
+  *              cosine verification (dims-bounded, far smaller than
+  *              re-reading source embeddings).
+  *  - `edges`  — within-cell cosine pairs ≥ threshold, new∕new +
+  *              new∕old per batch.
+  *  - `clusters` — the non-trivial rows of the corpus-wide component
+  *              map after this batch, folded incrementally via
+  *              [[DedupOps.foldClusterSnapshot]] — O(new edges) per
+  *              batch, never O(edge history).
+  *
+  * == Exactly-once / ordering ==
+  *
+  * Same contract as [[IncrementalCurateOps]]: every table for batch k
+  * is an idempotent OVERWRITE of its own `batch=k` directory gated on
+  * `_SUCCESS` markers (all-or-nothing per batch); a replayed landed
+  * batch is a no-op; a crash mid-shard recomputes deterministically
+  * from batches < k. Batches must land in ascending id order — a late
+  * out-of-order batch would have missed its cross-batch edges against
+  * batches that ingested before it, silently diverging from the
+  * one-shot union, so out-of-order ingest throws.
+  *
+  * == Parity contracts (battery-pinned) ==
+  *
+  *  - images: after ingesting shards S₁…Sₙ, [[imagePairs]] is
+  *    row-identical to one-shot `imageNearDupPairs(S₁ ∪ … ∪ Sₙ)` — a
+  *    pair lands exactly once, at the batch of its LATER member (m12
+  *    shares m11's analytic oracle).
+  *  - embeddings: [[semanticDedupView]] is row-identical to one-shot
+  *    [[SimilarityOps.semanticDedupAssigned]] over the union with the
+  *    codebook fit on shard 1 (n11's oracle replays that fit).
+  *
+  * == Scale shape ==
+  *
+  * Per image shard: one decode+hash pass over the shard's bytes, one
+  * in-shard banded self-join, one equi-join of the shard's bands
+  * against the stored band index on (bi, block) — bucket the state dir
+  * by block via `ParquetSink.writeBucketed` to make it exchange-free at
+  * 100 TB. Per embedding shard: one broadcast-literal argmin over the
+  * shard, one in-shard cell self-join, one equi-join of the shard's
+  * assignments against stored assignments on the cell id; the snapshot
+  * fold touches this batch's edges only.
+  */
+object IncrementalDedupOps {
+
+  // ------------------------------------------------------------- shared
+
+  private def landedBatchIds(spark: SparkSession, stateDir: String,
+      tables: Seq[String], below: Option[Long]): Seq[Long] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val perTable = tables.map { t =>
+      val glob = new Path(s"$stateDir/$t/batch=*/_SUCCESS")
+      val found = glob.getFileSystem(conf).globStatus(glob)
+      if (found == null) Set.empty[Long]
+      else found.toSeq.flatMap { st =>
+        scala.util.Try(
+          st.getPath.getParent.getName.stripPrefix("batch=").toLong).toOption
+      }.toSet
+    }
+    perTable.reduce(_ intersect _).toSeq
+      .filter(k => below.forall(k < _)).sorted
+  }
+
+  private def requireInOrder(landed: Seq[Long], batchId: Long): Unit =
+    require(landed.forall(_ < batchId),
+      s"out-of-order ingest: batch $batchId arrived after batch(es) " +
+        s"${landed.filter(_ > batchId).mkString(",")} already landed; " +
+        "batches must be ingested in ascending id order")
+
+  private def land(df: DataFrame, stateDir: String, table: String,
+      batchId: Long): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .parquet(s"$stateDir/$table/batch=$batchId")
+
+  private def readBatches(spark: SparkSession, stateDir: String,
+      table: String, ids: Seq[Long]): Option[DataFrame] = {
+    val paths = ids.map(k => s"$stateDir/$table/batch=$k")
+    if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+  }
+
+  // ------------------------------------------------------------- images
+
+  private val ImageTables = Seq("sig", "bands", "edges")
+
+  /** True iff every image state table has a committed `batch=k` dir. */
+  def imageBatchLanded(spark: SparkSession, stateDir: String,
+      batchId: Long): Boolean = {
+    val fs = new Path(stateDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    ImageTables.forall(t =>
+      fs.exists(new Path(s"$stateDir/$t/batch=$batchId/_SUCCESS")))
+  }
+
+  /** Hash one new image shard and land its fingerprints, band-index
+    * rows, and the near-dup edges it gains against everything landed
+    * before it. Idempotent per (stateDir, batchId); out-of-order
+    * ingest throws (see object doc).
+    */
+  def ingestImageShard(spark: SparkSession, newImgs: DataFrame,
+      idCol: String, bytesCol: String, stateDir: String, batchId: Long,
+      maxDist: Int = 3): Unit = {
+    if (imageBatchLanded(spark, stateDir, batchId)) return
+    val landed = landedBatchIds(spark, stateDir, ImageTables, None)
+    requireInOrder(landed, batchId)
+
+    val nBlocks = maxDist + 1
+    require(64 % nBlocks == 0, s"maxDist+1 must divide 64, got $nBlocks")
+    val blockBits = 64 / nBlocks
+    val mask = if (blockBits == 64) -1L else (1L << blockBits) - 1
+
+    // decode+hash once per image — every downstream consumer (three
+    // landed tables, both edge legs) derives from this frame, so pin it
+    // for the duration of the shard's eager writes (the ingestShard
+    // owner-release shape)
+    val sig = newImgs
+      .select(col(idCol).as("id"),
+        DedupOps.imageDHash(col(bytesCol)).as("sh"))
+      .where(col("sh").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val bands = sig.select(col("id"), col("sh"),
+        posexplode(array((0 until nBlocks).map(i =>
+          shiftright(col("sh"), i * blockBits).bitwiseAND(lit(mask))): _*))
+          .as(Seq("bi", "block")))
+        .select(col("bi"), col("block"), col("id"), col("sh"))
+
+      // new/new: the in-shard banded self-join (shared verify engine)
+      val newNew = DedupOps.hamming64Pairs(sig, maxDist)
+      // new/old: shard bands equi-joined against the stored index —
+      // old bytes are never re-decoded; a candidate pair agreeing on
+      // several blocks surfaces once per agreement, dedup after the
+      // cheap Hamming filter (same order as hamming64Pairs)
+      val newOld = readBatches(spark, stateDir, "bands", landed) match {
+        case Some(old) =>
+          bands.select(col("bi"), col("block"),
+              col("id").as("new_id"), col("sh").as("sh_n"))
+            .join(old.select(col("bi"), col("block"),
+              col("id").as("old_id"), col("sh").as("sh_o")),
+              Seq("bi", "block"))
+            .select(
+              least(col("new_id"), col("old_id")).as("doc_a"),
+              greatest(col("new_id"), col("old_id")).as("doc_b"),
+              bit_count(col("sh_n").bitwiseXOR(col("sh_o"))).as("hamming"))
+            .where(col("hamming") <= maxDist)
+            .distinct()
+        case None => newNew.limit(0)
+      }
+
+      land(sig, stateDir, "sig", batchId)
+      land(bands, stateDir, "bands", batchId)
+      land(newNew.unionAll(newOld), stateDir, "edges", batchId)
+    } finally sig.unpersist(blocking = false)
+  }
+
+  /** Every near-dup image pair across all landed batches — the same
+    * rows one-shot [[DedupOps.imageNearDupPairs]] produces over the
+    * union (each pair landed exactly once, at its later member's
+    * batch). Reads edge state only; no image bytes are touched.
+    */
+  def imagePairs(spark: SparkSession, stateDir: String): DataFrame = {
+    val landed = landedBatchIds(spark, stateDir, ImageTables, None)
+    require(landed.nonEmpty, s"no landed batches under $stateDir")
+    readBatches(spark, stateDir, "edges", landed).get
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  // --------------------------------------------------------- embeddings
+
+  private val EmbTables = Seq("assign", "edges", "clusters")
+
+  /** True iff every embedding state table has a committed `batch=k`
+    * dir — plus, when no earlier batch is landed (k is the fit batch),
+    * the frozen codebook itself.
+    */
+  def embeddingBatchLanded(spark: SparkSession, stateDir: String,
+      batchId: Long): Boolean = {
+    val fs = new Path(stateDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val tablesOk = EmbTables.forall(t =>
+      fs.exists(new Path(s"$stateDir/$t/batch=$batchId/_SUCCESS")))
+    val centsOk =
+      landedBatchIds(spark, stateDir, EmbTables, Some(batchId)).nonEmpty ||
+        fs.exists(new Path(s"$stateDir/centroids/batch=$batchId/_SUCCESS"))
+    tablesOk && centsOk
+  }
+
+  private def readCentroids(spark: SparkSession,
+      stateDir: String): Seq[Seq[Double]] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val glob = new Path(s"$stateDir/centroids/batch=*")
+    val dirs = glob.getFileSystem(conf).globStatus(glob)
+    require(dirs != null && dirs.nonEmpty, s"no codebook under $stateDir")
+    spark.read.parquet(dirs.map(_.getPath.toString): _*)
+      .orderBy("ci").collect()
+      .map(_.getSeq[Double](1).toSeq).toSeq
+  }
+
+  /** Cluster one new embedding shard against the frozen codebook and
+    * land its assignments, the near-dup edges it gains (in-shard +
+    * against every stored shard), and the folded component snapshot.
+    * The FIRST batch fits the codebook ([[SimilarityOps.kmeansFit]],
+    * k/iters) on its own vectors and freezes it; later batches only
+    * assign — the published SemDeDup decomposition. Idempotent per
+    * (stateDir, batchId); out-of-order ingest throws.
+    */
+  def ingestEmbeddingShard(spark: SparkSession, newEmb: DataFrame,
+      idCol: String, vecCol: String, stateDir: String, batchId: Long,
+      k: Int, iters: Int, threshold: Double): Unit = {
+    if (embeddingBatchLanded(spark, stateDir, batchId)) return
+    val landed = landedBatchIds(spark, stateDir, EmbTables, None)
+    requireInOrder(landed, batchId)
+
+    if (landed.isEmpty) {
+      // fit batch: train and freeze the codebook (k rows — bounded)
+      val (cents, _) = SimilarityOps.kmeansFit(newEmb, idCol, vecCol, k, iters)
+      import spark.implicits._
+      land(cents.zipWithIndex.map { case (cv, ci) => (ci, cv) }
+        .toDF("ci", "cv"), stateDir, "centroids", batchId)
+    }
+    val cents = readCentroids(spark, stateDir)
+
+    // one broadcast-literal argmin per row — no fit, no join
+    val assign = newEmb
+      .select(col(idCol).as("id"),
+        SimilarityOps.asDouble(col(vecCol)).as("v"))
+      .withColumn("cluster", SimilarityOps.ivfCell(col("v"), cents))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val l = assign.select(col("cluster"), col("id").as("id_a"),
+        col("v").as("va"))
+      val r = assign.select(col("cluster"), col("id").as("id_b"),
+        col("v").as("vb"))
+      val newNew = l.join(r, Seq("cluster")).where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          SimilarityOps.cosine(col("va"), col("vb")).as("cos"))
+        .where(col("cos") >= threshold)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      val newOld = readBatches(spark, stateDir, "assign", landed) match {
+        case Some(old) =>
+          assign.select(col("cluster"), col("id").as("new_id"),
+              col("v").as("va"))
+            .join(old.select(col("cluster"), col("id").as("old_id"),
+              col("v").as("vb")), Seq("cluster"))
+            .where(SimilarityOps.cosine(col("va"), col("vb")) >= threshold)
+            .select(least(col("new_id"), col("old_id")).as("doc_a"),
+              greatest(col("new_id"), col("old_id")).as("doc_b"))
+        case None => newNew.limit(0)
+      }
+
+      land(assign, stateDir, "assign", batchId)
+      land(newNew.unionAll(newOld), stateDir, "edges", batchId)
+
+      val edgesK = spark.read.parquet(s"$stateDir/edges/batch=$batchId")
+      val prevSnap = landed.lastOption
+        .map(kk => spark.read.parquet(s"$stateDir/clusters/batch=$kk"))
+      land(DedupOps.foldClusterSnapshot(prevSnap,
+        assign.select(col("id").as("doc_id")), edgesK),
+        stateDir, "clusters", batchId)
+    } finally assign.unpersist(blocking = false)
+  }
+
+  /** The SemDeDup view after every landed batch — one row per vector,
+    * (idCol, cluster, rep), row-identical to one-shot
+    * [[SimilarityOps.semanticDedupAssigned]] over the union with the
+    * frozen codebook. Reads assignment metadata + the LATEST snapshot
+    * only (column pruning drops `v`); no CC runs here — the map was
+    * folded at each ingest.
+    */
+  def semanticDedupView(spark: SparkSession, stateDir: String,
+      idCol: String): DataFrame = {
+    val landed = landedBatchIds(spark, stateDir, EmbTables, None)
+    require(landed.nonEmpty, s"no landed batches under $stateDir")
+    val assign = readBatches(spark, stateDir, "assign", landed).get
+      .select("id", "cluster")
+    val snap = spark.read
+      .parquet(s"$stateDir/clusters/batch=${landed.max}")
+      .select(col("doc_id").as("id"), col("cluster").as("rep0"))
+    assign.join(snap, Seq("id"), "left")
+      .select(col("id").as(idCol), col("cluster"),
+        coalesce(col("rep0"), col("id")).as("rep"))
+  }
+}

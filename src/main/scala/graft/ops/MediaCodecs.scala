@@ -12,8 +12,10 @@ import java.nio.{ByteBuffer, ByteOrder}
   * Scope is deliberate: PCM16 WAV and BI_RGB 24-bpp BMP — formats whose
   * full spec fits in a page and whose decode is pure integer byte
   * walking (codegen-adjacent, allocation-light, safe inside an executor
-  * task). JPEG/MP4/FLAC still need a native library; they slot in
-  * behind the same [[MultimodalOps.MediaDecoder]] seam.
+  * task). Compressed audio lives in [[FlacCodec]] (pure-JVM FLAC,
+  * round 15); JPEG decode comes via ImageIO in [[ImageIoCodecs]];
+  * MP4/H.264 still need a native library — they slot in behind the
+  * same [[MultimodalOps.MediaDecoder]] seam.
   *
   * Mirrors the reference's file-blob handling boundary
   * (drs_document_reference.py:224-243 treats genomic files as opaque

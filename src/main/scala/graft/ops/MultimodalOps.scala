@@ -102,17 +102,29 @@ object MultimodalOps {
   object CodecDecoder extends MediaDecoder {
     def decode(row: MediaRow): MediaFeatures = row.media_type match {
       case "audio" =>
-        val wav = MediaCodecs.WavCodec.decode(row.content)
-        val n = wav.samples.length
+        // sniff-and-route: FLAC magic → [[FlacCodec]]; otherwise
+        // RIFF/WAVE — both decode to the same PCM16 stream shape, so
+        // downstream features are container-independent
+        val (samples, sampleRate, channels) =
+          if (row.content.length >= 4 && row.content(0) == 'f' &&
+              row.content(1) == 'L' && row.content(2) == 'a' &&
+              row.content(3) == 'C') {
+            val f = FlacCodec.decode(row.content)
+            (f.samples, f.sampleRate, f.channels)
+          } else {
+            val w = MediaCodecs.WavCodec.decode(row.content)
+            (w.samples, w.sampleRate, w.channels)
+          }
+        val n = samples.length
         var sum = 0L; var sumAbs = 0L; var peak = 0L
         var i = 0
         while (i < n) {
-          val v = wav.samples(i).toLong
+          val v = samples(i).toLong
           sum += v; sumAbs += math.abs(v); peak = math.max(peak, math.abs(v))
           i += 1
         }
         val feature = Array(
-          n.toFloat, wav.sampleRate.toFloat, wav.channels.toFloat,
+          n.toFloat, sampleRate.toFloat, channels.toFloat,
           if (n == 0) 0f else (sum.toDouble / n).toFloat,
           if (n == 0) 0f else (sumAbs.toDouble / n).toFloat,
           peak.toFloat, 0f, 0f)

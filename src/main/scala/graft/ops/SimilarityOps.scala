@@ -266,9 +266,22 @@ object SimilarityOps {
     */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, threshold: Double): DataFrame = {
-    val (_, assign) = kmeansFit(emb, idCol, vecCol, k, iters)
+    val (cents, _) = kmeansFit(emb, idCol, vecCol, k, iters)
+    semanticDedupAssigned(emb, idCol, vecCol, cents, threshold)
+  }
+
+  /** [[semanticDedup]] against a FROZEN codebook: assign every vector
+    * to its nearest given centroid (broadcast-literal argmin, no fit),
+    * then the same within-cluster pair graph → connected components →
+    * min-id representative. This is the production decomposition at
+    * corpus scale — SemDeDup fits its k-means on a bounded sample and
+    * freezes the codebook, so clustering new data never refits (the
+    * contract [[IncrementalDedupOps.ingestEmbeddingShard]] builds on).
+    */
+  def semanticDedupAssigned(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]], threshold: Double): DataFrame = {
     val e = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-      .join(assign.select(col(idCol).as("id"), col("cluster")), Seq("id"))
+      .withColumn("cluster", ivfCell(col("v"), centroids))
     val l = e.select(col("cluster"), col("id").as("id_a"), col("v").as("va"))
     val r = e.select(col("cluster"), col("id").as("id_b"), col("v").as("vb"))
     val pairs = l.join(r, Seq("cluster")).where(col("id_a") < col("id_b"))

@@ -2789,6 +2789,50 @@ object Battery {
     },
     Some(curationOracle))
 
+  /** Streaming incremental curation
+    * ([[graft.streaming.Streaming.curationIngest]]): c2's two shards
+    * arrive as FILES in a watched directory, each drained by an
+    * `AvailableNow` pass whose `foreachBatch` folds the micro-batch
+    * into the same cross-batch curation state — the file-source
+    * checkpoint provides the monotonic batch ids and exactly-once file
+    * tracking, ingestShard's directory ledger makes the fold
+    * idempotent. The curated view after the second pass shares c1's
+    * one-shot oracle: batch, incremental-batch, and streaming ingestion
+    * are all indistinguishable.
+    */
+  private val stIncrementalCuration = Q(
+    "st_incremental_curation",
+    (s, d) => {
+      import graft.ops.IncrementalCurateOps
+      import org.apache.hadoop.fs.Path
+      val docs = T.documents(s, d)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_stc").toString
+      val (watch, ckpt, state) =
+        (s"$base/in", s"$base/ckpt", s"$base/state")
+      val fs = new Path(base).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      fs.mkdirs(new Path(watch))
+      // land one shard as ONE parquet file in the watched dir (single
+      // file => the AvailableNow pass sees it as exactly one micro-batch)
+      def landShard(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+        val tmp = s"$base/tmp_$name"
+        df.coalesce(1).write.parquet(tmp)
+        val part = fs.globStatus(new Path(s"$tmp/part-*"))(0).getPath
+        fs.rename(part, new Path(s"$watch/$name.parquet"))
+      }
+      def drain(): Unit = graft.streaming.Streaming.curationIngest(
+        s, watch, docs.schema, ckpt, state, "doc_id", "text")
+      val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head
+      val mid = (r.getLong(0) + r.getLong(1)) / 2
+      landShard(docs.where(col("doc_id") <= mid), "s1")
+      drain()
+      landShard(docs.where(col("doc_id") > mid), "s2")
+      drain()
+      IncrementalCurateOps.curated(s, state)
+    },
+    Some(curationOracle))
+
   /** The shared one-shot curation oracle (c1 AND c2 — incremental
     * processing must be indistinguishable from a union recompute).
     */
@@ -3048,30 +3092,42 @@ object Battery {
     * composition (n7). The final CTE `b2` exposes (vec_id, v, ci): the
     * final assignment with the vector still attached.
     */
-  private def kmeansOracleCtes: String = {
+  private def kmeansOracleCtes: String = kmeansOracleCtesOver("TRUE")
+
+  /** [[kmeansOracleCtes]] generalized to a FIT SUBSET: the seed and
+    * both Lloyd's update rounds run over `ef` (the rows matching
+    * `fitWhere`) while the exposed final assignment `b2` covers ALL of
+    * `e` against the fit's final centroids — exactly
+    * [[graft.ops.SimilarityOps.kmeansFit]] on the subset followed by
+    * [[graft.ops.SimilarityOps.semanticDedupAssigned]]'s frozen-codebook
+    * argmin over the corpus (the n11 incremental contract). With
+    * `fitWhere = TRUE` it degenerates to the shared n6/n7 chain.
+    */
+  private def kmeansOracleCtesOver(fitWhere: String): String = {
     val dims = 1 to 64
     val meanCols = dims.map(j =>
       s"CAST(sum(CAST(v[$j] AS DECIMAL(38,20))) AS DOUBLE) / count(*) AS m$j")
       .mkString(",\n  ")
     val arr = dims.map(j => s"m$j").mkString("[", ", ", "]")
-    def assign(prev: String, out: String) =
+    def assign(src: String, prev: String, out: String) =
       s"""${out}_d AS (SELECT vec_id, v, ci,
          |  list_reduce(list_prepend(0.0, [ (v[j] - cv[j]) * (v[j] - cv[j]) for j in range(1, 65) ]),
          |    (acc, x) -> acc + x) AS dist
-         |  FROM e CROSS JOIN $prev),
+         |  FROM $src CROSS JOIN $prev),
          |$out AS (SELECT vec_id, v, ci FROM
          |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, ci) AS rn FROM ${out}_d)
          |  WHERE rn = 1)""".stripMargin
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |ef AS (SELECT * FROM e WHERE $fitWhere),
        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, v AS cv
-       |       FROM (SELECT * FROM e ORDER BY vec_id LIMIT 4)),
-       |${assign("c0", "b0")},
+       |       FROM (SELECT * FROM ef ORDER BY vec_id LIMIT 4)),
+       |${assign("ef", "c0", "b0")},
        |c1 AS (SELECT ci, $meanCols FROM b0 GROUP BY ci),
        |c1v AS (SELECT ci, $arr AS cv FROM c1),
-       |${assign("c1v", "b1")},
+       |${assign("ef", "c1v", "b1")},
        |c2 AS (SELECT ci, $meanCols FROM b1 GROUP BY ci),
        |c2v AS (SELECT ci, $arr AS cv FROM c2),
-       |${assign("c2v", "b2")}""".stripMargin
+       |${assign("e", "c2v", "b2")}""".stripMargin
   }
 
   private val n6KmeansFit = Q(
@@ -3098,6 +3154,58 @@ object Battery {
       k = 4, iters = 2, threshold = 0.35),
     Some {
       s"""WITH RECURSIVE $kmeansOracleCtes,
+         |pp AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM b2 a JOIN b2 b ON a.ci = b.ci AND a.vec_id < b.vec_id
+         |  WHERE list_dot_product(a.v, b.v) /
+         |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+         |    >= 0.35),
+         |ee AS (SELECT id_a AS a, id_b AS bb FROM pp
+         |       UNION SELECT id_b, id_a FROM pp),
+         |reach(a, bb) AS (
+         |  SELECT a, bb FROM ee
+         |  UNION
+         |  SELECT r.a, ee.bb FROM reach r JOIN ee ON r.bb = ee.a)
+         |SELECT n.vec_id, CAST(n.ci AS INT) AS cluster,
+         |  least(n.vec_id, coalesce(min(r.bb), n.vec_id)) AS rep
+         |FROM b2 n LEFT JOIN reach r ON r.a = n.vec_id
+         |GROUP BY n.vec_id, n.ci""".stripMargin
+    })
+
+  /** n11 — INCREMENTAL semantic dedup
+    * ([[graft.ops.IncrementalDedupOps.ingestEmbeddingShard]]): the
+    * SemDeDup production decomposition — the k-means codebook is fit on
+    * the FIRST shard and frozen; every shard (the fit shard included)
+    * is then assigned by broadcast-literal argmin, joined within-cell
+    * against the persisted assignments for its new edges, and the
+    * component map folded incrementally — no vector is ever re-assigned
+    * and no historical edge re-read. The view after shard 2 must equal
+    * the one-shot frozen-codebook run over the union
+    * ([[graft.ops.SimilarityOps.semanticDedupAssigned]]); the oracle
+    * replays the half-corpus fit with the generalized k-means CTE chain
+    * (fit CTEs over `ef`, final assignment over all of `e`) and then
+    * n7's pair + recursive-reach closure.
+    */
+  private val n11IncrementalSemDedup = Q(
+    "n11_incremental_semdedup",
+    (s, d) => {
+      val emb = T.embeddings(s, d)
+      val stateDir = java.nio.file.Files
+        .createTempDirectory("graft_n11_state").toString
+      val r = emb.agg(min(col("vec_id")), max(col("vec_id"))).head
+      val mid = (r.getLong(0) + r.getLong(1)) / 2
+      val I = graft.ops.IncrementalDedupOps
+      I.ingestEmbeddingShard(s, emb.where(col("vec_id") <= mid),
+        "vec_id", "embedding", stateDir, batchId = 0L,
+        k = 4, iters = 2, threshold = 0.35)
+      I.ingestEmbeddingShard(s, emb.where(col("vec_id") > mid),
+        "vec_id", "embedding", stateDir, batchId = 1L,
+        k = 4, iters = 2, threshold = 0.35)
+      I.semanticDedupView(s, stateDir, "vec_id")
+    },
+    Some {
+      val fitWhere =
+        "vec_id <= (SELECT (min(vec_id) + max(vec_id)) // 2 FROM embeddings)"
+      s"""WITH RECURSIVE ${kmeansOracleCtesOver(fitWhere)},
          |pp AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
          |  FROM b2 a JOIN b2 b ON a.ci = b.ci AND a.vec_id < b.vec_id
          |  WHERE list_dot_product(a.v, b.v) /
@@ -5038,6 +5146,119 @@ object Battery {
            |SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
            |FROM p WHERE hamming <= 3""".stripMargin))
 
+  /** m12 — INCREMENTAL image near-dup dedup
+    * ([[graft.ops.IncrementalDedupOps.ingestImageShard]]): m11's corpus
+    * ingested as two shards, each hashed and banded once and joined
+    * against the persisted band index — no image is ever decoded twice
+    * — and the accumulated edge set must equal the one-shot m11 run on
+    * the union, which is why this row shares m11's analytic dHash
+    * oracle verbatim.
+    */
+  private val m12IncrementalImageNearDup = Q(
+    "m12_incremental_image_neardup",
+    (s, d) => {
+      import s.implicits._
+      val media = T.documents(s, d)
+        .where(pmod(col("doc_id"), lit(3)) === 1)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(ids => ids.map { id =>
+          (id, graft.ops.ImageIoCodecs.syntheticPng(id - id % 10))
+        }).toDF("doc_id", "img")
+      val stateDir = java.nio.file.Files
+        .createTempDirectory("graft_m12_state").toString
+      val r = media.agg(min(col("doc_id")), max(col("doc_id"))).head
+      val mid = (r.getLong(0) + r.getLong(1)) / 2
+      graft.ops.IncrementalDedupOps.ingestImageShard(s,
+        media.where(col("doc_id") <= mid), "doc_id", "img", stateDir,
+        batchId = 0L, maxDist = 3)
+      graft.ops.IncrementalDedupOps.ingestImageShard(s,
+        media.where(col("doc_id") > mid), "doc_id", "img", stateDir,
+        batchId = 1L, maxDist = 3)
+      graft.ops.IncrementalDedupOps.imagePairs(s, stateDir)
+    },
+    // (oracle shared verbatim with m11 — see m12's doc above)
+    Some("""WITH a AS (SELECT doc_id, doc_id - doc_id % 10 AS base
+           |           FROM documents WHERE doc_id % 3 = 1),
+           |dims AS (SELECT doc_id, base, 4 + base % 13 AS w, 3 + base % 7 AS h FROM a),
+           |px AS (SELECT doc_id, base, w, h, unnest(range(0, 72)) AS i FROM dims),
+           |sm AS (SELECT doc_id, base, i % 9 AS x, i // 9 AS y,
+           |         ((i % 9) * w) // 9 AS sx, ((i // 9) * h) // 8 AS sy
+           |       FROM px),
+           |gr AS (SELECT doc_id, x, y,
+           |        (299 * ((base + 7 * sx + 13 * sy) % 256)
+           |       + 587 * ((3 * base + 5 * sx + sy) % 256)
+           |       + 114 * ((11 * base + sx + 2 * sy) % 256)) // 1000 AS g
+           |       FROM sm),
+           |bits AS (SELECT l.doc_id, l.x, l.y, (r.g > l.g) AS bit
+           |         FROM gr l JOIN gr r ON r.doc_id = l.doc_id
+           |           AND r.y = l.y AND r.x = l.x + 1
+           |         WHERE l.x < 8),
+           |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |        sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS hamming
+           |      FROM bits a JOIN bits b ON a.x = b.x AND a.y = b.y
+           |        AND a.doc_id < b.doc_id
+           |      GROUP BY 1, 2)
+           |SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
+           |FROM p WHERE hamming <= 3""".stripMargin))
+
+  /** m13 — REAL compressed-audio decode: each asset's payload is an
+    * actual FLAC stream ([[graft.ops.FlacCodec.syntheticFlac]] — a
+    * closed-form corpus whose per-asset shape is 16 constant samples →
+    * 16-sample linear ramp → hash noise, so every asset carries
+    * CONSTANT, FIXED and data-chosen subframes), parsed back by the
+    * pure-JVM [[graft.ops.FlacCodec]] with CRC-8/CRC-16/MD5 all
+    * enforced. The DuckDB oracle recomputes the decoded sample
+    * statistics and the frame count in closed form — a wrong Rice
+    * unzigzag, predictor coefficient, warm-up handling, or partition
+    * walk hash-mismatches. Narrow map-only plan: encode+decode run
+    * where the row lives, no shuffle.
+    */
+  private val m13FlacDecode = Q(
+    "m13_flac_decode",
+    (s, d) => {
+      import s.implicits._
+      T.documents(s, d).where(pmod(col("doc_id"), lit(3)) === 2)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val bytes = graft.ops.FlacCodec.syntheticFlac(id)
+            val flac = graft.ops.FlacCodec.decode(bytes)
+            var sum = 0L; var sabs = 0L; var peak = 0L
+            var i = 0
+            while (i < flac.samples.length) {
+              val v = flac.samples(i).toLong
+              sum += v; sabs += math.abs(v); peak = math.max(peak, math.abs(v))
+              i += 1
+            }
+            val nFrames = flac.nConstant + flac.nVerbatim + flac.nFixed.sum
+            (id, flac.samples.length, flac.sampleRate, flac.channels,
+              sum, sabs, peak, nFrames,
+              flac.nConstant >= 1, flac.nFixed.sum >= 1)
+          }
+        }.toDF("asset_id", "n_samples", "sample_rate", "channels",
+          "sum_sample", "sum_abs", "peak_abs", "n_frames",
+          "has_constant", "has_fixed")
+    },
+    Some("""WITH a AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2),
+           |s AS (SELECT doc_id, unnest(range(0, 64 + doc_id % 191)) AS i FROM a),
+           |v AS (SELECT doc_id,
+           |        CASE WHEN i < 16 THEN (doc_id * 31) % 65536 - 32768
+           |             WHEN i < 32 THEN (1 + doc_id % 96) * (i - 16) + doc_id % 1003 - 500
+           |             ELSE (doc_id * 2654435761 + i * 40503) % 65536 - 32768
+           |        END AS smp
+           |      FROM s)
+           |SELECT doc_id AS asset_id,
+           |  CAST(count(*) AS INT) AS n_samples,
+           |  8000 AS sample_rate,
+           |  1 AS channels,
+           |  CAST(sum(smp) AS BIGINT) AS sum_sample,
+           |  CAST(sum(abs(smp)) AS BIGINT) AS sum_abs,
+           |  CAST(max(abs(smp)) AS BIGINT) AS peak_abs,
+           |  CAST((count(*) + 15) // 16 AS INT) AS n_frames,
+           |  TRUE AS has_constant,
+           |  TRUE AS has_fixed
+           |FROM v GROUP BY doc_id""".stripMargin))
+
   // ------------------------------------------ KF ETL end-to-end slice (§7.2)
 
   /** KF-shaped slice inputs (studies/participants/families) derived from
@@ -5789,7 +6010,8 @@ object Battery {
     d1DedupExact, x1TextStats, n1AnnTopK, m1Multimodal, m2MultimodalDecode,
     m3FrameSample, m3bImageFrames, m4WavDecode, m5BmpDecode, m6Resize,
     m6bResizeBilinear, m7VideoResize, m8AudioResample,
-    m9PngDecode, m10PngResize, m11ImageNearDup,
+    m9PngDecode, m10PngResize, m11ImageNearDup, m12IncrementalImageNearDup,
+    m13FlacDecode,
     d2MinhashBands, d2bNearDupPairs, d3Simhash, d7SimhashPairs, d4NgramJaccard,
     d5DedupClusters, d6DedupCorpus, d8DupSpans, d9DupSpanCut,
     d10EditDistance,
@@ -5802,8 +6024,9 @@ object Battery {
     x25LmScore, x26DsirScore, x27SlidingChunks, x28PmiCollocations,
     x29LeakageSplits, x30Bm25, x31BpeTrain, x32ByteBpeCount, x33RrfFusion,
     x34KAnonymity, x35HtmlExtract, c1Curation, c2Incremental,
+    stIncrementalCuration,
     n2AnnLsh, n3EmbNearDup, n4AnnIvf, n5PqQuantize, n6KmeansFit, n7SemanticDedup,
-    n8SqQuantize, n9BinaryQuantize, n10MmrRerank,
+    n8SqQuantize, n9BinaryQuantize, n10MmrRerank, n11IncrementalSemDedup,
     kfPatientSlice, kfRSubjectSlice, kfSpecimenSlice, kfDrsSlice,
     kfDiseaseSlice, kfPhenotypeSlice, kfHistoSlice, kfVitalSlice,
     kfFamilySlice, kfStudySlice, kfProbandSlice, kfFamRelSlice,

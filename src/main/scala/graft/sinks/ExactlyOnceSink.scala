@@ -117,11 +117,30 @@ object ExactlyOnceSink {
           try st.executeQuery(s"SELECT count(*) FROM $table WHERE 1=0").close()
           finally st.close()
         } catch { case _: SQLException => throw e }
-        // pre-versioning per-partition ledgers lack the scheme column:
-        // migrate with DEFAULT 0 ("unknown scheme"), which conflicts
-        // with every current scheme — a partial batch written by an
-        // old build is refused, not silently mixed
         if (perPartition) {
+          // a table first created by the DRIVER ledger ([[ledgered]],
+          // perPartition=false) has no partition_id at all — that is a
+          // shape mismatch, not a migration: ALTERing scheme into it
+          // would only defer the failure to a confusing column error
+          // inside the partition-task INSERT
+          val hasPid =
+            try {
+              val st = conn.createStatement()
+              try {
+                st.executeQuery(
+                  s"SELECT ${q("partition_id")} FROM $table WHERE 1=0").close()
+                true
+              } finally st.close()
+            } catch { case _: SQLException => false }
+          if (!hasPid) throw new IllegalStateException(
+            s"ledger table $table has the driver-ledger shape (no " +
+              "partition_id column — created by ledgered/perPartition=" +
+              "false); appendOnce needs a per-partition ledger. Use a " +
+              "different table name, or migrate the old ledger manually.")
+          // pre-versioning per-partition ledgers lack the scheme column:
+          // migrate with DEFAULT 0 ("unknown scheme"), which conflicts
+          // with every current scheme — a partial batch written by an
+          // old build is refused, not silently mixed
           try {
             val st = conn.createStatement()
             try st.executeQuery(

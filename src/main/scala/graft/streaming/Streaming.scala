@@ -271,6 +271,38 @@ object Streaming {
     q.awaitTermination()
   }
 
+  /** Streaming incremental corpus curation: watch a directory for new
+    * document shards (parquet files) and fold each micro-batch into
+    * [[graft.ops.IncrementalCurateOps]]' cross-batch state — the full
+    * production loop for a continuously-ingested corpus: the file
+    * source's checkpoint decides exactly-once WHICH files form each
+    * micro-batch, `foreachBatch` hands them to `ingestShard` under the
+    * stream's monotonic `batchId`, and ingestShard's own directory
+    * ledger makes the write idempotent — a restart that replays the
+    * last uncommitted micro-batch re-lands byte-identical state, and a
+    * replay of a COMMITTED batch is a no-op (the two ledgers compose;
+    * neither trusts the other). Each invocation drains everything
+    * currently in `watchDir` ([[runAvailableNow]]) and stops — the
+    * periodic-ingest pattern; run it from a scheduler as shards land.
+    *
+    * [[graft.ops.IncrementalCurateOps.curated]] over `stateDir` then
+    * serves the corpus view, row-identical to the one-shot batch
+    * curation of every document ever streamed (the
+    * `st_incremental_curation` battery row pins this against c1's
+    * oracle).
+    */
+  def curationIngest(spark: SparkSession, watchDir: String,
+      schema: StructType, checkpoint: String, stateDir: String,
+      idCol: String, textCol: String,
+      cfg: graft.ops.IncrementalCurateOps.CurateConfig =
+        graft.ops.IncrementalCurateOps.CurateConfig()): Unit =
+    runAvailableNow(
+      spark.readStream.schema(schema).parquet(watchDir), checkpoint) {
+      (df, batchId) =>
+        graft.ops.IncrementalCurateOps.ingestShard(
+          df.sparkSession, df, idCol, textCol, stateDir, batchId, cfg)
+    }
+
   /** Streaming corpus gate — the NARROW curation stages (language-ID
     * argmax + integer quality score, the first two stages of
     * [[graft.ops.CorpusOps.curate]]) applied to a document stream.

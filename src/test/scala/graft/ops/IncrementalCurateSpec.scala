@@ -210,4 +210,39 @@ class IncrementalCurateSpec extends AnyFunSuite {
       .orderBy("pred_lang").collect().map(_.mkString("|")).toSeq
     assert(merged == direct)
   }
+
+  test("streaming curationIngest: file-source micro-batches fold into " +
+      "the same state as batch ingestShard, and a restart that replays " +
+      "the last micro-batch is an idempotent no-op") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_stream_curate").toString
+    val (watch, ckpt, state) = (s"$base/in", s"$base/ckpt", s"$base/state")
+    val fs = new Path(base).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(watch))
+    def landShard(df: DataFrame, name: String): Unit = {
+      val tmp = s"$base/tmp_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = fs.globStatus(new Path(s"$tmp/part-*"))(0).getPath
+      assert(fs.rename(part, new Path(s"$watch/$name.parquet")))
+    }
+    def drain(): Unit = graft.streaming.Streaming.curationIngest(
+      spark, watch, docs.schema, ckpt, state, "doc_id", "text")
+    val (a, b) = splitAt(midId)
+    landShard(a, "s1")
+    drain()
+    landShard(b, "s2")
+    drain()
+    assert(IncrementalCurateOps.batchLanded(spark, state, 0L))
+    assert(IncrementalCurateOps.batchLanded(spark, state, 1L))
+    val streamed = sortedRows(IncrementalCurateOps.curated(spark, state))
+    val oneShot = sortedRows(CorpusOps.curate(docs, "doc_id", "text"))
+    assert(streamed == oneShot)
+    // crash between the sink commit and the checkpoint commit: drop the
+    // stream's LAST commit marker so a restart replays micro-batch 1 —
+    // ingestShard's directory ledger must absorb the replay untouched
+    assert(fs.delete(new Path(s"$ckpt/commits/1"), false))
+    drain()
+    assert(sortedRows(IncrementalCurateOps.curated(spark, state)) == streamed)
+  }
 }

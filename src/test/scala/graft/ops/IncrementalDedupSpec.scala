@@ -1,0 +1,187 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.etl.SparkTestSession
+
+/** Incremental image + embedding dedup contract
+  * ([[IncrementalDedupOps]]): shard-by-shard ingestion is
+  * indistinguishable from the one-shot operator over the union —
+  * [[DedupOps.imageNearDupPairs]] for images,
+  * [[SimilarityOps.semanticDedupAssigned]] (frozen first-shard
+  * codebook) for embeddings — including under batch replay, a
+  * crash-mid-shard restart, and out-of-order arrival (which throws).
+  */
+class IncrementalDedupSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val srcDir = "/root/testdata/sf0.001"
+
+  // m11's fixture: every decade of doc ids shares one synthetic PNG,
+  // so within-decade pairs land at Hamming 0 and cross-decade pairs
+  // wherever the pixel law puts them
+  private def media: DataFrame = {
+    import spark.implicits._
+    graft.Tables.documents(spark, srcDir)
+      .where(pmod(col("doc_id"), lit(3)) === 1)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(ids => ids.map { id =>
+        (id, ImageIoCodecs.syntheticPng(id - id % 10))
+      }).toDF("doc_id", "img")
+  }
+
+  private def emb: DataFrame = graft.Tables.embeddings(spark, srcDir)
+
+  private def freshState(): String =
+    java.nio.file.Files.createTempDirectory("graft_incr_dedup").toString
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.orderBy(df.columns.map(col): _*).collect()
+      .map(_.mkString("|")).toSeq
+
+  private def midOf(df: DataFrame, idCol: String): Long = {
+    val r = df.agg(min(col(idCol)), max(col(idCol))).head
+    (r.getLong(0) + r.getLong(1)) / 2
+  }
+
+  // ------------------------------------------------------------- images
+
+  test("two-shard incremental image pairs equal one-shot " +
+      "imageNearDupPairs on the union") {
+    val state = freshState()
+    val mid = midOf(media, "doc_id")
+    IncrementalDedupOps.ingestImageShard(spark,
+      media.where(col("doc_id") <= mid), "doc_id", "img", state, 0L)
+    IncrementalDedupOps.ingestImageShard(spark,
+      media.where(col("doc_id") > mid), "doc_id", "img", state, 1L)
+    val incr = IncrementalDedupOps.imagePairs(spark, state)
+    val oneShot = DedupOps.imageNearDupPairs(media, "doc_id", "img")
+    assert(sortedRows(incr) == sortedRows(oneShot))
+    assert(incr.count() > 0, "fixture must actually produce pairs")
+  }
+
+  test("image: replaying a landed batch is a no-op; a crash-mid-shard " +
+      "restart recomputes and lands identical state") {
+    val state = freshState()
+    val mid = midOf(media, "doc_id")
+    val (a, b) =
+      (media.where(col("doc_id") <= mid), media.where(col("doc_id") > mid))
+    IncrementalDedupOps.ingestImageShard(spark, a, "doc_id", "img", state, 0L)
+    IncrementalDedupOps.ingestImageShard(spark, b, "doc_id", "img", state, 1L)
+    val before = sortedRows(IncrementalDedupOps.imagePairs(spark, state))
+    // replay with DIFFERENT content — the gate is the directory ledger
+    IncrementalDedupOps.ingestImageShard(spark, a.limit(2), "doc_id", "img",
+      state, 1L)
+    assert(sortedRows(IncrementalDedupOps.imagePairs(spark, state)) == before)
+    // crash: batch 1 died after sig+bands, before edges
+    val fs = new Path(state).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new Path(s"$state/edges/batch=1/_SUCCESS"), false))
+    assert(!IncrementalDedupOps.imageBatchLanded(spark, state, 1L))
+    IncrementalDedupOps.ingestImageShard(spark, b, "doc_id", "img", state, 1L)
+    assert(IncrementalDedupOps.imageBatchLanded(spark, state, 1L))
+    assert(sortedRows(IncrementalDedupOps.imagePairs(spark, state)) == before)
+  }
+
+  test("image: out-of-order ingest fails loudly") {
+    val state = freshState()
+    val mid = midOf(media, "doc_id")
+    IncrementalDedupOps.ingestImageShard(spark,
+      media.where(col("doc_id") <= mid), "doc_id", "img", state, 0L)
+    IncrementalDedupOps.ingestImageShard(spark,
+      media.where(col("doc_id") > mid), "doc_id", "img", state, 2L)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalDedupOps.ingestImageShard(spark, media.limit(2),
+        "doc_id", "img", state, 1L)
+    }
+    assert(e.getMessage.contains("out-of-order"))
+  }
+
+  // --------------------------------------------------------- embeddings
+
+  private val (k, iters, thr) = (4, 2, 0.35)
+
+  private def oneShotFrozen(fitSet: DataFrame): DataFrame = {
+    val (cents, _) =
+      SimilarityOps.kmeansFit(fitSet, "vec_id", "embedding", k, iters)
+    SimilarityOps.semanticDedupAssigned(emb, "vec_id", "embedding",
+      cents, thr)
+  }
+
+  test("two-shard incremental semantic dedup equals the one-shot " +
+      "frozen-codebook run on the union") {
+    val state = freshState()
+    val mid = midOf(emb, "vec_id")
+    val fit = emb.where(col("vec_id") <= mid)
+    IncrementalDedupOps.ingestEmbeddingShard(spark, fit,
+      "vec_id", "embedding", state, 0L, k, iters, thr)
+    IncrementalDedupOps.ingestEmbeddingShard(spark,
+      emb.where(col("vec_id") > mid),
+      "vec_id", "embedding", state, 1L, k, iters, thr)
+    val incr = IncrementalDedupOps.semanticDedupView(spark, state, "vec_id")
+    assert(sortedRows(incr) == sortedRows(oneShotFrozen(fit)))
+  }
+
+  test("three-shard incremental semantic dedup still equals one-shot " +
+      "(cross-shard component merges through the snapshot fold)") {
+    val state = freshState()
+    val r = emb.agg(min(col("vec_id")), max(col("vec_id"))).head
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val cut1 = lo + (hi - lo) / 3
+    val cut2 = lo + 2 * (hi - lo) / 3
+    val fit = emb.where(col("vec_id") <= cut1)
+    IncrementalDedupOps.ingestEmbeddingShard(spark, fit,
+      "vec_id", "embedding", state, 0L, k, iters, thr)
+    IncrementalDedupOps.ingestEmbeddingShard(spark,
+      emb.where(col("vec_id") > cut1 && col("vec_id") <= cut2),
+      "vec_id", "embedding", state, 1L, k, iters, thr)
+    IncrementalDedupOps.ingestEmbeddingShard(spark,
+      emb.where(col("vec_id") > cut2),
+      "vec_id", "embedding", state, 2L, k, iters, thr)
+    val incr = IncrementalDedupOps.semanticDedupView(spark, state, "vec_id")
+    assert(sortedRows(incr) == sortedRows(oneShotFrozen(fit)))
+  }
+
+  test("embedding: crash after the codebook landed but before the fit " +
+      "batch's tables refits deterministically and converges") {
+    val state = freshState()
+    val mid = midOf(emb, "vec_id")
+    val fit = emb.where(col("vec_id") <= mid)
+    IncrementalDedupOps.ingestEmbeddingShard(spark, fit,
+      "vec_id", "embedding", state, 0L, k, iters, thr)
+    // crash: the fit batch died right after landing centroids — assign/
+    // edges/clusters never committed
+    val fs = new Path(state).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new Path(s"$state/assign/batch=0"), true))
+    assert(fs.delete(new Path(s"$state/edges/batch=0/_SUCCESS"), false))
+    assert(!IncrementalDedupOps.embeddingBatchLanded(spark, state, 0L))
+    IncrementalDedupOps.ingestEmbeddingShard(spark, fit,
+      "vec_id", "embedding", state, 0L, k, iters, thr)
+    IncrementalDedupOps.ingestEmbeddingShard(spark,
+      emb.where(col("vec_id") > mid),
+      "vec_id", "embedding", state, 1L, k, iters, thr)
+    val incr = IncrementalDedupOps.semanticDedupView(spark, state, "vec_id")
+    assert(sortedRows(incr) == sortedRows(oneShotFrozen(fit)))
+  }
+
+  test("embedding: out-of-order ingest fails loudly") {
+    val state = freshState()
+    val mid = midOf(emb, "vec_id")
+    IncrementalDedupOps.ingestEmbeddingShard(spark,
+      emb.where(col("vec_id") <= mid),
+      "vec_id", "embedding", state, 0L, k, iters, thr)
+    IncrementalDedupOps.ingestEmbeddingShard(spark,
+      emb.where(col("vec_id") > mid),
+      "vec_id", "embedding", state, 2L, k, iters, thr)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalDedupOps.ingestEmbeddingShard(spark, emb.limit(4),
+        "vec_id", "embedding", state, 1L, k, iters, thr)
+    }
+    assert(e.getMessage.contains("out-of-order"))
+  }
+}

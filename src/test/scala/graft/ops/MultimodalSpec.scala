@@ -84,6 +84,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats(0L).feature(0) == wav.samples.length.toFloat)
   }
 
+  test("CodecDecoder sniffs FLAC audio: the same PCM stream yields the " +
+      "same features whether it arrives as WAV or FLAC") {
+    // smooth signal: FIXED predictors win, so the FLAC payload really
+    // compresses (the size assertion below would not hold for noise)
+    val samples = Array.tabulate[Short](300)(i =>
+      (2000.0 * math.sin(i / 9.0)).toShort)
+    val asWav = MultimodalOps.CodecDecoder.decode(MultimodalOps.MediaRow(
+      1L, "audio", MediaCodecs.WavCodec.encode(samples, 8000), None, None, None))
+    val asFlac = MultimodalOps.CodecDecoder.decode(MultimodalOps.MediaRow(
+      2L, "audio", FlacCodec.encode(samples, 8000, 64), None, None, None))
+    assert(asWav.feature.toSeq == asFlac.feature.toSeq,
+      "container must not leak into the decoded-stream features")
+    assert(asFlac.byte_len < asWav.byte_len,
+      "FLAC payload should be smaller than raw PCM16 for correlated data")
+  }
+
   test("mediaFromDocumentsReal: payloads are real containers that round-trip the codecs") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(30)
     val media = MultimodalOps.mediaFromDocumentsReal(docs).collect()

@@ -202,6 +202,30 @@ class ExactlyOnceSinkSpec extends AnyFunSuite {
     assert(count(url, "migland") == 3)
   }
 
+  test("a driver-ledger-shaped table (no partition_id) is refused with " +
+      "a descriptive shape error, not a confusing INSERT column error") {
+    import spark.implicits._
+    val url = "jdbc:derby:memory:eo7;create=true"
+    val setup = conn(url)
+    setup.createStatement().execute(
+      """CREATE TABLE shland ("k" VARCHAR(64), "v" VARCHAR(64))""")
+    setup.close()
+    val ledger = ExactlyOnceSink.Ledger(url = url, table = "shledger")
+    val df = Seq(("a", "1"), ("b", "2")).toDF("k", "v")
+    // the driver ledger creates the no-partition_id shape
+    var applied = 0
+    ExactlyOnceSink.ledgered(ledger, "s") { (_, _) => applied += 1 }(df, 0L)
+    assert(applied == 1)
+    // reusing the same TABLE for the per-partition sink must fail at
+    // ensureLedger with the shape diagnosis
+    val e = intercept[IllegalStateException] {
+      ExactlyOnceSink.appendOnce(df, 1L, "s", "shland", Seq("k", "v"),
+        ledger, partitions = 2)
+    }
+    assert(e.getMessage.contains("driver-ledger shape"))
+    assert(count(url, "shland") == 0, "the refused batch wrote nothing")
+  }
+
   test("checkpointed stream restart lands the one-shot batch table") {
     val url = "jdbc:derby:memory:eo3;create=true"
     val setup = conn(url)
