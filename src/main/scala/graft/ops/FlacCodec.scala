@@ -18,9 +18,10 @@ package graft.ops
   *    LPC subframes are rejected loudly (they need windowed
   *    floating-point analysis on encode; decode support would be
   *    untestable here without a reference stream);
-  *  - independent channel assignments (mono/stereo/...); the
-  *    stereo-decorrelation assignments (left/side, right/side,
-  *    mid/side) are rejected loudly;
+  *  - all four published channel assignments: independent channels
+  *    (mono/stereo/...) and the three stereo decorrelations
+  *    (left/side, right/side, mid/side — side at bps+1 bits), chosen
+  *    on encode by exact coded size per frame;
   *  - every integrity field the format carries: frame-header CRC-8,
   *    whole-frame CRC-16, and the STREAMINFO MD5 of the decoded PCM
   *    stream — a single flipped bit anywhere fails the decode.
@@ -46,11 +47,13 @@ object FlacCodec {
 
   /** Decoded PCM16 audio (interleaved when multi-channel) plus the
     * subframe-type census the spec asserts coverage with:
-    * (constant, verbatim, fixedByOrder(0..4)) counts.
+    * (constant, verbatim, fixedByOrder(0..4)) counts and the number of
+    * frames that used a stereo-decorrelation channel assignment
+    * (left/side, right/side or mid/side).
     */
   final case class FlacData(sampleRate: Int, channels: Int,
       samples: Array[Short], nConstant: Int, nVerbatim: Int,
-      nFixed: Array[Int])
+      nFixed: Array[Int], nDecorrelated: Int)
 
   // ------------------------------------------------------------ bit io
 
@@ -209,20 +212,28 @@ object FlacCodec {
     }
   }
 
-  /** Encode mono PCM16 as a FLAC stream: STREAMINFO + fixed-blocking
-    * frames of `blockSize` samples (the last may be shorter), each
-    * subframe the cheapest of CONSTANT / FIXED 0–4 / VERBATIM.
+  /** Encode PCM16 (interleaved when `channels` = 2) as a FLAC stream:
+    * STREAMINFO + fixed-blocking frames of `blockSize` inter-channel
+    * samples (the last may be shorter). Each subframe is the cheapest
+    * of CONSTANT / FIXED 0–4 / VERBATIM; stereo frames additionally
+    * pick the cheapest of the four published channel assignments
+    * (independent, left/side, right/side, mid/side) by exact coded
+    * size — the decorrelation real encoders use, with the side channel
+    * at bps+1 bits per the format.
     */
   def encode(samples: Array[Short], sampleRate: Int,
-      blockSize: Int = 4096): Array[Byte] = {
+      blockSize: Int = 4096, channels: Int = 1): Array[Byte] = {
     require(sampleRate > 0 && sampleRate < (1 << 20), "invalid sample rate")
     require(blockSize >= 16 && blockSize <= 65535, "blockSize out of range")
-    require(samples.nonEmpty, "empty sample stream")
+    require(channels == 1 || channels == 2, "1 or 2 channels")
+    require(samples.nonEmpty && samples.length % channels == 0,
+      "sample count must be a positive multiple of the channel count")
     val out = new java.io.ByteArrayOutputStream()
     out.write('f'); out.write('L'); out.write('a'); out.write('C')
 
-    val nFrames = (samples.length + blockSize - 1) / blockSize
-    val lastLen = samples.length - (nFrames - 1) * blockSize
+    val total = samples.length / channels // inter-channel samples
+    val nFrames = (total + blockSize - 1) / blockSize
+    val lastLen = total - (nFrames - 1) * blockSize
     val minBlock = math.min(blockSize, lastLen)
 
     // MD5 of the unencoded stream: 16-bit little-endian, interleaved
@@ -245,43 +256,82 @@ object FlacCodec {
     si.write(0, 24) // min frame size unknown
     si.write(0, 24) // max frame size unknown
     si.write(sampleRate, 20)
-    si.write(0, 3) // channels - 1
+    si.write(channels - 1, 3)
     si.write(15, 5) // bits per sample - 1
-    si.write(samples.length.toLong, 36)
+    si.write(total.toLong, 36)
     md5.foreach(b => si.write(b & 0xffL, 8))
     out.write(si.toBytes)
 
     var frame = 0
     while (frame < nFrames) {
       val off = frame * blockSize
-      val len = math.min(blockSize, samples.length - off)
-      val block = new Array[Int](len)
+      val len = math.min(blockSize, total - off)
+      val chans = Array.ofDim[Int](channels, len)
       var j = 0
-      while (j < len) { block(j) = samples(off + j).toInt; j += 1 }
-      out.write(encodeFrame(block, frame))
+      while (j < len) {
+        var c = 0
+        while (c < channels) {
+          chans(c)(j) = samples((off + j) * channels + c).toInt
+          c += 1
+        }
+        j += 1
+      }
+      out.write(encodeFrame(chans, frame))
       frame += 1
     }
     out.toByteArray
   }
 
-  private def encodeFrame(block: Array[Int], frameNo: Int): Array[Byte] = {
+  /** The channel assignment + subframe plans of one frame, chosen by
+    * exact total coded size: mono is always independent; stereo
+    * compares independent / left-side / right-side / mid-side
+    * (mid = (L+R)>>1, side = L−R at bps+1 — the published lossless
+    * decorrelation trio).
+    */
+  private def planFrame(chans: Array[Array[Int]]): (Int, Seq[SubPlan]) =
+    if (chans.length == 1) (0, Seq(planSubframe(chans(0), 16)))
+    else {
+      val (l, r) = (chans(0), chans(1))
+      val n = l.length
+      val side = new Array[Int](n)
+      val mid = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        side(i) = l(i) - r(i)
+        mid(i) = (l(i) + r(i)) >> 1
+        i += 1
+      }
+      val pl = planSubframe(l, 16)
+      val pr = planSubframe(r, 16)
+      val ps = planSubframe(side, 17)
+      val pm = planSubframe(mid, 16)
+      val options = Seq(
+        (1, Seq(pl, pr)), // independent stereo
+        (8, Seq(pl, ps)), // left/side
+        (9, Seq(ps, pr)), // right/side
+        (10, Seq(pm, ps))) // mid/side
+      options.minBy { case (_, plans) => plans.map(_.bits).sum }
+    }
+
+  private def encodeFrame(chans: Array[Array[Int]], frameNo: Int): Array[Byte] = {
+    val (chanCode, plans) = planFrame(chans)
     val header = new BitWriter
     header.write(0x3ffe, 14) // sync
     header.write(0, 1) // reserved
     header.write(0, 1) // fixed blocking
     header.write(7, 4) // block size: 16 bits at end of header
     header.write(0, 4) // sample rate: from STREAMINFO
-    header.write(0, 4) // channel assignment: 1 channel, independent
+    header.write(chanCode, 4)
     header.write(4, 3) // sample size: 16 bits
     header.write(0, 1) // reserved
     writeUtf8Number(header, frameNo.toLong)
-    header.write(block.length - 1, 16)
+    header.write(chans(0).length - 1, 16)
     val headerBytes = header.toBytes
 
     val w = new BitWriter
     headerBytes.foreach(b => w.write(b & 0xffL, 8))
     w.write(crc8(headerBytes, 0, headerBytes.length), 8)
-    writeSubframe(w, block)
+    plans.foreach(p => writeSubframe(w, p))
     // the frame writer is byte-built so the CRC-16 can cover it
     val body = w.toBytes
     val full = new BitWriter
@@ -290,87 +340,88 @@ object FlacCodec {
     full.toBytes
   }
 
-  /** One subframe: min-cost choice among CONSTANT / FIXED 0–4 /
-    * VERBATIM; FIXED residuals Rice-coded at partition order 0 with the
-    * exact best parameter (raw-bits escape when cheaper).
+  /** One planned subframe: type, predictor order, Rice parameter (15 =
+    * raw escape at `maxRaw` bits), residuals, exact coded size
+    * INCLUDING the 8-bit subframe header (so plan sizes compare across
+    * channel assignments), the samples and their coded width.
     */
-  private def writeSubframe(w: BitWriter, block: Array[Int]): Unit = {
-    val n = block.length
-    val verbatimBits = 16L * n
+  private final case class SubPlan(tpe: Int, order: Int, p: Int,
+      maxRaw: Int, res: Array[Int], bits: Long, block: Array[Int],
+      sampleBits: Int)
 
-    if (block.forall(_ == block(0))) {
-      w.write(0, 1); w.write(0, 6); w.write(0, 1) // CONSTANT, no wasted bits
-      w.write(block(0).toLong, 16)
-      return
+  private def rawWidth(res: Array[Int]): Int = {
+    var maxBits = 1
+    var i = 0
+    while (i < res.length) {
+      val need = (64 - java.lang.Long.numberOfLeadingZeros(
+        math.abs(res(i).toLong).max(1)) + 1).toInt
+      if (need > maxBits) maxBits = need
+      i += 1
     }
+    maxBits
+  }
 
-    // best fixed order by exact coded size
-    var bestOrder = -1
-    var bestBits = verbatimBits
-    var bestP = 0
-    var bestRes: Array[Int] = null
+  /** Min-cost plan among CONSTANT / FIXED 0–4 / VERBATIM; FIXED
+    * residuals Rice-coded at partition order 0 with the exact best
+    * parameter (raw-bits escape when cheaper).
+    */
+  private def planSubframe(block: Array[Int], sampleBits: Int): SubPlan = {
+    val n = block.length
+    if (block.forall(_ == block(0)))
+      return SubPlan(0, 0, 0, 0, null, 8L + sampleBits, block, sampleBits)
+
+    var best = SubPlan(1, 0, 0, 0, null, 8L + sampleBits.toLong * n,
+      block, sampleBits) // VERBATIM fallback
     var order = 0
     while (order <= 4 && order < n) {
       val res = new Array[Int](n - order)
       var k = order
       while (k < n) { res(k - order) = block(k) - fixedPredict(order, block, k); k += 1 }
       val (p, riceBits) = bestRice(res)
-      // escape: raw two's complement at the widest residual
-      var maxBits = 1
-      var k2 = 0
-      while (k2 < res.length) {
-        val need = 64 - java.lang.Long.numberOfLeadingZeros(
-          math.abs(res(k2).toLong).max(1)) + 1
-        if (need > maxBits) maxBits = need.toInt
-        k2 += 1
-      }
-      val escBits = maxBits.toLong * res.length + 5
+      val maxRaw = rawWidth(res)
+      val escBits = maxRaw.toLong * res.length + 5
       val useEscape = escBits < riceBits
-      val codedBits = math.min(riceBits, escBits)
-      val total = 16L * order + 2 + 4 + 4 + codedBits
-      if (total < bestBits) {
-        bestBits = total
-        bestOrder = order
-        bestP = if (useEscape) 15 else p
-        bestRes = res
-      }
+      val total = 8L + sampleBits.toLong * order + 2 + 4 + 4 +
+        math.min(riceBits, escBits)
+      if (total < best.bits)
+        best = SubPlan(8 + order, order, if (useEscape) 15 else p,
+          maxRaw, res, total, block, sampleBits)
       order += 1
     }
+    best
+  }
 
-    if (bestOrder < 0) {
-      w.write(0, 1); w.write(1, 6); w.write(0, 1) // VERBATIM
-      var k = 0
-      while (k < n) { w.write(block(k).toLong, 16); k += 1 }
-      return
-    }
-
-    w.write(0, 1); w.write(8 + bestOrder, 6); w.write(0, 1) // FIXED
-    var k = 0
-    while (k < bestOrder) { w.write(block(k).toLong, 16); k += 1 }
-    w.write(0, 2) // residual method: RICE (4-bit params)
-    w.write(0, 4) // partition order 0
-    if (bestP == 15) {
-      var maxBits = 1
-      var k2 = 0
-      while (k2 < bestRes.length) {
-        val need = (64 - java.lang.Long.numberOfLeadingZeros(
-          math.abs(bestRes(k2).toLong).max(1)) + 1).toInt
-        if (need > maxBits) maxBits = need
-        k2 += 1
-      }
-      w.write(15, 4)
-      w.write(maxBits, 5)
-      var k3 = 0
-      while (k3 < bestRes.length) { w.write(bestRes(k3).toLong, maxBits); k3 += 1 }
-    } else {
-      w.write(bestP, 4)
-      var k3 = 0
-      while (k3 < bestRes.length) {
-        val u = zigzag(bestRes(k3))
-        w.writeUnary((u >>> bestP).toInt)
-        w.write(u, bestP)
-        k3 += 1
-      }
+  private def writeSubframe(w: BitWriter, plan: SubPlan): Unit = {
+    val block = plan.block
+    val n = block.length
+    w.write(0, 1); w.write(plan.tpe, 6); w.write(0, 1) // no wasted bits
+    plan.tpe match {
+      case 0 => w.write(block(0).toLong, plan.sampleBits)
+      case 1 =>
+        var k = 0
+        while (k < n) { w.write(block(k).toLong, plan.sampleBits); k += 1 }
+      case _ =>
+        var k = 0
+        while (k < plan.order) { w.write(block(k).toLong, plan.sampleBits); k += 1 }
+        w.write(0, 2) // residual method: RICE (4-bit params)
+        w.write(0, 4) // partition order 0
+        if (plan.p == 15) {
+          w.write(15, 4)
+          w.write(plan.maxRaw, 5)
+          var k3 = 0
+          while (k3 < plan.res.length) {
+            w.write(plan.res(k3).toLong, plan.maxRaw); k3 += 1
+          }
+        } else {
+          w.write(plan.p, 4)
+          var k3 = 0
+          while (k3 < plan.res.length) {
+            val u = zigzag(plan.res(k3))
+            w.writeUnary((u >>> plan.p).toInt)
+            w.write(u, plan.p)
+            k3 += 1
+          }
+        }
     }
   }
 
@@ -444,6 +495,7 @@ object FlacCodec {
     var nConstant = 0
     var nVerbatim = 0
     val nFixed = new Array[Int](5)
+    var nDecorrelated = 0
     var decoded = 0L
 
     while (decoded < totalSamples) {
@@ -472,10 +524,9 @@ object FlacCodec {
         case 15 => throw new IllegalArgumentException("invalid sample-rate code 15")
         case _ => () // a table rate; STREAMINFO stays authoritative
       }
-      require(chanCode <= 7,
-        s"stereo-decorrelation channel assignment $chanCode not supported " +
-          "(independent channels only)")
-      val frameChannels = chanCode + 1
+      require(chanCode <= 10, s"reserved channel assignment $chanCode")
+      val decorrelated = chanCode >= 8
+      val frameChannels = if (decorrelated) 2 else chanCode + 1
       require(frameChannels == channels,
         s"frame channel count $frameChannels != STREAMINFO $channels")
       val frameBps = ssCode match {
@@ -497,12 +548,38 @@ object FlacCodec {
       val chans = Array.ofDim[Int](frameChannels, blockLen)
       var ch = 0
       while (ch < frameChannels) {
-        readSubframe(r, chans(ch), bps) match {
+        // the side channel of a decorrelated pair carries one extra bit
+        // (it holds a 17-bit difference of 16-bit samples)
+        val chBits = chanCode match {
+          case 8 | 10 => if (ch == 1) bps + 1 else bps
+          case 9 => if (ch == 0) bps + 1 else bps
+          case _ => bps
+        }
+        readSubframe(r, chans(ch), chBits) match {
           case 0 => nConstant += 1
           case 1 => nVerbatim += 1
           case o => nFixed(o - 8) += 1
         }
         ch += 1
+      }
+      if (decorrelated) {
+        nDecorrelated += 1
+        var j = 0
+        while (j < blockLen) {
+          chanCode match {
+            case 8 => // left/side: R = L − side
+              chans(1)(j) = chans(0)(j) - chans(1)(j)
+            case 9 => // right/side: L = R + side
+              val s = chans(0)(j)
+              chans(0)(j) = chans(1)(j) + s
+            case 10 => // mid/side: recover the dropped low bit from side
+              val side = chans(1)(j)
+              val m2 = (chans(0)(j) << 1) | (side & 1)
+              chans(0)(j) = (m2 + side) >> 1
+              chans(1)(j) = (m2 - side) >> 1
+          }
+          j += 1
+        }
       }
       r.align()
       val frameEnd = r.bytePos
@@ -534,7 +611,7 @@ object FlacCodec {
         "decoded stream MD5 does not match STREAMINFO")
     }
     FlacData(streamSampleRate, channels, samples.result(),
-      nConstant, nVerbatim, nFixed)
+      nConstant, nVerbatim, nFixed, nDecorrelated)
   }
 
   /** Decode one subframe into `dest`; returns the 6-bit subframe type

@@ -1,6 +1,5 @@
 package graft.ops
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -89,38 +88,20 @@ object IncrementalCurateOps {
   private val Tables = Seq("docs", "prefix", "edges", "clusters", "stats")
 
   /** True iff every state table has a committed `batch=k` directory. */
-  def batchLanded(spark: SparkSession, stateDir: String, batchId: Long): Boolean = {
-    val fs = new Path(stateDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Tables.forall(t =>
-      fs.exists(new Path(s"$stateDir/$t/batch=$batchId/_SUCCESS")))
-  }
+  def batchLanded(spark: SparkSession, stateDir: String, batchId: Long): Boolean =
+    BatchState.allLanded(spark, stateDir, Tables, batchId)
 
   /** Batch ids that are visible as state: a batch counts only when ALL
     * of its tables carry `_SUCCESS` — per-table visibility would let a
     * crash between two table writes expose docs without their edges
     * (silently un-deduplicated survivors). The all-or-nothing check is
-    * what makes the per-table overwrites compose into an atomic batch.
-    *
-    * ONE `globStatus` round-trip per table (constant in batch count) —
-    * the earlier per-batch `fs.exists` probe was O(batches × tables)
-    * driver-side RPCs, which on an object store dominates a
-    * many-thousand-batch corpus's planning time.
+    * what makes the per-table overwrites compose into an atomic batch;
+    * [[BatchState.landedBatchIds]] keeps the listing at ONE `globStatus`
+    * round-trip per table (constant in batch count).
     */
   private def landedBatchIds(spark: SparkSession, stateDir: String,
-      below: Option[Long]): Seq[Long] = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val perTable = Tables.map { t =>
-      val glob = new Path(s"$stateDir/$t/batch=*/_SUCCESS")
-      val found = glob.getFileSystem(conf).globStatus(glob)
-      if (found == null) Set.empty[Long]
-      else found.toSeq.flatMap { st =>
-        scala.util.Try(
-          st.getPath.getParent.getName.stripPrefix("batch=").toLong).toOption
-      }.toSet
-    }
-    perTable.reduce(_ intersect _).toSeq
-      .filter(k => below.forall(k < _)).sorted
-  }
+      below: Option[Long]): Seq[Long] =
+    BatchState.landedBatchIds(spark, stateDir, Tables, below)
 
   private def readState(spark: SparkSession, stateDir: String,
       table: String, below: Option[Long] = None): Option[DataFrame] = {

@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Incremental (cross-batch) NEAR-DUP state for the two non-lexical
@@ -84,38 +84,7 @@ object IncrementalDedupOps {
 
   // ------------------------------------------------------------- shared
 
-  private def landedBatchIds(spark: SparkSession, stateDir: String,
-      tables: Seq[String], below: Option[Long]): Seq[Long] = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val perTable = tables.map { t =>
-      val glob = new Path(s"$stateDir/$t/batch=*/_SUCCESS")
-      val found = glob.getFileSystem(conf).globStatus(glob)
-      if (found == null) Set.empty[Long]
-      else found.toSeq.flatMap { st =>
-        scala.util.Try(
-          st.getPath.getParent.getName.stripPrefix("batch=").toLong).toOption
-      }.toSet
-    }
-    perTable.reduce(_ intersect _).toSeq
-      .filter(k => below.forall(k < _)).sorted
-  }
-
-  private def requireInOrder(landed: Seq[Long], batchId: Long): Unit =
-    require(landed.forall(_ < batchId),
-      s"out-of-order ingest: batch $batchId arrived after batch(es) " +
-        s"${landed.filter(_ > batchId).mkString(",")} already landed; " +
-        "batches must be ingested in ascending id order")
-
-  private def land(df: DataFrame, stateDir: String, table: String,
-      batchId: Long): Unit =
-    df.write.mode(SaveMode.Overwrite)
-      .parquet(s"$stateDir/$table/batch=$batchId")
-
-  private def readBatches(spark: SparkSession, stateDir: String,
-      table: String, ids: Seq[Long]): Option[DataFrame] = {
-    val paths = ids.map(k => s"$stateDir/$table/batch=$k")
-    if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
-  }
+  import BatchState.{landedBatchIds, requireInOrder, land, readBatches}
 
   // ------------------------------------------------------------- images
 
@@ -123,12 +92,8 @@ object IncrementalDedupOps {
 
   /** True iff every image state table has a committed `batch=k` dir. */
   def imageBatchLanded(spark: SparkSession, stateDir: String,
-      batchId: Long): Boolean = {
-    val fs = new Path(stateDir).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    ImageTables.forall(t =>
-      fs.exists(new Path(s"$stateDir/$t/batch=$batchId/_SUCCESS")))
-  }
+      batchId: Long): Boolean =
+    BatchState.allLanded(spark, stateDir, ImageTables, batchId)
 
   /** Hash one new image shard and land its fingerprints, band-index
     * rows, and the near-dup edges it gains against everything landed
@@ -213,13 +178,10 @@ object IncrementalDedupOps {
     */
   def embeddingBatchLanded(spark: SparkSession, stateDir: String,
       batchId: Long): Boolean = {
-    val fs = new Path(stateDir).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    val tablesOk = EmbTables.forall(t =>
-      fs.exists(new Path(s"$stateDir/$t/batch=$batchId/_SUCCESS")))
+    val tablesOk = BatchState.allLanded(spark, stateDir, EmbTables, batchId)
     val centsOk =
       landedBatchIds(spark, stateDir, EmbTables, Some(batchId)).nonEmpty ||
-        fs.exists(new Path(s"$stateDir/centroids/batch=$batchId/_SUCCESS"))
+        BatchState.allLanded(spark, stateDir, Seq("centroids"), batchId)
     tablesOk && centsOk
   }
 

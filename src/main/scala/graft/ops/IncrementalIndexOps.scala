@@ -1,0 +1,226 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental (cross-batch) SEARCH-INDEX state — the index-maintenance
+  * counterpart of the incremental dedup family: a corpus that grows by
+  * shards, where searching never re-tokenizes a document or re-assigns
+  * a vector that an earlier shard already processed. The one-shot
+  * operators ([[RetrievalOps.bm25TopK]], [[SimilarityOps.ivfTopK]])
+  * rebuild their index on every call — the per-query
+  * O(corpus-tokenize/assign) cost this module moves to ingest time,
+  * paid once per shard.
+  *
+  * == BM25 state (parquet, batch-partitioned: `<table>/batch=<k>/`) ==
+  *
+  *  - `postings` — (id, token, tf): the shard's inverted-index rows.
+  *  - `doclen`   — (id, dl).
+  *  - `tokstats` — (token, df): the shard's document frequencies.
+  *  - `globals`  — ONE row (n_docs, totlen).
+  *
+  * Every BM25 statistic is ADDITIVE over disjoint doc sets: corpus df
+  * is the sum of per-batch dfs, (N, totlen) the sums of the per-batch
+  * globals — so [[bm25Search]] re-aggregates vocabulary-sized /
+  * 1-row-sized state and union-reads postings, never text. Because no
+  * state row depends on any other batch, BM25 ingestion has NO
+  * ordering precondition — shards may land in any order and even
+  * concurrently (distinct batch dirs), unlike the edge-producing
+  * operators.
+  *
+  * == IVF state ==
+  *
+  *  - `centroids` — (ci, cv): the coarse quantizer, k-means-fit ONCE on
+  *    the first batch and frozen (the [[IncrementalDedupOps]] codebook
+  *    contract — production IVF never refits per insert; it re-trains
+  *    offline and reindexes). Landed only under the fit batch.
+  *  - `cells` — (cell, cid, cv): each shard's vectors under their
+  *    frozen-codebook cell. Bucket by `cell` via
+  *    `ParquetSink.writeBucketed` at 100 TB to make the probe join
+  *    exchange-free on the corpus side.
+  *
+  * IVF ingestion requires ascending batch order (the fit batch must be
+  * first; a batch landing before it would have no codebook to assign
+  * against) — out-of-order ingest throws.
+  *
+  * == Exactly-once ==
+  *
+  * Same contract as the rest of the family ([[BatchState]]): idempotent
+  * OVERWRITE of `batch=k` gated on all-or-nothing `_SUCCESS` markers;
+  * replay of a landed batch is a no-op; a crash mid-shard recomputes
+  * deterministically.
+  *
+  * == Parity contracts (battery-pinned) ==
+  *
+  *  - [[bm25Search]] after ingesting S₁…Sₙ ≡ one-shot
+  *    `bm25TopK(S₁ ∪ … ∪ Sₙ, queries)` row-for-row (x36 shares x30's
+  *    oracle) — integer-exact scoring makes this hash-equality, not
+  *    approximate parity.
+  *  - [[ivfSearch]] ≡ one-shot `ivfTopK` over the union with the
+  *    codebook fit on shard 1 (n12's oracle replays the fit with the
+  *    generalized k-means CTE chain and the probe ranking).
+  *
+  * == Scale shape ==
+  *
+  * Per text shard: one tokenize pass, three shard-local aggregates.
+  * Per search: query terms equi-join the accumulated postings ON TOKEN
+  * (bounded by the query terms' postings lists, never corpus × queries)
+  * — identical to the one-shot plan minus the index build. Per vector
+  * shard: one broadcast-literal argmin. Per vector search: probes
+  * equi-join the accumulated cells ON CELL — candidates are
+  * (nProbe/nCells)·corpus, never corpus × queries.
+  */
+object IncrementalIndexOps {
+
+  import BatchState.{landedBatchIds, requireInOrder, land, readBatches}
+
+  // ------------------------------------------------------------- BM25
+
+  private val Bm25Tables = Seq("postings", "doclen", "tokstats", "globals")
+
+  /** True iff every BM25 state table has a committed `batch=k` dir. */
+  def textBatchLanded(spark: SparkSession, stateDir: String,
+      batchId: Long): Boolean =
+    BatchState.allLanded(spark, stateDir, Bm25Tables, batchId)
+
+  /** Tokenize one new document shard into the inverted-index state.
+    * Idempotent per (stateDir, batchId); order-free (see object doc).
+    */
+  def ingestTextShard(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String, stateDir: String, batchId: Long): Unit = {
+    if (textBatchLanded(spark, stateDir, batchId)) return
+    val postings = docs
+      .select(col(idCol).as("id"),
+        explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy(col("id"), col("token")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val docLen = postings.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
+      land(postings, stateDir, "postings", batchId)
+      land(docLen, stateDir, "doclen", batchId)
+      land(postings.groupBy(col("token")).agg(count(lit(1)).as("df")),
+        stateDir, "tokstats", batchId)
+      land(docLen.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("totlen")), stateDir, "globals", batchId)
+    } finally postings.unpersist(blocking = false)
+  }
+
+  /** BM25 top-k over the accumulated index — row-identical to
+    * [[RetrievalOps.bm25TopK]] on the union of every ingested shard
+    * (same integer-rational scoring, same tie-break), with the index
+    * build amortized away: df and the (N, totlen) pair are ONE
+    * re-aggregate of vocabulary-sized / single-row state, candidates
+    * one equi-join of query terms against the accumulated postings.
+    */
+  def bm25Search(spark: SparkSession, stateDir: String, queries: DataFrame,
+      qidCol: String, qtextCol: String, k: Int = 10): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k in 1..1000, got $k")
+    val landed = landedBatchIds(spark, stateDir, Bm25Tables, None)
+    require(landed.nonEmpty, s"no landed batches under $stateDir")
+    val postings = readBatches(spark, stateDir, "postings", landed).get
+    val docLen = readBatches(spark, stateDir, "doclen", landed).get
+    val withDl = postings.join(docLen, Seq("id"))
+    // df adds across disjoint batches; so do N and totlen
+    val dfTab = readBatches(spark, stateDir, "tokstats", landed).get
+      .groupBy(col("token")).agg(sum(col("df")).as("df"))
+    val globals = readBatches(spark, stateDir, "globals", landed).get
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("totlen")).as("totlen"))
+    val qTerms = queries
+      .select(col(qidCol), explode(TextOps.tokens(col(qtextCol))).as("token"))
+      .distinct()
+    val cand = qTerms
+      .join(withDl, Seq("token"))
+      .join(dfTab, Seq("token"))
+      .crossJoin(broadcast(globals))
+      .withColumn("contrib",
+        expr("(n_docs * 88L * tf * totlen * 1000L) div " +
+          "(df * (40L*tf*totlen + 12L*totlen + 36L*dl*n_docs))"))
+    val scored = cand.groupBy(col(qidCol), col("id"))
+      .agg(sum(col("contrib")).as("score"), count(lit(1)).as("n_match"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol)).orderBy(col("score").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .select(col(qidCol), col("rank"), col("id"), col("score"),
+        col("n_match"))
+  }
+
+  // -------------------------------------------------------------- IVF
+
+  private val IvfTables = Seq("cells")
+
+  /** True iff the batch's cells landed — plus, for the fit batch, the
+    * codebook itself.
+    */
+  def vectorBatchLanded(spark: SparkSession, stateDir: String,
+      batchId: Long): Boolean = {
+    val cellsOk = BatchState.allLanded(spark, stateDir, IvfTables, batchId)
+    val centsOk =
+      landedBatchIds(spark, stateDir, IvfTables, Some(batchId)).nonEmpty ||
+        BatchState.allLanded(spark, stateDir, Seq("centroids"), batchId)
+    cellsOk && centsOk
+  }
+
+  private def readCentroids(spark: SparkSession,
+      stateDir: String): Seq[Seq[Double]] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val glob = new Path(s"$stateDir/centroids/batch=*")
+    val dirs = glob.getFileSystem(conf).globStatus(glob)
+    require(dirs != null && dirs.nonEmpty, s"no codebook under $stateDir")
+    spark.read.parquet(dirs.map(_.getPath.toString): _*)
+      .orderBy("ci").collect()
+      .map(_.getSeq[Double](1).toSeq).toSeq
+  }
+
+  /** Assign one new vector shard under the frozen codebook and land its
+    * cell postings. The FIRST batch fits the codebook
+    * ([[SimilarityOps.kmeansFit]], k/iters) on its own vectors and
+    * freezes it. Idempotent per (stateDir, batchId); out-of-order
+    * ingest throws.
+    */
+  def ingestVectorShard(spark: SparkSession, emb: DataFrame, idCol: String,
+      vecCol: String, stateDir: String, batchId: Long,
+      nCells: Int, iters: Int): Unit = {
+    if (vectorBatchLanded(spark, stateDir, batchId)) return
+    val landed = landedBatchIds(spark, stateDir, IvfTables, None)
+    requireInOrder(landed, batchId)
+    if (landed.isEmpty) {
+      val (cents, _) =
+        SimilarityOps.kmeansFit(emb, idCol, vecCol, nCells, iters)
+      import spark.implicits._
+      land(cents.zipWithIndex.map { case (cv, ci) => (ci, cv) }
+        .toDF("ci", "cv"), stateDir, "centroids", batchId)
+    }
+    val cents = readCentroids(spark, stateDir)
+    land(emb.select(col(idCol).as("cid"),
+        SimilarityOps.asDouble(col(vecCol)).as("cv"))
+      .withColumn("cell", SimilarityOps.ivfCell(col("cv"), cents))
+      .select(col("cell"), col("cid"), col("cv")),
+      stateDir, "cells", batchId)
+  }
+
+  /** IVF top-k over the accumulated index — row-identical to
+    * [[SimilarityOps.ivfTopK]] on the union with the frozen codebook:
+    * each query probes its `nProbe` nearest cells (broadcast-literal
+    * distances), candidates are one equi-join against the accumulated
+    * cell postings, exact cosine ranks them.
+    */
+  def ivfSearch(spark: SparkSession, stateDir: String, queries: DataFrame,
+      nProbe: Int, k: Int): DataFrame = {
+    val landed = landedBatchIds(spark, stateDir, IvfTables, None)
+    require(landed.nonEmpty, s"no landed batches under $stateDir")
+    val cents = readCentroids(spark, stateDir)
+    val cells = readBatches(spark, stateDir, "cells", landed).get
+    val q = queries.withColumn("cell",
+      explode(SimilarityOps.ivfProbes(col("qv"), cents, nProbe)))
+    val scored = q.join(cells, Seq("cell"))
+      .where(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        SimilarityOps.cosine(col("qv"), col("cv")).as("cos"))
+      .dropDuplicates("qid", "cid")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+  }
+}

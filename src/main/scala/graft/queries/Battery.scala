@@ -3171,6 +3171,59 @@ object Battery {
          |GROUP BY n.vec_id, n.ci""".stripMargin
     })
 
+  /** n12 — INCREMENTAL IVF index ([[graft.ops.IncrementalIndexOps]]):
+    * the coarse quantizer is k-means-fit on the FIRST embedding shard
+    * and frozen; each shard lands only its own (cell, id, vector)
+    * postings; search probes the accumulated cells — no vector is ever
+    * re-assigned and no index rebuilt. The oracle replays the
+    * half-corpus fit with the generalized k-means CTE chain, ranks each
+    * query's nProbe nearest cells by the same (distance, index)
+    * tie-break as [[graft.ops.SimilarityOps.ivfProbes]], and reproduces
+    * the cosine ranking bit-for-bit — index maintenance must equal an
+    * index rebuild row-for-row, not just in recall.
+    */
+  private val n12IncrementalIvf = Q(
+    "n12_incremental_ivf",
+    (s, d) => {
+      val I = graft.ops.IncrementalIndexOps
+      val S = graft.ops.SimilarityOps
+      val emb = T.embeddings(s, d)
+      val stateDir = java.nio.file.Files
+        .createTempDirectory("graft_n12_state").toString
+      val r = emb.agg(min(col("vec_id")), max(col("vec_id"))).head
+      val mid = (r.getLong(0) + r.getLong(1)) / 2
+      I.ingestVectorShard(s, emb.where(col("vec_id") <= mid),
+        "vec_id", "embedding", stateDir, 0L, nCells = 4, iters = 2)
+      I.ingestVectorShard(s, emb.where(col("vec_id") > mid),
+        "vec_id", "embedding", stateDir, 1L, nCells = 4, iters = 2)
+      val qset = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"),
+          S.asDouble(col("embedding")).as("qv"))
+      I.ivfSearch(s, stateDir, qset, nProbe = 2, k = 10)
+        .select(col("qid"), col("rnk"), col("cid"))
+    },
+    Some {
+      val fitWhere =
+        "vec_id <= (SELECT (min(vec_id) + max(vec_id)) // 2 FROM embeddings)"
+      s"""WITH ${kmeansOracleCtesOver(fitWhere)},
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+         |pd AS (SELECT q.qid, q.qv, c.ci,
+         |    list_reduce(list_prepend(0.0, [ (qv[j] - cv[j]) * (qv[j] - cv[j]) for j in range(1, 65) ]),
+         |      (acc, x) -> acc + x) AS dist
+         |  FROM q CROSS JOIN c2v c),
+         |pr AS (SELECT qid, qv, ci FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist, ci) AS pn FROM pd)
+         |  WHERE pn <= 2),
+         |cand AS (SELECT pr.qid, b.vec_id AS cid,
+         |    list_dot_product(pr.qv, b.v) /
+         |      (sqrt(list_dot_product(pr.qv, pr.qv)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+         |  FROM pr JOIN b2 b ON b.ci = pr.ci AND b.vec_id <> pr.qid)
+         |SELECT qid, CAST(rnk AS INT) AS rnk, cid FROM
+         |  (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+         |   FROM cand)
+         |WHERE rnk <= 10""".stripMargin
+    })
+
   /** n11 — INCREMENTAL semantic dedup
     * ([[graft.ops.IncrementalDedupOps.ingestEmbeddingShard]]): the
     * SemDeDup production decomposition — the k-means codebook is fit on
@@ -3697,6 +3750,55 @@ object Battery {
           .select(col("doc_id").as("qid"), col("text")),
         idCol = "doc_id", textCol = "text",
         qidCol = "qid", qtextCol = "text", k = 10)
+    },
+    Some("""WITH ct AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+           |  FROM documents WHERE doc_id % 97 <> 0),
+           |p AS (SELECT doc_id, token, count(*) AS tf FROM ct GROUP BY 1, 2),
+           |dlen AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM p GROUP BY 1),
+           |dfq AS (SELECT token, count(*) AS df FROM p GROUP BY 1),
+           |g AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS totlen FROM dlen),
+           |qt AS (SELECT DISTINCT qid, token FROM
+           |  (SELECT doc_id AS qid, unnest(string_split_regex(trim(text), '\s+')) AS token
+           |   FROM documents WHERE doc_id % 97 = 0)),
+           |cand AS (SELECT qt.qid, p.doc_id,
+           |    (g.n_docs * 88 * p.tf * g.totlen * 1000) //
+           |      (dfq.df * (40*p.tf*g.totlen + 12*g.totlen + 36*dlen.dl*g.n_docs)) AS contrib
+           |  FROM qt JOIN p USING (token) JOIN dfq USING (token)
+           |  JOIN dlen ON dlen.doc_id = p.doc_id CROSS JOIN g),
+           |sc AS (SELECT qid, doc_id, CAST(sum(contrib) AS BIGINT) AS score,
+           |    count(*) AS n_match FROM cand GROUP BY 1, 2),
+           |r AS (SELECT qid, doc_id, score, n_match,
+           |    CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS INT) AS rank
+           |  FROM sc)
+           |SELECT qid, rank, doc_id, score, n_match FROM r WHERE rank <= 10""".stripMargin))
+
+  /** x36 — INCREMENTAL BM25 ([[graft.ops.IncrementalIndexOps]]): x30's
+    * corpus ingested as two shards into batch-partitioned inverted-index
+    * state (postings/doclen/df/globals — every BM25 statistic is
+    * additive over disjoint doc sets), searched without re-tokenizing
+    * anything. Shares x30's oracle verbatim: index maintenance must be
+    * indistinguishable from an index rebuild, hash-exactly (the
+    * integer-rational scoring makes that a strict equality, not an
+    * approximation gate).
+    */
+  private val x36IncrementalBm25 = Q(
+    "x36_incremental_bm25",
+    (s, d) => {
+      val I = graft.ops.IncrementalIndexOps
+      val docs = T.documents(s, d)
+      val corpus = docs.where(pmod(col("doc_id"), lit(97)) =!= 0)
+      val queries = docs.where(pmod(col("doc_id"), lit(97)) === 0)
+        .select(col("doc_id").as("qid"), col("text"))
+      val stateDir = java.nio.file.Files
+        .createTempDirectory("graft_x36_state").toString
+      val r = corpus.agg(min(col("doc_id")), max(col("doc_id"))).head
+      val mid = (r.getLong(0) + r.getLong(1)) / 2
+      I.ingestTextShard(s, corpus.where(col("doc_id") <= mid),
+        "doc_id", "text", stateDir, batchId = 0L)
+      I.ingestTextShard(s, corpus.where(col("doc_id") > mid),
+        "doc_id", "text", stateDir, batchId = 1L)
+      I.bm25Search(s, stateDir, queries, "qid", "text", k = 10)
+        .withColumnRenamed("id", "doc_id")
     },
     Some("""WITH ct AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
            |  FROM documents WHERE doc_id % 97 <> 0),
@@ -6027,6 +6129,7 @@ object Battery {
     stIncrementalCuration,
     n2AnnLsh, n3EmbNearDup, n4AnnIvf, n5PqQuantize, n6KmeansFit, n7SemanticDedup,
     n8SqQuantize, n9BinaryQuantize, n10MmrRerank, n11IncrementalSemDedup,
+    n12IncrementalIvf, x36IncrementalBm25,
     kfPatientSlice, kfRSubjectSlice, kfSpecimenSlice, kfDrsSlice,
     kfDiseaseSlice, kfPhenotypeSlice, kfHistoSlice, kfVitalSlice,
     kfFamilySlice, kfStudySlice, kfProbandSlice, kfFamRelSlice,

@@ -600,6 +600,26 @@ class PlanQualitySpec extends AnyFunSuite {
       s"the postings join must be an equi-join:\n$p")
   }
 
+  test("incremental index SEARCH plans (the per-query hot path): BM25 " +
+      "keeps the x30 shape over accumulated state; IVF probes are one " +
+      "cell equi-join, no product anywhere") {
+    // x36/n12's battery closures ingest into temp state, then return the
+    // lazy SEARCH frame — the plan under test is the one a 100 TB
+    // deployment re-runs per query set, with ingest amortized away
+    val bm = plan("x36_incremental_bm25")
+    assert(!bm.contains("CartesianProduct"),
+      s"incremental BM25 must never form an unbroadcast product:\n$bm")
+    assert(nodeCount(bm, "BroadcastNestedLoopJoin") <= 1,
+      s"only the 1-row (N, totlen) broadcast may nested-loop:\n$bm")
+    val ivf = plan("n12_incremental_ivf")
+    assert(!ivf.contains("CartesianProduct") &&
+      !ivf.contains("BroadcastNestedLoop"),
+      s"IVF search must be a pure cell equi-join:\n$ivf")
+    assert(ivf.contains("SortMergeJoin") || ivf.contains("ShuffledHashJoin") ||
+      ivf.contains("BroadcastHashJoin"),
+      s"the probe-cell join must be an equi-join:\n$ivf")
+  }
+
   test("retention matrix never rescans the events for cohort sizes (no " +
       "product; sizes ride a window)") {
     val p = plan("g7_retention")

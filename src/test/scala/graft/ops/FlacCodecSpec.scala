@@ -12,10 +12,11 @@ import org.scalatest.funsuite.AnyFunSuite
 class FlacCodecSpec extends AnyFunSuite {
 
   private def roundTrip(samples: Array[Short], rate: Int = 8000,
-      block: Int = 256): FlacCodec.FlacData = {
-    val data = FlacCodec.decode(FlacCodec.encode(samples, rate, block))
+      block: Int = 256, channels: Int = 1): FlacCodec.FlacData = {
+    val data = FlacCodec.decode(
+      FlacCodec.encode(samples, rate, block, channels))
     assert(data.sampleRate == rate)
-    assert(data.channels == 1)
+    assert(data.channels == channels)
     assert(data.samples.toSeq == samples.toSeq)
     data
   }
@@ -90,6 +91,39 @@ class FlacCodecSpec extends AnyFunSuite {
       assert(d.nConstant >= 1, "constant prefix block")
       assert(d.nFixed.sum >= 1, "ramp block")
     }
+  }
+
+  test("stereo: all four channel assignments round-trip; correlated " +
+      "channels pick a decorrelated mode and compress; the mid/side " +
+      "dropped low bit reconstructs for odd L+R sums") {
+    // strongly correlated channels: R = L + tiny dither -> side is
+    // near-zero, a decorrelated assignment must win on size
+    val n = 512
+    val corr = new Array[Short](2 * n)
+    var i = 0
+    while (i < n) {
+      val l = (8000.0 * math.sin(i / 11.0)).toInt
+      corr(2 * i) = l.toShort
+      corr(2 * i + 1) = (l + (i % 3) - 1).toShort // odd sums included
+      i += 1
+    }
+    val d = roundTrip(corr, block = 128, channels = 2)
+    assert(d.nDecorrelated > 0, "correlated stereo should decorrelate")
+    val indep = FlacCodec.encode(corr, 8000, 128, 2)
+    assert(indep.length < 4 * n,
+      s"correlated stereo should compress below raw PCM (${indep.length})")
+
+    // independent noise channels: decorrelation buys nothing; whatever
+    // the per-frame choice, the round-trip must hold (incl. extremes)
+    val noise = Array.tabulate[Short](2 * n)(j =>
+      ((j * 40503L + (j % 2) * 2654435761L) % 65536 - 32768).toShort)
+    noise(0) = Short.MinValue; noise(1) = Short.MaxValue
+    roundTrip(noise, block = 128, channels = 2)
+
+    // anti-correlated extremes: side spans the full 17-bit range
+    val anti = Array.tabulate[Short](2 * n)(j =>
+      if (j % 2 == 0) Short.MaxValue else Short.MinValue)
+    roundTrip(anti, block = 128, channels = 2)
   }
 
   test("rice escape path: a single outlier in otherwise-tiny residuals " +
