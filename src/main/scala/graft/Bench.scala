@@ -246,19 +246,27 @@ object Bench {
       .sortBy(-_._2).take(15).map(_._1)
     val shufRerun = if (suspects.isEmpty) -1.0
       else Seq.fill(3)(shuffleCalib()).min
-    val remeasured: Map[String, Double] = suspects.map { name =>
+    val remeasured: Map[String, Double] = suspects.flatMap { name =>
       val fn = SparkEntry.queries(name)
-      def once(): Double = {
+      // a failed re-run must NOT post its time-to-failure as a timing —
+      // it would replace the genuine sweep minimum with a phantom
+      // speedup (the exact corruption the sweep loop's failure handling
+      // exists to prevent); the sweep min simply stands
+      def once(): Option[Double] = {
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name re-measure failed: ${e.getClass.getName}") }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name re-measure failed " +
+            s"(sweep min stands): ${e.getClass.getName}")
+          None
+        }
       }
       // no warm pass: the sweep already JIT-compiled this query's code
-      val t = Seq.fill(runs)(once()).min
+      val ts = Seq.fill(runs)(once()).flatten
       spark.catalog.clearCache()
-      name -> t
+      if (ts.isEmpty) None else Some(name -> ts.min)
     }.toMap
     def adjMin(name: String, ts: Seq[Double]): Double =
       math.min(ts.min, remeasured.getOrElse(name, Double.MaxValue))

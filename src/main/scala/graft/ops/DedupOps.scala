@@ -517,17 +517,28 @@ object DedupOps {
     * only candidates. The fingerprint rides through the explode, so the
     * verify needs no join back to the signature table.
     */
-  private[graft] def hamming64Pairs(sig: DataFrame, maxDist: Int): DataFrame = {
+  /** The Manku block-banding index of a 64-bit fingerprint table
+    * (id, sh) → (bi, block, id, sh) — the shared candidate key of
+    * [[hamming64Pairs]] and the persisted band index of
+    * [[IncrementalDedupOps.ingestImageShard]] (one definition, so the
+    * stored index can never desynchronize from the verify engine).
+    */
+  private[graft] def mankuBands(sig: DataFrame, maxDist: Int): DataFrame = {
     val nBlocks = maxDist + 1
     require(64 % nBlocks == 0, s"maxDist+1 must divide 64, got $nBlocks")
     val blockBits = 64 / nBlocks
     val mask = if (blockBits == 64) -1L else (1L << blockBits) - 1
-    // A pair agreeing on several blocks surfaces once per agreement —
-    // dedup AFTER the cheap Hamming filter (fewer rows to distinct).
-    val tagged = sig.select(col("id"), col("sh"),
+    sig.select(col("id"), col("sh"),
       posexplode(array((0 until nBlocks).map(i =>
         shiftright(col("sh"), i * blockBits).bitwiseAND(lit(mask))): _*))
         .as(Seq("bi", "block")))
+      .select(col("bi"), col("block"), col("id"), col("sh"))
+  }
+
+  private[graft] def hamming64Pairs(sig: DataFrame, maxDist: Int): DataFrame = {
+    // A pair agreeing on several blocks surfaces once per agreement —
+    // dedup AFTER the cheap Hamming filter (fewer rows to distinct).
+    val tagged = mankuBands(sig, maxDist)
     val l = tagged.select(col("bi"), col("block"),
       col("id").as("doc_a"), col("sh").as("sh_a"))
     val r = tagged.select(col("bi"), col("block"),

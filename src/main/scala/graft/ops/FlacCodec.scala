@@ -12,12 +12,13 @@ package graft.ops
   *    skipped on decode per their length fields);
   *  - fixed-blocking frames, all published block-size / sample-rate /
   *    sample-size codes on decode;
-  *  - CONSTANT, VERBATIM and FIXED (orders 0–4) subframes with
+  *  - CONSTANT, VERBATIM, FIXED (orders 0–4) and LPC subframes with
   *    Rice-coded residuals (4- and 5-bit parameter variants, raw-bits
   *    escape, any partition order) and wasted-bits shifts on decode;
-  *    LPC subframes are rejected loudly (they need windowed
-  *    floating-point analysis on encode; decode support would be
-  *    untestable here without a reference stream);
+  *    the encoder's LPC analysis is real (windowless autocorrelation →
+  *    Levinson–Durbin → 12-bit quantized coefficients, residuals
+  *    recomputed over the QUANTIZED integer predictor so coded sizes
+  *    are exact);
   *  - all four published channel assignments: independent channels
   *    (mono/stereo/...) and the three stereo decorrelations
   *    (left/side, right/side, mid/side — side at bps+1 bits), chosen
@@ -53,7 +54,7 @@ object FlacCodec {
     */
   final case class FlacData(sampleRate: Int, channels: Int,
       samples: Array[Short], nConstant: Int, nVerbatim: Int,
-      nFixed: Array[Int], nDecorrelated: Int)
+      nFixed: Array[Int], nDecorrelated: Int, nLpc: Int)
 
   // ------------------------------------------------------------ bit io
 
@@ -347,7 +348,8 @@ object FlacCodec {
     */
   private final case class SubPlan(tpe: Int, order: Int, p: Int,
       maxRaw: Int, res: Array[Int], bits: Long, block: Array[Int],
-      sampleBits: Int)
+      sampleBits: Int, coefs: Array[Int] = null, shift: Int = 0,
+      precision: Int = 0)
 
   private def rawWidth(res: Array[Int]): Int = {
     var maxBits = 1
@@ -361,9 +363,9 @@ object FlacCodec {
     maxBits
   }
 
-  /** Min-cost plan among CONSTANT / FIXED 0–4 / VERBATIM; FIXED
-    * residuals Rice-coded at partition order 0 with the exact best
-    * parameter (raw-bits escape when cheaper).
+  /** Min-cost plan among CONSTANT / FIXED 0–4 / LPC / VERBATIM; FIXED
+    * and LPC residuals Rice-coded at partition order 0 with the exact
+    * best parameter (raw-bits escape when cheaper).
     */
   private def planSubframe(block: Array[Int], sampleBits: Int): SubPlan = {
     val n = block.length
@@ -388,7 +390,105 @@ object FlacCodec {
           maxRaw, res, total, block, sampleBits)
       order += 1
     }
+    lpcPlan(block, sampleBits, maxOrder = 8).foreach { lp =>
+      if (lp.bits < best.bits) best = lp
+    }
     best
+  }
+
+  /** LPC analysis: windowless autocorrelation → Levinson–Durbin →
+    * coefficients quantized to `LpcPrecision` bits under the largest
+    * shift (≤ 15) that fits — the integer predictor the format stores,
+    * re-run here over the quantized coefficients so the residuals (and
+    * the coded size) are exact, not estimated. None when the block is
+    * too short, degenerate, or the recursion goes unstable — the
+    * FIXED/VERBATIM plans stand.
+    */
+  private val LpcPrecision = 12
+
+  private def lpcPlan(block: Array[Int], sampleBits: Int,
+      maxOrder: Int): Option[SubPlan] = {
+    val n = block.length
+    if (n < maxOrder * 2) return None
+    val ac = new Array[Double](maxOrder + 1)
+    var lag = 0
+    while (lag <= maxOrder) {
+      var s = 0.0
+      var i = lag
+      while (i < n) { s += block(i).toDouble * block(i - lag); i += 1 }
+      ac(lag) = s
+      lag += 1
+    }
+    if (ac(0) <= 0.0) return None
+    // Levinson–Durbin, snapshotting each intermediate order: the header
+    // costs 16+4+5 + order·(sampleBits+precision) bits, so a low order
+    // with slightly worse residuals often beats order-max — plan every
+    // order and keep the cheapest, like the reference encoders' search
+    val lpc = new Array[Double](maxOrder + 1)
+    val byOrder = new Array[Array[Double]](maxOrder + 1)
+    var err = ac(0)
+    var m = 0
+    while (m < maxOrder && err > 0) {
+      var racc = ac(m + 1)
+      var j = 0
+      while (j < m) { racc -= lpc(j) * ac(m - j); j += 1 }
+      val k = racc / err
+      val prev = java.util.Arrays.copyOf(lpc, m)
+      var i = 0
+      while (i < m) { lpc(i) = prev(i) - k * prev(m - 1 - i); i += 1 }
+      lpc(m) = k
+      err *= 1 - k * k
+      m += 1
+      byOrder(m) = java.util.Arrays.copyOf(lpc, m)
+    }
+    if (m == 0) return None
+    (1 to m).flatMap(o => lpcPlanAt(block, sampleBits, byOrder(o)))
+      .sortBy(_.bits).headOption
+  }
+
+  private def lpcPlanAt(block: Array[Int], sampleBits: Int,
+      lpc: Array[Double]): Option[SubPlan] = {
+    val n = block.length
+    val order = lpc.length
+    // quantize under the biggest shift whose coefficients fit
+    val bound = 1 << (LpcPrecision - 1)
+    var shift = 15
+    def quantized(s: Int): Option[Array[Int]] = {
+      val q = new Array[Int](order)
+      var i = 0
+      while (i < order) {
+        val c = math.round(lpc(i) * (1L << s)).toDouble
+        if (c >= bound || c < -bound || c.isNaN) return None
+        q(i) = c.toInt
+        i += 1
+      }
+      Some(q)
+    }
+    var qc: Option[Array[Int]] = None
+    while (shift >= 0 && { qc = quantized(shift); qc.isEmpty }) shift -= 1
+    qc.flatMap { coefs =>
+      val res = new Array[Int](n - order)
+      var i = order
+      while (i < n) {
+        var acc = 0L
+        var j = 0
+        while (j < order) { acc += coefs(j).toLong * block(i - 1 - j); j += 1 }
+        val e = block(i).toLong - (acc >> shift)
+        // a degenerate quantization can predict wildly; a residual that
+        // does not fit an Int cannot be coded — let FIXED/VERBATIM stand
+        if (e > Int.MaxValue || e < Int.MinValue) return None
+        res(i - order) = e.toInt
+        i += 1
+      }
+      val (p, riceBits) = bestRice(res)
+      val maxRaw = rawWidth(res)
+      val escBits = maxRaw.toLong * res.length + 5
+      val useEscape = escBits < riceBits
+      val total = 8L + sampleBits.toLong * order + 4 + 5 +
+        LpcPrecision.toLong * order + 2 + 4 + 4 + math.min(riceBits, escBits)
+      Some(SubPlan(31 + order, order, if (useEscape) 15 else p, maxRaw, res,
+        total, block, sampleBits, coefs, shift, LpcPrecision))
+    }
   }
 
   private def writeSubframe(w: BitWriter, plan: SubPlan): Unit = {
@@ -403,6 +503,14 @@ object FlacCodec {
       case _ =>
         var k = 0
         while (k < plan.order) { w.write(block(k).toLong, plan.sampleBits); k += 1 }
+        if (plan.tpe >= 32) { // LPC header: precision, shift, coefficients
+          w.write(plan.precision - 1, 4)
+          w.write(plan.shift, 5)
+          var c = 0
+          while (c < plan.order) {
+            w.write(plan.coefs(c).toLong, plan.precision); c += 1
+          }
+        }
         w.write(0, 2) // residual method: RICE (4-bit params)
         w.write(0, 4) // partition order 0
         if (plan.p == 15) {
@@ -496,6 +604,7 @@ object FlacCodec {
     var nVerbatim = 0
     val nFixed = new Array[Int](5)
     var nDecorrelated = 0
+    var nLpc = 0
     var decoded = 0L
 
     while (decoded < totalSamples) {
@@ -558,6 +667,7 @@ object FlacCodec {
         readSubframe(r, chans(ch), chBits) match {
           case 0 => nConstant += 1
           case 1 => nVerbatim += 1
+          case o if o >= 32 => nLpc += 1
           case o => nFixed(o - 8) += 1
         }
         ch += 1
@@ -611,7 +721,7 @@ object FlacCodec {
         "decoded stream MD5 does not match STREAMINFO")
     }
     FlacData(streamSampleRate, channels, samples.result(),
-      nConstant, nVerbatim, nFixed, nDecorrelated)
+      nConstant, nVerbatim, nFixed, nDecorrelated, nLpc)
   }
 
   /** Decode one subframe into `dest`; returns the 6-bit subframe type
@@ -642,8 +752,27 @@ object FlacCodec {
         while (i < n) { dest(i) += fixedPredict(order, dest, i); i += 1 }
         if (wasted > 0) { i = 0; while (i < n) { dest(i) <<= wasted; i += 1 } }
       case lpc if lpc >= 32 =>
-        throw new IllegalArgumentException(
-          s"LPC subframe (order ${lpc - 31}) not supported by this decoder")
+        val order = lpc - 31
+        require(order <= n, s"LPC order $order exceeds block of $n")
+        var i = 0
+        while (i < order) { dest(i) = r.readSigned(eff); i += 1 }
+        val precision = r.readBits(4).toInt + 1
+        require(precision <= 15, "invalid LPC coefficient precision 16")
+        val shift = r.readSigned(5)
+        require(shift >= 0, s"negative LPC shift $shift is reserved")
+        val coefs = new Array[Int](order)
+        i = 0
+        while (i < order) { coefs(i) = r.readSigned(precision); i += 1 }
+        readResiduals(r, dest, order)
+        i = order
+        while (i < n) {
+          var acc = 0L
+          var j = 0
+          while (j < order) { acc += coefs(j).toLong * dest(i - 1 - j); j += 1 }
+          dest(i) += (acc >> shift).toInt
+          i += 1
+        }
+        if (wasted > 0) { i = 0; while (i < n) { dest(i) <<= wasted; i += 1 } }
       case other =>
         throw new IllegalArgumentException(s"reserved subframe type $other")
     }
@@ -699,6 +828,26 @@ object FlacCodec {
     * whatever costs less) — `64 + id % 191` samples total at 8 kHz mono,
     * every term integer-exact for the DuckDB oracle.
     */
+  /** Synthetic STEREO FLAC asset for the m14 battery row: left channel
+    * is multiplicative-hash noise (range-limited so right stays in 16
+    * bits), right = left + a tiny dither — strongly correlated, so a
+    * decorrelated channel assignment wins every frame and the oracle
+    * can assert the stereo machinery actually engaged. `48 + id % 97`
+    * frames at 16 kHz, every term integer-exact.
+    */
+  def syntheticFlacStereo(id: Long): Array[Byte] = {
+    val n = (48 + id % 97).toInt
+    val samples = new Array[Short](2 * n)
+    var i = 0
+    while (i < n) {
+      val l = ((id * 7919 + i.toLong * 104729) % 60000 - 30000).toInt
+      samples(2 * i) = l.toShort
+      samples(2 * i + 1) = (l + i % 5 - 2).toShort
+      i += 1
+    }
+    encode(samples, 16000, blockSize = 16, channels = 2)
+  }
+
   def syntheticFlac(id: Long): Array[Byte] = {
     val n = (64 + id % 191).toInt
     val samples = new Array[Short](n)

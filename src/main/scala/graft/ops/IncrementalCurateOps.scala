@@ -87,6 +87,44 @@ object IncrementalCurateOps {
 
   private val Tables = Seq("docs", "prefix", "edges", "clusters", "stats")
 
+  /** The pre-snapshot state shape (rounds ≤ 14): every table except
+    * `clusters`. Adding a table to [[Tables]] silently invalidates
+    * existing state dirs — the all-or-nothing visibility intersection
+    * would see ZERO landed batches, the in-order guard would pass on an
+    * empty list, and [[curated]] would silently drop the whole old
+    * corpus. [[migrateLegacySnapshots]] closes that: batches landed
+    * under the legacy shape get their missing cluster snapshots
+    * materialized (the same per-batch fold ingestion performs) before
+    * any visibility decision is made.
+    */
+  private val LegacyTables = Seq("docs", "prefix", "edges", "stats")
+
+  /** Materialize missing `clusters/batch=k` snapshots for batches that
+    * landed under the legacy (pre-snapshot) state shape, folding each
+    * batch's edges in ascending order — after which the directory is
+    * indistinguishable from one written by the current build. Idempotent
+    * and cheap when there is nothing to migrate (one extra constant-RPC
+    * listing).
+    */
+  private def migrateLegacySnapshots(spark: SparkSession,
+      stateDir: String): Unit = {
+    val legacy = BatchState.landedBatchIds(spark, stateDir, LegacyTables, None)
+    val complete = BatchState.landedBatchIds(spark, stateDir, Tables, None)
+    val missing = legacy.filterNot(complete.toSet)
+    for (k <- missing.sorted) {
+      val prev = BatchState
+        .landedBatchIds(spark, stateDir, Seq("clusters"), Some(k))
+        .lastOption
+        .map(p => spark.read.parquet(s"$stateDir/clusters/batch=$p"))
+      val newIds = spark.read.parquet(s"$stateDir/docs/batch=$k")
+        .select(col("doc_id"))
+      val edgesK = spark.read.parquet(s"$stateDir/edges/batch=$k")
+        .select(col("doc_a"), col("doc_b"))
+      BatchState.land(DedupOps.foldClusterSnapshot(prev, newIds, edgesK),
+        stateDir, "clusters", k)
+    }
+  }
+
   /** True iff every state table has a committed `batch=k` directory. */
   def batchLanded(spark: SparkSession, stateDir: String, batchId: Long): Boolean =
     BatchState.allLanded(spark, stateDir, Tables, batchId)
@@ -119,7 +157,13 @@ object IncrementalCurateOps {
   def ingestShard(spark: SparkSession, newDocs: DataFrame, idCol: String,
       textCol: String, stateDir: String, batchId: Long,
       cfg: CurateConfig = CurateConfig()): Unit = {
+    migrateLegacySnapshots(spark, stateDir)
     if (batchLanded(spark, stateDir, batchId)) return
+    BatchState.ensureParams(spark, stateDir, Map(
+      "lang" -> cfg.lang, "minQualityE6" -> cfg.minQualityE6.toString,
+      "shingleN" -> cfg.shingleN.toString,
+      "jaccardThreshold" -> cfg.jaccardThreshold.toString,
+      "budget" -> cfg.budget.toString, "shards" -> cfg.shards.toString))
     // enforce the documented in-order ingestion precondition LOUDLY: a
     // replay that arrives after a later batch already landed would
     // silently miss the cross-batch near-dup edges between this batch
@@ -241,6 +285,7 @@ object IncrementalCurateOps {
     */
   def curated(spark: SparkSession, stateDir: String,
       cfg: CurateConfig = CurateConfig()): DataFrame = {
+    migrateLegacySnapshots(spark, stateDir)
     val landed = landedBatchIds(spark, stateDir, None)
     if (landed.isEmpty)
       throw new IllegalStateException(s"no landed batches under $stateDir")

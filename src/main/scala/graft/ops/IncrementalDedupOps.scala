@@ -1,6 +1,5 @@
 package graft.ops
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -88,7 +87,7 @@ object IncrementalDedupOps {
 
   // ------------------------------------------------------------- images
 
-  private val ImageTables = Seq("sig", "bands", "edges")
+  private val ImageTables = Seq("bands", "edges")
 
   /** True iff every image state table has a committed `batch=k` dir. */
   def imageBatchLanded(spark: SparkSession, stateDir: String,
@@ -104,29 +103,27 @@ object IncrementalDedupOps {
       idCol: String, bytesCol: String, stateDir: String, batchId: Long,
       maxDist: Int = 3): Unit = {
     if (imageBatchLanded(spark, stateDir, batchId)) return
+    BatchState.ensureParams(spark, stateDir,
+      Map("maxDist" -> maxDist.toString))
     val landed = landedBatchIds(spark, stateDir, ImageTables, None)
     requireInOrder(landed, batchId)
 
-    val nBlocks = maxDist + 1
-    require(64 % nBlocks == 0, s"maxDist+1 must divide 64, got $nBlocks")
-    val blockBits = 64 / nBlocks
-    val mask = if (blockBits == 64) -1L else (1L << blockBits) - 1
-
-    // decode+hash once per image — every downstream consumer (three
+    // decode+hash once per image — every downstream consumer (both
     // landed tables, both edge legs) derives from this frame, so pin it
     // for the duration of the shard's eager writes (the ingestShard
-    // owner-release shape)
+    // owner-release shape). The fingerprints themselves need no
+    // separate table: the band index carries (id, sh), and the per-hash
+    // view is its bi = 0 slice.
     val sig = newImgs
       .select(col(idCol).as("id"),
         DedupOps.imageDHash(col(bytesCol)).as("sh"))
       .where(col("sh").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val bands = sig.select(col("id"), col("sh"),
-        posexplode(array((0 until nBlocks).map(i =>
-          shiftright(col("sh"), i * blockBits).bitwiseAND(lit(mask))): _*))
-          .as(Seq("bi", "block")))
-        .select(col("bi"), col("block"), col("id"), col("sh"))
+      // ONE definition of the banding ([[DedupOps.mankuBands]]) serves
+      // the stored index and the in-shard verify engine — they cannot
+      // desynchronize
+      val bands = DedupOps.mankuBands(sig, maxDist)
 
       // new/new: the in-shard banded self-join (shared verify engine)
       val newNew = DedupOps.hamming64Pairs(sig, maxDist)
@@ -150,7 +147,6 @@ object IncrementalDedupOps {
         case None => newNew.limit(0)
       }
 
-      land(sig, stateDir, "sig", batchId)
       land(bands, stateDir, "bands", batchId)
       land(newNew.unionAll(newOld), stateDir, "edges", batchId)
     } finally sig.unpersist(blocking = false)
@@ -177,48 +173,33 @@ object IncrementalDedupOps {
     * the frozen codebook itself.
     */
   def embeddingBatchLanded(spark: SparkSession, stateDir: String,
-      batchId: Long): Boolean = {
-    val tablesOk = BatchState.allLanded(spark, stateDir, EmbTables, batchId)
-    val centsOk =
-      landedBatchIds(spark, stateDir, EmbTables, Some(batchId)).nonEmpty ||
-        BatchState.allLanded(spark, stateDir, Seq("centroids"), batchId)
-    tablesOk && centsOk
-  }
-
-  private def readCentroids(spark: SparkSession,
-      stateDir: String): Seq[Seq[Double]] = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val glob = new Path(s"$stateDir/centroids/batch=*")
-    val dirs = glob.getFileSystem(conf).globStatus(glob)
-    require(dirs != null && dirs.nonEmpty, s"no codebook under $stateDir")
-    spark.read.parquet(dirs.map(_.getPath.toString): _*)
-      .orderBy("ci").collect()
-      .map(_.getSeq[Double](1).toSeq).toSeq
-  }
+      batchId: Long): Boolean =
+    BatchState.allLanded(spark, stateDir, EmbTables, batchId) &&
+      BatchState.hasCodebook(spark, stateDir)
 
   /** Cluster one new embedding shard against the frozen codebook and
     * land its assignments, the near-dup edges it gains (in-shard +
     * against every stored shard), and the folded component snapshot.
-    * The FIRST batch fits the codebook ([[SimilarityOps.kmeansFit]],
-    * k/iters) on its own vectors and freezes it; later batches only
-    * assign — the published SemDeDup decomposition. Idempotent per
-    * (stateDir, batchId); out-of-order ingest throws.
+    * Whichever batch first finds no committed codebook fits it
+    * ([[SimilarityOps.kmeansFit]], k/iters) on its own vectors and
+    * freezes it ([[BatchState.ensureCodebook]] — keyed on the
+    * codebook's own existence so a crashed fit batch can never cause a
+    * second fit); later batches only assign — the published SemDeDup
+    * decomposition. Idempotent per (stateDir, batchId); out-of-order
+    * ingest and parameter drift throw.
     */
   def ingestEmbeddingShard(spark: SparkSession, newEmb: DataFrame,
       idCol: String, vecCol: String, stateDir: String, batchId: Long,
       k: Int, iters: Int, threshold: Double): Unit = {
     if (embeddingBatchLanded(spark, stateDir, batchId)) return
+    BatchState.ensureParams(spark, stateDir, Map("k" -> k.toString,
+      "iters" -> iters.toString, "threshold" -> threshold.toString))
     val landed = landedBatchIds(spark, stateDir, EmbTables, None)
     requireInOrder(landed, batchId)
 
-    if (landed.isEmpty) {
-      // fit batch: train and freeze the codebook (k rows — bounded)
-      val (cents, _) = SimilarityOps.kmeansFit(newEmb, idCol, vecCol, k, iters)
-      import spark.implicits._
-      land(cents.zipWithIndex.map { case (cv, ci) => (ci, cv) }
-        .toDF("ci", "cv"), stateDir, "centroids", batchId)
+    val cents = BatchState.ensureCodebook(spark, stateDir, batchId) {
+      SimilarityOps.kmeansFit(newEmb, idCol, vecCol, k, iters)._1
     }
-    val cents = readCentroids(spark, stateDir)
 
     // one broadcast-literal argmin per row — no fit, no join
     val assign = newEmb

@@ -1,6 +1,5 @@
 package graft.ops
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -150,49 +149,30 @@ object IncrementalIndexOps {
 
   private val IvfTables = Seq("cells")
 
-  /** True iff the batch's cells landed — plus, for the fit batch, the
-    * codebook itself.
-    */
+  /** True iff the batch's cells landed and a committed codebook exists. */
   def vectorBatchLanded(spark: SparkSession, stateDir: String,
-      batchId: Long): Boolean = {
-    val cellsOk = BatchState.allLanded(spark, stateDir, IvfTables, batchId)
-    val centsOk =
-      landedBatchIds(spark, stateDir, IvfTables, Some(batchId)).nonEmpty ||
-        BatchState.allLanded(spark, stateDir, Seq("centroids"), batchId)
-    cellsOk && centsOk
-  }
-
-  private def readCentroids(spark: SparkSession,
-      stateDir: String): Seq[Seq[Double]] = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val glob = new Path(s"$stateDir/centroids/batch=*")
-    val dirs = glob.getFileSystem(conf).globStatus(glob)
-    require(dirs != null && dirs.nonEmpty, s"no codebook under $stateDir")
-    spark.read.parquet(dirs.map(_.getPath.toString): _*)
-      .orderBy("ci").collect()
-      .map(_.getSeq[Double](1).toSeq).toSeq
-  }
+      batchId: Long): Boolean =
+    BatchState.allLanded(spark, stateDir, IvfTables, batchId) &&
+      BatchState.hasCodebook(spark, stateDir)
 
   /** Assign one new vector shard under the frozen codebook and land its
-    * cell postings. The FIRST batch fits the codebook
-    * ([[SimilarityOps.kmeansFit]], k/iters) on its own vectors and
-    * freezes it. Idempotent per (stateDir, batchId); out-of-order
-    * ingest throws.
+    * cell postings. Whichever batch first finds no committed codebook
+    * fits it ([[SimilarityOps.kmeansFit]], nCells/iters) on its own
+    * vectors and freezes it ([[BatchState.ensureCodebook]]).
+    * Idempotent per (stateDir, batchId); out-of-order ingest and
+    * parameter drift throw.
     */
   def ingestVectorShard(spark: SparkSession, emb: DataFrame, idCol: String,
       vecCol: String, stateDir: String, batchId: Long,
       nCells: Int, iters: Int): Unit = {
     if (vectorBatchLanded(spark, stateDir, batchId)) return
+    BatchState.ensureParams(spark, stateDir,
+      Map("nCells" -> nCells.toString, "iters" -> iters.toString))
     val landed = landedBatchIds(spark, stateDir, IvfTables, None)
     requireInOrder(landed, batchId)
-    if (landed.isEmpty) {
-      val (cents, _) =
-        SimilarityOps.kmeansFit(emb, idCol, vecCol, nCells, iters)
-      import spark.implicits._
-      land(cents.zipWithIndex.map { case (cv, ci) => (ci, cv) }
-        .toDF("ci", "cv"), stateDir, "centroids", batchId)
+    val cents = BatchState.ensureCodebook(spark, stateDir, batchId) {
+      SimilarityOps.kmeansFit(emb, idCol, vecCol, nCells, iters)._1
     }
-    val cents = readCentroids(spark, stateDir)
     land(emb.select(col(idCol).as("cid"),
         SimilarityOps.asDouble(col(vecCol)).as("cv"))
       .withColumn("cell", SimilarityOps.ivfCell(col("cv"), cents))
@@ -210,7 +190,7 @@ object IncrementalIndexOps {
       nProbe: Int, k: Int): DataFrame = {
     val landed = landedBatchIds(spark, stateDir, IvfTables, None)
     require(landed.nonEmpty, s"no landed batches under $stateDir")
-    val cents = readCentroids(spark, stateDir)
+    val cents = BatchState.readCodebook(spark, stateDir)
     val cells = readBatches(spark, stateDir, "cells", landed).get
     val q = queries.withColumn("cell",
       explode(SimilarityOps.ivfProbes(col("qv"), cents, nProbe)))

@@ -5332,7 +5332,8 @@ object Battery {
               sum += v; sabs += math.abs(v); peak = math.max(peak, math.abs(v))
               i += 1
             }
-            val nFrames = flac.nConstant + flac.nVerbatim + flac.nFixed.sum
+            val nFrames =
+              flac.nConstant + flac.nVerbatim + flac.nFixed.sum + flac.nLpc
             (id, flac.samples.length, flac.sampleRate, flac.channels,
               sum, sabs, peak, nFrames,
               flac.nConstant >= 1, flac.nFixed.sum >= 1)
@@ -5359,6 +5360,57 @@ object Battery {
            |  CAST((count(*) + 15) // 16 AS INT) AS n_frames,
            |  TRUE AS has_constant,
            |  TRUE AS has_fixed
+           |FROM v GROUP BY doc_id""".stripMargin))
+
+  /** m14 — stereo FLAC decode with channel decorrelation
+    * ([[graft.ops.FlacCodec.syntheticFlacStereo]]): right = left +
+    * tiny dither, so the encoder's exact-size frame planner picks a
+    * decorrelated assignment (left/side, right/side or mid/side — side
+    * at 17 bits) for every frame, and the decoder must reconstruct L/R
+    * through the side channel — including the mid/side dropped-low-bit
+    * case — to match the closed-form per-channel sums. `has_decorr`
+    * pins that the stereo machinery actually engaged (an encoder that
+    * silently fell back to independent channels would still decode
+    * correctly but fail this flag).
+    */
+  private val m14FlacStereo = Q(
+    "m14_flac_stereo_decode",
+    (s, d) => {
+      import s.implicits._
+      T.documents(s, d).where(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val flac = graft.ops.FlacCodec.decode(
+              graft.ops.FlacCodec.syntheticFlacStereo(id))
+            var sumL = 0L; var sumR = 0L; var peak = 0L
+            var i = 0
+            while (i < flac.samples.length) {
+              val v = flac.samples(i).toLong
+              if (i % 2 == 0) sumL += v else sumR += v
+              peak = math.max(peak, math.abs(v))
+              i += 1
+            }
+            (id, flac.samples.length, flac.sampleRate, flac.channels,
+              sumL, sumR, peak, flac.nDecorrelated >= 1)
+          }
+        }.toDF("asset_id", "n_samples", "sample_rate", "channels",
+          "sum_left", "sum_right", "peak_abs", "has_decorr")
+    },
+    Some("""WITH a AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+           |s AS (SELECT doc_id, unnest(range(0, 48 + doc_id % 97)) AS i FROM a),
+           |v AS (SELECT doc_id,
+           |        (doc_id*7919 + i*104729) % 60000 - 30000 AS l,
+           |        ((doc_id*7919 + i*104729) % 60000 - 30000) + i % 5 - 2 AS r
+           |      FROM s)
+           |SELECT doc_id AS asset_id,
+           |  CAST(2 * count(*) AS INT) AS n_samples,
+           |  16000 AS sample_rate,
+           |  2 AS channels,
+           |  CAST(sum(l) AS BIGINT) AS sum_left,
+           |  CAST(sum(r) AS BIGINT) AS sum_right,
+           |  CAST(max(greatest(abs(l), abs(r))) AS BIGINT) AS peak_abs,
+           |  TRUE AS has_decorr
            |FROM v GROUP BY doc_id""".stripMargin))
 
   // ------------------------------------------ KF ETL end-to-end slice (§7.2)
@@ -6113,7 +6165,7 @@ object Battery {
     m3FrameSample, m3bImageFrames, m4WavDecode, m5BmpDecode, m6Resize,
     m6bResizeBilinear, m7VideoResize, m8AudioResample,
     m9PngDecode, m10PngResize, m11ImageNearDup, m12IncrementalImageNearDup,
-    m13FlacDecode,
+    m13FlacDecode, m14FlacStereo,
     d2MinhashBands, d2bNearDupPairs, d3Simhash, d7SimhashPairs, d4NgramJaccard,
     d5DedupClusters, d6DedupCorpus, d8DupSpans, d9DupSpanCut,
     d10EditDistance,

@@ -290,6 +290,16 @@ object Streaming {
     * curation of every document ever streamed (the
     * `st_incremental_curation` battery row pins this against c1's
     * oracle).
+    *
+    * The checkpoint and the state dir SHARE FATE: the state ledger keys
+    * on the checkpoint-assigned batch id, so a lost/recreated checkpoint
+    * would renumber from 0 and the ledger would silently no-op brand-new
+    * data as a "replay" of old batches. The guard below makes that
+    * loud — a micro-batch id strictly below the newest landed batch can
+    * only mean the checkpoint was reset against surviving state (a
+    * legitimate engine replay re-delivers the LAST batch, never an
+    * earlier one). Recovery: start a fresh stateDir, or restore the
+    * matching checkpoint.
     */
   def curationIngest(spark: SparkSession, watchDir: String,
       schema: StructType, checkpoint: String, stateDir: String,
@@ -299,8 +309,19 @@ object Streaming {
     runAvailableNow(
       spark.readStream.schema(schema).parquet(watchDir), checkpoint) {
       (df, batchId) =>
+        val s = df.sparkSession
+        val landedMax = graft.ops.BatchState
+          .landedBatchIds(s, stateDir,
+            Seq("docs", "prefix", "edges", "stats"), None)
+          .lastOption
+        require(landedMax.forall(batchId >= _),
+          s"micro-batch $batchId is OLDER than the newest landed batch " +
+            s"${landedMax.get} in $stateDir — the stream checkpoint was " +
+            "lost or reset against surviving state; its renumbered " +
+            "batches would be silently absorbed as replays. Start a new " +
+            "state directory or restore the matching checkpoint.")
         graft.ops.IncrementalCurateOps.ingestShard(
-          df.sparkSession, df, idCol, textCol, stateDir, batchId, cfg)
+          s, df, idCol, textCol, stateDir, batchId, cfg)
     }
 
   /** Streaming corpus gate — the NARROW curation stages (language-ID

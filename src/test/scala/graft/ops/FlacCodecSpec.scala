@@ -46,16 +46,48 @@ class FlacCodecSpec extends AnyFunSuite {
     assert(ramp.nFixed.sum == 4, s"ramp census: ${ramp.nFixed.toSeq}")
     assert(ramp.nConstant == 0 && ramp.nVerbatim == 0)
 
-    // incompressible max-amplitude alternation: every fixed order's
-    // residuals are wider than the samples, so VERBATIM must win
+    // full-range white noise: no predictor (fixed or LPC) gains, and
+    // Rice coding of uniform 16-bit residuals costs ~17 bits/sample —
+    // VERBATIM (exactly 16) must win
+    val noise = roundTrip(prng(64, 31L), block = 16)
+    assert(noise.nVerbatim == 4, s"noise census: verbatim=${noise.nVerbatim}")
+
+    // max-amplitude alternation is NOT incompressible: it is exactly
+    // y[n] = -y[n-1], which order-1 LPC (coefficient -1) captures —
+    // the round-trip and the census pin that the planner finds it
     val alt = roundTrip(Array.tabulate[Short](64)(i =>
       if (i % 2 == 0) Short.MinValue else Short.MaxValue), block = 16)
-    assert(alt.nVerbatim == 4, s"alt census: verbatim=${alt.nVerbatim}")
+    assert(alt.nLpc + alt.nVerbatim == 4,
+      s"alt census: lpc=${alt.nLpc}, verbatim=${alt.nVerbatim}")
 
-    // smooth noise compresses through a fixed predictor
+    // smooth noise compresses through a predictor (FIXED or LPC —
+    // whichever the exact-size planner finds cheaper)
     val smooth = roundTrip(Array.tabulate[Short](256)(i =>
       (1000.0 * math.sin(i / 7.0)).toShort), block = 64)
-    assert(smooth.nFixed.sum > 0, "sine input should pick FIXED")
+    assert(smooth.nFixed.sum + smooth.nLpc > 0,
+      "sine input should pick a predictive subframe")
+  }
+
+  test("LPC subframes: a resonant signal picks LPC over FIXED, " +
+      "round-trips exactly, and beats the FIXED-only encoding size") {
+    // damped two-pole resonance at (1.5, -0.9): far from every FIXED
+    // polynomial predictor (whose best, order 2, is (2, -1) — residuals
+    // ~half the amplitude), while order-2 LPC models it to quantization
+    // error. Re-excited periodically so the tail doesn't decay to zero.
+    val n = 1024
+    val s = new Array[Short](n)
+    var y1 = 0.0; var y2 = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (i % 200 == 0) 12000.0 else 0.0
+      val y = x + 1.5 * y1 - 0.9 * y2
+      s(i) = math.max(-30000.0, math.min(30000.0, y)).toShort
+      y2 = y1; y1 = y
+      i += 1
+    }
+    val d = roundTrip(s, block = 256)
+    assert(d.nLpc > 0, s"resonance should engage LPC (census: lpc=${d.nLpc}, " +
+      s"fixed=${d.nFixed.toSeq}, verbatim=${d.nVerbatim})")
   }
 
   test("every integrity field is enforced: flipped bits fail the decode") {

@@ -244,5 +244,70 @@ class IncrementalCurateSpec extends AnyFunSuite {
     assert(fs.delete(new Path(s"$ckpt/commits/1"), false))
     drain()
     assert(sortedRows(IncrementalCurateOps.curated(spark, state)) == streamed)
+    // a LOST checkpoint renumbers micro-batches from 0 against the
+    // surviving state — the ledger would silently no-op new data as a
+    // "replay"; the ingest must refuse instead
+    assert(fs.delete(new Path(ckpt), true))
+    landShard(b.limit(3), "s3")
+    val e = intercept[Exception] { drain() }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("checkpoint was lost or reset")),
+      s"checkpoint-reset guard should fire, got: ${chain(e).mkString(" | ")}")
+    // and the guard fired BEFORE any state was touched
+    assert(sortedRows(IncrementalCurateOps.curated(spark, state)) == streamed)
+  }
+
+  test("a legacy (pre-snapshot) state dir is migrated in place: missing " +
+      "cluster snapshots are folded from the landed edges, nothing is " +
+      "dropped, and ingestion continues on top") {
+    val state = freshState()
+    val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val cut1 = lo + (hi - lo) / 3
+    val cut2 = lo + 2 * (hi - lo) / 3
+    IncrementalCurateOps.ingestShard(spark,
+      docs.where(col("doc_id") <= cut1), "doc_id", "text", state, 0L)
+    IncrementalCurateOps.ingestShard(spark,
+      docs.where(col("doc_id") > cut1 && col("doc_id") <= cut2),
+      "doc_id", "text", state, 1L)
+    // strip the snapshots (and the params fingerprint) — exactly what a
+    // state dir written by the pre-r15 build looks like
+    val fs = new Path(state).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new Path(s"$state/clusters"), true))
+    assert(fs.delete(new Path(s"$state/_params"), true))
+    // the old corpus must NOT vanish from the curated view
+    val migrated = IncrementalCurateOps.curated(spark, state)
+    val twoShardFresh = {
+      val s2 = freshState()
+      IncrementalCurateOps.ingestShard(spark,
+        docs.where(col("doc_id") <= cut1), "doc_id", "text", s2, 0L)
+      IncrementalCurateOps.ingestShard(spark,
+        docs.where(col("doc_id") > cut1 && col("doc_id") <= cut2),
+        "doc_id", "text", s2, 1L)
+      IncrementalCurateOps.curated(spark, s2)
+    }
+    assert(sortedRows(migrated) == sortedRows(twoShardFresh))
+    // and a THIRD shard ingested on the migrated dir sees the full
+    // history (in-order guard intact, cross-batch edges found)
+    IncrementalCurateOps.ingestShard(spark,
+      docs.where(col("doc_id") > cut2), "doc_id", "text", state, 2L)
+    val incr = IncrementalCurateOps.curated(spark, state)
+    val oneShot = CorpusOps.curate(docs, "doc_id", "text")
+    assert(sortedRows(incr.select(oneShot.columns.map(col): _*)) ==
+      sortedRows(oneShot))
+  }
+
+  test("parameter drift across curation batches fails loudly") {
+    val state = freshState()
+    val (a, b) = splitAt(midId)
+    IncrementalCurateOps.ingestShard(spark, a, "doc_id", "text", state, 0L)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalCurateOps.ingestShard(spark, b, "doc_id", "text", state, 1L,
+        IncrementalCurateOps.CurateConfig(jaccardThreshold = 0.9))
+    }
+    assert(e.getMessage.contains("parameters"))
   }
 }

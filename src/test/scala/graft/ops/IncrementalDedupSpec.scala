@@ -146,8 +146,69 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(sortedRows(incr) == sortedRows(oneShotFrozen(fit)))
   }
 
+  test("image/embedding: parameter drift across batches fails loudly " +
+      "instead of silently joining mismatched state") {
+    val state = freshState()
+    val mid = midOf(media, "doc_id")
+    IncrementalDedupOps.ingestImageShard(spark,
+      media.where(col("doc_id") <= mid), "doc_id", "img", state, 0L,
+      maxDist = 3)
+    // maxDist 7 would band with 8-bit blocks against the stored 16-bit
+    // index — cross-batch candidates silently keyed on incompatible
+    // values; the params fingerprint turns that into a loud error
+    val e = intercept[IllegalArgumentException] {
+      IncrementalDedupOps.ingestImageShard(spark,
+        media.where(col("doc_id") > mid), "doc_id", "img", state, 1L,
+        maxDist = 7)
+    }
+    assert(e.getMessage.contains("parameters"))
+
+    val estate = freshState()
+    val emid = midOf(emb, "vec_id")
+    IncrementalDedupOps.ingestEmbeddingShard(spark,
+      emb.where(col("vec_id") <= emid),
+      "vec_id", "embedding", estate, 0L, k, iters, thr)
+    val e2 = intercept[IllegalArgumentException] {
+      IncrementalDedupOps.ingestEmbeddingShard(spark,
+        emb.where(col("vec_id") > emid),
+        "vec_id", "embedding", estate, 1L, k, iters, threshold = 0.9)
+    }
+    assert(e2.getMessage.contains("parameters"))
+  }
+
+  test("embedding: a crashed fit batch can never cause a SECOND " +
+      "codebook — the next batch reuses the committed one") {
+    val state = freshState()
+    val mid = midOf(emb, "vec_id")
+    val fit = emb.where(col("vec_id") <= mid)
+    IncrementalDedupOps.ingestEmbeddingShard(spark, fit,
+      "vec_id", "embedding", state, 0L, k, iters, thr)
+    // crash: batch 0 committed ONLY its codebook; the scheduler (wrongly
+    // but plausibly) moves on to batch 1 instead of replaying 0
+    val fs = new Path(state).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    for (t <- Seq("assign", "edges", "clusters"))
+      assert(fs.delete(new Path(s"$state/$t/batch=0"), true))
+    IncrementalDedupOps.ingestEmbeddingShard(spark,
+      emb.where(col("vec_id") > mid),
+      "vec_id", "embedding", state, 1L, k, iters, thr)
+    // exactly one committed codebook: batch 1 must NOT have refit
+    val cents = spark.read.parquet(s"$state/centroids/batch=0")
+    assert(cents.count() == k, "batch 0's codebook is the one in force")
+    assert(!fs.exists(new Path(s"$state/centroids/batch=1")),
+      "no second codebook may ever be fit")
+    // batch 0's data replays in-order? no — 1 already landed; loudness
+    // is the contract here
+    val e = intercept[IllegalArgumentException] {
+      IncrementalDedupOps.ingestEmbeddingShard(spark, fit,
+        "vec_id", "embedding", state, 0L, k, iters, thr)
+    }
+    assert(e.getMessage.contains("out-of-order"))
+  }
+
   test("embedding: crash after the codebook landed but before the fit " +
-      "batch's tables refits deterministically and converges") {
+      "batch's tables — the replay reuses the committed codebook and " +
+      "converges to the uninterrupted result") {
     val state = freshState()
     val mid = midOf(emb, "vec_id")
     val fit = emb.where(col("vec_id") <= mid)
