@@ -155,7 +155,8 @@ object VolumeProbe {
     "g19_personalized_pagerank", "a21_hll_intersect",
     "x31_bpe_train", "tw_windowed_topk", "st_windowed_topk",
     "m9_png_decode", "m10_png_resize", "x35_html_extract",
-    "c2_incremental_curation", "m11_image_neardup")
+    "c2_incremental_curation", "m11_image_neardup",
+    "x36_incremental_bm25")
   // c2 (default dedup-invariant law, with c1): replicas are
   // byte-identical text, so the exact-dedup stage of the INCREMENTAL
   // path also collapses every clone set to its replica-0 member and
@@ -318,6 +319,14 @@ object VolumeProbe {
   // × k scale exactly ×factor; the sharper laws (per-clone score
   // inheritance, base top-score identity — the scoring fractions
   // inflate uniformly) are pinned in VolumeProbeSpec/RetrievalOpsSpec.
+  // x36_incremental_bm25 (round 15): the SAME ×factor law through the
+  // batch-partitioned index state instead of a one-shot rebuild — at
+  // 10× this ingests two 10×-sized shards into postings/df/globals
+  // parquet state and searches the union-read, so what's stressed is
+  // the state machinery (additive df/globals re-aggregation, postings
+  // union) at volume; scores are replication-invariant by the same
+  // integer-ratio argument, and x36 ≡ x30 row-for-row is already
+  // oracle-pinned at sf0.01.
   // Sixth wave: g6_funnel — one row per user and users AND decades are
   // replica-disjoint, so funnels are replica-local → exact ×factor
   // (depths identical per clone user, pinned in VolumeProbeSpec).

@@ -529,4 +529,20 @@ class VolumeProbeSpec extends AnyFunSuite {
         (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
     assert(aucMap(outDir) == aucMap(srcDir), "AUC drifted under replication")
   }
+
+  test("incremental BM25 index at xN equals the one-shot rebuild at " +
+      "the same volume (index maintenance is volume-indistinguishable)") {
+    // x36 shares x30's math; at xN the claim under test is the STATE
+    // machinery — two xN-sized shards land postings/df/globals parquet
+    // and the search union-reads + re-aggregates them — against the
+    // from-scratch x30 rebuild over the identical corpus
+    val x30 = SparkEntry.queries("x30_bm25_retrieval")
+    val x36 = SparkEntry.queries("x36_incremental_bm25")
+    def sorted(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val cols = df.columns.sorted
+      df.select(cols.map(col): _*)
+        .collect().map(_.mkString("|")).toSeq.sorted
+    }
+    assert(sorted(x36(spark, outDir)) == sorted(x30(spark, outDir)))
+  }
 }
