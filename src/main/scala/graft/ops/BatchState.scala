@@ -17,7 +17,12 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 private[graft] object BatchState {
 
   /** Batch ids visible as state: present with `_SUCCESS` in EVERY
-    * table, optionally restricted to ids below `below`. Sorted.
+    * table, optionally restricted to ids below `below`. Sorted. When
+    * the directory carries a compaction manifest, ids below its
+    * watermark are visible ONLY if the manifest lists them (the
+    * compacted replacement batch) — which is what lets [[compactState]]
+    * retire thousands of small per-batch directories without a window
+    * where a reader could double-count or see nothing.
     */
   def landedBatchIds(spark: SparkSession, stateDir: String,
       tables: Seq[String], below: Option[Long]): Seq[Long] = {
@@ -31,8 +36,144 @@ private[graft] object BatchState {
           st.getPath.getParent.getName.stripPrefix("batch=").toLong).toOption
       }.toSet
     }
-    perTable.reduce(_ intersect _).toSeq
-      .filter(k => below.forall(k < _)).sorted
+    val globbed = perTable.reduce(_ intersect _)
+    val visible = readManifest(spark, stateDir) match {
+      case Some((wm, listed)) =>
+        // listed ids are visible UNCONDITIONALLY (their dirs are fully
+        // written before the manifest lands; their markers may arrive
+        // after it — see the compaction protocol), glob ids only at or
+        // above the watermark
+        listed.toSet ++ globbed.filter(_ >= wm)
+      case None => globbed
+    }
+    visible.toSeq.filter(k => below.forall(k < _)).sorted
+  }
+
+  /** Highest-version compaction manifest: (watermark, listed ids). */
+  private def readManifest(spark: SparkSession,
+      stateDir: String): Option[(Long, Seq[Long])] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new Path(s"$stateDir/_manifest")
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) return None
+    val versions = fs.listStatus(dir).toSeq
+      .flatMap(st => scala.util.Try(
+        st.getPath.getName.stripPrefix("v").toLong -> st.getPath).toOption)
+    if (versions.isEmpty) return None
+    val latest = versions.maxBy(_._1)._2
+    val in = fs.open(latest)
+    val line = try scala.io.Source.fromInputStream(in).mkString.trim
+    finally in.close()
+    val parts = line.split(";")
+    Some((parts(0).toLong,
+      if (parts.length < 2 || parts(1).isEmpty) Seq.empty
+      else parts(1).split(",").map(_.toLong).toSeq))
+  }
+
+  private def writeManifest(spark: SparkSession, stateDir: String,
+      watermark: Long, listed: Seq[Long]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new Path(s"$stateDir/_manifest")
+    val fs = dir.getFileSystem(conf)
+    fs.mkdirs(dir)
+    val next = readManifestVersion(fs, dir) + 1
+    // create(overwrite = false) is the atomic publish: a racing writer
+    // loses with an exception instead of clobbering
+    val out = fs.create(new Path(dir, s"v$next"), false)
+    try out.write(s"$watermark;${listed.mkString(",")}".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readManifestVersion(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path): Long =
+    fs.listStatus(dir).toSeq.flatMap(st =>
+      scala.util.Try(st.getPath.getName.stripPrefix("v").toLong).toOption)
+      .sorted.lastOption.getOrElse(0L)
+
+  /** Compact every landed batch of a state directory into ONE batch —
+    * the answer to the small-file problem a years-long shard-by-shard
+    * ingest accumulates (thousands of `batch=k` directories, each a
+    * handful of parquet files, dominate listing and open() time long
+    * before data volume matters). `additiveTables` are concatenated
+    * (their rows are per-batch-disjoint facts: postings, edges, docs);
+    * `snapshotTables` keep only the NEWEST batch's content (cluster
+    * maps — already the folded view of all history). The compacted
+    * batch lands under id `max(landed) + 1`, so the ascending-id ingest
+    * contract continues untouched on top.
+    *
+    * Crash-safe by ordering, never by luck:
+    *  1. every table's union is written to a dot-prefixed staging dir
+    *     (hidden from globs AND Spark listings) and its `_SUCCESS`
+    *     marker is stripped;
+    *  2. staging dirs are renamed to `batch=<C>` — still invisible (the
+    *     glob intersection requires markers);
+    *  3. the manifest version file is CREATED atomically: watermark C,
+    *     listed [C] — the one instant the view flips, old batches out,
+    *     C in (listed ids do not need markers, their data is complete
+    *     by construction);
+    *  4. markers are recreated (tool compatibility) and old batch dirs
+    *     plus stale manifests are garbage-collected — all invisible
+    *     work; a crash anywhere retries idempotently.
+    *
+    * A crash between 1 and 3 leaves the OLD view fully intact; a crash
+    * after 3 leaves the NEW view fully intact with invisible garbage a
+    * re-run sweeps. Do not run concurrently with ingest (same
+    * single-writer contract as the batches themselves).
+    */
+  def compactState(spark: SparkSession, stateDir: String,
+      additiveTables: Seq[String], snapshotTables: Seq[String] = Seq.empty):
+      Unit = {
+    val tables = additiveTables ++ snapshotTables
+    val landed = landedBatchIds(spark, stateDir, tables, None)
+    if (landed.size <= 1) { gcBelowWatermark(spark, stateDir, tables); return }
+    val c = landed.max + 1
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(stateDir).getFileSystem(conf)
+
+    for (t <- tables) {
+      val staged = new Path(s"$stateDir/$t/.compact_$c")
+      val src =
+        if (additiveTables.contains(t)) landed
+        else Seq(landed.max) // snapshot: newest already folds all history
+      spark.read.parquet(src.map(k => s"$stateDir/$t/batch=$k"): _*)
+        .write.mode(SaveMode.Overwrite).parquet(staged.toString)
+      fs.delete(new Path(staged, "_SUCCESS"), false)
+      val dest = new Path(s"$stateDir/$t/batch=$c")
+      if (fs.exists(dest)) fs.delete(dest, true) // a crashed prior attempt
+      require(fs.rename(staged, dest), s"rename failed for $dest")
+    }
+    writeManifest(spark, stateDir, watermark = c, listed = Seq(c))
+    for (t <- tables)
+      fs.create(new Path(s"$stateDir/$t/batch=$c/_SUCCESS"), true).close()
+    gcBelowWatermark(spark, stateDir, tables)
+  }
+
+  /** Delete batch directories the manifest has retired (id below the
+    * watermark and not listed) and all but the newest manifest version
+    * — invisible garbage, safe to sweep any time.
+    */
+  private def gcBelowWatermark(spark: SparkSession, stateDir: String,
+      tables: Seq[String]): Unit = {
+    readManifest(spark, stateDir).foreach { case (wm, listed) =>
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = new Path(stateDir).getFileSystem(conf)
+      for (t <- tables) {
+        val dirs = fs.globStatus(new Path(s"$stateDir/$t/batch=*"))
+        if (dirs != null) dirs.foreach { st =>
+          scala.util.Try(
+            st.getPath.getName.stripPrefix("batch=").toLong).toOption
+            .filter(k => k < wm && !listed.contains(k))
+            .foreach(_ => fs.delete(st.getPath, true))
+        }
+      }
+      val mdir = new Path(s"$stateDir/_manifest")
+      val latest = readManifestVersion(fs, mdir)
+      fs.listStatus(mdir).foreach { st =>
+        scala.util.Try(st.getPath.getName.stripPrefix("v").toLong).toOption
+          .filter(_ < latest)
+          .foreach(_ => fs.delete(st.getPath, false))
+      }
+    }
   }
 
   /** True iff every listed table has a committed `batch=k` directory. */

@@ -87,31 +87,69 @@ object IncrementalCurateOps {
 
   private val Tables = Seq("docs", "prefix", "edges", "clusters", "stats")
 
-  /** The pre-snapshot state shape (rounds ≤ 14): every table except
-    * `clusters`. Adding a table to [[Tables]] silently invalidates
-    * existing state dirs — the all-or-nothing visibility intersection
-    * would see ZERO landed batches, the in-order guard would pass on an
-    * empty list, and [[curated]] would silently drop the whole old
-    * corpus. [[migrateLegacySnapshots]] closes that: batches landed
-    * under the legacy shape get their missing cluster snapshots
-    * materialized (the same per-batch fold ingestion performs) before
-    * any visibility decision is made.
+  /** The tables every batch has carried since round 1 — the
+    * `clusters` snapshots were added in round 15. Exposed so other
+    * state consumers (the streaming ingest guard) never hardcode a
+    * second copy of the list: a drifted copy containing a table with
+    * zero markers would make its landed-id intersection empty and
+    * silently disable whatever guard reads it.
     */
-  private val LegacyTables = Seq("docs", "prefix", "edges", "stats")
+  private[graft] val CoreTables = Seq("docs", "prefix", "edges", "stats")
+
+  /** Newest batch id visible in the CORE state shape — the streaming
+    * ingest guard's view (core tables only, so a legacy dir still
+    * reports its true history).
+    */
+  private[graft] def newestLandedBatch(spark: SparkSession,
+      stateDir: String): Option[Long] =
+    BatchState.landedBatchIds(spark, stateDir, CoreTables, None).lastOption
+
+  /** Batches landed under the legacy (pre-snapshot, rounds ≤ 14) state
+    * shape: core tables committed, `clusters/batch=k` missing. Adding a
+    * table to [[Tables]] silently invalidates existing state dirs — the
+    * all-or-nothing visibility intersection would see ZERO landed
+    * batches, the in-order guard would pass on an empty list, and
+    * [[curated]] would silently drop the whole old corpus — so both
+    * entry points check for legacy batches; [[ingestShard]] (already a
+    * state WRITER) migrates them in place, [[curated]] (a read API —
+    * possibly running with read-only credentials, possibly concurrent
+    * with other readers) refuses loudly and names the migration call.
+    */
+  private def legacyBatches(spark: SparkSession,
+      stateDir: String): Seq[Long] = {
+    val legacy = BatchState.landedBatchIds(spark, stateDir, CoreTables, None)
+    val complete = BatchState.landedBatchIds(spark, stateDir, Tables, None)
+    legacy.filterNot(complete.toSet)
+  }
+
+  /** Run the legacy migration and return the resulting fully-landed
+    * batch ids — the single listing [[ingestShard]] reuses for its
+    * replay check AND its in-order guard, so the migration probe adds
+    * no listing round-trips to the steady-state ingest path.
+    */
+  private def migrateAndList(spark: SparkSession,
+      stateDir: String): Seq[Long] = {
+    val core = BatchState.landedBatchIds(spark, stateDir, CoreTables, None)
+    val complete = BatchState.landedBatchIds(spark, stateDir, Tables, None)
+    val missing = core.filterNot(complete.toSet)
+    if (missing.isEmpty) complete
+    else {
+      migrateLegacyState(spark, stateDir)
+      core // every core-landed batch is fully landed post-migration
+    }
+  }
 
   /** Materialize missing `clusters/batch=k` snapshots for batches that
     * landed under the legacy (pre-snapshot) state shape, folding each
     * batch's edges in ascending order — after which the directory is
-    * indistinguishable from one written by the current build. Idempotent
-    * and cheap when there is nothing to migrate (one extra constant-RPC
-    * listing).
+    * indistinguishable from one written by the current build.
+    * Idempotent. Run it once per legacy directory (or just keep
+    * ingesting — [[ingestShard]] calls it); do NOT run it concurrently
+    * with itself, for the same reason two ingests of the same batch
+    * must not race: both would Overwrite the same snapshot directory.
     */
-  private def migrateLegacySnapshots(spark: SparkSession,
-      stateDir: String): Unit = {
-    val legacy = BatchState.landedBatchIds(spark, stateDir, LegacyTables, None)
-    val complete = BatchState.landedBatchIds(spark, stateDir, Tables, None)
-    val missing = legacy.filterNot(complete.toSet)
-    for (k <- missing.sorted) {
+  def migrateLegacyState(spark: SparkSession, stateDir: String): Unit = {
+    for (k <- legacyBatches(spark, stateDir).sorted) {
       val prev = BatchState
         .landedBatchIds(spark, stateDir, Seq("clusters"), Some(k))
         .lastOption
@@ -157,24 +195,23 @@ object IncrementalCurateOps {
   def ingestShard(spark: SparkSession, newDocs: DataFrame, idCol: String,
       textCol: String, stateDir: String, batchId: Long,
       cfg: CurateConfig = CurateConfig()): Unit = {
-    migrateLegacySnapshots(spark, stateDir)
-    if (batchLanded(spark, stateDir, batchId)) return
+    val landedSoFar = migrateAndList(spark, stateDir)
+    if (landedSoFar.contains(batchId)) return
+    // fingerprint only the knobs that shape LANDED state (gates,
+    // shingling, the near-dup threshold behind the prefix index and
+    // edge set); budget/shards are read-time packing knobs applied by
+    // curated() — changing them between ingests is legitimate
     BatchState.ensureParams(spark, stateDir, Map(
       "lang" -> cfg.lang, "minQualityE6" -> cfg.minQualityE6.toString,
       "shingleN" -> cfg.shingleN.toString,
-      "jaccardThreshold" -> cfg.jaccardThreshold.toString,
-      "budget" -> cfg.budget.toString, "shards" -> cfg.shards.toString))
+      "jaccardThreshold" -> cfg.jaccardThreshold.toString))
     // enforce the documented in-order ingestion precondition LOUDLY: a
     // replay that arrives after a later batch already landed would
     // silently miss the cross-batch near-dup edges between this batch
     // and the later one (the later batch's new/old pass ran against a
     // state that did not contain these docs), so curated() would
     // diverge from the one-shot union without ever erroring
-    val landedSoFar = landedBatchIds(spark, stateDir, None)
-    require(landedSoFar.forall(_ < batchId),
-      s"out-of-order ingest: batch $batchId arrived after batch(es) " +
-        s"${landedSoFar.filter(_ > batchId).mkString(",")} already " +
-        "landed; batches must be ingested in ascending id order")
+    BatchState.requireInOrder(landedSoFar, batchId)
 
     val scored = newDocs.select(col(idCol).as("doc_id"),
         col(textCol).as("text"),
@@ -285,7 +322,14 @@ object IncrementalCurateOps {
     */
   def curated(spark: SparkSession, stateDir: String,
       cfg: CurateConfig = CurateConfig()): DataFrame = {
-    migrateLegacySnapshots(spark, stateDir)
+    // a read API must not write: refuse legacy state loudly instead of
+    // migrating in place (concurrent readers would race the Overwrite,
+    // and read-only credentials would fail opaquely mid-"read")
+    val legacy = legacyBatches(spark, stateDir)
+    require(legacy.isEmpty,
+      s"state at $stateDir has ${legacy.size} batch(es) in the legacy " +
+        "pre-snapshot shape; run IncrementalCurateOps.migrateLegacyState " +
+        "(or any ingestShard) once before reading")
     val landed = landedBatchIds(spark, stateDir, None)
     if (landed.isEmpty)
       throw new IllegalStateException(s"no landed batches under $stateDir")
@@ -303,6 +347,19 @@ object IncrementalCurateOps {
       carry = Seq(col("pred_lang"), col("quality_e6"), col("red_md5")),
       tokenCount = Some(col("n_tok")))
   }
+
+  /** Compact every landed batch into one ([[BatchState.compactState]]):
+    * docs/prefix/edges/stats concatenate (per-batch-disjoint facts),
+    * the cluster map keeps only the newest snapshot (already the folded
+    * view of all history). [[curated]] and [[ingestShard]] continue
+    * unchanged on top — the next batch id just has to stay above the
+    * compacted one. Run between ingests (single-writer contract); at
+    * thousands of accumulated batches this is what keeps state listing
+    * and scan planning constant-time.
+    */
+  def compact(spark: SparkSession, stateDir: String): Unit =
+    BatchState.compactState(spark, stateDir,
+      additiveTables = CoreTables, snapshotTables = Seq("clusters"))
 
   /** Corpus-level aggregate stats by language — ONE union read of every
     * batch's agg state and ONE re-aggregate (counts/sums add, extrema

@@ -15,15 +15,16 @@ import org.apache.spark.sql.functions._
   *
   * == Image state (parquet, batch-partitioned: `<table>/batch=<k>/`) ==
   *
-  *  - `sig`   — (id, sh): the 64-bit dHash of every decodable image in
-  *              the shard. Decode+hash (the dominant cost) runs exactly
-  *              once per image, at its own shard's ingest.
   *  - `bands` — (bi, block, id, sh): the Manku block-banding index of
-  *              `sig` ([[DedupOps.hamming64Pairs]]' candidate key). The
-  *              fingerprint rides along so cross-batch verification is
-  *              a `bit_count(xor)` on the joined row — no join back to
-  *              `sig`. Banding is content-determined, so stored bands
-  *              stay valid as the corpus grows.
+  *              the shard's 64-bit dHashes ([[DedupOps.mankuBands]] —
+  *              the one shared definition with the verify engine).
+  *              Decode+hash (the dominant cost) runs exactly once per
+  *              image, at its own shard's ingest; the fingerprint rides
+  *              along so cross-batch verification is a `bit_count(xor)`
+  *              on the joined row, and the per-hash view is the bi = 0
+  *              slice (no separate fingerprint table). Banding is
+  *              content-determined, so stored bands stay valid as the
+  *              corpus grows.
   *  - `edges` — (doc_a, doc_b, hamming): verified pairs within the
   *              radius. Old∕old edges never change (Hamming distance is
   *              a function of the two images alone), so each batch
@@ -94,10 +95,11 @@ object IncrementalDedupOps {
       batchId: Long): Boolean =
     BatchState.allLanded(spark, stateDir, ImageTables, batchId)
 
-  /** Hash one new image shard and land its fingerprints, band-index
-    * rows, and the near-dup edges it gains against everything landed
-    * before it. Idempotent per (stateDir, batchId); out-of-order
-    * ingest throws (see object doc).
+  /** Hash one new image shard and land its band-index rows (which
+    * carry the fingerprints — the per-hash view is the bi = 0 slice)
+    * and the near-dup edges it gains against everything landed before
+    * it. Idempotent per (stateDir, batchId); out-of-order ingest and
+    * parameter drift throw (see object doc).
     */
   def ingestImageShard(spark: SparkSession, newImgs: DataFrame,
       idCol: String, bytesCol: String, stateDir: String, batchId: Long,
@@ -151,6 +153,12 @@ object IncrementalDedupOps {
       land(newNew.unionAll(newOld), stateDir, "edges", batchId)
     } finally sig.unpersist(blocking = false)
   }
+
+  /** Compact the image band index + edges into one batch (both
+    * additive facts); see [[BatchState.compactState]].
+    */
+  def compactImages(spark: SparkSession, stateDir: String): Unit =
+    BatchState.compactState(spark, stateDir, additiveTables = ImageTables)
 
   /** Every near-dup image pair across all landed batches — the same
     * rows one-shot [[DedupOps.imageNearDupPairs]] produces over the
@@ -240,6 +248,15 @@ object IncrementalDedupOps {
         stateDir, "clusters", batchId)
     } finally assign.unpersist(blocking = false)
   }
+
+  /** Compact the embedding-dedup state into one batch: assignments and
+    * edges concatenate, the component map keeps the newest snapshot,
+    * the frozen codebook is untouched.
+    */
+  def compactEmbeddings(spark: SparkSession, stateDir: String): Unit =
+    BatchState.compactState(spark, stateDir,
+      additiveTables = Seq("assign", "edges"),
+      snapshotTables = Seq("clusters"))
 
   /** The SemDeDup view after every landed batch — one row per vector,
     * (idCol, cluster, rep), row-identical to one-shot

