@@ -76,7 +76,8 @@ object IncrementalIndexOps {
 
   // ------------------------------------------------------------- BM25
 
-  private val Bm25Tables = Seq("postings", "doclen", "tokstats", "globals")
+  private[graft] val Bm25Tables =
+    Seq("postings", "doclen", "tokstats", "globals")
 
   /** True iff every BM25 state table has a committed `batch=k` dir. */
   def textBatchLanded(spark: SparkSession, stateDir: String,

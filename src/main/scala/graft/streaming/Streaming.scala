@@ -311,12 +311,59 @@ object Streaming {
       idCol: String, textCol: String,
       cfg: graft.ops.IncrementalCurateOps.CurateConfig =
         graft.ops.IncrementalCurateOps.CurateConfig()): Unit =
+    stateIngest(spark, watchDir, schema, checkpoint, stateDir,
+      graft.ops.IncrementalCurateOps.CoreTables, idCol) { (df, batchId) =>
+      graft.ops.IncrementalCurateOps.ingestShard(
+        df.sparkSession, df, idCol, textCol, stateDir, batchId, cfg)
+    }
+
+  /** Streaming inverted-index maintenance: the [[stateIngest]] harness
+    * around [[graft.ops.IncrementalIndexOps.ingestTextShard]] — each
+    * document shard landing in `watchDir` is tokenized once into the
+    * batch-partitioned BM25 state;
+    * [[graft.ops.IncrementalIndexOps.bm25Search]] then serves queries
+    * over the accumulated index, row-identical to a from-scratch
+    * rebuild over every document ever streamed.
+    */
+  def textIndexIngest(spark: SparkSession, watchDir: String,
+      schema: StructType, checkpoint: String, stateDir: String,
+      idCol: String, textCol: String): Unit =
+    stateIngest(spark, watchDir, schema, checkpoint, stateDir,
+      graft.ops.IncrementalIndexOps.Bm25Tables, idCol) { (df, batchId) =>
+      graft.ops.IncrementalIndexOps.ingestTextShard(
+        df.sparkSession, df, idCol, textCol, stateDir, batchId)
+    }
+
+  /** The guarded streaming harness every incremental-state ingest runs
+    * under: an `AvailableNow` drain of `watchDir` whose `foreachBatch`
+    * first proves the checkpoint and the state directory still belong
+    * together, then hands the micro-batch to `ingest` under the
+    * stream's monotonic batch id. Three guards (all LOUD):
+    *
+    *  1. micro-batch id below the newest landed batch ⇒ the checkpoint
+    *     was reset against surviving state (a legitimate engine replay
+    *     re-delivers the LAST batch, never an earlier one);
+    *  2. non-zero first micro-batch against EMPTY state ⇒ the state
+    *     dir was lost while the checkpoint survived;
+    *  3. a replayed batch id whose content fingerprint (row count + id
+    *     range, recorded under `_input/batch=k` at first ingest)
+    *     differs ⇒ renumbered new data colliding with a landed id —
+    *     the case pure id arithmetic cannot see (checkpoint lost while
+    *     exactly one batch was landed: 0 ≥ 0 passes guard 1).
+    *
+    * Recovery is always the same: keep checkpoint and state together,
+    * or start both fresh.
+    */
+  def stateIngest(spark: SparkSession, watchDir: String,
+      schema: StructType, checkpoint: String, stateDir: String,
+      coreTables: Seq[String], idCol: String)(
+      ingest: (DataFrame, Long) => Unit): Unit =
     runAvailableNow(
       spark.readStream.schema(schema).parquet(watchDir), checkpoint) {
       (df, batchId) =>
         val s = df.sparkSession
-        val landedMax =
-          graft.ops.IncrementalCurateOps.newestLandedBatch(s, stateDir)
+        val landedMax = graft.ops.BatchState
+          .landedBatchIds(s, stateDir, coreTables, None).lastOption
         require(landedMax.forall(batchId >= _),
           s"micro-batch $batchId is OLDER than the newest landed batch " +
             s"${landedMax.get} in $stateDir — the stream checkpoint was " +
@@ -329,11 +376,6 @@ object Streaming {
             "while the checkpoint survived; continuing would land new " +
             "batches on a vanished history. Restore the state directory " +
             "or start a fresh checkpoint+state pair.")
-        // content fingerprint: distinguishes a genuine engine replay of
-        // the last batch (identical files => identical fingerprint)
-        // from renumbered NEW data colliding with a landed id — e.g. a
-        // checkpoint lost while exactly one batch was landed, where the
-        // id arithmetic above is blind (0 >= 0)
         val agg = df.agg(count(lit(1)), min(col(idCol)), max(col(idCol))).head
         val fp = Seq(agg.getLong(0),
           if (agg.isNullAt(1)) -1L else agg.getLong(1),
@@ -357,8 +399,7 @@ object Streaming {
             .coalesce(1).write
             .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(fpDir)
         }
-        graft.ops.IncrementalCurateOps.ingestShard(
-          s, df, idCol, textCol, stateDir, batchId, cfg)
+        ingest(df, batchId)
     }
 
   /** Streaming corpus gate — the NARROW curation stages (language-ID

@@ -98,6 +98,71 @@ class IncrementalIndexSpec extends AnyFunSuite {
       queries, "qid", "text", k = 10)) == before)
   }
 
+  test("streaming textIndexIngest: file-source micro-batches build the " +
+      "same index as batch ingest; replay is a no-op; a lost checkpoint " +
+      "fails loudly instead of absorbing new data") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_stream_bm25").toString
+    val (watch, ckpt, state) = (s"$base/in", s"$base/ckpt", s"$base/state")
+    val fs = new Path(base).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(watch))
+    def landShard(df: DataFrame, name: String): Unit = {
+      val tmp = s"$base/tmp_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = fs.globStatus(new Path(s"$tmp/part-*"))(0).getPath
+      assert(fs.rename(part, new Path(s"$watch/$name.parquet")))
+    }
+    def drain(): Unit = graft.streaming.Streaming.textIndexIngest(
+      spark, watch, corpus.schema, ckpt, state, "doc_id", "text")
+    def search() = IncrementalIndexOps.bm25Search(spark, state, queries,
+      "qid", "text", k = 10)
+    val mid = midDoc
+    landShard(corpus.where(col("doc_id") <= mid), "s1")
+    drain()
+    landShard(corpus.where(col("doc_id") > mid), "s2")
+    drain()
+    val streamed = sortedRows(search())
+    assert(streamed == sortedRows(oneShotBm25))
+    // engine replay of the last uncommitted micro-batch: idempotent
+    assert(fs.delete(new Path(s"$ckpt/commits/1"), false))
+    drain()
+    assert(sortedRows(search()) == streamed)
+    // lost checkpoint: renumbered batch 0 carries DIFFERENT content
+    // than the recorded batch-0 fingerprint — loud, nothing absorbed
+    assert(fs.delete(new Path(ckpt), true))
+    landShard(corpus.limit(5), "s3")
+    val e = intercept[Exception] { drain() }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(m => m.contains("checkpoint was reset") ||
+      m.contains("checkpoint was lost")),
+      s"guard should fire, got: ${chain(e).mkString(" | ")}")
+    assert(sortedRows(search()) == streamed, "state untouched by the refusal")
+
+    // the blind spot pure id arithmetic cannot see: checkpoint lost
+    // while exactly ONE batch was landed (renumbered batch 0 passes
+    // 0 >= 0) — the content fingerprint must catch it
+    val (watch2, ckpt2, state2) = (s"$base/in2", s"$base/ckpt2", s"$base/st2")
+    fs.mkdirs(new Path(watch2))
+    def landShard2(df: DataFrame, name: String): Unit = {
+      val tmp = s"$base/tmp2_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = fs.globStatus(new Path(s"$tmp/part-*"))(0).getPath
+      assert(fs.rename(part, new Path(s"$watch2/$name.parquet")))
+    }
+    def drain2(): Unit = graft.streaming.Streaming.textIndexIngest(
+      spark, watch2, corpus.schema, ckpt2, state2, "doc_id", "text")
+    landShard2(corpus.where(col("doc_id") <= mid), "s1")
+    drain2()
+    assert(fs.delete(new Path(ckpt2), true))
+    landShard2(corpus.where(col("doc_id") > mid), "s2")
+    val e2 = intercept[Exception] { drain2() }
+    assert(chain(e2).exists(_.contains("content fingerprint")),
+      s"fingerprint guard should fire, got: ${chain(e2).mkString(" | ")}")
+  }
+
   // -------------------------------------------------------------- IVF
 
   private val (nCells, iters, nProbe, k) = (4, 2, 2, 10)
