@@ -334,6 +334,38 @@ object Streaming {
         df.sparkSession, df, idCol, textCol, stateDir, batchId)
     }
 
+  /** Streaming image near-dup state maintenance: [[stateIngest]] around
+    * [[graft.ops.IncrementalDedupOps.ingestImageShard]] — each image
+    * shard is decoded + dHashed once into the banded index;
+    * [[graft.ops.IncrementalDedupOps.imagePairs]] serves the
+    * accumulated pair set.
+    */
+  def imageIngest(spark: SparkSession, watchDir: String,
+      schema: StructType, checkpoint: String, stateDir: String,
+      idCol: String, bytesCol: String, maxDist: Int = 3): Unit =
+    stateIngest(spark, watchDir, schema, checkpoint, stateDir,
+      Seq("bands", "edges"), idCol) { (df, batchId) =>
+      graft.ops.IncrementalDedupOps.ingestImageShard(
+        df.sparkSession, df, idCol, bytesCol, stateDir, batchId, maxDist)
+    }
+
+  /** Streaming IVF index maintenance: [[stateIngest]] around
+    * [[graft.ops.IncrementalIndexOps.ingestVectorShard]] — the first
+    * micro-batch fits and freezes the codebook, every batch lands its
+    * own cell postings;
+    * [[graft.ops.IncrementalIndexOps.ivfSearch]] serves queries over
+    * the accumulated index.
+    */
+  def vectorIndexIngest(spark: SparkSession, watchDir: String,
+      schema: StructType, checkpoint: String, stateDir: String,
+      idCol: String, vecCol: String, nCells: Int, iters: Int): Unit =
+    stateIngest(spark, watchDir, schema, checkpoint, stateDir,
+      Seq("cells"), idCol) { (df, batchId) =>
+      graft.ops.IncrementalIndexOps.ingestVectorShard(
+        df.sparkSession, df, idCol, vecCol, stateDir, batchId,
+        nCells, iters)
+    }
+
   /** The guarded streaming harness every incremental-state ingest runs
     * under: an `AvailableNow` drain of `watchDir` whose `foreachBatch`
     * first proves the checkpoint and the state directory still belong

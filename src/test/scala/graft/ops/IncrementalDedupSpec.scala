@@ -101,6 +101,55 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(e.getMessage.contains("out-of-order"))
   }
 
+  test("streaming imageIngest and vectorIndexIngest: file-source " +
+      "micro-batches produce the same state as batch ingest") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_stream_media").toString
+    val fs = new Path(base).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def landShard(df: DataFrame, watch: String, name: String): Unit = {
+      fs.mkdirs(new Path(watch))
+      val tmp = s"$base/tmp_${new Path(watch).getName}_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = fs.globStatus(new Path(s"$tmp/part-*"))(0).getPath
+      assert(fs.rename(part, new Path(s"$watch/$name.parquet")))
+    }
+    // images
+    val (iwatch, ickpt, istate) = (s"$base/iin", s"$base/ickpt", s"$base/ist")
+    val m = media
+    val mid = midOf(m, "doc_id")
+    def idrain(): Unit = graft.streaming.Streaming.imageIngest(
+      spark, iwatch, m.schema, ickpt, istate, "doc_id", "img")
+    landShard(m.where(col("doc_id") <= mid), iwatch, "s1")
+    idrain()
+    landShard(m.where(col("doc_id") > mid), iwatch, "s2")
+    idrain()
+    assert(sortedRows(IncrementalDedupOps.imagePairs(spark, istate)) ==
+      sortedRows(DedupOps.imageNearDupPairs(m, "doc_id", "img")))
+    // vectors (frozen codebook fit on the stream's FIRST micro-batch)
+    val (vwatch, vckpt, vstate) = (s"$base/vin", s"$base/vckpt", s"$base/vst")
+    val emid = midOf(emb, "vec_id")
+    val fit = emb.where(col("vec_id") <= emid)
+    def vdrain(): Unit = graft.streaming.Streaming.vectorIndexIngest(
+      spark, vwatch, emb.schema, vckpt, vstate, "vec_id", "embedding",
+      nCells = 4, iters = 2)
+    landShard(fit, vwatch, "s1")
+    vdrain()
+    landShard(emb.where(col("vec_id") > emid), vwatch, "s2")
+    vdrain()
+    val qset = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"),
+        SimilarityOps.asDouble(col("embedding")).as("qv"))
+    val incr = IncrementalIndexOps.ivfSearch(spark, vstate, qset, 2, 10)
+    val (cents, _) =
+      SimilarityOps.kmeansFit(fit, "vec_id", "embedding", 4, 2)
+    val one = SimilarityOps.ivfTopK(qset,
+      emb.select(col("vec_id").as("cid"),
+        SimilarityOps.asDouble(col("embedding")).as("cv")), cents, 2, 10)
+    assert(sortedRows(incr.select(one.columns.map(col): _*)) ==
+      sortedRows(one))
+  }
+
   // --------------------------------------------------------- embeddings
 
   private val (k, iters, thr) = (4, 2, 0.35)
