@@ -369,19 +369,32 @@ object Streaming {
   /** The guarded streaming harness every incremental-state ingest runs
     * under: an `AvailableNow` drain of `watchDir` whose `foreachBatch`
     * first proves the checkpoint and the state directory still belong
-    * together, then hands the micro-batch to `ingest` under the
-    * stream's monotonic batch id. Three guards (all LOUD):
+    * together, then hands the micro-batch to `ingest` under an
+    * EFFECTIVE state batch id.
     *
-    *  1. micro-batch id below the newest landed batch ⇒ the checkpoint
-    *     was reset against surviving state (a legitimate engine replay
-    *     re-delivers the LAST batch, never an earlier one);
-    *  2. non-zero first micro-batch against EMPTY state ⇒ the state
-    *     dir was lost while the checkpoint survived;
-    *  3. a replayed batch id whose content fingerprint (row count + id
-    *     range, recorded under `_input/batch=k` at first ingest)
-    *     differs ⇒ renumbered new data colliding with a landed id —
-    *     the case pure id arithmetic cannot see (checkpoint lost while
-    *     exactly one batch was landed: 0 ≥ 0 passes guard 1).
+    * The `_input/batch=<checkpointId>` ledger records each micro-batch's
+    * content fingerprint (row count + id range) AND its effective id.
+    * Decoupling the two id spaces is what lets state COMPACTION
+    * ([[graft.ops.BatchState.compactState]]) coexist with a live
+    * checkpoint: compaction lands its merged batch at max+1, which is
+    * exactly the id the checkpoint would assign to the NEXT micro-batch
+    * — keyed directly, that micro-batch would be silently absorbed as a
+    * "replay" of the compacted batch. Here a new checkpoint id simply
+    * maps to newest-landed + 1, and a replayed checkpoint id
+    * (fingerprint-verified) re-ingests under its recorded effective id,
+    * which the state ledger then no-ops.
+    *
+    * Three guards (all LOUD):
+    *
+    *  1. a checkpoint id below the newest RECORDED one ⇒ the checkpoint
+    *     was lost or reset against surviving state (a legitimate engine
+    *     replay re-delivers the LAST micro-batch, never an earlier one);
+    *  2. a non-zero first checkpoint id against an EMPTY input ledger ⇒
+    *     the state dir was lost while the checkpoint survived;
+    *  3. a replayed checkpoint id whose content fingerprint differs ⇒
+    *     renumbered new data colliding with a recorded id — the case
+    *     pure id arithmetic cannot see (checkpoint lost while exactly
+    *     one batch was recorded: 0 ≥ 0 passes guard 1).
     *
     * Recovery is always the same: keep checkpoint and state together,
     * or start both fresh.
@@ -392,18 +405,26 @@ object Streaming {
       ingest: (DataFrame, Long) => Unit): Unit =
     runAvailableNow(
       spark.readStream.schema(schema).parquet(watchDir), checkpoint) {
-      (df, batchId) =>
+      (df, ckptId) =>
         val s = df.sparkSession
-        val landedMax = graft.ops.BatchState
-          .landedBatchIds(s, stateDir, coreTables, None).lastOption
-        require(landedMax.forall(batchId >= _),
-          s"micro-batch $batchId is OLDER than the newest landed batch " +
-            s"${landedMax.get} in $stateDir — the stream checkpoint was " +
-            "lost or reset against surviving state; its renumbered " +
-            "batches would be silently absorbed as replays. Start a new " +
-            "state directory or restore the matching checkpoint.")
-        require(landedMax.nonEmpty || batchId == 0,
-          s"micro-batch $batchId arrived against EMPTY state at " +
+        val conf = s.sparkContext.hadoopConfiguration
+        val ledgerGlob = new org.apache.hadoop.fs.Path(
+          s"$stateDir/_input/batch=*/_SUCCESS")
+        val fs = ledgerGlob.getFileSystem(conf)
+        val found = fs.globStatus(ledgerGlob)
+        val recorded =
+          if (found == null) Seq.empty[Long]
+          else found.toSeq.flatMap(st => scala.util.Try(st.getPath.getParent
+            .getName.stripPrefix("batch=").toLong).toOption).sorted
+        require(recorded.lastOption.forall(ckptId >= _),
+          s"micro-batch $ckptId is OLDER than the newest recorded " +
+            s"micro-batch ${recorded.last} in $stateDir — the stream " +
+            "checkpoint was lost or reset against surviving state; its " +
+            "renumbered batches would be silently absorbed as replays. " +
+            "Start a new state directory or restore the matching " +
+            "checkpoint.")
+        require(recorded.nonEmpty || ckptId == 0,
+          s"micro-batch $ckptId arrived against an EMPTY input ledger at " +
             s"$stateDir — the state directory was lost or relocated " +
             "while the checkpoint survived; continuing would land new " +
             "batches on a vanished history. Restore the state directory " +
@@ -412,26 +433,32 @@ object Streaming {
         val fp = Seq(agg.getLong(0),
           if (agg.isNullAt(1)) -1L else agg.getLong(1),
           if (agg.isNullAt(2)) -1L else agg.getLong(2))
-        val fpDir = s"$stateDir/_input/batch=$batchId"
-        val fs = new org.apache.hadoop.fs.Path(fpDir)
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (fs.exists(new org.apache.hadoop.fs.Path(s"$fpDir/_SUCCESS"))) {
-          val stored = s.read.parquet(fpDir).head
-          val storedFp = Seq(stored.getLong(0), stored.getLong(1),
-            stored.getLong(2))
-          require(storedFp == fp,
-            s"micro-batch $batchId replays a landed batch id but its " +
-              s"content fingerprint $fp (rows, min id, max id) differs " +
-              s"from the recorded $storedFp — the checkpoint was reset " +
-              "and new data was renumbered onto a landed id. Start a " +
-              "new state directory or restore the matching checkpoint.")
-        } else {
-          import s.implicits._
-          Seq((fp(0), fp(1), fp(2))).toDF("n_rows", "min_id", "max_id")
-            .coalesce(1).write
-            .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(fpDir)
-        }
-        ingest(df, batchId)
+        val fpDir = s"$stateDir/_input/batch=$ckptId"
+        val effectiveId =
+          if (fs.exists(new org.apache.hadoop.fs.Path(s"$fpDir/_SUCCESS"))) {
+            val stored = s.read.parquet(fpDir).head
+            val storedFp = Seq(stored.getLong(0), stored.getLong(1),
+              stored.getLong(2))
+            require(storedFp == fp,
+              s"micro-batch $ckptId replays a recorded micro-batch but " +
+                s"its content fingerprint $fp (rows, min id, max id) " +
+                s"differs from the recorded $storedFp — the checkpoint " +
+                "was reset and new data was renumbered onto a recorded " +
+                "id. Start a new state directory or restore the " +
+                "matching checkpoint.")
+            stored.getLong(3)
+          } else {
+            val eff = graft.ops.BatchState
+              .landedBatchIds(s, stateDir, coreTables, None).lastOption
+              .map(_ + 1).getOrElse(ckptId)
+            import s.implicits._
+            Seq((fp(0), fp(1), fp(2), eff))
+              .toDF("n_rows", "min_id", "max_id", "effective_id")
+              .coalesce(1).write
+              .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(fpDir)
+            eff
+          }
+        ingest(df, effectiveId)
     }
 
   /** Streaming corpus gate — the NARROW curation stages (language-ID

@@ -103,6 +103,47 @@ class IncrementalCompactionSpec extends AnyFunSuite {
     assert(sortedRows(search()) == sortedRows(full))
   }
 
+  test("compaction between STREAM drains: the next micro-batch lands " +
+      "under a fresh effective id instead of colliding with the " +
+      "compacted batch (checkpoint ids and state ids are decoupled)") {
+    val I = IncrementalIndexOps
+    val base = freshState()
+    val (watch, ckpt, state) = (s"$base/in", s"$base/ckpt", s"$base/state")
+    val fs = new Path(base).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(watch))
+    val corpus = docs.where(pmod(col("doc_id"), lit(97)) =!= 0)
+    val queries = docs.where(pmod(col("doc_id"), lit(97)) === 0)
+      .select(col("doc_id").as("qid"), col("text"))
+    def landShard(df: DataFrame, name: String): Unit = {
+      val tmp = s"$base/tmp_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = fs.globStatus(new Path(s"$tmp/part-*"))(0).getPath
+      assert(fs.rename(part, new Path(s"$watch/$name.parquet")))
+    }
+    def drain(): Unit = graft.streaming.Streaming.textIndexIngest(
+      spark, watch, corpus.schema, ckpt, state, "doc_id", "text")
+    val r = corpus.agg(min(col("doc_id")), max(col("doc_id"))).head
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val cut1 = lo + (hi - lo) / 3
+    val cut2 = lo + 2 * (hi - lo) / 3
+    landShard(corpus.where(col("doc_id") <= cut1), "s1")
+    drain() // checkpoint batch 0 -> state batch 0
+    landShard(corpus.where(col("doc_id") > cut1 && col("doc_id") <= cut2),
+      "s2")
+    drain() // checkpoint batch 1 -> state batch 1
+    I.compactText(spark, state) // state batches 0,1 -> compacted batch 2
+    // the checkpoint will number the NEXT micro-batch 2 — exactly the
+    // compacted batch's id; the input ledger must remap it, not absorb it
+    landShard(corpus.where(col("doc_id") > cut2), "s3")
+    drain()
+    val full = RetrievalOps.bm25TopK(corpus, queries,
+      "doc_id", "text", "qid", "text", 10).withColumnRenamed("doc_id", "id")
+    assert(sortedRows(I.bm25Search(spark, state, queries, "qid", "text", 10))
+      == sortedRows(full),
+      "the post-compaction micro-batch must ingest as new data")
+  }
+
   test("the critical crash window — manifest flipped, markers not yet " +
       "restored, old dirs not yet swept — still reads exactly the " +
       "compacted view (no double-count, no empty view)") {
