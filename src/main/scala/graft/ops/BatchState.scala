@@ -125,7 +125,14 @@ private[graft] object BatchState {
       Unit = {
     val tables = additiveTables ++ snapshotTables
     val landed = landedBatchIds(spark, stateDir, tables, None)
-    if (landed.size <= 1) { gcBelowWatermark(spark, stateDir, tables); return }
+    if (landed.size <= 1) {
+      // heal the step-3/step-4 crash window of a PRIOR run: the
+      // manifest flipped but markers were never restored — a bare
+      // retry must finish the protocol, not just garbage-collect
+      restoreListedMarkers(spark, stateDir, tables)
+      gcBelowWatermark(spark, stateDir, tables)
+      return
+    }
     val c = landed.max + 1
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(stateDir).getFileSystem(conf)
@@ -143,10 +150,25 @@ private[graft] object BatchState {
       require(fs.rename(staged, dest), s"rename failed for $dest")
     }
     writeManifest(spark, stateDir, watermark = c, listed = Seq(c))
-    for (t <- tables)
-      fs.create(new Path(s"$stateDir/$t/batch=$c/_SUCCESS"), true).close()
+    restoreListedMarkers(spark, stateDir, tables)
     gcBelowWatermark(spark, stateDir, tables)
   }
+
+  /** Recreate `_SUCCESS` markers for every manifest-listed batch dir
+    * (step 4 of the compaction protocol — cosmetic for manifest-aware
+    * readers, load-bearing for marker-globbing tools and `allLanded`).
+    */
+  private def restoreListedMarkers(spark: SparkSession, stateDir: String,
+      tables: Seq[String]): Unit =
+    readManifest(spark, stateDir).foreach { case (_, listed) =>
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = new Path(stateDir).getFileSystem(conf)
+      for (t <- tables; k <- listed) {
+        val dir = new Path(s"$stateDir/$t/batch=$k")
+        if (fs.exists(dir))
+          fs.create(new Path(dir, "_SUCCESS"), true).close()
+      }
+    }
 
   /** Delete batch directories the manifest has retired (id below the
     * watermark and not listed) and all but the newest manifest version

@@ -30,7 +30,18 @@ object DedupOps {
     * cap-invariant by construction (spec-pinned).
     */
   private[graft] val InRowPairCap: Int =
-    sys.env.get("GRAFT_INROW_PAIR_CAP").map(_.toInt).getOrElse(4096)
+    sys.env.get("GRAFT_INROW_PAIR_CAP") match {
+      case None => 4096
+      case Some(v) =>
+        // parse + validate HERE, with the variable named: a bare .toInt
+        // in an object initializer surfaces a typo as an opaque
+        // ExceptionInInitializerError far from the misconfiguration
+        val n = scala.util.Try(v.toInt).getOrElse(throw
+          new IllegalArgumentException(
+            s"GRAFT_INROW_PAIR_CAP must be an integer >= 2, got '$v'"))
+        require(n >= 2, s"GRAFT_INROW_PAIR_CAP must be >= 2, got $n")
+        n
+    }
 
   /** All unordered member pairs of every bucket row — the shared pair
     * expansion of [[nearDupPairs]], [[ngramJaccardPairsFromSets]] and
@@ -508,15 +519,6 @@ object DedupOps {
         .where(col("sh").isNotNull),
       maxDist)
 
-  /** Hamming-radius pair search over any 64-bit fingerprint table
-    * (id, sh) — the shared engine of [[simhashPairs]] and
-    * [[imageNearDupPairs]]. Manku block banding: `maxDist + 1`
-    * contiguous blocks; by pigeonhole two fingerprints within `maxDist`
-    * differing bits agree exactly on a whole block, so candidates are a
-    * (block_idx, block_value) equi-join and `bit_count(xor)` verifies
-    * only candidates. The fingerprint rides through the explode, so the
-    * verify needs no join back to the signature table.
-    */
   /** The Manku block-banding index of a 64-bit fingerprint table
     * (id, sh) → (bi, block, id, sh) — the shared candidate key of
     * [[hamming64Pairs]] and the persisted band index of
@@ -535,6 +537,16 @@ object DedupOps {
       .select(col("bi"), col("block"), col("id"), col("sh"))
   }
 
+  /** Hamming-radius pair search over any 64-bit fingerprint table
+    * (id, sh) — the shared engine of [[simhashPairs]] and
+    * [[imageNearDupPairs]]. [[mankuBands]] provides the candidate key:
+    * `maxDist + 1` contiguous blocks; by pigeonhole two fingerprints
+    * within `maxDist` differing bits agree exactly on a whole block, so
+    * candidates are a (block_idx, block_value) equi-join and
+    * `bit_count(xor)` verifies only candidates. The fingerprint rides
+    * through the explode, so the verify needs no join back to the
+    * signature table.
+    */
   private[graft] def hamming64Pairs(sig: DataFrame, maxDist: Int): DataFrame = {
     // A pair agreeing on several blocks surfaces once per agreement —
     // dedup AFTER the cheap Hamming filter (fewer rows to distinct).

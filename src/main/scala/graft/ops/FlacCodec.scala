@@ -234,8 +234,6 @@ object FlacCodec {
 
     val total = samples.length / channels // inter-channel samples
     val nFrames = (total + blockSize - 1) / blockSize
-    val lastLen = total - (nFrames - 1) * blockSize
-    val minBlock = math.min(blockSize, lastLen)
 
     // MD5 of the unencoded stream: 16-bit little-endian, interleaved
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -252,7 +250,11 @@ object FlacCodec {
     si.write(1, 1) // last metadata block
     si.write(0, 7) // STREAMINFO
     si.write(34, 24) // length
-    si.write(minBlock, 16)
+    // min == max == blockSize: the format EXCLUDES the (possibly
+    // shorter) last block from the minimum, and values < 16 are invalid
+    // — writing the last block's length here would make every stream
+    // whose total is not a blockSize multiple spec-violating
+    si.write(blockSize, 16)
     si.write(blockSize, 16)
     si.write(0, 24) // min frame size unknown
     si.write(0, 24) // max frame size unknown
@@ -819,15 +821,6 @@ object FlacCodec {
     }
   }
 
-  /** Synthetic FLAC asset for the m13 battery row — the closed-form
-    * corpus law: per asset, 16 constant samples (a CONSTANT subframe at
-    * blockSize 16), then 16 linear-ramp samples with a NEVER-ZERO slope
-    * (zero order-2 residuals → a FIXED subframe; a zero slope would
-    * collapse the block to CONSTANT), then multiplicative-hash noise
-    * (FIXED/VERBATIM,
-    * whatever costs less) — `64 + id % 191` samples total at 8 kHz mono,
-    * every term integer-exact for the DuckDB oracle.
-    */
   /** Synthetic STEREO FLAC asset for the m14 battery row: left channel
     * is multiplicative-hash noise (range-limited so right stays in 16
     * bits), right = left + a tiny dither — strongly correlated, so a
@@ -848,6 +841,14 @@ object FlacCodec {
     encode(samples, 16000, blockSize = 16, channels = 2)
   }
 
+  /** Synthetic FLAC asset for the m13 battery row — the closed-form
+    * corpus law: per asset, 16 constant samples (a CONSTANT subframe at
+    * blockSize 16), then 16 linear-ramp samples with a NEVER-ZERO slope
+    * (zero order-2 residuals → a FIXED subframe; a zero slope would
+    * collapse the block to CONSTANT), then multiplicative-hash noise
+    * (whatever coding costs least) — `64 + id % 191` samples total at
+    * 8 kHz mono, every term integer-exact for the DuckDB oracle.
+    */
   def syntheticFlac(id: Long): Array[Byte] = {
     val n = (64 + id % 191).toInt
     val samples = new Array[Short](n)

@@ -96,14 +96,6 @@ object IncrementalCurateOps {
     */
   private[graft] val CoreTables = Seq("docs", "prefix", "edges", "stats")
 
-  /** Newest batch id visible in the CORE state shape — the streaming
-    * ingest guard's view (core tables only, so a legacy dir still
-    * reports its true history).
-    */
-  private[graft] def newestLandedBatch(spark: SparkSession,
-      stateDir: String): Option[Long] =
-    BatchState.landedBatchIds(spark, stateDir, CoreTables, None).lastOption
-
   /** Batches landed under the legacy (pre-snapshot, rounds ≤ 14) state
     * shape: core tables committed, `clusters/batch=k` missing. Adding a
     * table to [[Tables]] silently invalidates existing state dirs — the

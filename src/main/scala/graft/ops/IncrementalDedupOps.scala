@@ -88,7 +88,7 @@ object IncrementalDedupOps {
 
   // ------------------------------------------------------------- images
 
-  private val ImageTables = Seq("bands", "edges")
+  private[graft] val ImageTables = Seq("bands", "edges")
 
   /** True iff every image state table has a committed `batch=k` dir. */
   def imageBatchLanded(spark: SparkSession, stateDir: String,

@@ -126,24 +126,10 @@ object IncrementalIndexOps {
       .groupBy(col("token")).agg(sum(col("df")).as("df"))
     val globals = readBatches(spark, stateDir, "globals", landed).get
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("totlen")).as("totlen"))
-    val qTerms = queries
-      .select(col(qidCol), explode(TextOps.tokens(col(qtextCol))).as("token"))
-      .distinct()
-    val cand = qTerms
-      .join(withDl, Seq("token"))
-      .join(dfTab, Seq("token"))
-      .crossJoin(broadcast(globals))
-      .withColumn("contrib",
-        expr("(n_docs * 88L * tf * totlen * 1000L) div " +
-          "(df * (40L*tf*totlen + 12L*totlen + 36L*dl*n_docs))"))
-    val scored = cand.groupBy(col(qidCol), col("id"))
-      .agg(sum(col("contrib")).as("score"), count(lit(1)).as("n_match"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(qidCol)).orderBy(col("score").desc, col("id"))
-    scored.withColumn("rank", row_number().over(w).cast("int"))
-      .where(col("rank") <= k)
-      .select(col(qidCol), col("rank"), col("id"), col("score"),
-        col("n_match"))
+    // the SAME scoring tail as the one-shot build — parity by shared
+    // code, not by a copy that can drift
+    RetrievalOps.rankCandidates(withDl, dfTab, globals, queries,
+      "id", qidCol, qtextCol, k)
   }
 
   /** Compact the inverted-index state into one batch — postings,
@@ -158,7 +144,7 @@ object IncrementalIndexOps {
 
   // -------------------------------------------------------------- IVF
 
-  private val IvfTables = Seq("cells")
+  private[graft] val IvfTables = Seq("cells")
 
   /** True iff the batch's cells landed and a committed codebook exists. */
   def vectorBatchLanded(spark: SparkSession, stateDir: String,

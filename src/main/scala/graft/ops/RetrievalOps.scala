@@ -72,6 +72,22 @@ object RetrievalOps {
     // N counts docs with ≥1 token (the only docs an inverted index
     // can ever surface); totlen is the matching token mass
     val globals = docLen.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("totlen"))
+    rankCandidates(withDl, dfTab, globals, queries,
+      idCol, qidCol, qtextCol, k)
+  }
+
+  /** The shared BM25 scoring tail — query-term explode → postings
+    * equi-join → integer-rational contribution → per-(query, doc) sum →
+    * per-query top-k. ONE definition serves the one-shot index build
+    * above and [[IncrementalIndexOps.bm25Search]]'s accumulated-state
+    * path, which is what makes their hash-exact parity contract (x36 ≡
+    * x30) a structural property instead of a copy that can drift.
+    * `withDl` = (idCol, token, tf, dl); `dfTab` = (token, df);
+    * `globals` = one row (n_docs, totlen).
+    */
+  private[graft] def rankCandidates(withDl: DataFrame, dfTab: DataFrame,
+      globals: DataFrame, queries: DataFrame, idCol: String,
+      qidCol: String, qtextCol: String, k: Int): DataFrame = {
     val qTerms = queries
       .select(col(qidCol), explode(TextOps.tokens(col(qtextCol))).as("token"))
       .distinct()

@@ -5260,15 +5260,18 @@ object Battery {
     "m12_incremental_image_neardup",
     (s, d) => {
       import s.implicits._
-      val media = T.documents(s, d)
+      val ids = T.documents(s, d)
         .where(pmod(col("doc_id"), lit(3)) === 1)
-        .select(col("doc_id")).as[Long]
-        .mapPartitions(ids => ids.map { id =>
+        .select(col("doc_id"))
+      val media = ids.as[Long]
+        .mapPartitions(it => it.map { id =>
           (id, graft.ops.ImageIoCodecs.syntheticPng(id - id % 10))
         }).toDF("doc_id", "img")
       val stateDir = java.nio.file.Files
         .createTempDirectory("graft_m12_state").toString
-      val r = media.agg(min(col("doc_id")), max(col("doc_id"))).head
+      // range from the RAW id column — an agg over `media` would force
+      // a full synthetic-PNG pass just to learn the split point
+      val r = ids.agg(min(col("doc_id")), max(col("doc_id"))).head
       val mid = (r.getLong(0) + r.getLong(1)) / 2
       graft.ops.IncrementalDedupOps.ingestImageShard(s,
         media.where(col("doc_id") <= mid), "doc_id", "img", stateDir,

@@ -344,7 +344,7 @@ object Streaming {
       schema: StructType, checkpoint: String, stateDir: String,
       idCol: String, bytesCol: String, maxDist: Int = 3): Unit =
     stateIngest(spark, watchDir, schema, checkpoint, stateDir,
-      Seq("bands", "edges"), idCol) { (df, batchId) =>
+      graft.ops.IncrementalDedupOps.ImageTables, idCol) { (df, batchId) =>
       graft.ops.IncrementalDedupOps.ingestImageShard(
         df.sparkSession, df, idCol, bytesCol, stateDir, batchId, maxDist)
     }
@@ -360,7 +360,7 @@ object Streaming {
       schema: StructType, checkpoint: String, stateDir: String,
       idCol: String, vecCol: String, nCells: Int, iters: Int): Unit =
     stateIngest(spark, watchDir, schema, checkpoint, stateDir,
-      Seq("cells"), idCol) { (df, batchId) =>
+      graft.ops.IncrementalIndexOps.IvfTables, idCol) { (df, batchId) =>
       graft.ops.IncrementalIndexOps.ingestVectorShard(
         df.sparkSession, df, idCol, vecCol, stateDir, batchId,
         nCells, iters)
@@ -429,33 +429,44 @@ object Streaming {
             "while the checkpoint survived; continuing would land new " +
             "batches on a vanished history. Restore the state directory " +
             "or start a fresh checkpoint+state pair.")
-        val agg = df.agg(count(lit(1)), min(col(idCol)), max(col(idCol))).head
+        // id-type-agnostic fingerprint: row count + an order-independent
+        // XOR-fold of the hashed id column (the batch ingests themselves
+        // are generic over the id type, so the harness must be too; a
+        // SUM of full-range hashes would overflow under ANSI)
+        val agg = df.agg(count(lit(1)),
+          expr(s"bit_xor(xxhash64(cast(`$idCol` as string)))")).head
         val fp = Seq(agg.getLong(0),
-          if (agg.isNullAt(1)) -1L else agg.getLong(1),
-          if (agg.isNullAt(2)) -1L else agg.getLong(2))
+          if (agg.isNullAt(1)) 0L else agg.getLong(1))
         val fpDir = s"$stateDir/_input/batch=$ckptId"
         val effectiveId =
           if (fs.exists(new org.apache.hadoop.fs.Path(s"$fpDir/_SUCCESS"))) {
             val stored = s.read.parquet(fpDir).head
-            val storedFp = Seq(stored.getLong(0), stored.getLong(1),
-              stored.getLong(2))
+            val storedFp = Seq(stored.getLong(0), stored.getLong(1))
             require(storedFp == fp,
               s"micro-batch $ckptId replays a recorded micro-batch but " +
-                s"its content fingerprint $fp (rows, min id, max id) " +
+                s"its content fingerprint $fp (rows, id hash-xor) " +
                 s"differs from the recorded $storedFp — the checkpoint " +
                 "was reset and new data was renumbered onto a recorded " +
                 "id. Start a new state directory or restore the " +
                 "matching checkpoint.")
-            stored.getLong(3)
+            stored.getLong(2)
           } else {
             val eff = graft.ops.BatchState
               .landedBatchIds(s, stateDir, coreTables, None).lastOption
               .map(_ + 1).getOrElse(ckptId)
             import s.implicits._
-            Seq((fp(0), fp(1), fp(2), eff))
-              .toDF("n_rows", "min_id", "max_id", "effective_id")
+            Seq((fp(0), fp(1), eff))
+              .toDF("n_rows", "id_hash_xor", "effective_id")
               .coalesce(1).write
               .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(fpDir)
+            // retire ledger entries the engine can never replay again
+            // (it only ever re-delivers the LAST micro-batch): without
+            // this the _input dir regrows the very small-file problem
+            // compactState retires for the data tables
+            recorded.filter(_ < ckptId).foreach { old =>
+              fs.delete(new org.apache.hadoop.fs.Path(
+                s"$stateDir/_input/batch=$old"), true)
+            }
             eff
           }
         ingest(df, effectiveId)
