@@ -461,6 +461,74 @@ object CorpusOps {
         md5(redactPii(col(textCol))).as("red_md5")))
   }
 
+  /** Per-document curation AUDIT: the disposition every input document
+    * received from [[curate]]'s stage cascade, with the document it
+    * lost to where one exists — the explainability layer a production
+    * pipeline needs ("why is doc X not in the training set?") and the
+    * removal ledger a takedown/compliance process starts from. One row
+    * per INPUT document:
+    *
+    *  - `dropped_language` — language gate (ref_id null);
+    *  - `dropped_quality`  — quality gate (ref_id null);
+    *  - `exact_duplicate`  — lost stage-1 fingerprint dedup to
+    *    `ref_id` (the min-id keeper of its fingerprint);
+    *  - `near_duplicate`   — lost near-dup clustering to `ref_id`
+    *    (its connected component's min-id representative);
+    *  - `kept`             — survives into [[curate]]'s output.
+    *
+    * Stage precedence matches [[curate]] exactly (a non-English doc is
+    * `dropped_language` even if it is also a duplicate — later stages
+    * never see it), and the `kept` set is BY CONSTRUCTION the id set of
+    * [[curate]]'s output: both derive from the same gates, the same
+    * fingerprint keeper choice, and the same component representatives
+    * (pinned by spec and by the c3 oracle row).
+    *
+    * Scale shape: identical to [[curate]] through stage 2 (narrow gate
+    * kernels, one fingerprint aggregate, the banded near-dup pair join,
+    * alternating-star CC), plus two broadcast-sized left joins to
+    * attach keeper/rep labels back onto the full input — no new
+    * shuffle class.
+    */
+  def curationReport(docs: DataFrame, idCol: String, textCol: String,
+      lang: String = "en", minQualityE6: Long = 550000L,
+      shingleN: Int = 3, jaccardThreshold: Double = 0.5): DataFrame = {
+    val scored = docs.select(col(idCol), col(textCol),
+      TextOps.langId(col(textCol)).as("pred_lang"),
+      TextOps.qualityScoreMillionths(col(textCol)).as("quality_e6"))
+    val gatePass = scored.where(col("pred_lang") === lang &&
+      col("quality_e6") >= minQualityE6)
+    // every gate-passing doc -> its fingerprint's min-id keeper
+    val withFp = gatePass.select(col(idCol),
+      TextOps.fingerprint(col(textCol)).as("fp"))
+    val keepers = withFp.groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keeper"))
+    val keeperOf = withFp.join(keepers, Seq("fp"))
+      .select(col(idCol), col("keeper"))
+    val s1 = gatePass.join(
+        keeperOf.where(col(idCol) === col("keeper")).select(idCol),
+        Seq(idCol), "left_semi")
+      .localCheckpoint(false)
+    val pairs = DedupOps.ngramJaccardPairs(
+      s1, idCol, textCol, shingleN, jaccardThreshold)
+    val repOf = DedupOps.connectedComponents(
+      s1.select(col(idCol)), idCol, pairs, "doc_a", "doc_b")
+    scored.select(col(idCol), col("pred_lang"), col("quality_e6"))
+      .join(keeperOf, Seq(idCol), "left")
+      .join(repOf, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("pred_lang") =!= lang, lit("dropped_language"))
+          .when(col("quality_e6") < minQualityE6, lit("dropped_quality"))
+          .when(col("keeper") =!= col(idCol), lit("exact_duplicate"))
+          .when(col("cluster") =!= col(idCol), lit("near_duplicate"))
+          .otherwise(lit("kept")).as("disposition"),
+        when(col("pred_lang") =!= lang, lit(null).cast("long"))
+          .when(col("quality_e6") < minQualityE6, lit(null).cast("long"))
+          .when(col("keeper") =!= col(idCol), col("keeper"))
+          .when(col("cluster") =!= col(idCol), col("cluster"))
+          .as("ref_id"),
+        col("pred_lang"), col("quality_e6"))
+  }
+
   /** Deterministic epoch shuffle: assign every document a global
     * position in a seeded pseudo-random permutation — the "shuffle the
     * corpus each epoch" step of a training run, reproducible across

@@ -2833,6 +2833,67 @@ object Battery {
     },
     Some(curationOracle))
 
+  /** Per-document curation audit
+    * ([[graft.ops.CorpusOps.curationReport]]): one row per INPUT
+    * document with the disposition c1's stage cascade gave it —
+    * dropped_language / dropped_quality / exact_duplicate (ref = the
+    * fingerprint keeper) / near_duplicate (ref = the component rep) /
+    * kept — the "why is doc X not in the training set?" ledger. The
+    * oracle replays c1's own CTE chains (gates, fingerprint keepers,
+    * pair graph + recursive reach) and labels every document, so the
+    * disposition precedence AND both lost-to references are hash-exact.
+    */
+  private val c3Report = Q(
+    "c3_curation_report",
+    (s, d) => graft.ops.CorpusOps.curationReport(
+      T.documents(s, d), "doc_id", "text"),
+    Some {
+      s"""WITH RECURSIVE
+         |${langIdOracleCtes("cl")},
+         |${qualityOracleCtes("cq")},
+         |s0 AS (SELECT d.doc_id, d.text, cl.pred_lang, cq.quality_e6
+         |       FROM documents d JOIN cl USING (doc_id) JOIN cq USING (doc_id)
+         |       WHERE cl.pred_lang = 'en' AND cq.quality_e6 >= 550000),
+         |fpd AS (SELECT *, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp FROM s0),
+         |kmap AS (SELECT fp, min(doc_id) AS keeper FROM fpd GROUP BY fp),
+         |km AS (SELECT f.doc_id, k.keeper FROM fpd f JOIN kmap k USING (fp)),
+         |s1 AS (SELECT f.* FROM fpd f JOIN km USING (doc_id) WHERE km.keeper = f.doc_id),
+         |tt AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM s1),
+         |gg AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh FROM tt),
+         |dsh AS (SELECT doc_id, unnest(sh) AS s FROM gg),
+         |ssz AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1),
+         |pp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM dsh a JOIN dsh b USING (s)
+         |  JOIN ssz sa ON sa.doc_id = a.doc_id
+         |  JOIN ssz sb ON sb.doc_id = b.doc_id
+         |  WHERE a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, sa.n, sb.n
+         |  HAVING CAST(count(*) AS DOUBLE)/(sa.n + sb.n - count(*)) >= 0.5),
+         |ee AS (SELECT doc_a AS a, doc_b AS bb FROM pp
+         |       UNION SELECT doc_b, doc_a FROM pp),
+         |reach(a, bb) AS (
+         |  SELECT a, bb FROM ee
+         |  UNION
+         |  SELECT r.a, ee.bb FROM reach r JOIN ee ON r.bb = ee.a),
+         |rm AS (SELECT s1.doc_id,
+         |    least(s1.doc_id, coalesce(min(r.bb), s1.doc_id)) AS rep
+         |  FROM s1 LEFT JOIN reach r ON r.a = s1.doc_id
+         |  GROUP BY s1.doc_id)
+         |SELECT d.doc_id,
+         |  CASE WHEN cl.pred_lang <> 'en' THEN 'dropped_language'
+         |       WHEN cq.quality_e6 < 550000 THEN 'dropped_quality'
+         |       WHEN km.keeper <> d.doc_id THEN 'exact_duplicate'
+         |       WHEN rm.rep <> d.doc_id THEN 'near_duplicate'
+         |       ELSE 'kept' END AS disposition,
+         |  CASE WHEN cl.pred_lang <> 'en' OR cq.quality_e6 < 550000 THEN NULL
+         |       WHEN km.keeper <> d.doc_id THEN km.keeper
+         |       WHEN rm.rep <> d.doc_id THEN rm.rep END AS ref_id,
+         |  cl.pred_lang, cq.quality_e6
+         |FROM documents d JOIN cl USING (doc_id) JOIN cq USING (doc_id)
+         |LEFT JOIN km USING (doc_id)
+         |LEFT JOIN rm USING (doc_id)""".stripMargin
+    })
+
   /** The shared one-shot curation oracle (c1 AND c2 — incremental
     * processing must be indistinguishable from a union recompute).
     */
@@ -6181,7 +6242,7 @@ object Battery {
     x25LmScore, x26DsirScore, x27SlidingChunks, x28PmiCollocations,
     x29LeakageSplits, x30Bm25, x31BpeTrain, x32ByteBpeCount, x33RrfFusion,
     x34KAnonymity, x35HtmlExtract, c1Curation, c2Incremental,
-    stIncrementalCuration,
+    c3Report, stIncrementalCuration,
     n2AnnLsh, n3EmbNearDup, n4AnnIvf, n5PqQuantize, n6KmeansFit, n7SemanticDedup,
     n8SqQuantize, n9BinaryQuantize, n10MmrRerank, n11IncrementalSemDedup,
     n12IncrementalIvf, x36IncrementalBm25,

@@ -612,4 +612,65 @@ class CorpusOpsSpec extends AnyFunSuite {
       ("new", "york", 3L, 3333333L),
       ("york", "new", 2L, 2222222L)))
   }
+
+  test("curationReport: one row per input doc, 'kept' ids are exactly " +
+      "curate's output, every reference points at a kept doc, and " +
+      "precedence matches the stage cascade") {
+    import org.apache.spark.sql.functions._
+    val base = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    // sf0.001 has no gate-passing exact duplicates, so re-add one kept
+    // doc's text verbatim under two fresh (higher) ids — both must
+    // come back exact_duplicate of the original
+    val donor = CorpusOps.curate(base, "doc_id", "text")
+      .orderBy("doc_id").select("doc_id").limit(1).head.getLong(0)
+    val donorText = base.where(col("doc_id") === donor)
+      .select("text").head.getString(0)
+    val maxId = base.agg(max(col("doc_id"))).head.getLong(0)
+    import spark.implicits._
+    val docs = base.unionAll(
+      Seq((maxId + 1, donorText), (maxId + 2, donorText))
+        .toDF("doc_id", "text"))
+    val report = CorpusOps.curationReport(docs, "doc_id", "text")
+      .persist()
+    try {
+      assert(report.count() == docs.count(), "one row per input document")
+      val kept = report.where(col("disposition") === "kept")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val curated = CorpusOps.curate(docs, "doc_id", "text")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == curated,
+        "the audit's kept set must BE curate's output id set")
+      // reference resolution: a near-dup's rep is its component MINIMUM
+      // and therefore kept; an exact-dup's keeper won its fingerprint
+      // but may itself lose near-dup clustering — so ref chains
+      // terminate at a kept doc in at most two hops
+      val dispOf = report.select(col("doc_id").as("ref_id"),
+        col("disposition").as("ref_disp"))
+      val nearRefs = report.where(col("disposition") === "near_duplicate")
+        .join(dispOf, Seq("ref_id"))
+      assert(nearRefs.where(col("ref_disp") =!= "kept").count() == 0,
+        "a component representative must be kept")
+      val exactRefs = report.where(col("disposition") === "exact_duplicate")
+        .join(dispOf, Seq("ref_id"))
+      assert(exactRefs.where(!col("ref_disp")
+          .isin("kept", "near_duplicate")).count() == 0,
+        "a fingerprint keeper passed both gates and won its fingerprint")
+      // gate drops carry no reference; duplicate drops always do
+      assert(report.where(col("disposition").startsWith("dropped") &&
+        col("ref_id").isNotNull).count() == 0)
+      assert(report.where(col("disposition").endsWith("duplicate") &&
+        col("ref_id").isNull).count() == 0)
+      // the corpus genuinely exercises every disposition
+      val seen = report.select("disposition").distinct()
+        .collect().map(_.getString(0)).toSet
+      assert(seen == Set("kept", "dropped_language", "dropped_quality",
+        "exact_duplicate", "near_duplicate"),
+        s"fixture should exercise all dispositions, saw $seen")
+      // the crafted clones lost to their donor specifically
+      assert(report.where(col("doc_id").isin(maxId + 1, maxId + 2))
+        .collect().forall(r => r.getString(1) == "exact_duplicate" &&
+          r.getLong(2) == donor))
+    } finally report.unpersist(blocking = false)
+  }
 }
