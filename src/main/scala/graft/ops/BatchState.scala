@@ -16,6 +16,132 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 private[graft] object BatchState {
 
+  // --------------------------------------------------------------- lease
+
+  /** In-process registry of held leases (stateDir → holder thread):
+    * lets [[withLease]] re-enter on the same thread (the streaming
+    * harness holds the lease across a micro-batch while the ingest op
+    * inside takes it again) while a SECOND thread in the same JVM still
+    * fails loudly at the file create.
+    */
+  private val heldLeases =
+    new java.util.concurrent.ConcurrentHashMap[String, Thread]()
+
+  /** Run `body` holding the state directory's single-writer LEASE — the
+    * loud enforcement of the contract every writer shares: ingest and
+    * compaction must never run concurrently ([[compactState]] deletes a
+    * `batch=<c>` directory it believes is a crashed prior attempt; a
+    * concurrent ingest landing that id would be destroyed and excluded
+    * from the manifest — silent data loss, the one failure class this
+    * family otherwise guards loudly). The lease file is
+    * `<stateDir>/_manifest/.lease`, taken with the same atomic
+    * `create(overwrite = false)` primitive as the manifest flip, so a
+    * second writer — any thread, any JVM, any machine sharing the
+    * filesystem — fails with a loud [[IllegalStateException]] instead
+    * of corrupting state. Reentrant within one thread.
+    *
+    * A holder that CRASHES leaves a stale lease; every later writer
+    * fails loudly until an operator confirms the holder is gone and
+    * calls [[breakLease]] — deliberately fail-stop, never auto-expire:
+    * a lease that silently expires under a long GC pause readmits the
+    * very race it exists to prevent.
+    */
+  def withLease[T](spark: SparkSession, stateDir: String)(body: => T): T = {
+    val key = new Path(stateDir).toString
+    if (heldLeases.get(key) eq Thread.currentThread()) body
+    else {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val lease = new Path(s"$stateDir/_manifest/.lease")
+      val fs = lease.getFileSystem(conf)
+      fs.mkdirs(lease.getParent)
+      val out =
+        try fs.create(lease, false)
+        catch {
+          case e: java.io.IOException => throw new IllegalStateException(
+            s"another writer holds the single-writer lease at $lease — " +
+              "ingest and compaction must not run concurrently on one " +
+              "state directory. If the holder crashed (stale lease), " +
+              "verify it is gone and call BatchState.breakLease.", e)
+        }
+      try out.write((s"pid=${ProcessHandle.current().pid()} " +
+        s"taken_ms=${System.currentTimeMillis()}").getBytes("UTF-8"))
+      finally out.close()
+      heldLeases.put(key, Thread.currentThread())
+      try body
+      finally {
+        heldLeases.remove(key)
+        fs.delete(lease, false)
+      }
+    }
+  }
+
+  /** Operator override for a stale lease left by a crashed writer —
+    * call ONLY after confirming the holder process is gone (the lease
+    * file records its pid and take time). Returns true iff a lease file
+    * was removed.
+    */
+  def breakLease(spark: SparkSession, stateDir: String): Boolean = {
+    val lease = new Path(s"$stateDir/_manifest/.lease")
+    lease.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(lease, false)
+  }
+
+  // ------------------------------------------------- streaming ledger
+
+  /** Committed entries of the streaming input ledger
+    * ([[graft.streaming.Streaming.stateIngest]] writes one per
+    * checkpoint micro-batch under `<stateDir>/_input/batch=<ckptId>`).
+    * Empty for state directories never fed by a stream.
+    */
+  private def inputLedgerDirs(spark: SparkSession,
+      stateDir: String): Seq[Path] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val glob = new Path(s"$stateDir/_input/batch=*/_SUCCESS")
+    val found = glob.getFileSystem(conf).globStatus(glob)
+    if (found == null) Seq.empty else found.toSeq.map(_.getPath.getParent)
+  }
+
+  /** Highest effective state-batch id any streaming ledger entry has
+    * PROMISED to a micro-batch — landed or not. [[compactState]] must
+    * place its merged batch strictly above this: a micro-batch that
+    * recorded effective id N and crashed before landing it would
+    * otherwise replay against a compacted batch sitting at N, pass
+    * every guard, and have its data silently no-op'd away.
+    */
+  private[graft] def maxPromisedEffectiveId(spark: SparkSession,
+      stateDir: String): Option[Long] = {
+    val dirs = inputLedgerDirs(spark, stateDir)
+    if (dirs.isEmpty) None
+    else {
+      import org.apache.spark.sql.functions.{col, max}
+      Some(spark.read.parquet(dirs.map(_.toString): _*)
+        .agg(max(col("effective_id"))).head.getLong(0))
+    }
+  }
+
+  /** Stamp `_LANDED` into every ledger entry whose promised effective
+    * id is in the landed set — the confirmation
+    * [[graft.streaming.Streaming.stateIngest]] normally writes right
+    * after its ingest returns. Compaction re-derives it (it holds the
+    * lease and knows the landed set exactly) so that an entry whose
+    * confirmation write crashed is not mistaken for a crashed INGEST
+    * after the batch directories are retired — that mistake would
+    * re-ingest landed data under a fresh id (silent duplication).
+    */
+  private def confirmLandedInputs(spark: SparkSession, stateDir: String,
+      landed: Set[Long]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    inputLedgerDirs(spark, stateDir).foreach { d =>
+      val fs = d.getFileSystem(conf)
+      if (!fs.exists(new Path(d, "_LANDED"))) {
+        val eff = spark.read.parquet(d.toString)
+          .head.getAs[Long]("effective_id")
+        if (landed.contains(eff))
+          fs.create(new Path(d, "_LANDED"), true).close()
+      }
+    }
+  }
+
   /** Batch ids visible as state: present with `_SUCCESS` in EVERY
     * table, optionally restricted to ids below `below`. Sorted. When
     * the directory carries a compaction manifest, ids below its
@@ -117,41 +243,56 @@ private[graft] object BatchState {
     *
     * A crash between 1 and 3 leaves the OLD view fully intact; a crash
     * after 3 leaves the NEW view fully intact with invisible garbage a
-    * re-run sweeps. Do not run concurrently with ingest (same
-    * single-writer contract as the batches themselves).
+    * re-run sweeps. The single-writer contract (no concurrent ingest)
+    * is enforced LOUDLY by [[withLease]], not by convention — a writer
+    * racing this method fails at the lease file instead of having its
+    * batch destroyed at the "crashed prior attempt" delete below.
+    *
+    * Streaming composition: the merged batch id is chosen strictly
+    * above BOTH the landed set and every effective id the streaming
+    * input ledger has promised ([[maxPromisedEffectiveId]]) — a
+    * micro-batch that recorded its effective id and crashed before
+    * landing would otherwise replay against the compacted batch and be
+    * silently no-op'd. Entries whose promised batch DID land are
+    * stamped `_LANDED` first ([[confirmLandedInputs]]), so replays of
+    * confirmed work skip instead of re-ingesting post-retirement.
     */
   def compactState(spark: SparkSession, stateDir: String,
       additiveTables: Seq[String], snapshotTables: Seq[String] = Seq.empty):
-      Unit = {
+      Unit = withLease(spark, stateDir) {
     val tables = additiveTables ++ snapshotTables
     val landed = landedBatchIds(spark, stateDir, tables, None)
+    confirmLandedInputs(spark, stateDir, landed.toSet)
     if (landed.size <= 1) {
       // heal the step-3/step-4 crash window of a PRIOR run: the
       // manifest flipped but markers were never restored — a bare
       // retry must finish the protocol, not just garbage-collect
       restoreListedMarkers(spark, stateDir, tables)
       gcBelowWatermark(spark, stateDir, tables)
-      return
-    }
-    val c = landed.max + 1
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new Path(stateDir).getFileSystem(conf)
+    } else {
+      val c = math.max(landed.max,
+        maxPromisedEffectiveId(spark, stateDir).getOrElse(Long.MinValue)) + 1
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = new Path(stateDir).getFileSystem(conf)
 
-    for (t <- tables) {
-      val staged = new Path(s"$stateDir/$t/.compact_$c")
-      val src =
-        if (additiveTables.contains(t)) landed
-        else Seq(landed.max) // snapshot: newest already folds all history
-      spark.read.parquet(src.map(k => s"$stateDir/$t/batch=$k"): _*)
-        .write.mode(SaveMode.Overwrite).parquet(staged.toString)
-      fs.delete(new Path(staged, "_SUCCESS"), false)
-      val dest = new Path(s"$stateDir/$t/batch=$c")
-      if (fs.exists(dest)) fs.delete(dest, true) // a crashed prior attempt
-      require(fs.rename(staged, dest), s"rename failed for $dest")
+      for (t <- tables) {
+        val staged = new Path(s"$stateDir/$t/.compact_$c")
+        val src =
+          if (additiveTables.contains(t)) landed
+          else Seq(landed.max) // snapshot: newest already folds all history
+        spark.read.parquet(src.map(k => s"$stateDir/$t/batch=$k"): _*)
+          .write.mode(SaveMode.Overwrite).parquet(staged.toString)
+        fs.delete(new Path(staged, "_SUCCESS"), false)
+        val dest = new Path(s"$stateDir/$t/batch=$c")
+        // a crashed PRIOR attempt — and provably not a live writer's
+        // batch, because this method holds the single-writer lease
+        if (fs.exists(dest)) fs.delete(dest, true)
+        require(fs.rename(staged, dest), s"rename failed for $dest")
+      }
+      writeManifest(spark, stateDir, watermark = c, listed = Seq(c))
+      restoreListedMarkers(spark, stateDir, tables)
+      gcBelowWatermark(spark, stateDir, tables)
     }
-    writeManifest(spark, stateDir, watermark = c, listed = Seq(c))
-    restoreListedMarkers(spark, stateDir, tables)
-    gcBelowWatermark(spark, stateDir, tables)
   }
 
   /** Recreate `_SUCCESS` markers for every manifest-listed batch dir

@@ -57,7 +57,12 @@ object DedupOps {
     * explode that member's tail slice), whose peak per-row footprint
     * is ONE member list, so a million-member bucket streams through
     * the generators instead of materializing O(m²) structs in a single
-    * row and killing the executor.
+    * row and killing the executor. The streamed shape bounds MEMORY,
+    * not output volume: a bucket of m members still emits O(m²) pair
+    * ROWS downstream — a truly degenerate bucket (every doc sharing
+    * one band) is a data-quality signal to fix upstream (exact-dedup
+    * first, tighter banding), not something any pair enumerator can
+    * absorb.
     *
     * Both shapes live in ONE Generate chain over a single consumption
     * of `buckets`: stage 1 explodes a per-bucket index list — the

@@ -383,7 +383,12 @@ object FlacCodec {
       while (k < n) { res(k - order) = block(k) - fixedPredict(order, block, k); k += 1 }
       val (p, riceBits) = bestRice(res)
       val maxRaw = rawWidth(res)
-      val escBits = maxRaw.toLong * res.length + 5
+      // the escape's 5-bit width field caps the residual width at 31;
+      // wider residuals (possible near Int range) must stay Rice-coded
+      // or lose to VERBATIM — an unguarded width would truncate mod 32
+      // and emit an undecodable stream
+      val escBits =
+        if (maxRaw <= 31) maxRaw.toLong * res.length + 5 else Long.MaxValue
       val useEscape = escBits < riceBits
       val total = 8L + sampleBits.toLong * order + 2 + 4 + 4 +
         math.min(riceBits, escBits)
@@ -484,7 +489,9 @@ object FlacCodec {
       }
       val (p, riceBits) = bestRice(res)
       val maxRaw = rawWidth(res)
-      val escBits = maxRaw.toLong * res.length + 5
+      // same 31-bit escape-width cap as the FIXED planner (see there)
+      val escBits =
+        if (maxRaw <= 31) maxRaw.toLong * res.length + 5 else Long.MaxValue
       val useEscape = escBits < riceBits
       val total = 8L + sampleBits.toLong * order + 4 + 5 +
         LpcPrecision.toLong * order + 2 + 4 + 4 + math.min(riceBits, escBits)
@@ -516,6 +523,10 @@ object FlacCodec {
         w.write(0, 2) // residual method: RICE (4-bit params)
         w.write(0, 4) // partition order 0
         if (plan.p == 15) {
+          // enforced at plan time; a 5-bit field silently truncates
+          // wider values into an undecodable stream
+          require(plan.maxRaw <= 31,
+            s"raw-bits escape width ${plan.maxRaw} exceeds the 5-bit field")
           w.write(15, 4)
           w.write(plan.maxRaw, 5)
           var k3 = 0

@@ -114,20 +114,37 @@ object IncrementalCurateOps {
     legacy.filterNot(complete.toSet)
   }
 
-  /** Run the legacy migration and return the resulting fully-landed
+  /** Run the legacy migration (when needed) and return the fully-landed
     * batch ids — the single listing [[ingestShard]] reuses for its
-    * replay check AND its in-order guard, so the migration probe adds
-    * no listing round-trips to the steady-state ingest path.
+    * replay check AND its in-order guard. The legacy probe costs a
+    * second full listing, so it runs AT MOST ONCE per state directory:
+    * a `.migrated` marker (written under the caller's single-writer
+    * lease after the probe, whether or not anything needed migrating)
+    * reduces every later ingest to one `exists` + one listing —
+    * without it the constant-RPC goal of [[BatchState]] was doubled on
+    * the steady-state hot path. A migration that CRASHES never writes
+    * the marker, so the next ingest re-probes and heals the
+    * partially-migrated directory.
     */
   private def migrateAndList(spark: SparkSession,
       stateDir: String): Seq[Long] = {
-    val core = BatchState.landedBatchIds(spark, stateDir, CoreTables, None)
-    val complete = BatchState.landedBatchIds(spark, stateDir, Tables, None)
-    val missing = core.filterNot(complete.toSet)
-    if (missing.isEmpty) complete
+    val marker = new org.apache.hadoop.fs.Path(s"$stateDir/_manifest/.migrated")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker))
+      BatchState.landedBatchIds(spark, stateDir, Tables, None)
     else {
-      migrateLegacyState(spark, stateDir)
-      core // every core-landed batch is fully landed post-migration
+      val core = BatchState.landedBatchIds(spark, stateDir, CoreTables, None)
+      val complete = BatchState.landedBatchIds(spark, stateDir, Tables, None)
+      val missing = core.filterNot(complete.toSet)
+      val out =
+        if (missing.isEmpty) complete
+        else {
+          migrateLegacyState(spark, stateDir)
+          core // every core-landed batch is fully landed post-migration
+        }
+      fs.mkdirs(marker.getParent)
+      fs.create(marker, true).close()
+      out
     }
   }
 
@@ -140,7 +157,8 @@ object IncrementalCurateOps {
     * with itself, for the same reason two ingests of the same batch
     * must not race: both would Overwrite the same snapshot directory.
     */
-  def migrateLegacyState(spark: SparkSession, stateDir: String): Unit = {
+  def migrateLegacyState(spark: SparkSession, stateDir: String): Unit =
+    BatchState.withLease(spark, stateDir) {
     for (k <- legacyBatches(spark, stateDir).sorted) {
       val prev = BatchState
         .landedBatchIds(spark, stateDir, Seq("clusters"), Some(k))
@@ -186,7 +204,14 @@ object IncrementalCurateOps {
     */
   def ingestShard(spark: SparkSession, newDocs: DataFrame, idCol: String,
       textCol: String, stateDir: String, batchId: Long,
-      cfg: CurateConfig = CurateConfig()): Unit = {
+      cfg: CurateConfig = CurateConfig()): Unit =
+    BatchState.withLease(spark, stateDir) {
+      ingestShardBody(spark, newDocs, idCol, textCol, stateDir, batchId, cfg)
+    }
+
+  private def ingestShardBody(spark: SparkSession, newDocs: DataFrame,
+      idCol: String, textCol: String, stateDir: String, batchId: Long,
+      cfg: CurateConfig): Unit = {
     val landedSoFar = migrateAndList(spark, stateDir)
     if (landedSoFar.contains(batchId)) return
     // fingerprint only the knobs that shape LANDED state (gates,

@@ -103,7 +103,14 @@ object IncrementalDedupOps {
     */
   def ingestImageShard(spark: SparkSession, newImgs: DataFrame,
       idCol: String, bytesCol: String, stateDir: String, batchId: Long,
-      maxDist: Int = 3): Unit = {
+      maxDist: Int = 3): Unit = BatchState.withLease(spark, stateDir) {
+    ingestImageShardBody(spark, newImgs, idCol, bytesCol, stateDir,
+      batchId, maxDist)
+  }
+
+  private def ingestImageShardBody(spark: SparkSession, newImgs: DataFrame,
+      idCol: String, bytesCol: String, stateDir: String, batchId: Long,
+      maxDist: Int): Unit = {
     if (imageBatchLanded(spark, stateDir, batchId)) return
     BatchState.ensureParams(spark, stateDir,
       Map("maxDist" -> maxDist.toString))
@@ -198,7 +205,15 @@ object IncrementalDedupOps {
     */
   def ingestEmbeddingShard(spark: SparkSession, newEmb: DataFrame,
       idCol: String, vecCol: String, stateDir: String, batchId: Long,
-      k: Int, iters: Int, threshold: Double): Unit = {
+      k: Int, iters: Int, threshold: Double): Unit =
+    BatchState.withLease(spark, stateDir) {
+      ingestEmbeddingShardBody(spark, newEmb, idCol, vecCol, stateDir,
+        batchId, k, iters, threshold)
+    }
+
+  private def ingestEmbeddingShardBody(spark: SparkSession,
+      newEmb: DataFrame, idCol: String, vecCol: String, stateDir: String,
+      batchId: Long, k: Int, iters: Int, threshold: Double): Unit = {
     if (embeddingBatchLanded(spark, stateDir, batchId)) return
     BatchState.ensureParams(spark, stateDir, Map("k" -> k.toString,
       "iters" -> iters.toString, "threshold" -> threshold.toString))

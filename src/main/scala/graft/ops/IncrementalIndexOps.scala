@@ -88,7 +88,14 @@ object IncrementalIndexOps {
     * Idempotent per (stateDir, batchId); order-free (see object doc).
     */
   def ingestTextShard(spark: SparkSession, docs: DataFrame, idCol: String,
-      textCol: String, stateDir: String, batchId: Long): Unit = {
+      textCol: String, stateDir: String, batchId: Long): Unit =
+    BatchState.withLease(spark, stateDir) {
+      ingestTextShardBody(spark, docs, idCol, textCol, stateDir, batchId)
+    }
+
+  private def ingestTextShardBody(spark: SparkSession, docs: DataFrame,
+      idCol: String, textCol: String, stateDir: String,
+      batchId: Long): Unit = {
     if (textBatchLanded(spark, stateDir, batchId)) return
     val postings = docs
       .select(col(idCol).as("id"),
@@ -161,6 +168,13 @@ object IncrementalIndexOps {
     */
   def ingestVectorShard(spark: SparkSession, emb: DataFrame, idCol: String,
       vecCol: String, stateDir: String, batchId: Long,
+      nCells: Int, iters: Int): Unit = BatchState.withLease(spark, stateDir) {
+    ingestVectorShardBody(spark, emb, idCol, vecCol, stateDir, batchId,
+      nCells, iters)
+  }
+
+  private def ingestVectorShardBody(spark: SparkSession, emb: DataFrame,
+      idCol: String, vecCol: String, stateDir: String, batchId: Long,
       nCells: Int, iters: Int): Unit = {
     if (vectorBatchLanded(spark, stateDir, batchId)) return
     BatchState.ensureParams(spark, stateDir,

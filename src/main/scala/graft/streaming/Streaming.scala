@@ -310,9 +310,11 @@ object Streaming {
       schema: StructType, checkpoint: String, stateDir: String,
       idCol: String, textCol: String,
       cfg: graft.ops.IncrementalCurateOps.CurateConfig =
-        graft.ops.IncrementalCurateOps.CurateConfig()): Unit =
+        graft.ops.IncrementalCurateOps.CurateConfig(),
+      compactEvery: Int = 0): Unit =
     stateIngest(spark, watchDir, schema, checkpoint, stateDir,
-      graft.ops.IncrementalCurateOps.CoreTables, idCol) { (df, batchId) =>
+      graft.ops.IncrementalCurateOps.CoreTables, idCol, compactEvery,
+      graft.ops.IncrementalCurateOps.compact(_, stateDir)) { (df, batchId) =>
       graft.ops.IncrementalCurateOps.ingestShard(
         df.sparkSession, df, idCol, textCol, stateDir, batchId, cfg)
     }
@@ -327,9 +329,11 @@ object Streaming {
     */
   def textIndexIngest(spark: SparkSession, watchDir: String,
       schema: StructType, checkpoint: String, stateDir: String,
-      idCol: String, textCol: String): Unit =
+      idCol: String, textCol: String, compactEvery: Int = 0): Unit =
     stateIngest(spark, watchDir, schema, checkpoint, stateDir,
-      graft.ops.IncrementalIndexOps.Bm25Tables, idCol) { (df, batchId) =>
+      graft.ops.IncrementalIndexOps.Bm25Tables, idCol, compactEvery,
+      graft.ops.IncrementalIndexOps.compactText(_, stateDir)) {
+      (df, batchId) =>
       graft.ops.IncrementalIndexOps.ingestTextShard(
         df.sparkSession, df, idCol, textCol, stateDir, batchId)
     }
@@ -342,9 +346,12 @@ object Streaming {
     */
   def imageIngest(spark: SparkSession, watchDir: String,
       schema: StructType, checkpoint: String, stateDir: String,
-      idCol: String, bytesCol: String, maxDist: Int = 3): Unit =
+      idCol: String, bytesCol: String, maxDist: Int = 3,
+      compactEvery: Int = 0): Unit =
     stateIngest(spark, watchDir, schema, checkpoint, stateDir,
-      graft.ops.IncrementalDedupOps.ImageTables, idCol) { (df, batchId) =>
+      graft.ops.IncrementalDedupOps.ImageTables, idCol, compactEvery,
+      graft.ops.IncrementalDedupOps.compactImages(_, stateDir)) {
+      (df, batchId) =>
       graft.ops.IncrementalDedupOps.ingestImageShard(
         df.sparkSession, df, idCol, bytesCol, stateDir, batchId, maxDist)
     }
@@ -358,9 +365,12 @@ object Streaming {
     */
   def vectorIndexIngest(spark: SparkSession, watchDir: String,
       schema: StructType, checkpoint: String, stateDir: String,
-      idCol: String, vecCol: String, nCells: Int, iters: Int): Unit =
+      idCol: String, vecCol: String, nCells: Int, iters: Int,
+      compactEvery: Int = 0): Unit =
     stateIngest(spark, watchDir, schema, checkpoint, stateDir,
-      graft.ops.IncrementalIndexOps.IvfTables, idCol) { (df, batchId) =>
+      graft.ops.IncrementalIndexOps.IvfTables, idCol, compactEvery,
+      graft.ops.IncrementalIndexOps.compactVectors(_, stateDir)) {
+      (df, batchId) =>
       graft.ops.IncrementalIndexOps.ingestVectorShard(
         df.sparkSession, df, idCol, vecCol, stateDir, batchId,
         nCells, iters)
@@ -373,16 +383,29 @@ object Streaming {
     * EFFECTIVE state batch id.
     *
     * The `_input/batch=<checkpointId>` ledger records each micro-batch's
-    * content fingerprint (row count + id range) AND its effective id.
-    * Decoupling the two id spaces is what lets state COMPACTION
+    * content fingerprint (row count + two order-independent folds of
+    * the hashed id column) AND its effective id. Decoupling the two id
+    * spaces is what lets state COMPACTION
     * ([[graft.ops.BatchState.compactState]]) coexist with a live
-    * checkpoint: compaction lands its merged batch at max+1, which is
-    * exactly the id the checkpoint would assign to the NEXT micro-batch
-    * — keyed directly, that micro-batch would be silently absorbed as a
-    * "replay" of the compacted batch. Here a new checkpoint id simply
-    * maps to newest-landed + 1, and a replayed checkpoint id
-    * (fingerprint-verified) re-ingests under its recorded effective id,
-    * which the state ledger then no-ops.
+    * checkpoint: compaction lands its merged batch above every landed
+    * AND every ledger-promised id, a new checkpoint id simply maps to
+    * newest-landed + 1, and a replayed checkpoint id
+    * (fingerprint-verified) resolves through the ledger instead of
+    * colliding with the compacted batch.
+    *
+    * Each entry also carries a `_LANDED` confirmation, written right
+    * after its ingest returns (and re-derived by compaction, which
+    * holds the lease and knows the landed set exactly). The replay path
+    * keys on it: a confirmed entry SKIPS (its data is in state, even if
+    * compaction has since retired the original batch directory); an
+    * unconfirmed entry whose batch is fully landed is confirmed and
+    * skipped (the crash hit between ingest and confirmation); an
+    * unconfirmed entry whose batch is absent re-ingests — under its
+    * recorded effective id when that id space is still open, or under a
+    * fresh id (ledger rewritten) when compaction moved past it. Without
+    * the promise-aware compaction id and this confirmation, a crash
+    * between the ledger write and the ingest followed by a compaction
+    * would silently no-op the replayed micro-batch's data away.
     *
     * Three guards (all LOUD):
     *
@@ -398,78 +421,139 @@ object Streaming {
     *
     * Recovery is always the same: keep checkpoint and state together,
     * or start both fresh.
+    *
+    * `compactEvery` > 0 wires [[graft.ops.BatchState.compactState]] in
+    * as an automatic policy: after any micro-batch that leaves at least
+    * `compactEvery` landed batches, `compact` runs under its own lease
+    * — a long-running stream never needs an operator cron to keep its
+    * state listing constant-time.
     */
   def stateIngest(spark: SparkSession, watchDir: String,
       schema: StructType, checkpoint: String, stateDir: String,
-      coreTables: Seq[String], idCol: String)(
+      coreTables: Seq[String], idCol: String, compactEvery: Int = 0,
+      compact: SparkSession => Unit = _ => ())(
       ingest: (DataFrame, Long) => Unit): Unit =
     runAvailableNow(
       spark.readStream.schema(schema).parquet(watchDir), checkpoint) {
       (df, ckptId) =>
-        val s = df.sparkSession
-        val conf = s.sparkContext.hadoopConfiguration
-        val ledgerGlob = new org.apache.hadoop.fs.Path(
-          s"$stateDir/_input/batch=*/_SUCCESS")
-        val fs = ledgerGlob.getFileSystem(conf)
-        val found = fs.globStatus(ledgerGlob)
-        val recorded =
-          if (found == null) Seq.empty[Long]
-          else found.toSeq.flatMap(st => scala.util.Try(st.getPath.getParent
-            .getName.stripPrefix("batch=").toLong).toOption).sorted
-        require(recorded.lastOption.forall(ckptId >= _),
-          s"micro-batch $ckptId is OLDER than the newest recorded " +
-            s"micro-batch ${recorded.last} in $stateDir — the stream " +
-            "checkpoint was lost or reset against surviving state; its " +
-            "renumbered batches would be silently absorbed as replays. " +
-            "Start a new state directory or restore the matching " +
-            "checkpoint.")
-        require(recorded.nonEmpty || ckptId == 0,
-          s"micro-batch $ckptId arrived against an EMPTY input ledger at " +
-            s"$stateDir — the state directory was lost or relocated " +
-            "while the checkpoint survived; continuing would land new " +
-            "batches on a vanished history. Restore the state directory " +
-            "or start a fresh checkpoint+state pair.")
-        // id-type-agnostic fingerprint: row count + an order-independent
-        // XOR-fold of the hashed id column (the batch ingests themselves
-        // are generic over the id type, so the harness must be too; a
-        // SUM of full-range hashes would overflow under ANSI)
-        val agg = df.agg(count(lit(1)),
-          expr(s"bit_xor(xxhash64(cast(`$idCol` as string)))")).head
-        val fp = Seq(agg.getLong(0),
-          if (agg.isNullAt(1)) 0L else agg.getLong(1))
-        val fpDir = s"$stateDir/_input/batch=$ckptId"
-        val effectiveId =
-          if (fs.exists(new org.apache.hadoop.fs.Path(s"$fpDir/_SUCCESS"))) {
-            val stored = s.read.parquet(fpDir).head
-            val storedFp = Seq(stored.getLong(0), stored.getLong(1))
-            require(storedFp == fp,
-              s"micro-batch $ckptId replays a recorded micro-batch but " +
-                s"its content fingerprint $fp (rows, id hash-xor) " +
-                s"differs from the recorded $storedFp — the checkpoint " +
-                "was reset and new data was renumbered onto a recorded " +
-                "id. Start a new state directory or restore the " +
-                "matching checkpoint.")
-            stored.getLong(2)
-          } else {
-            val eff = graft.ops.BatchState
-              .landedBatchIds(s, stateDir, coreTables, None).lastOption
-              .map(_ + 1).getOrElse(ckptId)
-            import s.implicits._
-            Seq((fp(0), fp(1), eff))
-              .toDF("n_rows", "id_hash_xor", "effective_id")
-              .coalesce(1).write
-              .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(fpDir)
-            // retire ledger entries the engine can never replay again
-            // (it only ever re-delivers the LAST micro-batch): without
-            // this the _input dir regrows the very small-file problem
-            // compactState retires for the data tables
-            recorded.filter(_ < ckptId).foreach { old =>
-              fs.delete(new org.apache.hadoop.fs.Path(
-                s"$stateDir/_input/batch=$old"), true)
-            }
-            eff
-          }
-        ingest(df, effectiveId)
+        ingestMicroBatch(df, ckptId, stateDir, coreTables, idCol)(ingest)
+        if (compactEvery > 0 && graft.ops.BatchState
+            .landedBatchIds(df.sparkSession, stateDir, coreTables, None)
+            .size >= compactEvery)
+          compact(df.sparkSession)
+    }
+
+  /** One guarded micro-batch of [[stateIngest]] — extracted so specs
+    * can drive crash/replay/compaction interleavings directly with
+    * chosen checkpoint ids. Returns the effective id the batch was
+    * ingested under, or -1 when it was skipped as already landed.
+    * Holds the state directory's single-writer lease for the whole
+    * ledger-write + ingest window, so compaction can never interleave
+    * between the promise and the landing.
+    */
+  private[graft] def ingestMicroBatch(df: DataFrame, ckptId: Long,
+      stateDir: String, coreTables: Seq[String], idCol: String)(
+      ingest: (DataFrame, Long) => Unit): Long =
+    graft.ops.BatchState.withLease(df.sparkSession, stateDir) {
+      val s = df.sparkSession
+      val conf = s.sparkContext.hadoopConfiguration
+      val ledgerGlob = new org.apache.hadoop.fs.Path(
+        s"$stateDir/_input/batch=*/_SUCCESS")
+      val fs = ledgerGlob.getFileSystem(conf)
+      val found = fs.globStatus(ledgerGlob)
+      val recorded =
+        if (found == null) Seq.empty[Long]
+        else found.toSeq.flatMap(st => scala.util.Try(st.getPath.getParent
+          .getName.stripPrefix("batch=").toLong).toOption).sorted
+      require(recorded.lastOption.forall(ckptId >= _),
+        s"micro-batch $ckptId is OLDER than the newest recorded " +
+          s"micro-batch ${recorded.last} in $stateDir — the stream " +
+          "checkpoint was lost or reset against surviving state; its " +
+          "renumbered batches would be silently absorbed as replays. " +
+          "Start a new state directory or restore the matching " +
+          "checkpoint.")
+      require(recorded.nonEmpty || ckptId == 0,
+        s"micro-batch $ckptId arrived against an EMPTY input ledger at " +
+          s"$stateDir — the state directory was lost or relocated " +
+          "while the checkpoint survived; continuing would land new " +
+          "batches on a vanished history. Restore the state directory " +
+          "or start a fresh checkpoint+state pair.")
+      // id-type-agnostic fingerprint: row count + TWO order-independent
+      // folds of the hashed id column — bit_xor alone self-cancels ids
+      // appearing an even number of times, so a renumbered batch with
+      // duplicated ids could collide at equal row count; the sum of the
+      // hashes' high 32 bits is not self-cancelling and stays far from
+      // ANSI bigint overflow (a full-range SUM would not)
+      val agg = df.agg(count(lit(1)),
+        expr(s"bit_xor(xxhash64(cast(`$idCol` as string)))"),
+        expr(s"sum(shiftright(xxhash64(cast(`$idCol` as string)), 32))"))
+        .head
+      val fp = Seq(agg.getLong(0),
+        if (agg.isNullAt(1)) 0L else agg.getLong(1),
+        if (agg.isNullAt(2)) 0L else agg.getLong(2))
+      val fpDir = s"$stateDir/_input/batch=$ckptId"
+      val fpPath = new org.apache.hadoop.fs.Path(fpDir)
+      def newestLanded: Long = graft.ops.BatchState
+        .landedBatchIds(s, stateDir, coreTables, None).lastOption
+        .getOrElse(-1L)
+      def writeEntry(eff: Long): Unit = {
+        import s.implicits._
+        Seq((fp(0), fp(1), fp(2), eff))
+          .toDF("n_rows", "id_hash_xor", "id_hash_sum", "effective_id")
+          .coalesce(1).write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(fpDir)
+      }
+      def confirm(): Unit = fs.create(
+        new org.apache.hadoop.fs.Path(fpPath, "_LANDED"), true).close()
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$fpDir/_SUCCESS"))) {
+        val stored = s.read.parquet(fpDir).head
+        // entries written before the sum fold existed carry two fp
+        // fields; compare what they recorded (weaker but honest) and
+        // upgrade on any rewrite
+        val hasSum = stored.schema.fieldNames.contains("id_hash_sum")
+        val storedFp =
+          if (hasSum) Seq(stored.getLong(0), stored.getLong(1),
+            stored.getAs[Long]("id_hash_sum"))
+          else Seq(stored.getLong(0), stored.getLong(1))
+        require(storedFp == (if (hasSum) fp else fp.take(2)),
+          s"micro-batch $ckptId replays a recorded micro-batch but " +
+            s"its content fingerprint $fp (rows, id hash-xor, " +
+            s"id hash-sum) differs from the recorded $storedFp — the " +
+            "checkpoint was reset and new data was renumbered onto a " +
+            "recorded id. Start a new state directory or restore the " +
+            "matching checkpoint.")
+        val storedEff = stored.getAs[Long]("effective_id")
+        if (fs.exists(new org.apache.hadoop.fs.Path(fpPath, "_LANDED"))) {
+          -1L // confirmed: in state, even if since compacted away
+        } else if (graft.ops.BatchState.allLanded(
+            s, stateDir, coreTables, storedEff)) {
+          confirm(); -1L // landed; the crash hit before the confirmation
+        } else {
+          // a true crash-mid-ingest: re-ingest — under the recorded id
+          // while its id space is still open, under a fresh one when
+          // compaction has moved the landed set past it
+          val eff =
+            if (newestLanded < storedEff) storedEff else newestLanded + 1
+          if (eff != storedEff) writeEntry(eff)
+          ingest(df, eff)
+          confirm()
+          eff
+        }
+      } else {
+        val eff = if (newestLanded >= 0) newestLanded + 1 else ckptId
+        writeEntry(eff)
+        // retire ledger entries the engine can never replay again
+        // (it only ever re-delivers the LAST micro-batch): without
+        // this the _input dir regrows the very small-file problem
+        // compactState retires for the data tables
+        recorded.filter(_ < ckptId).foreach { old =>
+          fs.delete(new org.apache.hadoop.fs.Path(
+            s"$stateDir/_input/batch=$old"), true)
+        }
+        ingest(df, eff)
+        confirm()
+        eff
+      }
     }
 
   /** Streaming corpus gate — the NARROW curation stages (language-ID

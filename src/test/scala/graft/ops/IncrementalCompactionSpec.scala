@@ -144,6 +144,55 @@ class IncrementalCompactionSpec extends AnyFunSuite {
       "the post-compaction micro-batch must ingest as new data")
   }
 
+  test("automatic compaction policy: compactEvery folds state inside " +
+      "the streaming drain itself — search stays union-identical and " +
+      "the batch-directory count never grows past the threshold") {
+    val I = IncrementalIndexOps
+    val base = freshState()
+    val (watch, ckpt, state) = (s"$base/in", s"$base/ckpt", s"$base/state")
+    val fs = new Path(base).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(watch))
+    val corpus = docs.where(pmod(col("doc_id"), lit(97)) =!= 0)
+    val queries = docs.where(pmod(col("doc_id"), lit(97)) === 0)
+      .select(col("doc_id").as("qid"), col("text"))
+    def landShard(df: DataFrame, name: String): Unit = {
+      val tmp = s"$base/tmp_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = fs.globStatus(new Path(s"$tmp/part-*"))(0).getPath
+      assert(fs.rename(part, new Path(s"$watch/$name.parquet")))
+    }
+    def drain(): Unit = graft.streaming.Streaming.textIndexIngest(
+      spark, watch, corpus.schema, ckpt, state, "doc_id", "text",
+      compactEvery = 2)
+    val r = corpus.agg(min(col("doc_id")), max(col("doc_id"))).head
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val q1 = lo + (hi - lo) / 4
+    val q2 = lo + (hi - lo) / 2
+    val q3 = lo + 3 * (hi - lo) / 4
+    val shards = Seq(
+      corpus.where(col("doc_id") <= q1),
+      corpus.where(col("doc_id") > q1 && col("doc_id") <= q2),
+      corpus.where(col("doc_id") > q2 && col("doc_id") <= q3),
+      corpus.where(col("doc_id") > q3))
+    shards.zipWithIndex.foreach { case (df, i) =>
+      landShard(df, s"s$i")
+      drain()
+      // the policy runs INSIDE the drain: at most `compactEvery`
+      // directories survive any drain (the freshly-landed batch is
+      // folded immediately once the threshold is reached)
+      assert(batchDirs(state, "postings").size <= 2,
+        s"auto-compaction must bound the dir count, got " +
+          s"${batchDirs(state, "postings")}")
+    }
+    val full = RetrievalOps.bm25TopK(corpus, queries,
+      "doc_id", "text", "qid", "text", 10).withColumnRenamed("doc_id", "id")
+    assert(sortedRows(
+      I.bm25Search(spark, state, queries, "qid", "text", 10)) ==
+      sortedRows(full),
+      "search over auto-compacted streaming state equals the one-shot")
+  }
+
   test("the critical crash window — manifest flipped, markers not yet " +
       "restored, old dirs not yet swept — still reads exactly the " +
       "compacted view (no double-count, no empty view)") {

@@ -272,12 +272,14 @@ class IncrementalCurateSpec extends AnyFunSuite {
     IncrementalCurateOps.ingestShard(spark,
       docs.where(col("doc_id") > cut1 && col("doc_id") <= cut2),
       "doc_id", "text", state, 1L)
-    // strip the snapshots (and the params fingerprint) — exactly what a
-    // state dir written by the pre-r15 build looks like
+    // strip the snapshots (and the params fingerprint, and the
+    // migration marker) — exactly what a state dir written by the
+    // pre-r15 build looks like: that build wrote none of the three
     val fs = new Path(state).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     assert(fs.delete(new Path(s"$state/clusters"), true))
     assert(fs.delete(new Path(s"$state/_params"), true))
+    fs.delete(new Path(s"$state/_manifest/.migrated"), false)
     // curated() is a read API: it must refuse the legacy shape loudly
     // (not write into it), naming the migration entry point
     val refusal = intercept[IllegalArgumentException] {
@@ -303,6 +305,7 @@ class IncrementalCurateSpec extends AnyFunSuite {
     // first restore batches 0-1's snapshots, then fold its own edges on
     // top (in-order guard intact, cross-batch edges found)
     assert(fs.delete(new Path(s"$state/clusters"), true))
+    fs.delete(new Path(s"$state/_manifest/.migrated"), false)
     IncrementalCurateOps.ingestShard(spark,
       docs.where(col("doc_id") > cut2), "doc_id", "text", state, 2L)
     val incr = IncrementalCurateOps.curated(spark, state)
