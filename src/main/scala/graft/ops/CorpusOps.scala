@@ -487,27 +487,33 @@ object CorpusOps {
     * kernels, one fingerprint aggregate, the banded near-dup pair join,
     * alternating-star CC), plus two broadcast-sized left joins to
     * attach keeper/rep labels back onto the full input — no new
-    * shuffle class.
+    * shuffle class. The corpus text is scanned exactly ONCE: every
+    * consumer (gate branch, fingerprint keepers, stage-2 shingling,
+    * final projection) reads one lazily-checkpointed frame — the c1
+    * owner pattern lifted to the full input; the first-pass shape let
+    * Catalyst re-expand the scored subtree under each join input and
+    * tripled the dominant narrow-scan IO (plan-gated in
+    * PlanQualitySpec).
     */
   def curationReport(docs: DataFrame, idCol: String, textCol: String,
       lang: String = "en", minQualityE6: Long = 550000L,
       shingleN: Int = 3, jaccardThreshold: Double = 0.5): DataFrame = {
     val scored = docs.select(col(idCol), col(textCol),
-      TextOps.langId(col(textCol)).as("pred_lang"),
-      TextOps.qualityScoreMillionths(col(textCol)).as("quality_e6"))
+        TextOps.langId(col(textCol)).as("pred_lang"),
+        TextOps.qualityScoreMillionths(col(textCol)).as("quality_e6"),
+        TextOps.fingerprint(col(textCol)).as("fp"))
+      .localCheckpoint(false)
     val gatePass = scored.where(col("pred_lang") === lang &&
       col("quality_e6") >= minQualityE6)
     // every gate-passing doc -> its fingerprint's min-id keeper
-    val withFp = gatePass.select(col(idCol),
-      TextOps.fingerprint(col(textCol)).as("fp"))
-    val keepers = withFp.groupBy(col("fp"))
+    val keepers = gatePass.groupBy(col("fp"))
       .agg(min(col(idCol)).as("keeper"))
-    val keeperOf = withFp.join(keepers, Seq("fp"))
+    val keeperOf = gatePass.select(col(idCol), col("fp"))
+      .join(keepers, Seq("fp"))
       .select(col(idCol), col("keeper"))
     val s1 = gatePass.join(
         keeperOf.where(col(idCol) === col("keeper")).select(idCol),
         Seq(idCol), "left_semi")
-      .localCheckpoint(false)
     val pairs = DedupOps.ngramJaccardPairs(
       s1, idCol, textCol, shingleN, jaccardThreshold)
     val repOf = DedupOps.connectedComponents(

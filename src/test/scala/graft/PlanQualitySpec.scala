@@ -333,6 +333,21 @@ class PlanQualitySpec extends AnyFunSuite {
       s"packing inside curation must not global-sort:\n$p")
   }
 
+  test("curation report scans the corpus text exactly once (all " +
+      "consumers read the lazily-checkpointed scored frame)") {
+    val p = plan("c3_curation_report")
+    // the single text scan lives INSIDE the checkpointed RDD's lineage;
+    // any parquet scan in the SQL plan means a consumer re-expanded the
+    // scored subtree and the dominant narrow-scan IO multiplies at scale
+    assert(!p.contains("Scan parquet"),
+      s"report re-scans the docs relation:\n$p")
+    assert(p.contains("ExistingRDD"),
+      s"expected the checkpointed scored frame in the plan:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"),
+      s"report degraded to a product join:\n$p")
+  }
+
   test("time-bound join stays an equi-join on the key (no nested loop)") {
     for (q <- Seq("tw_timebound_join", "tw_timebound_left_join",
         "tw_timebound_full_join")) {
