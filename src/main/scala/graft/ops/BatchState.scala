@@ -388,9 +388,12 @@ private[graft] object BatchState {
     val fs = new Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new Path(s"$dir/_SUCCESS"))) {
-      val stored = spark.read.parquet(dir).collect()
-        .map(r => r.getString(0) -> r.getString(1)).toMap
-      require(stored == params,
+      val stored = readParams(spark, stateDir)
+      // "generation" is reserved provenance (which codebook refit
+      // produced this directory — written by the reindex operators,
+      // never passed by ingests), not an operator knob: it must not
+      // trip the drift guard
+      require(stored - "generation" == params - "generation",
         s"state at $stateDir was ingested with parameters $stored, " +
           s"but this ingest uses $params; mixed-parameter state would " +
           "silently diverge from the one-shot operator — use a new " +
@@ -421,6 +424,18 @@ private[graft] object BatchState {
         .toDF("ci", "cv"), stateDir, "centroids", batchId)
     }
     readCodebook(spark, stateDir)
+  }
+
+  /** The recorded operator parameters of a state directory (empty when
+    * none were ever recorded).
+    */
+  def readParams(spark: SparkSession, stateDir: String): Map[String, String] = {
+    val dir = s"$stateDir/_params"
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(s"$dir/_SUCCESS"))) Map.empty
+    else spark.read.parquet(dir).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
   }
 
   def hasCodebook(spark: SparkSession, stateDir: String): Boolean =

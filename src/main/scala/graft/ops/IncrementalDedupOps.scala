@@ -273,6 +273,77 @@ object IncrementalDedupOps {
       additiveTables = Seq("assign", "edges"),
       snapshotTables = Seq("clusters"))
 
+  /** Offline codebook REFIT + state-only reindex for the SemDeDup
+    * family — the escape hatch from the frozen-codebook contract when
+    * the embedding distribution drifts: refit the k-means codebook on a
+    * deterministic hash-sample of the STORED vectors (the `assign`
+    * table carries them — source embeddings are never re-read),
+    * re-assign everything, recompute the within-cell cosine edges over
+    * the union (cells changed, so the candidate set did too), fold one
+    * fresh component snapshot, and land it all as batch 0 of a FRESH
+    * `newStateDir` whose params record the bumped `generation`. Cut
+    * readers over, resume [[ingestEmbeddingShard]] on top, retire the
+    * old directory.
+    *
+    * With `sampleFraction` = 1 the result is row-identical to a fresh
+    * one-shot ingest of all stored vectors (equality-spec'd); a sampled
+    * refit bounds the fit cost at 100 TB while the edge recompute stays
+    * one within-cell self-join — the same shape as the one-shot
+    * operator, paid once per refit instead of never being available.
+    */
+  def reindexEmbeddings(spark: SparkSession, oldStateDir: String,
+      newStateDir: String, k: Int, iters: Int, threshold: Double,
+      sampleFraction: Double = 1.0): Unit =
+    BatchState.withLease(spark, oldStateDir) {
+      BatchState.withLease(spark, newStateDir) {
+        require(sampleFraction > 0 && sampleFraction <= 1.0,
+          s"sampleFraction in (0, 1], got $sampleFraction")
+        val landedOld = landedBatchIds(spark, oldStateDir, EmbTables, None)
+        require(landedOld.nonEmpty, s"no landed batches under $oldStateDir")
+        require(
+          landedBatchIds(spark, newStateDir, EmbTables, None).isEmpty &&
+            !BatchState.hasCodebook(spark, newStateDir),
+          s"$newStateDir already holds state; reindex lands into a " +
+            "FRESH directory so readers cut over atomically")
+        val stored = readBatches(spark, oldStateDir, "assign", landedOld).get
+          .select(col("id"), col("v"))
+        val fitSet =
+          if (sampleFraction >= 1.0) stored
+          else stored.where(
+            pmod(abs(xxhash64(col("id").cast("string"))), lit(1000000L))
+              < lit(math.round(sampleFraction * 1000000L)))
+        val generation = BatchState.readParams(spark, oldStateDir)
+          .get("generation").map(_.toLong).getOrElse(0L) + 1
+        BatchState.ensureParams(spark, newStateDir, Map(
+          "k" -> k.toString, "iters" -> iters.toString,
+          "threshold" -> threshold.toString,
+          "generation" -> generation.toString))
+        val cents = BatchState.ensureCodebook(spark, newStateDir, 0L) {
+          SimilarityOps.kmeansFit(fitSet, "id", "v", k, iters)._1
+        }
+        val assign = stored
+          .withColumn("cluster", SimilarityOps.ivfCell(col("v"), cents))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val l = assign.select(col("cluster"), col("id").as("id_a"),
+            col("v").as("va"))
+          val r = assign.select(col("cluster"), col("id").as("id_b"),
+            col("v").as("vb"))
+          val edges = l.join(r, Seq("cluster"))
+            .where(col("id_a") < col("id_b"))
+            .where(SimilarityOps.cosine(col("va"), col("vb")) >= threshold)
+            .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+          land(assign, newStateDir, "assign", 0L)
+          land(edges, newStateDir, "edges", 0L)
+          val edges0 =
+            spark.read.parquet(s"$newStateDir/edges/batch=0")
+          land(DedupOps.foldClusterSnapshot(None,
+            assign.select(col("id").as("doc_id")), edges0),
+            newStateDir, "clusters", 0L)
+        } finally assign.unpersist(blocking = false)
+      }
+    }
+
   /** The SemDeDup view after every landed batch — one row per vector,
     * (idCol, cluster, rep), row-identical to one-shot
     * [[SimilarityOps.semanticDedupAssigned]] over the union with the

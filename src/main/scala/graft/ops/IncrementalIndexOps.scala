@@ -198,6 +198,61 @@ object IncrementalIndexOps {
   def compactVectors(spark: SparkSession, stateDir: String): Unit =
     BatchState.compactState(spark, stateDir, additiveTables = IvfTables)
 
+  /** Offline codebook REFIT + state-only reindex — the operator the
+    * frozen-codebook contract points at when the embedding distribution
+    * drifts ("production IVF re-trains offline and reindexes"): refit
+    * the coarse quantizer on a deterministic hash-sample of the STORED
+    * vectors and re-assign every stored vector under the new codebook,
+    * landing the result as batch 0 of a FRESH `newStateDir` whose
+    * params record the bumped `generation`. Source embeddings are never
+    * re-read — the state's `cells` table carries the vectors, so the
+    * cost is one scan of the index itself (at `sampleFraction` < 1 the
+    * k-means fit sees only the hash-selected subset; the re-assignment
+    * always covers everything). The old directory is untouched: cut
+    * searches over to `newStateDir`, resume [[ingestVectorShard]] on
+    * top of it (batch ids restart above 0), and retire the old one.
+    *
+    * With `sampleFraction` = 1 the new index is row-identical to a
+    * fresh ingest of all stored vectors under a from-scratch fit
+    * (equality-spec'd); a sampled refit is the 100 TB path — the fit
+    * cost is bounded while assignment stays exact.
+    */
+  def reindexVectors(spark: SparkSession, oldStateDir: String,
+      newStateDir: String, nCells: Int, iters: Int,
+      sampleFraction: Double = 1.0): Unit =
+    BatchState.withLease(spark, oldStateDir) {
+      BatchState.withLease(spark, newStateDir) {
+        require(sampleFraction > 0 && sampleFraction <= 1.0,
+          s"sampleFraction in (0, 1], got $sampleFraction")
+        val landedOld = landedBatchIds(spark, oldStateDir, IvfTables, None)
+        require(landedOld.nonEmpty, s"no landed batches under $oldStateDir")
+        require(
+          landedBatchIds(spark, newStateDir, IvfTables, None).isEmpty &&
+            !BatchState.hasCodebook(spark, newStateDir),
+          s"$newStateDir already holds state; reindex lands into a " +
+            "FRESH directory so readers cut over atomically")
+        val stored = readBatches(spark, oldStateDir, "cells", landedOld).get
+          .select(col("cid"), col("cv"))
+        val fitSet =
+          if (sampleFraction >= 1.0) stored
+          else stored.where(
+            pmod(abs(xxhash64(col("cid").cast("string"))), lit(1000000L))
+              < lit(math.round(sampleFraction * 1000000L)))
+        val generation = BatchState.readParams(spark, oldStateDir)
+          .get("generation").map(_.toLong).getOrElse(0L) + 1
+        BatchState.ensureParams(spark, newStateDir, Map(
+          "nCells" -> nCells.toString, "iters" -> iters.toString,
+          "generation" -> generation.toString))
+        val cents = BatchState.ensureCodebook(spark, newStateDir, 0L) {
+          SimilarityOps.kmeansFit(fitSet, "cid", "cv", nCells, iters)._1
+        }
+        land(stored
+          .withColumn("cell", SimilarityOps.ivfCell(col("cv"), cents))
+          .select(col("cell"), col("cid"), col("cv")),
+          newStateDir, "cells", 0L)
+      }
+    }
+
   /** IVF top-k over the accumulated index — row-identical to
     * [[SimilarityOps.ivfTopK]] on the union with the frozen codebook:
     * each query probes its `nProbe` nearest cells (broadcast-literal

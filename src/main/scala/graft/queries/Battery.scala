@@ -3285,6 +3285,60 @@ object Battery {
          |WHERE rnk <= 10""".stripMargin
     })
 
+  /** n13 — CODEBOOK REINDEX
+    * ([[graft.ops.IncrementalIndexOps.reindexVectors]]): the escape
+    * hatch from the frozen-codebook contract — an incremental IVF state
+    * built shard-by-shard under the shard-1 quantizer is refit OFFLINE
+    * on its own stored vectors (full fraction here) and re-assigned
+    * into a fresh generation, never re-reading source embeddings.
+    * Search over the reindexed state must equal an index whose codebook
+    * was fit from scratch on the whole corpus: the oracle is n12's CTE
+    * chain with the fit subset widened to everything (`fitWhere =
+    * TRUE`), so the refit really is the from-scratch fit, bit-for-bit.
+    */
+  private val n13ReindexedIvf = Q(
+    "n13_reindexed_ivf",
+    (s, d) => {
+      val I = graft.ops.IncrementalIndexOps
+      val S = graft.ops.SimilarityOps
+      val emb = T.embeddings(s, d)
+      val old = java.nio.file.Files
+        .createTempDirectory("graft_n13_old").toString
+      val next = java.nio.file.Files
+        .createTempDirectory("graft_n13_new").toString
+      val r = emb.agg(min(col("vec_id")), max(col("vec_id"))).head
+      val mid = (r.getLong(0) + r.getLong(1)) / 2
+      I.ingestVectorShard(s, emb.where(col("vec_id") <= mid),
+        "vec_id", "embedding", old, 0L, nCells = 4, iters = 2)
+      I.ingestVectorShard(s, emb.where(col("vec_id") > mid),
+        "vec_id", "embedding", old, 1L, nCells = 4, iters = 2)
+      I.reindexVectors(s, old, next, nCells = 4, iters = 2)
+      val qset = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"),
+          S.asDouble(col("embedding")).as("qv"))
+      I.ivfSearch(s, next, qset, nProbe = 2, k = 10)
+        .select(col("qid"), col("rnk"), col("cid"))
+    },
+    Some {
+      s"""WITH ${kmeansOracleCtesOver("TRUE")},
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+         |pd AS (SELECT q.qid, q.qv, c.ci,
+         |    list_reduce(list_prepend(0.0, [ (qv[j] - cv[j]) * (qv[j] - cv[j]) for j in range(1, 65) ]),
+         |      (acc, x) -> acc + x) AS dist
+         |  FROM q CROSS JOIN c2v c),
+         |pr AS (SELECT qid, qv, ci FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist, ci) AS pn FROM pd)
+         |  WHERE pn <= 2),
+         |cand AS (SELECT pr.qid, b.vec_id AS cid,
+         |    list_dot_product(pr.qv, b.v) /
+         |      (sqrt(list_dot_product(pr.qv, pr.qv)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+         |  FROM pr JOIN b2 b ON b.ci = pr.ci AND b.vec_id <> pr.qid)
+         |SELECT qid, CAST(rnk AS INT) AS rnk, cid FROM
+         |  (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+         |   FROM cand)
+         |WHERE rnk <= 10""".stripMargin
+    })
+
   /** n11 — INCREMENTAL semantic dedup
     * ([[graft.ops.IncrementalDedupOps.ingestEmbeddingShard]]): the
     * SemDeDup production decomposition — the k-means codebook is fit on
@@ -6245,7 +6299,7 @@ object Battery {
     c3Report, stIncrementalCuration,
     n2AnnLsh, n3EmbNearDup, n4AnnIvf, n5PqQuantize, n6KmeansFit, n7SemanticDedup,
     n8SqQuantize, n9BinaryQuantize, n10MmrRerank, n11IncrementalSemDedup,
-    n12IncrementalIvf, x36IncrementalBm25,
+    n12IncrementalIvf, n13ReindexedIvf, x36IncrementalBm25,
     kfPatientSlice, kfRSubjectSlice, kfSpecimenSlice, kfDrsSlice,
     kfDiseaseSlice, kfPhenotypeSlice, kfHistoSlice, kfVitalSlice,
     kfFamilySlice, kfStudySlice, kfProbandSlice, kfFamRelSlice,
