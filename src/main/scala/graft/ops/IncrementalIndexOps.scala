@@ -113,26 +113,112 @@ object IncrementalIndexOps {
     } finally postings.unpersist(blocking = false)
   }
 
+  // ---- tombstones: the deletion ledger lives under its own BatchState
+  // root (`<stateDir>/_deletes`) so its batch ids and compaction
+  // manifest never interfere with the ingest tables' — one shared
+  // manifest would let a postings compaction watermark silently hide
+  // the deletion history (or vice versa)
+
+  private[graft] val DelTables =
+    Seq("del_ids", "del_tokstats", "del_globals")
+
+  private def delDir(stateDir: String): String = s"$stateDir/_deletes"
+
+  /** Retract documents from the inverted-index state — the curation
+    * composition (dedup losers, takedowns) that an append-only index
+    * cannot express without a rebuild. BM25's statistics are additive,
+    * so a deletion is a NEGATIVE-delta batch: per-token −df for the
+    * deleted docs' vocabularies and one −(n_docs, totlen) row, both
+    * derived from the STORED postings/doclen (text is never re-read);
+    * the doc ids land in a tombstone set that [[bm25Search]] anti-joins
+    * against postings and doclen. Deletion batches carry their own
+    * ascending id space under `<stateDir>/_deletes` — idempotent per
+    * (stateDir, batchId), in-order enforced, and ids not currently
+    * indexed (or already tombstoned) contribute nothing, so a replay or
+    * an over-broad deletion set can never push a statistic negative.
+    *
+    * Contract note: deletion is by id and permanent for that id —
+    * corpus ids are unique and never reused (the family's standing
+    * ascending-id assumption); re-introducing a deleted document means
+    * ingesting it under a fresh id.
+    */
+  def deleteTextDocs(spark: SparkSession, dels: DataFrame, idCol: String,
+      stateDir: String, batchId: Long): Unit =
+    BatchState.withLease(spark, stateDir) {
+      if (!BatchState.allLanded(spark, delDir(stateDir), DelTables, batchId)) {
+        val landed = landedBatchIds(spark, stateDir, Bm25Tables, None)
+        require(landed.nonEmpty,
+          s"no landed batches under $stateDir — nothing to delete from")
+        val delLanded = landedBatchIds(spark, delDir(stateDir), DelTables, None)
+        requireInOrder(delLanded, batchId)
+        val asked = dels.select(col(idCol).as("id")).distinct()
+        // only ids that are indexed AND not already tombstoned produce
+        // deltas — double-deletes and unknown ids are exact no-ops
+        val indexed = asked.join(
+          readBatches(spark, stateDir, "doclen", landed).get, Seq("id"),
+          "left_semi")
+        val newDel = readBatches(spark, delDir(stateDir), "del_ids",
+            delLanded) match {
+          case Some(prev) => indexed.join(prev, Seq("id"), "left_anti")
+          case None => indexed
+        }
+        val delPostings = readBatches(spark, stateDir, "postings", landed)
+          .get.join(newDel, Seq("id"), "left_semi")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          land(newDel, delDir(stateDir), "del_ids", batchId)
+          land(delPostings.groupBy(col("token"))
+            .agg((-count(lit(1))).as("df")),
+            delDir(stateDir), "del_tokstats", batchId)
+          land(delPostings.groupBy(col("id"))
+            .agg(sum(col("tf")).as("dl"))
+            .agg((-count(lit(1))).as("n_docs"),
+              (-coalesce(sum(col("dl")), lit(0L))).as("totlen")),
+            delDir(stateDir), "del_globals", batchId)
+        } finally delPostings.unpersist(blocking = false)
+      }
+    }
+
   /** BM25 top-k over the accumulated index — row-identical to
     * [[RetrievalOps.bm25TopK]] on the union of every ingested shard
-    * (same integer-rational scoring, same tie-break), with the index
-    * build amortized away: df and the (N, totlen) pair are ONE
-    * re-aggregate of vocabulary-sized / single-row state, candidates
-    * one equi-join of query terms against the accumulated postings.
+    * MINUS every tombstoned document (same integer-rational scoring,
+    * same tie-break), with the index build amortized away: df and the
+    * (N, totlen) pair are ONE re-aggregate of vocabulary-sized /
+    * single-row state (deletion deltas sum right in), candidates one
+    * equi-join of query terms against the accumulated postings
+    * anti-joined by the tombstone set (deleted-id-count-sized — tiny
+    * next to the postings it filters).
     */
   def bm25Search(spark: SparkSession, stateDir: String, queries: DataFrame,
       qidCol: String, qtextCol: String, k: Int = 10): DataFrame = {
     require(k >= 1 && k <= 1000, s"k in 1..1000, got $k")
     val landed = landedBatchIds(spark, stateDir, Bm25Tables, None)
     require(landed.nonEmpty, s"no landed batches under $stateDir")
-    val postings = readBatches(spark, stateDir, "postings", landed).get
-    val docLen = readBatches(spark, stateDir, "doclen", landed).get
+    val delLanded = landedBatchIds(spark, delDir(stateDir), DelTables, None)
+    val deleted = readBatches(spark, delDir(stateDir), "del_ids", delLanded)
+    def live(df: DataFrame): DataFrame = deleted match {
+      case Some(d) => df.join(d, Seq("id"), "left_anti")
+      case None => df
+    }
+    val postings = live(readBatches(spark, stateDir, "postings", landed).get)
+    val docLen = live(readBatches(spark, stateDir, "doclen", landed).get)
     val withDl = postings.join(docLen, Seq("id"))
-    // df adds across disjoint batches; so do N and totlen
-    val dfTab = readBatches(spark, stateDir, "tokstats", landed).get
-      .groupBy(col("token")).agg(sum(col("df")).as("df"))
-    val globals = readBatches(spark, stateDir, "globals", landed).get
-      .agg(sum(col("n_docs")).as("n_docs"), sum(col("totlen")).as("totlen"))
+    // df adds across disjoint batches, deletion deltas subtract; a
+    // token whose postings are all tombstoned sums to 0 and drops —
+    // the exact dfTab a from-scratch build over the survivors produces
+    val tokAll = readBatches(spark, stateDir, "tokstats", landed).get
+    val dfTab = (readBatches(spark, delDir(stateDir), "del_tokstats",
+        delLanded) match {
+      case Some(d) => tokAll.unionAll(d)
+      case None => tokAll
+    }).groupBy(col("token")).agg(sum(col("df")).as("df"))
+      .where(col("df") > 0)
+    val globAll = readBatches(spark, stateDir, "globals", landed).get
+    val globals = (readBatches(spark, delDir(stateDir), "del_globals",
+        delLanded) match {
+      case Some(d) => globAll.unionAll(d)
+      case None => globAll
+    }).agg(sum(col("n_docs")).as("n_docs"), sum(col("totlen")).as("totlen"))
     // the SAME scoring tail as the one-shot build — parity by shared
     // code, not by a copy that can drift
     RetrievalOps.rankCandidates(withDl, dfTab, globals, queries,
@@ -146,8 +232,15 @@ object IncrementalIndexOps {
     * manifest protocol and [[IncrementalCurateOps.compact]] for when to
     * run it.
     */
-  def compactText(spark: SparkSession, stateDir: String): Unit =
+  def compactText(spark: SparkSession, stateDir: String): Unit = {
     BatchState.compactState(spark, stateDir, additiveTables = Bm25Tables)
+    // the deletion ledger is its own BatchState root (own batch ids,
+    // own manifest) and compacts independently — tombstone ids and
+    // negative deltas are additive facts like everything else
+    if (landedBatchIds(spark, delDir(stateDir), DelTables, None).nonEmpty)
+      BatchState.compactState(spark, delDir(stateDir),
+        additiveTables = DelTables)
+  }
 
   // -------------------------------------------------------------- IVF
 

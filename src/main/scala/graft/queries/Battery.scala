@@ -3936,6 +3936,65 @@ object Battery {
            |  FROM sc)
            |SELECT qid, rank, doc_id, score, n_match FROM r WHERE rank <= 10""".stripMargin))
 
+  /** x37 — BM25 TOMBSTONES
+    * ([[graft.ops.IncrementalIndexOps.deleteTextDocs]]): the curation
+    * composition an append-only index cannot express — ingest shard 1,
+    * RETRACT a subset of it (negative-delta df/N/totlen batch + an
+    * anti-joined tombstone set, derived from stored postings, text
+    * never re-read), ingest shard 2, search. The result must be
+    * row-identical to one-shot BM25 over the SURVIVING corpus — same
+    * oracle shape as x30/x36 with the deleted ids excluded from every
+    * statistic, so a stats-only filter (right list, wrong idf) would
+    * hash-mismatch.
+    */
+  private val x37Bm25Tombstones = Q(
+    "x37_bm25_tombstones",
+    (s, d) => {
+      val I = graft.ops.IncrementalIndexOps
+      val docs = T.documents(s, d)
+      val corpus = docs.where(pmod(col("doc_id"), lit(97)) =!= 0)
+      val queries = docs.where(pmod(col("doc_id"), lit(97)) === 0)
+        .select(col("doc_id").as("qid"), col("text"))
+      val stateDir = java.nio.file.Files
+        .createTempDirectory("graft_x37_state").toString
+      val r = corpus.agg(min(col("doc_id")), max(col("doc_id"))).head
+      val mid = (r.getLong(0) + r.getLong(1)) / 2
+      I.ingestTextShard(s, corpus.where(col("doc_id") <= mid),
+        "doc_id", "text", stateDir, batchId = 0L)
+      I.deleteTextDocs(s,
+        corpus.where(col("doc_id") <= mid &&
+          pmod(col("doc_id"), lit(13)) === 0).select("doc_id"),
+        "doc_id", stateDir, batchId = 0L)
+      I.ingestTextShard(s, corpus.where(col("doc_id") > mid),
+        "doc_id", "text", stateDir, batchId = 1L)
+      I.bm25Search(s, stateDir, queries, "qid", "text", k = 10)
+        .withColumnRenamed("id", "doc_id")
+    },
+    Some("""WITH mid AS (SELECT (min(doc_id) + max(doc_id)) // 2 AS m
+           |  FROM documents WHERE doc_id % 97 <> 0),
+           |ct AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+           |  FROM documents CROSS JOIN mid
+           |  WHERE doc_id % 97 <> 0
+           |    AND NOT (doc_id % 13 = 0 AND doc_id <= mid.m)),
+           |p AS (SELECT doc_id, token, count(*) AS tf FROM ct GROUP BY 1, 2),
+           |dlen AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM p GROUP BY 1),
+           |dfq AS (SELECT token, count(*) AS df FROM p GROUP BY 1),
+           |g AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS totlen FROM dlen),
+           |qt AS (SELECT DISTINCT qid, token FROM
+           |  (SELECT doc_id AS qid, unnest(string_split_regex(trim(text), '\s+')) AS token
+           |   FROM documents WHERE doc_id % 97 = 0)),
+           |cand AS (SELECT qt.qid, p.doc_id,
+           |    (g.n_docs * 88 * p.tf * g.totlen * 1000) //
+           |      (dfq.df * (40*p.tf*g.totlen + 12*g.totlen + 36*dlen.dl*g.n_docs)) AS contrib
+           |  FROM qt JOIN p USING (token) JOIN dfq USING (token)
+           |  JOIN dlen ON dlen.doc_id = p.doc_id CROSS JOIN g),
+           |sc AS (SELECT qid, doc_id, CAST(sum(contrib) AS BIGINT) AS score,
+           |    count(*) AS n_match FROM cand GROUP BY 1, 2),
+           |r AS (SELECT qid, doc_id, score, n_match,
+           |    CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS INT) AS rank
+           |  FROM sc)
+           |SELECT qid, rank, doc_id, score, n_match FROM r WHERE rank <= 10""".stripMargin))
+
   /** Hybrid retrieval by reciprocal-rank fusion
     * ([[graft.ops.RetrievalOps.rrfFuse]]): the x30 BM25 lexical
     * ranking and an embedding-cosine dense ranking (n1's brute-force
@@ -6300,6 +6359,7 @@ object Battery {
     n2AnnLsh, n3EmbNearDup, n4AnnIvf, n5PqQuantize, n6KmeansFit, n7SemanticDedup,
     n8SqQuantize, n9BinaryQuantize, n10MmrRerank, n11IncrementalSemDedup,
     n12IncrementalIvf, n13ReindexedIvf, x36IncrementalBm25,
+    x37Bm25Tombstones,
     kfPatientSlice, kfRSubjectSlice, kfSpecimenSlice, kfDrsSlice,
     kfDiseaseSlice, kfPhenotypeSlice, kfHistoSlice, kfVitalSlice,
     kfFamilySlice, kfStudySlice, kfProbandSlice, kfFamRelSlice,
