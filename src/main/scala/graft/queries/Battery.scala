@@ -2833,6 +2833,76 @@ object Battery {
     },
     Some(curationOracle))
 
+  /** st_curate_then_index — the composed CURATE → INDEX stream
+    * ([[graft.streaming.Streaming.curateAndIndexIngest]]): document
+    * shards drain through ONE micro-batch harness that folds curation
+    * state, indexes each shard's curation-kept docs, and retracts
+    * cross-shard demotions by BM25 tombstone — the full production
+    * loop. Search over the composed index must be hash-identical to a
+    * one-shot curate-then-index over everything streamed: the oracle
+    * runs the canonical curation CTE chain (gates → exact dedup →
+    * near-dup reps) on the corpus split and the canonical BM25 chain
+    * over exactly its kept set, so an index that missed a demotion (or
+    * kept a demoted doc's df in its statistics) hash-mismatches.
+    */
+  private val stCurateThenIndex = Q(
+    "st_curate_then_index",
+    (s, d) => {
+      import org.apache.hadoop.fs.Path
+      val docs = T.documents(s, d)
+      val corpus = docs.where(pmod(col("doc_id"), lit(97)) =!= 0)
+      val queries = docs.where(pmod(col("doc_id"), lit(97)) === 0)
+        .select(col("doc_id").as("qid"), col("text"))
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_stci").toString
+      val (watch, ckpt, state) =
+        (s"$base/in", s"$base/ckpt", s"$base/state")
+      val fs = new Path(base).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      fs.mkdirs(new Path(watch))
+      def landShard(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+        val tmp = s"$base/tmp_$name"
+        df.coalesce(1).write.parquet(tmp)
+        val part = fs.globStatus(new Path(s"$tmp/part-*"))(0).getPath
+        fs.rename(part, new Path(s"$watch/$name.parquet"))
+      }
+      def drain(): Unit = graft.streaming.Streaming.curateAndIndexIngest(
+        s, watch, corpus.schema, ckpt, state, "doc_id", "text")
+      val r = corpus.agg(min(col("doc_id")), max(col("doc_id"))).head
+      val mid = (r.getLong(0) + r.getLong(1)) / 2
+      landShard(corpus.where(col("doc_id") <= mid), "s1")
+      drain()
+      landShard(corpus.where(col("doc_id") > mid), "s2")
+      drain()
+      graft.ops.IncrementalIndexOps
+        .bm25Search(s, s"$state/index", queries, "qid", "text", k = 10)
+        .withColumnRenamed("id", "doc_id")
+    },
+    Some {
+      s"""WITH RECURSIVE
+         |${curationS2Ctes("d.doc_id % 97 <> 0")},
+         |ct AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+         |  FROM s2),
+         |p AS (SELECT doc_id, token, count(*) AS tf FROM ct GROUP BY 1, 2),
+         |dlen AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM p GROUP BY 1),
+         |dfq AS (SELECT token, count(*) AS df FROM p GROUP BY 1),
+         |g AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS totlen FROM dlen),
+         |qt AS (SELECT DISTINCT qid, token FROM
+         |  (SELECT doc_id AS qid, unnest(string_split_regex(trim(text), '\\s+')) AS token
+         |   FROM documents WHERE doc_id % 97 = 0)),
+         |cand AS (SELECT qt.qid, p.doc_id,
+         |    (g.n_docs * 88 * p.tf * g.totlen * 1000) //
+         |      (dfq.df * (40*p.tf*g.totlen + 12*g.totlen + 36*dlen.dl*g.n_docs)) AS contrib
+         |  FROM qt JOIN p USING (token) JOIN dfq USING (token)
+         |  JOIN dlen ON dlen.doc_id = p.doc_id CROSS JOIN g),
+         |sc AS (SELECT qid, doc_id, CAST(sum(contrib) AS BIGINT) AS score,
+         |    count(*) AS n_match FROM cand GROUP BY 1, 2),
+         |rr AS (SELECT qid, doc_id, score, n_match,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS INT) AS rank
+         |  FROM sc)
+         |SELECT qid, rank, doc_id, score, n_match FROM rr WHERE rank <= 10""".stripMargin
+    })
+
   /** Per-document curation audit
     * ([[graft.ops.CorpusOps.curationReport]]): one row per INPUT
     * document with the disposition c1's stage cascade gave it —
@@ -2894,16 +2964,20 @@ object Battery {
          |LEFT JOIN rm USING (doc_id)""".stripMargin
     })
 
-  /** The shared one-shot curation oracle (c1 AND c2 — incremental
-    * processing must be indistinguishable from a union recompute).
+  /** The curation stage cascade as CTEs, gate through near-dup reps —
+    * final CTE `s2` exposes the KEPT documents (doc_id, text,
+    * pred_lang, quality_e6) of the corpus rows matching `corpusWhere`.
+    * Shared by the c1/c2 oracle (packing appended) and the composed
+    * curate-then-index stream oracle (BM25 appended), so "the kept
+    * set" has ONE canonical SQL definition.
     */
-  private def curationOracle: String = {
-      s"""WITH RECURSIVE
-         |${langIdOracleCtes("cl")},
+  private def curationS2Ctes(corpusWhere: String): String = {
+      s"""${langIdOracleCtes("cl")},
          |${qualityOracleCtes("cq")},
          |s0 AS (SELECT d.doc_id, d.text, cl.pred_lang, cq.quality_e6
          |       FROM documents d JOIN cl USING (doc_id) JOIN cq USING (doc_id)
-         |       WHERE cl.pred_lang = 'en' AND cq.quality_e6 >= 550000),
+         |       WHERE ($corpusWhere)
+         |         AND cl.pred_lang = 'en' AND cq.quality_e6 >= 550000),
          |fpd AS (SELECT *, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp FROM s0),
          |k1 AS (SELECT min(doc_id) AS doc_id FROM fpd GROUP BY fp),
          |s1 AS (SELECT f.* FROM fpd f JOIN k1 USING (doc_id)),
@@ -2927,7 +3001,15 @@ object Battery {
          |reps AS (SELECT s1.doc_id FROM s1 LEFT JOIN reach r ON r.a = s1.doc_id
          |  GROUP BY s1.doc_id
          |  HAVING least(s1.doc_id, coalesce(min(r.bb), s1.doc_id)) = s1.doc_id),
-         |s2 AS (SELECT f.* FROM s1 f JOIN reps USING (doc_id)),
+         |s2 AS (SELECT f.* FROM s1 f JOIN reps USING (doc_id))""".stripMargin
+  }
+
+  /** The shared one-shot curation oracle (c1 AND c2 — incremental
+    * processing must be indistinguishable from a union recompute).
+    */
+  private def curationOracle: String = {
+      s"""WITH RECURSIVE
+         |${curationS2Ctes("TRUE")},
          |pk AS (SELECT doc_id, doc_id % 8 AS shard,
          |        CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
          |       FROM s2),
@@ -6355,7 +6437,7 @@ object Battery {
     x25LmScore, x26DsirScore, x27SlidingChunks, x28PmiCollocations,
     x29LeakageSplits, x30Bm25, x31BpeTrain, x32ByteBpeCount, x33RrfFusion,
     x34KAnonymity, x35HtmlExtract, c1Curation, c2Incremental,
-    c3Report, stIncrementalCuration,
+    c3Report, stIncrementalCuration, stCurateThenIndex,
     n2AnnLsh, n3EmbNearDup, n4AnnIvf, n5PqQuantize, n6KmeansFit, n7SemanticDedup,
     n8SqQuantize, n9BinaryQuantize, n10MmrRerank, n11IncrementalSemDedup,
     n12IncrementalIvf, n13ReindexedIvf, x36IncrementalBm25,

@@ -319,6 +319,62 @@ object Streaming {
         df.sparkSession, df, idCol, textCol, stateDir, batchId, cfg)
     }
 
+  /** Streaming CURATE → INDEX composition — the full production loop a
+    * continuously-ingested training corpus runs: every document shard
+    * landing in `watchDir` is, inside ONE guarded micro-batch,
+    *
+    *  1. folded into the incremental curation state
+    *     (`<stateDir>/curate`, [[graft.ops.IncrementalCurateOps]]);
+    *  2. its curation-KEPT documents tokenized into the BM25 index
+    *     state (`<stateDir>/index`,
+    *     [[graft.ops.IncrementalIndexOps.ingestTextShard]]);
+    *  3. documents the shard DEMOTED retracted from the index by
+    *     tombstone ([[graft.ops.IncrementalIndexOps.deleteTextDocs]]) —
+    *     a new shard can merge two earlier near-dup clusters, demoting
+    *     an already-indexed doc; append-only composition would leave it
+    *     searchable forever.
+    *
+    * After every drain, [[graft.ops.IncrementalIndexOps.bm25Search]]
+    * over `<stateDir>/index` is row-identical to a one-shot
+    * curate-then-index over everything ever streamed (the
+    * `st_curate_then_index` battery row pins this hash-exact against
+    * the composed DuckDB oracle). The demotion pass feeds the ENTIRE
+    * current non-rep set each batch — already-tombstoned and
+    * never-indexed ids are exact no-ops, so no per-batch demotion diff
+    * needs tracking. All three steps are idempotent per effective batch
+    * id, so the harness's crash/replay machinery covers the composition
+    * unchanged.
+    */
+  def curateAndIndexIngest(spark: SparkSession, watchDir: String,
+      schema: StructType, checkpoint: String, stateDir: String,
+      idCol: String, textCol: String,
+      cfg: graft.ops.IncrementalCurateOps.CurateConfig =
+        graft.ops.IncrementalCurateOps.CurateConfig()): Unit = {
+    val curateDir = s"$stateDir/curate"
+    val indexDir = s"$stateDir/index"
+    stateIngest(spark, watchDir, schema, checkpoint, curateDir,
+      graft.ops.IncrementalCurateOps.CoreTables, idCol) { (df, batchId) =>
+      val s = df.sparkSession
+      graft.ops.IncrementalCurateOps.ingestShard(
+        s, df, idCol, textCol, curateDir, batchId, cfg)
+      // the freshest fold of the corpus-wide cluster map — ingestShard
+      // just landed (or had already landed) batchId, so its snapshot is
+      // committed
+      val nonReps = s.read
+        .parquet(s"$curateDir/clusters/batch=$batchId")
+        .select(col("doc_id").as(idCol))
+      val shardKept = s.read
+        .parquet(s"$curateDir/docs/batch=$batchId")
+        .select(col("doc_id").as(idCol))
+        .join(nonReps, Seq(idCol), "left_anti")
+      graft.ops.IncrementalIndexOps.ingestTextShard(
+        s, df.join(shardKept, Seq(idCol), "left_semi"),
+        idCol, textCol, indexDir, batchId)
+      graft.ops.IncrementalIndexOps.deleteTextDocs(
+        s, nonReps, idCol, indexDir, batchId)
+    }
+  }
+
   /** Streaming inverted-index maintenance: the [[stateIngest]] harness
     * around [[graft.ops.IncrementalIndexOps.ingestTextShard]] — each
     * document shard landing in `watchDir` is tokenized once into the
