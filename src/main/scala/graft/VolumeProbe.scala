@@ -156,7 +156,31 @@ object VolumeProbe {
     "x31_bpe_train", "tw_windowed_topk", "st_windowed_topk",
     "m9_png_decode", "m10_png_resize", "x35_html_extract",
     "c2_incremental_curation", "m11_image_neardup",
-    "x36_incremental_bm25")
+    "x36_incremental_bm25",
+    "m12_incremental_image_neardup", "n11_incremental_semdedup",
+    "n12_incremental_ivf")
+  // Round-16 wave — the incremental state family's remaining
+  // modalities, probed through the same laws their one-shot twins
+  // established. m12 (shares m11's replica0-pair-identity law): each
+  // replica derives DIFFERENT images (the pixel law reads the shifted
+  // id), so pairs entirely inside replica 0 must equal the base pair
+  // set exactly while the banded state join runs at 10× the stored
+  // index. n11 (default exact ×factor): semanticDedupView emits ONE
+  // row per ingested vector unconditionally, so rows scale exactly
+  // ×factor — the content itself re-clusters (replica vectors are
+  // byte-identical, so cross-replica cliques merge components and the
+  // 10× codebook is fit on a different shard split), which is precisely
+  // the state machinery under stress, pinned by row arithmetic not
+  // vibe. n12 (query-closed): the query set is `vec_id < 10` — only
+  // replica 0 qualifies after key remapping — so rows stay EXACTLY the
+  // base count (10 queries × k) while the probed cell join runs
+  // against a 10× postings state; fewer or more rows means the
+  // accumulated-state probe join broke. x37 (tombstones) is NOT probed:
+  // its deletion set keys on doc_id % 13, which does not divide the
+  // replica offset, so clone deletion membership differs by replica and
+  // no closed-form law exists — the tombstone arithmetic is
+  // oracle-pinned at sf0.01 instead (x37), and its state machinery is
+  // x36's plus one anti-join.
   // c2 (default dedup-invariant law, with c1): replicas are
   // byte-identical text, so the exact-dedup stage of the INCREMENTAL
   // path also collapses every clone set to its replica-0 member and
@@ -971,7 +995,15 @@ object VolumeProbe {
                 .where(col("body") =!= col("bbody")).count()
               Right((n, base.head._2, "clone-extraction-identity x" + factor,
                 n == base.head._2 * factor && bad == 0L))
-            } else if (name == "m11_image_neardup") {
+            } else if (name == "n12_incremental_ivf") {
+              // query-closed law: queries are vec_id < 10 (replica 0
+              // only), so the output is exactly the base row count —
+              // what scales 10× is the probed cell state behind it
+              val n = fn(spark, outDir).count()
+              val b = base.head._2
+              Right((n, b, "query-closed rows==base", n == b))
+            } else if (name == "m11_image_neardup" ||
+                name == "m12_incremental_image_neardup") {
               val big = fn(spark, outDir)
               val n = big.count()
               val basePairs = fn(spark, srcDir).select("doc_a", "doc_b")
