@@ -107,6 +107,41 @@ object Bench {
     }
   }
 
+  /** Run one family in a fresh child JVM (the [[runForked]] machinery
+    * for a single family) and return its record, or an error string.
+    * Used by the DEFAULT sweep for the kf family: its >5 s queries have
+    * inherited 1.5-2× of longitudinal noise from whatever JIT/GC/cache
+    * state ~190 earlier queries left in the shared JVM (three rounds of
+    * BENCH_NOTES adjudications attribute every kf "regression" to
+    * contention, never plan cost) — a per-family cold JVM removes that
+    * noise at the cost of one Spark startup. Disable with
+    * SPARK_GRAFT_BENCH_FORK_FAMILIES="" (or pick other families).
+    */
+  private def forkFamily(names: Seq[String], baseline: String):
+      Either[String, com.fasterxml.jackson.databind.JsonNode] = {
+    import scala.jdk.CollectionConverters._
+    val out = java.nio.file.Files.createTempFile("bench_fork_fam", ".json")
+    val javaBin = new java.io.File(
+      new java.io.File(sys.props("java.home"), "bin"), "java").getAbsolutePath
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala.toSeq
+    val cmd = (Seq(javaBin) ++ jvmArgs ++
+      Seq("-cp", sys.props("java.class.path"), "graft.Bench")).asJava
+    val pb = new ProcessBuilder(cmd)
+    pb.environment().remove("SPARK_GRAFT_BENCH_FORK")
+    pb.environment().put("SPARK_GRAFT_BENCH_FORK_FAMILIES", "")
+    pb.environment().put("SPARK_GRAFT_BENCH_ONLY", names.sorted.mkString(","))
+    pb.environment().put("SPARK_GRAFT_BENCH_OUT", out.toString)
+    pb.environment().put("SPARK_GRAFT_BENCH_BASELINE", baseline)
+    pb.redirectOutput(ProcessBuilder.Redirect.INHERIT)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val exit = pb.start().waitFor()
+    if (exit != 0 || !java.nio.file.Files.exists(out) ||
+        java.nio.file.Files.size(out) == 0) Left(s"fork exited $exit")
+    else Right(new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(out)))
+  }
+
   def main(args: Array[String]): Unit = {
     if (sys.env.get("SPARK_GRAFT_BENCH_FORK").contains("1")) { runForked(); return }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -130,6 +165,21 @@ object Bench {
         else Map.empty
       }
     } catch { case _: Exception => Map.empty }
+    // Forked-by-default families (ask of three straight rounds of kf_*
+    // longitudinal noise): measured in their OWN cold JVM before this
+    // one builds its session, merged into the single record below.
+    // Skipped automatically when SPARK_GRAFT_BENCH_ONLY restricts the
+    // sweep (adjudication re-measures must share the suspect's JVM).
+    val forkFams = sys.env.getOrElse("SPARK_GRAFT_BENCH_FORK_FAMILIES", "kf")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    val forkNames =
+      if (sys.env.get("SPARK_GRAFT_BENCH_ONLY").isDefined) Seq.empty[String]
+      else SparkEntry.queries.keys.toSeq.filter(n => forkFams(family(n)))
+    val forkRec: Either[String, com.fasterxml.jackson.databind.JsonNode] =
+      if (forkNames.isEmpty) Left("disabled")
+      else forkFamily(forkNames, sys.env.getOrElse(
+        "SPARK_GRAFT_BENCH_BASELINE",
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -209,6 +259,8 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filterNot { case (name, _) =>
+        forkNames.nonEmpty && forkRec.isRight && forkNames.contains(name) }
     val results = selected.map { case (name, fn) =>
       def once(recordFailure: Boolean): Double = {
         val t0 = System.nanoTime()
@@ -275,22 +327,46 @@ object Bench {
     // otherwise emit `0,1234` and break the JSON line.
     def num(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
-    def obj(f: (String, Seq[Double]) => Double): String = results
-      .map { case (k, ts) => "\"" + k + "\":" + num(f(k, ts)) }
-      .mkString("{", ",", "}")
-    val qs = obj(adjMin)
+    // entries from the forked family's child record, merged verbatim
+    // into the same maps (the child already self-adjudicated)
+    def forkEntries(field: String): Seq[(String, String)] =
+      forkRec.toSeq.flatMap { rec =>
+        import scala.jdk.CollectionConverters._
+        Option(rec.get(field)).toSeq.flatMap(_.properties().asScala
+          .map(e => e.getKey -> e.getValue.toString).toSeq)
+      }
+    def obj(field: String, f: (String, Seq[Double]) => Double): String =
+      (results.map { case (k, ts) => k -> num(f(k, ts)) } ++
+        forkEntries(field)).sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+    val qs = obj("queries", adjMin)
     // relative spread: how far the worst run strayed from the best —
     // >1.0 means the round was contended and per-query deltas vs the
     // previous round are noise, not regressions
-    val spreads = obj((_, ts) => (ts.max - ts.min) / math.max(ts.min, 1e-9))
+    val spreads = obj("spreads",
+      (_, ts) => (ts.max - ts.min) / math.max(ts.min, 1e-9))
     val adjudication = {
       val rem = remeasured.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + num(v) }
         .mkString("{", ",", "}")
       s"""{"baseline_queries":${baselineMins.size},"suspects":${suspects.size},"shuffle_rerun":${num(shufRerun)},"remeasured":$rem}"""
     }
-    val total = results.map { case (k, ts) => adjMin(k, ts) }.sum
-    val errs = failures
+    val forkTotal = forkRec.toOption
+      .flatMap(r => Option(r.get("total_s"))).map(_.asDouble()).getOrElse(0.0)
+    val forkTotalNorm = forkRec.toOption
+      .flatMap(r => Option(r.get("total_normalized_s"))).map(_.asDouble())
+      .getOrElse(0.0)
+    val total = results.map { case (k, ts) => adjMin(k, ts) }.sum + forkTotal
+    val forkErrs: Seq[(String, String)] = (forkRec match {
+      case Left("disabled") => Seq.empty
+      case Left(err) => Seq("fork:" + forkFams.mkString("+") -> err)
+      case Right(rec) =>
+        import scala.jdk.CollectionConverters._
+        Option(rec.get("errors")).toSeq.flatMap(_.properties().asScala
+          .map(e => e.getKey -> e.getValue.asText()).toSeq)
+    })
+    val errs = (failures.toSeq ++ forkErrs)
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val calib =
@@ -308,15 +384,17 @@ object Bench {
     val shuffleRef = 0.174
     val cpuRatio = math.max(1.0, math.min(cpuPre, cpuPost) / cpuRef)
     val shuffleRatio = math.max(1.0, math.min(shufPre, shufPost) / shuffleRef)
-    val totalNorm = total / shuffleRatio
+    // the forked family normalizes by its OWN child canaries (its JVM,
+    // its machine window), the in-process sweep by this one's
+    val totalNorm = (total - forkTotal) / shuffleRatio + forkTotalNorm
     val norm =
-      s"""{"cpu_ref":${num(cpuRef)},"shuffle_ref":${num(shuffleRef)},"cpu_ratio":${num(cpuRatio)},"shuffle_ratio":${num(shuffleRatio)}}"""
+      s"""{"cpu_ref":${num(cpuRef)},"shuffle_ref":${num(shuffleRef)},"cpu_ratio":${num(cpuRatio)},"shuffle_ratio":${num(shuffleRatio)},"forked_families":"${if (forkNames.nonEmpty && forkRec.isRight) forkFams.toSeq.sorted.mkString(",") else ""}"}"""
     // headline fields ALSO at the END of the line: the driver's capture
     // can truncate long stdout from the front, and the per-query maps in
     // the middle are the bulky part — a tail-parse must still recover the
     // total and the error count without the full record
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spreads":$spreads,"errors":$errs,"calibration":$calib,"normalization":$norm,"adjudication":$adjudication,"runs":$runs,"sf":"$sfDir","total_s":${num(total)},"total_normalized_s":${num(totalNorm)},"n_errors":${failures.size}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spreads":$spreads,"errors":$errs,"calibration":$calib,"normalization":$norm,"adjudication":$adjudication,"runs":$runs,"sf":"$sfDir","total_s":${num(total)},"total_normalized_s":${num(totalNorm)},"n_errors":${failures.size + forkErrs.size}}"""
     println(line)
     // Also persist the record: stdout of a long run can be tail-truncated
     // by the harness (round 6 lost the per-query minima that way); the
