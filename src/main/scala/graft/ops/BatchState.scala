@@ -63,9 +63,15 @@ private[graft] object BatchState {
               "state directory. If the holder crashed (stale lease), " +
               "verify it is gone and call BatchState.breakLease.", e)
         }
-      try out.write((s"pid=${ProcessHandle.current().pid()} " +
-        s"taken_ms=${System.currentTimeMillis()}").getBytes("UTF-8"))
-      finally out.close()
+      // a failed metadata write must not orphan the just-created lease
+      // (the holder is alive and healthy — nothing would ever release it)
+      try {
+        try out.write((s"pid=${ProcessHandle.current().pid()} " +
+          s"taken_ms=${System.currentTimeMillis()}").getBytes("UTF-8"))
+        finally out.close()
+      } catch {
+        case e: Throwable => fs.delete(lease, false); throw e
+      }
       heldLeases.put(key, Thread.currentThread())
       try body
       finally {
@@ -116,6 +122,45 @@ private[graft] object BatchState {
       import org.apache.spark.sql.functions.{col, max}
       Some(spark.read.parquet(dirs.map(_.toString): _*)
         .agg(max(col("effective_id"))).head.getLong(0))
+    }
+  }
+
+  /** Deterministically map an EXTERNALLY-assigned batch id (a streaming
+    * harness's effective id) into this root's OWN ascending id space,
+    * persisted under `<root>/_input/batch=<extId>` — the same
+    * promise-ledger shape the harness keeps for its primary root, so
+    * that (a) a replay of the external id reuses the recorded mapping
+    * (idempotence), and (b) [[compactState]] on this root reads the
+    * ledger for its promise ceiling and can never land a merged batch
+    * on a mapped id — the silent-absorption hazard any secondary root
+    * of a composed ingest (curate → index) would otherwise inherit the
+    * moment an operator compacts it between drains. Entries for older
+    * external ids are retired on each new mapping (the engine only ever
+    * replays the last micro-batch).
+    */
+  def mapExternalBatchId(spark: SparkSession, root: String, extId: Long,
+      tables: Seq[String]): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fpDir = s"$root/_input/batch=$extId"
+    val fs = new Path(fpDir).getFileSystem(conf)
+    if (fs.exists(new Path(s"$fpDir/_SUCCESS")))
+      spark.read.parquet(fpDir).head.getAs[Long]("effective_id")
+    else {
+      val floor = math.max(
+        landedBatchIds(spark, root, tables, None).lastOption
+          .getOrElse(Long.MinValue),
+        maxPromisedEffectiveId(spark, root).getOrElse(Long.MinValue))
+      val own = if (floor == Long.MinValue) extId else floor + 1
+      import spark.implicits._
+      Seq(own).toDF("effective_id").coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(fpDir)
+      inputLedgerDirs(spark, root)
+        .map(_.getName.stripPrefix("batch="))
+        .flatMap(s => scala.util.Try(s.toLong).toOption)
+        .filter(_ < extId)
+        .foreach(old =>
+          fs.delete(new Path(s"$root/_input/batch=$old"), true))
+      own
     }
   }
 
@@ -389,11 +434,11 @@ private[graft] object BatchState {
       spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new Path(s"$dir/_SUCCESS"))) {
       val stored = readParams(spark, stateDir)
-      // "generation" is reserved provenance (which codebook refit
-      // produced this directory — written by the reindex operators,
-      // never passed by ingests), not an operator knob: it must not
-      // trip the drift guard
-      require(stored - "generation" == params - "generation",
+      // reserved PROVENANCE keys (written by the reindex operators,
+      // never passed by ingests — which refit produced this directory
+      // and on what sample) are not operator knobs: they must not trip
+      // the drift guard; the reindexers check them explicitly
+      require(stored -- ReservedParamKeys == params -- ReservedParamKeys,
         s"state at $stateDir was ingested with parameters $stored, " +
           s"but this ingest uses $params; mixed-parameter state would " +
           "silently diverge from the one-shot operator — use a new " +
@@ -425,6 +470,8 @@ private[graft] object BatchState {
     }
     readCodebook(spark, stateDir)
   }
+
+  private[graft] val ReservedParamKeys = Set("generation", "refit_sample")
 
   /** The recorded operator parameters of a state directory (empty when
     * none were ever recorded).

@@ -300,11 +300,20 @@ object IncrementalDedupOps {
           s"sampleFraction in (0, 1], got $sampleFraction")
         val landedOld = landedBatchIds(spark, oldStateDir, EmbTables, None)
         require(landedOld.nonEmpty, s"no landed batches under $oldStateDir")
-        require(
-          landedBatchIds(spark, newStateDir, EmbTables, None).isEmpty &&
-            !BatchState.hasCodebook(spark, newStateDir),
-          s"$newStateDir already holds state; reindex lands into a " +
-            "FRESH directory so readers cut over atomically")
+        // FRESH means no landed batches — a codebook/params remnant of a
+        // CRASHED prior reindex is retry-safe (deterministic fit over
+        // the same stored vectors), if the retry's sample matches
+        require(landedBatchIds(spark, newStateDir, EmbTables, None).isEmpty,
+          s"$newStateDir already holds landed batches; reindex lands " +
+            "into a FRESH directory so readers cut over atomically")
+        val prior = BatchState.readParams(spark, newStateDir)
+        require(prior.get("refit_sample")
+            .forall(_ == sampleFraction.toString),
+          s"$newStateDir holds a crashed prior reindex fit on " +
+            s"sampleFraction ${prior.get("refit_sample").get}, but this " +
+            s"retry uses $sampleFraction — its committed codebook would " +
+            "be silently reused; delete the directory to change the " +
+            "sample")
         val stored = readBatches(spark, oldStateDir, "assign", landedOld).get
           .select(col("id"), col("v"))
         val fitSet =
@@ -317,7 +326,8 @@ object IncrementalDedupOps {
         BatchState.ensureParams(spark, newStateDir, Map(
           "k" -> k.toString, "iters" -> iters.toString,
           "threshold" -> threshold.toString,
-          "generation" -> generation.toString))
+          "generation" -> generation.toString,
+          "refit_sample" -> sampleFraction.toString))
         val cents = BatchState.ensureCodebook(spark, newStateDir, 0L) {
           SimilarityOps.kmeansFit(fitSet, "id", "v", k, iters)._1
         }

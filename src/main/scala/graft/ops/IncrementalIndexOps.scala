@@ -122,7 +122,11 @@ object IncrementalIndexOps {
   private[graft] val DelTables =
     Seq("del_ids", "del_tokstats", "del_globals")
 
-  private def delDir(stateDir: String): String = s"$stateDir/_deletes"
+  /** The deletion ledger's own BatchState root. */
+  private[graft] def deletionRoot(stateDir: String): String =
+    s"$stateDir/_deletes"
+
+  private def delDir(stateDir: String): String = deletionRoot(stateDir)
 
   /** Retract documents from the inverted-index state — the curation
     * composition (dedup losers, takedowns) that an append-only index
@@ -144,7 +148,13 @@ object IncrementalIndexOps {
     */
   def deleteTextDocs(spark: SparkSession, dels: DataFrame, idCol: String,
       stateDir: String, batchId: Long): Unit =
+    // BOTH leases: the parent's (mutual exclusion with ingest and with
+    // the main-table compaction) and the deletion root's own (mutual
+    // exclusion with compactState(delDir), which holds only that one —
+    // without it a landing tombstone batch could be destroyed as a
+    // "crashed prior attempt" by a concurrent delete-ledger compaction)
     BatchState.withLease(spark, stateDir) {
+      BatchState.withLease(spark, delDir(stateDir)) {
       if (!BatchState.allLanded(spark, delDir(stateDir), DelTables, batchId)) {
         val landed = landedBatchIds(spark, stateDir, Bm25Tables, None)
         require(landed.nonEmpty,
@@ -177,6 +187,7 @@ object IncrementalIndexOps {
             delDir(stateDir), "del_globals", batchId)
         } finally delPostings.unpersist(blocking = false)
       }
+      }
     }
 
   /** BM25 top-k over the accumulated index — row-identical to
@@ -194,7 +205,9 @@ object IncrementalIndexOps {
     require(k >= 1 && k <= 1000, s"k in 1..1000, got $k")
     val landed = landedBatchIds(spark, stateDir, Bm25Tables, None)
     require(landed.nonEmpty, s"no landed batches under $stateDir")
-    val delLanded = landedBatchIds(spark, delDir(stateDir), DelTables, None)
+    val delLanded =
+      if (!hasDeletions(spark, stateDir)) Seq.empty[Long]
+      else landedBatchIds(spark, delDir(stateDir), DelTables, None)
     val deleted = readBatches(spark, delDir(stateDir), "del_ids", delLanded)
     def live(df: DataFrame): DataFrame = deleted match {
       case Some(d) => df.join(d, Seq("id"), "left_anti")
@@ -237,9 +250,18 @@ object IncrementalIndexOps {
     // the deletion ledger is its own BatchState root (own batch ids,
     // own manifest) and compacts independently — tombstone ids and
     // negative deltas are additive facts like everything else
-    if (landedBatchIds(spark, delDir(stateDir), DelTables, None).nonEmpty)
+    if (hasDeletions(spark, stateDir))
       BatchState.compactState(spark, delDir(stateDir),
         additiveTables = DelTables)
+  }
+
+  /** One `exists` probe instead of three `globStatus` + a manifest read
+    * on the hot search path — the overwhelmingly common state directory
+    * never had a deletion, and its searches must stay constant-RPC.
+    */
+  private def hasDeletions(spark: SparkSession, stateDir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(delDir(stateDir))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   // -------------------------------------------------------------- IVF
@@ -319,11 +341,22 @@ object IncrementalIndexOps {
           s"sampleFraction in (0, 1], got $sampleFraction")
         val landedOld = landedBatchIds(spark, oldStateDir, IvfTables, None)
         require(landedOld.nonEmpty, s"no landed batches under $oldStateDir")
-        require(
-          landedBatchIds(spark, newStateDir, IvfTables, None).isEmpty &&
-            !BatchState.hasCodebook(spark, newStateDir),
-          s"$newStateDir already holds state; reindex lands into a " +
-            "FRESH directory so readers cut over atomically")
+        // FRESH means no landed batches — a codebook/params remnant of a
+        // CRASHED prior reindex is fine to retry over (the fit is
+        // deterministic on the same stored vectors, so the committed
+        // codebook is the one this run would produce), as long as the
+        // retry's sample matches the one that fit it
+        require(landedBatchIds(spark, newStateDir, IvfTables, None).isEmpty,
+          s"$newStateDir already holds landed batches; reindex lands " +
+            "into a FRESH directory so readers cut over atomically")
+        val prior = BatchState.readParams(spark, newStateDir)
+        require(prior.get("refit_sample")
+            .forall(_ == sampleFraction.toString),
+          s"$newStateDir holds a crashed prior reindex fit on " +
+            s"sampleFraction ${prior.get("refit_sample").get}, but this " +
+            s"retry uses $sampleFraction — its committed codebook would " +
+            "be silently reused; delete the directory to change the " +
+            "sample")
         val stored = readBatches(spark, oldStateDir, "cells", landedOld).get
           .select(col("cid"), col("cv"))
         val fitSet =
@@ -335,7 +368,8 @@ object IncrementalIndexOps {
           .get("generation").map(_.toLong).getOrElse(0L) + 1
         BatchState.ensureParams(spark, newStateDir, Map(
           "nCells" -> nCells.toString, "iters" -> iters.toString,
-          "generation" -> generation.toString))
+          "generation" -> generation.toString,
+          "refit_sample" -> sampleFraction.toString))
         val cents = BatchState.ensureCodebook(spark, newStateDir, 0L) {
           SimilarityOps.kmeansFit(fitSet, "cid", "cv", nCells, iters)._1
         }

@@ -354,25 +354,49 @@ object Streaming {
     val indexDir = s"$stateDir/index"
     stateIngest(spark, watchDir, schema, checkpoint, curateDir,
       graft.ops.IncrementalCurateOps.CoreTables, idCol) { (df, batchId) =>
-      val s = df.sparkSession
-      graft.ops.IncrementalCurateOps.ingestShard(
-        s, df, idCol, textCol, curateDir, batchId, cfg)
-      // the freshest fold of the corpus-wide cluster map — ingestShard
-      // just landed (or had already landed) batchId, so its snapshot is
-      // committed
-      val nonReps = s.read
-        .parquet(s"$curateDir/clusters/batch=$batchId")
-        .select(col("doc_id").as(idCol))
-      val shardKept = s.read
-        .parquet(s"$curateDir/docs/batch=$batchId")
-        .select(col("doc_id").as(idCol))
-        .join(nonReps, Seq(idCol), "left_anti")
-      graft.ops.IncrementalIndexOps.ingestTextShard(
-        s, df.join(shardKept, Seq(idCol), "left_semi"),
-        idCol, textCol, indexDir, batchId)
-      graft.ops.IncrementalIndexOps.deleteTextDocs(
-        s, nonReps, idCol, indexDir, batchId)
+      curateAndIndexBatch(df, batchId, curateDir, indexDir, idCol,
+        textCol, cfg)
     }
+  }
+
+  /** One composed curate → index micro-batch (the closure
+    * [[curateAndIndexIngest]] runs — extracted so crash/replay/
+    * compaction interleavings can be driven directly in specs).
+    * Idempotent per effective batch id across ALL THREE state roots:
+    * each sub-op no-ops on its own directory ledger, and the index and
+    * deletion roots map the harness id into their own ascending id
+    * spaces through persisted promise ledgers
+    * ([[graft.ops.BatchState.mapExternalBatchId]]) — so compacting any
+    * root between drains can never land its merged batch on the id the
+    * next micro-batch will use (the silent-absorption hazard the
+    * primary root's `_input` ledger already closes for curation).
+    */
+  private[graft] def curateAndIndexBatch(df: DataFrame, batchId: Long,
+      curateDir: String, indexDir: String, idCol: String, textCol: String,
+      cfg: graft.ops.IncrementalCurateOps.CurateConfig): Unit = {
+    val s = df.sparkSession
+    graft.ops.IncrementalCurateOps.ingestShard(
+      s, df, idCol, textCol, curateDir, batchId, cfg)
+    // the freshest fold of the corpus-wide cluster map — ingestShard
+    // just landed (or had already landed) batchId, so its snapshot is
+    // committed
+    val nonReps = s.read
+      .parquet(s"$curateDir/clusters/batch=$batchId")
+      .select(col("doc_id").as(idCol))
+    val shardKept = s.read
+      .parquet(s"$curateDir/docs/batch=$batchId")
+      .select(col("doc_id").as(idCol))
+      .join(nonReps, Seq(idCol), "left_anti")
+    val idxId = graft.ops.BatchState.mapExternalBatchId(
+      s, indexDir, batchId, graft.ops.IncrementalIndexOps.Bm25Tables)
+    graft.ops.IncrementalIndexOps.ingestTextShard(
+      s, df.join(shardKept, Seq(idCol), "left_semi"),
+      idCol, textCol, indexDir, idxId)
+    val delRoot = graft.ops.IncrementalIndexOps.deletionRoot(indexDir)
+    val delId = graft.ops.BatchState.mapExternalBatchId(
+      s, delRoot, batchId, graft.ops.IncrementalIndexOps.DelTables)
+    graft.ops.IncrementalIndexOps.deleteTextDocs(
+      s, nonReps, idCol, indexDir, delId)
   }
 
   /** Streaming inverted-index maintenance: the [[stateIngest]] harness
@@ -454,14 +478,17 @@ object Streaming {
     * holds the lease and knows the landed set exactly). The replay path
     * keys on it: a confirmed entry SKIPS (its data is in state, even if
     * compaction has since retired the original batch directory); an
-    * unconfirmed entry whose batch is fully landed is confirmed and
-    * skipped (the crash hit between ingest and confirmation); an
-    * unconfirmed entry whose batch is absent re-ingests — under its
-    * recorded effective id when that id space is still open, or under a
-    * fresh id (ledger rewritten) when compaction moved past it. Without
-    * the promise-aware compaction id and this confirmation, a crash
-    * between the ledger write and the ingest followed by a compaction
-    * would silently no-op the replayed micro-batch's data away.
+    * UNCONFIRMED entry always re-runs the closure — every ingest op
+    * no-ops on its own directory ledger, so re-running a fully-landed
+    * batch is free, while a landed-check shortcut would silently drop
+    * whatever a composed closure does beyond the core tables. The
+    * recorded effective id is kept while the core tables vouch for it
+    * or its id space is still open; only a compaction that moved the
+    * landed set past an unlanded promise forces a fresh id (ledger
+    * rewritten). Without the promise-aware compaction id and this
+    * confirmation, a crash between the ledger write and the ingest
+    * followed by a compaction would silently no-op the replayed
+    * micro-batch's data away.
     *
     * Three guards (all LOUD):
     *
@@ -528,7 +555,15 @@ object Streaming {
           "renumbered batches would be silently absorbed as replays. " +
           "Start a new state directory or restore the matching " +
           "checkpoint.")
-      require(recorded.nonEmpty || ckptId == 0,
+      val fpDir = s"$stateDir/_input/batch=$ckptId"
+      val fpPath = new org.apache.hadoop.fs.Path(fpDir)
+      // an UNCOMMITTED entry dir at this ckpt id is a crashed ledger
+      // (re)write of this very micro-batch — not a lost state dir; the
+      // fresh path below recomputes and overwrites it, so a healthy
+      // stream is never wedged by its own crash window
+      val crashedEntry = fs.exists(fpPath) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(fpPath, "_SUCCESS"))
+      require(recorded.nonEmpty || ckptId == 0 || crashedEntry,
         s"micro-batch $ckptId arrived against an EMPTY input ledger at " +
           s"$stateDir — the state directory was lost or relocated " +
           "while the checkpoint survived; continuing would land new " +
@@ -547,8 +582,6 @@ object Streaming {
       val fp = Seq(agg.getLong(0),
         if (agg.isNullAt(1)) 0L else agg.getLong(1),
         if (agg.isNullAt(2)) 0L else agg.getLong(2))
-      val fpDir = s"$stateDir/_input/batch=$ckptId"
-      val fpPath = new org.apache.hadoop.fs.Path(fpDir)
       def newestLanded: Long = graft.ops.BatchState
         .landedBatchIds(s, stateDir, coreTables, None).lastOption
         .getOrElse(-1L)
@@ -581,15 +614,21 @@ object Streaming {
         val storedEff = stored.getAs[Long]("effective_id")
         if (fs.exists(new org.apache.hadoop.fs.Path(fpPath, "_LANDED"))) {
           -1L // confirmed: in state, even if since compacted away
-        } else if (graft.ops.BatchState.allLanded(
-            s, stateDir, coreTables, storedEff)) {
-          confirm(); -1L // landed; the crash hit before the confirmation
         } else {
-          // a true crash-mid-ingest: re-ingest — under the recorded id
-          // while its id space is still open, under a fresh one when
-          // compaction has moved the landed set past it
+          // an unconfirmed replay ALWAYS re-runs the closure — every
+          // ingest op no-ops on its own directory ledger, so re-running
+          // a fully-landed batch is free, while skipping on a
+          // core-tables-only landed check would silently drop whatever
+          // a COMPOSED closure does beyond the core tables (curate
+          // landed, index not — the crash hit between them). The
+          // recorded id is kept while the core tables still vouch for
+          // it or its id space is open; only a compaction that moved
+          // the landed set past an unlanded promise forces a fresh id.
           val eff =
-            if (newestLanded < storedEff) storedEff else newestLanded + 1
+            if (graft.ops.BatchState.allLanded(
+                s, stateDir, coreTables, storedEff) ||
+              newestLanded < storedEff) storedEff
+            else newestLanded + 1
           if (eff != storedEff) writeEntry(eff)
           ingest(df, eff)
           confirm()
