@@ -255,6 +255,17 @@ private[graft] object BatchState {
     finally out.close()
   }
 
+  /** Current manifest version of a state directory (0 when none) —
+    * monotonically increasing across compactions; the purge protocol
+    * uses "version ≥ V" as its crash-safe commit arbiter.
+    */
+  private[graft] def manifestVersion(spark: SparkSession,
+      stateDir: String): Long = {
+    val dir = new Path(s"$stateDir/_manifest")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) 0L else readManifestVersion(fs, dir)
+  }
+
   private def readManifestVersion(fs: org.apache.hadoop.fs.FileSystem,
       dir: Path): Long =
     fs.listStatus(dir).toSeq.flatMap(st =>
@@ -301,14 +312,23 @@ private[graft] object BatchState {
     * silently no-op'd. Entries whose promised batch DID land are
     * stamped `_LANDED` first ([[confirmLandedInputs]]), so replays of
     * confirmed work skip instead of re-ingesting post-retirement.
+    *
+    * `transform` lets a caller rewrite each table's merged content on
+    * the way through (the tombstone PURGE passes an anti-join /
+    * stats-recompute here); it runs inside the same crash-safe staging,
+    * so a transformed compaction is exactly as atomic as a plain one.
+    * `forceRewrite` runs the merge even at ≤1 landed batch — needed
+    * when the rewrite itself (not the dir count) is the point.
     */
   def compactState(spark: SparkSession, stateDir: String,
-      additiveTables: Seq[String], snapshotTables: Seq[String] = Seq.empty):
+      additiveTables: Seq[String], snapshotTables: Seq[String] = Seq.empty,
+      transform: (String, DataFrame) => DataFrame = (_, df) => df,
+      forceRewrite: Boolean = false):
       Unit = withLease(spark, stateDir) {
     val tables = additiveTables ++ snapshotTables
     val landed = landedBatchIds(spark, stateDir, tables, None)
     confirmLandedInputs(spark, stateDir, landed.toSet)
-    if (landed.size <= 1) {
+    if (landed.size <= 1 && !forceRewrite) {
       // heal the step-3/step-4 crash window of a PRIOR run: the
       // manifest flipped but markers were never restored — a bare
       // retry must finish the protocol, not just garbage-collect
@@ -325,7 +345,8 @@ private[graft] object BatchState {
         val src =
           if (additiveTables.contains(t)) landed
           else Seq(landed.max) // snapshot: newest already folds all history
-        spark.read.parquet(src.map(k => s"$stateDir/$t/batch=$k"): _*)
+        transform(t,
+          spark.read.parquet(src.map(k => s"$stateDir/$t/batch=$k"): _*))
           .write.mode(SaveMode.Overwrite).parquet(staged.toString)
         fs.delete(new Path(staged, "_SUCCESS"), false)
         val dest = new Path(s"$stateDir/$t/batch=$c")

@@ -155,6 +155,7 @@ object IncrementalIndexOps {
     // "crashed prior attempt" by a concurrent delete-ledger compaction)
     BatchState.withLease(spark, stateDir) {
       BatchState.withLease(spark, delDir(stateDir)) {
+      healPurge(spark, stateDir)
       if (!BatchState.allLanded(spark, delDir(stateDir), DelTables, batchId)) {
         val landed = landedBatchIds(spark, stateDir, Bm25Tables, None)
         require(landed.nonEmpty,
@@ -207,6 +208,9 @@ object IncrementalIndexOps {
     require(landed.nonEmpty, s"no landed batches under $stateDir")
     val delLanded =
       if (!hasDeletions(spark, stateDir)) Seq.empty[Long]
+      // a committed-but-unretired purge already folded every delta into
+      // the merged tables — the surviving tombstones must NOT re-apply
+      else if (purgeCommitted(spark, stateDir)) Seq.empty[Long]
       else landedBatchIds(spark, delDir(stateDir), DelTables, None)
     val deleted = readBatches(spark, delDir(stateDir), "del_ids", delLanded)
     def live(df: DataFrame): DataFrame = deleted match {
@@ -245,15 +249,32 @@ object IncrementalIndexOps {
     * manifest protocol and [[IncrementalCurateOps.compact]] for when to
     * run it.
     */
-  def compactText(spark: SparkSession, stateDir: String): Unit = {
-    BatchState.compactState(spark, stateDir, additiveTables = Bm25Tables)
-    // the deletion ledger is its own BatchState root (own batch ids,
-    // own manifest) and compacts independently — tombstone ids and
-    // negative deltas are additive facts like everything else
-    if (hasDeletions(spark, stateDir))
-      BatchState.compactState(spark, delDir(stateDir),
-        additiveTables = DelTables)
-  }
+  def compactText(spark: SparkSession, stateDir: String): Unit =
+    BatchState.withLease(spark, stateDir) {
+      // hasDeletions is stable here: every deletion writer takes the
+      // main lease first. Taking the deletion-root lease eagerly would
+      // CREATE `_deletes` and make every pristine directory pay the
+      // deletion listing on all future searches.
+      if (!hasDeletions(spark, stateDir))
+        BatchState.compactState(spark, stateDir,
+          additiveTables = Bm25Tables)
+      else BatchState.withLease(spark, delDir(stateDir)) {
+        // finish/discard any crashed purge FIRST — in particular a
+        // stale (uncommitted) purge marker must go before this
+        // compaction increments the manifest version it names, or the
+        // marker would falsely "commit" a purge that never ran
+        healPurge(spark, stateDir)
+        BatchState.compactState(spark, stateDir,
+          additiveTables = Bm25Tables)
+        // the deletion ledger is its own BatchState root (own batch
+        // ids, own manifest) and compacts independently — tombstone ids
+        // and negative deltas are additive facts like everything else
+        if (landedBatchIds(spark, delDir(stateDir), DelTables, None)
+            .nonEmpty)
+          BatchState.compactState(spark, delDir(stateDir),
+            additiveTables = DelTables)
+      }
+    }
 
   /** One `exists` probe instead of three `globStatus` + a manifest read
     * on the hot search path — the overwhelmingly common state directory
@@ -263,6 +284,141 @@ object IncrementalIndexOps {
     val p = new org.apache.hadoop.fs.Path(delDir(stateDir))
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
+
+  // ---- physical purge: reclaiming tombstoned postings
+
+  private def purgeMarker(stateDir: String) =
+    new org.apache.hadoop.fs.Path(s"${delDir(stateDir)}/.purged_at")
+
+  private def readPurgeMarker(spark: SparkSession,
+      stateDir: String): Option[Long] = {
+    val p = purgeMarker(stateDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in).mkString.trim.toLong)
+      finally in.close()
+    }
+  }
+
+  /** True iff a purge's main-table flip COMMITTED but its deletion-root
+    * retirement has not finished — the deltas are already folded into
+    * the merged tables, so a reader must ignore the surviving tombstone
+    * state. Read ordering matters and is load-bearing: the MAIN
+    * manifest version is read BEFORE the marker, while every writer
+    * deletes a stale marker BEFORE incrementing the version — so a
+    * version ≥ v observation implies any marker still visible is the
+    * committed purge's, never a stale one racing a plain compaction.
+    */
+  private def purgeCommitted(spark: SparkSession, stateDir: String): Boolean = {
+    val v = BatchState.manifestVersion(spark, stateDir)
+    readPurgeMarker(spark, stateDir).exists(v >= _)
+  }
+
+  /** Finish (or discard) a crashed purge — called by every writer under
+    * both leases before it acts: a COMMITTED purge's deletion root is
+    * retired (tables, ledger mirrors, marker — stale delete-side
+    * manifests too, so future deletion batches restart on a clean id
+    * space); an UNCOMMITTED purge's marker is deleted (its flip never
+    * happened; the deltas stay live, and leaving the marker would let
+    * an unrelated later compaction reach its version and falsely
+    * "commit" a purge whose transform never ran — resurrecting deleted
+    * documents).
+    */
+  private def healPurge(spark: SparkSession, stateDir: String): Unit = {
+    val marker = purgeMarker(stateDir)
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) {
+      if (purgeCommitted(spark, stateDir)) {
+        val root = new org.apache.hadoop.fs.Path(delDir(stateDir))
+        for (t <- DelTables)
+          fs.delete(new org.apache.hadoop.fs.Path(root, t), true)
+        fs.delete(new org.apache.hadoop.fs.Path(root, "_input"), true)
+        fs.delete(new org.apache.hadoop.fs.Path(root, "_params"), true)
+        // delete-side compaction manifests are stale history now; only
+        // the lease file (held by THIS caller) survives
+        val mdir = new org.apache.hadoop.fs.Path(root, "_manifest")
+        val kids = fs.listStatus(mdir)
+        if (kids != null) kids.foreach { st =>
+          if (st.getPath.getName != ".lease") fs.delete(st.getPath, true)
+        }
+        fs.delete(marker, false)
+      } else {
+        fs.delete(marker, false)
+      }
+    }
+  }
+
+  /** PHYSICALLY reclaim tombstoned documents: one transformed
+    * compaction that anti-joins the tombstone set out of
+    * postings/doclen and RECOMPUTES tokstats/globals from the
+    * survivors, then retires the whole deletion root — after which
+    * searches pay neither the anti-join nor the delta re-aggregation,
+    * and the bytes are actually gone (the logical tombstones of
+    * [[deleteTextDocs]] retract correctness-wise but keep paying
+    * storage and one anti-join per search forever).
+    *
+    * Crash-safe across the two roots via a commit ARBITER: the purge
+    * records the main manifest version its flip will create in
+    * `_deletes/.purged_at` BEFORE compacting; readers and writers then
+    * decide "deltas live" vs "deltas folded" by comparing the current
+    * main version against the marker ([[purgeCommitted]] — version
+    * read first, see there). A crash before the flip leaves the marker
+    * stale (discarded by the next writer); a crash after the flip
+    * leaves tombstones that every reader ignores and the next writer
+    * retires ([[healPurge]]). Use [[compactText]]/[[deleteTextDocs]]/
+    * this — never raw `BatchState.compactState` — on a BM25 state
+    * directory that has ever had deletions, so the healing always runs
+    * under the leases first.
+    */
+  def purgeText(spark: SparkSession, stateDir: String): Unit =
+    BatchState.withLease(spark, stateDir) {
+      // see compactText: never create `_deletes` on a pristine dir
+      if (!hasDeletions(spark, stateDir))
+        BatchState.compactState(spark, stateDir,
+          additiveTables = Bm25Tables)
+      else BatchState.withLease(spark, delDir(stateDir)) {
+        healPurge(spark, stateDir)
+        val delLanded =
+          landedBatchIds(spark, delDir(stateDir), DelTables, None)
+        if (delLanded.isEmpty)
+          BatchState.compactState(spark, stateDir,
+            additiveTables = Bm25Tables)
+        else {
+          val landed = landedBatchIds(spark, stateDir, Bm25Tables, None)
+          require(landed.nonEmpty, s"no landed batches under $stateDir")
+          val deleted = readBatches(spark, delDir(stateDir), "del_ids",
+            delLanded).get
+          def survivors(table: String) =
+            readBatches(spark, stateDir, table, landed).get
+              .join(deleted, Seq("id"), "left_anti")
+          val expected = BatchState.manifestVersion(spark, stateDir) + 1
+          val fs = purgeMarker(stateDir)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val out = fs.create(purgeMarker(stateDir), true)
+          try out.write(expected.toString.getBytes("UTF-8"))
+          finally out.close()
+          BatchState.compactState(spark, stateDir,
+            additiveTables = Bm25Tables,
+            transform = {
+              case ("postings", df) => df.join(deleted, Seq("id"), "left_anti")
+              case ("doclen", df) => df.join(deleted, Seq("id"), "left_anti")
+              case ("tokstats", _) => survivors("postings")
+                .groupBy(col("token")).agg(count(lit(1)).as("df"))
+              case ("globals", _) => survivors("doclen")
+                .agg(count(lit(1)).as("n_docs"),
+                  coalesce(sum(col("dl")), lit(0L)).as("totlen"))
+              case (_, df) => df
+            },
+            forceRewrite = true)
+          require(BatchState.manifestVersion(spark, stateDir) >= expected,
+            "purge flip did not reach its recorded arbiter version — " +
+              "state untouched, retry")
+          healPurge(spark, stateDir)
+        }
+      }
+    }
 
   // -------------------------------------------------------------- IVF
 
