@@ -326,13 +326,14 @@ object IncrementalIndexOps {
     * "commit" a purge whose transform never ran — resurrecting deleted
     * documents).
     */
-  private def healPurge(spark: SparkSession, stateDir: String): Unit = {
+  private def healPurge(spark: SparkSession, stateDir: String,
+      delTables: Seq[String] = DelTables): Unit = {
     val marker = purgeMarker(stateDir)
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(marker)) {
       if (purgeCommitted(spark, stateDir)) {
         val root = new org.apache.hadoop.fs.Path(delDir(stateDir))
-        for (t <- DelTables)
+        for (t <- delTables)
           fs.delete(new org.apache.hadoop.fs.Path(root, t), true)
         fs.delete(new org.apache.hadoop.fs.Path(root, "_input"), true)
         fs.delete(new org.apache.hadoop.fs.Path(root, "_params"), true)
@@ -462,12 +463,102 @@ object IncrementalIndexOps {
       stateDir, "cells", batchId)
   }
 
+  // IVF deletions carry no statistics (search is pure candidate
+  // ranking), so the tombstone root holds only the id set
+  private[graft] val VecDelTables = Seq("del_ids")
+
+  /** Retract vectors from the IVF index — the tombstone counterpart of
+    * [[deleteTextDocs]] for the vector modality, simpler because IVF
+    * search carries no corpus statistics: the deletion batch is just
+    * the id set, anti-joined against the accumulated cells at search.
+    * Same contracts: own BatchState root (`<stateDir>/_deletes`), own
+    * ascending batch ids, idempotent per (stateDir, batchId), unknown
+    * and already-tombstoned ids are exact no-ops, deletion is by id and
+    * permanent (ids are never reused).
+    */
+  def deleteVectors(spark: SparkSession, dels: DataFrame, idCol: String,
+      stateDir: String, batchId: Long): Unit =
+    BatchState.withLease(spark, stateDir) {
+      BatchState.withLease(spark, delDir(stateDir)) {
+        healPurge(spark, stateDir, VecDelTables)
+        if (!BatchState.allLanded(spark, delDir(stateDir), VecDelTables,
+            batchId)) {
+          val landed = landedBatchIds(spark, stateDir, IvfTables, None)
+          require(landed.nonEmpty,
+            s"no landed batches under $stateDir — nothing to delete from")
+          val delLanded =
+            landedBatchIds(spark, delDir(stateDir), VecDelTables, None)
+          requireInOrder(delLanded, batchId)
+          val asked = dels.select(col(idCol).as("id")).distinct()
+          val indexed = asked.join(
+            readBatches(spark, stateDir, "cells", landed).get
+              .select(col("cid").as("id")), Seq("id"), "left_semi")
+          val newDel = readBatches(spark, delDir(stateDir), "del_ids",
+              delLanded) match {
+            case Some(prev) => indexed.join(prev, Seq("id"), "left_anti")
+            case None => indexed
+          }
+          land(newDel, delDir(stateDir), "del_ids", batchId)
+        }
+      }
+    }
+
+  /** Physically reclaim tombstoned vectors — [[purgeText]]'s vector
+    * twin (same commit-arbiter protocol, same healing), one transformed
+    * compaction that anti-joins the tombstone set out of `cells`.
+    */
+  def purgeVectors(spark: SparkSession, stateDir: String): Unit =
+    BatchState.withLease(spark, stateDir) {
+      if (!hasDeletions(spark, stateDir))
+        BatchState.compactState(spark, stateDir, additiveTables = IvfTables)
+      else BatchState.withLease(spark, delDir(stateDir)) {
+        healPurge(spark, stateDir, VecDelTables)
+        val delLanded =
+          landedBatchIds(spark, delDir(stateDir), VecDelTables, None)
+        if (delLanded.isEmpty)
+          BatchState.compactState(spark, stateDir,
+            additiveTables = IvfTables)
+        else {
+          val deleted = readBatches(spark, delDir(stateDir), "del_ids",
+            delLanded).get.select(col("id").as("cid"))
+          val expected = BatchState.manifestVersion(spark, stateDir) + 1
+          val fs = purgeMarker(stateDir)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val out = fs.create(purgeMarker(stateDir), true)
+          try out.write(expected.toString.getBytes("UTF-8"))
+          finally out.close()
+          BatchState.compactState(spark, stateDir,
+            additiveTables = IvfTables,
+            transform = {
+              case ("cells", df) => df.join(deleted, Seq("cid"), "left_anti")
+              case (_, df) => df
+            },
+            forceRewrite = true)
+          require(BatchState.manifestVersion(spark, stateDir) >= expected,
+            "purge flip did not reach its recorded arbiter version — " +
+              "state untouched, retry")
+          healPurge(spark, stateDir, VecDelTables)
+        }
+      }
+    }
+
   /** Compact the IVF cell postings into one batch (additive facts;
     * the frozen codebook lives outside batch visibility and is
-    * untouched).
+    * untouched). Heals crashed purges first — see [[compactText]].
     */
   def compactVectors(spark: SparkSession, stateDir: String): Unit =
-    BatchState.compactState(spark, stateDir, additiveTables = IvfTables)
+    BatchState.withLease(spark, stateDir) {
+      if (!hasDeletions(spark, stateDir))
+        BatchState.compactState(spark, stateDir, additiveTables = IvfTables)
+      else BatchState.withLease(spark, delDir(stateDir)) {
+        healPurge(spark, stateDir, VecDelTables)
+        BatchState.compactState(spark, stateDir, additiveTables = IvfTables)
+        if (landedBatchIds(spark, delDir(stateDir), VecDelTables, None)
+            .nonEmpty)
+          BatchState.compactState(spark, delDir(stateDir),
+            additiveTables = VecDelTables)
+      }
+    }
 
   /** Offline codebook REFIT + state-only reindex — the operator the
     * frozen-codebook contract points at when the embedding distribution
@@ -513,8 +604,21 @@ object IncrementalIndexOps {
             s"retry uses $sampleFraction — its committed codebook would " +
             "be silently reused; delete the directory to change the " +
             "sample")
-        val stored = readBatches(spark, oldStateDir, "cells", landedOld).get
-          .select(col("cid"), col("cv"))
+        // survivors only: a reindex that re-assigned tombstoned vectors
+        // would resurrect them into the new generation (which starts
+        // with a clean, empty deletion root)
+        val allStored = readBatches(spark, oldStateDir, "cells", landedOld)
+          .get.select(col("cid"), col("cv"))
+        val oldDels =
+          if (!hasDeletions(spark, oldStateDir) ||
+            purgeCommitted(spark, oldStateDir)) Seq.empty[Long]
+          else landedBatchIds(spark, delDir(oldStateDir), VecDelTables, None)
+        val stored = readBatches(spark, delDir(oldStateDir), "del_ids",
+            oldDels) match {
+          case Some(d) => allStored.join(d.select(col("id").as("cid")),
+            Seq("cid"), "left_anti")
+          case None => allStored
+        }
         val fitSet =
           if (sampleFraction >= 1.0) stored
           else stored.where(
@@ -547,7 +651,19 @@ object IncrementalIndexOps {
     val landed = landedBatchIds(spark, stateDir, IvfTables, None)
     require(landed.nonEmpty, s"no landed batches under $stateDir")
     val cents = BatchState.readCodebook(spark, stateDir)
-    val cells = readBatches(spark, stateDir, "cells", landed).get
+    val allCells = readBatches(spark, stateDir, "cells", landed).get
+    // tombstones ([[deleteVectors]]): anti-join unless a committed
+    // purge already folded them into the merged cells
+    val delLanded =
+      if (!hasDeletions(spark, stateDir)) Seq.empty[Long]
+      else if (purgeCommitted(spark, stateDir)) Seq.empty[Long]
+      else landedBatchIds(spark, delDir(stateDir), VecDelTables, None)
+    val cells = readBatches(spark, delDir(stateDir), "del_ids",
+        delLanded) match {
+      case Some(d) => allCells.join(d.select(col("id").as("cid")),
+        Seq("cid"), "left_anti")
+      case None => allCells
+    }
     val q = queries.withColumn("cell",
       explode(SimilarityOps.ivfProbes(col("qv"), cents, nProbe)))
     val scored = q.join(cells, Seq("cell"))

@@ -3421,6 +3421,63 @@ object Battery {
          |WHERE rnk <= 10""".stripMargin
     })
 
+  /** n14 — IVF TOMBSTONES
+    * ([[graft.ops.IncrementalIndexOps.deleteVectors]]): vectors
+    * retracted from the incremental IVF index by tombstone — the
+    * frozen codebook and every surviving cell posting untouched, the
+    * deleted ids anti-joined at search. The oracle is n12's CTE chain
+    * (shard-1 fit, probe ranking) with the tombstoned ids excluded
+    * from the candidate set — a search that merely filtered its output
+    * (instead of its candidates) would still rank correctly here, so
+    * the pinned property is the survivors' exact top-k under the
+    * unchanged quantizer.
+    */
+  private val n14IvfTombstones = Q(
+    "n14_ivf_tombstones",
+    (s, d) => {
+      val I = graft.ops.IncrementalIndexOps
+      val S = graft.ops.SimilarityOps
+      val emb = T.embeddings(s, d)
+      val stateDir = java.nio.file.Files
+        .createTempDirectory("graft_n14_state").toString
+      val r = emb.agg(min(col("vec_id")), max(col("vec_id"))).head
+      val mid = (r.getLong(0) + r.getLong(1)) / 2
+      I.ingestVectorShard(s, emb.where(col("vec_id") <= mid),
+        "vec_id", "embedding", stateDir, 0L, nCells = 4, iters = 2)
+      I.ingestVectorShard(s, emb.where(col("vec_id") > mid),
+        "vec_id", "embedding", stateDir, 1L, nCells = 4, iters = 2)
+      I.deleteVectors(s,
+        emb.where(pmod(col("vec_id"), lit(9)) === 0).select("vec_id"),
+        "vec_id", stateDir, 0L)
+      val qset = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"),
+          S.asDouble(col("embedding")).as("qv"))
+      I.ivfSearch(s, stateDir, qset, nProbe = 2, k = 10)
+        .select(col("qid"), col("rnk"), col("cid"))
+    },
+    Some {
+      val fitWhere =
+        "vec_id <= (SELECT (min(vec_id) + max(vec_id)) // 2 FROM embeddings)"
+      s"""WITH ${kmeansOracleCtesOver(fitWhere)},
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+         |pd AS (SELECT q.qid, q.qv, c.ci,
+         |    list_reduce(list_prepend(0.0, [ (qv[j] - cv[j]) * (qv[j] - cv[j]) for j in range(1, 65) ]),
+         |      (acc, x) -> acc + x) AS dist
+         |  FROM q CROSS JOIN c2v c),
+         |pr AS (SELECT qid, qv, ci FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist, ci) AS pn FROM pd)
+         |  WHERE pn <= 2),
+         |cand AS (SELECT pr.qid, b.vec_id AS cid,
+         |    list_dot_product(pr.qv, b.v) /
+         |      (sqrt(list_dot_product(pr.qv, pr.qv)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+         |  FROM pr JOIN b2 b ON b.ci = pr.ci AND b.vec_id <> pr.qid
+         |  WHERE b.vec_id % 9 <> 0)
+         |SELECT qid, CAST(rnk AS INT) AS rnk, cid FROM
+         |  (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+         |   FROM cand)
+         |WHERE rnk <= 10""".stripMargin
+    })
+
   /** n11 — INCREMENTAL semantic dedup
     * ([[graft.ops.IncrementalDedupOps.ingestEmbeddingShard]]): the
     * SemDeDup production decomposition — the k-means codebook is fit on
@@ -6440,8 +6497,8 @@ object Battery {
     c3Report, stIncrementalCuration, stCurateThenIndex,
     n2AnnLsh, n3EmbNearDup, n4AnnIvf, n5PqQuantize, n6KmeansFit, n7SemanticDedup,
     n8SqQuantize, n9BinaryQuantize, n10MmrRerank, n11IncrementalSemDedup,
-    n12IncrementalIvf, n13ReindexedIvf, x36IncrementalBm25,
-    x37Bm25Tombstones,
+    n12IncrementalIvf, n13ReindexedIvf, n14IvfTombstones,
+    x36IncrementalBm25, x37Bm25Tombstones,
     kfPatientSlice, kfRSubjectSlice, kfSpecimenSlice, kfDrsSlice,
     kfDiseaseSlice, kfPhenotypeSlice, kfHistoSlice, kfVitalSlice,
     kfFamilySlice, kfStudySlice, kfProbandSlice, kfFamRelSlice,
