@@ -359,10 +359,84 @@ object IncrementalCurateOps {
       .parquet(s"$stateDir/clusters/batch=${landed.max}")
       .select("doc_id")
     val s2 = docs.join(nonReps, Seq("doc_id"), "left_anti")
-    CorpusOps.packSequences(s2, "doc_id", "__unused_text",
+    val packed = CorpusOps.packSequences(s2, "doc_id", "__unused_text",
       cfg.budget, cfg.shards,
       carry = Seq(col("pred_lang"), col("quality_e6"), col("red_md5")),
       tokenCount = Some(col("n_tok")))
+    // takedowns apply AFTER packing: survivors keep their pack ids (a
+    // resumed run sees a hole, never a reshuffle) — see [[takedown]]
+    takedowns(spark, stateDir) match {
+      case Some(d) => packed.join(d, Seq("doc_id"), "left_anti")
+      case None => packed
+    }
+  }
+
+  // ------------------------------------------------------------ takedown
+
+  private[graft] val TakedownTables = Seq("del_ids")
+
+  private[graft] def takedownRoot(stateDir: String): String =
+    s"$stateDir/_deletes"
+
+  private def delRoot(stateDir: String): String = takedownRoot(stateDir)
+
+  /** TAKEDOWN: permanently remove documents from the curated corpus —
+    * the write side of the compliance loop whose read side is
+    * [[CorpusOps.curationReport]] ("why is doc X in/out of the training
+    * set" → "remove doc X"). Lands tombstone id batches under the state
+    * directory's own `_deletes` root (ascending ids, idempotent per
+    * batch, unknown/already-removed ids are exact no-ops);
+    * [[curated]] and [[corpusStats]] honor them.
+    *
+    * Semantics — deliberately NOT "curate the union minus these docs":
+    *
+    *  - a taken-down doc's exact/near duplicates stay suppressed (their
+    *    losing dispositions were decided when they ingested, and
+    *    resurrecting a near-copy of removed content would defeat the
+    *    takedown);
+    *  - surviving docs keep their pack assignments (the tombstone is
+    *    applied AFTER packing, so a resumed training run sees a hole,
+    *    never a reshuffle).
+    */
+  def takedown(spark: SparkSession, ids: DataFrame, idCol: String,
+      stateDir: String, batchId: Long): Unit =
+    BatchState.withLease(spark, stateDir) {
+      BatchState.withLease(spark, delRoot(stateDir)) {
+        if (!BatchState.allLanded(spark, delRoot(stateDir), TakedownTables,
+            batchId)) {
+          val landed = landedBatchIds(spark, stateDir, None)
+          require(landed.nonEmpty,
+            s"no landed batches under $stateDir — nothing to take down")
+          val delLanded = BatchState.landedBatchIds(spark,
+            delRoot(stateDir), TakedownTables, None)
+          BatchState.requireInOrder(delLanded, batchId)
+          val asked = ids.select(col(idCol).as("doc_id")).distinct()
+          // only ids the corpus actually HOLDS (stage-1 survivors)
+          // tombstone; everything else is a no-op
+          val held = asked.join(
+            readState(spark, stateDir, "docs").get.select("doc_id"),
+            Seq("doc_id"), "left_semi")
+          val newDel = BatchState.readBatches(spark, delRoot(stateDir),
+              "del_ids", delLanded) match {
+            case Some(prev) => held.join(prev, Seq("doc_id"), "left_anti")
+            case None => held
+          }
+          BatchState.land(newDel, delRoot(stateDir), "del_ids", batchId)
+        }
+      }
+    }
+
+  /** Tombstoned doc ids (empty when none; ONE `exists` probe on the
+    * hot path for the overwhelmingly common takedown-free directory).
+    */
+  private def takedowns(spark: SparkSession,
+      stateDir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(delRoot(stateDir))
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      None
+    else BatchState.readBatches(spark, delRoot(stateDir), "del_ids",
+      BatchState.landedBatchIds(spark, delRoot(stateDir), TakedownTables,
+        None))
   }
 
   /** Compact every landed batch into one ([[BatchState.compactState]]):
@@ -389,11 +463,28 @@ object IncrementalCurateOps {
   def corpusStats(spark: SparkSession, stateDir: String): DataFrame = {
     val landed = landedBatchIds(spark, stateDir, None)
     require(landed.nonEmpty, s"no landed batches under $stateDir")
-    spark.read.parquet(landed.map(k => s"$stateDir/stats/batch=$k"): _*)
-      .groupBy(col("pred_lang")).agg(
-        sum(col("n_docs")).cast("long").as("n_docs"),
-        sum(col("sum_tok")).cast("long").as("sum_tok"),
-        min(col("min_quality_e6")).as("min_quality_e6"),
-        max(col("max_quality_e6")).as("max_quality_e6"))
+    takedowns(spark, stateDir) match {
+      case None =>
+        spark.read.parquet(landed.map(k => s"$stateDir/stats/batch=$k"): _*)
+          .groupBy(col("pred_lang")).agg(
+            sum(col("n_docs")).cast("long").as("n_docs"),
+            sum(col("sum_tok")).cast("long").as("sum_tok"),
+            min(col("min_quality_e6")).as("min_quality_e6"),
+            max(col("max_quality_e6")).as("max_quality_e6"))
+      case Some(d) =>
+        // min/max are not invertible under deletion, so the agg-state
+        // fold cannot honor takedowns by delta; recompute from the docs
+        // METADATA minus the tombstones — column pruning never touches
+        // `sh`, so this is O(docs metadata), the rare-takedown price of
+        // exact stats
+        spark.read.parquet(landed.map(k => s"$stateDir/docs/batch=$k"): _*)
+          .select("doc_id", "pred_lang", "quality_e6", "n_tok")
+          .join(d, Seq("doc_id"), "left_anti")
+          .groupBy(col("pred_lang")).agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).cast("long").as("sum_tok"),
+            min(col("quality_e6")).as("min_quality_e6"),
+            max(col("quality_e6")).as("max_quality_e6"))
+    }
   }
 }

@@ -2903,6 +2903,36 @@ object Battery {
          |SELECT qid, rank, doc_id, score, n_match FROM rr WHERE rank <= 10""".stripMargin
     })
 
+  /** c4 — TAKEDOWN ([[graft.ops.IncrementalCurateOps.takedown]]): the
+    * compliance write path — documents permanently removed from the
+    * curated corpus by tombstone, duplicates they suppressed staying
+    * suppressed and survivors keeping their pack assignments (the
+    * tombstone applies after packing: a resumed training run sees a
+    * hole, never a reshuffle). The oracle is therefore exactly c1's
+    * output minus the taken-down rows — any pack-id drift or
+    * resurrection hash-mismatches.
+    */
+  private val c4Takedown = Q(
+    "c4_takedown",
+    (s, d) => {
+      val I = graft.ops.IncrementalCurateOps
+      val docs = T.documents(s, d)
+      val stateDir = java.nio.file.Files
+        .createTempDirectory("graft_c4_state").toString
+      val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head
+      val mid = (r.getLong(0) + r.getLong(1)) / 2
+      I.ingestShard(s, docs.where(col("doc_id") <= mid),
+        "doc_id", "text", stateDir, 0L)
+      I.ingestShard(s, docs.where(col("doc_id") > mid),
+        "doc_id", "text", stateDir, 1L)
+      I.takedown(s,
+        docs.where(pmod(col("doc_id"), lit(11)) === 0).select("doc_id"),
+        "doc_id", stateDir, 0L)
+      I.curated(s, stateDir)
+    },
+    Some(s"""SELECT * FROM ($curationOracle) t
+            |WHERE t.doc_id % 11 <> 0""".stripMargin))
+
   /** Per-document curation audit
     * ([[graft.ops.CorpusOps.curationReport]]): one row per INPUT
     * document with the disposition c1's stage cascade gave it —
@@ -6494,7 +6524,7 @@ object Battery {
     x25LmScore, x26DsirScore, x27SlidingChunks, x28PmiCollocations,
     x29LeakageSplits, x30Bm25, x31BpeTrain, x32ByteBpeCount, x33RrfFusion,
     x34KAnonymity, x35HtmlExtract, c1Curation, c2Incremental,
-    c3Report, stIncrementalCuration, stCurateThenIndex,
+    c3Report, c4Takedown, stIncrementalCuration, stCurateThenIndex,
     n2AnnLsh, n3EmbNearDup, n4AnnIvf, n5PqQuantize, n6KmeansFit, n7SemanticDedup,
     n8SqQuantize, n9BinaryQuantize, n10MmrRerank, n11IncrementalSemDedup,
     n12IncrementalIvf, n13ReindexedIvf, n14IvfTombstones,

@@ -399,6 +399,36 @@ object Streaming {
       s, nonReps, idCol, indexDir, delId)
   }
 
+  /** Composed TAKEDOWN — the compliance write path of the composed
+    * curate → index state ([[curateAndIndexIngest]]'s layout): remove
+    * the documents from the curated view
+    * ([[graft.ops.IncrementalCurateOps.takedown]]) AND retract them
+    * from the searchable index
+    * ([[graft.ops.IncrementalIndexOps.deleteTextDocs]]), each under its
+    * roots' writer leases. Batch ids are chosen above everything landed
+    * OR promised in each deletion root, so the call composes with a
+    * live stream's ledger mirrors. Idempotent: re-running after a crash
+    * between the two halves finishes the retraction (already-tombstoned
+    * ids no-op); until then the transient state is "curated view
+    * excludes, search still returns" — re-run to converge.
+    */
+  def composedTakedown(spark: SparkSession, stateDir: String,
+      ids: DataFrame, idCol: String): Unit = {
+    val curateDir = s"$stateDir/curate"
+    val indexDir = s"$stateDir/index"
+    val C = graft.ops.IncrementalCurateOps
+    val I = graft.ops.IncrementalIndexOps
+    val B = graft.ops.BatchState
+    def nextId(root: String, tables: Seq[String]): Long = math.max(
+      B.landedBatchIds(spark, root, tables, None).lastOption
+        .getOrElse(-1L),
+      B.maxPromisedEffectiveId(spark, root).getOrElse(-1L)) + 1
+    C.takedown(spark, ids, idCol, curateDir,
+      nextId(C.takedownRoot(curateDir), C.TakedownTables))
+    I.deleteTextDocs(spark, ids, idCol, indexDir,
+      nextId(I.deletionRoot(indexDir), I.DelTables))
+  }
+
   /** Streaming inverted-index maintenance: the [[stateIngest]] harness
     * around [[graft.ops.IncrementalIndexOps.ingestTextShard]] — each
     * document shard landing in `watchDir` is tokenized once into the
