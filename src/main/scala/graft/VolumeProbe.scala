@@ -158,7 +158,7 @@ object VolumeProbe {
     "c2_incremental_curation", "m11_image_neardup",
     "x36_incremental_bm25",
     "m12_incremental_image_neardup", "n11_incremental_semdedup",
-    "n12_incremental_ivf")
+    "n12_incremental_ivf", "n14_ivf_tombstones")
   // Round-16 wave — the incremental state family's remaining
   // modalities, probed through the same laws their one-shot twins
   // established. m12 (shares m11's replica0-pair-identity law): each
@@ -175,7 +175,12 @@ object VolumeProbe {
   // replica 0 qualifies after key remapping — so rows stay EXACTLY the
   // base count (10 queries × k) while the probed cell join runs
   // against a 10× postings state; fewer or more rows means the
-  // accumulated-state probe join broke. x37 (tombstones) is NOT probed:
+  // accumulated-state probe join broke. n14 (same query-closed law):
+  // its deletion set is `vec_id % 9 = 0`, and 9 DIVIDES the replica
+  // offset, so clone deletion membership is replica-closed — the
+  // tombstone anti-join runs against a 10× cell state with a 10×
+  // tombstone set and must still hand each query exactly k survivors.
+  // x37 (BM25 tombstones) is NOT probed:
   // its deletion set keys on doc_id % 13, which does not divide the
   // replica offset, so clone deletion membership differs by replica and
   // no closed-form law exists — the tombstone arithmetic is
@@ -995,7 +1000,8 @@ object VolumeProbe {
                 .where(col("body") =!= col("bbody")).count()
               Right((n, base.head._2, "clone-extraction-identity x" + factor,
                 n == base.head._2 * factor && bad == 0L))
-            } else if (name == "n12_incremental_ivf") {
+            } else if (name == "n12_incremental_ivf" ||
+                name == "n14_ivf_tombstones") {
               // query-closed law: queries are vec_id < 10 (replica 0
               // only), so the output is exactly the base row count —
               // what scales 10× is the probed cell state behind it
