@@ -145,6 +145,15 @@ object IncrementalIndexOps {
     * corpus ids are unique and never reused (the family's standing
     * ascending-id assumption); re-introducing a deleted document means
     * ingesting it under a fresh id.
+    *
+    * IO shape: computing the deltas is one column-pruned scan of the
+    * accumulated postings semi-joined by the (tiny, broadcast) deletion
+    * set — per DELETION BATCH, not per search. At 100 TB bucket the
+    * postings by id ([[graft.sinks.ParquetSink.writeBucketed]]) so the
+    * semi-join prunes to the deleted ids' buckets; deletions being rare
+    * relative to searches is what makes scan-at-delete the right side
+    * of the trade (the search path pays only the tombstone anti-join,
+    * and [[purgeText]] retires even that).
     */
   def deleteTextDocs(spark: SparkSession, dels: DataFrame, idCol: String,
       stateDir: String, batchId: Long): Unit =

@@ -348,6 +348,28 @@ class PlanQualitySpec extends AnyFunSuite {
       s"report degraded to a product join:\n$p")
   }
 
+  test("tombstoned searches stay product-free and broadcast the " +
+      "tombstone side (deletion must never shuffle the index)") {
+    // x37 carries rankCandidates' deliberate ONE-ROW globals cross join
+    // (a broadcast-scalar BNL, same as x30/x36) — the product ban there
+    // is CartesianProduct only; n14/c4 have no scalar join at all
+    val p37 = plan("x37_bm25_tombstones")
+    assert(!p37.contains("CartesianProduct"),
+      s"x37 degraded to a cartesian product:\n$p37")
+    for (q <- Seq("n14_ivf_tombstones", "c4_takedown")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoop"),
+        s"$q degraded to a product join:\n$p")
+    }
+    for (q <- Seq("x37_bm25_tombstones", "n14_ivf_tombstones",
+        "c4_takedown")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+        s"$q should anti-join the (tiny) tombstone set by broadcast:\n$p")
+    }
+  }
+
   test("time-bound join stays an equi-join on the key (no nested loop)") {
     for (q <- Seq("tw_timebound_join", "tw_timebound_left_join",
         "tw_timebound_full_join")) {
