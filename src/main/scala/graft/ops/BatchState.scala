@@ -405,6 +405,100 @@ private[graft] object BatchState {
     }
   }
 
+  // ------------------------------------------------ tombstones & purge
+  // (shared by every family that supports deletion: BM25, IVF, image
+  // near-dup, SemDeDup, curation — the deletion ledger is its own
+  // BatchState root `<stateDir>/_deletes` with its own batch ids and
+  // manifest, so the main tables' compaction watermarks can never hide
+  // tombstone history)
+
+  private[graft] def deletionRoot(stateDir: String): String =
+    s"$stateDir/_deletes"
+
+  /** One `exists` probe instead of per-table `globStatus` + a manifest
+    * read on hot read paths — the overwhelmingly common state directory
+    * never had a deletion and must stay constant-RPC.
+    */
+  private[graft] def hasDeletionRoot(spark: SparkSession,
+      stateDir: String): Boolean = {
+    val p = new Path(deletionRoot(stateDir))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def purgeMarkerPath(stateDir: String): Path =
+    new Path(s"${deletionRoot(stateDir)}/.purged_at")
+
+  private def readPurgeMarker(spark: SparkSession,
+      stateDir: String): Option[Long] = {
+    val p = purgeMarkerPath(stateDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in).mkString.trim.toLong)
+      finally in.close()
+    }
+  }
+
+  /** True iff a purge's main-table flip COMMITTED but its deletion-root
+    * retirement has not finished — the tombstones are already folded
+    * into the merged tables, so a reader must ignore the surviving
+    * deletion state. Read ordering is load-bearing: the MAIN manifest
+    * version is read BEFORE the marker, while every writer deletes a
+    * stale marker BEFORE incrementing the version — so a version ≥ v
+    * observation implies any marker still visible is the committed
+    * purge's, never a stale one racing a plain compaction.
+    */
+  private[graft] def purgeCommitted(spark: SparkSession,
+      stateDir: String): Boolean = {
+    val v = manifestVersion(spark, stateDir)
+    readPurgeMarker(spark, stateDir).exists(v >= _)
+  }
+
+  /** Record the purge commit arbiter: the main manifest version the
+    * imminent transformed compaction will create. Call under both
+    * leases, immediately before the compaction.
+    */
+  private[graft] def writePurgeMarker(spark: SparkSession,
+      stateDir: String, version: Long): Unit = {
+    val p = purgeMarkerPath(stateDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(version.toString.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Finish (or discard) a crashed purge — called by every deletion
+    * writer under both leases before it acts: a COMMITTED purge's
+    * deletion root is retired (tables, ledger mirrors, marker, stale
+    * delete-side manifests — only the caller's lease file survives); an
+    * UNCOMMITTED purge's marker is deleted (its flip never happened;
+    * the tombstones stay live, and leaving the marker would let an
+    * unrelated later compaction reach its version and falsely "commit"
+    * a purge whose transform never ran — resurrecting deleted rows).
+    */
+  private[graft] def healPurge(spark: SparkSession, stateDir: String,
+      delTables: Seq[String]): Unit = {
+    val marker = purgeMarkerPath(stateDir)
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) {
+      if (purgeCommitted(spark, stateDir)) {
+        val root = new Path(deletionRoot(stateDir))
+        for (t <- delTables) fs.delete(new Path(root, t), true)
+        fs.delete(new Path(root, "_input"), true)
+        fs.delete(new Path(root, "_params"), true)
+        val mdir = new Path(root, "_manifest")
+        val kids = fs.listStatus(mdir)
+        if (kids != null) kids.foreach { st =>
+          if (st.getPath.getName != ".lease") fs.delete(st.getPath, true)
+        }
+        fs.delete(marker, false)
+      } else {
+        fs.delete(marker, false)
+      }
+    }
+  }
+
   /** True iff every listed table has a committed `batch=k` directory. */
   def allLanded(spark: SparkSession, stateDir: String, tables: Seq[String],
       batchId: Long): Boolean = {

@@ -141,7 +141,13 @@ object IncrementalDedupOps {
       // several blocks surfaces once per agreement, dedup after the
       // cheap Hamming filter (same order as hamming64Pairs)
       val newOld = readBatches(spark, stateDir, "bands", landed) match {
-        case Some(old) =>
+        case Some(old0) =>
+          // tombstoned images' stored bands must not mint NEW edges —
+          // removed content stays removed ([[deleteImages]])
+          val old = tombstones(spark, stateDir) match {
+            case Some(d) => old0.join(d, Seq("id"), "left_anti")
+            case None => old0
+          }
           bands.select(col("bi"), col("block"),
               col("id").as("new_id"), col("sh").as("sh_n"))
             .join(old.select(col("bi"), col("block"),
@@ -162,21 +168,143 @@ object IncrementalDedupOps {
   }
 
   /** Compact the image band index + edges into one batch (both
-    * additive facts); see [[BatchState.compactState]].
+    * additive facts); see [[BatchState.compactState]]. Heals crashed
+    * purges first (the [[IncrementalIndexOps.compactText]] pattern).
     */
   def compactImages(spark: SparkSession, stateDir: String): Unit =
-    BatchState.compactState(spark, stateDir, additiveTables = ImageTables)
+    BatchState.withLease(spark, stateDir) {
+      if (!BatchState.hasDeletionRoot(spark, stateDir))
+        BatchState.compactState(spark, stateDir,
+          additiveTables = ImageTables)
+      else BatchState.withLease(spark, dedupDelRoot(stateDir)) {
+        BatchState.healPurge(spark, stateDir, DelIdsTables)
+        BatchState.compactState(spark, stateDir,
+          additiveTables = ImageTables)
+        if (landedBatchIds(spark, dedupDelRoot(stateDir), DelIdsTables,
+            None).nonEmpty)
+          BatchState.compactState(spark, dedupDelRoot(stateDir),
+            additiveTables = DelIdsTables)
+      }
+    }
+
+  /** Physically reclaim tombstoned images — [[IncrementalIndexOps.purgeText]]'s
+    * image twin (same commit-arbiter protocol): one transformed
+    * compaction drops the deleted ids' band rows and every edge
+    * touching them, then retires the deletion root.
+    */
+  def purgeImages(spark: SparkSession, stateDir: String): Unit =
+    BatchState.withLease(spark, stateDir) {
+      if (!BatchState.hasDeletionRoot(spark, stateDir))
+        BatchState.compactState(spark, stateDir,
+          additiveTables = ImageTables)
+      else BatchState.withLease(spark, dedupDelRoot(stateDir)) {
+        BatchState.healPurge(spark, stateDir, DelIdsTables)
+        val delLanded = landedBatchIds(spark, dedupDelRoot(stateDir),
+          DelIdsTables, None)
+        if (delLanded.isEmpty)
+          BatchState.compactState(spark, stateDir,
+            additiveTables = ImageTables)
+        else {
+          val deleted = readBatches(spark, dedupDelRoot(stateDir),
+            "del_ids", delLanded).get
+          val expected = BatchState.manifestVersion(spark, stateDir) + 1
+          BatchState.writePurgeMarker(spark, stateDir, expected)
+          BatchState.compactState(spark, stateDir,
+            additiveTables = ImageTables,
+            transform = {
+              case ("bands", df) => df.join(deleted, Seq("id"), "left_anti")
+              case ("edges", df) => df
+                .join(deleted.select(col("id").as("doc_a")), Seq("doc_a"),
+                  "left_anti")
+                .join(deleted.select(col("id").as("doc_b")), Seq("doc_b"),
+                  "left_anti")
+                .select("doc_a", "doc_b", "hamming") // USING moved keys
+              case (_, df) => df
+            },
+            forceRewrite = true)
+          require(BatchState.manifestVersion(spark, stateDir) >= expected,
+            "purge flip did not reach its recorded arbiter version — " +
+              "state untouched, retry")
+          BatchState.healPurge(spark, stateDir, DelIdsTables)
+        }
+      }
+    }
+
+  // ---------------------------------------------------- image tombstones
+
+  private[graft] val DelIdsTables = Seq("del_ids")
+
+  private def dedupDelRoot(stateDir: String): String = s"$stateDir/_deletes"
+
+  /** Retract images from the near-dup state by tombstone. Near-dup
+    * pairs are PAIRWISE facts, so — unlike the component-folding
+    * families — deletion here is exact: [[imagePairs]] after deleting
+    * `d` is row-identical to one-shot
+    * [[DedupOps.imageNearDupPairs]] over the union minus `d` (every
+    * pair touching a deleted image drops; nothing else moves). Later
+    * [[ingestImageShard]]s also stop matching the deleted images'
+    * stored bands, so no new edge ever forms against removed content.
+    * Own BatchState root, ascending ids, idempotent, unknown ids no-op
+    * — the family contract.
+    */
+  def deleteImages(spark: SparkSession, dels: DataFrame, idCol: String,
+      stateDir: String, batchId: Long): Unit =
+    BatchState.withLease(spark, stateDir) {
+      BatchState.withLease(spark, dedupDelRoot(stateDir)) {
+        if (!BatchState.allLanded(spark, dedupDelRoot(stateDir),
+            DelIdsTables, batchId)) {
+          val landed = landedBatchIds(spark, stateDir, ImageTables, None)
+          require(landed.nonEmpty,
+            s"no landed batches under $stateDir — nothing to delete from")
+          val delLanded = landedBatchIds(spark, dedupDelRoot(stateDir),
+            DelIdsTables, None)
+          requireInOrder(delLanded, batchId)
+          val asked = dels.select(col(idCol).as("id")).distinct()
+          val held = asked.join(
+            readBatches(spark, stateDir, "bands", landed).get
+              .select(col("id")), Seq("id"), "left_semi")
+          val newDel = readBatches(spark, dedupDelRoot(stateDir), "del_ids",
+              delLanded) match {
+            case Some(prev) => held.join(prev, Seq("id"), "left_anti")
+            case None => held
+          }
+          land(newDel, dedupDelRoot(stateDir), "del_ids", batchId)
+        }
+      }
+    }
+
+  /** Tombstoned ids of either modality's state directory (None when it
+    * never had a deletion — ONE `exists` probe on the hot paths).
+    */
+  private def tombstones(spark: SparkSession,
+      stateDir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(dedupDelRoot(stateDir))
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      None
+    else readBatches(spark, dedupDelRoot(stateDir), "del_ids",
+      landedBatchIds(spark, dedupDelRoot(stateDir), DelIdsTables, None))
+  }
 
   /** Every near-dup image pair across all landed batches — the same
     * rows one-shot [[DedupOps.imageNearDupPairs]] produces over the
     * union (each pair landed exactly once, at its later member's
-    * batch). Reads edge state only; no image bytes are touched.
+    * batch) minus every pair touching a tombstoned image
+    * ([[deleteImages]]). Reads edge state only; no image bytes are
+    * touched.
     */
   def imagePairs(spark: SparkSession, stateDir: String): DataFrame = {
     val landed = landedBatchIds(spark, stateDir, ImageTables, None)
     require(landed.nonEmpty, s"no landed batches under $stateDir")
-    readBatches(spark, stateDir, "edges", landed).get
+    val edges = readBatches(spark, stateDir, "edges", landed).get
       .select("doc_a", "doc_b", "hamming")
+    tombstones(spark, stateDir) match {
+      case Some(d) => edges
+        .join(d.select(col("id").as("doc_a")), Seq("doc_a"), "left_anti")
+        .join(d.select(col("id").as("doc_b")), Seq("doc_b"), "left_anti")
+        // a USING join moves its key column first — re-pin the shape
+        .select("doc_a", "doc_b", "hamming")
+      case None => edges
+    }
   }
 
   // --------------------------------------------------------- embeddings
@@ -241,7 +369,13 @@ object IncrementalDedupOps {
         .where(col("cos") >= threshold)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
       val newOld = readBatches(spark, stateDir, "assign", landed) match {
-        case Some(old) =>
+        case Some(old0) =>
+          // tombstoned vectors' stored assignments must not mint NEW
+          // edges or merge components ([[deleteEmbeddings]])
+          val old = tombstones(spark, stateDir) match {
+            case Some(d) => old0.join(d, Seq("id"), "left_anti")
+            case None => old0
+          }
           assign.select(col("cluster"), col("id").as("new_id"),
               col("v").as("va"))
             .join(old.select(col("cluster"), col("id").as("old_id"),
@@ -266,12 +400,92 @@ object IncrementalDedupOps {
 
   /** Compact the embedding-dedup state into one batch: assignments and
     * edges concatenate, the component map keeps the newest snapshot,
-    * the frozen codebook is untouched.
+    * the frozen codebook is untouched. Heals crashed purges first.
     */
   def compactEmbeddings(spark: SparkSession, stateDir: String): Unit =
-    BatchState.compactState(spark, stateDir,
-      additiveTables = Seq("assign", "edges"),
-      snapshotTables = Seq("clusters"))
+    BatchState.withLease(spark, stateDir) {
+      if (!BatchState.hasDeletionRoot(spark, stateDir))
+        BatchState.compactState(spark, stateDir,
+          additiveTables = Seq("assign", "edges"),
+          snapshotTables = Seq("clusters"))
+      else BatchState.withLease(spark, dedupDelRoot(stateDir)) {
+        BatchState.healPurge(spark, stateDir, DelIdsTables)
+        BatchState.compactState(spark, stateDir,
+          additiveTables = Seq("assign", "edges"),
+          snapshotTables = Seq("clusters"))
+        if (landedBatchIds(spark, dedupDelRoot(stateDir), DelIdsTables,
+            None).nonEmpty)
+          BatchState.compactState(spark, dedupDelRoot(stateDir),
+            additiveTables = DelIdsTables)
+      }
+    }
+
+  /** Physically reclaim tombstoned vectors from the SemDeDup state —
+    * the purge twin for this family: assignments and edges anti-join
+    * the tombstone set, and the component SNAPSHOT is rewritten with
+    * each component's re-elected surviving representative (so the
+    * purged directory is self-contained: the plain
+    * [[semanticDedupView]] path reproduces exactly the tombstoned
+    * view). Same commit-arbiter protocol as [[purgeImages]].
+    */
+  def purgeEmbeddings(spark: SparkSession, stateDir: String): Unit =
+    BatchState.withLease(spark, stateDir) {
+      if (!BatchState.hasDeletionRoot(spark, stateDir))
+        BatchState.compactState(spark, stateDir,
+          additiveTables = Seq("assign", "edges"),
+          snapshotTables = Seq("clusters"))
+      else BatchState.withLease(spark, dedupDelRoot(stateDir)) {
+        BatchState.healPurge(spark, stateDir, DelIdsTables)
+        val delLanded = landedBatchIds(spark, dedupDelRoot(stateDir),
+          DelIdsTables, None)
+        if (delLanded.isEmpty)
+          BatchState.compactState(spark, stateDir,
+            additiveTables = Seq("assign", "edges"),
+            snapshotTables = Seq("clusters"))
+        else {
+          val landed = landedBatchIds(spark, stateDir, EmbTables, None)
+          require(landed.nonEmpty, s"no landed batches under $stateDir")
+          val deleted = readBatches(spark, dedupDelRoot(stateDir),
+            "del_ids", delLanded).get
+          val expected = BatchState.manifestVersion(spark, stateDir) + 1
+          BatchState.writePurgeMarker(spark, stateDir, expected)
+          BatchState.compactState(spark, stateDir,
+            additiveTables = Seq("assign", "edges"),
+            snapshotTables = Seq("clusters"),
+            transform = {
+              case ("assign", df) => df.join(deleted, Seq("id"), "left_anti")
+              case ("edges", df) => df
+                .join(deleted.select(col("id").as("doc_a")), Seq("doc_a"),
+                  "left_anti")
+                .join(deleted.select(col("id").as("doc_b")), Seq("doc_b"),
+                  "left_anti")
+                .select("doc_a", "doc_b") // USING moved the key first
+              case ("clusters", snap) =>
+                // survivors keyed by their HISTORICAL component label,
+                // re-elected min — non-trivial rows only, exactly the
+                // shape the plain view path reads
+                val live = readBatches(spark, stateDir, "assign", landed)
+                  .get.select(col("id"))
+                  .join(deleted, Seq("id"), "left_anti")
+                  .join(snap.select(col("doc_id").as("id"),
+                    col("cluster").as("rep0")), Seq("id"), "left")
+                  .select(col("id"),
+                    coalesce(col("rep0"), col("id")).as("comp"))
+                val reps = live.groupBy(col("comp"))
+                  .agg(min(col("id")).as("rep"))
+                live.join(reps, Seq("comp"))
+                  .where(col("rep") =!= col("id"))
+                  .select(col("id").as("doc_id"), col("rep").as("cluster"))
+              case (_, df) => df
+            },
+            forceRewrite = true)
+          require(BatchState.manifestVersion(spark, stateDir) >= expected,
+            "purge flip did not reach its recorded arbiter version — " +
+              "state untouched, retry")
+          BatchState.healPurge(spark, stateDir, DelIdsTables)
+        }
+      }
+    }
 
   /** Offline codebook REFIT + state-only reindex for the SemDeDup
     * family — the escape hatch from the frozen-codebook contract when
@@ -354,6 +568,43 @@ object IncrementalDedupOps {
       }
     }
 
+  /** Retract vectors from the SemDeDup state by tombstone. Component
+    * structure is HISTORY here, so — unlike the pairwise image family —
+    * deletion is takedown-shaped, not a re-clustering: the deleted
+    * vectors leave the view, clusters never SPLIT (two docs whose only
+    * connection ran through a deleted bridge stay together — grouping
+    * near-dups of removed content remains correct and conservative),
+    * and a component whose representative is deleted re-elects the
+    * smallest surviving member ([[semanticDedupView]]). Later
+    * [[ingestEmbeddingShard]]s stop matching the deleted vectors'
+    * stored assignments, so no new edge forms against removed content.
+    */
+  def deleteEmbeddings(spark: SparkSession, dels: DataFrame, idCol: String,
+      stateDir: String, batchId: Long): Unit =
+    BatchState.withLease(spark, stateDir) {
+      BatchState.withLease(spark, dedupDelRoot(stateDir)) {
+        if (!BatchState.allLanded(spark, dedupDelRoot(stateDir),
+            DelIdsTables, batchId)) {
+          val landed = landedBatchIds(spark, stateDir, EmbTables, None)
+          require(landed.nonEmpty,
+            s"no landed batches under $stateDir — nothing to delete from")
+          val delLanded = landedBatchIds(spark, dedupDelRoot(stateDir),
+            DelIdsTables, None)
+          requireInOrder(delLanded, batchId)
+          val asked = dels.select(col(idCol).as("id")).distinct()
+          val held = asked.join(
+            readBatches(spark, stateDir, "assign", landed).get
+              .select(col("id")), Seq("id"), "left_semi")
+          val newDel = readBatches(spark, dedupDelRoot(stateDir),
+              "del_ids", delLanded) match {
+            case Some(prev) => held.join(prev, Seq("id"), "left_anti")
+            case None => held
+          }
+          land(newDel, dedupDelRoot(stateDir), "del_ids", batchId)
+        }
+      }
+    }
+
   /** The SemDeDup view after every landed batch — one row per vector,
     * (idCol, cluster, rep), row-identical to one-shot
     * [[SimilarityOps.semanticDedupAssigned]] over the union with the
@@ -370,8 +621,25 @@ object IncrementalDedupOps {
     val snap = spark.read
       .parquet(s"$stateDir/clusters/batch=${landed.max}")
       .select(col("doc_id").as("id"), col("cluster").as("rep0"))
-    assign.join(snap, Seq("id"), "left")
-      .select(col("id").as(idCol), col("cluster"),
-        coalesce(col("rep0"), col("id")).as("rep"))
+    tombstones(spark, stateDir) match {
+      case None =>
+        assign.join(snap, Seq("id"), "left")
+          .select(col("id").as(idCol), col("cluster"),
+            coalesce(col("rep0"), col("id")).as("rep"))
+      case Some(d) =>
+        // takedown semantics ([[deleteEmbeddings]]): deleted vectors
+        // leave the view, components never split (the historical comp
+        // label — the pre-deletion min — keys the group even when that
+        // member is gone), and each component re-elects its smallest
+        // SURVIVING member as rep
+        val live = assign.join(d, Seq("id"), "left_anti")
+          .join(snap, Seq("id"), "left")
+          .select(col("id"), col("cluster"),
+            coalesce(col("rep0"), col("id")).as("comp"))
+        val reps = live.groupBy(col("comp"))
+          .agg(min(col("id")).as("rep"))
+        live.join(reps, Seq("comp"))
+          .select(col("id").as(idCol), col("cluster"), col("rep"))
+    }
   }
 }

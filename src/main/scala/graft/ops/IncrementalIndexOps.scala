@@ -285,80 +285,16 @@ object IncrementalIndexOps {
       }
     }
 
-  /** One `exists` probe instead of three `globStatus` + a manifest read
-    * on the hot search path — the overwhelmingly common state directory
-    * never had a deletion, and its searches must stay constant-RPC.
-    */
-  private def hasDeletions(spark: SparkSession, stateDir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(delDir(stateDir))
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
-
-  // ---- physical purge: reclaiming tombstoned postings
-
-  private def purgeMarker(stateDir: String) =
-    new org.apache.hadoop.fs.Path(s"${delDir(stateDir)}/.purged_at")
-
-  private def readPurgeMarker(spark: SparkSession,
-      stateDir: String): Option[Long] = {
-    val p = purgeMarker(stateDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(scala.io.Source.fromInputStream(in).mkString.trim.toLong)
-      finally in.close()
-    }
-  }
-
-  /** True iff a purge's main-table flip COMMITTED but its deletion-root
-    * retirement has not finished — the deltas are already folded into
-    * the merged tables, so a reader must ignore the surviving tombstone
-    * state. Read ordering matters and is load-bearing: the MAIN
-    * manifest version is read BEFORE the marker, while every writer
-    * deletes a stale marker BEFORE incrementing the version — so a
-    * version ≥ v observation implies any marker still visible is the
-    * committed purge's, never a stale one racing a plain compaction.
-    */
-  private def purgeCommitted(spark: SparkSession, stateDir: String): Boolean = {
-    val v = BatchState.manifestVersion(spark, stateDir)
-    readPurgeMarker(spark, stateDir).exists(v >= _)
-  }
-
-  /** Finish (or discard) a crashed purge — called by every writer under
-    * both leases before it acts: a COMMITTED purge's deletion root is
-    * retired (tables, ledger mirrors, marker — stale delete-side
-    * manifests too, so future deletion batches restart on a clean id
-    * space); an UNCOMMITTED purge's marker is deleted (its flip never
-    * happened; the deltas stay live, and leaving the marker would let
-    * an unrelated later compaction reach its version and falsely
-    * "commit" a purge whose transform never ran — resurrecting deleted
-    * documents).
-    */
+  // the shared tombstone/purge machinery lives in [[BatchState]] —
+  // these keep the family-local names readable
+  private def hasDeletions(spark: SparkSession, stateDir: String): Boolean =
+    BatchState.hasDeletionRoot(spark, stateDir)
+  private def purgeCommitted(spark: SparkSession,
+      stateDir: String): Boolean =
+    BatchState.purgeCommitted(spark, stateDir)
   private def healPurge(spark: SparkSession, stateDir: String,
-      delTables: Seq[String] = DelTables): Unit = {
-    val marker = purgeMarker(stateDir)
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(marker)) {
-      if (purgeCommitted(spark, stateDir)) {
-        val root = new org.apache.hadoop.fs.Path(delDir(stateDir))
-        for (t <- delTables)
-          fs.delete(new org.apache.hadoop.fs.Path(root, t), true)
-        fs.delete(new org.apache.hadoop.fs.Path(root, "_input"), true)
-        fs.delete(new org.apache.hadoop.fs.Path(root, "_params"), true)
-        // delete-side compaction manifests are stale history now; only
-        // the lease file (held by THIS caller) survives
-        val mdir = new org.apache.hadoop.fs.Path(root, "_manifest")
-        val kids = fs.listStatus(mdir)
-        if (kids != null) kids.foreach { st =>
-          if (st.getPath.getName != ".lease") fs.delete(st.getPath, true)
-        }
-        fs.delete(marker, false)
-      } else {
-        fs.delete(marker, false)
-      }
-    }
-  }
+      delTables: Seq[String] = DelTables): Unit =
+    BatchState.healPurge(spark, stateDir, delTables)
 
   /** PHYSICALLY reclaim tombstoned documents: one transformed
     * compaction that anti-joins the tombstone set out of
@@ -404,11 +340,7 @@ object IncrementalIndexOps {
             readBatches(spark, stateDir, table, landed).get
               .join(deleted, Seq("id"), "left_anti")
           val expected = BatchState.manifestVersion(spark, stateDir) + 1
-          val fs = purgeMarker(stateDir)
-            .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val out = fs.create(purgeMarker(stateDir), true)
-          try out.write(expected.toString.getBytes("UTF-8"))
-          finally out.close()
+          BatchState.writePurgeMarker(spark, stateDir, expected)
           BatchState.compactState(spark, stateDir,
             additiveTables = Bm25Tables,
             transform = {
@@ -531,11 +463,7 @@ object IncrementalIndexOps {
           val deleted = readBatches(spark, delDir(stateDir), "del_ids",
             delLanded).get.select(col("id").as("cid"))
           val expected = BatchState.manifestVersion(spark, stateDir) + 1
-          val fs = purgeMarker(stateDir)
-            .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val out = fs.create(purgeMarker(stateDir), true)
-          try out.write(expected.toString.getBytes("UTF-8"))
-          finally out.close()
+          BatchState.writePurgeMarker(spark, stateDir, expected)
           BatchState.compactState(spark, stateDir,
             additiveTables = IvfTables,
             transform = {

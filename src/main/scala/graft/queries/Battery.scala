@@ -5649,6 +5649,66 @@ object Battery {
            |SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
            |FROM p WHERE hamming <= 3""".stripMargin))
 
+  /** m15 — IMAGE TOMBSTONES
+    * ([[graft.ops.IncrementalDedupOps.deleteImages]]): images retracted
+    * from the incremental near-dup state. Near-dup pairs are PAIRWISE
+    * facts, so deletion here is EXACT — the oracle is m11/m12's
+    * analytic dHash chain restricted to the surviving images (`doc_id
+    * % 7 <> 1`): every pair touching a deleted image drops, every other
+    * pair (including cross-shard ones minted before the deletion) is
+    * untouched, hash-exactly.
+    */
+  private val m15ImageTombstones = Q(
+    "m15_image_tombstones",
+    (s, d) => {
+      import s.implicits._
+      val ids = T.documents(s, d)
+        .where(pmod(col("doc_id"), lit(3)) === 1)
+        .select(col("doc_id"))
+      val media = ids.as[Long]
+        .mapPartitions(it => it.map { id =>
+          (id, graft.ops.ImageIoCodecs.syntheticPng(id - id % 10))
+        }).toDF("doc_id", "img")
+      val stateDir = java.nio.file.Files
+        .createTempDirectory("graft_m15_state").toString
+      val r = ids.agg(min(col("doc_id")), max(col("doc_id"))).head
+      val mid = (r.getLong(0) + r.getLong(1)) / 2
+      graft.ops.IncrementalDedupOps.ingestImageShard(s,
+        media.where(col("doc_id") <= mid), "doc_id", "img", stateDir,
+        batchId = 0L, maxDist = 3)
+      graft.ops.IncrementalDedupOps.ingestImageShard(s,
+        media.where(col("doc_id") > mid), "doc_id", "img", stateDir,
+        batchId = 1L, maxDist = 3)
+      graft.ops.IncrementalDedupOps.deleteImages(s,
+        ids.where(pmod(col("doc_id"), lit(7)) === 1), "doc_id",
+        stateDir, 0L)
+      graft.ops.IncrementalDedupOps.imagePairs(s, stateDir)
+    },
+    Some("""WITH a AS (SELECT doc_id, doc_id - doc_id % 10 AS base
+           |           FROM documents
+           |           WHERE doc_id % 3 = 1 AND doc_id % 7 <> 1),
+           |dims AS (SELECT doc_id, base, 4 + base % 13 AS w, 3 + base % 7 AS h FROM a),
+           |px AS (SELECT doc_id, base, w, h, unnest(range(0, 72)) AS i FROM dims),
+           |sm AS (SELECT doc_id, base, i % 9 AS x, i // 9 AS y,
+           |         ((i % 9) * w) // 9 AS sx, ((i // 9) * h) // 8 AS sy
+           |       FROM px),
+           |gr AS (SELECT doc_id, x, y,
+           |        (299 * ((base + 7 * sx + 13 * sy) % 256)
+           |       + 587 * ((3 * base + 5 * sx + sy) % 256)
+           |       + 114 * ((11 * base + sx + 2 * sy) % 256)) // 1000 AS g
+           |       FROM sm),
+           |bits AS (SELECT l.doc_id, l.x, l.y, (r.g > l.g) AS bit
+           |         FROM gr l JOIN gr r ON r.doc_id = l.doc_id
+           |           AND r.y = l.y AND r.x = l.x + 1
+           |         WHERE l.x < 8),
+           |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |        sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS hamming
+           |      FROM bits a JOIN bits b ON a.x = b.x AND a.y = b.y
+           |        AND a.doc_id < b.doc_id
+           |      GROUP BY 1, 2)
+           |SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
+           |FROM p WHERE hamming <= 3""".stripMargin))
+
   /** m13 — REAL compressed-audio decode: each asset's payload is an
     * actual FLAC stream ([[graft.ops.FlacCodec.syntheticFlac]] — a
     * closed-form corpus whose per-asset shape is 16 constant samples →
@@ -6511,7 +6571,7 @@ object Battery {
     m3FrameSample, m3bImageFrames, m4WavDecode, m5BmpDecode, m6Resize,
     m6bResizeBilinear, m7VideoResize, m8AudioResample,
     m9PngDecode, m10PngResize, m11ImageNearDup, m12IncrementalImageNearDup,
-    m13FlacDecode, m14FlacStereo,
+    m13FlacDecode, m14FlacStereo, m15ImageTombstones,
     d2MinhashBands, d2bNearDupPairs, d3Simhash, d7SimhashPairs, d4NgramJaccard,
     d5DedupClusters, d6DedupCorpus, d8DupSpans, d9DupSpanCut,
     d10EditDistance,
