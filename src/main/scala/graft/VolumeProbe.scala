@@ -158,7 +158,8 @@ object VolumeProbe {
     "c2_incremental_curation", "m11_image_neardup",
     "x36_incremental_bm25",
     "m12_incremental_image_neardup", "n11_incremental_semdedup",
-    "n12_incremental_ivf", "n14_ivf_tombstones")
+    "n12_incremental_ivf", "n14_ivf_tombstones",
+    "m15_image_tombstones")
   // Round-16 wave — the incremental state family's remaining
   // modalities, probed through the same laws their one-shot twins
   // established. m12 (shares m11's replica0-pair-identity law): each
@@ -180,6 +181,10 @@ object VolumeProbe {
   // offset, so clone deletion membership is replica-closed — the
   // tombstone anti-join runs against a 10× cell state with a 10×
   // tombstone set and must still hand each query exactly k survivors.
+  // m15 (image tombstones — shares m11/m12's replica0-pair-identity
+  // law): the `doc_id % 7` deletion is replica-closed (7 divides the
+  // offset), so replica 0's surviving pairs must equal the base run's
+  // exactly while the anti-join filters a 10× edge state.
   // x37 (BM25 tombstones) is NOT probed:
   // its deletion set keys on doc_id % 13, which does not divide the
   // replica offset, so clone deletion membership differs by replica and
@@ -1009,7 +1014,8 @@ object VolumeProbe {
               val b = base.head._2
               Right((n, b, "query-closed rows==base", n == b))
             } else if (name == "m11_image_neardup" ||
-                name == "m12_incremental_image_neardup") {
+                name == "m12_incremental_image_neardup" ||
+                name == "m15_image_tombstones") {
               val big = fn(spark, outDir)
               val n = big.count()
               val basePairs = fn(spark, srcDir).select("doc_a", "doc_b")
