@@ -483,21 +483,110 @@ private[graft] object BatchState {
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(marker)) {
       if (purgeCommitted(spark, stateDir)) {
-        val root = new Path(deletionRoot(stateDir))
-        for (t <- delTables) fs.delete(new Path(root, t), true)
-        fs.delete(new Path(root, "_input"), true)
-        fs.delete(new Path(root, "_params"), true)
-        val mdir = new Path(root, "_manifest")
-        val kids = fs.listStatus(mdir)
-        if (kids != null) kids.foreach { st =>
-          if (st.getPath.getName != ".lease") fs.delete(st.getPath, true)
-        }
-        fs.delete(marker, false)
+        // retire the WHOLE deletion root (the caller's del lease file
+        // included — safe because every deletion-root writer takes the
+        // MAIN lease first, which this caller still holds; the lease
+        // release in withLease tolerates the already-gone file), so a
+        // purged directory goes back to the pristine one-exists-probe
+        // fast path on every future read
+        fs.delete(new Path(deletionRoot(stateDir)), true)
       } else {
         fs.delete(marker, false)
       }
     }
   }
+
+  /** The EFFECTIVE tombstone id set of a state directory: None when the
+    * deletion root does not exist, when a committed purge has already
+    * folded the tombstones into the merged tables (reading them again
+    * would double-apply), when no deletion batch is landed, or when the
+    * landed batches hold zero ids (all-no-op deletions) — so every
+    * reader's fast path survives empty or retired deletion history.
+    * The emptiness probe costs one tiny job only when a deletion root
+    * exists at all.
+    */
+  private[graft] def readTombstones(spark: SparkSession, stateDir: String,
+      delTables: Seq[String]): Option[DataFrame] = {
+    if (!hasDeletionRoot(spark, stateDir) ||
+      purgeCommitted(spark, stateDir)) None
+    else {
+      val root = deletionRoot(stateDir)
+      val landed = landedBatchIds(spark, root, delTables, None)
+      readBatches(spark, root, "del_ids", landed).filter(!_.isEmpty)
+    }
+  }
+
+  /** The next tombstone batch id: above everything landed OR promised
+    * in the deletion root. Call under the writer leases — an id chosen
+    * outside them can be raced to by a concurrent writer, whose
+    * idempotency check then silently absorbs the loser's ids.
+    */
+  private[graft] def nextTombstoneBatchId(spark: SparkSession,
+      stateDir: String, delTables: Seq[String]): Long = {
+    val root = deletionRoot(stateDir)
+    math.max(
+      landedBatchIds(spark, root, delTables, None).lastOption
+        .getOrElse(-1L),
+      maxPromisedEffectiveId(spark, root).getOrElse(-1L)) + 1
+  }
+
+  /** The heal-then-compact-both-roots wrapper every deletion-capable
+    * family's compact shares: plain main-table compaction for pristine
+    * directories (never CREATING a deletion root), crashed-purge
+    * healing plus an independent deletion-root compaction otherwise.
+    */
+  private[graft] def compactWithDeletions(spark: SparkSession,
+      stateDir: String, additiveTables: Seq[String],
+      snapshotTables: Seq[String], delTables: Seq[String]): Unit =
+    withLease(spark, stateDir) {
+      if (!hasDeletionRoot(spark, stateDir))
+        compactState(spark, stateDir, additiveTables, snapshotTables)
+      else withLease(spark, deletionRoot(stateDir)) {
+        // discard a stale purge marker BEFORE this compaction increments
+        // the manifest version it names (false-commit hazard), finish a
+        // committed one
+        healPurge(spark, stateDir, delTables)
+        compactState(spark, stateDir, additiveTables, snapshotTables)
+        if (hasDeletionRoot(spark, stateDir) &&
+            landedBatchIds(spark, deletionRoot(stateDir), delTables, None)
+              .nonEmpty)
+          compactState(spark, deletionRoot(stateDir),
+            additiveTables = delTables)
+      }
+    }
+
+  /** The purge protocol every family shares: heal, read the effective
+    * tombstones, run ONE transformed compaction of the main tables
+    * (the per-table transform is built from the tombstone set by
+    * `transform`), verify the commit arbiter, retire the deletion
+    * root. Falls back to a plain compaction when there is nothing to
+    * purge. See [[writePurgeMarker]]/[[healPurge]] for the crash
+    * windows.
+    */
+  private[graft] def purgeState(spark: SparkSession, stateDir: String,
+      additiveTables: Seq[String], snapshotTables: Seq[String],
+      delTables: Seq[String])(
+      transform: DataFrame => (String, DataFrame) => DataFrame): Unit =
+    withLease(spark, stateDir) {
+      if (!hasDeletionRoot(spark, stateDir))
+        compactState(spark, stateDir, additiveTables, snapshotTables)
+      else withLease(spark, deletionRoot(stateDir)) {
+        healPurge(spark, stateDir, delTables)
+        readTombstones(spark, stateDir, delTables) match {
+          case None =>
+            compactState(spark, stateDir, additiveTables, snapshotTables)
+          case Some(deleted) =>
+            val expected = manifestVersion(spark, stateDir) + 1
+            writePurgeMarker(spark, stateDir, expected)
+            compactState(spark, stateDir, additiveTables, snapshotTables,
+              transform = transform(deleted), forceRewrite = true)
+            require(manifestVersion(spark, stateDir) >= expected,
+              "purge flip did not reach its recorded arbiter version — " +
+                "state untouched, retry")
+            healPurge(spark, stateDir, delTables)
+        }
+      }
+    }
 
   /** True iff every listed table has a committed `batch=k` directory. */
   def allLanded(spark: SparkSession, stateDir: String, tables: Seq[String],

@@ -376,7 +376,7 @@ object IncrementalCurateOps {
   private[graft] val TakedownTables = Seq("del_ids")
 
   private[graft] def takedownRoot(stateDir: String): String =
-    s"$stateDir/_deletes"
+    BatchState.deletionRoot(stateDir)
 
   private def delRoot(stateDir: String): String = takedownRoot(stateDir)
 
@@ -398,46 +398,58 @@ object IncrementalCurateOps {
     *    applied AFTER packing, so a resumed training run sees a hole,
     *    never a reshuffle).
     */
+  /** [[takedown]] with the batch id chosen inside the main lease — the
+    * form concurrent callers should use (an id chosen outside it can be
+    * raced to, and the loser's ids silently absorbed by the idempotency
+    * check).
+    */
+  def takedown(spark: SparkSession, ids: DataFrame, idCol: String,
+      stateDir: String): Unit =
+    BatchState.withLease(spark, stateDir) {
+      takedown(spark, ids, idCol, stateDir,
+        BatchState.nextTombstoneBatchId(spark, stateDir, TakedownTables))
+    }
+
   def takedown(spark: SparkSession, ids: DataFrame, idCol: String,
       stateDir: String, batchId: Long): Unit =
     BatchState.withLease(spark, stateDir) {
-      BatchState.withLease(spark, delRoot(stateDir)) {
-        if (!BatchState.allLanded(spark, delRoot(stateDir), TakedownTables,
-            batchId)) {
-          val landed = landedBatchIds(spark, stateDir, None)
-          require(landed.nonEmpty,
-            s"no landed batches under $stateDir — nothing to take down")
-          val delLanded = BatchState.landedBatchIds(spark,
-            delRoot(stateDir), TakedownTables, None)
-          BatchState.requireInOrder(delLanded, batchId)
-          val asked = ids.select(col(idCol).as("doc_id")).distinct()
-          // only ids the corpus actually HOLDS (stage-1 survivors)
-          // tombstone; everything else is a no-op
-          val held = asked.join(
-            readState(spark, stateDir, "docs").get.select("doc_id"),
-            Seq("doc_id"), "left_semi")
-          val newDel = BatchState.readBatches(spark, delRoot(stateDir),
-              "del_ids", delLanded) match {
-            case Some(prev) => held.join(prev, Seq("doc_id"), "left_anti")
-            case None => held
+      val landed = landedBatchIds(spark, stateDir, None)
+      require(landed.nonEmpty,
+        s"no landed batches under $stateDir — nothing to take down")
+      val asked = ids.select(col(idCol).as("doc_id")).distinct()
+      // only ids the corpus actually HOLDS (stage-1 survivors)
+      // tombstone; everything else is a no-op
+      val held = asked.join(
+        readState(spark, stateDir, "docs").get.select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      // never create the deletion root for a complete no-op (pristine
+      // directories' reads stay one-exists-probe)
+      if (BatchState.hasDeletionRoot(spark, stateDir) || !held.isEmpty)
+        BatchState.withLease(spark, delRoot(stateDir)) {
+          if (!BatchState.allLanded(spark, delRoot(stateDir),
+              TakedownTables, batchId)) {
+            val delLanded = BatchState.landedBatchIds(spark,
+              delRoot(stateDir), TakedownTables, None)
+            BatchState.requireInOrder(delLanded, batchId)
+            val newDel = BatchState.readBatches(spark, delRoot(stateDir),
+                "del_ids", delLanded) match {
+              case Some(prev) =>
+                held.join(prev, Seq("doc_id"), "left_anti")
+              case None => held
+            }
+            BatchState.land(newDel, delRoot(stateDir), "del_ids", batchId)
           }
-          BatchState.land(newDel, delRoot(stateDir), "del_ids", batchId)
         }
-      }
     }
 
-  /** Tombstoned doc ids (empty when none; ONE `exists` probe on the
-    * hot path for the overwhelmingly common takedown-free directory).
+  /** The effective tombstoned doc ids ([[BatchState.readTombstones]] —
+    * None when absent or all-no-op, keeping the takedown-free fast
+    * paths).
     */
   private def takedowns(spark: SparkSession,
-      stateDir: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(delRoot(stateDir))
-    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
-      None
-    else BatchState.readBatches(spark, delRoot(stateDir), "del_ids",
-      BatchState.landedBatchIds(spark, delRoot(stateDir), TakedownTables,
-        None))
-  }
+      stateDir: String): Option[DataFrame] =
+    BatchState.readTombstones(spark, stateDir, TakedownTables)
+      .map(_.withColumnRenamed("id", "doc_id"))
 
   /** Compact every landed batch into one ([[BatchState.compactState]]):
     * docs/prefix/edges/stats concatenate (per-batch-disjoint facts),
@@ -449,8 +461,9 @@ object IncrementalCurateOps {
     * and scan planning constant-time.
     */
   def compact(spark: SparkSession, stateDir: String): Unit =
-    BatchState.compactState(spark, stateDir,
-      additiveTables = CoreTables, snapshotTables = Seq("clusters"))
+    BatchState.compactWithDeletions(spark, stateDir,
+      additiveTables = CoreTables, snapshotTables = Seq("clusters"),
+      delTables = TakedownTables)
 
   /** Corpus-level aggregate stats by language — ONE union read of every
     * batch's agg state and ONE re-aggregate (counts/sums add, extrema

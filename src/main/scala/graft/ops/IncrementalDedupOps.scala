@@ -172,20 +172,9 @@ object IncrementalDedupOps {
     * purges first (the [[IncrementalIndexOps.compactText]] pattern).
     */
   def compactImages(spark: SparkSession, stateDir: String): Unit =
-    BatchState.withLease(spark, stateDir) {
-      if (!BatchState.hasDeletionRoot(spark, stateDir))
-        BatchState.compactState(spark, stateDir,
-          additiveTables = ImageTables)
-      else BatchState.withLease(spark, dedupDelRoot(stateDir)) {
-        BatchState.healPurge(spark, stateDir, DelIdsTables)
-        BatchState.compactState(spark, stateDir,
-          additiveTables = ImageTables)
-        if (landedBatchIds(spark, dedupDelRoot(stateDir), DelIdsTables,
-            None).nonEmpty)
-          BatchState.compactState(spark, dedupDelRoot(stateDir),
-            additiveTables = DelIdsTables)
-      }
-    }
+    BatchState.compactWithDeletions(spark, stateDir,
+      additiveTables = ImageTables, snapshotTables = Seq.empty,
+      delTables = DelIdsTables)
 
   /** Physically reclaim tombstoned images — [[IncrementalIndexOps.purgeText]]'s
     * image twin (same commit-arbiter protocol): one transformed
@@ -193,41 +182,19 @@ object IncrementalDedupOps {
     * touching them, then retires the deletion root.
     */
   def purgeImages(spark: SparkSession, stateDir: String): Unit =
-    BatchState.withLease(spark, stateDir) {
-      if (!BatchState.hasDeletionRoot(spark, stateDir))
-        BatchState.compactState(spark, stateDir,
-          additiveTables = ImageTables)
-      else BatchState.withLease(spark, dedupDelRoot(stateDir)) {
-        BatchState.healPurge(spark, stateDir, DelIdsTables)
-        val delLanded = landedBatchIds(spark, dedupDelRoot(stateDir),
-          DelIdsTables, None)
-        if (delLanded.isEmpty)
-          BatchState.compactState(spark, stateDir,
-            additiveTables = ImageTables)
-        else {
-          val deleted = readBatches(spark, dedupDelRoot(stateDir),
-            "del_ids", delLanded).get
-          val expected = BatchState.manifestVersion(spark, stateDir) + 1
-          BatchState.writePurgeMarker(spark, stateDir, expected)
-          BatchState.compactState(spark, stateDir,
-            additiveTables = ImageTables,
-            transform = {
-              case ("bands", df) => df.join(deleted, Seq("id"), "left_anti")
-              case ("edges", df) => df
-                .join(deleted.select(col("id").as("doc_a")), Seq("doc_a"),
-                  "left_anti")
-                .join(deleted.select(col("id").as("doc_b")), Seq("doc_b"),
-                  "left_anti")
-                .select("doc_a", "doc_b", "hamming") // USING moved keys
-              case (_, df) => df
-            },
-            forceRewrite = true)
-          require(BatchState.manifestVersion(spark, stateDir) >= expected,
-            "purge flip did not reach its recorded arbiter version — " +
-              "state untouched, retry")
-          BatchState.healPurge(spark, stateDir, DelIdsTables)
-        }
+    BatchState.purgeState(spark, stateDir, additiveTables = ImageTables,
+      snapshotTables = Seq.empty, delTables = DelIdsTables) { deleted =>
+      val t: (String, DataFrame) => DataFrame = {
+        case ("bands", df) => df.join(deleted, Seq("id"), "left_anti")
+        case ("edges", df) => df
+          .join(deleted.select(col("id").as("doc_a")), Seq("doc_a"),
+            "left_anti")
+          .join(deleted.select(col("id").as("doc_b")), Seq("doc_b"),
+            "left_anti")
+          .select("doc_a", "doc_b", "hamming") // USING moved keys
+        case (_, df) => df
       }
+      t
     }
 
   // ---------------------------------------------------- image tombstones
@@ -247,43 +214,54 @@ object IncrementalDedupOps {
     * Own BatchState root, ascending ids, idempotent, unknown ids no-op
     * — the family contract.
     */
+  /** [[deleteImages]] with the batch id chosen inside the main lease —
+    * see [[IncrementalIndexOps.deleteTextDocs]]'s overload for why.
+    */
+  def deleteImages(spark: SparkSession, dels: DataFrame, idCol: String,
+      stateDir: String): Unit =
+    BatchState.withLease(spark, stateDir) {
+      deleteImages(spark, dels, idCol, stateDir,
+        BatchState.nextTombstoneBatchId(spark, stateDir, DelIdsTables))
+    }
+
   def deleteImages(spark: SparkSession, dels: DataFrame, idCol: String,
       stateDir: String, batchId: Long): Unit =
     BatchState.withLease(spark, stateDir) {
-      BatchState.withLease(spark, dedupDelRoot(stateDir)) {
-        if (!BatchState.allLanded(spark, dedupDelRoot(stateDir),
-            DelIdsTables, batchId)) {
-          val landed = landedBatchIds(spark, stateDir, ImageTables, None)
-          require(landed.nonEmpty,
-            s"no landed batches under $stateDir — nothing to delete from")
-          val delLanded = landedBatchIds(spark, dedupDelRoot(stateDir),
-            DelIdsTables, None)
-          requireInOrder(delLanded, batchId)
-          val asked = dels.select(col(idCol).as("id")).distinct()
-          val held = asked.join(
-            readBatches(spark, stateDir, "bands", landed).get
-              .select(col("id")), Seq("id"), "left_semi")
-          val newDel = readBatches(spark, dedupDelRoot(stateDir), "del_ids",
-              delLanded) match {
-            case Some(prev) => held.join(prev, Seq("id"), "left_anti")
-            case None => held
+      val landed = landedBatchIds(spark, stateDir, ImageTables, None)
+      require(landed.nonEmpty,
+        s"no landed batches under $stateDir — nothing to delete from")
+      val asked = dels.select(col(idCol).as("id")).distinct()
+      val held = asked.join(
+        readBatches(spark, stateDir, "bands", landed).get
+          .select(col("id")), Seq("id"), "left_semi")
+      // never create the deletion root for a complete no-op
+      if (BatchState.hasDeletionRoot(spark, stateDir) || !held.isEmpty)
+        BatchState.withLease(spark, dedupDelRoot(stateDir)) {
+          // a crashed purge must be finished/discarded BEFORE landing:
+          // tombstones landed into a committed-but-unretired root would
+          // be wiped by the next healer (silent resurrection)
+          BatchState.healPurge(spark, stateDir, DelIdsTables)
+          if (!BatchState.allLanded(spark, dedupDelRoot(stateDir),
+              DelIdsTables, batchId)) {
+            val delLanded = landedBatchIds(spark, dedupDelRoot(stateDir),
+              DelIdsTables, None)
+            requireInOrder(delLanded, batchId)
+            val newDel = readBatches(spark, dedupDelRoot(stateDir),
+                "del_ids", delLanded) match {
+              case Some(prev) => held.join(prev, Seq("id"), "left_anti")
+              case None => held
+            }
+            land(newDel, dedupDelRoot(stateDir), "del_ids", batchId)
           }
-          land(newDel, dedupDelRoot(stateDir), "del_ids", batchId)
         }
-      }
     }
 
-  /** Tombstoned ids of either modality's state directory (None when it
-    * never had a deletion — ONE `exists` probe on the hot paths).
+  /** The effective tombstone set of either modality's state directory
+    * (see [[BatchState.readTombstones]]).
     */
   private def tombstones(spark: SparkSession,
-      stateDir: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(dedupDelRoot(stateDir))
-    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
-      None
-    else readBatches(spark, dedupDelRoot(stateDir), "del_ids",
-      landedBatchIds(spark, dedupDelRoot(stateDir), DelIdsTables, None))
-  }
+      stateDir: String): Option[DataFrame] =
+    BatchState.readTombstones(spark, stateDir, DelIdsTables)
 
   /** Every near-dup image pair across all landed batches — the same
     * rows one-shot [[DedupOps.imageNearDupPairs]] produces over the
@@ -403,22 +381,9 @@ object IncrementalDedupOps {
     * the frozen codebook is untouched. Heals crashed purges first.
     */
   def compactEmbeddings(spark: SparkSession, stateDir: String): Unit =
-    BatchState.withLease(spark, stateDir) {
-      if (!BatchState.hasDeletionRoot(spark, stateDir))
-        BatchState.compactState(spark, stateDir,
-          additiveTables = Seq("assign", "edges"),
-          snapshotTables = Seq("clusters"))
-      else BatchState.withLease(spark, dedupDelRoot(stateDir)) {
-        BatchState.healPurge(spark, stateDir, DelIdsTables)
-        BatchState.compactState(spark, stateDir,
-          additiveTables = Seq("assign", "edges"),
-          snapshotTables = Seq("clusters"))
-        if (landedBatchIds(spark, dedupDelRoot(stateDir), DelIdsTables,
-            None).nonEmpty)
-          BatchState.compactState(spark, dedupDelRoot(stateDir),
-            additiveTables = DelIdsTables)
-      }
-    }
+    BatchState.compactWithDeletions(spark, stateDir,
+      additiveTables = Seq("assign", "edges"),
+      snapshotTables = Seq("clusters"), delTables = DelIdsTables)
 
   /** Physically reclaim tombstoned vectors from the SemDeDup state —
     * the purge twin for this family: assignments and edges anti-join
@@ -429,62 +394,38 @@ object IncrementalDedupOps {
     * view). Same commit-arbiter protocol as [[purgeImages]].
     */
   def purgeEmbeddings(spark: SparkSession, stateDir: String): Unit =
-    BatchState.withLease(spark, stateDir) {
-      if (!BatchState.hasDeletionRoot(spark, stateDir))
-        BatchState.compactState(spark, stateDir,
-          additiveTables = Seq("assign", "edges"),
-          snapshotTables = Seq("clusters"))
-      else BatchState.withLease(spark, dedupDelRoot(stateDir)) {
-        BatchState.healPurge(spark, stateDir, DelIdsTables)
-        val delLanded = landedBatchIds(spark, dedupDelRoot(stateDir),
-          DelIdsTables, None)
-        if (delLanded.isEmpty)
-          BatchState.compactState(spark, stateDir,
-            additiveTables = Seq("assign", "edges"),
-            snapshotTables = Seq("clusters"))
-        else {
-          val landed = landedBatchIds(spark, stateDir, EmbTables, None)
-          require(landed.nonEmpty, s"no landed batches under $stateDir")
-          val deleted = readBatches(spark, dedupDelRoot(stateDir),
-            "del_ids", delLanded).get
-          val expected = BatchState.manifestVersion(spark, stateDir) + 1
-          BatchState.writePurgeMarker(spark, stateDir, expected)
-          BatchState.compactState(spark, stateDir,
-            additiveTables = Seq("assign", "edges"),
-            snapshotTables = Seq("clusters"),
-            transform = {
-              case ("assign", df) => df.join(deleted, Seq("id"), "left_anti")
-              case ("edges", df) => df
-                .join(deleted.select(col("id").as("doc_a")), Seq("doc_a"),
-                  "left_anti")
-                .join(deleted.select(col("id").as("doc_b")), Seq("doc_b"),
-                  "left_anti")
-                .select("doc_a", "doc_b") // USING moved the key first
-              case ("clusters", snap) =>
-                // survivors keyed by their HISTORICAL component label,
-                // re-elected min — non-trivial rows only, exactly the
-                // shape the plain view path reads
-                val live = readBatches(spark, stateDir, "assign", landed)
-                  .get.select(col("id"))
-                  .join(deleted, Seq("id"), "left_anti")
-                  .join(snap.select(col("doc_id").as("id"),
-                    col("cluster").as("rep0")), Seq("id"), "left")
-                  .select(col("id"),
-                    coalesce(col("rep0"), col("id")).as("comp"))
-                val reps = live.groupBy(col("comp"))
-                  .agg(min(col("id")).as("rep"))
-                live.join(reps, Seq("comp"))
-                  .where(col("rep") =!= col("id"))
-                  .select(col("id").as("doc_id"), col("rep").as("cluster"))
-              case (_, df) => df
-            },
-            forceRewrite = true)
-          require(BatchState.manifestVersion(spark, stateDir) >= expected,
-            "purge flip did not reach its recorded arbiter version — " +
-              "state untouched, retry")
-          BatchState.healPurge(spark, stateDir, DelIdsTables)
-        }
+    BatchState.purgeState(spark, stateDir,
+      additiveTables = Seq("assign", "edges"),
+      snapshotTables = Seq("clusters"), delTables = DelIdsTables) {
+      deleted =>
+      val landed = landedBatchIds(spark, stateDir, EmbTables, None)
+      val t: (String, DataFrame) => DataFrame = {
+        case ("assign", df) => df.join(deleted, Seq("id"), "left_anti")
+        case ("edges", df) => df
+          .join(deleted.select(col("id").as("doc_a")), Seq("doc_a"),
+            "left_anti")
+          .join(deleted.select(col("id").as("doc_b")), Seq("doc_b"),
+            "left_anti")
+          .select("doc_a", "doc_b") // USING moved the key first
+        case ("clusters", snap) =>
+          // survivors keyed by their HISTORICAL component label,
+          // re-elected min — non-trivial rows only, exactly the
+          // shape the plain view path reads
+          val live = readBatches(spark, stateDir, "assign", landed)
+            .get.select(col("id"))
+            .join(deleted, Seq("id"), "left_anti")
+            .join(snap.select(col("doc_id").as("id"),
+              col("cluster").as("rep0")), Seq("id"), "left")
+            .select(col("id"),
+              coalesce(col("rep0"), col("id")).as("comp"))
+          val reps = live.groupBy(col("comp"))
+            .agg(min(col("id")).as("rep"))
+          live.join(reps, Seq("comp"))
+            .where(col("rep") =!= col("id"))
+            .select(col("id").as("doc_id"), col("rep").as("cluster"))
+        case (_, df) => df
       }
+      t
     }
 
   /** Offline codebook REFIT + state-only reindex for the SemDeDup
@@ -528,8 +469,15 @@ object IncrementalDedupOps {
             s"retry uses $sampleFraction — its committed codebook would " +
             "be silently reused; delete the directory to change the " +
             "sample")
-        val stored = readBatches(spark, oldStateDir, "assign", landedOld).get
-          .select(col("id"), col("v"))
+        // survivors only: re-assigning tombstoned vectors would
+        // resurrect them into the new generation (which starts with a
+        // clean, empty deletion root)
+        val allStored = readBatches(spark, oldStateDir, "assign",
+          landedOld).get.select(col("id"), col("v"))
+        val stored = tombstones(spark, oldStateDir) match {
+          case Some(d) => allStored.join(d, Seq("id"), "left_anti")
+          case None => allStored
+        }
         val fitSet =
           if (sampleFraction >= 1.0) stored
           else stored.where(
@@ -579,30 +527,46 @@ object IncrementalDedupOps {
     * [[ingestEmbeddingShard]]s stop matching the deleted vectors'
     * stored assignments, so no new edge forms against removed content.
     */
+  /** [[deleteEmbeddings]] with the batch id chosen inside the main
+    * lease — see [[IncrementalIndexOps.deleteTextDocs]]'s overload.
+    */
+  def deleteEmbeddings(spark: SparkSession, dels: DataFrame, idCol: String,
+      stateDir: String): Unit =
+    BatchState.withLease(spark, stateDir) {
+      deleteEmbeddings(spark, dels, idCol, stateDir,
+        BatchState.nextTombstoneBatchId(spark, stateDir, DelIdsTables))
+    }
+
   def deleteEmbeddings(spark: SparkSession, dels: DataFrame, idCol: String,
       stateDir: String, batchId: Long): Unit =
     BatchState.withLease(spark, stateDir) {
-      BatchState.withLease(spark, dedupDelRoot(stateDir)) {
-        if (!BatchState.allLanded(spark, dedupDelRoot(stateDir),
-            DelIdsTables, batchId)) {
-          val landed = landedBatchIds(spark, stateDir, EmbTables, None)
-          require(landed.nonEmpty,
-            s"no landed batches under $stateDir — nothing to delete from")
-          val delLanded = landedBatchIds(spark, dedupDelRoot(stateDir),
-            DelIdsTables, None)
-          requireInOrder(delLanded, batchId)
-          val asked = dels.select(col(idCol).as("id")).distinct()
-          val held = asked.join(
-            readBatches(spark, stateDir, "assign", landed).get
-              .select(col("id")), Seq("id"), "left_semi")
-          val newDel = readBatches(spark, dedupDelRoot(stateDir),
-              "del_ids", delLanded) match {
-            case Some(prev) => held.join(prev, Seq("id"), "left_anti")
-            case None => held
+      val landed = landedBatchIds(spark, stateDir, EmbTables, None)
+      require(landed.nonEmpty,
+        s"no landed batches under $stateDir — nothing to delete from")
+      val asked = dels.select(col(idCol).as("id")).distinct()
+      val held = asked.join(
+        readBatches(spark, stateDir, "assign", landed).get
+          .select(col("id")), Seq("id"), "left_semi")
+      // never create the deletion root for a complete no-op
+      if (BatchState.hasDeletionRoot(spark, stateDir) || !held.isEmpty)
+        BatchState.withLease(spark, dedupDelRoot(stateDir)) {
+          // finish/discard a crashed purge BEFORE landing — tombstones
+          // landed into a committed-but-unretired root would be wiped
+          // by the next healer (silent resurrection)
+          BatchState.healPurge(spark, stateDir, DelIdsTables)
+          if (!BatchState.allLanded(spark, dedupDelRoot(stateDir),
+              DelIdsTables, batchId)) {
+            val delLanded = landedBatchIds(spark, dedupDelRoot(stateDir),
+              DelIdsTables, None)
+            requireInOrder(delLanded, batchId)
+            val newDel = readBatches(spark, dedupDelRoot(stateDir),
+                "del_ids", delLanded) match {
+              case Some(prev) => held.join(prev, Seq("id"), "left_anti")
+              case None => held
+            }
+            land(newDel, dedupDelRoot(stateDir), "del_ids", batchId)
           }
-          land(newDel, dedupDelRoot(stateDir), "del_ids", batchId)
         }
-      }
     }
 
   /** The SemDeDup view after every landed batch — one row per vector,

@@ -155,6 +155,22 @@ object IncrementalIndexOps {
     * of the trade (the search path pays only the tombstone anti-join,
     * and [[purgeText]] retires even that).
     */
+  /** [[deleteTextDocs]] with the batch id chosen INSIDE the writer
+    * leases (above everything landed or promised) — the form concurrent
+    * callers should use: an id chosen outside the lease can be raced to
+    * by another deletion, whose idempotency check then silently absorbs
+    * the loser's ids.
+    */
+  def deleteTextDocs(spark: SparkSession, dels: DataFrame, idCol: String,
+      stateDir: String): Unit =
+    // the MAIN lease alone protects the id choice (every deletion
+    // writer takes it first) without creating the deletion root on a
+    // directory where this call turns out to be a no-op
+    BatchState.withLease(spark, stateDir) {
+      deleteTextDocs(spark, dels, idCol, stateDir,
+        BatchState.nextTombstoneBatchId(spark, stateDir, DelTables))
+    }
+
   def deleteTextDocs(spark: SparkSession, dels: DataFrame, idCol: String,
       stateDir: String, batchId: Long): Unit =
     // BOTH leases: the parent's (mutual exclusion with ingest and with
@@ -163,41 +179,47 @@ object IncrementalIndexOps {
     // without it a landing tombstone batch could be destroyed as a
     // "crashed prior attempt" by a concurrent delete-ledger compaction)
     BatchState.withLease(spark, stateDir) {
-      BatchState.withLease(spark, delDir(stateDir)) {
-      healPurge(spark, stateDir)
-      if (!BatchState.allLanded(spark, delDir(stateDir), DelTables, batchId)) {
-        val landed = landedBatchIds(spark, stateDir, Bm25Tables, None)
-        require(landed.nonEmpty,
-          s"no landed batches under $stateDir — nothing to delete from")
-        val delLanded = landedBatchIds(spark, delDir(stateDir), DelTables, None)
-        requireInOrder(delLanded, batchId)
-        val asked = dels.select(col(idCol).as("id")).distinct()
-        // only ids that are indexed AND not already tombstoned produce
-        // deltas — double-deletes and unknown ids are exact no-ops
-        val indexed = asked.join(
-          readBatches(spark, stateDir, "doclen", landed).get, Seq("id"),
-          "left_semi")
-        val newDel = readBatches(spark, delDir(stateDir), "del_ids",
-            delLanded) match {
-          case Some(prev) => indexed.join(prev, Seq("id"), "left_anti")
-          case None => indexed
+      val landed = landedBatchIds(spark, stateDir, Bm25Tables, None)
+      require(landed.nonEmpty,
+        s"no landed batches under $stateDir — nothing to delete from")
+      val asked = dels.select(col(idCol).as("id")).distinct()
+      // only ids that are indexed AND not already tombstoned produce
+      // deltas — double-deletes and unknown ids are exact no-ops
+      val indexed = asked.join(
+        readBatches(spark, stateDir, "doclen", landed).get, Seq("id"),
+        "left_semi")
+      // a deletion that would be a COMPLETE no-op must not create the
+      // deletion root on a pristine directory (whose searches would pay
+      // the deletion listing forever after)
+      if (hasDeletions(spark, stateDir) || !indexed.isEmpty)
+        BatchState.withLease(spark, delDir(stateDir)) {
+        healPurge(spark, stateDir)
+        if (!BatchState.allLanded(spark, delDir(stateDir), DelTables,
+            batchId)) {
+          val delLanded =
+            landedBatchIds(spark, delDir(stateDir), DelTables, None)
+          requireInOrder(delLanded, batchId)
+          val newDel = readBatches(spark, delDir(stateDir), "del_ids",
+              delLanded) match {
+            case Some(prev) => indexed.join(prev, Seq("id"), "left_anti")
+            case None => indexed
+          }
+          val delPostings = readBatches(spark, stateDir, "postings", landed)
+            .get.join(newDel, Seq("id"), "left_semi")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            land(newDel, delDir(stateDir), "del_ids", batchId)
+            land(delPostings.groupBy(col("token"))
+              .agg((-count(lit(1))).as("df")),
+              delDir(stateDir), "del_tokstats", batchId)
+            land(delPostings.groupBy(col("id"))
+              .agg(sum(col("tf")).as("dl"))
+              .agg((-count(lit(1))).as("n_docs"),
+                (-coalesce(sum(col("dl")), lit(0L))).as("totlen")),
+              delDir(stateDir), "del_globals", batchId)
+          } finally delPostings.unpersist(blocking = false)
         }
-        val delPostings = readBatches(spark, stateDir, "postings", landed)
-          .get.join(newDel, Seq("id"), "left_semi")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          land(newDel, delDir(stateDir), "del_ids", batchId)
-          land(delPostings.groupBy(col("token"))
-            .agg((-count(lit(1))).as("df")),
-            delDir(stateDir), "del_tokstats", batchId)
-          land(delPostings.groupBy(col("id"))
-            .agg(sum(col("tf")).as("dl"))
-            .agg((-count(lit(1))).as("n_docs"),
-              (-coalesce(sum(col("dl")), lit(0L))).as("totlen")),
-            delDir(stateDir), "del_globals", batchId)
-        } finally delPostings.unpersist(blocking = false)
-      }
-      }
+        }
     }
 
   /** BM25 top-k over the accumulated index — row-identical to
@@ -259,31 +281,9 @@ object IncrementalIndexOps {
     * run it.
     */
   def compactText(spark: SparkSession, stateDir: String): Unit =
-    BatchState.withLease(spark, stateDir) {
-      // hasDeletions is stable here: every deletion writer takes the
-      // main lease first. Taking the deletion-root lease eagerly would
-      // CREATE `_deletes` and make every pristine directory pay the
-      // deletion listing on all future searches.
-      if (!hasDeletions(spark, stateDir))
-        BatchState.compactState(spark, stateDir,
-          additiveTables = Bm25Tables)
-      else BatchState.withLease(spark, delDir(stateDir)) {
-        // finish/discard any crashed purge FIRST — in particular a
-        // stale (uncommitted) purge marker must go before this
-        // compaction increments the manifest version it names, or the
-        // marker would falsely "commit" a purge that never ran
-        healPurge(spark, stateDir)
-        BatchState.compactState(spark, stateDir,
-          additiveTables = Bm25Tables)
-        // the deletion ledger is its own BatchState root (own batch
-        // ids, own manifest) and compacts independently — tombstone ids
-        // and negative deltas are additive facts like everything else
-        if (landedBatchIds(spark, delDir(stateDir), DelTables, None)
-            .nonEmpty)
-          BatchState.compactState(spark, delDir(stateDir),
-            additiveTables = DelTables)
-      }
-    }
+    BatchState.compactWithDeletions(spark, stateDir,
+      additiveTables = Bm25Tables, snapshotTables = Seq.empty,
+      delTables = DelTables)
 
   // the shared tombstone/purge machinery lives in [[BatchState]] —
   // these keep the family-local names readable
@@ -319,47 +319,23 @@ object IncrementalIndexOps {
     * under the leases first.
     */
   def purgeText(spark: SparkSession, stateDir: String): Unit =
-    BatchState.withLease(spark, stateDir) {
-      // see compactText: never create `_deletes` on a pristine dir
-      if (!hasDeletions(spark, stateDir))
-        BatchState.compactState(spark, stateDir,
-          additiveTables = Bm25Tables)
-      else BatchState.withLease(spark, delDir(stateDir)) {
-        healPurge(spark, stateDir)
-        val delLanded =
-          landedBatchIds(spark, delDir(stateDir), DelTables, None)
-        if (delLanded.isEmpty)
-          BatchState.compactState(spark, stateDir,
-            additiveTables = Bm25Tables)
-        else {
-          val landed = landedBatchIds(spark, stateDir, Bm25Tables, None)
-          require(landed.nonEmpty, s"no landed batches under $stateDir")
-          val deleted = readBatches(spark, delDir(stateDir), "del_ids",
-            delLanded).get
-          def survivors(table: String) =
-            readBatches(spark, stateDir, table, landed).get
-              .join(deleted, Seq("id"), "left_anti")
-          val expected = BatchState.manifestVersion(spark, stateDir) + 1
-          BatchState.writePurgeMarker(spark, stateDir, expected)
-          BatchState.compactState(spark, stateDir,
-            additiveTables = Bm25Tables,
-            transform = {
-              case ("postings", df) => df.join(deleted, Seq("id"), "left_anti")
-              case ("doclen", df) => df.join(deleted, Seq("id"), "left_anti")
-              case ("tokstats", _) => survivors("postings")
-                .groupBy(col("token")).agg(count(lit(1)).as("df"))
-              case ("globals", _) => survivors("doclen")
-                .agg(count(lit(1)).as("n_docs"),
-                  coalesce(sum(col("dl")), lit(0L)).as("totlen"))
-              case (_, df) => df
-            },
-            forceRewrite = true)
-          require(BatchState.manifestVersion(spark, stateDir) >= expected,
-            "purge flip did not reach its recorded arbiter version — " +
-              "state untouched, retry")
-          healPurge(spark, stateDir)
-        }
+    BatchState.purgeState(spark, stateDir, additiveTables = Bm25Tables,
+      snapshotTables = Seq.empty, delTables = DelTables) { deleted =>
+      val landed = landedBatchIds(spark, stateDir, Bm25Tables, None)
+      def survivors(table: String) =
+        readBatches(spark, stateDir, table, landed).get
+          .join(deleted, Seq("id"), "left_anti")
+      val t: (String, DataFrame) => DataFrame = {
+        case ("postings", df) => df.join(deleted, Seq("id"), "left_anti")
+        case ("doclen", df) => df.join(deleted, Seq("id"), "left_anti")
+        case ("tokstats", _) => survivors("postings")
+          .groupBy(col("token")).agg(count(lit(1)).as("df"))
+        case ("globals", _) => survivors("doclen")
+          .agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(col("dl")), lit(0L)).as("totlen"))
+        case (_, df) => df
       }
+      t
     }
 
   // -------------------------------------------------------------- IVF
@@ -417,31 +393,43 @@ object IncrementalIndexOps {
     * and already-tombstoned ids are exact no-ops, deletion is by id and
     * permanent (ids are never reused).
     */
+  /** [[deleteVectors]] with the batch id chosen inside the main lease —
+    * see the [[deleteTextDocs]] overload for why.
+    */
+  def deleteVectors(spark: SparkSession, dels: DataFrame, idCol: String,
+      stateDir: String): Unit =
+    BatchState.withLease(spark, stateDir) {
+      deleteVectors(spark, dels, idCol, stateDir,
+        BatchState.nextTombstoneBatchId(spark, stateDir, VecDelTables))
+    }
+
   def deleteVectors(spark: SparkSession, dels: DataFrame, idCol: String,
       stateDir: String, batchId: Long): Unit =
     BatchState.withLease(spark, stateDir) {
-      BatchState.withLease(spark, delDir(stateDir)) {
-        healPurge(spark, stateDir, VecDelTables)
-        if (!BatchState.allLanded(spark, delDir(stateDir), VecDelTables,
-            batchId)) {
-          val landed = landedBatchIds(spark, stateDir, IvfTables, None)
-          require(landed.nonEmpty,
-            s"no landed batches under $stateDir — nothing to delete from")
-          val delLanded =
-            landedBatchIds(spark, delDir(stateDir), VecDelTables, None)
-          requireInOrder(delLanded, batchId)
-          val asked = dels.select(col(idCol).as("id")).distinct()
-          val indexed = asked.join(
-            readBatches(spark, stateDir, "cells", landed).get
-              .select(col("cid").as("id")), Seq("id"), "left_semi")
-          val newDel = readBatches(spark, delDir(stateDir), "del_ids",
-              delLanded) match {
-            case Some(prev) => indexed.join(prev, Seq("id"), "left_anti")
-            case None => indexed
+      val landed = landedBatchIds(spark, stateDir, IvfTables, None)
+      require(landed.nonEmpty,
+        s"no landed batches under $stateDir — nothing to delete from")
+      val asked = dels.select(col(idCol).as("id")).distinct()
+      val indexed = asked.join(
+        readBatches(spark, stateDir, "cells", landed).get
+          .select(col("cid").as("id")), Seq("id"), "left_semi")
+      // never create the deletion root for a complete no-op
+      if (hasDeletions(spark, stateDir) || !indexed.isEmpty)
+        BatchState.withLease(spark, delDir(stateDir)) {
+          healPurge(spark, stateDir, VecDelTables)
+          if (!BatchState.allLanded(spark, delDir(stateDir), VecDelTables,
+              batchId)) {
+            val delLanded =
+              landedBatchIds(spark, delDir(stateDir), VecDelTables, None)
+            requireInOrder(delLanded, batchId)
+            val newDel = readBatches(spark, delDir(stateDir), "del_ids",
+                delLanded) match {
+              case Some(prev) => indexed.join(prev, Seq("id"), "left_anti")
+              case None => indexed
+            }
+            land(newDel, delDir(stateDir), "del_ids", batchId)
           }
-          land(newDel, delDir(stateDir), "del_ids", batchId)
         }
-      }
     }
 
   /** Physically reclaim tombstoned vectors — [[purgeText]]'s vector
@@ -449,34 +437,14 @@ object IncrementalIndexOps {
     * compaction that anti-joins the tombstone set out of `cells`.
     */
   def purgeVectors(spark: SparkSession, stateDir: String): Unit =
-    BatchState.withLease(spark, stateDir) {
-      if (!hasDeletions(spark, stateDir))
-        BatchState.compactState(spark, stateDir, additiveTables = IvfTables)
-      else BatchState.withLease(spark, delDir(stateDir)) {
-        healPurge(spark, stateDir, VecDelTables)
-        val delLanded =
-          landedBatchIds(spark, delDir(stateDir), VecDelTables, None)
-        if (delLanded.isEmpty)
-          BatchState.compactState(spark, stateDir,
-            additiveTables = IvfTables)
-        else {
-          val deleted = readBatches(spark, delDir(stateDir), "del_ids",
-            delLanded).get.select(col("id").as("cid"))
-          val expected = BatchState.manifestVersion(spark, stateDir) + 1
-          BatchState.writePurgeMarker(spark, stateDir, expected)
-          BatchState.compactState(spark, stateDir,
-            additiveTables = IvfTables,
-            transform = {
-              case ("cells", df) => df.join(deleted, Seq("cid"), "left_anti")
-              case (_, df) => df
-            },
-            forceRewrite = true)
-          require(BatchState.manifestVersion(spark, stateDir) >= expected,
-            "purge flip did not reach its recorded arbiter version — " +
-              "state untouched, retry")
-          healPurge(spark, stateDir, VecDelTables)
-        }
+    BatchState.purgeState(spark, stateDir, additiveTables = IvfTables,
+      snapshotTables = Seq.empty, delTables = VecDelTables) { deleted0 =>
+      val deleted = deleted0.select(col("id").as("cid"))
+      val t: (String, DataFrame) => DataFrame = {
+        case ("cells", df) => df.join(deleted, Seq("cid"), "left_anti")
+        case (_, df) => df
       }
+      t
     }
 
   /** Compact the IVF cell postings into one batch (additive facts;
@@ -484,18 +452,9 @@ object IncrementalIndexOps {
     * untouched). Heals crashed purges first — see [[compactText]].
     */
   def compactVectors(spark: SparkSession, stateDir: String): Unit =
-    BatchState.withLease(spark, stateDir) {
-      if (!hasDeletions(spark, stateDir))
-        BatchState.compactState(spark, stateDir, additiveTables = IvfTables)
-      else BatchState.withLease(spark, delDir(stateDir)) {
-        healPurge(spark, stateDir, VecDelTables)
-        BatchState.compactState(spark, stateDir, additiveTables = IvfTables)
-        if (landedBatchIds(spark, delDir(stateDir), VecDelTables, None)
-            .nonEmpty)
-          BatchState.compactState(spark, delDir(stateDir),
-            additiveTables = VecDelTables)
-      }
-    }
+    BatchState.compactWithDeletions(spark, stateDir,
+      additiveTables = IvfTables, snapshotTables = Seq.empty,
+      delTables = VecDelTables)
 
   /** Offline codebook REFIT + state-only reindex — the operator the
     * frozen-codebook contract points at when the embedding distribution
@@ -546,12 +505,8 @@ object IncrementalIndexOps {
         // with a clean, empty deletion root)
         val allStored = readBatches(spark, oldStateDir, "cells", landedOld)
           .get.select(col("cid"), col("cv"))
-        val oldDels =
-          if (!hasDeletions(spark, oldStateDir) ||
-            purgeCommitted(spark, oldStateDir)) Seq.empty[Long]
-          else landedBatchIds(spark, delDir(oldStateDir), VecDelTables, None)
-        val stored = readBatches(spark, delDir(oldStateDir), "del_ids",
-            oldDels) match {
+        val stored = BatchState.readTombstones(spark, oldStateDir,
+            VecDelTables) match {
           case Some(d) => allStored.join(d.select(col("id").as("cid")),
             Seq("cid"), "left_anti")
           case None => allStored
@@ -589,14 +544,10 @@ object IncrementalIndexOps {
     require(landed.nonEmpty, s"no landed batches under $stateDir")
     val cents = BatchState.readCodebook(spark, stateDir)
     val allCells = readBatches(spark, stateDir, "cells", landed).get
-    // tombstones ([[deleteVectors]]): anti-join unless a committed
-    // purge already folded them into the merged cells
-    val delLanded =
-      if (!hasDeletions(spark, stateDir)) Seq.empty[Long]
-      else if (purgeCommitted(spark, stateDir)) Seq.empty[Long]
-      else landedBatchIds(spark, delDir(stateDir), VecDelTables, None)
-    val cells = readBatches(spark, delDir(stateDir), "del_ids",
-        delLanded) match {
+    // tombstones ([[deleteVectors]]): anti-join the effective set (None
+    // when absent, all-no-op, or already folded by a committed purge)
+    val cells = BatchState.readTombstones(spark, stateDir,
+        VecDelTables) match {
       case Some(d) => allCells.join(d.select(col("id").as("cid")),
         Seq("cid"), "left_anti")
       case None => allCells

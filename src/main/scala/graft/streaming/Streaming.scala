@@ -392,11 +392,17 @@ object Streaming {
     graft.ops.IncrementalIndexOps.ingestTextShard(
       s, df.join(shardKept, Seq(idCol), "left_semi"),
       idCol, textCol, indexDir, idxId)
-    val delRoot = graft.ops.IncrementalIndexOps.deletionRoot(indexDir)
-    val delId = graft.ops.BatchState.mapExternalBatchId(
-      s, delRoot, batchId, graft.ops.IncrementalIndexOps.DelTables)
-    graft.ops.IncrementalIndexOps.deleteTextDocs(
-      s, nonReps, idCol, indexDir, delId)
+    // only touch the deletion machinery when this batch actually has
+    // demotions: the external-id mirror alone would otherwise create
+    // the deletion root and put every future search on its slow path
+    // (replay-deterministic — nonReps recomputes identically)
+    if (!nonReps.isEmpty) {
+      val delRoot = graft.ops.IncrementalIndexOps.deletionRoot(indexDir)
+      val delId = graft.ops.BatchState.mapExternalBatchId(
+        s, delRoot, batchId, graft.ops.IncrementalIndexOps.DelTables)
+      graft.ops.IncrementalIndexOps.deleteTextDocs(
+        s, nonReps, idCol, indexDir, delId)
+    }
   }
 
   /** Composed TAKEDOWN — the compliance write path of the composed
@@ -414,19 +420,14 @@ object Streaming {
     */
   def composedTakedown(spark: SparkSession, stateDir: String,
       ids: DataFrame, idCol: String): Unit = {
-    val curateDir = s"$stateDir/curate"
-    val indexDir = s"$stateDir/index"
-    val C = graft.ops.IncrementalCurateOps
-    val I = graft.ops.IncrementalIndexOps
-    val B = graft.ops.BatchState
-    def nextId(root: String, tables: Seq[String]): Long = math.max(
-      B.landedBatchIds(spark, root, tables, None).lastOption
-        .getOrElse(-1L),
-      B.maxPromisedEffectiveId(spark, root).getOrElse(-1L)) + 1
-    C.takedown(spark, ids, idCol, curateDir,
-      nextId(C.takedownRoot(curateDir), C.TakedownTables))
-    I.deleteTextDocs(spark, ids, idCol, indexDir,
-      nextId(I.deletionRoot(indexDir), I.DelTables))
+    // the auto-id overloads choose each deletion batch id INSIDE the
+    // writer leases — an id chosen out here could be raced to by a
+    // concurrent takedown, whose idempotency check would then silently
+    // absorb this call's ids
+    graft.ops.IncrementalCurateOps.takedown(
+      spark, ids, idCol, s"$stateDir/curate")
+    graft.ops.IncrementalIndexOps.deleteTextDocs(
+      spark, ids, idCol, s"$stateDir/index")
   }
 
   /** Streaming inverted-index maintenance: the [[stateIngest]] harness
