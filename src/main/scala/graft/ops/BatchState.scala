@@ -125,6 +125,16 @@ private[graft] object BatchState {
     }
   }
 
+  /** Sentinel return of [[mapExternalBatchId]]: this external id's work
+    * on this root is already CONFIRMED landed (a compaction stamped the
+    * mapping `_LANDED` and may since have retired the batch directory)
+    * — the caller must SKIP its sub-operation, not re-run it under the
+    * stale id (a below-watermark id would trip the deletion root's
+    * in-order guard, and a fresh id would silently duplicate data the
+    * merged batch already holds).
+    */
+  val ExternalIdAlreadyLanded: Long = -1L
+
   /** Deterministically map an EXTERNALLY-assigned batch id (a streaming
     * harness's effective id) into this root's OWN ascending id space,
     * persisted under `<root>/_input/batch=<extId>` — the same
@@ -137,23 +147,52 @@ private[graft] object BatchState {
     * moment an operator compacts it between drains. Entries for older
     * external ids are retired on each new mapping (the engine only ever
     * replays the last micro-batch).
+    *
+    * The reuse path mirrors the primary root's replay rule instead of
+    * trusting the recorded mapping unconditionally: a stored id is kept
+    * only while the root's tables still vouch for it ([[allLanded]]) or
+    * its id space is still open (newest landed < stored). A compaction
+    * that moved the landed set past an UNLANDED promise (crash between
+    * the mapping write and the ingest, then compact) forces a fresh id
+    * — the stale one sits below the watermark, where the replayed data
+    * would be invisible to [[landedBatchIds]] and swept by the next GC.
+    * A mapping compaction already CONFIRMED (`_LANDED`) returns
+    * [[ExternalIdAlreadyLanded]]: the data is in the merged batch even
+    * though the original directory is retired, so the caller skips.
     */
   def mapExternalBatchId(spark: SparkSession, root: String, extId: Long,
       tables: Seq[String]): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fpDir = s"$root/_input/batch=$extId"
     val fs = new Path(fpDir).getFileSystem(conf)
-    if (fs.exists(new Path(s"$fpDir/_SUCCESS")))
-      spark.read.parquet(fpDir).head.getAs[Long]("effective_id")
-    else {
-      val floor = math.max(
-        landedBatchIds(spark, root, tables, None).lastOption
-          .getOrElse(Long.MinValue),
-        maxPromisedEffectiveId(spark, root).getOrElse(Long.MinValue))
-      val own = if (floor == Long.MinValue) extId else floor + 1
+    def writeEntry(own: Long): Unit = {
       import spark.implicits._
       Seq(own).toDF("effective_id").coalesce(1)
         .write.mode(SaveMode.Overwrite).parquet(fpDir)
+    }
+    def freshId: Long = math.max(
+      landedBatchIds(spark, root, tables, None).lastOption
+        .getOrElse(Long.MinValue),
+      maxPromisedEffectiveId(spark, root).getOrElse(Long.MinValue))
+    if (fs.exists(new Path(s"$fpDir/_SUCCESS"))) {
+      val storedEff =
+        spark.read.parquet(fpDir).head.getAs[Long]("effective_id")
+      if (fs.exists(new Path(fpDir, "_LANDED"))) ExternalIdAlreadyLanded
+      else if (allLanded(spark, root, tables, storedEff)) storedEff
+      else {
+        val newest = landedBatchIds(spark, root, tables, None)
+          .lastOption.getOrElse(Long.MinValue)
+        if (newest < storedEff) storedEff
+        else {
+          val own = freshId + 1
+          writeEntry(own)
+          own
+        }
+      }
+    } else {
+      val floor = freshId
+      val own = if (floor == Long.MinValue) extId else floor + 1
+      writeEntry(own)
       inputLedgerDirs(spark, root)
         .map(_.getName.stripPrefix("batch="))
         .flatMap(s => scala.util.Try(s.toLong).toOption)
@@ -172,6 +211,18 @@ private[graft] object BatchState {
     * confirmation write crashed is not mistaken for a crashed INGEST
     * after the batch directories are retired — that mistake would
     * re-ingest landed data under a fresh id (silent duplication).
+    *
+    * Entries flagged COMPOSED (written by closures with effects beyond
+    * this root's core tables — curate → index) are never confirmed
+    * here: the core tables landing proves only the FIRST sub-operation
+    * completed, and a confirmation stamped off it would make the replay
+    * skip the whole closure — a crash between the curate land and the
+    * index step followed by a routine compaction would leave the shard
+    * permanently unindexed. Composed entries are confirmed only by the
+    * harness, after the full closure returns; their replay after a
+    * compaction re-runs the closure under a fresh id, where every
+    * sub-operation is a semantic no-op on work the merged batch already
+    * holds.
     */
   private def confirmLandedInputs(spark: SparkSession, stateDir: String,
       landed: Set[Long]): Unit = {
@@ -179,9 +230,10 @@ private[graft] object BatchState {
     inputLedgerDirs(spark, stateDir).foreach { d =>
       val fs = d.getFileSystem(conf)
       if (!fs.exists(new Path(d, "_LANDED"))) {
-        val eff = spark.read.parquet(d.toString)
-          .head.getAs[Long]("effective_id")
-        if (landed.contains(eff))
+        val row = spark.read.parquet(d.toString).head
+        val composed = row.schema.fieldNames.contains("composed") &&
+          row.getAs[Boolean]("composed")
+        if (!composed && landed.contains(row.getAs[Long]("effective_id")))
           fs.create(new Path(d, "_LANDED"), true).close()
       }
     }

@@ -487,18 +487,24 @@ object CorpusOps {
     * kernels, one fingerprint aggregate, the banded near-dup pair join,
     * alternating-star CC), plus two broadcast-sized left joins to
     * attach keeper/rep labels back onto the full input — no new
-    * shuffle class. The corpus text is scanned exactly ONCE: every
-    * consumer (gate branch, fingerprint keepers, stage-2 shingling,
-    * final projection) reads one lazily-checkpointed frame — the c1
-    * owner pattern lifted to the full input; the first-pass shape let
-    * Catalyst re-expand the scored subtree under each join input and
-    * tripled the dominant narrow-scan IO (plan-gated in
-    * PlanQualitySpec).
+    * shuffle class. Checkpoint storage is bounded deliberately: the
+    * corpus-wide lazily-checkpointed frame pins METADATA only (id,
+    * gates, fingerprint — a few narrow columns), never the text; the
+    * text is re-attached for the one stage that needs it (stage-2
+    * shingling) by a second column-pruned id+text scan semi-joined to
+    * the stage-1 keepers, itself lazily checkpointed at the KEPT-subset
+    * bound [[curate]] already pays. Pinning the full corpus text to
+    * non-reliable executor-local checkpoint storage would trade one
+    * re-scan for corpus-sized local-disk pressure and an
+    * unrecoverable-lineage failure on any executor loss — the wrong
+    * side of the trade at 100 TB. Catalyst re-expansion of either
+    * frame under its multiple consumers is still impossible (both are
+    * plan-level RDD boundaries; plan-gated in PlanQualitySpec).
     */
   def curationReport(docs: DataFrame, idCol: String, textCol: String,
       lang: String = "en", minQualityE6: Long = 550000L,
       shingleN: Int = 3, jaccardThreshold: Double = 0.5): DataFrame = {
-    val scored = docs.select(col(idCol), col(textCol),
+    val scored = docs.select(col(idCol),
         TextOps.langId(col(textCol)).as("pred_lang"),
         TextOps.qualityScoreMillionths(col(textCol)).as("quality_e6"),
         TextOps.fingerprint(col(textCol)).as("fp"))
@@ -511,9 +517,12 @@ object CorpusOps {
     val keeperOf = gatePass.select(col(idCol), col("fp"))
       .join(keepers, Seq("fp"))
       .select(col(idCol), col("keeper"))
-    val s1 = gatePass.join(
+    // re-attach text for the shingling stage only: one id+text scan
+    // pruned to the stage-1 keepers, pinned at the kept-subset bound
+    val s1 = docs.select(col(idCol), col(textCol)).join(
         keeperOf.where(col(idCol) === col("keeper")).select(idCol),
         Seq(idCol), "left_semi")
+      .localCheckpoint(false)
     val pairs = DedupOps.ngramJaccardPairs(
       s1, idCol, textCol, shingleN, jaccardThreshold)
     val repOf = DedupOps.connectedComponents(

@@ -426,6 +426,13 @@ object IncrementalCurateOps {
       // directories' reads stay one-exists-probe)
       if (BatchState.hasDeletionRoot(spark, stateDir) || !held.isEmpty)
         BatchState.withLease(spark, delRoot(stateDir)) {
+          // same protocol as every other deletion writer: finish (or
+          // discard) a crashed purge BEFORE landing tombstones — the
+          // curation family has no purge operator TODAY, but landing
+          // into a committed-but-unretired root would let the next
+          // healer wipe these tombstones (silent resurrection) the
+          // moment one is added
+          BatchState.healPurge(spark, stateDir, TakedownTables)
           if (!BatchState.allLanded(spark, delRoot(stateDir),
               TakedownTables, batchId)) {
             val delLanded = BatchState.landedBatchIds(spark,
@@ -464,6 +471,23 @@ object IncrementalCurateOps {
     BatchState.compactWithDeletions(spark, stateDir,
       additiveTables = CoreTables, snapshotTables = Seq("clusters"),
       delTables = TakedownTables)
+
+  /** The doc_id column of every stage-1-kept document currently VISIBLE
+    * in state — the recovery source for a composed replay whose own
+    * batch delta was folded away by compaction
+    * ([[graft.streaming.Streaming.curateAndIndexBatch]]): the shard's
+    * kept set is exactly its ids' intersection with this frame (a kept
+    * doc is in the docs table by construction; a gated or exact-dup'd
+    * doc never is, under the family's globally-unique-id contract).
+    * Column-pruned to one id column — never the text.
+    */
+  private[graft] def keptDocIds(spark: SparkSession,
+      stateDir: String): DataFrame = {
+    val landed = landedBatchIds(spark, stateDir, None)
+    require(landed.nonEmpty, s"no landed batches under $stateDir")
+    spark.read.parquet(landed.map(k => s"$stateDir/docs/batch=$k"): _*)
+      .select(col("doc_id"))
+  }
 
   /** Corpus-level aggregate stats by language — ONE union read of every
     * batch's agg state and ONE re-aggregate (counts/sums add, extrema

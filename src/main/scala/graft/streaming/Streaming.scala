@@ -352,10 +352,26 @@ object Streaming {
         graft.ops.IncrementalCurateOps.CurateConfig()): Unit = {
     val curateDir = s"$stateDir/curate"
     val indexDir = s"$stateDir/index"
-    stateIngest(spark, watchDir, schema, checkpoint, curateDir,
-      graft.ops.IncrementalCurateOps.CoreTables, idCol) { (df, batchId) =>
-      curateAndIndexBatch(df, batchId, curateDir, indexDir, idCol,
-        textCol, cfg)
+    // composed = true: the closure's effects extend beyond the curate
+    // root's core tables, so a compaction of that root must never
+    // confirm this stream's ledger entries off the core tables alone —
+    // a crash between the curate land and the index step would
+    // otherwise be "confirmed" and the replay would skip the whole
+    // closure, leaving the shard permanently unindexed. The keyed
+    // variant hands the closure the CHECKPOINT id as well: the index
+    // and deletion mirrors must be keyed by it, not by the curate
+    // effective id, which a post-compaction replay re-assigns (a
+    // re-keyed mirror would miss its own _LANDED confirmation and
+    // duplicate the shard's postings).
+    runAvailableNow(
+      spark.readStream.schema(schema).parquet(watchDir), checkpoint) {
+      (df, ckptId) =>
+        ingestMicroBatchKeyed(df, ckptId, curateDir,
+          graft.ops.IncrementalCurateOps.CoreTables, idCol,
+          composed = true) { (d, eff, key) =>
+          curateAndIndexBatch(d, eff, key, curateDir, indexDir, idCol,
+            textCol, cfg)
+        }
     }
   }
 
@@ -372,7 +388,8 @@ object Streaming {
     * primary root's `_input` ledger already closes for curation).
     */
   private[graft] def curateAndIndexBatch(df: DataFrame, batchId: Long,
-      curateDir: String, indexDir: String, idCol: String, textCol: String,
+      extKey: Long, curateDir: String, indexDir: String, idCol: String,
+      textCol: String,
       cfg: graft.ops.IncrementalCurateOps.CurateConfig): Unit = {
     val s = df.sparkSession
     graft.ops.IncrementalCurateOps.ingestShard(
@@ -383,15 +400,36 @@ object Streaming {
     val nonReps = s.read
       .parquet(s"$curateDir/clusters/batch=$batchId")
       .select(col("doc_id").as(idCol))
-    val shardKept = s.read
+    // the shard's stage-1 kept set: normally the batch's own landed
+    // delta — but a replay whose original delta was folded away by a
+    // curate-root compaction re-lands an EMPTY delta (stage-1 exact
+    // dedup drops every doc already kept in state), so an empty delta
+    // falls back to the VISIBLE state: the shard ids' intersection
+    // with the kept-docs table is the same set on both paths (a fresh
+    // shard's ids are not yet in older state; a folded shard's
+    // survivors are exactly the ids the merged batch kept)
+    val delta = s.read
       .parquet(s"$curateDir/docs/batch=$batchId")
       .select(col("doc_id").as(idCol))
-      .join(nonReps, Seq(idCol), "left_anti")
+    val shardS1 =
+      if (delta.isEmpty)
+        df.select(col(idCol)).join(
+          graft.ops.IncrementalCurateOps.keptDocIds(s, curateDir)
+            .select(col("doc_id").as(idCol)),
+          Seq(idCol), "left_semi")
+      else delta
+    val shardKept = shardS1.join(nonReps, Seq(idCol), "left_anti")
+    // mirrors are keyed by the STABLE external key (the checkpoint
+    // id), never by the curate effective id — a fresh-id replay after
+    // a curate compaction re-assigns the effective id, and a re-keyed
+    // mirror would miss its recorded mapping (and its _LANDED
+    // confirmation), re-ingesting postings the index already holds
     val idxId = graft.ops.BatchState.mapExternalBatchId(
-      s, indexDir, batchId, graft.ops.IncrementalIndexOps.Bm25Tables)
-    graft.ops.IncrementalIndexOps.ingestTextShard(
-      s, df.join(shardKept, Seq(idCol), "left_semi"),
-      idCol, textCol, indexDir, idxId)
+      s, indexDir, extKey, graft.ops.IncrementalIndexOps.Bm25Tables)
+    if (idxId != graft.ops.BatchState.ExternalIdAlreadyLanded)
+      graft.ops.IncrementalIndexOps.ingestTextShard(
+        s, df.join(shardKept, Seq(idCol), "left_semi"),
+        idCol, textCol, indexDir, idxId)
     // only touch the deletion machinery when this batch actually has
     // demotions: the external-id mirror alone would otherwise create
     // the deletion root and put every future search on its slow path
@@ -399,9 +437,10 @@ object Streaming {
     if (!nonReps.isEmpty) {
       val delRoot = graft.ops.IncrementalIndexOps.deletionRoot(indexDir)
       val delId = graft.ops.BatchState.mapExternalBatchId(
-        s, delRoot, batchId, graft.ops.IncrementalIndexOps.DelTables)
-      graft.ops.IncrementalIndexOps.deleteTextDocs(
-        s, nonReps, idCol, indexDir, delId)
+        s, delRoot, extKey, graft.ops.IncrementalIndexOps.DelTables)
+      if (delId != graft.ops.BatchState.ExternalIdAlreadyLanded)
+        graft.ops.IncrementalIndexOps.deleteTextDocs(
+          s, nonReps, idCol, indexDir, delId)
     }
   }
 
@@ -545,12 +584,14 @@ object Streaming {
   def stateIngest(spark: SparkSession, watchDir: String,
       schema: StructType, checkpoint: String, stateDir: String,
       coreTables: Seq[String], idCol: String, compactEvery: Int = 0,
-      compact: SparkSession => Unit = _ => ())(
+      compact: SparkSession => Unit = _ => (),
+      composed: Boolean = false)(
       ingest: (DataFrame, Long) => Unit): Unit =
     runAvailableNow(
       spark.readStream.schema(schema).parquet(watchDir), checkpoint) {
       (df, ckptId) =>
-        ingestMicroBatch(df, ckptId, stateDir, coreTables, idCol)(ingest)
+        ingestMicroBatch(df, ckptId, stateDir, coreTables, idCol,
+          composed)(ingest)
         if (compactEvery > 0 && graft.ops.BatchState
             .landedBatchIds(df.sparkSession, stateDir, coreTables, None)
             .size >= compactEvery)
@@ -563,11 +604,28 @@ object Streaming {
     * ingested under, or -1 when it was skipped as already landed.
     * Holds the state directory's single-writer lease for the whole
     * ledger-write + ingest window, so compaction can never interleave
-    * between the promise and the landing.
+    * between the promise and the landing. `composed` marks the ledger
+    * entries of closures whose effects extend beyond `coreTables`
+    * (curate → index): compaction will not confirm them off the core
+    * tables alone, so a crash anywhere inside the closure always
+    * re-runs the WHOLE closure on replay.
     */
   private[graft] def ingestMicroBatch(df: DataFrame, ckptId: Long,
-      stateDir: String, coreTables: Seq[String], idCol: String)(
+      stateDir: String, coreTables: Seq[String], idCol: String,
+      composed: Boolean = false)(
       ingest: (DataFrame, Long) => Unit): Long =
+    ingestMicroBatchKeyed(df, ckptId, stateDir, coreTables, idCol,
+      composed)((d, eff, _) => ingest(d, eff))
+
+  /** [[ingestMicroBatch]] whose closure also receives the CHECKPOINT id
+    * — the stable external key composed closures must use for their
+    * secondary-root mirrors (the effective id is re-assigned by a
+    * post-compaction replay; the checkpoint id never is).
+    */
+  private[graft] def ingestMicroBatchKeyed(df: DataFrame, ckptId: Long,
+      stateDir: String, coreTables: Seq[String], idCol: String,
+      composed: Boolean)(
+      ingest: (DataFrame, Long, Long) => Unit): Long =
     graft.ops.BatchState.withLease(df.sparkSession, stateDir) {
       val s = df.sparkSession
       val conf = s.sparkContext.hadoopConfiguration
@@ -618,8 +676,9 @@ object Streaming {
         .getOrElse(-1L)
       def writeEntry(eff: Long): Unit = {
         import s.implicits._
-        Seq((fp(0), fp(1), fp(2), eff))
-          .toDF("n_rows", "id_hash_xor", "id_hash_sum", "effective_id")
+        Seq((fp(0), fp(1), fp(2), eff, composed))
+          .toDF("n_rows", "id_hash_xor", "id_hash_sum", "effective_id",
+            "composed")
           .coalesce(1).write
           .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(fpDir)
       }
@@ -661,7 +720,7 @@ object Streaming {
               newestLanded < storedEff) storedEff
             else newestLanded + 1
           if (eff != storedEff) writeEntry(eff)
-          ingest(df, eff)
+          ingest(df, eff, ckptId)
           confirm()
           eff
         }
@@ -676,7 +735,7 @@ object Streaming {
           fs.delete(new org.apache.hadoop.fs.Path(
             s"$stateDir/_input/batch=$old"), true)
         }
-        ingest(df, eff)
+        ingest(df, eff, ckptId)
         confirm()
         eff
       }

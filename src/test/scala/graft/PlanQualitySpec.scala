@@ -333,16 +333,17 @@ class PlanQualitySpec extends AnyFunSuite {
       s"packing inside curation must not global-sort:\n$p")
   }
 
-  test("curation report scans the corpus text exactly once (all " +
-      "consumers read the lazily-checkpointed scored frame)") {
+  test("curation report reads only its two checkpointed frames (the " +
+      "metadata-only scored frame and the kept-subset text frame)") {
     val p = plan("c3_curation_report")
-    // the single text scan lives INSIDE the checkpointed RDD's lineage;
-    // any parquet scan in the SQL plan means a consumer re-expanded the
-    // scored subtree and the dominant narrow-scan IO multiplies at scale
+    // both scans live INSIDE checkpointed RDD lineages (corpus-wide
+    // metadata; keeper-subset id+text); any parquet scan in the SQL
+    // plan means a consumer re-expanded a subtree and the dominant
+    // narrow-scan IO multiplies at scale
     assert(!p.contains("Scan parquet"),
       s"report re-scans the docs relation:\n$p")
     assert(p.contains("ExistingRDD"),
-      s"expected the checkpointed scored frame in the plan:\n$p")
+      s"expected the checkpointed frames in the plan:\n$p")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoop"),
       s"report degraded to a product join:\n$p")

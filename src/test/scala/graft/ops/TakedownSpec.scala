@@ -75,10 +75,11 @@ class TakedownSpec extends AnyFunSuite {
     val r = corpus.agg(min(col("doc_id")), max(col("doc_id"))).head
     val mid = (r.getLong(0) + r.getLong(1)) / 2
     def micro(df: DataFrame, ckptId: Long): Long =
-      graft.streaming.Streaming.ingestMicroBatch(df, ckptId, curateDir,
-        C.CoreTables, "doc_id")((d, k) =>
+      graft.streaming.Streaming.ingestMicroBatchKeyed(df, ckptId,
+        curateDir, C.CoreTables, "doc_id", composed = true)((d, k, key) =>
         graft.streaming.Streaming.curateAndIndexBatch(
-          d, k, curateDir, indexDir, "doc_id", "text", C.CurateConfig()))
+          d, k, key, curateDir, indexDir, "doc_id", "text",
+          C.CurateConfig()))
     micro(corpus.where(col("doc_id") <= mid), 0)
     micro(corpus.where(col("doc_id") > mid), 1)
     // take down some docs that ARE currently kept+indexed

@@ -70,16 +70,16 @@ class ComposedCrashWindowSpec extends AnyFunSuite {
     val (sA, sB) = (corpus.where(col("doc_id") <= cut1),
       corpus.where(col("doc_id") > cut1))
     def micro(df: DataFrame, ckptId: Long)(
-        body: (DataFrame, Long) => Unit): Long =
-      Streaming.ingestMicroBatch(df, ckptId, curateDir,
-        IncrementalCurateOps.CoreTables, "doc_id")(body)
-    def full(df: DataFrame, k: Long): Unit =
-      Streaming.curateAndIndexBatch(df, k, curateDir, indexDir,
+        body: (DataFrame, Long, Long) => Unit): Long =
+      Streaming.ingestMicroBatchKeyed(df, ckptId, curateDir,
+        IncrementalCurateOps.CoreTables, "doc_id", composed = true)(body)
+    def full(df: DataFrame, k: Long, key: Long): Unit =
+      Streaming.curateAndIndexBatch(df, k, key, curateDir, indexDir,
         "doc_id", "text", cfg)
     assert(micro(sA, 0)(full) == 0L)
     // micro-batch 1 curates, then crashes BEFORE the index step
     intercept[RuntimeException] {
-      micro(sB, 1) { (df, k) =>
+      micro(sB, 1) { (df, k, _) =>
         IncrementalCurateOps.ingestShard(
           spark, df, "doc_id", "text", curateDir, k, cfg)
         sys.error("simulated crash before the index step")
@@ -102,12 +102,12 @@ class ComposedCrashWindowSpec extends AnyFunSuite {
     val root = fresh()
     val (curateDir, indexDir) = (s"$root/curate", s"$root/index")
     val (cut1, cut2) = thirds(corpus)
-    def full(df: DataFrame, k: Long): Unit =
-      Streaming.curateAndIndexBatch(df, k, curateDir, indexDir,
+    def full(df: DataFrame, k: Long, key: Long): Unit =
+      Streaming.curateAndIndexBatch(df, k, key, curateDir, indexDir,
         "doc_id", "text", cfg)
     def micro(df: DataFrame, ckptId: Long): Long =
-      Streaming.ingestMicroBatch(df, ckptId, curateDir,
-        IncrementalCurateOps.CoreTables, "doc_id")(full)
+      Streaming.ingestMicroBatchKeyed(df, ckptId, curateDir,
+        IncrementalCurateOps.CoreTables, "doc_id", composed = true)(full)
     assert(micro(corpus.where(col("doc_id") <= cut1), 0) == 0L)
     assert(micro(corpus.where(
       col("doc_id") > cut1 && col("doc_id") <= cut2), 1) == 1L)
@@ -120,6 +120,127 @@ class ComposedCrashWindowSpec extends AnyFunSuite {
         spark, indexDir, queries, "qid", "text", 10)) ==
       oneShotOverKept(corpus),
       "the post-compaction shard must ingest as new data in every root")
+  }
+
+  test("crash between the index-root mapping write and the index " +
+      "ingest, then an index compaction: the replay re-resolves the " +
+      "stale mapping instead of landing below the watermark") {
+    val root = fresh()
+    val (curateDir, indexDir) = (s"$root/curate", s"$root/index")
+    val (cut1, cut2) = thirds(corpus)
+    val (sA, sB, sC) = (
+      corpus.where(col("doc_id") <= cut1),
+      corpus.where(col("doc_id") > cut1 && col("doc_id") <= cut2),
+      corpus.where(col("doc_id") > cut2))
+    def full(df: DataFrame, k: Long, key: Long): Unit =
+      Streaming.curateAndIndexBatch(df, k, key, curateDir, indexDir,
+        "doc_id", "text", cfg)
+    def micro(df: DataFrame, ckptId: Long)(
+        body: (DataFrame, Long, Long) => Unit): Long =
+      Streaming.ingestMicroBatchKeyed(df, ckptId, curateDir,
+        IncrementalCurateOps.CoreTables, "doc_id", composed = true)(body)
+    assert(micro(sA, 0)(full) == 0L)
+    assert(micro(sB, 1)(full) == 1L)
+    // micro-batch 2 curates and RECORDS the index-root mapping, then
+    // crashes before the index ingest
+    intercept[RuntimeException] {
+      micro(sC, 2) { (df, k, key) =>
+        IncrementalCurateOps.ingestShard(
+          spark, df, "doc_id", "text", curateDir, k, cfg)
+        BatchState.mapExternalBatchId(
+          spark, indexDir, key, IncrementalIndexOps.Bm25Tables)
+        sys.error("simulated crash before the index ingest")
+      }
+    }
+    // an operator compacts the index root: the merged batch lands
+    // ABOVE the promise, moving the watermark past it — the recorded
+    // mapping now points below the watermark, where a replayed ingest
+    // would be invisible and swept by the next GC
+    IncrementalIndexOps.compactText(spark, indexDir)
+    assert(micro(sC, 2)(full) == 2L)
+    assert(sortedRows(IncrementalIndexOps.bm25Search(
+        spark, indexDir, queries, "qid", "text", 10)) ==
+      oneShotOverKept(corpus),
+      "shard C's kept docs must be VISIBLY indexed after the replay — " +
+        "a reused stale mapping would land them below the watermark")
+  }
+
+  test("crash between the curate land and the index step, then a " +
+      "ROUTINE curate compaction: the composed ledger entry is not " +
+      "confirmed off the core tables, so the replay still indexes " +
+      "the shard") {
+    val root = fresh()
+    val (curateDir, indexDir) = (s"$root/curate", s"$root/index")
+    val (cut1, _) = thirds(corpus)
+    val (sA, sB) = (corpus.where(col("doc_id") <= cut1),
+      corpus.where(col("doc_id") > cut1))
+    def full(df: DataFrame, k: Long, key: Long): Unit =
+      Streaming.curateAndIndexBatch(df, k, key, curateDir, indexDir,
+        "doc_id", "text", cfg)
+    def micro(df: DataFrame, ckptId: Long)(
+        body: (DataFrame, Long, Long) => Unit): Long =
+      Streaming.ingestMicroBatchKeyed(df, ckptId, curateDir,
+        IncrementalCurateOps.CoreTables, "doc_id", composed = true)(body)
+    assert(micro(sA, 0)(full) == 0L)
+    intercept[RuntimeException] {
+      micro(sB, 1) { (df, k, _) =>
+        IncrementalCurateOps.ingestShard(
+          spark, df, "doc_id", "text", curateDir, k, cfg)
+        sys.error("simulated crash before the index step")
+      }
+    }
+    // routine curate-root compaction between the crash and the replay:
+    // the curate tables DID land, but confirming the entry off them
+    // would make the replay skip the whole closure — shard B would
+    // never be indexed
+    IncrementalCurateOps.compact(spark, curateDir)
+    val eff = micro(sB, 1)(full)
+    assert(eff > 1L,
+      s"expected a fresh effective id after compaction, got $eff")
+    assert(sortedRows(IncrementalIndexOps.bm25Search(
+        spark, indexDir, queries, "qid", "text", 10)) ==
+      oneShotOverKept(corpus),
+      "shard B must be indexed by the replay even though its curate " +
+        "delta was folded away — the kept set is recovered from the " +
+        "visible state")
+  }
+
+  test("confirmation crash AFTER the full composed closure, then " +
+      "compaction of BOTH roots: the replay neither duplicates nor " +
+      "loses anything (index-root mirror confirmed _LANDED skips)") {
+    val root = fresh()
+    val (curateDir, indexDir) = (s"$root/curate", s"$root/index")
+    val (cut1, _) = thirds(corpus)
+    val (sA, sB) = (corpus.where(col("doc_id") <= cut1),
+      corpus.where(col("doc_id") > cut1))
+    def full(df: DataFrame, k: Long, key: Long): Unit =
+      Streaming.curateAndIndexBatch(df, k, key, curateDir, indexDir,
+        "doc_id", "text", cfg)
+    def micro(df: DataFrame, ckptId: Long)(
+        body: (DataFrame, Long, Long) => Unit): Long =
+      Streaming.ingestMicroBatchKeyed(df, ckptId, curateDir,
+        IncrementalCurateOps.CoreTables, "doc_id", composed = true)(body)
+    assert(micro(sA, 0)(full) == 0L)
+    // the closure completes fully; the harness confirmation crashes
+    intercept[RuntimeException] {
+      micro(sB, 1) { (df, k, key) =>
+        full(df, k, key)
+        sys.error("simulated crash before the confirmation write")
+      }
+    }
+    IncrementalCurateOps.compact(spark, curateDir)
+    IncrementalIndexOps.compactText(spark, indexDir)
+    val before = sortedRows(IncrementalIndexOps.bm25Search(
+      spark, indexDir, queries, "qid", "text", 10))
+    assert(before == oneShotOverKept(corpus))
+    // replay re-runs the closure: the curate re-ingest is an empty
+    // delta, the index mirror is _LANDED-confirmed and skips — search
+    // results must be unchanged (no duplicated postings)
+    assert(micro(sB, 1)(full) > 1L)
+    assert(sortedRows(IncrementalIndexOps.bm25Search(
+        spark, indexDir, queries, "qid", "text", 10)) == before,
+      "the replay after a confirmed-and-compacted index mirror must " +
+        "not duplicate postings or drop documents")
   }
 
   test("crashed ledger rewrite (the fresh-id rewrite died mid-write, " +
