@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Volume probes for the two round-16 gaps the per-query battery can't
+  * cover (both need the 10× replicated corpus AND a bespoke flow):
+  *
+  *  - `purge` — the tombstone PURGE rewrite at 10×: the read paths were
+  *    probed at volume in round 16 (m15, n14) but the purge itself — a
+  *    transformed compaction of the full main tables plus the
+  *    commit-marker flip — had only an argued cost. The probe ingests
+  *    the replicated corpus, tombstones the `doc_id % 7 = 0` slice,
+  *    pins the tombstoned search, times `purgeText`, and asserts the
+  *    post-purge search is row-identical with the deletion root
+  *    retired (the constant-RPC fast path restored).
+  *
+  *  - `composed` — the `st_curate_then_index` production loop at 10×:
+  *    two AvailableNow drains over the replicated corpus, each folding
+  *    curation state, indexing the kept docs and retracting demotions;
+  *    verified by hash-equality against the one-shot
+  *    curate-then-index over the same 10× corpus (the same law the
+  *    sf0.1 battery row pins, at volume). Per-micro-batch guard IO
+  *    (ledger + lease + `_LANDED` writes) is inside the timed drains —
+  *    a blowup surfaces here as drain time, not hidden constants.
+  *
+  * Replication reuses [[VolumeProbe.multiply]] (disjoint id spaces per
+  * replica, text untouched), so curation gates/dedup behave as on the
+  * base corpus replica-by-replica.
+  */
+object PurgeProbe {
+
+  private def timed[T](body: => T): (Double, T) = {
+    val t0 = System.nanoTime()
+    val r = body
+    ((System.nanoTime() - t0) / 1e9, r)
+  }
+
+  private def num(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.1f", Double.box(d))
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val workDir = args.lift(1).getOrElse("/tmp/graft_purge_probe")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val mode = args.lift(3).getOrElse("both")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    println(s"""{"probe":"purge_probe","factor":$factor,"src":"$srcDir","heap_mb":${Runtime.getRuntime.maxMemory() / (1 << 20)},"mode":"$mode"}""")
+
+    val offset = VolumeProbe.keyOffsetFor(spark, srcDir)
+    val big = s"$workDir/documents.parquet"
+    VolumeProbe.multiply(
+        spark.read.parquet(s"$srcDir/documents.parquet"), factor, offset)
+      .write.mode("overwrite").parquet(big)
+    val docs = spark.read.parquet(big)
+    val corpus = docs.where(pmod(col("doc_id"), lit(97)) =!= 0)
+    // replica-0 queries only: the query set stays base-sized at any
+    // factor, which is how a serving path looks at 100 TB
+    val queries = docs.where(pmod(col("doc_id"), lit(97)) === 0 &&
+        col("doc_id") < offset)
+      .select(col("doc_id").as("qid"), col("text"))
+    def sortedRows(df: DataFrame): Seq[String] =
+      df.orderBy(df.columns.map(col): _*).collect()
+        .map(_.mkString("|")).toSeq
+
+    if (mode == "both" || mode == "purge") {
+      val I = graft.ops.IncrementalIndexOps
+      val state = s"$workDir/bm25_state"
+      val (ingestSec, _) = timed {
+        I.ingestTextShard(spark, corpus, "doc_id", "text", state, 0L)
+      }
+      val (delSec, _) = timed {
+        I.deleteTextDocs(spark,
+          corpus.where(pmod(col("doc_id"), lit(7)) === 0)
+            .select("doc_id"), "doc_id", state)
+      }
+      val (searchTombSec, before) = timed {
+        sortedRows(I.bm25Search(spark, state, queries, "qid", "text", 10))
+      }
+      val (purgeSec, _) = timed { I.purgeText(spark, state) }
+      require(!graft.ops.BatchState.hasDeletionRoot(spark, state),
+        "purge must retire the deletion root (constant-RPC fast path)")
+      val (searchSec, after) = timed {
+        sortedRows(I.bm25Search(spark, state, queries, "qid", "text", 10))
+      }
+      require(after == before,
+        "post-purge search must be row-identical to the tombstoned view")
+      println(s"""{"probe":"purge_10x","ingest_s":${num(ingestSec)},"delete_s":${num(delSec)},"search_tombstoned_s":${num(searchTombSec)},"purge_s":${num(purgeSec)},"search_purged_s":${num(searchSec)},"rows":${after.size},"equal":true,"del_root_retired":true}""")
+    }
+
+    if (mode == "both" || mode == "composed") {
+      import org.apache.hadoop.fs.Path
+      val base = s"$workDir/composed"
+      val (watch, ckpt, state) = (s"$base/in", s"$base/ckpt", s"$base/state")
+      val fs = new Path(base).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(base), true)
+      fs.mkdirs(new Path(watch))
+      def landShard(df: DataFrame, name: String): Unit = {
+        val tmp = s"$base/tmp_$name"
+        df.write.parquet(tmp)
+        var i = 0
+        fs.globStatus(new Path(s"$tmp/part-*")).foreach { st =>
+          fs.rename(st.getPath, new Path(s"$watch/${name}_$i.parquet"))
+          i += 1
+        }
+      }
+      def drain(): Unit = graft.streaming.Streaming.curateAndIndexIngest(
+        spark, watch, corpus.schema, ckpt, state, "doc_id", "text")
+      val r = corpus.agg(min(col("doc_id")), max(col("doc_id"))).head
+      val mid = (r.getLong(0) + r.getLong(1)) / 2
+      landShard(corpus.where(col("doc_id") <= mid), "s1")
+      val (drain1Sec, _) = timed { drain() }
+      landShard(corpus.where(col("doc_id") > mid), "s2")
+      val (drain2Sec, _) = timed { drain() }
+      val (searchSec, streamed) = timed {
+        sortedRows(graft.ops.IncrementalIndexOps.bm25Search(
+          spark, s"$state/index", queries, "qid", "text", 10))
+      }
+      // one-shot twin over the same 10× corpus — the equality the
+      // battery row pins at sf0.1, now at volume
+      val (oneShotSec, expected) = timed {
+        val kept = graft.ops.CorpusOps.curate(corpus, "doc_id", "text")
+          .select("doc_id")
+        sortedRows(graft.ops.RetrievalOps.bm25TopK(
+          corpus.join(kept, Seq("doc_id"), "left_semi"), queries,
+          "doc_id", "text", "qid", "text", 10)
+          .withColumnRenamed("doc_id", "id"))
+      }
+      require(streamed == expected,
+        "composed stream at 10x must equal the one-shot curate-then-index")
+      println(s"""{"probe":"composed_10x","drain1_s":${num(drain1Sec)},"drain2_s":${num(drain2Sec)},"search_s":${num(searchSec)},"oneshot_s":${num(oneShotSec)},"rows":${streamed.size},"equal":true}""")
+    }
+    spark.stop()
+  }
+}

@@ -269,7 +269,12 @@ private[graft] object BatchState {
         listed.toSet ++ globbed.filter(_ >= wm)
       case None => globbed
     }
-    visible.toSeq.filter(k => below.forall(k < _)).sorted
+    // the TTL floor hides a PREFIX of the id space ([[setRetention]]):
+    // applied last so compaction merges survivors only and its GC
+    // sweeps the retired directories
+    val floor = retentionFloor(spark, stateDir)
+    visible.toSeq
+      .filter(k => below.forall(k < _) && floor.forall(k >= _)).sorted
   }
 
   /** Highest-version compaction manifest: (watermark, listed ids). */
@@ -457,6 +462,168 @@ private[graft] object BatchState {
     }
   }
 
+  /** Record an external-id mapping whose effective id was chosen by
+    * the CALLER (under the writer leases) — the post-apply form of the
+    * mapping [[mapExternalBatchId]] writes pre-apply: a deletion
+    * harness must not create the deletion root for a micro-batch that
+    * turns out to be a complete no-op, so it applies first and records
+    * the mapping only once the root provably exists. Retires older
+    * external ids (the engine only ever replays the last micro-batch)
+    * and is a no-op when the entry already exists.
+    */
+  def recordExternalBatchId(spark: SparkSession, root: String,
+      extId: Long, eff: Long): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fpDir = s"$root/_input/batch=$extId"
+    val fs = new Path(fpDir).getFileSystem(conf)
+    if (!fs.exists(new Path(s"$fpDir/_SUCCESS"))) {
+      import spark.implicits._
+      Seq(eff).toDF("effective_id").coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(fpDir)
+      inputLedgerDirs(spark, root)
+        .map(_.getName.stripPrefix("batch="))
+        .flatMap(x => scala.util.Try(x.toLong).toOption)
+        .filter(_ < extId)
+        .foreach(old =>
+          fs.delete(new Path(s"$root/_input/batch=$old"), true))
+    }
+  }
+
+  /** Stamp the `_LANDED` confirmation on an external-id mapping — the
+    * replay of a confirmed external id skips its sub-operation
+    * entirely ([[mapExternalBatchId]] returns
+    * [[ExternalIdAlreadyLanded]]). No-op when the entry is absent.
+    */
+  def confirmExternalBatchId(spark: SparkSession, root: String,
+      extId: Long): Unit = {
+    val fpDir = new Path(s"$root/_input/batch=$extId")
+    val fs = fpDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(fpDir, "_SUCCESS")))
+      fs.create(new Path(fpDir, "_LANDED"), true).close()
+  }
+
+  // --------------------------------------------------- retention (TTL)
+
+  /** Retire every batch id below `minActiveBatchId` from the ACTIVE
+    * view — age-based retention, the time-travel-free TTL verb of the
+    * state family: retired batches stop being visible to every reader
+    * and writer immediately (no per-id tombstones — the unit of
+    * retirement is the ingest batch), and the next [[compactState]]
+    * merges only the survivors and physically sweeps the retired
+    * directories (they sit below its watermark unlisted). The floor is
+    * a versioned file `_manifest/r<N>` (content: the floor), written
+    * with the same create(overwrite = false) primitive as the manifest;
+    * the floor is monotonic — a lower re-set throws, because readers
+    * may already have served the narrower view.
+    *
+    * Family applicability: exact only where batches are independent
+    * facts (BM25 postings/stats, IVF cells — "view over surviving
+    * batches" ≡ "ingest of the surviving batches"); the edge-producing
+    * families (curation, image near-dup) hold CROSS-batch state whose
+    * older legs a TTL would orphan — their wrappers must not expose
+    * this without re-deriving that state.
+    */
+  def setRetention(spark: SparkSession, stateDir: String,
+      minActiveBatchId: Long): Unit = withLease(spark, stateDir) {
+    val dir = new Path(s"$stateDir/_manifest")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    val cur = retentionFloor(spark, stateDir)
+    require(cur.forall(minActiveBatchId >= _),
+      s"retention floor must be monotonic: ${cur.get} -> " +
+        s"$minActiveBatchId would RE-ADMIT batches readers have " +
+        "already been served without")
+    val next = retentionVersions(fs, dir).map(_._1).maxOption
+      .getOrElse(0L) + 1
+    val out = fs.create(new Path(dir, s"r$next"), false)
+    try out.write(minActiveBatchId.toString.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The current retention floor (None when no TTL was ever set):
+    * batch ids below it are invisible to [[landedBatchIds]]. Torn
+    * floor versions (a crashed [[setRetention]]) are skipped — the
+    * write never committed.
+    */
+  private[graft] def retentionFloor(spark: SparkSession,
+      stateDir: String): Option[Long] = {
+    val dir = new Path(s"$stateDir/_manifest")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) None
+    else retentionVersions(fs, dir).sortBy(-_._1).iterator
+      .flatMap { case (_, p) =>
+        val in = fs.open(p)
+        val txt = try scala.io.Source.fromInputStream(in).mkString.trim
+        finally in.close()
+        scala.util.Try(txt.toLong).toOption
+      }.nextOption()
+  }
+
+  private def retentionVersions(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path): Seq[(Long, Path)] =
+    fs.listStatus(dir).toSeq.filter(_.getPath.getName.startsWith("r"))
+      .flatMap(st => scala.util.Try(
+        st.getPath.getName.stripPrefix("r").toLong -> st.getPath).toOption)
+
+  // ------------------------------------------------ generation cutover
+  // (the read-side completion of the offline reindex operators: a
+  // reindex lands a fresh state directory; the POINTER is what makes
+  // "cut searches over" one atomic action instead of a config push to
+  // a fleet of readers)
+
+  /** Atomically repoint a reader-addressed ROOT at a new generation's
+    * state directory — the cutover step after a `reindex*` landed its
+    * fresh directory. The pointer is `<root>/_current/v<N>` (content:
+    * the generation's state directory path), created with the same
+    * `create(overwrite = false)` version primitive as the compaction
+    * manifest: two racing cutovers target the same version number and
+    * the loser fails loudly. A flip COMMITS when its version file holds
+    * a readable path; a crash mid-write leaves a torn (empty) version
+    * that every reader skips — the old generation keeps serving, and
+    * the retry simply creates the next version. Readers resolve through
+    * [[resolveGeneration]]; roots that never had a cutover pay one
+    * `exists` probe.
+    *
+    * The root stays the stable address forever: a second reindex cuts
+    * the SAME root over to generation 3 with one more version file —
+    * resolution is always one hop, never a chain.
+    */
+  def cutoverGeneration(spark: SparkSession, root: String,
+      newStateDir: String): Unit = {
+    val dir = new Path(s"$root/_current")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    val next = readManifestVersion(fs, dir) + 1
+    val out = fs.create(new Path(dir, s"v$next"), false)
+    try out.write(newStateDir.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Resolve a reader-addressed root to its CURRENT generation's state
+    * directory: the newest readable `<root>/_current/v<N>` pointer, or
+    * the root itself when none exists (a plain state directory — the
+    * overwhelmingly common case, one `exists` probe). Torn versions
+    * (crashed flips) are skipped: the flip never committed, so the
+    * previous generation — or the root itself — keeps serving.
+    */
+  def resolveGeneration(spark: SparkSession, root: String): String = {
+    val dir = new Path(s"$root/_current")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) root
+    else {
+      val versions = fs.listStatus(dir).toSeq
+        .flatMap(st => scala.util.Try(
+          st.getPath.getName.stripPrefix("v").toLong -> st.getPath)
+          .toOption)
+        .sortBy(-_._1)
+      versions.iterator.map { case (_, p) =>
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in).mkString.trim
+        finally in.close()
+      }.find(_.nonEmpty).getOrElse(root)
+    }
+  }
+
   // ------------------------------------------------ tombstones & purge
   // (shared by every family that supports deletion: BM25, IVF, image
   // near-dup, SemDeDup, curation — the deletion ledger is its own
@@ -548,14 +715,27 @@ private[graft] object BatchState {
     }
   }
 
+  /** Memoized emptiness of the effective tombstone set, keyed by
+    * (deletion root, landed deletion batch ids): batch directories are
+    * immutable once landed and the landed SET changes on every
+    * delete/compaction (new or merged ids), so the cached verdict can
+    * never go stale — a new tombstone batch or a delete-ledger
+    * compaction produces a new key and re-probes once. Without this, a
+    * search-heavy serving path on a tombstoned-but-unpurged index pays
+    * one Spark job per QUERY re-counting an id set that has not
+    * changed.
+    */
+  private val tombstoneEmptiness =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   /** The EFFECTIVE tombstone id set of a state directory: None when the
     * deletion root does not exist, when a committed purge has already
     * folded the tombstones into the merged tables (reading them again
     * would double-apply), when no deletion batch is landed, or when the
     * landed batches hold zero ids (all-no-op deletions) — so every
     * reader's fast path survives empty or retired deletion history.
-    * The emptiness probe costs one tiny job only when a deletion root
-    * exists at all.
+    * The emptiness probe costs one tiny job on the FIRST read of a
+    * given landed deletion set; repeats hit [[tombstoneEmptiness]].
     */
   private[graft] def readTombstones(spark: SparkSession, stateDir: String,
       delTables: Seq[String]): Option[DataFrame] = {
@@ -564,7 +744,16 @@ private[graft] object BatchState {
     else {
       val root = deletionRoot(stateDir)
       val landed = landedBatchIds(spark, root, delTables, None)
-      readBatches(spark, root, "del_ids", landed).filter(!_.isEmpty)
+      readBatches(spark, root, "del_ids", landed).flatMap { df =>
+        val key = new Path(root).toString + "|" + landed.mkString(",")
+        val empty = Option(tombstoneEmptiness.get(key))
+          .map(_.booleanValue()).getOrElse {
+            val e = df.isEmpty
+            tombstoneEmptiness.put(key, e)
+            e
+          }
+        if (empty) None else Some(df)
+      }
     }
   }
 
@@ -666,11 +855,33 @@ private[graft] object BatchState {
     df.write.mode(SaveMode.Overwrite)
       .parquet(s"$stateDir/$table/batch=$batchId")
 
+  /** Memoized parquet schema per (state dir, table): a state table's
+    * schema is fixed for the directory's lifetime (the family defines
+    * it; `ensureParams` pins everything that could vary), but a bare
+    * `spark.read.parquet` re-infers it from footers with one tiny
+    * Spark job PER CALL — a search-heavy serving path was paying ~7
+    * such jobs per query just to plan. First read infers and caches;
+    * every later read passes the schema explicitly (zero jobs).
+    */
+  private val tableSchemas = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
   /** Union-read of one table across the given batch ids. */
   def readBatches(spark: SparkSession, stateDir: String, table: String,
       ids: Seq[Long]): Option[DataFrame] = {
     val paths = ids.map(k => s"$stateDir/$table/batch=$k")
-    if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+    if (paths.isEmpty) None
+    else {
+      val key = new Path(s"$stateDir/$table").toString
+      Option(tableSchemas.get(key)) match {
+        case Some(schema) =>
+          Some(spark.read.schema(schema).parquet(paths: _*))
+        case None =>
+          val df = spark.read.parquet(paths: _*)
+          tableSchemas.put(key, df.schema)
+          Some(df)
+      }
+    }
   }
 
   /** Enforce that every batch of a state directory was ingested under
@@ -753,6 +964,16 @@ private[graft] object BatchState {
     else found.toSeq.map(_.getPath.getParent.toString).sorted
   }
 
+  /** Memoized codebooks, keyed by the committed codebook's own batch
+    * directory: the codebook is fit ONCE and frozen for the
+    * directory's lifetime (the family contract [[ensureCodebook]]
+    * enforces), and the batch dir is immutable once its marker lands —
+    * so the driver-side collect that every search was re-paying (one
+    * job per query) happens once per (directory, fit).
+    */
+  private val codebooks = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[Seq[Double]]]()
+
   def readCodebook(spark: SparkSession,
       stateDir: String): Seq[Seq[Double]] = {
     val dirs = codebookDirs(spark, stateDir)
@@ -760,8 +981,12 @@ private[graft] object BatchState {
     require(dirs.size == 1,
       s"multiple committed codebooks under $stateDir (${dirs.size}); " +
         "refusing to interleave them — remove all but the fit batch's")
-    spark.read.parquet(dirs.head)
-      .orderBy("ci").collect()
-      .map(_.getSeq[Double](1).toSeq).toSeq
+    Option(codebooks.get(dirs.head)).getOrElse {
+      val cb = spark.read.parquet(dirs.head)
+        .orderBy("ci").collect()
+        .map(_.getSeq[Double](1).toSeq).toSeq
+      codebooks.put(dirs.head, cb)
+      cb
+    }
   }
 }

@@ -310,12 +310,14 @@ object IncrementalDedupOps {
     * ingest and parameter drift throw.
     */
   def ingestEmbeddingShard(spark: SparkSession, newEmb: DataFrame,
-      idCol: String, vecCol: String, stateDir: String, batchId: Long,
-      k: Int, iters: Int, threshold: Double): Unit =
+      idCol: String, vecCol: String, root: String, batchId: Long,
+      k: Int, iters: Int, threshold: Double): Unit = {
+    val stateDir = BatchState.resolveGeneration(spark, root)
     BatchState.withLease(spark, stateDir) {
       ingestEmbeddingShardBody(spark, newEmb, idCol, vecCol, stateDir,
         batchId, k, iters, threshold)
     }
+  }
 
   private def ingestEmbeddingShardBody(spark: SparkSession,
       newEmb: DataFrame, idCol: String, vecCol: String, stateDir: String,
@@ -380,10 +382,12 @@ object IncrementalDedupOps {
     * edges concatenate, the component map keeps the newest snapshot,
     * the frozen codebook is untouched. Heals crashed purges first.
     */
-  def compactEmbeddings(spark: SparkSession, stateDir: String): Unit =
+  def compactEmbeddings(spark: SparkSession, root: String): Unit = {
+    val stateDir = BatchState.resolveGeneration(spark, root)
     BatchState.compactWithDeletions(spark, stateDir,
       additiveTables = Seq("assign", "edges"),
       snapshotTables = Seq("clusters"), delTables = DelIdsTables)
+  }
 
   /** Physically reclaim tombstoned vectors from the SemDeDup state —
     * the purge twin for this family: assignments and edges anti-join
@@ -393,7 +397,8 @@ object IncrementalDedupOps {
     * [[semanticDedupView]] path reproduces exactly the tombstoned
     * view). Same commit-arbiter protocol as [[purgeImages]].
     */
-  def purgeEmbeddings(spark: SparkSession, stateDir: String): Unit =
+  def purgeEmbeddings(spark: SparkSession, root: String): Unit = {
+    val stateDir = BatchState.resolveGeneration(spark, root)
     BatchState.purgeState(spark, stateDir,
       additiveTables = Seq("assign", "edges"),
       snapshotTables = Seq("clusters"), delTables = DelIdsTables) {
@@ -427,6 +432,7 @@ object IncrementalDedupOps {
       }
       t
     }
+  }
 
   /** Offline codebook REFIT + state-only reindex for the SemDeDup
     * family — the escape hatch from the frozen-codebook contract when
@@ -446,9 +452,10 @@ object IncrementalDedupOps {
     * one within-cell self-join — the same shape as the one-shot
     * operator, paid once per refit instead of never being available.
     */
-  def reindexEmbeddings(spark: SparkSession, oldStateDir: String,
+  def reindexEmbeddings(spark: SparkSession, oldRoot: String,
       newStateDir: String, k: Int, iters: Int, threshold: Double,
-      sampleFraction: Double = 1.0): Unit =
+      sampleFraction: Double = 1.0): Unit = {
+    val oldStateDir = BatchState.resolveGeneration(spark, oldRoot)
     BatchState.withLease(spark, oldStateDir) {
       BatchState.withLease(spark, newStateDir) {
         require(sampleFraction > 0 && sampleFraction <= 1.0,
@@ -515,6 +522,7 @@ object IncrementalDedupOps {
         } finally assign.unpersist(blocking = false)
       }
     }
+  }
 
   /** Retract vectors from the SemDeDup state by tombstone. Component
     * structure is HISTORY here, so — unlike the pairwise image family —
@@ -531,14 +539,17 @@ object IncrementalDedupOps {
     * lease — see [[IncrementalIndexOps.deleteTextDocs]]'s overload.
     */
   def deleteEmbeddings(spark: SparkSession, dels: DataFrame, idCol: String,
-      stateDir: String): Unit =
+      root: String): Unit = {
+    val stateDir = BatchState.resolveGeneration(spark, root)
     BatchState.withLease(spark, stateDir) {
       deleteEmbeddings(spark, dels, idCol, stateDir,
         BatchState.nextTombstoneBatchId(spark, stateDir, DelIdsTables))
     }
+  }
 
   def deleteEmbeddings(spark: SparkSession, dels: DataFrame, idCol: String,
-      stateDir: String, batchId: Long): Unit =
+      root: String, batchId: Long): Unit = {
+    val stateDir = BatchState.resolveGeneration(spark, root)
     BatchState.withLease(spark, stateDir) {
       val landed = landedBatchIds(spark, stateDir, EmbTables, None)
       require(landed.nonEmpty,
@@ -568,6 +579,7 @@ object IncrementalDedupOps {
           }
         }
     }
+  }
 
   /** The SemDeDup view after every landed batch — one row per vector,
     * (idCol, cluster, rep), row-identical to one-shot
@@ -576,8 +588,9 @@ object IncrementalDedupOps {
     * only (column pruning drops `v`); no CC runs here — the map was
     * folded at each ingest.
     */
-  def semanticDedupView(spark: SparkSession, stateDir: String,
+  def semanticDedupView(spark: SparkSession, root: String,
       idCol: String): DataFrame = {
+    val stateDir = BatchState.resolveGeneration(spark, root)
     val landed = landedBatchIds(spark, stateDir, EmbTables, None)
     require(landed.nonEmpty, s"no landed batches under $stateDir")
     val assign = readBatches(spark, stateDir, "assign", landed).get

@@ -88,10 +88,12 @@ object IncrementalIndexOps {
     * Idempotent per (stateDir, batchId); order-free (see object doc).
     */
   def ingestTextShard(spark: SparkSession, docs: DataFrame, idCol: String,
-      textCol: String, stateDir: String, batchId: Long): Unit =
+      textCol: String, root: String, batchId: Long): Unit = {
+    val stateDir = BatchState.resolveGeneration(spark, root)
     BatchState.withLease(spark, stateDir) {
       ingestTextShardBody(spark, docs, idCol, textCol, stateDir, batchId)
     }
+  }
 
   private def ingestTextShardBody(spark: SparkSession, docs: DataFrame,
       idCol: String, textCol: String, stateDir: String,
@@ -162,7 +164,8 @@ object IncrementalIndexOps {
     * the loser's ids.
     */
   def deleteTextDocs(spark: SparkSession, dels: DataFrame, idCol: String,
-      stateDir: String): Unit =
+      root: String): Unit = {
+    val stateDir = BatchState.resolveGeneration(spark, root)
     // the MAIN lease alone protects the id choice (every deletion
     // writer takes it first) without creating the deletion root on a
     // directory where this call turns out to be a no-op
@@ -170,9 +173,11 @@ object IncrementalIndexOps {
       deleteTextDocs(spark, dels, idCol, stateDir,
         BatchState.nextTombstoneBatchId(spark, stateDir, DelTables))
     }
+  }
 
   def deleteTextDocs(spark: SparkSession, dels: DataFrame, idCol: String,
-      stateDir: String, batchId: Long): Unit =
+      root: String, batchId: Long): Unit = {
+    val stateDir = BatchState.resolveGeneration(spark, root)
     // BOTH leases: the parent's (mutual exclusion with ingest and with
     // the main-table compaction) and the deletion root's own (mutual
     // exclusion with compactState(delDir), which holds only that one —
@@ -221,6 +226,7 @@ object IncrementalIndexOps {
         }
         }
     }
+  }
 
   /** BM25 top-k over the accumulated index — row-identical to
     * [[RetrievalOps.bm25TopK]] on the union of every ingested shard
@@ -232,9 +238,10 @@ object IncrementalIndexOps {
     * anti-joined by the tombstone set (deleted-id-count-sized — tiny
     * next to the postings it filters).
     */
-  def bm25Search(spark: SparkSession, stateDir: String, queries: DataFrame,
+  def bm25Search(spark: SparkSession, root: String, queries: DataFrame,
       qidCol: String, qtextCol: String, k: Int = 10): DataFrame = {
     require(k >= 1 && k <= 1000, s"k in 1..1000, got $k")
+    val stateDir = BatchState.resolveGeneration(spark, root)
     val landed = landedBatchIds(spark, stateDir, Bm25Tables, None)
     require(landed.nonEmpty, s"no landed batches under $stateDir")
     val delLanded =
@@ -280,10 +287,12 @@ object IncrementalIndexOps {
     * manifest protocol and [[IncrementalCurateOps.compact]] for when to
     * run it.
     */
-  def compactText(spark: SparkSession, stateDir: String): Unit =
+  def compactText(spark: SparkSession, root: String): Unit = {
+    val stateDir = BatchState.resolveGeneration(spark, root)
     BatchState.compactWithDeletions(spark, stateDir,
       additiveTables = Bm25Tables, snapshotTables = Seq.empty,
       delTables = DelTables)
+  }
 
   // the shared tombstone/purge machinery lives in [[BatchState]] —
   // these keep the family-local names readable
@@ -318,7 +327,8 @@ object IncrementalIndexOps {
     * directory that has ever had deletions, so the healing always runs
     * under the leases first.
     */
-  def purgeText(spark: SparkSession, stateDir: String): Unit =
+  def purgeText(spark: SparkSession, root: String): Unit = {
+    val stateDir = BatchState.resolveGeneration(spark, root)
     BatchState.purgeState(spark, stateDir, additiveTables = Bm25Tables,
       snapshotTables = Seq.empty, delTables = DelTables) { deleted =>
       val landed = landedBatchIds(spark, stateDir, Bm25Tables, None)
@@ -337,6 +347,45 @@ object IncrementalIndexOps {
       }
       t
     }
+  }
+
+  /** Age-based retention for the BM25 family
+    * ([[BatchState.setRetention]]): retire every index batch below
+    * `minActiveBatchId` from the active view — the TTL verb ("drop
+    * shards older than the training-data cutoff") completing the
+    * family's operational set (ingest/delete/purge/compact/reindex).
+    * Exact by construction: every BM25 statistic is additive over
+    * per-batch-disjoint doc sets, so the TTL'd view IS the index of
+    * the surviving batches. Requires a tombstone-free directory (purge
+    * first): a live deletion delta references the whole pre-TTL corpus
+    * — its negative df/globals rows for docs in retired batches would
+    * undercount the surviving statistics.
+    */
+  def expireTextBatches(spark: SparkSession, root: String,
+      minActiveBatchId: Long): Unit = {
+    val stateDir = BatchState.resolveGeneration(spark, root)
+    BatchState.withLease(spark, stateDir) {
+      require(BatchState.readTombstones(spark, stateDir, DelTables).isEmpty,
+        s"$stateDir holds live tombstones; purge before expiring — " +
+          "deletion deltas reference retired batches' statistics")
+      BatchState.setRetention(spark, stateDir, minActiveBatchId)
+    }
+  }
+
+  /** Age-based retention for the IVF family — exact for the same
+    * reason (cells are per-batch-disjoint postings; the frozen
+    * codebook lives outside batch visibility and survives the TTL).
+    */
+  def expireVectorBatches(spark: SparkSession, root: String,
+      minActiveBatchId: Long): Unit = {
+    val stateDir = BatchState.resolveGeneration(spark, root)
+    BatchState.withLease(spark, stateDir) {
+      require(BatchState.readTombstones(spark, stateDir,
+        VecDelTables).isEmpty,
+        s"$stateDir holds live tombstones; purge before expiring")
+      BatchState.setRetention(spark, stateDir, minActiveBatchId)
+    }
+  }
 
   // -------------------------------------------------------------- IVF
 
@@ -356,10 +405,13 @@ object IncrementalIndexOps {
     * parameter drift throw.
     */
   def ingestVectorShard(spark: SparkSession, emb: DataFrame, idCol: String,
-      vecCol: String, stateDir: String, batchId: Long,
-      nCells: Int, iters: Int): Unit = BatchState.withLease(spark, stateDir) {
-    ingestVectorShardBody(spark, emb, idCol, vecCol, stateDir, batchId,
-      nCells, iters)
+      vecCol: String, root: String, batchId: Long,
+      nCells: Int, iters: Int): Unit = {
+    val stateDir = BatchState.resolveGeneration(spark, root)
+    BatchState.withLease(spark, stateDir) {
+      ingestVectorShardBody(spark, emb, idCol, vecCol, stateDir, batchId,
+        nCells, iters)
+    }
   }
 
   private def ingestVectorShardBody(spark: SparkSession, emb: DataFrame,
@@ -397,14 +449,17 @@ object IncrementalIndexOps {
     * see the [[deleteTextDocs]] overload for why.
     */
   def deleteVectors(spark: SparkSession, dels: DataFrame, idCol: String,
-      stateDir: String): Unit =
+      root: String): Unit = {
+    val stateDir = BatchState.resolveGeneration(spark, root)
     BatchState.withLease(spark, stateDir) {
       deleteVectors(spark, dels, idCol, stateDir,
         BatchState.nextTombstoneBatchId(spark, stateDir, VecDelTables))
     }
+  }
 
   def deleteVectors(spark: SparkSession, dels: DataFrame, idCol: String,
-      stateDir: String, batchId: Long): Unit =
+      root: String, batchId: Long): Unit = {
+    val stateDir = BatchState.resolveGeneration(spark, root)
     BatchState.withLease(spark, stateDir) {
       val landed = landedBatchIds(spark, stateDir, IvfTables, None)
       require(landed.nonEmpty,
@@ -431,12 +486,14 @@ object IncrementalIndexOps {
           }
         }
     }
+  }
 
   /** Physically reclaim tombstoned vectors — [[purgeText]]'s vector
     * twin (same commit-arbiter protocol, same healing), one transformed
     * compaction that anti-joins the tombstone set out of `cells`.
     */
-  def purgeVectors(spark: SparkSession, stateDir: String): Unit =
+  def purgeVectors(spark: SparkSession, root: String): Unit = {
+    val stateDir = BatchState.resolveGeneration(spark, root)
     BatchState.purgeState(spark, stateDir, additiveTables = IvfTables,
       snapshotTables = Seq.empty, delTables = VecDelTables) { deleted0 =>
       val deleted = deleted0.select(col("id").as("cid"))
@@ -446,15 +503,18 @@ object IncrementalIndexOps {
       }
       t
     }
+  }
 
   /** Compact the IVF cell postings into one batch (additive facts;
     * the frozen codebook lives outside batch visibility and is
     * untouched). Heals crashed purges first — see [[compactText]].
     */
-  def compactVectors(spark: SparkSession, stateDir: String): Unit =
+  def compactVectors(spark: SparkSession, root: String): Unit = {
+    val stateDir = BatchState.resolveGeneration(spark, root)
     BatchState.compactWithDeletions(spark, stateDir,
       additiveTables = IvfTables, snapshotTables = Seq.empty,
       delTables = VecDelTables)
+  }
 
   /** Offline codebook REFIT + state-only reindex — the operator the
     * frozen-codebook contract points at when the embedding distribution
@@ -475,9 +535,10 @@ object IncrementalIndexOps {
     * (equality-spec'd); a sampled refit is the 100 TB path — the fit
     * cost is bounded while assignment stays exact.
     */
-  def reindexVectors(spark: SparkSession, oldStateDir: String,
+  def reindexVectors(spark: SparkSession, oldRoot: String,
       newStateDir: String, nCells: Int, iters: Int,
-      sampleFraction: Double = 1.0): Unit =
+      sampleFraction: Double = 1.0): Unit = {
+    val oldStateDir = BatchState.resolveGeneration(spark, oldRoot)
     BatchState.withLease(spark, oldStateDir) {
       BatchState.withLease(spark, newStateDir) {
         require(sampleFraction > 0 && sampleFraction <= 1.0,
@@ -531,6 +592,7 @@ object IncrementalIndexOps {
           newStateDir, "cells", 0L)
       }
     }
+  }
 
   /** IVF top-k over the accumulated index — row-identical to
     * [[SimilarityOps.ivfTopK]] on the union with the frozen codebook:
@@ -538,8 +600,9 @@ object IncrementalIndexOps {
     * distances), candidates are one equi-join against the accumulated
     * cell postings, exact cosine ranks them.
     */
-  def ivfSearch(spark: SparkSession, stateDir: String, queries: DataFrame,
+  def ivfSearch(spark: SparkSession, root: String, queries: DataFrame,
       nProbe: Int, k: Int): DataFrame = {
+    val stateDir = BatchState.resolveGeneration(spark, root)
     val landed = landedBatchIds(spark, stateDir, IvfTables, None)
     require(landed.nonEmpty, s"no landed batches under $stateDir")
     val cents = BatchState.readCodebook(spark, stateDir)

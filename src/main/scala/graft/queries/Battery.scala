@@ -3508,6 +3508,69 @@ object Battery {
          |WHERE rnk <= 10""".stripMargin
     })
 
+  /** n15 — GENERATION CUTOVER
+    * ([[graft.ops.BatchState.cutoverGeneration]]): the read-side
+    * completion of n13's offline reindex — after the refit lands its
+    * fresh directory, ONE atomic pointer flip under the original root
+    * (the compaction manifest's create-overwrite=false version
+    * primitive) cuts every search over; the query here searches THE
+    * ROOT, never the new directory, so what the oracle pins is that
+    * reindex + flip is a complete cutover with no caller-side
+    * repointing. A torn pointer version (a flip that crashed
+    * mid-write) is landed first and must be ignored. Oracle = n13's
+    * from-scratch-fit CTE chain.
+    */
+  private val n15GenerationCutover = Q(
+    "n15_generation_cutover",
+    (s, d) => {
+      val I = graft.ops.IncrementalIndexOps
+      val S = graft.ops.SimilarityOps
+      val B = graft.ops.BatchState
+      val emb = T.embeddings(s, d)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_n15_root").toString
+      val gen2 = java.nio.file.Files
+        .createTempDirectory("graft_n15_gen2").toString
+      val r = emb.agg(min(col("vec_id")), max(col("vec_id"))).head
+      val mid = (r.getLong(0) + r.getLong(1)) / 2
+      I.ingestVectorShard(s, emb.where(col("vec_id") <= mid),
+        "vec_id", "embedding", root, 0L, nCells = 4, iters = 2)
+      I.ingestVectorShard(s, emb.where(col("vec_id") > mid),
+        "vec_id", "embedding", root, 1L, nCells = 4, iters = 2)
+      I.reindexVectors(s, root, gen2, nCells = 4, iters = 2)
+      // a crashed flip first: the torn version must not redirect
+      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/_current"))
+      fs.create(new org.apache.hadoop.fs.Path(s"$root/_current/v1"),
+        false).close()
+      B.cutoverGeneration(s, root, gen2)
+      val qset = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"),
+          S.asDouble(col("embedding")).as("qv"))
+      I.ivfSearch(s, root, qset, nProbe = 2, k = 10)
+        .select(col("qid"), col("rnk"), col("cid"))
+    },
+    Some {
+      s"""WITH ${kmeansOracleCtesOver("TRUE")},
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+         |pd AS (SELECT q.qid, q.qv, c.ci,
+         |    list_reduce(list_prepend(0.0, [ (qv[j] - cv[j]) * (qv[j] - cv[j]) for j in range(1, 65) ]),
+         |      (acc, x) -> acc + x) AS dist
+         |  FROM q CROSS JOIN c2v c),
+         |pr AS (SELECT qid, qv, ci FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist, ci) AS pn FROM pd)
+         |  WHERE pn <= 2),
+         |cand AS (SELECT pr.qid, b.vec_id AS cid,
+         |    list_dot_product(pr.qv, b.v) /
+         |      (sqrt(list_dot_product(pr.qv, pr.qv)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+         |  FROM pr JOIN b2 b ON b.ci = pr.ci AND b.vec_id <> pr.qid)
+         |SELECT qid, CAST(rnk AS INT) AS rnk, cid FROM
+         |  (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+         |   FROM cand)
+         |WHERE rnk <= 10""".stripMargin
+    })
+
   /** n11 — INCREMENTAL semantic dedup
     * ([[graft.ops.IncrementalDedupOps.ingestEmbeddingShard]]): the
     * SemDeDup production decomposition — the k-means codebook is fit on
@@ -4137,6 +4200,139 @@ object Battery {
       I.ingestTextShard(s, corpus.where(col("doc_id") > mid),
         "doc_id", "text", stateDir, batchId = 1L)
       I.bm25Search(s, stateDir, queries, "qid", "text", k = 10)
+        .withColumnRenamed("id", "doc_id")
+    },
+    Some("""WITH mid AS (SELECT (min(doc_id) + max(doc_id)) // 2 AS m
+           |  FROM documents WHERE doc_id % 97 <> 0),
+           |ct AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+           |  FROM documents CROSS JOIN mid
+           |  WHERE doc_id % 97 <> 0
+           |    AND NOT (doc_id % 13 = 0 AND doc_id <= mid.m)),
+           |p AS (SELECT doc_id, token, count(*) AS tf FROM ct GROUP BY 1, 2),
+           |dlen AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM p GROUP BY 1),
+           |dfq AS (SELECT token, count(*) AS df FROM p GROUP BY 1),
+           |g AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS totlen FROM dlen),
+           |qt AS (SELECT DISTINCT qid, token FROM
+           |  (SELECT doc_id AS qid, unnest(string_split_regex(trim(text), '\s+')) AS token
+           |   FROM documents WHERE doc_id % 97 = 0)),
+           |cand AS (SELECT qt.qid, p.doc_id,
+           |    (g.n_docs * 88 * p.tf * g.totlen * 1000) //
+           |      (dfq.df * (40*p.tf*g.totlen + 12*g.totlen + 36*dlen.dl*g.n_docs)) AS contrib
+           |  FROM qt JOIN p USING (token) JOIN dfq USING (token)
+           |  JOIN dlen ON dlen.doc_id = p.doc_id CROSS JOIN g),
+           |sc AS (SELECT qid, doc_id, CAST(sum(contrib) AS BIGINT) AS score,
+           |    count(*) AS n_match FROM cand GROUP BY 1, 2),
+           |r AS (SELECT qid, doc_id, score, n_match,
+           |    CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS INT) AS rank
+           |  FROM sc)
+           |SELECT qid, rank, doc_id, score, n_match FROM r WHERE rank <= 10""".stripMargin))
+
+  /** x38 — AGE-BASED RETENTION (TTL,
+    * [[graft.ops.IncrementalIndexOps.expireTextBatches]]): the last
+    * operational verb of the state family — batches below the floor
+    * leave the ACTIVE view wholesale (no per-id tombstones), and the
+    * search over what remains must equal an index built from the
+    * surviving shards alone. Three shards land, the floor retires the
+    * first; the oracle is the canonical BM25 chain over the corpus
+    * minus the first third — stale statistics from the retired shard
+    * (df, N, totlen) would hash-mismatch every score.
+    */
+  private val x38BmTtl = Q(
+    "x38_bm25_ttl",
+    (s, d) => {
+      val I = graft.ops.IncrementalIndexOps
+      val docs = T.documents(s, d)
+      val corpus = docs.where(pmod(col("doc_id"), lit(97)) =!= 0)
+      val queries = docs.where(pmod(col("doc_id"), lit(97)) === 0)
+        .select(col("doc_id").as("qid"), col("text"))
+      val stateDir = java.nio.file.Files
+        .createTempDirectory("graft_x38_state").toString
+      val r = corpus.agg(min(col("doc_id")), max(col("doc_id"))).head
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val (cut1, cut2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+      I.ingestTextShard(s, corpus.where(col("doc_id") <= cut1),
+        "doc_id", "text", stateDir, batchId = 0L)
+      I.ingestTextShard(s, corpus.where(
+        col("doc_id") > cut1 && col("doc_id") <= cut2),
+        "doc_id", "text", stateDir, batchId = 1L)
+      I.ingestTextShard(s, corpus.where(col("doc_id") > cut2),
+        "doc_id", "text", stateDir, batchId = 2L)
+      I.expireTextBatches(s, stateDir, minActiveBatchId = 1L)
+      I.bm25Search(s, stateDir, queries, "qid", "text", k = 10)
+        .withColumnRenamed("id", "doc_id")
+    },
+    Some("""WITH cut AS (SELECT min(doc_id) + (max(doc_id) - min(doc_id)) // 3 AS c
+           |  FROM documents WHERE doc_id % 97 <> 0),
+           |ct AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+           |  FROM documents CROSS JOIN cut
+           |  WHERE doc_id % 97 <> 0 AND doc_id > cut.c),
+           |p AS (SELECT doc_id, token, count(*) AS tf FROM ct GROUP BY 1, 2),
+           |dlen AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM p GROUP BY 1),
+           |dfq AS (SELECT token, count(*) AS df FROM p GROUP BY 1),
+           |g AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS totlen FROM dlen),
+           |qt AS (SELECT DISTINCT qid, token FROM
+           |  (SELECT doc_id AS qid, unnest(string_split_regex(trim(text), '\s+')) AS token
+           |   FROM documents WHERE doc_id % 97 = 0)),
+           |cand AS (SELECT qt.qid, p.doc_id,
+           |    (g.n_docs * 88 * p.tf * g.totlen * 1000) //
+           |      (dfq.df * (40*p.tf*g.totlen + 12*g.totlen + 36*dlen.dl*g.n_docs)) AS contrib
+           |  FROM qt JOIN p USING (token) JOIN dfq USING (token)
+           |  JOIN dlen ON dlen.doc_id = p.doc_id CROSS JOIN g),
+           |sc AS (SELECT qid, doc_id, CAST(sum(contrib) AS BIGINT) AS score,
+           |    count(*) AS n_match FROM cand GROUP BY 1, 2),
+           |r AS (SELECT qid, doc_id, score, n_match,
+           |    CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS INT) AS rank
+           |  FROM sc)
+           |SELECT qid, rank, doc_id, score, n_match FROM r WHERE rank <= 10""".stripMargin))
+
+  /** st_streamed_deletion — the streaming DELETION twin
+    * ([[graft.streaming.Streaming.textDeletionIngest]]): a continuous
+    * takedown feed drained through the deletion harness — each
+    * micro-batch of ids lands a tombstone batch in the index's
+    * deletion root under the root's own `_input` ledger (replay skips,
+    * crash re-chooses the same id). Two micro-batches together delete
+    * exactly x37's set, so the search must hash-equal x37's oracle
+    * (the one-shot BM25 chain over the survivors) — a harness that
+    * dropped, doubled, or mis-ordered a deletion hash-mismatches.
+    */
+  private val stStreamedDeletion = Q(
+    "st_streamed_deletion",
+    (s, d) => {
+      import org.apache.hadoop.fs.Path
+      val I = graft.ops.IncrementalIndexOps
+      val docs = T.documents(s, d)
+      val corpus = docs.where(pmod(col("doc_id"), lit(97)) =!= 0)
+      val queries = docs.where(pmod(col("doc_id"), lit(97)) === 0)
+        .select(col("doc_id").as("qid"), col("text"))
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_stdel").toString
+      val (watch, ckpt, state) =
+        (s"$base/in", s"$base/ckpt", s"$base/state")
+      val fs = new Path(base).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      fs.mkdirs(new Path(watch))
+      val r = corpus.agg(min(col("doc_id")), max(col("doc_id"))).head
+      val mid = (r.getLong(0) + r.getLong(1)) / 2
+      I.ingestTextShard(s, corpus.where(col("doc_id") <= mid),
+        "doc_id", "text", state, batchId = 0L)
+      I.ingestTextShard(s, corpus.where(col("doc_id") > mid),
+        "doc_id", "text", state, batchId = 1L)
+      val doomed = corpus.where(col("doc_id") <= mid &&
+        pmod(col("doc_id"), lit(13)) === 0).select("doc_id")
+      def landShard(df: org.apache.spark.sql.DataFrame,
+          name: String): Unit = {
+        val tmp = s"$base/tmp_$name"
+        df.coalesce(1).write.parquet(tmp)
+        val part = fs.globStatus(new Path(s"$tmp/part-*"))(0).getPath
+        fs.rename(part, new Path(s"$watch/$name.parquet"))
+      }
+      def drain(): Unit = graft.streaming.Streaming.textDeletionIngest(
+        s, watch, doomed.schema, ckpt, state, "doc_id")
+      landShard(doomed.where(pmod(col("doc_id"), lit(26)) === 0), "d1")
+      drain()
+      landShard(doomed.where(pmod(col("doc_id"), lit(26)) === 13), "d2")
+      drain()
+      I.bm25Search(s, state, queries, "qid", "text", k = 10)
         .withColumnRenamed("id", "doc_id")
     },
     Some("""WITH mid AS (SELECT (min(doc_id) + max(doc_id)) // 2 AS m
@@ -6588,7 +6784,8 @@ object Battery {
     n2AnnLsh, n3EmbNearDup, n4AnnIvf, n5PqQuantize, n6KmeansFit, n7SemanticDedup,
     n8SqQuantize, n9BinaryQuantize, n10MmrRerank, n11IncrementalSemDedup,
     n12IncrementalIvf, n13ReindexedIvf, n14IvfTombstones,
-    x36IncrementalBm25, x37Bm25Tombstones,
+    n15GenerationCutover,
+    x36IncrementalBm25, x37Bm25Tombstones, stStreamedDeletion, x38BmTtl,
     kfPatientSlice, kfRSubjectSlice, kfSpecimenSlice, kfDrsSlice,
     kfDiseaseSlice, kfPhenotypeSlice, kfHistoSlice, kfVitalSlice,
     kfFamilySlice, kfStudySlice, kfProbandSlice, kfFamRelSlice,

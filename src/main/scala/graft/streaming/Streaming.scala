@@ -469,6 +469,147 @@ object Streaming {
       spark, ids, idCol, s"$stateDir/index")
   }
 
+  /** Streaming DELETION twin — the compliance write path as a
+    * continuous feed: each micro-batch of ids landing in `watchDir` is
+    * applied to the state family's deletion ledger with the same
+    * exactly-once contract as the ingest harnesses, wired through the
+    * deletion root's OWN `_input` ledger:
+    *
+    *  - the mapping `<stateDir>/_deletes/_input/batch=<ckptId>` records
+    *    which tombstone batch id the micro-batch used, so a replay
+    *    reuses it (and a `_LANDED`-confirmed replay skips the whole
+    *    postings probe);
+    *  - the mapping is written AFTER the delete op ran — an op that
+    *    turns out to be a complete no-op never creates the deletion
+    *    root, so pristine directories keep their one-exists-probe
+    *    search fast path;
+    *  - a PURGE between drains retires the deletion root, ledger
+    *    included — legitimate lifecycle, not state loss: the next
+    *    micro-batch simply starts a fresh root, and a replay of a
+    *    pre-purge batch is a content no-op (its ids are no longer
+    *    indexed, [[graft.ops.IncrementalIndexOps.deleteTextDocs]]'
+    *    no-op contract);
+    *  - crash-mid-delete replays overwrite the same tombstone batch id
+    *    (a half-landed batch is invisible to the all-or-nothing
+    *    listing, so the id is re-chosen); a crash between the apply
+    *    and the mapping write converges through one empty delta batch.
+    *
+    * Deletion ops are content-idempotent (unknown / already-tombstoned
+    * ids contribute nothing), which is what makes this ledger weaker
+    * than ingest's fingerprint ledger sufficient: the ledger here buys
+    * replay SKIPS and stable ids, never correctness.
+    */
+  def deletionIngest(spark: SparkSession, watchDir: String,
+      schema: StructType, checkpoint: String, stateDir: String,
+      delTables: Seq[String])(
+      applyDelete: (DataFrame, Long) => Unit): Unit =
+    runAvailableNow(
+      spark.readStream.schema(schema).parquet(watchDir), checkpoint) {
+      (df, ckptId) =>
+        deletionMicroBatch(df, ckptId, stateDir, delTables)(applyDelete)
+    }
+
+  /** One micro-batch of [[deletionIngest]] — extracted so specs can
+    * drive crash/replay/purge interleavings with chosen checkpoint
+    * ids. Returns the tombstone batch id used, or -1 when the
+    * confirmed mapping skipped the batch.
+    */
+  private[graft] def deletionMicroBatch(df: DataFrame, ckptId: Long,
+      root: String, delTables: Seq[String])(
+      applyDelete: (DataFrame, Long) => Unit): Long = {
+    val s = df.sparkSession
+    val B = graft.ops.BatchState
+    val stateDir = B.resolveGeneration(s, root)
+    B.withLease(s, stateDir) {
+      val delRoot = B.deletionRoot(stateDir)
+      val fpDir = new org.apache.hadoop.fs.Path(
+        s"$delRoot/_input/batch=$ckptId")
+      val fs = fpDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val hasMapping = fs.exists(
+        new org.apache.hadoop.fs.Path(fpDir, "_SUCCESS"))
+      if (hasMapping && fs.exists(
+          new org.apache.hadoop.fs.Path(fpDir, "_LANDED")))
+        B.ExternalIdAlreadyLanded
+      else {
+        val eff =
+          if (hasMapping)
+            B.mapExternalBatchId(s, delRoot, ckptId, delTables)
+          else B.nextTombstoneBatchId(s, stateDir, delTables)
+        if (eff == B.ExternalIdAlreadyLanded) eff
+        else {
+          applyDelete(df, eff)
+          // record only once the root provably exists — a complete
+          // no-op batch must leave a pristine directory pristine
+          if (B.hasDeletionRoot(s, stateDir)) {
+            B.recordExternalBatchId(s, delRoot, ckptId, eff)
+            B.confirmExternalBatchId(s, delRoot, ckptId)
+          }
+          eff
+        }
+      }
+    }
+  }
+
+  /** [[deletionIngest]] over the BM25 family
+    * ([[graft.ops.IncrementalIndexOps.deleteTextDocs]]): after every
+    * drain, `bm25Search` equals the batch twin fed the same ids.
+    */
+  def textDeletionIngest(spark: SparkSession, watchDir: String,
+      schema: StructType, checkpoint: String, stateDir: String,
+      idCol: String): Unit =
+    deletionIngest(spark, watchDir, schema, checkpoint, stateDir,
+      graft.ops.IncrementalIndexOps.DelTables) { (df, eff) =>
+      graft.ops.IncrementalIndexOps.deleteTextDocs(
+        df.sparkSession, df, idCol, stateDir, eff)
+    }
+
+  /** [[deletionIngest]] over the IVF family
+    * ([[graft.ops.IncrementalIndexOps.deleteVectors]]). */
+  def vectorDeletionIngest(spark: SparkSession, watchDir: String,
+      schema: StructType, checkpoint: String, stateDir: String,
+      idCol: String): Unit =
+    deletionIngest(spark, watchDir, schema, checkpoint, stateDir,
+      graft.ops.IncrementalIndexOps.VecDelTables) { (df, eff) =>
+      graft.ops.IncrementalIndexOps.deleteVectors(
+        df.sparkSession, df, idCol, stateDir, eff)
+    }
+
+  /** [[deletionIngest]] over the image near-dup family
+    * ([[graft.ops.IncrementalDedupOps.deleteImages]]). */
+  def imageDeletionIngest(spark: SparkSession, watchDir: String,
+      schema: StructType, checkpoint: String, stateDir: String,
+      idCol: String): Unit =
+    deletionIngest(spark, watchDir, schema, checkpoint, stateDir,
+      graft.ops.IncrementalDedupOps.DelIdsTables) { (df, eff) =>
+      graft.ops.IncrementalDedupOps.deleteImages(
+        df.sparkSession, df, idCol, stateDir, eff)
+    }
+
+  /** [[deletionIngest]] over the SemDeDup family
+    * ([[graft.ops.IncrementalDedupOps.deleteEmbeddings]]). */
+  def embeddingDeletionIngest(spark: SparkSession, watchDir: String,
+      schema: StructType, checkpoint: String, stateDir: String,
+      idCol: String): Unit =
+    deletionIngest(spark, watchDir, schema, checkpoint, stateDir,
+      graft.ops.IncrementalDedupOps.DelIdsTables) { (df, eff) =>
+      graft.ops.IncrementalDedupOps.deleteEmbeddings(
+        df.sparkSession, df, idCol, stateDir, eff)
+    }
+
+  /** [[deletionIngest]] over the curation family
+    * ([[graft.ops.IncrementalCurateOps.takedown]]): a continuous
+    * takedown-request feed; after every drain, `curated` equals the
+    * batch takedown fed the same ids.
+    */
+  def takedownIngest(spark: SparkSession, watchDir: String,
+      schema: StructType, checkpoint: String, stateDir: String,
+      idCol: String): Unit =
+    deletionIngest(spark, watchDir, schema, checkpoint, stateDir,
+      graft.ops.IncrementalCurateOps.TakedownTables) { (df, eff) =>
+      graft.ops.IncrementalCurateOps.takedown(
+        df.sparkSession, df, idCol, stateDir, eff)
+    }
+
   /** Streaming inverted-index maintenance: the [[stateIngest]] harness
     * around [[graft.ops.IncrementalIndexOps.ingestTextShard]] — each
     * document shard landing in `watchDir` is tokenized once into the
