@@ -709,6 +709,13 @@ private[graft] object BatchState {
         // purged directory goes back to the pristine one-exists-probe
         // fast path on every future read
         fs.delete(new Path(deletionRoot(stateDir)), true)
+        // drop the retired root's memoized emptiness verdicts: a NEW
+        // deletion life at this path restarts its batch ids at 0, and
+        // a stale "(root, [0]) → empty" entry from the old life would
+        // make fresh tombstones invisible to every search until a
+        // second batch changed the key
+        val prefix = new Path(deletionRoot(stateDir)).toString + "|"
+        tombstoneEmptiness.keySet.removeIf(_.startsWith(prefix))
       } else {
         fs.delete(marker, false)
       }
@@ -862,6 +869,10 @@ private[graft] object BatchState {
     * Spark job PER CALL — a search-heavy serving path was paying ~7
     * such jobs per query just to plan. First read infers and caches;
     * every later read passes the schema explicitly (zero jobs).
+    * Deleting a state directory and re-ingesting the SAME family at
+    * the path re-produces the identical schema, so the memo stays
+    * valid; reusing a path for a DIFFERENT family is outside the
+    * contract (its reads would fail loudly on missing columns).
     */
   private val tableSchemas = new java.util.concurrent.ConcurrentHashMap[
     String, org.apache.spark.sql.types.StructType]()
@@ -964,12 +975,15 @@ private[graft] object BatchState {
     else found.toSeq.map(_.getPath.getParent.toString).sorted
   }
 
-  /** Memoized codebooks, keyed by the committed codebook's own batch
-    * directory: the codebook is fit ONCE and frozen for the
-    * directory's lifetime (the family contract [[ensureCodebook]]
-    * enforces), and the batch dir is immutable once its marker lands —
-    * so the driver-side collect that every search was re-paying (one
-    * job per query) happens once per (directory, fit).
+  /** Memoized codebooks, keyed by the committed codebook's batch
+    * directory PLUS a file-status digest of its contents: the codebook
+    * is fit once and frozen ([[ensureCodebook]]), but the DOCUMENTED
+    * refit-retry flow ("delete the directory to change the sample")
+    * can legally recreate the same path with a different fit — the
+    * digest (names, lengths, mtimes) makes that a fresh key, so the
+    * memo can never serve a deleted directory's codebook. One
+    * listStatus per read (constant RPC, zero Spark jobs) replaces the
+    * driver-side collect every search was re-paying.
     */
   private val codebooks = new java.util.concurrent.ConcurrentHashMap[
     String, Seq[Seq[Double]]]()
@@ -981,11 +995,17 @@ private[graft] object BatchState {
     require(dirs.size == 1,
       s"multiple committed codebooks under $stateDir (${dirs.size}); " +
         "refusing to interleave them — remove all but the fit batch's")
-    Option(codebooks.get(dirs.head)).getOrElse {
+    val dir = new Path(dirs.head)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val digest = fs.listStatus(dir).toSeq
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString(",")
+    val key = s"${dir.toString}|${digest.hashCode}"
+    Option(codebooks.get(key)).getOrElse {
       val cb = spark.read.parquet(dirs.head)
         .orderBy("ci").collect()
         .map(_.getSeq[Double](1).toSeq).toSeq
-      codebooks.put(dirs.head, cb)
+      codebooks.put(key, cb)
       cb
     }
   }

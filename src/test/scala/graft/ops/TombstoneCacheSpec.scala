@@ -88,6 +88,37 @@ class TombstoneCacheSpec extends AnyFunSuite {
       .where(col("cid").isin(ids(0), ids(1))).count() == 0)
   }
 
+  test("codebook memo keys on file identity: deleting a state " +
+      "directory and refitting at the same path serves the NEW " +
+      "codebook, never the memoized old one") {
+    val emb = graft.Tables.embeddings(spark, srcDir)
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_cbkey").toString
+    val (lo, hi) = {
+      val r = emb.agg(min(col("vec_id")), max(col("vec_id"))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    val mid = (lo + hi) / 2
+    IncrementalIndexOps.ingestVectorShard(spark,
+      emb.where(col("vec_id") <= mid), "vec_id", "embedding", state, 0L,
+      nCells = 4, iters = 2)
+    val cb1 = BatchState.readCodebook(spark, state)
+    // the documented refit-retry flow: delete the directory, refit on
+    // DIFFERENT vectors at the same path
+    val fs = new org.apache.hadoop.fs.Path(state).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(state), true)
+    IncrementalIndexOps.ingestVectorShard(spark,
+      emb.where(col("vec_id") > mid), "vec_id", "embedding", state, 0L,
+      nCells = 4, iters = 2)
+    val cb2 = BatchState.readCodebook(spark, state)
+    assert(cb1 != cb2,
+      "precondition: the refit on different vectors produced a " +
+        "different codebook")
+    // and the memo now serves the new one stably
+    assert(BatchState.readCodebook(spark, state) == cb2)
+  }
+
   test("BM25: repeat search planning launches zero jobs (schemas " +
       "memoized; BM25 reads the tombstone deltas without a probe)") {
     val I = IncrementalIndexOps
