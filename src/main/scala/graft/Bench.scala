@@ -208,15 +208,22 @@ object Bench {
               .getOrElse(Map.empty[String, Double])
             val better = sus.flatMap { case (n, v) =>
               q2.get(n).filter(_ < v).map(n -> _) }
-            // totals shrink by the raw improvement (the re-fork proved
-            // the original reading was window noise, not plan cost)
+            // the raw total shrinks by the raw improvement (the re-fork
+            // proved the original reading was window noise, not plan
+            // cost); the NORMALIZED total scales proportionally — it
+            // was divided by the child's shuffle ratio, so subtracting
+            // raw seconds from it would over-correct exactly when the
+            // child ran contended (ratio > 1), the case the re-fork
+            // targets
             val delta = better.map { case (n, v2) => sus(n) - v2 }.sum
             better.foreach { case (n, v2) => qNode.put(n, v2) }
             val o = rec.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-            o.put("total_s", math.max(0.0,
-              rec.get("total_s").asDouble() - delta))
-            o.put("total_normalized_s", math.max(0.0,
-              rec.get("total_normalized_s").asDouble() - delta))
+            val oldTotal = rec.get("total_s").asDouble()
+            val oldNorm = rec.get("total_normalized_s").asDouble()
+            val newTotal = math.max(0.0, oldTotal - delta)
+            o.put("total_s", newTotal)
+            o.put("total_normalized_s",
+              if (oldTotal <= 0) oldNorm else oldNorm * newTotal / oldTotal)
             val still = sus.keys.toSeq.sorted.filter(n =>
               q2.get(n).getOrElse(sus(n)) > baselineMins(n) * 1.5)
             (Right(rec), better, still)

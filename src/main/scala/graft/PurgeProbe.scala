@@ -75,6 +75,12 @@ object PurgeProbe {
     if (mode == "both" || mode == "purge") {
       val I = graft.ops.IncrementalIndexOps
       val state = s"$workDir/bm25_state"
+      // a re-run against the default workDir must not measure the
+      // PREVIOUS run's compacted state (whose watermark would hide the
+      // fresh batch-0 ingest and silently pass every require)
+      new org.apache.hadoop.fs.Path(state)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(state), true)
       val (ingestSec, _) = timed {
         I.ingestTextShard(spark, corpus, "doc_id", "text", state, 0L)
       }

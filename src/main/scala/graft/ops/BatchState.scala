@@ -175,10 +175,13 @@ private[graft] object BatchState {
         .getOrElse(Long.MinValue),
       maxPromisedEffectiveId(spark, root).getOrElse(Long.MinValue))
     if (fs.exists(new Path(s"$fpDir/_SUCCESS"))) {
+      // the confirmed-skip path must not pay the entry read (one tiny
+      // Spark job) for a value it never uses
+      if (fs.exists(new Path(fpDir, "_LANDED"))) ExternalIdAlreadyLanded
+      else {
       val storedEff =
         spark.read.parquet(fpDir).head.getAs[Long]("effective_id")
-      if (fs.exists(new Path(fpDir, "_LANDED"))) ExternalIdAlreadyLanded
-      else if (allLanded(spark, root, tables, storedEff)) storedEff
+      if (allLanded(spark, root, tables, storedEff)) storedEff
       else {
         val newest = landedBatchIds(spark, root, tables, None)
           .lastOption.getOrElse(Long.MinValue)
@@ -188,6 +191,7 @@ private[graft] object BatchState {
           writeEntry(own)
           own
         }
+      }
       }
     } else {
       val floor = freshId
@@ -260,7 +264,16 @@ private[graft] object BatchState {
       }.toSet
     }
     val globbed = perTable.reduce(_ intersect _)
-    val visible = readManifest(spark, stateDir) match {
+    // ONE listing of `_manifest` serves both the compaction manifest
+    // and the TTL floor — this is the hottest metadata path, and a
+    // second listStatus per call would double its RPCs on an object
+    // store for every root, TTL'd or not
+    val mdir = new Path(s"$stateDir/_manifest")
+    val mfs = mdir.getFileSystem(conf)
+    val entries =
+      if (!mfs.exists(mdir)) Seq.empty[org.apache.hadoop.fs.FileStatus]
+      else mfs.listStatus(mdir).toSeq
+    val visible = readManifestFrom(mfs, entries) match {
       case Some((wm, listed)) =>
         // listed ids are visible UNCONDITIONALLY (their dirs are fully
         // written before the manifest lands; their markers may arrive
@@ -272,7 +285,7 @@ private[graft] object BatchState {
     // the TTL floor hides a PREFIX of the id space ([[setRetention]]):
     // applied last so compaction merges survivors only and its GC
     // sweeps the retired directories
-    val floor = retentionFloor(spark, stateDir)
+    val floor = retentionFloorFrom(mfs, entries)
     visible.toSeq
       .filter(k => below.forall(k < _) && floor.forall(k >= _)).sorted
   }
@@ -284,7 +297,16 @@ private[graft] object BatchState {
     val dir = new Path(s"$stateDir/_manifest")
     val fs = dir.getFileSystem(conf)
     if (!fs.exists(dir)) return None
-    val versions = fs.listStatus(dir).toSeq
+    readManifestFrom(fs, fs.listStatus(dir).toSeq)
+  }
+
+  /** [[readManifest]] over a pre-fetched `_manifest` listing (shared
+    * with the TTL-floor parse so the hot path lists the dir once).
+    */
+  private def readManifestFrom(fs: org.apache.hadoop.fs.FileSystem,
+      entries: Seq[org.apache.hadoop.fs.FileStatus]):
+      Option[(Long, Seq[Long])] = {
+    val versions = entries
       .flatMap(st => scala.util.Try(
         st.getPath.getName.stripPrefix("v").toLong -> st.getPath).toOption)
     if (versions.isEmpty) return None
@@ -533,8 +555,8 @@ private[graft] object BatchState {
       s"retention floor must be monotonic: ${cur.get} -> " +
         s"$minActiveBatchId would RE-ADMIT batches readers have " +
         "already been served without")
-    val next = retentionVersions(fs, dir).map(_._1).maxOption
-      .getOrElse(0L) + 1
+    val next = retentionVersions(fs.listStatus(dir).toSeq)
+      .map(_._1).maxOption.getOrElse(0L) + 1
     val out = fs.create(new Path(dir, s"r$next"), false)
     try out.write(minActiveBatchId.toString.getBytes("UTF-8"))
     finally out.close()
@@ -550,18 +572,23 @@ private[graft] object BatchState {
     val dir = new Path(s"$stateDir/_manifest")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) None
-    else retentionVersions(fs, dir).sortBy(-_._1).iterator
+    else retentionFloorFrom(fs, fs.listStatus(dir).toSeq)
+  }
+
+  /** [[retentionFloor]] over a pre-fetched `_manifest` listing. */
+  private def retentionFloorFrom(fs: org.apache.hadoop.fs.FileSystem,
+      entries: Seq[org.apache.hadoop.fs.FileStatus]): Option[Long] =
+    retentionVersions(entries).sortBy(-_._1).iterator
       .flatMap { case (_, p) =>
         val in = fs.open(p)
         val txt = try scala.io.Source.fromInputStream(in).mkString.trim
         finally in.close()
         scala.util.Try(txt.toLong).toOption
       }.nextOption()
-  }
 
-  private def retentionVersions(fs: org.apache.hadoop.fs.FileSystem,
-      dir: Path): Seq[(Long, Path)] =
-    fs.listStatus(dir).toSeq.filter(_.getPath.getName.startsWith("r"))
+  private def retentionVersions(
+      entries: Seq[org.apache.hadoop.fs.FileStatus]): Seq[(Long, Path)] =
+    entries.filter(_.getPath.getName.startsWith("r"))
       .flatMap(st => scala.util.Try(
         st.getPath.getName.stripPrefix("r").toLong -> st.getPath).toOption)
 
@@ -735,6 +762,19 @@ private[graft] object BatchState {
   private val tombstoneEmptiness =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
+  /** Crude epoch eviction for the planning memos: the maps are
+    * correctness-safe at any content (keys embed the state identity
+    * they summarize) but grow one entry per state-dir/landed-set/fit
+    * seen by the JVM — a bench sweep or a long-lived server would
+    * accumulate them forever. Past the cap, start a fresh epoch; the
+    * next reads re-fill what is still hot.
+    */
+  private def memoPut[V](map: java.util.concurrent.ConcurrentHashMap[String, V],
+      key: String, value: V): Unit = {
+    if (map.size > 8192) map.clear()
+    map.put(key, value)
+  }
+
   /** The EFFECTIVE tombstone id set of a state directory: None when the
     * deletion root does not exist, when a committed purge has already
     * folded the tombstones into the merged tables (reading them again
@@ -752,11 +792,26 @@ private[graft] object BatchState {
       val root = deletionRoot(stateDir)
       val landed = landedBatchIds(spark, root, delTables, None)
       readBatches(spark, root, "del_ids", landed).flatMap { df =>
-        val key = new Path(root).toString + "|" + landed.mkString(",")
+        // the key embeds the landed dirs' FILE IDENTITY (marker
+        // mtimes), not just their ids: a purge retires the whole root
+        // and a new deletion life restarts at batch 0, so an id-only
+        // key could serve one JVM's verdict from a RETIRED life to a
+        // reader in another JVM (the in-process healPurge clearing
+        // cannot reach it). One globStatus, only on tombstoned roots.
+        val glob = new Path(s"$root/del_ids/batch=*/_SUCCESS")
+        val sts = glob.getFileSystem(
+          spark.sparkContext.hadoopConfiguration).globStatus(glob)
+        val ident =
+          if (sts == null) ""
+          else sts.toSeq.map(st =>
+            s"${st.getPath.getParent.getName}:${st.getModificationTime}")
+            .sorted.mkString(",")
+        val key = new Path(root).toString + "|" + landed.mkString(",") +
+          "|" + ident.hashCode
         val empty = Option(tombstoneEmptiness.get(key))
           .map(_.booleanValue()).getOrElse {
             val e = df.isEmpty
-            tombstoneEmptiness.put(key, e)
+            memoPut(tombstoneEmptiness, key, java.lang.Boolean.valueOf(e))
             e
           }
         if (empty) None else Some(df)
@@ -889,7 +944,7 @@ private[graft] object BatchState {
           Some(spark.read.schema(schema).parquet(paths: _*))
         case None =>
           val df = spark.read.parquet(paths: _*)
-          tableSchemas.put(key, df.schema)
+          memoPut(tableSchemas, key, df.schema)
           Some(df)
       }
     }
@@ -1005,7 +1060,7 @@ private[graft] object BatchState {
       val cb = spark.read.parquet(dirs.head)
         .orderBy("ci").collect()
         .map(_.getSeq[Double](1).toSeq).toSeq
-      codebooks.put(key, cb)
+      memoPut(codebooks, key, cb)
       cb
     }
   }

@@ -502,7 +502,7 @@ object Streaming {
   def deletionIngest(spark: SparkSession, watchDir: String,
       schema: StructType, checkpoint: String, stateDir: String,
       delTables: Seq[String])(
-      applyDelete: (DataFrame, Long) => Unit): Unit =
+      applyDelete: (DataFrame, String, Long) => Unit): Unit =
     runAvailableNow(
       spark.readStream.schema(schema).parquet(watchDir), checkpoint) {
       (df, ckptId) =>
@@ -512,11 +512,16 @@ object Streaming {
   /** One micro-batch of [[deletionIngest]] — extracted so specs can
     * drive crash/replay/purge interleavings with chosen checkpoint
     * ids. Returns the tombstone batch id used, or -1 when the
-    * confirmed mapping skipped the batch.
+    * confirmed mapping skipped the batch. The closure receives the
+    * RESOLVED state directory and must apply to it verbatim: the
+    * tombstone batch id was chosen for that generation, and a cutover
+    * flipping the root between the harness's resolve and the op's own
+    * would otherwise land the id against a different generation's
+    * ledger (silently skipping or colliding).
     */
   private[graft] def deletionMicroBatch(df: DataFrame, ckptId: Long,
       root: String, delTables: Seq[String])(
-      applyDelete: (DataFrame, Long) => Unit): Long = {
+      applyDelete: (DataFrame, String, Long) => Unit): Long = {
     val s = df.sparkSession
     val B = graft.ops.BatchState
     val stateDir = B.resolveGeneration(s, root)
@@ -537,7 +542,7 @@ object Streaming {
           else B.nextTombstoneBatchId(s, stateDir, delTables)
         if (eff == B.ExternalIdAlreadyLanded) eff
         else {
-          applyDelete(df, eff)
+          applyDelete(df, stateDir, eff)
           // record only once the root provably exists — a complete
           // no-op batch must leave a pristine directory pristine
           if (B.hasDeletionRoot(s, stateDir)) {
@@ -558,9 +563,9 @@ object Streaming {
       schema: StructType, checkpoint: String, stateDir: String,
       idCol: String): Unit =
     deletionIngest(spark, watchDir, schema, checkpoint, stateDir,
-      graft.ops.IncrementalIndexOps.DelTables) { (df, eff) =>
+      graft.ops.IncrementalIndexOps.DelTables) { (df, dir, eff) =>
       graft.ops.IncrementalIndexOps.deleteTextDocs(
-        df.sparkSession, df, idCol, stateDir, eff)
+        df.sparkSession, df, idCol, dir, eff)
     }
 
   /** [[deletionIngest]] over the IVF family
@@ -569,9 +574,9 @@ object Streaming {
       schema: StructType, checkpoint: String, stateDir: String,
       idCol: String): Unit =
     deletionIngest(spark, watchDir, schema, checkpoint, stateDir,
-      graft.ops.IncrementalIndexOps.VecDelTables) { (df, eff) =>
+      graft.ops.IncrementalIndexOps.VecDelTables) { (df, dir, eff) =>
       graft.ops.IncrementalIndexOps.deleteVectors(
-        df.sparkSession, df, idCol, stateDir, eff)
+        df.sparkSession, df, idCol, dir, eff)
     }
 
   /** [[deletionIngest]] over the image near-dup family
@@ -580,9 +585,9 @@ object Streaming {
       schema: StructType, checkpoint: String, stateDir: String,
       idCol: String): Unit =
     deletionIngest(spark, watchDir, schema, checkpoint, stateDir,
-      graft.ops.IncrementalDedupOps.DelIdsTables) { (df, eff) =>
+      graft.ops.IncrementalDedupOps.DelIdsTables) { (df, dir, eff) =>
       graft.ops.IncrementalDedupOps.deleteImages(
-        df.sparkSession, df, idCol, stateDir, eff)
+        df.sparkSession, df, idCol, dir, eff)
     }
 
   /** [[deletionIngest]] over the SemDeDup family
@@ -591,9 +596,9 @@ object Streaming {
       schema: StructType, checkpoint: String, stateDir: String,
       idCol: String): Unit =
     deletionIngest(spark, watchDir, schema, checkpoint, stateDir,
-      graft.ops.IncrementalDedupOps.DelIdsTables) { (df, eff) =>
+      graft.ops.IncrementalDedupOps.DelIdsTables) { (df, dir, eff) =>
       graft.ops.IncrementalDedupOps.deleteEmbeddings(
-        df.sparkSession, df, idCol, stateDir, eff)
+        df.sparkSession, df, idCol, dir, eff)
     }
 
   /** [[deletionIngest]] over the curation family
@@ -605,9 +610,9 @@ object Streaming {
       schema: StructType, checkpoint: String, stateDir: String,
       idCol: String): Unit =
     deletionIngest(spark, watchDir, schema, checkpoint, stateDir,
-      graft.ops.IncrementalCurateOps.TakedownTables) { (df, eff) =>
+      graft.ops.IncrementalCurateOps.TakedownTables) { (df, dir, eff) =>
       graft.ops.IncrementalCurateOps.takedown(
-        df.sparkSession, df, idCol, stateDir, eff)
+        df.sparkSession, df, idCol, dir, eff)
     }
 
   /** Streaming inverted-index maintenance: the [[stateIngest]] harness
@@ -734,7 +739,9 @@ object Streaming {
         ingestMicroBatch(df, ckptId, stateDir, coreTables, idCol,
           composed)(ingest)
         if (compactEvery > 0 && graft.ops.BatchState
-            .landedBatchIds(df.sparkSession, stateDir, coreTables, None)
+            .landedBatchIds(df.sparkSession,
+              graft.ops.BatchState.resolveGeneration(
+                df.sparkSession, stateDir), coreTables, None)
             .size >= compactEvery)
           compact(df.sparkSession)
     }
@@ -762,11 +769,20 @@ object Streaming {
     * — the stable external key composed closures must use for their
     * secondary-root mirrors (the effective id is re-assigned by a
     * post-compaction replay; the checkpoint id never is).
+    *
+    * The ROOT is generation-resolved FIRST: the harness's ledger,
+    * landed-set reads, and lease must address the same directory the
+    * ingest ops (which resolve internally) land into — computing
+    * effective ids from a cutover root's stale generation while the
+    * ops write the current one would hand every micro-batch after the
+    * first the same already-landed id, silently dropping its data.
     */
   private[graft] def ingestMicroBatchKeyed(df: DataFrame, ckptId: Long,
-      stateDir: String, coreTables: Seq[String], idCol: String,
+      root: String, coreTables: Seq[String], idCol: String,
       composed: Boolean)(
-      ingest: (DataFrame, Long, Long) => Unit): Long =
+      ingest: (DataFrame, Long, Long) => Unit): Long = {
+    val stateDir = graft.ops.BatchState
+      .resolveGeneration(df.sparkSession, root)
     graft.ops.BatchState.withLease(df.sparkSession, stateDir) {
       val s = df.sparkSession
       val conf = s.sparkContext.hadoopConfiguration
@@ -881,6 +897,7 @@ object Streaming {
         eff
       }
     }
+  }
 
   /** Streaming corpus gate — the NARROW curation stages (language-ID
     * argmax + integer quality score, the first two stages of

@@ -143,6 +143,55 @@ class GenerationCutoverSpec extends AnyFunSuite {
     assert(BatchState.hasDeletionRoot(spark, gen2))
   }
 
+  test("streaming ingest onto a cutover root follows the pointer for " +
+      "its LEDGER too: every micro-batch gets a fresh effective id " +
+      "from the current generation (none silently dropped)") {
+    val I = IncrementalIndexOps
+    val docs = graft.Tables.documents(spark, srcDir)
+    val corpus = docs.where(pmod(col("doc_id"), lit(97)) =!= 0)
+    val queries = docs.where(pmod(col("doc_id"), lit(97)) === 0)
+      .select(col("doc_id").as("qid"), col("text")).limit(6)
+    val base = fresh()
+    val (root, gen2) = (s"$base/root", s"$base/gen2")
+    val r = corpus.agg(min(col("doc_id")), max(col("doc_id"))).head
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val (cut1, cut2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+    val (sA, sB, sC) = (
+      corpus.where(col("doc_id") <= cut1),
+      corpus.where(col("doc_id") > cut1 && col("doc_id") <= cut2),
+      corpus.where(col("doc_id") > cut2))
+    // gen 1 accumulated two batches; the rebuilt generation holds only
+    // shard A as its batch 0 — so the stale generation's newest landed
+    // id (1) differs from the current one's (0), which is exactly what
+    // made the unresolved-ledger bug drop every drain after the first
+    I.ingestTextShard(spark, sA, "doc_id", "text", root, 0L)
+    I.ingestTextShard(spark, sB, "doc_id", "text", root, 1L)
+    I.ingestTextShard(spark, sA, "doc_id", "text", gen2, 0L)
+    BatchState.cutoverGeneration(spark, root, gen2)
+    val (watch, ckpt) = (s"$base/in", s"$base/ckpt")
+    fs.mkdirs(new Path(watch))
+    def landShard(df: org.apache.spark.sql.DataFrame,
+        name: String): Unit = {
+      val tmp = s"$base/tmp_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = fs.globStatus(new Path(s"$tmp/part-*"))(0).getPath
+      assert(fs.rename(part, new Path(s"$watch/$name.parquet")))
+    }
+    def drain(): Unit = graft.streaming.Streaming.textIndexIngest(
+      spark, watch, corpus.schema, ckpt, root, "doc_id", "text")
+    landShard(sB, "s1")
+    drain()
+    landShard(sC, "s2")
+    drain()
+    val full = graft.ops.RetrievalOps.bm25TopK(corpus, queries,
+      "doc_id", "text", "qid", "text", 10).withColumnRenamed("doc_id", "id")
+    assert(sortedRows(I.bm25Search(spark, root, queries, "qid", "text",
+      10)) == sortedRows(full),
+      "both streamed shards must land in the CURRENT generation — a " +
+        "ledger computed from the stale generation hands drain 2 an " +
+        "already-landed id and drops it")
+  }
+
   test("SemDeDup cutover: semanticDedupView through the root follows " +
       "the flip") {
     val D = IncrementalDedupOps

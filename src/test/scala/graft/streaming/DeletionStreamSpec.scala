@@ -92,7 +92,7 @@ class DeletionStreamSpec extends AnyFunSuite {
     // invisible half-batch)
     intercept[RuntimeException] {
       Streaming.deletionMicroBatch(dels, 0L, state, I.DelTables) {
-        (df, eff) =>
+        (df, _, eff) =>
           BatchState.withLease(spark, state) {
             BatchState.withLease(spark, s"$state/_deletes") {
               BatchState.land(df.select(col("doc_id").as("id")),
@@ -105,8 +105,8 @@ class DeletionStreamSpec extends AnyFunSuite {
     // replay applies the full op — the half-landed id is invisible to
     // the all-or-nothing listing, so the same id is re-chosen
     val eff = Streaming.deletionMicroBatch(dels, 0L, state,
-      I.DelTables) { (df, e) =>
-      I.deleteTextDocs(spark, df, "doc_id", state, e)
+      I.DelTables) { (df, dir, e) =>
+      I.deleteTextDocs(spark, df, "doc_id", dir, e)
     }
     assert(eff == 0L, s"expected the crashed id re-chosen, got $eff")
     val twin = s"$base/twin"
@@ -117,7 +117,7 @@ class DeletionStreamSpec extends AnyFunSuite {
     assert(search(state) == search(twin))
     // a second replay of the confirmed batch skips entirely
     assert(Streaming.deletionMicroBatch(dels, 0L, state, I.DelTables) {
-      (_, _) => sys.error("must not re-run a confirmed batch")
+      (_, _, _) => sys.error("must not re-run a confirmed batch")
     } == BatchState.ExternalIdAlreadyLanded)
   }
 
@@ -132,8 +132,8 @@ class DeletionStreamSpec extends AnyFunSuite {
       .select("doc_id")
     val dels2 = corpus.where(pmod(col("doc_id"), lit(11)) === 0)
       .select("doc_id")
-    def apply(df: DataFrame, e: Long): Unit =
-      I.deleteTextDocs(spark, df, "doc_id", state, e)
+    def apply(df: DataFrame, dir: String, e: Long): Unit =
+      I.deleteTextDocs(spark, df, "doc_id", dir, e)
     assert(Streaming.deletionMicroBatch(dels1, 0L, state,
       I.DelTables)(apply) == 0L)
     I.purgeText(spark, state)
