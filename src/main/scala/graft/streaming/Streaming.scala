@@ -349,7 +349,8 @@ object Streaming {
       schema: StructType, checkpoint: String, stateDir: String,
       idCol: String, textCol: String,
       cfg: graft.ops.IncrementalCurateOps.CurateConfig =
-        graft.ops.IncrementalCurateOps.CurateConfig()): Unit = {
+        graft.ops.IncrementalCurateOps.CurateConfig(),
+      compactEvery: Int = 0): Unit = {
     val curateDir = s"$stateDir/curate"
     val indexDir = s"$stateDir/index"
     // composed = true: the closure's effects extend beyond the curate
@@ -371,6 +372,17 @@ object Streaming {
           composed = true) { (d, eff, key) =>
           curateAndIndexBatch(d, eff, key, curateDir, indexDir, idCol,
             textCol, cfg)
+        }
+        // auto-compaction for BOTH roots of the composed loop — safe
+        // mid-stream because compaction never confirms COMPOSED ledger
+        // entries (a crash inside the closure still replays whole) and
+        // the index-root mirrors key on the checkpoint id
+        if (compactEvery > 0 && graft.ops.BatchState.landedBatchIds(
+            df.sparkSession, curateDir,
+            graft.ops.IncrementalCurateOps.CoreTables, None)
+            .size >= compactEvery) {
+          graft.ops.IncrementalCurateOps.compact(df.sparkSession, curateDir)
+          graft.ops.IncrementalIndexOps.compactText(df.sparkSession, indexDir)
         }
     }
   }

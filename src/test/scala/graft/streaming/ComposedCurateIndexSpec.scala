@@ -94,4 +94,50 @@ class ComposedCurateIndexSpec extends AnyFunSuite {
         spark, s"$state/index", queries, "qid", "text", 10)) ==
       sortedRows(oneShot))
   }
+
+  test("composed auto-compaction (compactEvery = 1): both roots are " +
+      "compacted after every drain and the stream still equals " +
+      "one-shot curate-then-index over a three-shard corpus") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = docs.where(pmod(col("doc_id"), lit(97)) =!= 0)
+    val queries = docs.where(pmod(col("doc_id"), lit(97)) === 0)
+      .select(col("doc_id").as("qid"), col("text"))
+    val r = corpus.agg(min(col("doc_id")), max(col("doc_id"))).head
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val (cut1, cut2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_composed_ac").toString
+    val (watch, ckpt, state) = (s"$base/in", s"$base/ckpt", s"$base/state")
+    val fs = new Path(base).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(watch))
+    def landShard(df: DataFrame, name: String): Unit = {
+      val tmp = s"$base/tmp_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = fs.globStatus(new Path(s"$tmp/part-*"))(0).getPath
+      assert(fs.rename(part, new Path(s"$watch/$name.parquet")))
+    }
+    def drain(): Unit = Streaming.curateAndIndexIngest(
+      spark, watch, corpus.schema, ckpt, state, "doc_id", "text",
+      compactEvery = 1)
+    landShard(corpus.where(col("doc_id") <= cut1), "s1")
+    drain()
+    landShard(corpus.where(
+      col("doc_id") > cut1 && col("doc_id") <= cut2), "s2")
+    drain()
+    landShard(corpus.where(col("doc_id") > cut2), "s3")
+    drain()
+    // the curate root really was compacted (single merged batch)
+    assert(graft.ops.BatchState.landedBatchIds(spark, s"$state/curate",
+      graft.ops.IncrementalCurateOps.CoreTables, None).size == 1)
+    val kept = graft.ops.CorpusOps.curate(corpus, "doc_id", "text")
+      .select("doc_id")
+    val oneShot = RetrievalOps.bm25TopK(
+      corpus.join(kept, Seq("doc_id"), "left_semi"), queries,
+      "doc_id", "text", "qid", "text", 10).withColumnRenamed("doc_id", "id")
+    assert(sortedRows(IncrementalIndexOps.bm25Search(
+        spark, s"$state/index", queries, "qid", "text", 10)) ==
+      sortedRows(oneShot),
+      "per-drain compaction of both roots must not change the search")
+  }
 }
