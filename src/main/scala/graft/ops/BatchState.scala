@@ -891,6 +891,41 @@ private[graft] object BatchState {
       }
     }
 
+  /** Operational introspection: ONE metadata-only (key, value) frame
+    * describing a state directory — the `DESCRIBE TABLE` of the state
+    * family, for operators deciding whether to compact, purge, expire
+    * or cut over. Constant-RPC (listings only, no data scans, no Spark
+    * jobs beyond building the local frame).
+    */
+  def describeState(spark: SparkSession, root: String,
+      tables: Seq[String], delTables: Seq[String]): DataFrame = {
+    val stateDir = resolveGeneration(spark, root)
+    val landed = landedBatchIds(spark, stateDir, tables, None)
+    val delRootExists = hasDeletionRoot(spark, stateDir)
+    val delLanded =
+      if (!delRootExists) Seq.empty[Long]
+      else landedBatchIds(spark, deletionRoot(stateDir), delTables, None)
+    val params = readParams(spark, stateDir)
+    val rows = Seq(
+      "root" -> root,
+      "resolved_dir" -> stateDir,
+      "generation_pointer" -> (stateDir != new Path(root).toString &&
+        stateDir != root).toString,
+      "landed_batches" -> landed.size.toString,
+      "newest_batch" -> landed.lastOption.map(_.toString).getOrElse(""),
+      "oldest_batch" -> landed.headOption.map(_.toString).getOrElse(""),
+      "manifest_version" -> manifestVersion(spark, stateDir).toString,
+      "retention_floor" -> retentionFloor(spark, stateDir)
+        .map(_.toString).getOrElse(""),
+      "deletion_root" -> delRootExists.toString,
+      "deletion_batches" -> delLanded.size.toString,
+      "purge_committed" -> (delRootExists &&
+        purgeCommitted(spark, stateDir)).toString
+    ) ++ params.toSeq.sortBy(_._1).map { case (p, v) => s"param:$p" -> v }
+    import spark.implicits._
+    rows.toDF("key", "value")
+  }
+
   /** True iff every listed table has a committed `batch=k` directory. */
   def allLanded(spark: SparkSession, stateDir: String, tables: Seq[String],
       batchId: Long): Boolean = {

@@ -239,11 +239,39 @@ object IncrementalIndexOps {
     * next to the postings it filters).
     */
   def bm25Search(spark: SparkSession, root: String, queries: DataFrame,
-      qidCol: String, qtextCol: String, k: Int = 10): DataFrame = {
+      qidCol: String, qtextCol: String, k: Int = 10): DataFrame =
+    bm25Search(spark, root, queries, qidCol, qtextCol, k, None)
+
+  /** [[bm25Search]] AS OF a batch id: the index as it stood when
+    * `asOfBatch` was the newest landed batch — the audit/debug verb
+    * ("what did this query return before shard N landed?"). Only
+    * batches with id ≤ `asOfBatch` participate, statistics included,
+    * so the result is row-identical to a search taken at that moment.
+    *
+    * Honest bounds, loudly enforced: history exists only until
+    * compaction folds it (a merged batch is one id — asking for a cut
+    * below the watermark throws via the emptiness require), and
+    * deletion history cannot be cut consistently (tombstone deltas are
+    * derived from the FULL stored postings at delete time — applying
+    * them against a narrower cut would corrupt df/globals), so as-of
+    * requires a tombstone-free directory: purge first.
+    */
+  def bm25Search(spark: SparkSession, root: String, queries: DataFrame,
+      qidCol: String, qtextCol: String, k: Int,
+      asOfBatch: Option[Long]): DataFrame = {
     require(k >= 1 && k <= 1000, s"k in 1..1000, got $k")
     val stateDir = BatchState.resolveGeneration(spark, root)
-    val landed = landedBatchIds(spark, stateDir, Bm25Tables, None)
-    require(landed.nonEmpty, s"no landed batches under $stateDir")
+    asOfBatch.foreach { _ =>
+      require(BatchState.readTombstones(spark, stateDir, DelTables).isEmpty,
+        s"$stateDir holds live tombstones; as-of reads cannot cut " +
+          "deletion deltas consistently — purge first")
+    }
+    val landed = landedBatchIds(spark, stateDir, Bm25Tables,
+      asOfBatch.map(_ + 1))
+    require(landed.nonEmpty,
+      s"no landed batches under $stateDir" + asOfBatch.map(b =>
+        s" at or below batch $b (compaction may have folded the " +
+          "history you are asking for)").getOrElse(""))
     val delLanded =
       if (!hasDeletions(spark, stateDir)) Seq.empty[Long]
       // a committed-but-unretired purge already folded every delta into
@@ -348,6 +376,17 @@ object IncrementalIndexOps {
       t
     }
   }
+
+  /** `DESCRIBE` for a BM25 state root ([[BatchState.describeState]]):
+    * batches, manifest/watermark, TTL floor, deletion state, params —
+    * metadata-only, generation-resolved.
+    */
+  def describeTextState(spark: SparkSession, root: String): DataFrame =
+    BatchState.describeState(spark, root, Bm25Tables, DelTables)
+
+  /** `DESCRIBE` for an IVF state root. */
+  def describeVectorState(spark: SparkSession, root: String): DataFrame =
+    BatchState.describeState(spark, root, IvfTables, VecDelTables)
 
   /** Age-based retention for the BM25 family
     * ([[BatchState.setRetention]]): retire every index batch below
@@ -601,10 +640,30 @@ object IncrementalIndexOps {
     * cell postings, exact cosine ranks them.
     */
   def ivfSearch(spark: SparkSession, root: String, queries: DataFrame,
-      nProbe: Int, k: Int): DataFrame = {
+      nProbe: Int, k: Int): DataFrame =
+    ivfSearch(spark, root, queries, nProbe, k, None)
+
+  /** [[ivfSearch]] AS OF a batch id — same contract as the BM25 twin:
+    * only cells with batch id ≤ `asOfBatch` are candidates (the frozen
+    * codebook is outside batch visibility and serves every cut),
+    * history lives until compaction folds it, and live tombstones
+    * refuse the cut (purge first).
+    */
+  def ivfSearch(spark: SparkSession, root: String, queries: DataFrame,
+      nProbe: Int, k: Int, asOfBatch: Option[Long]): DataFrame = {
     val stateDir = BatchState.resolveGeneration(spark, root)
-    val landed = landedBatchIds(spark, stateDir, IvfTables, None)
-    require(landed.nonEmpty, s"no landed batches under $stateDir")
+    asOfBatch.foreach { _ =>
+      require(BatchState.readTombstones(spark, stateDir,
+        VecDelTables).isEmpty,
+        s"$stateDir holds live tombstones; as-of reads cannot cut " +
+          "deletion history consistently — purge first")
+    }
+    val landed = landedBatchIds(spark, stateDir, IvfTables,
+      asOfBatch.map(_ + 1))
+    require(landed.nonEmpty,
+      s"no landed batches under $stateDir" + asOfBatch.map(b =>
+        s" at or below batch $b (compaction may have folded the " +
+          "history you are asking for)").getOrElse(""))
     val cents = BatchState.readCodebook(spark, stateDir)
     val allCells = readBatches(spark, stateDir, "cells", landed).get
     // tombstones ([[deleteVectors]]): anti-join the effective set (None

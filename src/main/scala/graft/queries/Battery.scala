@@ -4285,6 +4285,64 @@ object Battery {
            |  FROM sc)
            |SELECT qid, rank, doc_id, score, n_match FROM r WHERE rank <= 10""".stripMargin))
 
+  /** x39 — AS-OF SEARCH
+    * ([[graft.ops.IncrementalIndexOps.bm25Search]] with `asOfBatch`):
+    * the audit verb — the index read at a historical batch cut, every
+    * statistic (df, N, totlen) computed from the cut alone, so the
+    * result is row-identical to a search taken when that batch was
+    * newest. Three shards land; the query reads as-of batch 1; the
+    * oracle is the canonical BM25 chain over the first two thirds —
+    * a cut that leaked the third shard's df or globals would shift
+    * every score.
+    */
+  private val x39BmAsOf = Q(
+    "x39_bm25_asof",
+    (s, d) => {
+      val I = graft.ops.IncrementalIndexOps
+      val docs = T.documents(s, d)
+      val corpus = docs.where(pmod(col("doc_id"), lit(97)) =!= 0)
+      val queries = docs.where(pmod(col("doc_id"), lit(97)) === 0)
+        .select(col("doc_id").as("qid"), col("text"))
+      val stateDir = java.nio.file.Files
+        .createTempDirectory("graft_x39_state").toString
+      val r = corpus.agg(min(col("doc_id")), max(col("doc_id"))).head
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val (cut1, cut2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+      I.ingestTextShard(s, corpus.where(col("doc_id") <= cut1),
+        "doc_id", "text", stateDir, batchId = 0L)
+      I.ingestTextShard(s, corpus.where(
+        col("doc_id") > cut1 && col("doc_id") <= cut2),
+        "doc_id", "text", stateDir, batchId = 1L)
+      I.ingestTextShard(s, corpus.where(col("doc_id") > cut2),
+        "doc_id", "text", stateDir, batchId = 2L)
+      I.bm25Search(s, stateDir, queries, "qid", "text", k = 10,
+        asOfBatch = Some(1L))
+        .withColumnRenamed("id", "doc_id")
+    },
+    Some("""WITH cut AS (SELECT min(doc_id) + (2 * (max(doc_id) - min(doc_id))) // 3 AS c
+           |  FROM documents WHERE doc_id % 97 <> 0),
+           |ct AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+           |  FROM documents CROSS JOIN cut
+           |  WHERE doc_id % 97 <> 0 AND doc_id <= cut.c),
+           |p AS (SELECT doc_id, token, count(*) AS tf FROM ct GROUP BY 1, 2),
+           |dlen AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM p GROUP BY 1),
+           |dfq AS (SELECT token, count(*) AS df FROM p GROUP BY 1),
+           |g AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS totlen FROM dlen),
+           |qt AS (SELECT DISTINCT qid, token FROM
+           |  (SELECT doc_id AS qid, unnest(string_split_regex(trim(text), '\s+')) AS token
+           |   FROM documents WHERE doc_id % 97 = 0)),
+           |cand AS (SELECT qt.qid, p.doc_id,
+           |    (g.n_docs * 88 * p.tf * g.totlen * 1000) //
+           |      (dfq.df * (40*p.tf*g.totlen + 12*g.totlen + 36*dlen.dl*g.n_docs)) AS contrib
+           |  FROM qt JOIN p USING (token) JOIN dfq USING (token)
+           |  JOIN dlen ON dlen.doc_id = p.doc_id CROSS JOIN g),
+           |sc AS (SELECT qid, doc_id, CAST(sum(contrib) AS BIGINT) AS score,
+           |    count(*) AS n_match FROM cand GROUP BY 1, 2),
+           |r AS (SELECT qid, doc_id, score, n_match,
+           |    CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS INT) AS rank
+           |  FROM sc)
+           |SELECT qid, rank, doc_id, score, n_match FROM r WHERE rank <= 10""".stripMargin))
+
   /** st_streamed_deletion — the streaming DELETION twin
     * ([[graft.streaming.Streaming.textDeletionIngest]]): a continuous
     * takedown feed drained through the deletion harness — each
@@ -6786,6 +6844,7 @@ object Battery {
     n12IncrementalIvf, n13ReindexedIvf, n14IvfTombstones,
     n15GenerationCutover,
     x36IncrementalBm25, x37Bm25Tombstones, stStreamedDeletion, x38BmTtl,
+    x39BmAsOf,
     kfPatientSlice, kfRSubjectSlice, kfSpecimenSlice, kfDrsSlice,
     kfDiseaseSlice, kfPhenotypeSlice, kfHistoSlice, kfVitalSlice,
     kfFamilySlice, kfStudySlice, kfProbandSlice, kfFamRelSlice,
