@@ -56,6 +56,50 @@ object PurgeProbe {
     spark.sparkContext.setLogLevel("WARN")
     println(s"""{"probe":"purge_probe","factor":$factor,"src":"$srcDir","heap_mb":${Runtime.getRuntime.maxMemory() / (1 << 20)},"mode":"$mode"}""")
 
+    // the many-deletion-batch mode probes LEDGER constants, not data
+    // volume — it runs on the base corpus and skips the replication
+    if (mode == "manydel") {
+      val I = graft.ops.IncrementalIndexOps
+      val docs0 = spark.read.parquet(s"$srcDir/documents.parquet")
+      val corpus0 = docs0.where(pmod(col("doc_id"), lit(97)) =!= 0)
+      val queries0 = docs0.where(pmod(col("doc_id"), lit(97)) === 0)
+        .select(col("doc_id").as("qid"), col("text"))
+      val state = s"$workDir/manydel_state"
+      val fs0 = new org.apache.hadoop.fs.Path(state)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs0.delete(new org.apache.hadoop.fs.Path(state), true)
+      I.ingestTextShard(spark, corpus0, "doc_id", "text", state, 0L)
+      import spark.implicits._
+      val ids = corpus0.orderBy("doc_id").limit(1000)
+        .select("doc_id").as[Long].collect()
+      val n = 200
+      val (delSec, _) = timed {
+        var i = 0
+        while (i < n) {
+          val slice = ids.slice(i * 5, i * 5 + 5).toSeq.toDF("doc_id")
+          graft.streaming.Streaming.deletionMicroBatch(
+            slice, i.toLong, state, I.DelTables) { (df, dir, eff) =>
+            I.deleteTextDocs(spark, df, "doc_id", dir, eff)
+          }
+          i += 1
+        }
+      }
+      def search() = I.bm25Search(spark, state, queries0,
+        "qid", "text", 10).orderBy("qid", "rank").collect().toSeq
+      val (searchManySec, before) = timed { search() }
+      val (compactSec, _) = timed { I.compactText(spark, state) }
+      val (searchFoldedSec, afterFold) = timed { search() }
+      require(afterFold.map(_.toString) == before.map(_.toString),
+        "delete-ledger compaction must not change the search")
+      val (purgeSec, _) = timed { I.purgeText(spark, state) }
+      val (searchPurgedSec, afterPurge) = timed { search() }
+      require(afterPurge.map(_.toString) == before.map(_.toString),
+        "purge must not change the search")
+      println(s"""{"probe":"manydel","n_batches":$n,"delete_total_s":${num(delSec)},"delete_avg_ms":${num(delSec * 1000 / n)},"search_${n}_del_batches_s":${num(searchManySec)},"compact_s":${num(compactSec)},"search_folded_s":${num(searchFoldedSec)},"purge_s":${num(purgeSec)},"search_purged_s":${num(searchPurgedSec)},"equal":true}""")
+      spark.stop()
+      return
+    }
+
     val offset = VolumeProbe.keyOffsetFor(spark, srcDir)
     val big = s"$workDir/documents.parquet"
     VolumeProbe.multiply(

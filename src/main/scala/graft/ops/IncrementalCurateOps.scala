@@ -338,7 +338,26 @@ object IncrementalCurateOps {
     * grew with corpus history).
     */
   def curated(spark: SparkSession, stateDir: String,
-      cfg: CurateConfig = CurateConfig()): DataFrame = {
+      cfg: CurateConfig = CurateConfig()): DataFrame =
+    curated(spark, stateDir, cfg, None)
+
+  /** [[curated]] AS OF a batch id: the curated view as it stood when
+    * `asOfBatch` was the newest landed shard — consistent by the
+    * family's in-order contract (every prefix of the ascending ingest
+    * IS a historical state; the cluster snapshot at the cut is exactly
+    * the fold the cut's last ingest landed). History lives until
+    * compaction folds it (the merged batch is one id; an older cut
+    * then throws via the emptiness check).
+    *
+    * TAKEDOWNS APPLY IN FULL at every cut — deliberately different
+    * from the search families' refuse-on-tombstones contract: a
+    * takedown is a pure id anti-join with no statistics to cut, and a
+    * compliance removal must hold in EVERY view of the corpus,
+    * historical ones included (an as-of read that resurrected removed
+    * content would defeat the takedown).
+    */
+  def curated(spark: SparkSession, stateDir: String, cfg: CurateConfig,
+      asOfBatch: Option[Long]): DataFrame = {
     // a read API must not write: refuse legacy state loudly instead of
     // migrating in place (concurrent readers would race the Overwrite,
     // and read-only credentials would fail opaquely mid-"read")
@@ -347,9 +366,12 @@ object IncrementalCurateOps {
       s"state at $stateDir has ${legacy.size} batch(es) in the legacy " +
         "pre-snapshot shape; run IncrementalCurateOps.migrateLegacyState " +
         "(or any ingestShard) once before reading")
-    val landed = landedBatchIds(spark, stateDir, None)
+    val landed = landedBatchIds(spark, stateDir, asOfBatch.map(_ + 1))
     if (landed.isEmpty)
-      throw new IllegalStateException(s"no landed batches under $stateDir")
+      throw new IllegalStateException(
+        s"no landed batches under $stateDir" + asOfBatch.map(b =>
+          s" at or below batch $b (compaction may have folded the " +
+            "history you are asking for)").getOrElse(""))
     val docs = spark.read
       .parquet(landed.map(k => s"$stateDir/docs/batch=$k"): _*)
       .select("doc_id", "pred_lang", "quality_e6", "n_tok", "red_md5")

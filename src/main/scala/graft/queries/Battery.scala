@@ -2933,6 +2933,43 @@ object Battery {
     Some(s"""SELECT * FROM ($curationOracle) t
             |WHERE t.doc_id % 11 <> 0""".stripMargin))
 
+  /** c5 — CURATED VIEW AS OF a shard cut
+    * ([[graft.ops.IncrementalCurateOps.curated]] with `asOfBatch`):
+    * the training-set audit verb — "what was the curated corpus when
+    * shard 0 was newest?" — read from the SAME state directory that
+    * has since ingested shard 1 and absorbed a takedown. Consistency
+    * comes from the family's in-order contract (a prefix of the
+    * ascending ingest IS a historical state), and takedowns apply at
+    * EVERY cut (compliance removals must hold in historical views
+    * too — deliberately unlike the search families' refuse contract).
+    * The oracle is the canonical curation chain over the first shard's
+    * half of the corpus with the taken-down ids filtered after
+    * packing: leaked shard-2 docs, a leaked cross-shard near-dup edge,
+    * a resurrected takedown, or a pack-id reshuffle all hash-mismatch.
+    */
+  private val c5CuratedAsOf = Q(
+    "c5_curated_asof",
+    (s, d) => {
+      val I = graft.ops.IncrementalCurateOps
+      val docs = T.documents(s, d)
+      val stateDir = java.nio.file.Files
+        .createTempDirectory("graft_c5_state").toString
+      val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head
+      val mid = (r.getLong(0) + r.getLong(1)) / 2
+      I.ingestShard(s, docs.where(col("doc_id") <= mid),
+        "doc_id", "text", stateDir, 0L)
+      I.ingestShard(s, docs.where(col("doc_id") > mid),
+        "doc_id", "text", stateDir, 1L)
+      I.takedown(s,
+        docs.where(pmod(col("doc_id"), lit(11)) === 0).select("doc_id"),
+        "doc_id", stateDir, 0L)
+      I.curated(s, stateDir, I.CurateConfig(), asOfBatch = Some(0L))
+    },
+    Some(curationOracleOver(
+      corpusWhere =
+        "d.doc_id <= (SELECT (min(doc_id) + max(doc_id)) // 2 FROM documents)",
+      finalWhere = "doc_id % 11 <> 0")))
+
   /** Per-document curation audit
     * ([[graft.ops.CorpusOps.curationReport]]): one row per INPUT
     * document with the disposition c1's stage cascade gave it —
@@ -3037,9 +3074,18 @@ object Battery {
   /** The shared one-shot curation oracle (c1 AND c2 — incremental
     * processing must be indistinguishable from a union recompute).
     */
-  private def curationOracle: String = {
+  private def curationOracle: String = curationOracleOver("TRUE")
+
+  /** The canonical curation chain over a restricted corpus, with an
+    * optional final filter — shared by c1/c2/st (full corpus), and by
+    * the as-of row c5 (a historical shard cut with takedowns applied
+    * after packing: the filter sits OUTSIDE the pack window, so
+    * survivors keep their pack ids — a hole, never a reshuffle).
+    */
+  private def curationOracleOver(corpusWhere: String,
+      finalWhere: String = "TRUE"): String = {
       s"""WITH RECURSIVE
-         |${curationS2Ctes("TRUE")},
+         |${curationS2Ctes(corpusWhere)},
          |pk AS (SELECT doc_id, doc_id % 8 AS shard,
          |        CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
          |       FROM s2),
@@ -3047,14 +3093,15 @@ object Battery {
          |        coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
          |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
          |       FROM pk)
-         |SELECT s2.doc_id, s2.pred_lang, s2.quality_e6,
+         |SELECT * FROM (SELECT s2.doc_id, s2.pred_lang, s2.quality_e6,
          |  md5(regexp_replace(regexp_replace(regexp_replace(s2.text,
          |    '[A-Za-z0-9._]+@[A-Za-z0-9.]+[A-Za-z]', '<EMAIL>', 'g'),
          |    '555-[0-9]{4}', '<PHONE>', 'g'),
          |    '([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g')) AS red_md5,
          |  CAST(pc.shard AS BIGINT) AS shard, pc.n_tok,
          |  CAST(pc.bef // 512 AS BIGINT) AS pack_id
-         |FROM s2 JOIN pc USING (doc_id)""".stripMargin
+         |FROM s2 JOIN pc USING (doc_id))
+         |WHERE ($finalWhere)""".stripMargin
   }
 
   /** Generated DuckDB CTE chain for the language-ID kernel, shared
@@ -6838,7 +6885,8 @@ object Battery {
     x25LmScore, x26DsirScore, x27SlidingChunks, x28PmiCollocations,
     x29LeakageSplits, x30Bm25, x31BpeTrain, x32ByteBpeCount, x33RrfFusion,
     x34KAnonymity, x35HtmlExtract, c1Curation, c2Incremental,
-    c3Report, c4Takedown, stIncrementalCuration, stCurateThenIndex,
+    c3Report, c4Takedown, c5CuratedAsOf, stIncrementalCuration,
+    stCurateThenIndex,
     n2AnnLsh, n3EmbNearDup, n4AnnIvf, n5PqQuantize, n6KmeansFit, n7SemanticDedup,
     n8SqQuantize, n9BinaryQuantize, n10MmrRerank, n11IncrementalSemDedup,
     n12IncrementalIvf, n13ReindexedIvf, n14IvfTombstones,
