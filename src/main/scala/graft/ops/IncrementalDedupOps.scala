@@ -589,10 +589,28 @@ object IncrementalDedupOps {
     * folded at each ingest.
     */
   def semanticDedupView(spark: SparkSession, root: String,
-      idCol: String): DataFrame = {
+      idCol: String): DataFrame =
+    semanticDedupView(spark, root, idCol, None)
+
+  /** [[semanticDedupView]] AS OF a batch id — the audit cut for the
+    * SemDeDup family: assignments and the component snapshot of the
+    * cut alone (the snapshot at the cut's newest batch IS the
+    * historical fold, by the in-order contract). Deletions follow the
+    * CURATION as-of contract, not the search families': they are pure
+    * id removals (takedown-shaped — no statistics to cut), and a
+    * compliance removal must hold in every view, historical included —
+    * so the full tombstone set applies at every cut, with reps
+    * re-elected among the cut's survivors.
+    */
+  def semanticDedupView(spark: SparkSession, root: String,
+      idCol: String, asOfBatch: Option[Long]): DataFrame = {
     val stateDir = BatchState.resolveGeneration(spark, root)
-    val landed = landedBatchIds(spark, stateDir, EmbTables, None)
-    require(landed.nonEmpty, s"no landed batches under $stateDir")
+    val landed = landedBatchIds(spark, stateDir, EmbTables,
+      asOfBatch.map(_ + 1))
+    require(landed.nonEmpty,
+      s"no landed batches under $stateDir" + asOfBatch.map(b =>
+        s" at or below batch $b (compaction may have folded the " +
+          "history you are asking for)").getOrElse(""))
     val assign = readBatches(spark, stateDir, "assign", landed).get
       .select("id", "cluster")
     val snap = spark.read

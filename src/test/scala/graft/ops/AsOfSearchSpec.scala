@@ -116,6 +116,34 @@ class AsOfSearchSpec extends AnyFunSuite {
       asOfBatch = Some(0L))) == at0)
   }
 
+  test("semanticDedupView as-of: the cut equals the view taken when " +
+      "that batch was newest, and a LATER deletion still applies to " +
+      "the historical cut (compliance holds in every view)") {
+    val D = IncrementalDedupOps
+    val emb = graft.Tables.embeddings(spark, srcDir)
+    val r = emb.agg(min(col("vec_id")), max(col("vec_id"))).head
+    val mid = (r.getLong(0) + r.getLong(1)) / 2
+    val state = fresh()
+    D.ingestEmbeddingShard(spark, emb.where(col("vec_id") <= mid),
+      "vec_id", "embedding", state, 0L, k = 4, iters = 2,
+      threshold = 0.95)
+    val at0 = sortedRows(D.semanticDedupView(spark, state, "vec_id"))
+    D.ingestEmbeddingShard(spark, emb.where(col("vec_id") > mid),
+      "vec_id", "embedding", state, 1L, k = 4, iters = 2,
+      threshold = 0.95)
+    assert(sortedRows(D.semanticDedupView(spark, state, "vec_id",
+      asOfBatch = Some(0L))) == at0)
+    // a deletion AFTER the cut still removes the vector from the
+    // historical view
+    import spark.implicits._
+    val victim = emb.where(col("vec_id") <= mid).limit(1).head.getLong(0)
+    D.deleteEmbeddings(spark, Seq(victim).toDF("vec_id"), "vec_id", state)
+    val cut = sortedRows(D.semanticDedupView(spark, state, "vec_id",
+      asOfBatch = Some(0L)))
+    assert(!cut.exists(_.startsWith(s"$victim|")))
+    assert(cut != at0)
+  }
+
   test("describeState reports the operational facts and follows the " +
       "generation pointer") {
     val I = IncrementalIndexOps
