@@ -544,6 +544,12 @@ private[graft] object BatchState {
     * families (curation, image near-dup) hold CROSS-batch state whose
     * older legs a TTL would orphan — their wrappers must not expose
     * this without re-deriving that state.
+    *
+    * Granularity: the floor addresses the PRE-compaction batch id
+    * space. [[compactState]] folds all active batches into one merged
+    * id, after which any floor at or below the watermark keeps
+    * everything and any floor above it retires everything — set the
+    * floor BEFORE compacting when sub-corpus TTL is the intent.
     */
   def setRetention(spark: SparkSession, stateDir: String,
       minActiveBatchId: Long): Unit = withLease(spark, stateDir) {
@@ -558,7 +564,11 @@ private[graft] object BatchState {
     val next = retentionVersions(fs.listStatus(dir).toSeq)
       .map(_._1).maxOption.getOrElse(0L) + 1
     val out = fs.create(new Path(dir, s"r$next"), false)
-    try out.write(minActiveBatchId.toString.getBytes("UTF-8"))
+    // ';' terminates the committed write: create+write+close is not
+    // atomic on every filesystem, and a truncated floor ("12" of
+    // "123;") parses to a VALID but wrong number — readers require the
+    // terminator and skip unterminated (torn) versions
+    try out.write(s"$minActiveBatchId;".getBytes("UTF-8"))
     finally out.close()
   }
 
@@ -583,7 +593,12 @@ private[graft] object BatchState {
         val in = fs.open(p)
         val txt = try scala.io.Source.fromInputStream(in).mkString.trim
         finally in.close()
-        scala.util.Try(txt.toLong).toOption
+        // only terminator-committed floors count — a torn write's
+        // truncated digits would otherwise parse as a smaller, WRONG
+        // floor; an unterminated version is skipped like an empty one
+        if (txt.endsWith(";"))
+          scala.util.Try(txt.dropRight(1).toLong).toOption
+        else None
       }.nextOption()
 
   private def retentionVersions(
@@ -620,18 +635,54 @@ private[graft] object BatchState {
     val dir = new Path(s"$root/_current")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(dir)
+    // generations nested UNDER the root are stored ROOT-RELATIVE, so a
+    // wholesale storage migration (copy the root directory to a new
+    // path) carries its pointer — the copied root keeps resolving
+    // without an operator rewriting version files. Generations outside
+    // the root keep their absolute path (nothing relative to store).
+    val rootP = new Path(root).toString
+    val newP = new Path(newStateDir).toString
+    val stored =
+      if (newP.startsWith(rootP + "/")) newP.stripPrefix(rootP + "/")
+      else newP
     val next = readManifestVersion(fs, dir) + 1
     val out = fs.create(new Path(dir, s"v$next"), false)
-    try out.write(newStateDir.getBytes("UTF-8"))
+    try out.write(stored.getBytes("UTF-8"))
     finally out.close()
   }
 
+  /** Memoized generation resolutions, keyed by (root, version file
+    * name, version file mtime): version files are immutable once their
+    * create(overwrite = false) committed, and a new flip always creates
+    * the NEXT version file — so a repeat resolve pays one `listStatus`
+    * of `_current` and ZERO content reads, while a flip (new file name)
+    * or any rewrite (new mtime) misses and re-reads. Torn/dangling
+    * versions are never cached: they are skipped negatives that a
+    * concurrent writer may still be completing.
+    */
+  private val generationMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Count of version-file CONTENT reads [[resolveGeneration]] has
+    * paid (spec hook: repeat resolutions on an unchanged root must not
+    * grow it).
+    */
+  private[graft] val generationReads =
+    new java.util.concurrent.atomic.AtomicLong()
+
   /** Resolve a reader-addressed root to its CURRENT generation's state
-    * directory: the newest readable `<root>/_current/v<N>` pointer, or
+    * directory: the newest COMMITTED `<root>/_current/v<N>` pointer, or
     * the root itself when none exists (a plain state directory — the
-    * overwhelmingly common case, one `exists` probe). Torn versions
-    * (crashed flips) are skipped: the flip never committed, so the
-    * previous generation — or the root itself — keeps serving.
+    * overwhelmingly common case, one `exists` probe). A version is
+    * committed only when its content is non-empty AND the directory it
+    * names exists — create+write+close is not atomic on every
+    * filesystem, so a crash mid-write can leave a truncated non-empty
+    * path; the existence probe keeps such a torn flip from redirecting
+    * readers to a nonexistent directory (they fall through to the
+    * previous generation, or the root). Relative pointer content
+    * resolves against the root ([[cutoverGeneration]] stores nested
+    * generations relative, which is what makes a copied root
+    * self-contained).
     */
   def resolveGeneration(spark: SparkSession, root: String): String = {
     val dir = new Path(s"$root/_current")
@@ -640,14 +691,106 @@ private[graft] object BatchState {
     else {
       val versions = fs.listStatus(dir).toSeq
         .flatMap(st => scala.util.Try(
+          st.getPath.getName.stripPrefix("v").toLong -> st).toOption)
+        .sortBy(-_._1)
+      versions.iterator.flatMap { case (_, st) =>
+        val key = new Path(root).toString + "|" + st.getPath.getName +
+          "|" + st.getModificationTime
+        Option(generationMemo.get(key)).orElse {
+          generationReads.incrementAndGet()
+          val in = fs.open(st.getPath)
+          val txt = try scala.io.Source.fromInputStream(in).mkString.trim
+          finally in.close()
+          val resolved =
+            if (txt.isEmpty) None
+            else {
+              val p =
+                if (txt.startsWith("/") || txt.contains("://"))
+                  new Path(txt)
+                else new Path(root, txt)
+              if (fs.exists(p)) Some(p.toString) else None
+            }
+          resolved.foreach(r => memoPut(generationMemo, key, r))
+          resolved
+        }
+      }.nextOption().getOrElse(root)
+    }
+  }
+
+  /** Reclaim every generation STRICTLY OLDER than the current pointer —
+    * the storage-lifecycle completion of [[cutoverGeneration]]: without
+    * it each reindex + flip leaves the superseded generation's full
+    * index on disk forever (storage doubles per cutover at 100 TB).
+    * Under the ROOT's lease (distinct from the current generation's —
+    * live writers on the resolved directory are untouched), it deletes,
+    * in this PINNED order:
+    *
+    *  1. the DATA of superseded generations: every directory an older
+    *     committed version file names (and, when the current generation
+    *     is not the root itself, the root's own inline generation-0
+    *     state — `inlineTables` plus the `_input`/`_deletes`/`_params`
+    *     sidecars and the root-level manifest files, keeping the held
+    *     lease);
+    *  2. the older version FILES.
+    *
+    * Data-before-pointers is the crash-safe order: the pointers are
+    * read FIRST (so no generation directory is ever orphaned
+    * unreachable), and a crash between the phases leaves dangling old
+    * pointers that [[resolveGeneration]] skips (it serves only
+    * versions whose directory exists) — readers stay on the current
+    * generation, and a re-run sweeps the remaining files (deletes of
+    * already-gone data no-op). A reader that resolved the OLD
+    * generation before retirement began fails loudly on its next read
+    * — the documented cutover contract, never silent wrong answers.
+    * No-op when the root has no committed cutover.
+    */
+  def retireGenerations(spark: SparkSession, root: String,
+      inlineTables: Seq[String]): Unit = withLease(spark, root) {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new Path(s"$root/_current")
+    val fs = dir.getFileSystem(conf)
+    if (fs.exists(dir)) {
+      val versions = fs.listStatus(dir).toSeq
+        .flatMap(st => scala.util.Try(
           st.getPath.getName.stripPrefix("v").toLong -> st.getPath)
           .toOption)
         .sortBy(-_._1)
-      versions.iterator.map { case (_, p) =>
+      def target(p: Path): Option[Path] = {
         val in = fs.open(p)
-        try scala.io.Source.fromInputStream(in).mkString.trim
+        val txt = try scala.io.Source.fromInputStream(in).mkString.trim
         finally in.close()
-      }.find(_.nonEmpty).getOrElse(root)
+        if (txt.isEmpty) None
+        else Some(
+          if (txt.startsWith("/") || txt.contains("://")) new Path(txt)
+          else new Path(root, txt))
+      }
+      val committed = versions.iterator
+        .flatMap { case (n, p) => target(p).filter(fs.exists).map(n -> _) }
+        .nextOption()
+      committed.foreach { case (vN, curDir) =>
+        val cur = fs.makeQualified(curDir)
+        val rootQ = fs.makeQualified(new Path(root))
+        val older = versions.filter(_._1 < vN)
+        // phase 1: superseded generation data
+        older.flatMap { case (_, p) => target(p) }
+          .map(fs.makeQualified)
+          .filter(p => p != cur && p != rootQ)
+          .foreach(p => fs.delete(p, true))
+        if (cur != rootQ) {
+          val sidecars = Seq("_input", "_deletes", "_params")
+          (inlineTables ++ sidecars)
+            .map(t => fs.makeQualified(new Path(root, t)))
+            .filter(_ != cur)
+            .foreach(p => fs.delete(p, true))
+          val mdir = new Path(s"$root/_manifest")
+          if (fs.exists(mdir)) fs.listStatus(mdir).foreach { st =>
+            if (st.getPath.getName != ".lease")
+              fs.delete(st.getPath, true)
+          }
+        }
+        // phase 2: the superseded pointer files
+        older.foreach { case (_, p) => fs.delete(p, false) }
+      }
     }
   }
 
@@ -806,8 +949,13 @@ private[graft] object BatchState {
           else sts.toSeq.map(st =>
             s"${st.getPath.getParent.getName}:${st.getModificationTime}")
             .sorted.mkString(",")
+        // the FULL ident string, never a 32-bit digest of it: on a
+        // coarse-mtime store, a purge plus a new deletion life
+        // restarting at batch 0 inside one timestamp tick could
+        // otherwise collide with the retired life's key and serve its
+        // "empty" verdict — fresh tombstones invisible to every search
         val key = new Path(root).toString + "|" + landed.mkString(",") +
-          "|" + ident.hashCode
+          "|" + ident
         val empty = Option(tombstoneEmptiness.get(key))
           .map(_.booleanValue()).getOrElse {
             val e = df.isEmpty

@@ -524,6 +524,14 @@ object IncrementalDedupOps {
     }
   }
 
+  /** Reclaim superseded SemDeDup generations after a
+    * [[reindexEmbeddings]] + cutover
+    * ([[BatchState.retireGenerations]]): leaves exactly one generation
+    * on disk, views through the root untouched.
+    */
+  def retireEmbeddingGenerations(spark: SparkSession, root: String): Unit =
+    BatchState.retireGenerations(spark, root, EmbTables :+ "centroids")
+
   /** Retract vectors from the SemDeDup state by tombstone. Component
     * structure is HISTORY here, so — unlike the pairwise image family —
     * deletion is takedown-shaped, not a re-clustering: the deleted

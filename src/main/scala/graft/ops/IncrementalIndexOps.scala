@@ -399,6 +399,13 @@ object IncrementalIndexOps {
     * first): a live deletion delta references the whole pre-TTL corpus
     * — its negative df/globals rows for docs in retired batches would
     * undercount the surviving statistics.
+    *
+    * TTL granularity is the PRE-compaction batch id space: compaction
+    * folds every active batch into ONE merged id at the top of the id
+    * space, after which a floor can only keep everything (floor ≤
+    * merged id) or retire everything — "drop shards older than X"
+    * stops being expressible once the shards are folded. Expire BEFORE
+    * compacting, or run compaction on a cadence coarser than the TTL.
     */
   def expireTextBatches(spark: SparkSession, root: String,
       minActiveBatchId: Long): Unit = {
@@ -414,6 +421,8 @@ object IncrementalIndexOps {
   /** Age-based retention for the IVF family — exact for the same
     * reason (cells are per-batch-disjoint postings; the frozen
     * codebook lives outside batch visibility and survives the TTL).
+    * Same granularity caveat as [[expireTextBatches]]: compaction
+    * folds the batch id space, so expire before compacting.
     */
   def expireVectorBatches(spark: SparkSession, root: String,
       minActiveBatchId: Long): Unit = {
@@ -425,6 +434,22 @@ object IncrementalIndexOps {
       BatchState.setRetention(spark, stateDir, minActiveBatchId)
     }
   }
+
+  /** Reclaim superseded BM25 generations after a cutover
+    * ([[BatchState.retireGenerations]]): reindex → cutover → retire
+    * leaves exactly ONE generation on disk — without it every cutover
+    * doubles the index's storage footprint forever. Crash-safe and
+    * re-runnable; searches through the root are untouched.
+    */
+  def retireTextGenerations(spark: SparkSession, root: String): Unit =
+    BatchState.retireGenerations(spark, root, Bm25Tables)
+
+  /** [[retireTextGenerations]] for the IVF family (the frozen
+    * codebook's `centroids` table is part of each generation's inline
+    * state).
+    */
+  def retireVectorGenerations(spark: SparkSession, root: String): Unit =
+    BatchState.retireGenerations(spark, root, IvfTables :+ "centroids")
 
   // -------------------------------------------------------------- IVF
 

@@ -398,12 +398,23 @@ object Streaming {
     * root between drains can never land its merged batch on the id the
     * next micro-batch will use (the silent-absorption hazard the
     * primary root's `_input` ledger already closes for curation).
+    *
+    * Both roots are generation-resolved ONCE at the top (mirroring
+    * [[deletionMicroBatch]]): the raw per-batch parquet reads and the
+    * external-id mirror ledgers below must address the same directory
+    * the ops (which resolve internally) land into — a mirror written
+    * against a cutover root's stale root-level tables would compute
+    * effective ids from an EMPTY id space while data lands in the
+    * resolved generation, colliding with the generation's own ids and
+    * making `ingestTextShard` silently no-op the shard away.
     */
   private[graft] def curateAndIndexBatch(df: DataFrame, batchId: Long,
-      extKey: Long, curateDir: String, indexDir: String, idCol: String,
+      extKey: Long, curateRoot: String, indexRoot: String, idCol: String,
       textCol: String,
       cfg: graft.ops.IncrementalCurateOps.CurateConfig): Unit = {
     val s = df.sparkSession
+    val curateDir = graft.ops.BatchState.resolveGeneration(s, curateRoot)
+    val indexDir = graft.ops.BatchState.resolveGeneration(s, indexRoot)
     graft.ops.IncrementalCurateOps.ingestShard(
       s, df, idCol, textCol, curateDir, batchId, cfg)
     // the freshest fold of the corpus-wide cluster map — ingestShard

@@ -102,6 +102,10 @@ class GenerationCutoverSpec extends AnyFunSuite {
       "NEWEST committed generation") {
     val root = fresh()
     fs.mkdirs(new Path(root))
+    // resolution serves only pointers whose directory EXISTS (a torn
+    // partial path must not redirect readers to nowhere)
+    fs.mkdirs(new Path(s"$root.gen2"))
+    fs.mkdirs(new Path(s"$root.gen3"))
     BatchState.cutoverGeneration(spark, root, s"$root.gen2")
     BatchState.cutoverGeneration(spark, root, s"$root.gen3")
     assert(BatchState.resolveGeneration(spark, root) == s"$root.gen3")

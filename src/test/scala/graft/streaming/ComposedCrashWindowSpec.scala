@@ -327,4 +327,47 @@ class ComposedCrashWindowSpec extends AnyFunSuite {
     assert(BatchState.landedBatchIds(spark, next, Seq("cells"), None)
       == Seq(0L), "retry with the matching sample completes the reindex")
   }
+
+  test("composed loop against a CUTOVER index root: the external-id " +
+      "mirror ledgers follow the generation pointer — a shard is " +
+      "never silently no-op'd by an id computed from the empty " +
+      "root-level tables") {
+    val base = fresh()
+    val (curateDir, indexRoot) = (s"$base/curate", s"$base/index")
+    val gen2 = s"$indexRoot/gen2"
+    val (cut1, _) = thirds(corpus)
+    val (sA, sB) = (corpus.where(col("doc_id") <= cut1),
+      corpus.where(col("doc_id") > cut1))
+    // the current index generation already holds a seed batch 0
+    // (disjoint from the stream's corpus); the ROOT itself holds
+    // nothing — the exact shape where a mirror written against the
+    // unresolved root hands out id 0 (its id space is empty),
+    // colliding with the generation's landed batch 0 so
+    // ingestTextShard skips the shard entirely
+    val seed = docs.where(pmod(col("doc_id"), lit(97)) === 0)
+    IncrementalIndexOps.ingestTextShard(
+      spark, seed, "doc_id", "text", gen2, 0L)
+    BatchState.cutoverGeneration(spark, indexRoot, gen2)
+    def micro(df: DataFrame, ckptId: Long): Long =
+      Streaming.ingestMicroBatchKeyed(df, ckptId, curateDir,
+        IncrementalCurateOps.CoreTables, "doc_id", composed = true) {
+        (d, k, key) => Streaming.curateAndIndexBatch(d, k, key,
+          curateDir, indexRoot, "doc_id", "text", cfg)
+      }
+    micro(sA, 0)
+    micro(sB, 1)
+    val gotIds = IncrementalIndexOps.bm25Search(
+        spark, indexRoot, queries, "qid", "text", 10)
+      .select(col("id")).distinct()
+    assert(gotIds.join(sA, gotIds("id") === sA("doc_id"), "left_semi")
+        .count() > 0,
+      "shard A must be searchable through the cutover root — its " +
+        "mirror id must come from the RESOLVED generation's id space, " +
+        "not collide with the generation's landed batch 0")
+    assert(BatchState.landedBatchIds(spark, gen2,
+      Seq("postings", "doclen", "tokstats", "globals"), None)
+      .size >= 3,
+      "both composed drains must land NEW batches in the current " +
+        "generation beyond its seed batch 0")
+  }
 }
