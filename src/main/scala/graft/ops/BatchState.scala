@@ -254,16 +254,7 @@ private[graft] object BatchState {
   def landedBatchIds(spark: SparkSession, stateDir: String,
       tables: Seq[String], below: Option[Long]): Seq[Long] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val perTable = tables.map { t =>
-      val glob = new Path(s"$stateDir/$t/batch=*/_SUCCESS")
-      val found = glob.getFileSystem(conf).globStatus(glob)
-      if (found == null) Set.empty[Long]
-      else found.toSeq.flatMap { st =>
-        scala.util.Try(
-          st.getPath.getParent.getName.stripPrefix("batch=").toLong).toOption
-      }.toSet
-    }
-    val globbed = perTable.reduce(_ intersect _)
+    val globbed = globbedIds(conf, stateDir, tables)
     // ONE listing of `_manifest` serves both the compaction manifest
     // and the TTL floor — this is the hottest metadata path, and a
     // second listStatus per call would double its RPCs on an object
@@ -289,6 +280,22 @@ private[graft] object BatchState {
     visible.toSeq
       .filter(k => below.forall(k < _) && floor.forall(k >= _)).sorted
   }
+
+  /** Batch ids on disk with a `_SUCCESS` marker in EVERY table — the
+    * raw glob intersection, BEFORE manifest/TTL visibility (retained
+    * history included). One `globStatus` per table.
+    */
+  private def globbedIds(conf: org.apache.hadoop.conf.Configuration,
+      stateDir: String, tables: Seq[String]): Set[Long] =
+    tables.map { t =>
+      val glob = new Path(s"$stateDir/$t/batch=*/_SUCCESS")
+      val found = glob.getFileSystem(conf).globStatus(glob)
+      if (found == null) Set.empty[Long]
+      else found.toSeq.flatMap { st =>
+        scala.util.Try(
+          st.getPath.getParent.getName.stripPrefix("batch=").toLong).toOption
+      }.toSet
+    }.reduce(_ intersect _)
 
   /** Highest-version compaction manifest: (watermark, listed ids). */
   private def readManifest(spark: SparkSession,
@@ -458,28 +465,49 @@ private[graft] object BatchState {
 
   /** Delete batch directories the manifest has retired (id below the
     * watermark and not listed) and all but the newest manifest version
-    * — invisible garbage, safe to sweep any time.
+    * — invisible garbage, safe to sweep any time. With a declared
+    * audit-history floor ([[setHistoryFloor]]) retired directories AT
+    * OR ABOVE the floor are kept on disk (as-of resolution reads them
+    * through the kept manifest versions) and only ids below the floor
+    * are swept; every manifest version is kept too, because a pre-fold
+    * cut resolves through the manifest that was current at that moment.
     */
   private def gcBelowWatermark(spark: SparkSession, stateDir: String,
       tables: Seq[String]): Unit = {
     readManifest(spark, stateDir).foreach { case (wm, listed) =>
       val conf = spark.sparkContext.hadoopConfiguration
       val fs = new Path(stateDir).getFileSystem(conf)
+      val hist = historyFloor(spark, stateDir)
       for (t <- tables) {
         val dirs = fs.globStatus(new Path(s"$stateDir/$t/batch=*"))
         if (dirs != null) dirs.foreach { st =>
           scala.util.Try(
             st.getPath.getName.stripPrefix("batch=").toLong).toOption
-            .filter(k => k < wm && !listed.contains(k))
+            .filter(k => k < wm && !listed.contains(k) &&
+              hist.forall(k < _))
             .foreach(_ => fs.delete(st.getPath, true))
         }
       }
       val mdir = new Path(s"$stateDir/_manifest")
       val latest = readManifestVersion(fs, mdir)
       fs.listStatus(mdir).foreach { st =>
-        scala.util.Try(st.getPath.getName.stripPrefix("v").toLong).toOption
-          .filter(_ < latest)
-          .foreach(_ => fs.delete(st.getPath, false))
+        scala.util.Try(st.getPath.getName.stripPrefix("v").toLong)
+          .toOption.filter(_ < latest).foreach { _ =>
+            hist match {
+              case None => fs.delete(st.getPath, false)
+              case Some(h) =>
+                // a manifest whose fold sits below the floor can never
+                // legally resolve a cut (the wm >= floor guard) — sweep
+                // it with its directories; parse failures are left
+                scala.util.Try {
+                  val in = fs.open(st.getPath)
+                  val w = try scala.io.Source.fromInputStream(in)
+                    .mkString.trim.split(";")(0).toLong
+                  finally in.close()
+                  if (w < h) fs.delete(st.getPath, false)
+                }
+            }
+          }
       }
     }
   }
@@ -606,6 +634,138 @@ private[graft] object BatchState {
     entries.filter(_.getPath.getName.startsWith("r"))
       .flatMap(st => scala.util.Try(
         st.getPath.getName.stripPrefix("r").toLong -> st.getPath).toOption)
+
+  // ------------------------------------------- retained history (audit)
+
+  /** Declare the AUDIT-HISTORY floor of a state directory: batch ids at
+    * or above `floor` survive compaction ON DISK (their directories are
+    * kept below the manifest watermark, invisible to the live view) and
+    * every compaction manifest version is kept — which is what lets
+    * as-of reads ([[landedBatchIdsAsOf]]) resolve cuts BELOW a fold
+    * through the pre-fold manifest instead of refusing. `floor = 0`
+    * keeps everything ever landed. Versioned `_manifest/h<N>` files
+    * (terminator-committed like the TTL floor); monotonic — raising the
+    * floor is the history-GC verb, the next compaction sweeps below it;
+    * lowering cannot resurrect swept directories and throws. Without
+    * any declared floor the family keeps today's behavior: compaction
+    * physically retires folded batches and as-of stops at the
+    * watermark.
+    *
+    * A PURGE overrides retention (compliance beats audit): it raises
+    * the floor past every pre-purge id before folding, so purged
+    * content is neither servable through any cut nor left on disk.
+    */
+  def setHistoryFloor(spark: SparkSession, stateDir: String,
+      floor: Long): Unit = withLease(spark, stateDir) {
+    val dir = new Path(s"$stateDir/_manifest")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    val cur = historyFloor(spark, stateDir)
+    if (!cur.contains(floor)) {
+      require(cur.forall(floor >= _),
+        s"history floor must be monotonic: ${cur.getOrElse(0L)} -> " +
+          s"$floor would claim directories already swept are retained")
+      val next = historyVersions(fs.listStatus(dir).toSeq)
+        .map(_._1).maxOption.getOrElse(0L) + 1
+      val out = fs.create(new Path(dir, s"h$next"), false)
+      try out.write(s"$floor;".getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
+  /** The declared audit-history floor (None = history retention off). */
+  private[graft] def historyFloor(spark: SparkSession,
+      stateDir: String): Option[Long] = {
+    val dir = new Path(s"$stateDir/_manifest")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) None
+    else historyFloorFrom(fs, fs.listStatus(dir).toSeq)
+  }
+
+  private def historyFloorFrom(fs: org.apache.hadoop.fs.FileSystem,
+      entries: Seq[org.apache.hadoop.fs.FileStatus]): Option[Long] =
+    historyVersions(entries).sortBy(-_._1).iterator
+      .flatMap { case (_, p) =>
+        val in = fs.open(p)
+        val txt = try scala.io.Source.fromInputStream(in).mkString.trim
+        finally in.close()
+        if (txt.endsWith(";"))
+          scala.util.Try(txt.dropRight(1).toLong).toOption
+        else None
+      }.nextOption()
+
+  private def historyVersions(
+      entries: Seq[org.apache.hadoop.fs.FileStatus]): Seq[(Long, Path)] =
+    entries.filter(_.getPath.getName.startsWith("h"))
+      .flatMap(st => scala.util.Try(
+        st.getPath.getName.stripPrefix("h").toLong -> st.getPath).toOption)
+
+  /** The batch ids that were VISIBLE as state when `cut` was the
+    * newest landed batch — the as-of resolution verb. Without a
+    * declared history floor this is exactly the live listing bounded
+    * at the cut (as-of stops at the compaction watermark, today's
+    * behavior). With one, cuts below the current watermark resolve
+    * through the PRE-FOLD manifest version: the newest kept manifest
+    * whose merged id is ≤ the cut supplies the folded prefix, glob ids
+    * between its watermark and the cut supply the rest — which is the
+    * exact visible set of that moment, because every manifest flip
+    * replaces ids strictly below its merged id. Honesty guards, loud:
+    * the resolving manifest's merged id must sit at or above the
+    * declared floor, and every id the resolution names must still be
+    * on disk — a cut whose history was GC'd (floor raised, purge)
+    * refuses instead of silently serving a narrower corpus. The TTL
+    * retention floor is deliberately NOT applied on this path: it
+    * narrows the LIVE view, while an as-of read reconstructs a moment
+    * that may predate it.
+    */
+  private[graft] def landedBatchIdsAsOf(spark: SparkSession,
+      stateDir: String, tables: Seq[String], cut: Long): Seq[Long] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val mdir = new Path(s"$stateDir/_manifest")
+    val mfs = mdir.getFileSystem(conf)
+    val entries =
+      if (!mfs.exists(mdir)) Seq.empty[org.apache.hadoop.fs.FileStatus]
+      else mfs.listStatus(mdir).toSeq
+    historyFloorFrom(mfs, entries) match {
+      case None => landedBatchIds(spark, stateDir, tables, Some(cut + 1))
+      case Some(h) =>
+        val globbed = globbedIds(conf, stateDir, tables)
+        val manifests = entries
+          .flatMap(st => scala.util.Try(
+            st.getPath.getName.stripPrefix("v").toLong -> st.getPath)
+            .toOption)
+          .map { case (_, p) =>
+            val in = mfs.open(p)
+            val line =
+              try scala.io.Source.fromInputStream(in).mkString.trim
+              finally in.close()
+            val parts = line.split(";")
+            (parts(0).toLong,
+              if (parts.length < 2 || parts(1).isEmpty) Seq.empty[Long]
+              else parts(1).split(",").map(_.toLong).toSeq)
+          }
+        manifests.filter(_._1 <= cut).sortBy(-_._1).headOption match {
+          case Some((wm, listed)) =>
+            require(wm >= h,
+              s"as-of cut $cut resolves through the fold at $wm, below " +
+                s"the declared history floor $h — that history is GC'd " +
+                "(or a purge removed it); the cut cannot be served " +
+                "completely")
+            val missing = listed.filterNot(globbed.contains)
+            require(missing.isEmpty,
+              s"as-of cut $cut needs folded batch(es) ${missing.mkString(",")} " +
+                "which are no longer on disk — history GC'd past this cut")
+            (listed.toSet ++ globbed.filter(i => i >= wm && i <= cut))
+              .toSeq.sorted
+          case None =>
+            require(h <= 0,
+              s"as-of cut $cut predates every retained fold and the " +
+                s"history floor is $h — ids below the floor are GC'd; " +
+                "completeness cannot be proven")
+            globbed.filter(_ <= cut).toSeq.sorted
+        }
+    }
+  }
 
   // ------------------------------------------------ generation cutover
   // (the read-side completion of the offline reindex operators: a
@@ -1027,6 +1187,17 @@ private[graft] object BatchState {
           case None =>
             compactState(spark, stateDir, additiveTables, snapshotTables)
           case Some(deleted) =>
+            // compliance beats audit: purged content must be neither
+            // servable through any as-of cut nor left on disk, so the
+            // history floor is raised past every pre-purge id BEFORE
+            // the fold — the gc then sweeps retained directories, and
+            // pre-purge cuts refuse loudly (fail-closed: a crash after
+            // this write but before the fold only narrows audit
+            // history, never leaks purged content)
+            if (historyFloor(spark, stateDir).isDefined)
+              setHistoryFloor(spark, stateDir,
+                landedBatchIds(spark, stateDir,
+                  additiveTables ++ snapshotTables, None).last + 1)
             val expected = manifestVersion(spark, stateDir) + 1
             writePurgeMarker(spark, stateDir, expected)
             compactState(spark, stateDir, additiveTables, snapshotTables,
@@ -1064,6 +1235,8 @@ private[graft] object BatchState {
       "oldest_batch" -> landed.headOption.map(_.toString).getOrElse(""),
       "manifest_version" -> manifestVersion(spark, stateDir).toString,
       "retention_floor" -> retentionFloor(spark, stateDir)
+        .map(_.toString).getOrElse(""),
+      "history_floor" -> historyFloor(spark, stateDir)
         .map(_.toString).getOrElse(""),
       "deletion_root" -> delRootExists.toString,
       "deletion_batches" -> delLanded.size.toString,

@@ -366,7 +366,11 @@ object IncrementalCurateOps {
       s"state at $stateDir has ${legacy.size} batch(es) in the legacy " +
         "pre-snapshot shape; run IncrementalCurateOps.migrateLegacyState " +
         "(or any ingestShard) once before reading")
-    val landed = landedBatchIds(spark, stateDir, asOfBatch.map(_ + 1))
+    val landed = asOfBatch match {
+      case Some(c) =>
+        BatchState.landedBatchIdsAsOf(spark, stateDir, Tables, c)
+      case None => landedBatchIds(spark, stateDir, None)
+    }
     if (landed.isEmpty)
       throw new IllegalStateException(
         s"no landed batches under $stateDir" + asOfBatch.map(b =>
@@ -493,6 +497,17 @@ object IncrementalCurateOps {
     BatchState.compactWithDeletions(spark, stateDir,
       additiveTables = CoreTables, snapshotTables = Seq("clusters"),
       delTables = TakedownTables)
+
+  /** Audit-history retention for a curation root
+    * ([[BatchState.setHistoryFloor]]): keeps folded batches on disk so
+    * [[curated]] cuts below a compaction fold stay servable. Takedowns
+    * still apply at EVERY cut — retained history never resurfaces
+    * removed content.
+    */
+  def retainCurationHistory(spark: SparkSession, root: String,
+      floor: Long = 0L): Unit =
+    BatchState.setHistoryFloor(spark,
+      BatchState.resolveGeneration(spark, root), floor)
 
   /** The doc_id column of every stage-1-kept document currently VISIBLE
     * in state — the recovery source for a composed replay whose own

@@ -524,6 +524,15 @@ object IncrementalDedupOps {
     }
   }
 
+  /** Audit-history retention for a SemDeDup root
+    * ([[BatchState.setHistoryFloor]]): keeps folded batches on disk so
+    * [[semanticDedupView]] cuts below a compaction fold stay servable.
+    */
+  def retainEmbeddingHistory(spark: SparkSession, root: String,
+      floor: Long = 0L): Unit =
+    BatchState.setHistoryFloor(spark,
+      BatchState.resolveGeneration(spark, root), floor)
+
   /** Reclaim superseded SemDeDup generations after a
     * [[reindexEmbeddings]] + cutover
     * ([[BatchState.retireGenerations]]): leaves exactly one generation
@@ -613,8 +622,11 @@ object IncrementalDedupOps {
   def semanticDedupView(spark: SparkSession, root: String,
       idCol: String, asOfBatch: Option[Long]): DataFrame = {
     val stateDir = BatchState.resolveGeneration(spark, root)
-    val landed = landedBatchIds(spark, stateDir, EmbTables,
-      asOfBatch.map(_ + 1))
+    val landed = asOfBatch match {
+      case Some(c) =>
+        BatchState.landedBatchIdsAsOf(spark, stateDir, EmbTables, c)
+      case None => landedBatchIds(spark, stateDir, EmbTables, None)
+    }
     require(landed.nonEmpty,
       s"no landed batches under $stateDir" + asOfBatch.map(b =>
         s" at or below batch $b (compaction may have folded the " +

@@ -217,10 +217,18 @@ object IncrementalIndexOps {
             land(delPostings.groupBy(col("token"))
               .agg((-count(lit(1))).as("df")),
               delDir(stateDir), "del_tokstats", batchId)
+            // `ceiling` records the max MAIN batch id this delta was
+            // derived against: an as-of cut at or above every landed
+            // ceiling is consistent with the interleaved (ingest,
+            // delete) ledger order — the deltas only reference docs in
+            // batches ≤ ceiling — which is what lets the audit verb
+            // serve tombstoned-but-unpurged directories for ALIGNED
+            // cuts instead of refusing outright
             land(delPostings.groupBy(col("id"))
               .agg(sum(col("tf")).as("dl"))
               .agg((-count(lit(1))).as("n_docs"),
-                (-coalesce(sum(col("dl")), lit(0L))).as("totlen")),
+                (-coalesce(sum(col("dl")), lit(0L))).as("totlen"))
+              .withColumn("ceiling", lit(landed.max)),
               delDir(stateDir), "del_globals", batchId)
           } finally delPostings.unpersist(blocking = false)
         }
@@ -250,24 +258,52 @@ object IncrementalIndexOps {
     *
     * Honest bounds, loudly enforced: history exists only until
     * compaction folds it (a merged batch is one id — asking for a cut
-    * below the watermark throws via the emptiness require), and
-    * deletion history cannot be cut consistently (tombstone deltas are
-    * derived from the FULL stored postings at delete time — applying
-    * them against a narrower cut would corrupt df/globals), so as-of
-    * requires a tombstone-free directory: purge first.
+    * below the watermark throws via the emptiness require) unless a
+    * history floor retains it ([[retainTextHistory]] — folded cuts
+    * then resolve through the pre-fold manifests). Tombstoned
+    * directories serve ALIGNED cuts only: each deletion batch records
+    * the max main batch id its delta was derived against (`ceiling`),
+    * and a cut at or above every landed ceiling is consistent with
+    * the interleaved (ingest, delete) ledger order — the deltas only
+    * touch batches inside the cut. A cut below any ceiling refuses
+    * (applying those deltas would corrupt df/globals): purge first,
+    * or pick an aligned cut.
     */
   def bm25Search(spark: SparkSession, root: String, queries: DataFrame,
       qidCol: String, qtextCol: String, k: Int,
       asOfBatch: Option[Long]): DataFrame = {
     require(k >= 1 && k <= 1000, s"k in 1..1000, got $k")
     val stateDir = BatchState.resolveGeneration(spark, root)
-    asOfBatch.foreach { _ =>
-      require(BatchState.readTombstones(spark, stateDir, DelTables).isEmpty,
-        s"$stateDir holds live tombstones; as-of reads cannot cut " +
-          "deletion deltas consistently — purge first")
+    asOfBatch.foreach { c =>
+      // tombstone deltas are derived against the postings AT DELETE
+      // TIME, so an arbitrary cut cannot apply them consistently — but
+      // a cut at or above EVERY landed deletion's recorded ceiling (the
+      // max main batch id its delta referenced) IS consistent with the
+      // interleaved (ingest, delete) ledger order: every delta touches
+      // only batches inside the cut. Aligned cuts serve; others refuse.
+      if (BatchState.readTombstones(spark, stateDir, DelTables).nonEmpty) {
+        val delLanded =
+          landedBatchIds(spark, delDir(stateDir), DelTables, None)
+        val g = readBatches(spark, delDir(stateDir), "del_globals",
+          delLanded).get
+        val maxCeil =
+          if (!g.columns.contains("ceiling")) Long.MaxValue
+          else {
+            val r = g.agg(max(col("ceiling"))).head
+            if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
+          }
+        require(maxCeil <= c,
+          s"$stateDir holds live tombstones derived against batches " +
+            s"up to $maxCeil — cut $c is not aligned with the " +
+            "interleaved ingest/delete order; cut at or above every " +
+            "deletion's ceiling, or purge first")
+      }
     }
-    val landed = landedBatchIds(spark, stateDir, Bm25Tables,
-      asOfBatch.map(_ + 1))
+    val landed = asOfBatch match {
+      case Some(c) =>
+        BatchState.landedBatchIdsAsOf(spark, stateDir, Bm25Tables, c)
+      case None => landedBatchIds(spark, stateDir, Bm25Tables, None)
+    }
     require(landed.nonEmpty,
       s"no landed batches under $stateDir" + asOfBatch.map(b =>
         s" at or below batch $b (compaction may have folded the " +
@@ -299,7 +335,8 @@ object IncrementalIndexOps {
     val globAll = readBatches(spark, stateDir, "globals", landed).get
     val globals = (readBatches(spark, delDir(stateDir), "del_globals",
         delLanded) match {
-      case Some(d) => globAll.unionAll(d)
+      // project: the delta rows also carry the alignment `ceiling`
+      case Some(d) => globAll.unionAll(d.select("n_docs", "totlen"))
       case None => globAll
     }).agg(sum(col("n_docs")).as("n_docs"), sum(col("totlen")).as("totlen"))
     // the SAME scoring tail as the one-shot build — parity by shared
@@ -434,6 +471,26 @@ object IncrementalIndexOps {
       BatchState.setRetention(spark, stateDir, minActiveBatchId)
     }
   }
+
+  /** Declare audit-history retention for a BM25 root
+    * ([[BatchState.setHistoryFloor]]): compaction keeps folded batch
+    * directories at or above `floor` on disk (invisible to the live
+    * view), so [[bm25Search]] with `asOfBatch` can resolve cuts BELOW
+    * a fold through the pre-fold manifest — the audit verb survives
+    * routine compaction. Raising the floor is the history-GC verb;
+    * cuts below it refuse loudly. A purge overrides retention
+    * (compliance beats audit).
+    */
+  def retainTextHistory(spark: SparkSession, root: String,
+      floor: Long = 0L): Unit =
+    BatchState.setHistoryFloor(spark,
+      BatchState.resolveGeneration(spark, root), floor)
+
+  /** [[retainTextHistory]] for an IVF root. */
+  def retainVectorHistory(spark: SparkSession, root: String,
+      floor: Long = 0L): Unit =
+    BatchState.setHistoryFloor(spark,
+      BatchState.resolveGeneration(spark, root), floor)
 
   /** Reclaim superseded BM25 generations after a cutover
     * ([[BatchState.retireGenerations]]): reindex → cutover → retire
@@ -683,8 +740,11 @@ object IncrementalIndexOps {
         s"$stateDir holds live tombstones; as-of reads cannot cut " +
           "deletion history consistently — purge first")
     }
-    val landed = landedBatchIds(spark, stateDir, IvfTables,
-      asOfBatch.map(_ + 1))
+    val landed = asOfBatch match {
+      case Some(c) =>
+        BatchState.landedBatchIdsAsOf(spark, stateDir, IvfTables, c)
+      case None => landedBatchIds(spark, stateDir, IvfTables, None)
+    }
     require(landed.nonEmpty,
       s"no landed batches under $stateDir" + asOfBatch.map(b =>
         s" at or below batch $b (compaction may have folded the " +

@@ -4390,6 +4390,132 @@ object Battery {
            |  FROM sc)
            |SELECT qid, rank, doc_id, score, n_match FROM r WHERE rank <= 10""".stripMargin))
 
+  /** x40 — DELETION-AWARE ALIGNED AS-OF
+    * ([[graft.ops.IncrementalIndexOps.bm25Search]] with `asOfBatch` on
+    * a tombstoned, UNPURGED index): each deletion batch records the max
+    * main batch id its delta was derived against (`ceiling`), and a cut
+    * at or above every landed ceiling is consistent with the
+    * interleaved (ingest, delete) ledger order. Shards 0 and 1 land,
+    * the deletion runs (ceiling 1), shard 2 lands; the cut at batch 1
+    * serves WITH the tombstones applied — the oracle is the canonical
+    * BM25 chain over the first two thirds minus the deleted ids. A cut
+    * below the ceiling refuses (spec-covered in AsOfSearchSpec).
+    */
+  private val x40BmAsOfAligned = Q(
+    "x40_bm25_asof_aligned",
+    (s, d) => {
+      val I = graft.ops.IncrementalIndexOps
+      val docs = T.documents(s, d)
+      val corpus = docs.where(pmod(col("doc_id"), lit(97)) =!= 0)
+      val queries = docs.where(pmod(col("doc_id"), lit(97)) === 0)
+        .select(col("doc_id").as("qid"), col("text"))
+      val stateDir = java.nio.file.Files
+        .createTempDirectory("graft_x40_state").toString
+      val r = corpus.agg(min(col("doc_id")), max(col("doc_id"))).head
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val (cut1, cut2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+      I.ingestTextShard(s, corpus.where(col("doc_id") <= cut1),
+        "doc_id", "text", stateDir, batchId = 0L)
+      I.ingestTextShard(s, corpus.where(
+        col("doc_id") > cut1 && col("doc_id") <= cut2),
+        "doc_id", "text", stateDir, batchId = 1L)
+      // derived against batches {0,1} -> recorded ceiling 1
+      I.deleteTextDocs(s,
+        corpus.where(col("doc_id") <= cut2 &&
+          pmod(col("doc_id"), lit(13)) === 0).select("doc_id"),
+        "doc_id", stateDir, batchId = 0L)
+      I.ingestTextShard(s, corpus.where(col("doc_id") > cut2),
+        "doc_id", "text", stateDir, batchId = 2L)
+      I.bm25Search(s, stateDir, queries, "qid", "text", k = 10,
+        asOfBatch = Some(1L))
+        .withColumnRenamed("id", "doc_id")
+    },
+    Some("""WITH cut AS (SELECT min(doc_id) + (2 * (max(doc_id) - min(doc_id))) // 3 AS c
+           |  FROM documents WHERE doc_id % 97 <> 0),
+           |ct AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+           |  FROM documents CROSS JOIN cut
+           |  WHERE doc_id % 97 <> 0 AND doc_id <= cut.c
+           |    AND doc_id % 13 <> 0),
+           |p AS (SELECT doc_id, token, count(*) AS tf FROM ct GROUP BY 1, 2),
+           |dlen AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM p GROUP BY 1),
+           |dfq AS (SELECT token, count(*) AS df FROM p GROUP BY 1),
+           |g AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS totlen FROM dlen),
+           |qt AS (SELECT DISTINCT qid, token FROM
+           |  (SELECT doc_id AS qid, unnest(string_split_regex(trim(text), '\s+')) AS token
+           |   FROM documents WHERE doc_id % 97 = 0)),
+           |cand AS (SELECT qt.qid, p.doc_id,
+           |    (g.n_docs * 88 * p.tf * g.totlen * 1000) //
+           |      (dfq.df * (40*p.tf*g.totlen + 12*g.totlen + 36*dlen.dl*g.n_docs)) AS contrib
+           |  FROM qt JOIN p USING (token) JOIN dfq USING (token)
+           |  JOIN dlen ON dlen.doc_id = p.doc_id CROSS JOIN g),
+           |sc AS (SELECT qid, doc_id, CAST(sum(contrib) AS BIGINT) AS score,
+           |    count(*) AS n_match FROM cand GROUP BY 1, 2),
+           |r AS (SELECT qid, doc_id, score, n_match,
+           |    CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS INT) AS rank
+           |  FROM sc)
+           |SELECT qid, rank, doc_id, score, n_match FROM r WHERE rank <= 10""".stripMargin))
+
+  /** x41 — RETAINED-HISTORY AS-OF
+    * ([[graft.ops.BatchState.setHistoryFloor]] +
+    * [[graft.ops.BatchState.landedBatchIdsAsOf]]): with a declared
+    * history floor, compaction keeps the folded batch directories and
+    * every manifest version on disk, so a cut BELOW the fold resolves
+    * through the pre-fold manifest instead of refusing. Three shards
+    * land, compaction folds them to one merged batch, and the cut at
+    * batch 1 still serves — hash-equal to x39's oracle (the two-thirds
+    * prefix), which is exactly what a search taken at that moment
+    * returned. Without the floor the same cut throws (spec-covered).
+    */
+  private val x41BmAsOfHistory = Q(
+    "x41_bm25_asof_history",
+    (s, d) => {
+      val I = graft.ops.IncrementalIndexOps
+      val docs = T.documents(s, d)
+      val corpus = docs.where(pmod(col("doc_id"), lit(97)) =!= 0)
+      val queries = docs.where(pmod(col("doc_id"), lit(97)) === 0)
+        .select(col("doc_id").as("qid"), col("text"))
+      val stateDir = java.nio.file.Files
+        .createTempDirectory("graft_x41_state").toString
+      val r = corpus.agg(min(col("doc_id")), max(col("doc_id"))).head
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val (cut1, cut2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+      I.retainTextHistory(s, stateDir)
+      I.ingestTextShard(s, corpus.where(col("doc_id") <= cut1),
+        "doc_id", "text", stateDir, batchId = 0L)
+      I.ingestTextShard(s, corpus.where(
+        col("doc_id") > cut1 && col("doc_id") <= cut2),
+        "doc_id", "text", stateDir, batchId = 1L)
+      I.ingestTextShard(s, corpus.where(col("doc_id") > cut2),
+        "doc_id", "text", stateDir, batchId = 2L)
+      I.compactText(s, stateDir)
+      I.bm25Search(s, stateDir, queries, "qid", "text", k = 10,
+        asOfBatch = Some(1L))
+        .withColumnRenamed("id", "doc_id")
+    },
+    Some("""WITH cut AS (SELECT min(doc_id) + (2 * (max(doc_id) - min(doc_id))) // 3 AS c
+           |  FROM documents WHERE doc_id % 97 <> 0),
+           |ct AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+           |  FROM documents CROSS JOIN cut
+           |  WHERE doc_id % 97 <> 0 AND doc_id <= cut.c),
+           |p AS (SELECT doc_id, token, count(*) AS tf FROM ct GROUP BY 1, 2),
+           |dlen AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM p GROUP BY 1),
+           |dfq AS (SELECT token, count(*) AS df FROM p GROUP BY 1),
+           |g AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS totlen FROM dlen),
+           |qt AS (SELECT DISTINCT qid, token FROM
+           |  (SELECT doc_id AS qid, unnest(string_split_regex(trim(text), '\s+')) AS token
+           |   FROM documents WHERE doc_id % 97 = 0)),
+           |cand AS (SELECT qt.qid, p.doc_id,
+           |    (g.n_docs * 88 * p.tf * g.totlen * 1000) //
+           |      (dfq.df * (40*p.tf*g.totlen + 12*g.totlen + 36*dlen.dl*g.n_docs)) AS contrib
+           |  FROM qt JOIN p USING (token) JOIN dfq USING (token)
+           |  JOIN dlen ON dlen.doc_id = p.doc_id CROSS JOIN g),
+           |sc AS (SELECT qid, doc_id, CAST(sum(contrib) AS BIGINT) AS score,
+           |    count(*) AS n_match FROM cand GROUP BY 1, 2),
+           |r AS (SELECT qid, doc_id, score, n_match,
+           |    CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS INT) AS rank
+           |  FROM sc)
+           |SELECT qid, rank, doc_id, score, n_match FROM r WHERE rank <= 10""".stripMargin))
+
   /** st_streamed_deletion — the streaming DELETION twin
     * ([[graft.streaming.Streaming.textDeletionIngest]]): a continuous
     * takedown feed drained through the deletion harness — each
@@ -6892,7 +7018,7 @@ object Battery {
     n12IncrementalIvf, n13ReindexedIvf, n14IvfTombstones,
     n15GenerationCutover,
     x36IncrementalBm25, x37Bm25Tombstones, stStreamedDeletion, x38BmTtl,
-    x39BmAsOf,
+    x39BmAsOf, x40BmAsOfAligned, x41BmAsOfHistory,
     kfPatientSlice, kfRSubjectSlice, kfSpecimenSlice, kfDrsSlice,
     kfDiseaseSlice, kfPhenotypeSlice, kfHistoSlice, kfVitalSlice,
     kfFamilySlice, kfStudySlice, kfProbandSlice, kfFamRelSlice,

@@ -350,9 +350,21 @@ object Streaming {
       idCol: String, textCol: String,
       cfg: graft.ops.IncrementalCurateOps.CurateConfig =
         graft.ops.IncrementalCurateOps.CurateConfig(),
-      compactEvery: Int = 0): Unit = {
+      compactEvery: Int = 0, keepHistory: Boolean = true): Unit = {
     val curateDir = s"$stateDir/curate"
     val indexDir = s"$stateDir/index"
+    // audit history ON by default for the composed production loop:
+    // auto-compaction (`compactEvery`) must not silently destroy the
+    // as-of audit trail of a continuously-ingested corpus — folded
+    // batches stay on disk (invisible to the live view) and cuts below
+    // a fold keep resolving; pass keepHistory = false to reclaim
+    // aggressively instead
+    if (keepHistory) {
+      graft.ops.BatchState.setHistoryFloor(spark,
+        graft.ops.BatchState.resolveGeneration(spark, curateDir), 0L)
+      graft.ops.BatchState.setHistoryFloor(spark,
+        graft.ops.BatchState.resolveGeneration(spark, indexDir), 0L)
+    }
     // composed = true: the closure's effects extend beyond the curate
     // root's core tables, so a compaction of that root must never
     // confirm this stream's ledger entries off the core tables alone —

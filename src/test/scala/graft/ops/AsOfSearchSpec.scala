@@ -174,4 +174,144 @@ class AsOfSearchSpec extends AnyFunSuite {
       m2("generation_pointer") == "true" &&
       m2("landed_batches") == "1" && m2("deletion_root") == "false")
   }
+
+  test("aligned as-of on a tombstoned (unpurged) index: a cut at or " +
+      "above every deletion ceiling serves — equal to the twin built " +
+      "from the prefix plus the same deletions — and a cut below a " +
+      "ceiling refuses") {
+    val I = IncrementalIndexOps
+    val (cut1, cut2) = thirds(corpus)
+    val (state, twin) = (fresh(), fresh())
+    val victims = corpus.where(col("doc_id") <= cut2 &&
+      pmod(col("doc_id"), lit(13)) === 0).select("doc_id")
+    I.ingestTextShard(spark, corpus.where(col("doc_id") <= cut1),
+      "doc_id", "text", state, 0L)
+    I.ingestTextShard(spark, corpus.where(
+      col("doc_id") > cut1 && col("doc_id") <= cut2),
+      "doc_id", "text", state, 1L)
+    I.deleteTextDocs(spark, victims, "doc_id", state, 0L) // ceiling 1
+    I.ingestTextShard(spark, corpus.where(col("doc_id") > cut2),
+      "doc_id", "text", state, 2L)
+    // the twin is exactly the moment the cut names: batches {0,1} plus
+    // the deletions whose ceilings fit inside it
+    I.ingestTextShard(spark, corpus.where(col("doc_id") <= cut1),
+      "doc_id", "text", twin, 0L)
+    I.ingestTextShard(spark, corpus.where(
+      col("doc_id") > cut1 && col("doc_id") <= cut2),
+      "doc_id", "text", twin, 1L)
+    I.deleteTextDocs(spark, victims, "doc_id", twin, 0L)
+    assert(sortedRows(I.bm25Search(spark, state, queries, "qid",
+      "text", 10, asOfBatch = Some(1L))) ==
+      sortedRows(I.bm25Search(spark, twin, queries, "qid", "text", 10)),
+      "the aligned cut must serve the tombstoned prefix exactly")
+    val e = intercept[IllegalArgumentException] {
+      I.bm25Search(spark, state, queries, "qid", "text", 10,
+        asOfBatch = Some(0L))
+    }
+    assert(e.getMessage.contains("not aligned"),
+      s"a cut below the ceiling must refuse, got: ${e.getMessage}")
+  }
+
+  test("retained history: with a declared history floor, cuts BELOW " +
+      "compaction folds resolve through the pre-fold manifests — " +
+      "identical to the searches taken at those moments — and refuse " +
+      "once the floor is raised past them (history GC)") {
+    val I = IncrementalIndexOps
+    val (cut1, cut2) = thirds(corpus)
+    val state = fresh()
+    I.retainTextHistory(spark, state)
+    I.ingestTextShard(spark, corpus.where(col("doc_id") <= cut1),
+      "doc_id", "text", state, 0L)
+    val at0 = sortedRows(I.bm25Search(spark, state, queries,
+      "qid", "text", 10))
+    I.ingestTextShard(spark, corpus.where(
+      col("doc_id") > cut1 && col("doc_id") <= cut2),
+      "doc_id", "text", state, 1L)
+    val at1 = sortedRows(I.bm25Search(spark, state, queries,
+      "qid", "text", 10))
+    // first fold: batches {0,1} -> merged 2
+    I.compactText(spark, state)
+    I.ingestTextShard(spark, corpus.where(col("doc_id") > cut2),
+      "doc_id", "text", state, 3L)
+    val at3 = sortedRows(I.bm25Search(spark, state, queries,
+      "qid", "text", 10))
+    // second fold: {2,3} -> merged 4 — TWO manifest versions retained
+    I.compactText(spark, state)
+    assert(sortedRows(I.bm25Search(spark, state, queries, "qid",
+      "text", 10)) == at3, "the live view is untouched by retention")
+    // a cut below BOTH folds: resolves through the raw retained dirs
+    assert(sortedRows(I.bm25Search(spark, state, queries, "qid",
+      "text", 10, asOfBatch = Some(1L))) == at1,
+      "cut below every fold must serve from the retained directories")
+    assert(sortedRows(I.bm25Search(spark, state, queries, "qid",
+      "text", 10, asOfBatch = Some(0L))) == at0)
+    // a cut BETWEEN the folds: pre-fold manifest (merged 2) + batch 3
+    assert(sortedRows(I.bm25Search(spark, state, queries, "qid",
+      "text", 10, asOfBatch = Some(3L))) == at3,
+      "cut between folds must resolve through the pre-fold manifest")
+    // history GC: raise the floor past everything but the live fold
+    I.retainTextHistory(spark, state, floor = 5L)
+    I.compactText(spark, state)
+    val e = intercept[IllegalArgumentException] {
+      I.bm25Search(spark, state, queries, "qid", "text", 10,
+        asOfBatch = Some(3L))
+    }
+    assert(e.getMessage.contains("GC'd") ||
+      e.getMessage.contains("floor"))
+    assert(sortedRows(I.bm25Search(spark, state, queries, "qid",
+      "text", 10)) == at3, "live view survives the history GC")
+  }
+
+  test("purge overrides retained history (compliance beats audit): " +
+      "pre-purge cuts refuse, purged batch directories leave the " +
+      "disk, the live view serves on") {
+    val I = IncrementalIndexOps
+    val (cut1, _) = thirds(corpus)
+    val state = fresh()
+    I.retainTextHistory(spark, state)
+    I.ingestTextShard(spark, corpus.where(col("doc_id") <= cut1),
+      "doc_id", "text", state, 0L)
+    I.ingestTextShard(spark, corpus.where(col("doc_id") > cut1),
+      "doc_id", "text", state, 1L)
+    import spark.implicits._
+    val victim = corpus.agg(min(col("doc_id"))).head.getLong(0)
+    I.deleteTextDocs(spark, Seq(victim).toDF("doc_id"), "doc_id", state)
+    I.purgeText(spark, state)
+    val fs = new org.apache.hadoop.fs.Path("/").getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$state/postings/batch=0")),
+      "purged content must be physically gone despite the history floor")
+    val e = intercept[IllegalArgumentException] {
+      I.bm25Search(spark, state, queries, "qid", "text", 10,
+        asOfBatch = Some(0L))
+    }
+    assert(e.getMessage.contains("GC'd") || e.getMessage.contains("floor"))
+    assert(I.bm25Search(spark, state, queries, "qid", "text", 10)
+      .count() > 0)
+  }
+
+  test("retained history on the SemDeDup family: the view at a cut " +
+      "below a fold equals the view taken at that moment") {
+    val D = IncrementalDedupOps
+    val emb = graft.Tables.embeddings(spark, srcDir)
+    val half = emb.agg(percentile_approx(col("vec_id"), lit(0.5),
+      lit(100))).head.getLong(0)
+    val state = fresh()
+    D.retainEmbeddingHistory(spark, state)
+    D.ingestEmbeddingShard(spark, emb.where(col("vec_id") <= half),
+      "vec_id", "embedding", state, 0L, k = 4, iters = 2,
+      threshold = 0.95)
+    val at0 = sortedRows(D.semanticDedupView(spark, state, "vec_id"))
+    D.ingestEmbeddingShard(spark, emb.where(col("vec_id") > half),
+      "vec_id", "embedding", state, 1L, k = 4, iters = 2,
+      threshold = 0.95)
+    val at1 = sortedRows(D.semanticDedupView(spark, state, "vec_id"))
+    D.compactEmbeddings(spark, state)
+    assert(sortedRows(D.semanticDedupView(spark, state, "vec_id",
+      asOfBatch = Some(0L))) == at0,
+      "the pre-fold cut must serve from retained directories")
+    assert(sortedRows(D.semanticDedupView(spark, state, "vec_id"))
+      == at1)
+  }
 }
