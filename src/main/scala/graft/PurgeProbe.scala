@@ -96,6 +96,84 @@ object PurgeProbe {
       require(afterPurge.map(_.toString) == before.map(_.toString),
         "purge must not change the search")
       println(s"""{"probe":"manydel","n_batches":$n,"delete_total_s":${num(delSec)},"delete_avg_ms":${num(delSec * 1000 / n)},"search_${n}_del_batches_s":${num(searchManySec)},"compact_s":${num(compactSec)},"search_folded_s":${num(searchFoldedSec)},"purge_s":${num(purgeSec)},"search_purged_s":${num(searchPurgedSec)},"equal":true}""")
+
+      spark.stop()
+      return
+    }
+
+    // the bucketed-delta mode probes the SCAN term of the deletion
+    // delta derivation at 10× volume (the base-corpus manydel feed is
+    // ledger-overhead-dominated — pruning's win is the postings pass,
+    // which only matters once the postings are big): ingest the
+    // replicated corpus flat and bucketed, then time a small deletion
+    // feed against each. On the bucketed root each delta derivation
+    // scans only the deleted ids' buckets (≤5 of 32) of postings and
+    // doclen.
+    if (mode == "bucketdelta") {
+      val I = graft.ops.IncrementalIndexOps
+      import spark.implicits._
+      val offset = VolumeProbe.keyOffsetFor(spark, srcDir)
+      val big = s"$workDir/bktdelta_docs.parquet"
+      VolumeProbe.multiply(
+          spark.read.parquet(s"$srcDir/documents.parquet"), factor, offset)
+        .write.mode("overwrite").parquet(big)
+      val docs0 = spark.read.parquet(big)
+      val corpus = docs0.where(pmod(col("doc_id"), lit(97)) =!= 0)
+      val ids = corpus.orderBy("doc_id").limit(100)
+        .select("doc_id").as[Long].collect()
+      val n = 10
+      // (no bm25Search here: the integer-rational scoring is sized for
+      // battery-scale corpora and overflows at a 300× totlen; layout
+      // invisibility to SEARCH results is spec-pinned at battery scale
+      // — this probe compares the landed deletion DELTAS, which are
+      // counts/sums and overflow-free at any factor)
+      def run(state: String, bucketed: Boolean): (Double, String) = {
+        val fs0 = new org.apache.hadoop.fs.Path(state)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs0.delete(new org.apache.hadoop.fs.Path(state), true)
+        if (bucketed) I.bucketTextState(spark, state, nBuckets = 32)
+        I.ingestTextShard(spark, corpus, "doc_id", "text", state, 0L)
+        val (delSec, _) = timed {
+          var i = 0
+          while (i < n) {
+            I.deleteTextDocs(spark,
+              ids.slice(i * 5, i * 5 + 5).toSeq.toDF("doc_id"),
+              "doc_id", state, i.toLong)
+            i += 1
+          }
+        }
+        val deltas = spark.read
+          .parquet(s"$state/_deletes/del_tokstats/batch=*")
+          .agg(count(lit(1)), sum(col("df"))).head.toString
+        (delSec, deltas)
+      }
+      val (flatDel, flatDeltas) =
+        run(s"$workDir/bktdelta_flat", bucketed = false)
+      val (bktDel, bktDeltas) =
+        run(s"$workDir/bktdelta_bucketed", bucketed = true)
+      require(bktDeltas == flatDeltas,
+        "the bucketed layout must derive identical deletion deltas")
+      println(s"""{"probe":"bucketdelta_${factor}x","n_del_batches":$n,"n_buckets":32,"flat_delete_avg_ms":${num(flatDel * 1000 / n)},"bucketed_delete_avg_ms":${num(bktDel * 1000 / n)},"delete_speedup":${num(flatDel / bktDel)},"equal_deltas":true}""")
+
+      // isolate the SCAN term the full delete buries under its ~8
+      // fixed-cost ledger/guard jobs: the delta derivation itself —
+      // postings semi-joined by the deleted ids — repeated over each
+      // root. This is the term that scales with corpus size at 100 TB;
+      // the fixed ledger jobs do not.
+      val delIds = ids.take(5).toSeq.toDF("doc_id")
+        .select(col("doc_id").as("id"))
+      def derive(state: String): Double = Seq.fill(5)(timed {
+        // the real delta shape: the per-token df decrement — reads
+        // (id, token), not a column-pruned count
+        graft.ops.BatchState.readBatchesPrunedBy(spark, state,
+          "postings", Seq(0L), delIds, "id").get
+          .join(delIds, Seq("id"), "left_semi")
+          .groupBy(col("token")).agg((-count(lit(1))).as("df"))
+          .collect()
+      }._1).min * 1000
+      val flatDerive = derive(s"$workDir/bktdelta_flat")
+      val bktDerive = derive(s"$workDir/bktdelta_bucketed")
+      println(s"""{"probe":"bucketdelta_derivation","factor":$factor,"flat_derive_ms":${num(flatDerive)},"bucketed_derive_ms":${num(bktDerive)},"derive_speedup":${num(flatDerive / bktDerive)}}""")
       spark.stop()
       return
     }

@@ -431,9 +431,27 @@ private[graft] object BatchState {
         val src =
           if (additiveTables.contains(t)) landed
           else Seq(landed.max) // snapshot: newest already folds all history
-        transform(t,
-          spark.read.parquet(src.map(k => s"$stateDir/$t/batch=$k"): _*))
-          .write.mode(SaveMode.Overwrite).parquet(staged.toString)
+        val bucketing = bucketingOf(spark, stateDir, t)
+        val srcReader = {
+          val r = spark.read
+          if (bucketing.isDefined) r.option("basePath", s"$stateDir/$t")
+          else r
+        }
+        val merged = transform(t,
+          srcReader.parquet(src.map(k => s"$stateDir/$t/batch=$k"): _*))
+        bucketing match {
+          case Some((bc, n)) =>
+            // re-bucket the merged batch (drop + recompute is
+            // deterministic — same hash, same n), keeping the layout
+            // contract for every later pruned read
+            merged.drop(BucketCol, BatchPartCol)
+              .withColumn(BucketCol, bucketExpr(bc, n))
+              .repartition(n, org.apache.spark.sql.functions.col(BucketCol))
+              .write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
+              .parquet(staged.toString)
+          case None =>
+            merged.write.mode(SaveMode.Overwrite).parquet(staged.toString)
+        }
         fs.delete(new Path(staged, "_SUCCESS"), false)
         val dest = new Path(s"$stateDir/$t/batch=$c")
         // a crashed PRIOR attempt — and provably not a live writer's
@@ -1268,10 +1286,123 @@ private[graft] object BatchState {
         "batches must be ingested in ascending id order")
 
   /** Idempotent overwrite of one table's `batch=k` directory. */
+  // --------------------------------------------------- bucketed tables
+  // (opt-in manual bucketing for the scan-heavy state tables: a
+  // `gbkt = pmod(xxhash64(key), n)` PARTITION directory inside every
+  // batch dir. Unlike catalog `bucketBy`, the layout is pure paths —
+  // no metastore — so it composes with the `batch=k` landing protocol,
+  // and any reader that knows the keys it wants prunes to their
+  // buckets at PLANNING time (Spark partition pruning on the gbkt
+  // column). The win at 100 TB: a deletion's delta derivation scans
+  // only the deleted ids' buckets of the postings/cells/bands instead
+  // of the whole table — per-batch delta cost tracks the deletion
+  // size, not the corpus size.)
+
+  /** The reserved manual-bucket partition column. */
+  private[graft] val BucketCol = "gbkt"
+
+  private def bucketExpr(bucketCol: String, n: Int) = {
+    import org.apache.spark.sql.functions.{pmod, xxhash64, lit}
+    pmod(xxhash64(org.apache.spark.sql.functions.col(bucketCol)
+      .cast("string")), lit(n.toLong))
+  }
+
+  /** Declare bucketing for a state table — BEFORE its first landed
+    * batch (mixed flat/bucketed batch layouts cannot be read
+    * together). Recorded in `<stateDir>/<table>/_bucketed`
+    * (terminator-committed); every later [[land]] and [[compactState]]
+    * writes `batch=k/gbkt=j` partitions, and
+    * [[readBatchesPrunedBy]] prunes scans to the buckets of the keys
+    * it is given. Re-declaring with the same (column, n) is a no-op;
+    * changing either refuses (the stored layout is fixed).
+    */
+  def setBucketing(spark: SparkSession, stateDir: String, table: String,
+      bucketCol: String, nBuckets: Int): Unit = withLease(spark, stateDir) {
+    require(nBuckets > 0 && nBuckets <= 65536,
+      s"nBuckets in 1..65536, got $nBuckets")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val marker = new Path(s"$stateDir/$table/_bucketed")
+    val fs = marker.getFileSystem(conf)
+    bucketingOf(spark, stateDir, table) match {
+      case Some((c, n)) =>
+        require(c == bucketCol && n == nBuckets,
+          s"$stateDir/$table is already bucketed by ($c, $n); the " +
+            "stored layout is fixed — reindex into a fresh directory " +
+            "to change it")
+      case None =>
+        val landedAny = fs.globStatus(
+          new Path(s"$stateDir/$table/batch=*"))
+        require(landedAny == null || landedAny.isEmpty,
+          s"$stateDir/$table already holds batch directories; " +
+            "bucketing must be declared before the first landed batch")
+        fs.mkdirs(marker.getParent)
+        // a torn marker (crashed prior declaration) reads as
+        // unbucketed; the retry replaces it under the lease
+        if (fs.exists(marker)) fs.delete(marker, false)
+        val out = fs.create(marker, false)
+        try out.write(s"$bucketCol;$nBuckets;".getBytes("UTF-8"))
+        finally out.close()
+        bucketingsNeg.remove(marker.toString)
+    }
+  }
+
+  /** The `batch=k` directory name doubles as a partition column when a
+    * bucketed table is read with a basePath — stripped on every read so
+    * consumers never see it.
+    */
+  private val BatchPartCol = "batch"
+
+  /** Memoized bucketing declarations. Positive verdicts never go stale
+    * (the marker is immutable once written). Negative verdicts are
+    * cached too — the hot read path must not pay an `exists` RPC per
+    * call — which is safe because bucketing can only be declared while
+    * the table has NO landed batches, i.e. before any read that could
+    * have cached the negative ([[setBucketing]] clears the in-process
+    * entry on declaration).
+    */
+  private val bucketings =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Int)]()
+  private val bucketingsNeg =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private[graft] def bucketingOf(spark: SparkSession, stateDir: String,
+      table: String): Option[(String, Int)] = {
+    val marker = new Path(s"$stateDir/$table/_bucketed")
+    val key = marker.toString
+    if (bucketingsNeg.contains(key)) None
+    else Option(bucketings.get(key)).orElse {
+      val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(marker)) {
+        if (bucketingsNeg.size > 8192) bucketingsNeg.clear()
+        bucketingsNeg.add(key)
+        None
+      } else {
+        val in = fs.open(marker)
+        val txt = try scala.io.Source.fromInputStream(in).mkString.trim
+        finally in.close()
+        val parts = txt.split(";")
+        if (!txt.endsWith(";") || parts.length < 2) None // torn — unbucketed
+        else {
+          val v = (parts(0), parts(1).toInt)
+          memoPut(bucketings, key, v)
+          Some(v)
+        }
+      }
+    }
+  }
+
   def land(df: DataFrame, stateDir: String, table: String,
       batchId: Long): Unit =
-    df.write.mode(SaveMode.Overwrite)
-      .parquet(s"$stateDir/$table/batch=$batchId")
+    bucketingOf(df.sparkSession, stateDir, table) match {
+      case Some((c, n)) =>
+        df.withColumn(BucketCol, bucketExpr(c, n))
+          .repartition(n, org.apache.spark.sql.functions.col(BucketCol))
+          .write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
+          .parquet(s"$stateDir/$table/batch=$batchId")
+      case None =>
+        df.write.mode(SaveMode.Overwrite)
+          .parquet(s"$stateDir/$table/batch=$batchId")
+    }
 
   /** Memoized parquet schema per (state dir, table): a state table's
     * schema is fixed for the directory's lifetime (the family defines
@@ -1288,23 +1419,70 @@ private[graft] object BatchState {
   private val tableSchemas = new java.util.concurrent.ConcurrentHashMap[
     String, org.apache.spark.sql.types.StructType]()
 
-  /** Union-read of one table across the given batch ids. */
+  /** Union-read of one table across the given batch ids. Bucketed
+    * tables read back WITHOUT the internal `gbkt` partition column, so
+    * the layout is invisible to every consumer's schema.
+    */
   def readBatches(spark: SparkSession, stateDir: String, table: String,
-      ids: Seq[Long]): Option[DataFrame] = {
+      ids: Seq[Long]): Option[DataFrame] =
+    readBatchesRaw(spark, stateDir, table, ids)
+      .map(_.drop(BucketCol, BatchPartCol))
+
+  /** [[readBatches]] KEEPING the partition columns (pruning filters
+    * must be placed on them before the drop). Bucketed tables read
+    * with `basePath` = the table directory, so one scan relation spans
+    * every batch dir's `gbkt=j` partitions (multi-root partition
+    * discovery would otherwise refuse); that surfaces `batch` and
+    * `gbkt` as partition columns, which every public read strips.
+    */
+  private def readBatchesRaw(spark: SparkSession, stateDir: String,
+      table: String, ids: Seq[Long]): Option[DataFrame] = {
     val paths = ids.map(k => s"$stateDir/$table/batch=$k")
     if (paths.isEmpty) None
     else {
       val key = new Path(s"$stateDir/$table").toString
+      def reader = {
+        val r = spark.read
+        if (bucketingOf(spark, stateDir, table).isDefined)
+          r.option("basePath", s"$stateDir/$table")
+        else r
+      }
       Option(tableSchemas.get(key)) match {
         case Some(schema) =>
-          Some(spark.read.schema(schema).parquet(paths: _*))
+          Some(reader.schema(schema).parquet(paths: _*))
         case None =>
-          val df = spark.read.parquet(paths: _*)
+          val df = reader.parquet(paths: _*)
           memoPut(tableSchemas, key, df.schema)
           Some(df)
       }
     }
   }
+
+  /** [[readBatches]] pruned to the BUCKETS of the given keys — the
+    * deletion-delta fast path: on a bucketed table, the distinct
+    * bucket ids of `keys` (at most nBuckets values, usually far fewer
+    * for a deletion-sized key set) become a partition-pruning `IN`
+    * filter, so the scan reads only the matching `gbkt=j` directories
+    * of each batch instead of the whole table. On an unbucketed table
+    * this is exactly [[readBatches]]. The caller still joins — pruning
+    * narrows the scan, the semi-join keeps exactness.
+    */
+  private[graft] def readBatchesPrunedBy(spark: SparkSession,
+      stateDir: String, table: String, ids: Seq[Long], keys: DataFrame,
+      keyCol: String): Option[DataFrame] =
+    bucketingOf(spark, stateDir, table) match {
+      case Some((_, n)) =>
+        readBatchesRaw(spark, stateDir, table, ids).map { df =>
+          import org.apache.spark.sql.functions.col
+          // bounded by min(|keys|, n) — a deletion-sized driver list
+          val buckets = keys
+            .select(bucketExpr(keyCol, n).as(BucketCol)).distinct()
+            .collect().map(_.getLong(0)).toSeq
+          df.where(col(BucketCol).isin(buckets: _*))
+            .drop(BucketCol, BatchPartCol)
+        }
+      case None => readBatches(spark, stateDir, table, ids)
+    }
 
   /** Enforce that every batch of a state directory was ingested under
     * the SAME operator parameters. Cross-batch state is parameter-

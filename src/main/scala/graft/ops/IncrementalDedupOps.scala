@@ -231,8 +231,10 @@ object IncrementalDedupOps {
       require(landed.nonEmpty,
         s"no landed batches under $stateDir — nothing to delete from")
       val asked = dels.select(col(idCol).as("id")).distinct()
+      // bucketed directories scan only the asked ids' band buckets
       val held = asked.join(
-        readBatches(spark, stateDir, "bands", landed).get
+        BatchState.readBatchesPrunedBy(spark, stateDir, "bands", landed,
+          asked, "id").get
           .select(col("id")), Seq("id"), "left_semi")
       // never create the deletion root for a complete no-op
       if (BatchState.hasDeletionRoot(spark, stateDir) || !held.isEmpty)
@@ -523,6 +525,15 @@ object IncrementalDedupOps {
       }
     }
   }
+
+  /** Opt-in bucketed layout for the image family's band table
+    * ([[BatchState.setBucketing]]): deletion probes scan only the
+    * asked ids' buckets. Declare before the first ingest.
+    */
+  def bucketImageState(spark: SparkSession, root: String,
+      nBuckets: Int): Unit =
+    BatchState.setBucketing(spark,
+      BatchState.resolveGeneration(spark, root), "bands", "id", nBuckets)
 
   /** Audit-history retention for a SemDeDup root
     * ([[BatchState.setHistoryFloor]]): keeps folded batches on disk so

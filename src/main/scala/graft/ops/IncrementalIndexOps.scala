@@ -189,9 +189,12 @@ object IncrementalIndexOps {
         s"no landed batches under $stateDir — nothing to delete from")
       val asked = dels.select(col(idCol).as("id")).distinct()
       // only ids that are indexed AND not already tombstoned produce
-      // deltas — double-deletes and unknown ids are exact no-ops
+      // deltas — double-deletes and unknown ids are exact no-ops. On a
+      // bucketed directory ([[bucketTextState]]) both probes scan only
+      // the asked ids' buckets
       val indexed = asked.join(
-        readBatches(spark, stateDir, "doclen", landed).get, Seq("id"),
+        BatchState.readBatchesPrunedBy(spark, stateDir, "doclen", landed,
+          asked, "id").get, Seq("id"),
         "left_semi")
       // a deletion that would be a COMPLETE no-op must not create the
       // deletion root on a pristine directory (whose searches would pay
@@ -209,7 +212,11 @@ object IncrementalIndexOps {
             case Some(prev) => indexed.join(prev, Seq("id"), "left_anti")
             case None => indexed
           }
-          val delPostings = readBatches(spark, stateDir, "postings", landed)
+          // pruned by `asked` (a superset of newDel's buckets): the
+          // bucket set comes from the caller's tiny id frame, never
+          // from re-evaluating the newDel join
+          val delPostings = BatchState.readBatchesPrunedBy(spark,
+              stateDir, "postings", landed, asked, "id")
             .get.join(newDel, Seq("id"), "left_semi")
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
@@ -472,6 +479,30 @@ object IncrementalIndexOps {
     }
   }
 
+  /** Opt-in bucketed layout for the scan-heavy BM25 tables
+    * ([[BatchState.setBucketing]]): postings and doclen land as
+    * `batch=k/gbkt=hash(id)%n` partitions, so a deletion's delta
+    * derivation — the per-batch cost of the streaming deletion twin —
+    * scans only the deleted ids' buckets instead of the whole table
+    * (partition pruning at planning time). Declare BEFORE the first
+    * ingest; search results are bit-identical either way.
+    */
+  def bucketTextState(spark: SparkSession, root: String,
+      nBuckets: Int): Unit = {
+    val stateDir = BatchState.resolveGeneration(spark, root)
+    BatchState.setBucketing(spark, stateDir, "postings", "id", nBuckets)
+    BatchState.setBucketing(spark, stateDir, "doclen", "id", nBuckets)
+  }
+
+  /** [[bucketTextState]] for the IVF family: cell postings bucketed by
+    * the vector id, pruning the deletion probe's scan.
+    */
+  def bucketVectorState(spark: SparkSession, root: String,
+      nBuckets: Int): Unit = {
+    val stateDir = BatchState.resolveGeneration(spark, root)
+    BatchState.setBucketing(spark, stateDir, "cells", "cid", nBuckets)
+  }
+
   /** Declare audit-history retention for a BM25 root
     * ([[BatchState.setHistoryFloor]]): compaction keeps folded batch
     * directories at or above `floor` on disk (invisible to the live
@@ -586,8 +617,11 @@ object IncrementalIndexOps {
       require(landed.nonEmpty,
         s"no landed batches under $stateDir — nothing to delete from")
       val asked = dels.select(col(idCol).as("id")).distinct()
+      // bucketed directories ([[bucketVectorState]]) scan only the
+      // asked ids' buckets of the cell postings
       val indexed = asked.join(
-        readBatches(spark, stateDir, "cells", landed).get
+        BatchState.readBatchesPrunedBy(spark, stateDir, "cells", landed,
+          asked, "id").get
           .select(col("cid").as("id")), Seq("id"), "left_semi")
       // never create the deletion root for a complete no-op
       if (hasDeletions(spark, stateDir) || !indexed.isEmpty)

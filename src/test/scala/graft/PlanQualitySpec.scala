@@ -915,4 +915,37 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.linesIterator.exists(l => l.contains("partial_percentile_approx")),
       s"the sketch must partial-aggregate map-side:\n$p")
   }
+
+  test("bucketed deletion delta derivation prunes the postings scan " +
+      "to the deleted ids' buckets (partition pruning, not a full " +
+      "table pass)") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val I = graft.ops.IncrementalIndexOps
+    val B = graft.ops.BatchState
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_bktplan").toString
+    val docs = graft.Tables.documents(spark, dir)
+      .where(pmod(col("doc_id"), lit(97)) =!= 0)
+    I.bucketTextState(spark, state, nBuckets = 16)
+    I.ingestTextShard(spark, docs, "doc_id", "text", state, 0L)
+    import spark.implicits._
+    val dels = docs.limit(2).select(col("doc_id").as("id"))
+    val pruned = B.readBatchesPrunedBy(spark, state, "postings",
+      Seq(0L), dels, "id").get
+    val p = pruned.queryExecution.explainString(FormattedMode)
+    assert(p.contains("PartitionFilters") &&
+      p.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("gbkt")),
+      s"the bucket IN-filter must reach the scan as a partition " +
+        s"filter:\n$p")
+    // the pruned pass reads strictly fewer rows than the full table —
+    // only the 2 ids' buckets of 16
+    val full = B.readBatches(spark, state, "postings", Seq(0L)).get
+    assert(pruned.count() < full.count(),
+      "pruning must skip the other buckets' rows")
+    // exactness is the semi-join's job, pruning only narrows the scan
+    val delta = pruned.join(dels, Seq("id"), "left_semi")
+    val deltaFull = full.join(dels, Seq("id"), "left_semi")
+    assert(delta.count() == deltaFull.count() && delta.count() > 0)
+  }
 }
