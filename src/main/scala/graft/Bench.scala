@@ -452,8 +452,12 @@ object Bench {
     // can truncate long stdout from the front, and the per-query maps in
     // the middle are the bulky part — a tail-parse must still recover the
     // total and the error count without the full record
+    // sweep_ts rides INSIDE the record: the freshness check below must
+    // compare against when the base SWEEP ran, not the file's mtime —
+    // a later partial merge rewrites the file and would otherwise keep
+    // a previous round's record looking "fresh" forever
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spreads":$spreads,"errors":$errs,"calibration":$calib,"normalization":$norm,"adjudication":$adjudication,"runs":$runs,"sf":"$sfDir","total_s":${num(total)},"total_normalized_s":${num(totalNorm)},"n_errors":${failures.size + forkErrs.size}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spreads":$spreads,"errors":$errs,"calibration":$calib,"normalization":$norm,"adjudication":$adjudication,"runs":$runs,"sf":"$sfDir","sweep_ts":${System.currentTimeMillis()},"total_s":${num(total)},"total_normalized_s":${num(totalNorm)},"n_errors":${failures.size + forkErrs.size}}"""
     // Lowest-canary record keeping: the round's baseline must be its
     // CLEANEST full sweep, not whichever ran last — end-of-round sweeps
     // routinely hit driver-side contention (canary 1.3-1.8×) and were
@@ -474,7 +478,8 @@ object Bench {
         val om = new com.fasterxml.jackson.databind.ObjectMapper()
         val base = om.readTree(java.nio.file.Files.readString(outPath))
         val ageMs = System.currentTimeMillis() -
-          java.nio.file.Files.getLastModifiedTime(outPath).toMillis
+          Option(base.get("sweep_ts")).map(_.asLong()).getOrElse(
+            java.nio.file.Files.getLastModifiedTime(outPath).toMillis)
         val baseRatio = Option(base.get("normalization"))
           .flatMap(n => Option(n.get("shuffle_ratio")))
           .map(_.asDouble()).getOrElse(Double.MaxValue)

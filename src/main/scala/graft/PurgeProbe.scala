@@ -194,6 +194,52 @@ object PurgeProbe {
       df.orderBy(df.columns.map(col): _*).collect()
         .map(_.mkString("|")).toSeq
 
+    // the AS-OF READ path at volume (round-17 ask #7): x39/c5 price the
+    // state REBUILD inside their battery rows; this prices the read
+    // verb itself — a cut's prefix filter + re-aggregate over 10×
+    // state vs the current search over the same state — and pins the
+    // cut equal to a state built from the prefix shards alone.
+    if (mode == "asof") {
+      val I = graft.ops.IncrementalIndexOps
+      val (stateFull, statePrefix) =
+        (s"$workDir/asof_full", s"$workDir/asof_prefix")
+      val fsA = new org.apache.hadoop.fs.Path(workDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Seq(stateFull, statePrefix).foreach(p =>
+        fsA.delete(new org.apache.hadoop.fs.Path(p), true))
+      val r = corpus.agg(min(col("doc_id")), max(col("doc_id"))).head
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val (cut1, cut2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+      val (sA, sB, sC) = (
+        corpus.where(col("doc_id") <= cut1),
+        corpus.where(col("doc_id") > cut1 && col("doc_id") <= cut2),
+        corpus.where(col("doc_id") > cut2))
+      val (ingestSec, _) = timed {
+        I.ingestTextShard(spark, sA, "doc_id", "text", stateFull, 0L)
+        I.ingestTextShard(spark, sB, "doc_id", "text", stateFull, 1L)
+        I.ingestTextShard(spark, sC, "doc_id", "text", stateFull, 2L)
+      }
+      I.ingestTextShard(spark, sA, "doc_id", "text", statePrefix, 0L)
+      I.ingestTextShard(spark, sB, "doc_id", "text", statePrefix, 1L)
+      val (curSec, _) = timed {
+        sortedRows(I.bm25Search(spark, stateFull, queries,
+          "qid", "text", 10))
+      }
+      val (asOfSec, asOfRows) = timed {
+        sortedRows(I.bm25Search(spark, stateFull, queries,
+          "qid", "text", 10, asOfBatch = Some(1L)))
+      }
+      val (prefixSec, prefixRows) = timed {
+        sortedRows(I.bm25Search(spark, statePrefix, queries,
+          "qid", "text", 10))
+      }
+      require(asOfRows == prefixRows,
+        "the as-of cut must equal a state built only from the prefix")
+      println(s"""{"probe":"asof_${factor}x","ingest_3shards_s":${num(ingestSec)},"search_current_s":${num(curSec)},"search_asof_s":${num(asOfSec)},"search_prefix_built_s":${num(prefixSec)},"rows":${asOfRows.size},"equal":true}""")
+      spark.stop()
+      return
+    }
+
     if (mode == "both" || mode == "purge") {
       val I = graft.ops.IncrementalIndexOps
       val state = s"$workDir/bm25_state"

@@ -310,21 +310,37 @@ private[graft] object BatchState {
   /** [[readManifest]] over a pre-fetched `_manifest` listing (shared
     * with the TTL-floor parse so the hot path lists the dir once).
     */
+  /** Parse one manifest version's content: `<wm>;<ids>;`. The trailing
+    * ';' is the commit terminator — create+write+close is not atomic on
+    * every filesystem, and a truncated "12" of "123;4,5;" would parse
+    * as a VALID but wrong watermark; unterminated content reads as a
+    * torn (never-committed) flip.
+    */
+  private def parseManifestLine(line: String): Option[(Long, Seq[Long])] =
+    if (!line.endsWith(";")) None
+    else scala.util.Try {
+      val parts = line.split(";")
+      (parts(0).toLong,
+        if (parts.length < 2 || parts(1).isEmpty) Seq.empty[Long]
+        else parts(1).split(",").map(_.toLong).toSeq)
+    }.toOption
+
   private def readManifestFrom(fs: org.apache.hadoop.fs.FileSystem,
       entries: Seq[org.apache.hadoop.fs.FileStatus]):
       Option[(Long, Seq[Long])] = {
     val versions = entries
       .flatMap(st => scala.util.Try(
         st.getPath.getName.stripPrefix("v").toLong -> st.getPath).toOption)
-    if (versions.isEmpty) return None
-    val latest = versions.maxBy(_._1)._2
-    val in = fs.open(latest)
-    val line = try scala.io.Source.fromInputStream(in).mkString.trim
-    finally in.close()
-    val parts = line.split(";")
-    Some((parts(0).toLong,
-      if (parts.length < 2 || parts(1).isEmpty) Seq.empty
-      else parts(1).split(",").map(_.toLong).toSeq))
+      .sortBy(-_._1)
+    // first COMMITTED version wins; a torn newest (compaction crashed
+    // mid-write) falls through to the previous committed view — the
+    // flip never happened
+    versions.iterator.flatMap { case (_, p) =>
+      val in = fs.open(p)
+      val line = try scala.io.Source.fromInputStream(in).mkString.trim
+      finally in.close()
+      parseManifestLine(line)
+    }.nextOption()
   }
 
   private def writeManifest(spark: SparkSession, stateDir: String,
@@ -335,9 +351,10 @@ private[graft] object BatchState {
     fs.mkdirs(dir)
     val next = readManifestVersion(fs, dir) + 1
     // create(overwrite = false) is the atomic publish: a racing writer
-    // loses with an exception instead of clobbering
+    // loses with an exception instead of clobbering; the trailing ';'
+    // is the commit terminator readers require
     val out = fs.create(new Path(dir, s"v$next"), false)
-    try out.write(s"$watermark;${listed.mkString(",")}".getBytes("UTF-8"))
+    try out.write(s"$watermark;${listed.mkString(",")};".getBytes("UTF-8"))
     finally out.close()
   }
 
@@ -752,15 +769,14 @@ private[graft] object BatchState {
           .flatMap(st => scala.util.Try(
             st.getPath.getName.stripPrefix("v").toLong -> st.getPath)
             .toOption)
-          .map { case (_, p) =>
+          .flatMap { case (_, p) =>
             val in = mfs.open(p)
             val line =
               try scala.io.Source.fromInputStream(in).mkString.trim
               finally in.close()
-            val parts = line.split(";")
-            (parts(0).toLong,
-              if (parts.length < 2 || parts(1).isEmpty) Seq.empty[Long]
-              else parts(1).split(",").map(_.toLong).toSeq)
+            // torn (unterminated) versions are never-committed flips —
+            // skipped here exactly as the live listing skips them
+            parseManifestLine(line)
           }
         manifests.filter(_._1 <= cut).sortBy(-_._1).headOption match {
           case Some((wm, listed)) =>
@@ -863,8 +879,9 @@ private[graft] object BatchState {
     * self-contained).
     */
   def resolveGeneration(spark: SparkSession, root: String): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
     val dir = new Path(s"$root/_current")
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = dir.getFileSystem(conf)
     if (!fs.exists(dir)) root
     else {
       val versions = fs.listStatus(dir).toSeq
@@ -886,7 +903,11 @@ private[graft] object BatchState {
                 if (txt.startsWith("/") || txt.contains("://"))
                   new Path(txt)
                 else new Path(root, txt)
-              if (fs.exists(p)) Some(p.toString) else None
+              // the TARGET's filesystem, not the root's: a generation
+              // may legally live on another store (s3a:// pointer
+              // under an hdfs:// root)
+              if (p.getFileSystem(conf).exists(p)) Some(p.toString)
+              else None
             }
           resolved.foreach(r => memoPut(generationMemo, key, r))
           resolved
@@ -942,18 +963,22 @@ private[graft] object BatchState {
           if (txt.startsWith("/") || txt.contains("://")) new Path(txt)
           else new Path(root, txt))
       }
+      // each target probes/deletes through ITS OWN filesystem — a
+      // generation may live on a different store than the root
+      def tfs(p: Path) = p.getFileSystem(conf)
       val committed = versions.iterator
-        .flatMap { case (n, p) => target(p).filter(fs.exists).map(n -> _) }
+        .flatMap { case (n, p) =>
+          target(p).filter(t => tfs(t).exists(t)).map(n -> _) }
         .nextOption()
       committed.foreach { case (vN, curDir) =>
-        val cur = fs.makeQualified(curDir)
+        val cur = tfs(curDir).makeQualified(curDir)
         val rootQ = fs.makeQualified(new Path(root))
         val older = versions.filter(_._1 < vN)
         // phase 1: superseded generation data
         older.flatMap { case (_, p) => target(p) }
-          .map(fs.makeQualified)
+          .map(p => tfs(p).makeQualified(p))
           .filter(p => p != cur && p != rootQ)
-          .foreach(p => fs.delete(p, true))
+          .foreach(p => tfs(p).delete(p, true))
         if (cur != rootQ) {
           val sidecars = Seq("_input", "_deletes", "_params")
           (inlineTables ++ sidecars)
@@ -1426,7 +1451,14 @@ private[graft] object BatchState {
   def readBatches(spark: SparkSession, stateDir: String, table: String,
       ids: Seq[Long]): Option[DataFrame] =
     readBatchesRaw(spark, stateDir, table, ids)
-      .map(_.drop(BucketCol, BatchPartCol))
+      .map { df =>
+        // strip the layout's partition columns ONLY on bucketed tables
+        // — an unconditional drop would silently eat a future table's
+        // legitimate "batch"/"gbkt" data column
+        if (bucketingOf(spark, stateDir, table).isDefined)
+          df.drop(BucketCol, BatchPartCol)
+        else df
+      }
 
   /** [[readBatches]] KEEPING the partition columns (pruning filters
     * must be placed on them before the drop). Bucketed tables read

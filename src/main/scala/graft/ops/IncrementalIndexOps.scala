@@ -281,6 +281,12 @@ object IncrementalIndexOps {
       asOfBatch: Option[Long]): DataFrame = {
     require(k >= 1 && k <= 1000, s"k in 1..1000, got $k")
     val stateDir = BatchState.resolveGeneration(spark, root)
+    val delLanded =
+      if (!hasDeletions(spark, stateDir)) Seq.empty[Long]
+      // a committed-but-unretired purge already folded every delta into
+      // the merged tables — the surviving tombstones must NOT re-apply
+      else if (purgeCommitted(spark, stateDir)) Seq.empty[Long]
+      else landedBatchIds(spark, delDir(stateDir), DelTables, None)
     asOfBatch.foreach { c =>
       // tombstone deltas are derived against the postings AT DELETE
       // TIME, so an arbitrary cut cannot apply them consistently — but
@@ -288,9 +294,11 @@ object IncrementalIndexOps {
       // max main batch id its delta referenced) IS consistent with the
       // interleaved (ingest, delete) ledger order: every delta touches
       // only batches inside the cut. Aligned cuts serve; others refuse.
-      if (BatchState.readTombstones(spark, stateDir, DelTables).nonEmpty) {
-        val delLanded =
-          landedBatchIds(spark, delDir(stateDir), DelTables, None)
+      // (delLanded is shared with the search body below; readTombstones
+      // supplies the memoized effective-emptiness verdict, so an
+      // all-no-op deletion history never refuses a cut.)
+      if (delLanded.nonEmpty &&
+          BatchState.readTombstones(spark, stateDir, DelTables).nonEmpty) {
         val g = readBatches(spark, delDir(stateDir), "del_globals",
           delLanded).get
         val maxCeil =
@@ -315,12 +323,6 @@ object IncrementalIndexOps {
       s"no landed batches under $stateDir" + asOfBatch.map(b =>
         s" at or below batch $b (compaction may have folded the " +
           "history you are asking for)").getOrElse(""))
-    val delLanded =
-      if (!hasDeletions(spark, stateDir)) Seq.empty[Long]
-      // a committed-but-unretired purge already folded every delta into
-      // the merged tables — the surviving tombstones must NOT re-apply
-      else if (purgeCommitted(spark, stateDir)) Seq.empty[Long]
-      else landedBatchIds(spark, delDir(stateDir), DelTables, None)
     val deleted = readBatches(spark, delDir(stateDir), "del_ids", delLanded)
     def live(df: DataFrame): DataFrame = deleted match {
       case Some(d) => df.join(d, Seq("id"), "left_anti")

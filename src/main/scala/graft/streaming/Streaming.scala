@@ -358,12 +358,20 @@ object Streaming {
     // as-of audit trail of a continuously-ingested corpus — folded
     // batches stay on disk (invisible to the live view) and cuts below
     // a fold keep resolving; pass keepHistory = false to reclaim
-    // aggressively instead
+    // aggressively instead. Retained dirs and manifests do grow the
+    // per-listing metadata cost over the stream's life — raising the
+    // floor (retain*History with a higher floor) is the operator's
+    // history-GC cadence. Declared only when NO floor exists yet: a
+    // purge or an operator GC legitimately RAISES the floor, and a
+    // restart re-declaring 0 would trip the monotonic guard and wedge
+    // the stream.
     if (keepHistory) {
-      graft.ops.BatchState.setHistoryFloor(spark,
-        graft.ops.BatchState.resolveGeneration(spark, curateDir), 0L)
-      graft.ops.BatchState.setHistoryFloor(spark,
-        graft.ops.BatchState.resolveGeneration(spark, indexDir), 0L)
+      val B = graft.ops.BatchState
+      Seq(curateDir, indexDir).foreach { root =>
+        val dir = B.resolveGeneration(spark, root)
+        if (B.historyFloor(spark, dir).isEmpty)
+          B.setHistoryFloor(spark, dir, 0L)
+      }
     }
     // composed = true: the closure's effects extend beyond the curate
     // root's core tables, so a compaction of that root must never

@@ -140,4 +140,39 @@ class ComposedCurateIndexSpec extends AnyFunSuite {
       sortedRows(oneShot),
       "per-drain compaction of both roots must not change the search")
   }
+
+  test("stream restart after a history-floor RAISE (purge / operator " +
+      "GC) must not wedge on the default keepHistory declaration") {
+    import spark.implicits._
+    val shard1 = Seq((1L, text(0, 14)), (5L, text(6, 20)))
+      .toDF("doc_id", "text")
+    val shard2 = Seq((9L, text(2, 16))).toDF("doc_id", "text")
+    val cfg = graft.ops.IncrementalCurateOps.CurateConfig(minQualityE6 = 0L)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_composed_hist").toString
+    val (watch, ckpt, state) = (s"$base/in", s"$base/ckpt", s"$base/state")
+    val fs = new Path(base).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(watch))
+    def landShard(df: DataFrame, name: String): Unit = {
+      val tmp = s"$base/tmp_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = fs.globStatus(new Path(s"$tmp/part-*"))(0).getPath
+      assert(fs.rename(part, new Path(s"$watch/$name.parquet")))
+    }
+    def drain(): Unit = Streaming.curateAndIndexIngest(
+      spark, watch, shard1.schema, ckpt, state, "doc_id", "text", cfg)
+    landShard(shard1, "s1")
+    drain()
+    assert(graft.ops.BatchState.historyFloor(
+      spark, s"$state/curate").contains(0L),
+      "the default declares floor 0 on a fresh root")
+    // an operator raises the floor (the history-GC verb) between drains
+    graft.ops.BatchState.setHistoryFloor(spark, s"$state/index", 5L)
+    landShard(shard2, "s2")
+    drain() // must not throw on the monotonic guard
+    assert(graft.ops.BatchState.historyFloor(
+      spark, s"$state/index").contains(5L),
+      "the restart must keep the raised floor, never re-lower it")
+  }
 }
