@@ -243,6 +243,34 @@ object Bench {
       // 2x SLOWER on the ETL chain (driver serialization + per-join
       // hash build of 600k-row links beats nothing); default 10MB + AQE
       // wins — don't "optimize" this again without measuring
+      // Round-18 measured shuffle config (OPTIMIZATION_r18.md §shuffle;
+      // both env-overridable, results are bit-identical either way):
+      //  - bypassMergeThreshold=1: always use the sort shuffle writer.
+      //    The bypass writer opens one temp file PER REDUCE PARTITION
+      //    per map task — at 32 shuffle partitions that is ~1k file
+      //    creates per tiny state-family shuffle, profiled as the BM25
+      //    families' top executor frames; the sort writer emits one
+      //    (data, index) pair per task. Production shuffles run with
+      //    >200 partitions where bypass never applies, so this also
+      //    makes local execution match the at-scale code path.
+      //  - canChangeCachedPlanOutputPartitioning=true: AQE may re-plan
+      //    the partitioning of persisted frames — without it a cached
+      //    ingest intermediate freezes shuffle.partitions=32 empty
+      //    partitions and every downstream stage schedules 32 tasks on
+      //    KB-sized state (partitioning stays scale-adaptive WITH it).
+      // Codegen cache sized to the battery: kf_full_pipeline alone emits
+      // >100 distinct whole-stage-codegen units (16 builders x several
+      // stages), so the default 100-entry driver-wide cache thrashes and
+      // every repeat run recompiles the same classes — profiled as the
+      // kf family's top driver+executor frames. 2000 entries keeps one
+      // battery's worth of generated classes resident (static conf; the
+      // compile itself is unchanged, it just stops repeating).
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "2000"))
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS_MERGE_THRESHOLD", "1"))
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_CACHED_REPARTITION", "true"))
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -46,6 +46,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         DotProduct(children.head, children(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("intersect_count"),
+      new ExpressionInfo(classOf[graft.functions.IntersectCount].getName,
+        "intersect_count"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "intersect_count(array<string>, array<string>)")
+        graft.functions.IntersectCount(children.head, children(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("langid_text"),
       new ExpressionInfo(classOf[LangIdText].getName, "langid_text"),
       (children: Seq[Expression]) => {

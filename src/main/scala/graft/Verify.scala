@@ -21,6 +21,19 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Codegen cache sized to the battery: kf_full_pipeline alone emits
+      // >100 distinct whole-stage-codegen units (16 builders x several
+      // stages), so the default 100-entry driver-wide cache thrashes and
+      // every repeat run recompiles the same classes — profiled as the
+      // kf family's top driver+executor frames. 2000 entries keeps one
+      // battery's worth of generated classes resident (static conf; the
+      // compile itself is unchanged, it just stops repeating).
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "2000"))
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS_MERGE_THRESHOLD", "1"))
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_CACHED_REPARTITION", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

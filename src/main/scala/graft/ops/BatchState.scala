@@ -1310,6 +1310,43 @@ private[graft] object BatchState {
         s"${landed.filter(_ > batchId).mkString(",")} already landed; " +
         "batches must be ingested in ascending id order")
 
+  /** Run independent Spark actions concurrently from a small thread
+    * pool and wait for all — the optimization-guide §2.6 shape: a
+    * shard's state-table writes are independent jobs reading one
+    * persisted frame, and running them sequentially leaves the cluster
+    * idle through each job's tail (at bench scale, through each job's
+    * fixed commit latency). Crash semantics are unchanged: every write
+    * is an idempotent overwrite gated on all-or-nothing `_SUCCESS`
+    * visibility, so a failure mid-pool leaves the batch as invisible as
+    * a failure mid-sequence; the FIRST failure is rethrown (remaining
+    * writes finish or fail on their own — their directories are
+    * overwritten by the retry either way). Cached-frame races are safe:
+    * the block manager's per-partition locks make concurrent first
+    * readers of a persisted frame compute-once.
+    */
+  private[graft] def inParallel(tasks: Seq[() => Unit]): Unit =
+    if (tasks.size <= 1) tasks.foreach(_())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(4, tasks.size))
+      try {
+        val futs = tasks.map(t =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = t()
+          }))
+        var firstFailure: Option[Throwable] = None
+        futs.foreach { f =>
+          try f.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              if (firstFailure.isEmpty)
+                firstFailure = Some(Option(e.getCause).getOrElse(e))
+          }
+        }
+        firstFailure.foreach(throw _)
+      } finally pool.shutdown()
+    }
+
   /** Idempotent overwrite of one table's `batch=k` directory. */
   // --------------------------------------------------- bucketed tables
   // (opt-in manual bucketing for the scan-heavy state tables: a

@@ -286,7 +286,7 @@ object IncrementalCurateOps {
             .join(old.select(col("doc_id").as("old_id"), col("sh").as("sb")),
               Seq("old_id"))
             .select(col("new_id"), col("old_id"),
-              size(array_intersect(col("sa"), col("sb"))).as("c"),
+              DedupOps.intersectCount(col("sa"), col("sb")).as("c"),
               size(col("sa")).as("na"), size(col("sb")).as("nb"))
             .where(col("c").cast("double") / (col("na") + col("nb") - col("c"))
               >= cfg.jaccardThreshold)
@@ -304,11 +304,17 @@ object IncrementalCurateOps {
       def land(df: DataFrame, table: String): Unit =
         df.write.mode(SaveMode.Overwrite)
           .parquet(s"$stateDir/$table/batch=$batchId")
-      land(docsNew, "docs")
-      land(docsNew.select(col("doc_id"),
-        explode(DedupOps.hashPrefixArray(col("sh"), cfg.jaccardThreshold)).as("s"))
-        .select(col("s"), col("doc_id")), "prefix")
-      land(newNew.unionAll(newOld), "edges")
+      // docs/prefix/edges/stats all derive from the persisted docsNew
+      // (plus already-landed older batches) and land independently —
+      // overlapped ([[BatchState.inParallel]]); the cluster fold below
+      // stays sequential because it reads the landed edges back
+      BatchState.inParallel(Seq(
+        () => land(docsNew, "docs"),
+        () => land(docsNew.select(col("doc_id"),
+          explode(DedupOps.hashPrefixArray(col("sh"), cfg.jaccardThreshold)).as("s"))
+          .select(col("s"), col("doc_id")), "prefix"),
+        () => land(newNew.unionAll(newOld), "edges"),
+        () => land(statsNew, "stats")))
 
       // incrementally-maintained cluster map: fold THIS batch's edges
       // (read back from the just-landed parquet — the cheapest
@@ -321,7 +327,6 @@ object IncrementalCurateOps {
       val prevSnap = landedBatchIds(spark, stateDir, Some(batchId)).lastOption
         .map(k => spark.read.parquet(s"$stateDir/clusters/batch=$k"))
       land(DedupOps.foldClusterSnapshot(prevSnap, newIds, edgesK), "clusters")
-      land(statsNew, "stats")
     } finally docsNew.unpersist(blocking = false)
   }
 

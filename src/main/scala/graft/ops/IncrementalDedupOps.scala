@@ -162,8 +162,11 @@ object IncrementalDedupOps {
         case None => newNew.limit(0)
       }
 
-      land(bands, stateDir, "bands", batchId)
-      land(newNew.unionAll(newOld), stateDir, "edges", batchId)
+      // both tables derive from the persisted signature frame and land
+      // independently — overlapped ([[BatchState.inParallel]])
+      BatchState.inParallel(Seq(
+        () => land(bands, stateDir, "bands", batchId),
+        () => land(newNew.unionAll(newOld), stateDir, "edges", batchId)))
     } finally sig.unpersist(blocking = false)
   }
 
@@ -368,8 +371,12 @@ object IncrementalDedupOps {
         case None => newNew.limit(0)
       }
 
-      land(assign, stateDir, "assign", batchId)
-      land(newNew.unionAll(newOld), stateDir, "edges", batchId)
+      // assignments and edges land independently — overlapped
+      // ([[BatchState.inParallel]]); the cluster fold below reads the
+      // landed edges back, so it stays sequential
+      BatchState.inParallel(Seq(
+        () => land(assign, stateDir, "assign", batchId),
+        () => land(newNew.unionAll(newOld), stateDir, "edges", batchId)))
 
       val edgesK = spark.read.parquet(s"$stateDir/edges/batch=$batchId")
       val prevSnap = landed.lastOption

@@ -106,12 +106,15 @@ object IncrementalIndexOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val docLen = postings.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
-      land(postings, stateDir, "postings", batchId)
-      land(docLen, stateDir, "doclen", batchId)
-      land(postings.groupBy(col("token")).agg(count(lit(1)).as("df")),
-        stateDir, "tokstats", batchId)
-      land(docLen.agg(count(lit(1)).as("n_docs"),
-        sum(col("dl")).as("totlen")), stateDir, "globals", batchId)
+      // all four state tables derive from the one persisted frame and
+      // land independently — overlapped ([[BatchState.inParallel]])
+      BatchState.inParallel(Seq(
+        () => land(postings, stateDir, "postings", batchId),
+        () => land(docLen, stateDir, "doclen", batchId),
+        () => land(postings.groupBy(col("token")).agg(count(lit(1)).as("df")),
+          stateDir, "tokstats", batchId),
+        () => land(docLen.agg(count(lit(1)).as("n_docs"),
+          sum(col("dl")).as("totlen")), stateDir, "globals", batchId)))
     } finally postings.unpersist(blocking = false)
   }
 
@@ -220,23 +223,27 @@ object IncrementalIndexOps {
             .get.join(newDel, Seq("id"), "left_semi")
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
-            land(newDel, delDir(stateDir), "del_ids", batchId)
-            land(delPostings.groupBy(col("token"))
-              .agg((-count(lit(1))).as("df")),
-              delDir(stateDir), "del_tokstats", batchId)
             // `ceiling` records the max MAIN batch id this delta was
             // derived against: an as-of cut at or above every landed
             // ceiling is consistent with the interleaved (ingest,
             // delete) ledger order — the deltas only reference docs in
             // batches ≤ ceiling — which is what lets the audit verb
             // serve tombstoned-but-unpurged directories for ALIGNED
-            // cuts instead of refusing outright
-            land(delPostings.groupBy(col("id"))
-              .agg(sum(col("tf")).as("dl"))
-              .agg((-count(lit(1))).as("n_docs"),
-                (-coalesce(sum(col("dl")), lit(0L))).as("totlen"))
-              .withColumn("ceiling", lit(landed.max)),
-              delDir(stateDir), "del_globals", batchId)
+            // cuts instead of refusing outright.
+            // The three delta tables derive from the one persisted
+            // probe and land independently — overlapped
+            // ([[BatchState.inParallel]])
+            BatchState.inParallel(Seq(
+              () => land(newDel, delDir(stateDir), "del_ids", batchId),
+              () => land(delPostings.groupBy(col("token"))
+                .agg((-count(lit(1))).as("df")),
+                delDir(stateDir), "del_tokstats", batchId),
+              () => land(delPostings.groupBy(col("id"))
+                .agg(sum(col("tf")).as("dl"))
+                .agg((-count(lit(1))).as("n_docs"),
+                  (-coalesce(sum(col("dl")), lit(0L))).as("totlen"))
+                .withColumn("ceiling", lit(landed.max)),
+                delDir(stateDir), "del_globals", batchId)))
           } finally delPostings.unpersist(blocking = false)
         }
         }
