@@ -443,7 +443,23 @@ object DedupOps {
     // the distinct hash set directly
     val sigs = base.select(col("id"), length(col("p")).as("plen"),
       explode(deletionHashes(col("p"), maxDist)).as("h"))
-    val buckets = sigs.groupBy(col("h"))
+    // count-prune BEFORE the collect: the overwhelming majority of
+    // variant hashes are singletons (they can never pair), but
+    // collect_list is a TypedImperativeAggregate — no map-side partial
+    // aggregation worth anything on unique keys, per-group object
+    // buffers, and a sort-based fallback past the in-memory key cap —
+    // so feeding it the full variant stream pays object-agg cost on
+    // 99%+ dead groups (profiled: Collect.merge/CollectList.eval were
+    // d10's hottest frames). The count aggregate is a codegen'd
+    // hash-agg whose map-side partials collapse the stream before the
+    // exchange (guide §2.3), the survivors' semi-join broadcasts at
+    // sane sizes (§3.2), and only genuinely-pairable buckets reach the
+    // object agg. Result-identical: `size(m) > 1` was dropping the
+    // singletons anyway.
+    val hot = sigs.groupBy(col("h")).agg(count(lit(1)).as("n"))
+      .where(col("n") > 1).select("h")
+    val buckets = sigs.join(hot, Seq("h"), "left_semi")
+      .groupBy(col("h"))
       .agg(collect_list(struct(col("id"), col("plen"))).as("m"))
       .where(size(col("m")) > 1)
     // in-bucket pair expansion ([[bucketPairs]]): for member i, pair
