@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver recovers the bench's one-line JSON record from captured
+// stdout; sbt's trailing "[success] Total time: ..." summary line was
+// landing AFTER the record and breaking that extraction
+// (BENCH_r16..r18 all carry parsed:null). Suppress it so the record
+// printed by graft.Bench is the last stdout line.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

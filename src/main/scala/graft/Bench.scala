@@ -553,6 +553,13 @@ object Bench {
         System.err.println(s"[bench] clean-record merge skipped: $e")
         line
     }
+    // The driver parses the record from captured stdout: emit a
+    // sentinel-prefixed copy first (machine-recoverable by prefix grep
+    // anywhere in the capture), then the bare one-line record as the
+    // LAST stdout line (build.sbt suppresses sbt's trailing
+    // "[success]" summary for exactly this — r16..r18 all lost their
+    // per-query ground truth to that line).
+    println("BENCH_RESULT " + emitted)
     println(emitted)
     // Also persist the record: stdout of a long run can be tail-truncated
     // by the harness (round 6 lost the per-query minima that way); the

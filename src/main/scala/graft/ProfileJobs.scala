@@ -48,7 +48,10 @@ object ProfileJobs {
     spark.sparkContext.setLogLevel("WARN")
 
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, Rec]()
-    val stageToJob = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
+    // Integer (not Int): a missing key must come back null, not a
+    // silently-unboxed 0 that would attribute the stage to job 0
+    val stageToJob =
+      new java.util.concurrent.ConcurrentHashMap[Integer, Integer]()
     @volatile var collecting = false
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit =
@@ -57,7 +60,7 @@ object ProfileJobs {
             .flatMap(p => Option(p.getProperty("spark.job.description")))
             .getOrElse("")
           jobs.put(e.jobId, new Rec(e.jobId, desc, e.time))
-          e.stageIds.foreach(s => stageToJob.put(s, e.jobId))
+          e.stageIds.foreach(s => stageToJob.put(Int.box(s), Int.box(e.jobId)))
         }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = {
         val r = jobs.get(e.jobId)

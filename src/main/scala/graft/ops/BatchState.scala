@@ -1323,6 +1323,15 @@ private[graft] object BatchState {
     * overwritten by the retry either way). Cached-frame races are safe:
     * the block manager's per-partition locks make concurrent first
     * readers of a persisted frame compute-once.
+    *
+    * Scope of the crash-semantics claim: it holds when the pooled set
+    * alone cannot be misread as a complete (or legacy) batch. A caller
+    * that lands an additional table sequentially AFTER the pool must
+    * ensure visibility/commit is decided by one of the POST-pool
+    * tables — e.g. curation ingest lands `stats` last, after the
+    * cluster fold, so a crash mid-pool never leaves an
+    * everything-but-clusters shape that readers would take for
+    * pre-snapshot legacy state.
     */
   private[graft] def inParallel(tasks: Seq[() => Unit]): Unit =
     if (tasks.size <= 1) tasks.foreach(_())

@@ -304,17 +304,20 @@ object IncrementalCurateOps {
       def land(df: DataFrame, table: String): Unit =
         df.write.mode(SaveMode.Overwrite)
           .parquet(s"$stateDir/$table/batch=$batchId")
-      // docs/prefix/edges/stats all derive from the persisted docsNew
-      // (plus already-landed older batches) and land independently —
+      // docs/prefix/edges all derive from the persisted docsNew (plus
+      // already-landed older batches) and land independently —
       // overlapped ([[BatchState.inParallel]]); the cluster fold below
-      // stays sequential because it reads the landed edges back
+      // stays sequential because it reads the landed edges back, and
+      // stats lands LAST (after clusters) as the batch's effective
+      // commit marker: a crash mid-ingest must never leave a shape
+      // where every table but clusters carries _SUCCESS, which readers
+      // would misread as pre-snapshot legacy state and refuse.
       BatchState.inParallel(Seq(
         () => land(docsNew, "docs"),
         () => land(docsNew.select(col("doc_id"),
           explode(DedupOps.hashPrefixArray(col("sh"), cfg.jaccardThreshold)).as("s"))
           .select(col("s"), col("doc_id")), "prefix"),
-        () => land(newNew.unionAll(newOld), "edges"),
-        () => land(statsNew, "stats")))
+        () => land(newNew.unionAll(newOld), "edges")))
 
       // incrementally-maintained cluster map: fold THIS batch's edges
       // (read back from the just-landed parquet — the cheapest
@@ -327,6 +330,8 @@ object IncrementalCurateOps {
       val prevSnap = landedBatchIds(spark, stateDir, Some(batchId)).lastOption
         .map(k => spark.read.parquet(s"$stateDir/clusters/batch=$k"))
       land(DedupOps.foldClusterSnapshot(prevSnap, newIds, edgesK), "clusters")
+      // stats last — see the ordering note above the pool
+      land(statsNew, "stats")
     } finally docsNew.unpersist(blocking = false)
   }
 

@@ -586,9 +586,10 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"delta not broadcast:\n$p")
   }
 
-  test("edit-distance candidates shuffle the exploded variant stream " +
-      "ONCE (bucket hash-agg + in-row pair expansion — no self-join, no " +
-      "sort, no persist) and carry hashed 8-byte keys") {
+  test("edit-distance candidates: count-prune (codegen'd partial+final " +
+      "hash count) + broadcast semi-join keeps singleton buckets out of " +
+      "the object agg; in-row pair expansion — no self-join, no sort, " +
+      "no cartesian — and hashed 8-byte keys") {
     import org.apache.spark.sql.functions.{col, substring}
     val base = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id").as("id"),
@@ -596,16 +597,28 @@ class PlanQualitySpec extends AnyFunSuite {
       .where(col("p").isNotNull)
     val cand = graft.ops.DedupOps.editDistanceCandidates(base, 2)
     val p = cand.queryExecution.explainString(FormattedMode)
-    assert(!p.contains("Join"),
-      s"candidates must come from in-bucket expansion, not a self-join:\n$p")
+    // the ONLY join is the count-prune's broadcast LEFT SEMI — pairs
+    // still come from in-bucket expansion, never a self-join product
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+      s"candidates must never form a product:\n$p")
+    assert(p.contains("BroadcastHashJoin LeftSemi"),
+      s"the count-prune must attach as a broadcast semi-join:\n$p")
+    assert(nodeCount(p, "BroadcastHashJoin") == 1 &&
+      !p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"exactly one join: the prune's broadcast semi:\n$p")
     assert(p.contains("deletion_hashes"),
       s"signatures must come from the native no-string hash expression:\n$p")
-    // exactly two exchanges: the bucket groupBy on h, and the final
-    // pair distinct (pairs-sized, tiny) — the 40M-variant stream
-    // crosses the wire once
+    // the prune aggregate is a codegen'd hash count with a map-side
+    // partial below its exchange — never an object aggregate
+    assert(p.contains("partial_count"),
+      s"count-prune must partial-aggregate map-side:\n$p")
+    // exactly three shuffles: the prune's count groupBy on h, the
+    // bucket groupBy on h, and the final pair distinct (pairs-sized,
+    // tiny) — the 40M-variant stream's OBJECT-agg leg still crosses
+    // the wire once (the prune leg carries only (h, partial count))
     val exchanges = nodeCount(p, "Exchange")
-    assert(exchanges == 2,
-      s"variant stream must shuffle once + pair distinct ($exchanges):\n$p")
+    assert(exchanges == 3,
+      s"prune count + bucket agg + pair distinct ($exchanges):\n$p")
     assert(nodeCount(p, "Sort") == 0,
       s"no sort anywhere in the candidate stage:\n$p")
   }
