@@ -17,7 +17,7 @@ object ConditionBuilders {
 
   private def emit(df: DataFrame, key: Column, resourceType: String, entity: Column): DataFrame =
     df.select(key.as("key"), lit(resourceType).as("resource_type"),
-      to_json(entity).as("resource_json"))
+      FhirJson.entityJson(entity).as("resource_json"))
 
   /** A coding with system+code only (ontology ids), added when the value
     * is truthy and not a sentinel (disease.py:123-143).

@@ -303,6 +303,6 @@ object DrsBuilder {
       context.as("context"))
 
     rows.select(col("gf_id").as("key"), lit("DocumentReference").as("resource_type"),
-      to_json(entity).as("resource_json"))
+      FhirJson.entityJson(entity).as("resource_json"))
   }
 }

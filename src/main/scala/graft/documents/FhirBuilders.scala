@@ -34,7 +34,7 @@ object FhirBuilders {
 
   private def emit(df: DataFrame, key: Column, resourceType: String, entity: Column): DataFrame =
     df.select(key.as("key"), lit(resourceType).as("resource_type"),
-      to_json(entity).as("resource_json"))
+      FhirJson.entityJson(entity).as("resource_json"))
 
   // ------------------------------------------------------------- Patient
 

@@ -11,6 +11,19 @@ import org.apache.spark.sql.functions._
   */
 object FhirJson {
 
+  /** The builders' serialization kernel: `to_json` semantics (null
+    * fields dropped, Jackson-default escaping) as one codegen'd static
+    * call — see [[graft.functions.StructToJsonNative]]. Byte-exactness
+    * vs `to_json` is pinned by `NativeJsonSpec` (differential over the
+    * full corpus, every builder) and the 16 hash-checked kf oracles.
+    * Unsupported leaf types fail ANALYSIS, never fall back silently.
+    */
+  def entityJson(entity: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.StructToJsonNative(
+      GraftColumnBridge.expression(entity)))
+  }
+
   /** Python-truthiness presence test for strings (`if external_id:`,
     * patient.py:157): null and "" are both missing.
     */

@@ -28,7 +28,7 @@ object InvestigatorBuilders {
 
   private def emit(df: DataFrame, resourceType: String, entity: Column): DataFrame =
     df.select(col("inv_id").as("key"), lit(resourceType).as("resource_type"),
-      to_json(entity).as("resource_json"))
+      FhirJson.entityJson(entity).as("resource_json"))
 
   /** practitioner.py:11-63 — no study tag on meta. */
   def practitioner(wide: DataFrame): DataFrame = {

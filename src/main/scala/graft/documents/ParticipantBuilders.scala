@@ -17,7 +17,7 @@ object ParticipantBuilders {
 
   private def emit(df: DataFrame, key: Column, resourceType: String, entity: Column): DataFrame =
     df.select(key.as("key"), lit(resourceType).as("resource_type"),
-      to_json(entity).as("resource_json"))
+      FhirJson.entityJson(entity).as("resource_json"))
 
   /** proband_status.py:30-99. The reference's identifier value is
     * `bool(proband_status)` — Python truthiness makes that True for ANY

@@ -70,6 +70,6 @@ object RelationshipBuilders {
           Codes.codingLookup(Codes.familyRelationshipCoding, col("relation"))))
         .as("valueCodeableConcept"))
     rows.select(col("fr_id").as("key"), lit("Observation").as("resource_type"),
-      to_json(entity).as("resource_json"))
+      FhirJson.entityJson(entity).as("resource_json"))
   }
 }

@@ -121,6 +121,6 @@ object SpecimenBuilder {
       collection.as("collection"))
 
     deduped.select(col("bs_id").as("key"), lit("Specimen").as("resource_type"),
-      to_json(entity).as("resource_json"))
+      FhirJson.entityJson(entity).as("resource_json"))
   }
 }

@@ -11,6 +11,15 @@ object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** DataFrame from a logical plan (private[sql] upstream) — lets the
+    * native-JSON differential spec rewrite a plan's
+    * `StructToJsonNative` nodes back to the built-in `to_json` and run
+    * both, proving byte-equality over the full corpus.
+    */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** True iff the session's CacheManager has no registered plans. A
     * `DataFrame.persist` that never materialized leaves no blocks in
     * `getPersistentRDDs` but still registers here (and silently
