@@ -158,7 +158,8 @@ object Bench {
         import scala.jdk.CollectionConverters._
         val node = new com.fasterxml.jackson.databind.ObjectMapper()
           .readTree(java.nio.file.Files.readString(path))
-        if (Option(node.get("sf")).map(_.asText()).contains(sfDir))
+        if (Option(node.get("sf")).map(_.asText()).contains(sfDir) &&
+            Option(node.get("cpus")).map(_.asText()).forall(_ == cpus))
           Option(node.get("queries")).map(_.properties().asScala
             .map(e => e.getKey -> e.getValue.asDouble()).toMap)
             .getOrElse(Map.empty)
@@ -485,7 +486,7 @@ object Bench {
     // a later partial merge rewrites the file and would otherwise keep
     // a previous round's record looking "fresh" forever
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spreads":$spreads,"errors":$errs,"calibration":$calib,"normalization":$norm,"adjudication":$adjudication,"runs":$runs,"sf":"$sfDir","sweep_ts":${System.currentTimeMillis()},"total_s":${num(total)},"total_normalized_s":${num(totalNorm)},"n_errors":${failures.size + forkErrs.size}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spreads":$spreads,"errors":$errs,"calibration":$calib,"normalization":$norm,"adjudication":$adjudication,"runs":$runs,"sf":"$sfDir","cpus":$cpus,"sweep_ts":${System.currentTimeMillis()},"total_s":${num(total)},"total_normalized_s":${num(totalNorm)},"n_errors":${failures.size + forkErrs.size}}"""
     // Lowest-canary record keeping: the round's baseline must be its
     // CLEANEST full sweep, not whichever ran last — end-of-round sweeps
     // routinely hit driver-side contention (canary 1.3-1.8×) and were
@@ -496,8 +497,40 @@ object Bench {
     // as the base and merge in only the rows it lacks; the emitted line
     // IS the merged record, flagged under "merge" so a reader knows
     // which window each number came from.
-    val outPath = java.nio.file.Paths.get(
+    // Core-count aware record keeping (r18 post-mortem: the driver's
+    // 8-core scaling sweep replaced the 32-core record in
+    // bench_last.json because the clean-window policy compared only
+    // canaries — per-query baselines were silently cross-core). A
+    // sweep whose core count differs from a FRESH full same-sf base
+    // record diverts to a cpus-suffixed file and leaves the main
+    // record alone.
+    val outPath0 = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json"))
+    val outPath = try {
+      if (!java.nio.file.Files.exists(outPath0)) outPath0
+      else {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val base = om.readTree(java.nio.file.Files.readString(outPath0))
+        val baseCpus = Option(base.get("cpus")).map(_.asText())
+        val ageMs = System.currentTimeMillis() -
+          Option(base.get("sweep_ts")).map(_.asLong()).getOrElse(0L)
+        val sameSf = Option(base.get("sf")).map(_.asText()).contains(sfDir)
+        if (baseCpus.exists(_ != cpus) && sameSf &&
+            ageMs < 12L * 3600 * 1000) {
+          val fn = outPath0.getFileName.toString
+          val dot = fn.lastIndexOf('.')
+          val diverted = if (dot > 0)
+            fn.substring(0, dot) + s"_c$cpus" + fn.substring(dot)
+          else fn + s"_c$cpus"
+          val p = Option(outPath0.getParent)
+            .map(_.resolve(diverted))
+            .getOrElse(java.nio.file.Paths.get(diverted))
+          System.err.println(s"[bench] base record is cpus=" +
+            s"${baseCpus.get}, this sweep is cpus=$cpus — writing $p")
+          p
+        } else outPath0
+      }
+    } catch { case _: Exception => outPath0 }
     val curPartial = sys.env.get("SPARK_GRAFT_BENCH_ONLY").isDefined
     val emitted: String = try {
       if (!java.nio.file.Files.exists(outPath)) line
@@ -516,11 +549,15 @@ object Bench {
         val baseFull =
           baseQ.exists(_.size() >= (SparkEntry.queries.size * 9) / 10)
         val sameSf = Option(base.get("sf")).map(_.asText()).contains(sfDir)
+        // never merge across core counts (a cpus-less base predates the
+        // field and is assumed same-cpus, as before r19)
+        val sameCpus = Option(base.get("cpus")).map(_.asText())
+          .forall(_ == cpus)
         // a PARTIAL sweep never clobbers a full record at any age (it
         // can only contribute rows the record lacks); a full sweep
         // defers to the existing record only inside the same round
         // window AND at a strictly worse canary
-        val reuseBase = sameSf && baseFull && (curPartial ||
+        val reuseBase = sameSf && sameCpus && baseFull && (curPartial ||
           (ageMs < 12L * 3600 * 1000 && shuffleRatio > baseRatio))
         if (!reuseBase) line
         else {
